@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Relational query surface: aggregation, join, window, top-k, and the
+  * reference's admin read-back (S7, sql_adapter_base.go:217-297).
+  *
+  * All monetary aggregates run in DECIMAL(18,2) and only cast to DOUBLE at
+  * the end so Spark and DuckDB agree bit-for-bit regardless of summation
+  * order — double-sum nondeterminism would otherwise break the hash compare
+  * and, at scale, make results run-to-run unstable.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** TPC-H-Q1-style pricing summary. Scale notes: single hash aggregation,
+    * partial (map-side) aggregate first, filter pushed to the parquet scan. */
+  def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Oracle = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  /** Join + aggregate + top-k: revenue per order with the customer dimension
+    * broadcast (a ~1:150 dim at any SF — never shuffle the fact side for it). */
+  def q3(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val c = Tables.customer(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey"), c("c_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q3Oracle = """
+    SELECT o_orderkey, c_name, revenue FROM (
+      SELECT o.o_orderkey, c.c_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o.o_orderkey, c.c_name)
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"""
+
+  /** Window functions: per-customer running order value and order sequence.
+    * One shuffle on o_custkey; the two windows share the same partitioning
+    * so Catalyst evaluates them in a single Window node. */
+  def qWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_total",
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "order_seq", "running_total")
+  }
+
+  private val qWindowOracle = """
+    SELECT o_custkey, o_orderkey,
+      ROW_NUMBER() OVER w AS order_seq,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""
+
+  /** Top-k scan: TakeOrderedAndProject — no full sort, each partition keeps
+    * k rows, driver merges. The 100 TB-safe form of ORDER BY ... LIMIT. */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  private val qTopKOracle = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""
+
+  /** Admin read-back (S7, sql_adapter_base.go:217-297): conjunctive
+    * WhenConditions + ORDER BY asc, and the Count variant. */
+  def s7(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 1000 && col("c_mktsegment") === "BUILDING")
+      .orderBy(col("c_custkey").asc)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+  private val s7Oracle = """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
+    ORDER BY c_custkey ASC"""
+
+  def qs: Map[String, Q] = Map(
+    "q1_agg"    -> Q(q1, Some(q1Oracle)),
+    "q3_join"   -> Q(q3, Some(q3Oracle)),
+    "q_window"  -> Q(qWindow, Some(qWindowOracle)),
+    "q_topk"    -> Q(qTopK, Some(qTopKOracle)),
+    "s7_select" -> Q(s7, Some(s7Oracle)),
+  )
+}
