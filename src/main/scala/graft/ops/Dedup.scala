@@ -12,37 +12,51 @@ import org.apache.spark.sql.functions._
   * highest discriminator wins and ties fall to the newest row.
   *
   * Spark-first rendering: a window `row_number` partitioned by the PK —
-  * a single hash-shuffle on the PK columns, map-side combinable by AQE, no
-  * driver-side state. At 100 TB this is the canonical "keep one row per key"
-  * plan: shuffle once on pk, no join, skew handled by AQE.
+  * a single hash-shuffle on the PK columns, no driver-side state. At 100 TB
+  * this is the canonical "keep one row per key" plan: shuffle once on pk,
+  * no join, skew handled by AQE.
   */
 object Dedup {
 
   /** Keep exactly one row per `pk`:
     *   - highest `discriminators` (in order) wins;
-    *   - ties (or no discriminator) → highest `arrivalCol` (newest) wins.
+    *   - ties (or no discriminator) → highest `arrival` (newest) wins.
     *
-    * `arrivalCol` defaults to a synthetic arrival sequence when the frame
-    * already carries one; callers on unordered batches should pass an
-    * explicit tiebreak column for determinism.
+    * When no explicit `arrival` column is given, an arrival sequence is
+    * stamped from the incoming partition layout BEFORE the pk shuffle
+    * (monotonically_increasing_id over the source order), which reproduces
+    * the reference's "later occurrence wins" for any source with a stable
+    * read order (files, Kafka offsets). Callers with a real arrival column
+    * (offset, line number) should pass it for cross-run determinism.
     */
   def inBatch(df: DataFrame, pk: Seq[String],
               discriminators: Seq[String] = Nil,
               arrival: Option[Column] = None): DataFrame = {
+    // Stamp arrival order on the un-shuffled input: after the window's pk
+    // shuffle the id would reflect shuffle layout, not source order.
+    val arrCol = "__graft_arrival"
+    val stamped = arrival match {
+      case Some(a) => df.withColumn(arrCol, a)
+      case None    => df.withColumn(arrCol, monotonically_increasing_id())
+    }
     val order: Seq[Column] =
-      discriminators.map(c => col(c).desc_nulls_last) ++ arrival.map(_.desc)
-    val ord = if (order.nonEmpty) order else Seq(monotonically_increasing_id().desc)
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w))
+      discriminators.map(c => col(c).desc_nulls_last) :+ col(arrCol).desc
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+    stamped.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", arrCol)
   }
 
   /** Exact duplicate detection on arbitrary content columns: groups rows by a
-    * stable hash of `contentCols` and keeps the row with the smallest
-    * `keepBy`. Returns the survivors plus the duplicate count per group. */
+    * collision-free hash of `contentCols` and keeps the row with the smallest
+    * `keepBy`. Returns the survivors plus the duplicate count per group.
+    *
+    * The hash encodes each column null-tagged inside a JSON struct so that
+    * ("ab","c"), ("a","bc") and ("abc", NULL) hash differently — a bare
+    * separator-less concat would collide and silently delete distinct rows.
+    */
   def exact(df: DataFrame, contentCols: Seq[String], keepBy: String): DataFrame = {
-    val h = md5(concat_ws("", contentCols.map(col): _*))
+    val h = contentHash(contentCols)
     val w = Window.partitionBy(h)
     val ordered = Window.partitionBy(h).orderBy(col(keepBy).asc)
     df.withColumn("__grp_n", count(lit(1)).over(w))
@@ -51,4 +65,10 @@ object Dedup {
       .withColumnRenamed("__grp_n", "dup_count")
       .drop("__rn")
   }
+
+  /** Collision-free content fingerprint: JSON-encodes the columns (null vs
+    * empty vs boundary-shift all distinct) then md5s the text. Stays inside
+    * whole-stage codegen (to_json + md5 are both codegen'd). */
+  def contentHash(contentCols: Seq[String]): Column =
+    md5(to_json(struct(contentCols.map(col): _*)))
 }

@@ -15,29 +15,45 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first rendering for lake-style targets: an anti-join of the target
   * against the source keys (restricted to the window) unioned with the
-  * deduplicated source. The source-key side is small relative to the target
-  * (one batch vs the full table) → broadcast the key set; the target is
-  * never shuffled, and on a partitioned table the window predicate prunes
+  * deduplicated source. The target is never shuffled when the key side is
+  * broadcast, and on a partitioned table the window predicate prunes
   * partitions before the join. For warehouse targets the SQL text is
-  * generated instead (graft.sql.Dialect#mergeInto).
+  * generated instead (see graft.sql.Dialect).
   */
 object Merge {
+
+  /** Above this estimated source-key count the broadcast is skipped and the
+    * anti-join falls back to a shuffle join — a backfill-sized source would
+    * otherwise blow up the driver (micro-batches broadcast; backfills shuffle). */
+  val BroadcastKeyLimit = 2L * 1000 * 1000
 
   /** Upsert `source` into `target` on `pk`. Rows of `target` whose pk appears
     * in `source` AND which fall inside the merge window are replaced; the
     * remainder of `target` is kept; all `source` rows are inserted.
-    * `source` must already be pk-unique (run Dedup.inBatch first). */
+    * `source` must already be pk-unique (run Dedup.inBatch first).
+    *
+    * A NULL window predicate (e.g. null timestamp on a target row) counts as
+    * OUTSIDE the window — the row is kept, never silently dropped: the
+    * reference's merge window only restricts which rows may be replaced.
+    *
+    * `sourceKeyCountHint`: pass the (approximate) source row count when known
+    * so the broadcast decision needs no extra job; when absent the source is
+    * assumed micro-batch-sized and broadcast.
+    */
   def upsert(target: DataFrame, source: DataFrame, pk: Seq[String],
-             window: Option[Column] = None): DataFrame = {
-    val keys = broadcast(source.select(pk.map(col): _*).distinct())
-    val eligible = window.getOrElse(lit(true))
-    val joined = target.join(keys, pk, "left_anti")
+             window: Option[Column] = None,
+             sourceKeyCountHint: Option[Long] = None): DataFrame = {
+    val keyDf = source.select(pk.map(col): _*).distinct()
+    val keys =
+      if (sourceKeyCountHint.forall(_ <= BroadcastKeyLimit)) broadcast(keyDf)
+      else keyDf
     val kept = window match {
-      case None => joined
-      case Some(_) =>
-        // outside the window: keep even when the pk matches the source
-        target.filter(!eligible).unionByName(
-          target.filter(eligible).join(keys, pk, "left_anti"))
+      case None => target.join(keys, pk, "left_anti")
+      case Some(w) =>
+        // NULL window predicate == outside the window == not replaceable.
+        val inWin = coalesce(w, lit(false))
+        target.filter(!inWin).unionByName(
+          target.filter(inWin).join(keys, pk, "left_anti"))
     }
     kept.unionByName(source.select(target.columns.map(col): _*))
   }

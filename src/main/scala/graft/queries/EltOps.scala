@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.ops.{Dedup, Merge, Partitions}
+import graft.shape.Ingest
+
+/** ELT-operator queries: each drives the real ingest/dedup/merge/partition
+  * path over driver-generated tables and pairs with a DuckDB oracle that
+  * reconstructs the expected result from the same parquet.
+  *
+  * The NDJSON inputs are built by serializing table rows to JSON strings
+  * (distributed `to_json`), so `Ingest.shape` runs the genuine
+  * parse→flatten→sanitize→infer pipeline — not a pre-parsed shortcut.
+  */
+object EltOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** T1+T2+T4: nested JSON → flattened columns; weird identifier sanitized;
+    * array stringified; ISO timestamp string sniffed to TIMESTAMP. */
+  def t1Flatten(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.lineitem(s, d).select(to_json(struct(
+      struct(col("l_orderkey").as("key"), col("l_linenumber").cast(LongType).as("line")).as("order"),
+      col("l_quantity").as("qty"),
+      array(col("l_returnflag"), col("l_linestatus")).as("tags"),
+      col("l_partkey").as("$part key!"),
+      col("l_shipdate").as("ship"))).as("j")).as[String]
+    Ingest.shape(s, raw).df
+  }
+
+  private val t1Oracle = """
+    SELECT l_partkey AS "$part key_",
+           l_orderkey AS order_key,
+           CAST(l_linenumber AS BIGINT) AS order_line,
+           l_quantity AS qty,
+           l_shipdate AS ship,
+           '["' || l_returnflag || '","' || l_linestatus || '"]' AS tags
+    FROM lineitem"""
+
+  /** T4+T6: batch-level type inference with LCA widening — a column that is
+    * INT64 in some events and FLOAT64 in others lands as DOUBLE; bool and
+    * sniffed-timestamp columns type correctly; an always-null column is
+    * dropped (omitNils). */
+  def t4Infer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val jsonOpts = Map("ignoreNullFields" -> "false")
+    val even = ev.filter(col("event_id") % 2 === 0).select(to_json(struct(
+      col("event_id").as("id"),
+      (col("event_id") * 2).as("m"), // INT64 here
+      (col("event_id") % 4 === 0).as("flag"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("when"),
+      lit(null).cast(StringType).as("gone")), jsonOpts).as("j")).as[String]
+    val odd = ev.filter(col("event_id") % 2 === 1).select(to_json(struct(
+      col("event_id").as("id"),
+      col("value").as("m"), // FLOAT64 here → column widens to DOUBLE
+      (col("event_id") % 4 === 0).as("flag"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("when"),
+      lit(null).cast(StringType).as("gone")), jsonOpts).as("j")).as[String]
+    Ingest.shape(s, even.union(odd)).df
+  }
+
+  private val t4Oracle = """
+    SELECT (event_id % 4 = 0) AS flag,
+           event_id AS id,
+           CASE WHEN event_id % 2 = 0 THEN CAST(event_id * 2 AS DOUBLE) ELSE value END AS m,
+           date_trunc('second', ts) AS "when"
+    FROM events"""
+
+  /** T5: `__sql_type_` hint on a nested object suppresses flattening — the
+    * object is stringified to JSON text and the hint key is removed. */
+  def t5Hints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.events(s, d).select(to_json(struct(
+      col("event_id").as("id"),
+      struct(col("user_id").as("a"), col("event_type").as("b")).as("payload"),
+      lit("json").as("__sql_type_payload"))).as("j")).as[String]
+    Ingest.shape(s, raw).df
+  }
+
+  private val t5Oracle = """
+    SELECT event_id AS id,
+           '{"a":' || user_id || ',"b":"' || event_type || '"}' AS payload
+    FROM events"""
+
+  /** D1: in-batch PK dedup with discriminator — highest ts wins per
+    * (user_id, event_type), ties to the highest arrival id
+    * (abstract_transactional.go:439-496). */
+  def d1Dedup(s: SparkSession, d: String): DataFrame =
+    Dedup.inBatch(Tables.events(s, d), Seq("user_id", "event_type"),
+        discriminators = Seq("ts_ns"), arrival = Some(col("event_id")))
+      .select("user_id", "event_type", "event_id", "ts_ms", "value")
+
+  private val d1Oracle = """
+    SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1"""
+
+  /** D2+D3: cross-batch upsert with a merge window. Target rows outside the
+    * window survive even when their pk collides with the source. */
+  private val WindowStartMs = 1704240000000L // 2024-01-03T00:00:00Z
+
+  def d2MergeWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val target = ev.filter(col("event_id") < 800)
+    val source = Dedup.inBatch(ev.filter(col("event_id") >= 800),
+      Seq("user_id"), arrival = Some(col("event_id")))
+    Merge.upsert(target, source, Seq("user_id"),
+        window = Some(col("ts_ms") >= WindowStartMs))
+      .select("event_id", "user_id", "event_type", "ts_ms", "value")
+  }
+
+  private val d2Oracle = s"""
+    WITH target AS (SELECT * FROM events WHERE event_id < 800),
+    src AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id >= 800) t WHERE rn = 1)
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM target
+    WHERE NOT coalesce(epoch_ms(ts) >= $WindowStartMs, false)
+       OR user_id NOT IN (SELECT user_id FROM src)
+    UNION ALL
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM src"""
+
+  /** P1: replace one partition — final state after the swap; rows of the
+    * replaced day come only from the new batch
+    * (replacepartition_stream.go:78-161). */
+  def p1ReplacePartition(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val target = ev.withColumn(Partitions.PartitionCol, date_format(col("ts"), "yyyy-MM-dd"))
+    val batch = ev.filter(
+      date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02" && col("event_type") === "purchase")
+    Partitions.replacePartition(target, batch, "2024-01-02")
+      .select("event_id", "user_id", Partitions.PartitionCol)
+  }
+
+  private val p1Oracle = """
+    SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS __partition_id
+    FROM events WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') <> '2024-01-02'
+    UNION ALL
+    SELECT event_id, user_id, '2024-01-02' AS __partition_id
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-02'
+      AND event_type = 'purchase'"""
+
+  /** P4: date-granularity truncation (delete_condition.go:64-187) driving a
+    * partition-grain aggregate. */
+  def p4DateTrunc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        Partitions.truncate(col("ts"), "DAY").as("day"),
+        Partitions.truncate(col("ts"), "HOUR").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+
+  private val p4Oracle = """
+    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2"""
+
+  def qs: Map[String, Q] = Map(
+    "t1_flatten"           -> Q(t1Flatten, Some(t1Oracle)),
+    "t4_infer"             -> Q(t4Infer, Some(t4Oracle)),
+    "t5_hints"             -> Q(t5Hints, Some(t5Oracle)),
+    "d1_dedup"             -> Q(d1Dedup, Some(d1Oracle)),
+    "d2_merge_window"      -> Q(d2MergeWindow, Some(d2Oracle)),
+    "p1_replace_partition" -> Q(p1ReplacePartition, Some(p1Oracle)),
+    "p4_date_trunc"        -> Q(p4DateTrunc, Some(p4Oracle)),
+  )
+}

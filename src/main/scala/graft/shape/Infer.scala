@@ -1,0 +1,137 @@
+package graft.shape
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Conversions
+
+/** Type inference post-pass (T4) and `__sql_type_` hint extraction (T5).
+  *
+  * Inference (reference: types/datatype.go:218-242, sql/type_resolver.go:42-86)
+  * is per-value in the reference with LCA widening across the batch; Spark's
+  * JSON reader already gives the numeric/bool/string widening per batch. What
+  * it does NOT give is the reference's timestamp sniff (datatype.go:169-215):
+  * a string column whose every non-null value looks like a timestamp becomes
+  * TIMESTAMP — mixed columns stay STRING, exactly the lattice LCA
+  * (TIMESTAMP ∨ STRING = STRING).
+  *
+  * Scale note: the sniff decision for ALL string columns is ONE aggregate job
+  * (bool_and per column, map-side combinable); the cast is a narrow
+  * projection. No per-column jobs, no collect of data rows.
+  */
+object Infer {
+
+  /** A `__sql_type_<field>` hint found in the batch schema
+    * (processor.go:54-95): `target` is the flattened column the hint applies
+    * to ("" suffix → the enclosing object itself), `hintCol` is the flattened
+    * name of the hint field, `castType`/`ddlType` filled from the value. */
+  final case class Hint(target: String, hintCol: String,
+                        castType: String, ddlType: Option[String]) {
+    def metadata: Metadata = {
+      val b = new MetadataBuilder().putString("sqlType", castType).putBoolean("override", true)
+      ddlType.foreach(b.putString("ddlType", _))
+      b.build()
+    }
+  }
+
+  val HintPrefix = "__sql_type_"
+
+  /** A hint field located in the PARSED (still nested) schema: the path
+    * segments of the hint field itself and of the flattened target name.
+    * Hints must be read and removed BEFORE flattening (processor.go:20-40) —
+    * a hint addressing its own enclosing object would otherwise be swallowed
+    * by the stringification it requests. */
+  final case class HintField(segments: Seq[String], targetSegments: Seq[String])
+
+  /** Driver-side schema walk: every `__sql_type_*` field at any nesting depth. */
+  def hintFields(schema: StructType): Seq[HintField] = {
+    def walk(prefix: Seq[String], st: StructType): Seq[HintField] =
+      st.fields.toSeq.flatMap { f =>
+        if (f.name.startsWith(HintPrefix)) {
+          val suffix = f.name.stripPrefix(HintPrefix).stripPrefix("_")
+          // empty suffix → hint addresses the whole enclosing object
+          val target = if (suffix.isEmpty) prefix else prefix :+ suffix
+          Seq(HintField(prefix :+ f.name, target))
+        } else f.dataType match {
+          case nested: StructType => walk(prefix :+ f.name, nested)
+          case _                  => Nil
+        }
+      }
+    walk(Nil, schema)
+  }
+
+  private def nestedCol(segments: Seq[String]): Column =
+    segments.tail.foldLeft(col(s"`${segments.head}`"))((c, s) => c.getField(s))
+
+  /** Resolve hint values with one tiny aggregate over the PARSED frame
+    * (hints are per-event in the reference; the batch form takes the first
+    * non-null occurrence — matching matrix-test fixtures where hints are
+    * constant). Array-valued hints are `[castType, ddlType]`. */
+  def resolveHints(parsed: DataFrame, fields: Seq[HintField],
+                   transform: String => String): Seq[Hint] = {
+    if (fields.isEmpty) return Nil
+    def dtOf(segs: Seq[String]): DataType =
+      segs.foldLeft(parsed.schema: DataType) {
+        case (st: StructType, s) => st(s).dataType
+        case (dt, _)             => dt
+      }
+    val aggs = fields.zipWithIndex.map { case (hf, i) =>
+      val base = nestedCol(hf.segments)
+      val c = dtOf(hf.segments) match {
+        case _: ArrayType => to_json(first(base, ignoreNulls = true))
+        case _            => first(base, ignoreNulls = true).cast(StringType)
+      }
+      c.as(s"h$i")
+    }
+    val row = parsed.agg(aggs.head, aggs.tail: _*).collect()(0)
+    fields.zipWithIndex.flatMap { case (hf, i) =>
+      val target = hf.targetSegments.map(transform).mkString("_")
+      val hintName = hf.segments.map(transform).mkString("_")
+      Option(row.getString(i)).map { raw =>
+        if (raw.startsWith("[")) {
+          // ["castType","ddlType"] — strip the JSON array wrapper
+          val parts = raw.stripPrefix("[").stripSuffix("]")
+            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          Hint(target, hintName, parts(0), parts.lift(1))
+        } else Hint(target, hintName, raw, None)
+      }
+    }
+  }
+
+  /** Remove hint fields from the parsed frame before flattening. Top-level
+    * hints drop the column; nested ones rebuild the struct via `dropFields`. */
+  def stripHintFields(parsed: DataFrame, fields: Seq[HintField]): DataFrame =
+    fields.foldLeft(parsed) { (df, hf) =>
+      if (hf.segments.length == 1) df.drop(hf.segments.head)
+      else {
+        val top = hf.segments.head
+        val dotted = hf.segments.tail.map(s => s"`$s`").mkString(".")
+        df.withColumn(top, col(s"`$top`").dropFields(dotted))
+      }
+    }
+
+  /** One pass deciding, for every string column, (a) does every non-null
+    * value look like a timestamp (→ cast), (b) is the column entirely null
+    * (→ drop when omitNils). Returns (tsCols, allNullCols). */
+  def scanStringColumns(df: DataFrame, candidates: Seq[String]): (Seq[String], Seq[String]) = {
+    if (candidates.isEmpty) return (Nil, Nil)
+    val aggs = candidates.flatMap { c =>
+      val v = col(s"`$c`")
+      Seq(
+        // nulls must not veto the sniff — only non-null values vote
+        bool_and(v.isNull || Conversions.looksLikeTimestamp(v)).as(s"ts__$c"),
+        count(v).as(s"n__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ts = candidates.filter { c =>
+      val idx = row.fieldIndex(s"ts__$c")
+      !row.isNullAt(idx) && row.getBoolean(idx) && row.getLong(row.fieldIndex(s"n__$c")) > 0
+    }
+    val allNull = candidates.filter(c => row.getLong(row.fieldIndex(s"n__$c")) == 0L)
+    (ts, allNull)
+  }
+
+  /** Default-TIMESTAMP field names (types/converter.go:36-44): these are
+    * timestamp-typed whenever their values parse, even in mixed columns. */
+  val KnownTimestampFields: Set[String] = Set("_timestamp", "utc_time", "local_tz_offset")
+}

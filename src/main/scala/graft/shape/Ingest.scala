@@ -1,0 +1,101 @@
+package graft.shape
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Conversions
+
+/** End-to-end ingest shaping: raw NDJSON → flattened, sanitized, typed
+  * DataFrame — the reference's per-event `ProcessEvents` pipeline
+  * (sql/processor.go:15-52: hints → flatten → infer) re-expressed as three
+  * batch-level passes:
+  *
+  *   1. `spark.read.json` — one distributed schema-inference pass (the
+  *      columnar equivalent of per-event `TypeFromValue` + LCA widening:
+  *      mixed int/float → double, anything ∨ string → string).
+  *   2. ONE aggregate job resolving hint values + timestamp sniff + all-null
+  *      columns.
+  *   3. ONE narrow projection: flatten + rename + cast. Codegen'd end to end.
+  *
+  * At 100 TB the whole shape is two scans (infer + the agg can share the
+  * second with downstream work) and zero shuffles.
+  */
+object Ingest {
+
+  final case class ShapeOptions(
+      caseMode: Names.CaseMode = Names.KeepCase,
+      omitNils: Boolean = true,
+      maxIdentifierLength: Int = 63,
+      /** extra flattened paths to keep as JSON text (declared-schema fields,
+        * options.go "schema" — abstract.go:103-111) */
+      notFlatteningKeys: Set[String] = Set.empty,
+      /** schemaFreeze drops unexpected columns instead of adding them
+        * (options.go:53-57) */
+      schemaFreeze: Boolean = false,
+      declaredFields: Seq[String] = Nil,
+      /** hard cap on column count (options.go:59-63, default 5000) */
+      maxColumns: Int = 5000)
+
+  final case class Shaped(df: DataFrame, hints: Seq[Infer.Hint])
+
+  /** Shape a batch of raw JSON strings.
+    *
+    * Spark's JSON schema inference silently drops empty-key fields, which the
+    * reference instead surfaces as `_unnamed` (flattener.go:48-52) — so empty
+    * keys are textually renamed before the parse (a narrow, codegen'd
+    * `regexp_replace`; the pattern only fires on `{` or `,` directly followed
+    * by an empty key). */
+  def shape(spark: SparkSession, raw: Dataset[String],
+            opts: ShapeOptions = ShapeOptions()): Shaped = {
+    import spark.implicits._
+    val normalized =
+      raw.toDF("value")
+        .select(regexp_replace(col("value"), """([\{,]\s*)""\s*:""", "$1\"_unnamed\":").as("value"))
+        .as[String]
+    shapeDf(spark.read.json(normalized), opts)
+  }
+
+  /** Shape an already-parsed (possibly nested) DataFrame. */
+  def shapeDf(parsed: DataFrame, opts: ShapeOptions = ShapeOptions()): Shaped = {
+    val transform: String => String = n => Names.normalizeCase(n, opts.caseMode)
+
+    // T5: hints are read and stripped BEFORE flattening (processor.go:20-40);
+    // hinted OBJECT targets are then not flattened (processor.go:34-40).
+    val hintFields = Infer.hintFields(parsed.schema)
+    val hints = Infer.resolveHints(parsed, hintFields, transform)
+    val cleaned = Infer.stripHintFields(parsed, hintFields)
+    val notFlat = opts.notFlatteningKeys ++ hints.map(_.target) ++ opts.declaredFields
+
+    // T1: flatten.
+    val noHints = Flattener.flatten(cleaned, transform, notFlat)
+
+    // T2/T3: sanitize identifiers (collisions keep last, like ordered-map Set)
+    val renamed = noHints.toDF(noHints.columns.map(
+      Names.column(_, Names.KeepCase, opts.maxIdentifierLength)): _*)
+
+    // T4: timestamp sniff + omit-nil columns, one agg over all string cols.
+    val overridden = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength)).toSet
+    val stringCols = renamed.schema.fields
+      .filter(f => f.dataType == StringType && !overridden.contains(f.name))
+      .map(_.name).toSeq
+    val (tsCols, allNull) = Infer.scanStringColumns(renamed, stringCols)
+
+    val dropped = if (opts.omitNils) renamed.drop(allNull.filterNot(overridden): _*) else renamed
+    val hintByCol = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength) -> h).toMap
+    val projected = dropped.select(dropped.columns.map { c =>
+      val base =
+        if (tsCols.contains(c)) Conversions.sniffTimestamp(col(s"`$c`"))
+        else col(s"`$c`")
+      hintByCol.get(c) match {
+        case Some(h) => base.as(c, h.metadata)
+        case None    => base.as(c)
+      }
+    }: _*)
+
+    val capped =
+      if (projected.columns.length > opts.maxColumns)
+        projected.select(projected.columns.take(opts.maxColumns).map(c => col(s"`$c`")): _*)
+      else projected
+    Shaped(capped, hints)
+  }
+}
