@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: correct baseline, O(|Q|·|C|) — only sane when
+  *    the query side is small enough to broadcast (it is here; at scale it is
+  *    the per-bucket fallback);
+  *  - random-hyperplane LSH: each vector gets a b-bit signature (sign of the
+  *    dot product against b fixed ±1 hyperplanes); candidates share the
+  *    bucket, top-k is computed within it. The corpus shuffles ONCE on the
+  *    bucket key; no cross-join ever materializes. Multi-probe (flipping
+  *    low-margin bits) is the recall knob at scale.
+  *
+  * All arithmetic is double-precision over the float values with fixed
+  * (hash-derived) hyperplanes, so the DuckDB oracle reproduces every bucket
+  * and every cosine bit-for-bit.
+  */
+object Similarity {
+
+  /** Double-precision cosine similarity of two float-array columns —
+    * `zip_with` product + sequential `aggregate` sum, all codegen'd. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0d), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Deterministic ±1 hyperplanes: plane j, dimension d. */
+  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes)(j => Array.tabulate(dim)(d =>
+      if ((TextOps.hash60Str(s"plane:$j:$d") & 1L) == 1L) 1d else -1d))
+
+  /** b-bit LSH bucket of an embedding column under fixed hyperplanes. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(emb, lit(p), (x, w) => x.cast(DoubleType) * w),
+        lit(0d), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Brute-force top-k: every query row against the whole corpus. The query
+    * side must be small (broadcast nested-loop join by construction). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                queryId: String = "vec_id", corpusId: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col("embedding").as("__qe")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col("embedding").as("__ce"))
+    rank(q.crossJoin(c), k)
+  }
+
+  /** LSH top-k: join on the bucket key — one shuffle of the corpus by bucket,
+    * candidates only within buckets. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Array[Array[Double]],
+              queryId: String = "vec_id", corpusId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col("embedding").as("__qe"),
+      lshBucket(col("embedding"), planes).as("__bucket"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col("embedding").as("__ce"),
+      lshBucket(col("embedding"), planes).as("__bucket"))
+    rank(broadcast(q).join(c, "__bucket"), k)
+  }
+
+  /** Shared ranking tail: cosine (rounded for cross-engine stability),
+    * self-match removed, deterministic tie-break, k rows per query. */
+  private def rank(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", TextOps.quant(cosine(col("__qe"), col("__ce")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

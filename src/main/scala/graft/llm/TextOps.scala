@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, portable 60-bit hashing, MinHash signatures,
+  * SimHash fingerprints, language-ID and quality heuristics.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` higher-order
+  * array functions — per-row narrow work, whole-stage codegen, zero shuffles
+  * until an operator explicitly joins/aggregates. The hash is md5-derived so
+  * the DuckDB oracle can reproduce every value bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Documents are single-space separated; `\s+` keeps the
+    * operator correct on arbitrary text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative long.
+    * DuckDB mirror: `('0x' || substr(md5(s),1,15))::BIGINT`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Scala-side twin of [[hash60]] for driver-computed constants. */
+  def hash60Str(s: String): Long =
+    java.lang.Long.parseLong(
+      graft.shape.Names.md5hex(s).substring(0, 15), 16)
+
+  /** Distinct word n-gram shingles. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array_distinct(array(concat_ws(" ", toks))))
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Affine MinHash permutations over a prime modulus. h_i(x) =
+    * (a_i * (x mod P) + b_i) mod P; P > 2^32 keeps (x mod P) ≤ 2^33 and
+    * a_i ~ 2^20 keeps the product < 2^53 — no int64 overflow on either
+    * engine. Constants are fixed so every run (and the oracle) agrees. */
+  val MinHashP = 4294967311L
+  val MinHashA: Array[Long] = Array(
+    1000003L, 1000033L, 1000037L, 1000039L, 1000081L, 1000099L, 1000117L, 1000121L,
+    1000133L, 1000151L, 1000159L, 1000171L, 1000183L, 1000187L, 1000193L, 1000199L)
+  val MinHashB: Array[Long] = Array.tabulate(16)(i => 97L + i * 1009L)
+
+  /** MinHash signature value i over an array of 60-bit shingle hashes. */
+  def minhash(hashes: Column, i: Int): Column =
+    array_min(transform(hashes,
+      h => (lit(MinHashA(i)) * (h % MinHashP) + lit(MinHashB(i))) % MinHashP))
+
+  /** LSH band key: md5 of the comma-joined signature slice
+    * [band*rows, (band+1)*rows). Equal band key ⇒ candidate pair. */
+  def bandKey(sig: Seq[Column], band: Int, rows: Int): Column =
+    md5(concat_ws(",", sig.slice(band * rows, (band + 1) * rows).map(_.cast(StringType)): _*))
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over token hashes (frequency-weighted: repeated tokens
+    * vote repeatedly). Bit b is set when the sum over tokens of ±1 (sign of
+    * the token-hash's bit b) is positive. One pass per bit over the
+    * precomputed hash array — arithmetic only, no re-hashing. */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => hash60(t))
+    (0 until 32).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  // ---- Language ID ------------------------------------------------------
+
+  /** Tiny per-language stopword inventories (frequency heuristics). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr" -> Seq("le", "et", "un", "pour", "dans", "ce", "une", "sur", "avec", "pas"))
+
+  /** Frequency-weighted stopword hits for one language. */
+  def langScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Arg-max language with a fixed priority order on ties (en→de→es→fr). */
+  def langId(scores: Seq[(String, Column)]): Column =
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseC) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        when(rest.map(s >= _).reduce(_ && _), lang).otherwise(elseC)
+    }
+
+  // ---- Quality ----------------------------------------------------------
+
+  /** Punctuation characters per total characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^\\p{L}\\p{N}\\s]")).cast(DoubleType) / length(text)
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation — the
+    * standard pre-tokenizer shape. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Engine-agnostic quantization to k decimals: `round()` half-handling
+    * differs across engines (Spark HALF_UP vs DuckDB HALF_EVEN), so exact
+    * .5 boundaries would hash-mismatch; floor(x·10^k + 0.5) is deterministic
+    * everywhere given the same double input. */
+  def quant(c: Column, k: Int): Column = {
+    val m = math.pow(10, k)
+    floor(c * m + 0.5) / m
+  }
+
+  /** Composite quality score in [0,1]: length, punctuation sanity, stopword
+    * density. Deterministic, mirrored in the oracle. */
+  def qualityScore(nTokens: Column, punct: Column, stopRatio: Column): Column =
+    quant(
+      least(nTokens.cast(DoubleType) / 100d, lit(1d)) * 0.4 +
+      (lit(1d) - least(punct * 5, lit(1d))) * 0.3 +
+      least(stopRatio * 3, lit(1d)) * 0.3, 4)
+}

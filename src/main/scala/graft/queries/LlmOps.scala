@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.llm.{Multimodal, Similarity, TextOps}
+import graft.ops.Dedup
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup family (exact, n-gram Jaccard, MinHash-LSH, SimHash fingerprints),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (lang-ID, quality, token stats), and multimodal feature plumbing.
+  *
+  * Every oracle below is generated from the SAME Scala constants that drive
+  * the Spark plan (hash function, MinHash coefficients, LSH hyperplanes), so
+  * even the sketch-based operators hash-compare exactly. No pipeline ever
+  * builds an unbucketed cross product: pair discovery always goes through a
+  * key join (shingle, band key, or LSH bucket) — the only scalable shape at
+  * 100 TB.
+  */
+object LlmOps {
+
+  // ---- shared SQL fragments (DuckDB), mirrors of TextOps ----------------
+  private def hashSql(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private def shinglesSql(sp: String, n: Int) =
+    s"""CASE WHEN len($sp) >= $n
+        THEN list_distinct([array_to_string($sp[i:i+${n - 1}],' ') for i in range(1, len($sp)-${n - 2})])
+        ELSE [array_to_string($sp,' ')] END"""
+  private def qSql(e: String, k: Int) = s"floor(($e) * 1e$k + 0.5) / 1e$k"
+  private def minhashSql(hs: String, i: Int) = {
+    val (a, b, p) = (TextOps.MinHashA(i), TextOps.MinHashB(i), TextOps.MinHashP)
+    s"list_min(list_transform($hs, h -> ($a * (h % $p) + $b) % $p))"
+  }
+
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact content dedup: hash-groupBy on a collision-free content hash; one
+    * shuffle, survivor = smallest doc_id, dup cardinality kept. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id")
+      .select("doc_id", "dup_count", "n_chars")
+
+  private val exactOracle = """
+    SELECT doc_id, dup_count, n_chars FROM (
+      SELECT doc_id, n_chars,
+             count(*) OVER (PARTITION BY text) AS dup_count,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn = 1"""
+
+  // ---- n-gram Jaccard near-dup -----------------------------------------
+
+  private val JaccardThreshold = 0.5
+  private val DfCap = 100 // shingles in more docs than this are uninformative — and explode pair counts
+
+  /** Candidate pairs via an inverted shingle index (join on the shingle —
+    * never all-pairs), document-frequency cap for scale, exact Jaccard
+    * verification. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh0 = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    val sh = sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= DfCap).drop("df")
+    jaccardVerify(sh, JaccardThreshold)
+  }
+
+  /** Shared tail: inter/union from an inverted index of (doc_id, shingle). */
+  private def jaccardVerify(sh: DataFrame, threshold: Double,
+                            restrictTo: Option[DataFrame] = None): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val joined = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val pairs0 = restrictTo match {
+      case Some(r) => joined.join(r, Seq("i", "j"), "left_semi")
+      case None    => joined
+    }
+    pairs0.groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
+      .withColumn("jac", TextOps.quant(col("inter") / (col("ni") + col("nj") - col("inter")), 3))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "jac")
+  }
+
+  private val ngramOracle = s"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s
+      FROM documents),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t
+      WHERE df <= $DfCap),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j, ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} AS jac
+    FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+    WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
+
+  // ---- MinHash + LSH near-dup ------------------------------------------
+
+  private val NumHashes = 16
+  private val NumBands = 4
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** MinHash signatures → banded buckets → candidate pairs (join on band
+    * key) → exact-Jaccard verification of candidates only. The 100 TB shape:
+    * signatures are narrow per-row work; the only shuffles are the band-key
+    * join and the candidate verification. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withSig = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .withColumn("hs", transform(col("sh"), TextOps.hash60(_)))
+    val sig = (0 until NumHashes).map(i => TextOps.minhash(col("hs"), i))
+    val bands = withSig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b =>
+        struct(lit(b).as("band"), TextOps.bandKey(sig, b, RowsPerBand).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    jaccardVerify(sh, JaccardThreshold, restrictTo = Some(cands))
+  }
+
+  private val minhashOracle = {
+    val sigDefs = (0 until NumHashes).map(i => s"${minhashSql("hs", i)} AS s$i").mkString(",\n        ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH hsrc AS (
+      SELECT doc_id, list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")}) AS hs
+      FROM documents),
+    sigs AS (
+      SELECT doc_id,
+        $sigDefs
+      FROM hsrc),
+    bands AS (
+      $bandRows),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sh AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN cands c ON c.i = a.doc_id AND c.j = b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j, ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} AS jac
+    FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+    WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
+  }
+
+  // ---- SimHash + fingerprint -------------------------------------------
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+
+  private val simhashOracle = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) - len(hs) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(" +\n      ")
+    s"""
+    SELECT doc_id,
+      $bits AS simhash
+    FROM (SELECT doc_id, list_transform($toksSql, t -> ${hashSql("t")}) AS hs
+          FROM documents) t"""
+  }
+
+  /** Rolling word-5-gram fingerprint (min-hash; the k=1 winnowing signature). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      array_min(transform(TextOps.shingles(TextOps.tokens(col("text")), 5), TextOps.hash60(_)))
+        .as("fingerprint"))
+
+  private val fingerprintOracle = s"""
+    SELECT doc_id,
+      list_min(list_transform(${shinglesSql(toksSql, 5)}, x -> ${hashSql("x")})) AS fingerprint
+    FROM documents"""
+
+  // ---- text analysis ----------------------------------------------------
+
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTokens = size(toks)
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / nTokens
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTokens.cast(LongType).as("n_tokens"),
+      length(col("text")).cast(LongType).as("n_chars_m"),
+      TextOps.bpeishCount(col("text")).cast(LongType).as("n_bpeish"),
+      TextOps.quant(punct, 4).as("punct_ratio"),
+      TextOps.quant(stop, 4).as("stop_ratio"),
+      TextOps.qualityScore(nTokens, punct, stop).as("quality"))
+  }
+
+  private val textStatsOracle = {
+    val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""
+    SELECT doc_id,
+      n_tokens, n_chars_m, n_bpeish,
+      ${qSql("punct", 4)} AS punct_ratio,
+      ${qSql("stop", 4)} AS stop_ratio,
+      ${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)} AS quality
+    FROM (
+      SELECT doc_id,
+        len(sp)::BIGINT AS n_tokens,
+        length(text)::BIGINT AS n_chars_m,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpeish,
+        len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
+        len(list_filter(sp, t -> list_contains($en, t)))::DOUBLE / len(sp) AS stop
+      FROM (SELECT doc_id, text, $toksSql AS sp FROM documents) t) tt"""
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scores = TextOps.LangStopwords.map { case (l, ws) =>
+      l -> TextOps.langScore(toks, ws)
+    }
+    Tables.documents(s, d).select(
+      col("doc_id") +: scores.map { case (l, c) => c.cast(LongType).as(s"s_$l") }
+        :+ TextOps.langId(scores).as("lang_guess"): _*)
+  }
+
+  private val langIdOracle = {
+    val scoreDefs = TextOps.LangStopwords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(sp, t -> list_contains($arr, t)))::BIGINT AS s_$l"
+    }.mkString(",\n        ")
+    val langs = TextOps.LangStopwords.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), elseC) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$l' ELSE $elseC END"
+    }
+    s"""
+    SELECT doc_id, s_en, s_de, s_es, s_fr, $caseExpr AS lang_guess
+    FROM (
+      SELECT doc_id,
+        $scoreDefs
+      FROM (SELECT doc_id, $toksSql AS sp FROM documents) t) tt"""
+  }
+
+  // ---- similarity search ------------------------------------------------
+
+  private val AnnK = 5
+  private val AnnPlanes = Similarity.planes(6, 64) // 64 buckets
+  private val NearDupPlanes = Similarity.planes(8, 64) // 256 buckets
+  private val NearDupCos = 0.995
+
+  private def cosineSql(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), k -> $x[k]::DOUBLE * $y[k]::DOUBLE))"
+    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+  }
+
+  private def bucketSql(emb: String, planes: Array[Array[Double]]) =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> $emb[k]::DOUBLE * ($lits)[k])) > 0 THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" +\n        ")
+
+  /** Brute-force cosine top-k: the correctness baseline (query side tiny →
+    * broadcast nested loop; at scale this is the per-bucket fallback). */
+  def annBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteTopK(emb.filter(col("vec_id") < 10), emb, AnnK)
+  }
+
+  private val annBruteOracle = s"""
+    SELECT query_id, rank, neighbor_id, cos FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${qSql(cosineSql("q.embedding", "c.embedding"), 4)} AS cos,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY ${qSql(cosineSql("q.embedding", "c.embedding"), 4)} DESC, c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rank <= $AnnK"""
+
+  /** LSH-bucketed ANN: candidates share a random-hyperplane bucket — the
+    * corpus shuffles once on the bucket key; no cross-join. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, AnnK, AnnPlanes)
+  }
+
+  private val annLshOracle = s"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        ${bucketSql("embedding", AnnPlanes)} AS bucket
+      FROM embeddings)
+    SELECT query_id, rank, neighbor_id, cos FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${qSql(cosineSql("q.embedding", "c.embedding"), 4)} AS cos,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY ${qSql(cosineSql("q.embedding", "c.embedding"), 4)} DESC, c.vec_id ASC) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rank <= $AnnK"""
+
+  /** Embedding-cosine near-dup pairs, bucket-joined (within a 256-bucket LSH
+    * partition; near-identical vectors share all sign bits). */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), NearDupPlanes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        TextOps.quant(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= NearDupCos)
+  }
+
+  private val embedNearDupOracle = s"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        ${bucketSql("embedding", NearDupPlanes)} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS i, b.vec_id AS j,
+      ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} AS cos
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
+
+  // ---- multimodal -------------------------------------------------------
+
+  /** Binary media plumbing: text bytes stand in for opaque payloads; decode
+    * is stubbed deterministically, the Dataset/mapPartitions shape is real. */
+  def mmFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")).toDF()
+
+  private val mmOracle = """
+    SELECT doc_id,
+      octet_length(encode(text))::BIGINT AS n_bytes,
+      (octet_length(encode(text)) % 640)::BIGINT AS width,
+      (octet_length(encode(text)) % 480)::BIGINT AS height,
+      (1 + octet_length(encode(text)) % 10)::BIGINT AS n_frames,
+      md5(text) AS checksum
+    FROM documents"""
+
+  def qs: Map[String, Q] = Map(
+    "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
+    "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
+    "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
+    "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
+    "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
+    "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
+    "llm_langid"        -> Q(langId, Some(langIdOracle)),
+    "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
+    "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
+    "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
+    "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
+  )
+}
