@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{DataKind, Tables}
+import graft.ops.Dedup
+import graft.sink.{JdbcSink, SchemaEvolution}
+import graft.sql.{ColumnSpec, DerbyDialect, TableSpec}
+
+/** Warehouse-sink operators exercised LIVE against embedded Derby (the JDBC
+  * database that ships with Spark): real CREATE TABLE, ALTER TABLE ADD,
+  * MERGE, and row-wise upserts — then read back through spark.read.jdbc and
+  * hash-compared against the DuckDB oracle. Only the URL/dialect differ for
+  * a real warehouse.
+  *
+  * Scale note: embedded Derby lives in the local JVM (fine under local[n];
+  * a cluster uses a server URL). Bulk rows always travel through Spark's
+  * distributed JDBC writer — the driver connection only runs DDL/MERGE text.
+  */
+object SinkOps {
+
+  private def derby(db: String) = JdbcSink(s"jdbc:derby:memory:$db;create=true", DerbyDialect)
+
+  private def dropIfExists(sink: JdbcSink, table: String): Unit =
+    try sink.withConnection(sink.exec(_, s"DROP TABLE \"$table\""))
+    catch { case _: java.sql.SQLException => () }
+
+  private def readBack(s: SparkSession, sink: JdbcSink, table: String): DataFrame =
+    s.read.jdbc(sink.url, s"\"$table\"", new java.util.Properties())
+
+  /** K7/T8/B3: dedup → auto-CREATE TABLE (with PK) → distributed append →
+    * read back. The full vertical slice of the reference's batch mode. */
+  def k7Roundtrip(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_k7")
+    dropIfExists(sink, "EVENTS_DEDUP")
+    val data = Dedup.inBatch(Tables.events(s, d), Seq("user_id", "event_type"),
+        discriminators = Seq("ts_ns"), arrival = Some(col("event_id")))
+      .select("user_id", "event_type", "event_id", "ts_ms", "value")
+    val spec = sink.specFor(data, "events_dedup", pk = Seq("user_id", "event_type"))
+    sink.ensureTable(spec)
+    sink.append(data, spec.name)
+    readBack(s, sink, "EVENTS_DEDUP").select(
+      col("USER_ID").as("user_id"), col("EVENT_TYPE").as("event_type"),
+      col("EVENT_ID").as("event_id"), col("TS_MS").as("ts_ms"), col("VALUE").as("value"))
+  }
+
+  private val k7Oracle = """
+    SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1"""
+
+  /** T6+T7: pure-DataFrame schema evolution — existing-type-wins casts with
+    * `_unmapped_data` overflow, new column added (abstract.go:422-553). */
+  def t7Evolution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val batch1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("id"), (col("event_id") * 2).as("m"))
+    val batch2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("id"), col("event_type").as("m"), col("value").as("extra"))
+    val existing = TableSpec("t", Seq(
+      ColumnSpec("id", DataKind.Int64), ColumnSpec("m", DataKind.Int64)))
+    val plan = SchemaEvolution.evolve(batch2, existing)
+    batch1
+      .withColumn("extra", lit(null).cast(DoubleType))
+      .withColumn(SchemaEvolution.UnmappedColumn, lit(null).cast(StringType))
+      .unionByName(plan.projected)
+  }
+
+  private val t7Oracle = """
+    SELECT event_id AS id, event_id * 2 AS m, CAST(NULL AS DOUBLE) AS extra,
+           CAST(NULL AS VARCHAR) AS _unmapped_data
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, TRY_CAST(event_type AS BIGINT), value,
+           '{"m":"' || event_type || '"}'
+    FROM events WHERE event_id % 2 = 1"""
+
+  /** T7/T8 LIVE: batch 2 evolves against the REAL Derby catalog — live
+    * column kinds read from JDBC metadata, ALTER TABLE ADD for the new
+    * columns, unconvertible values into `_unmapped_data`. */
+  def t8EvolutionLive(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_t8")
+    dropIfExists(sink, "EVOLVE_T")
+    val ev = Tables.events(s, d)
+    val batch1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("id"), (col("event_id") * 2).as("m"))
+    val spec1 = sink.specFor(batch1, "evolve_t")
+    sink.ensureTable(spec1)
+    sink.append(batch1, spec1.name)
+
+    val batch2raw = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("id"), col("event_type").as("m"), col("value").as("extra"))
+    val batch2 = sink.adapt(batch2raw) // dialect identifier form before diffing vs live
+    val live = TableSpec("EVOLVE_T", sink.existingColumns("EVOLVE_T").get)
+    val plan = SchemaEvolution.evolve(batch2, live)
+    val evolved = live.copy(columns = live.columns ++ plan.newColumns
+      :+ ColumnSpec(sink.dialect.adaptIdentifier(SchemaEvolution.UnmappedColumn), DataKind.Json))
+    sink.ensureTable(evolved)
+    sink.append(plan.projected, evolved.name)
+    readBack(s, sink, "EVOLVE_T").select(
+      col("ID").as("id"), col("M").as("m"), col("EXTRA").as("extra"),
+      col("_UNMAPPED_DATA").as("unmapped"))
+  }
+
+  // unmapped keys carry the LIVE column names — uppercase under Derby's
+  // identifier policy, exactly as Snowflake would (abstract.go:69-78)
+  private val t8Oracle = """
+    SELECT event_id AS id, event_id * 2 AS m, CAST(NULL AS DOUBLE) AS extra,
+           CAST(NULL AS VARCHAR) AS unmapped
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, TRY_CAST(event_type AS BIGINT), value,
+           '{"M":"' || event_type || '"}'
+    FROM events WHERE event_id % 2 = 1"""
+
+  /** D4 LIVE: stream-mode row-wise upsert — two batches, second wins per pk
+    * (autocommit_stream.go:41-140); each executor partition runs its own
+    * prepared-statement batch. */
+  def d4StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_d4")
+    dropIfExists(sink, "STREAM_T")
+    val ev = Tables.events(s, d)
+    def dedup(df: DataFrame) =
+      Dedup.inBatch(df, Seq("user_id"), arrival = Some(col("event_id")))
+        .select("user_id", "event_id", "event_type", "value")
+    val batch1 = dedup(ev.filter(col("event_id") < 500))
+    val batch2 = dedup(ev.filter(col("event_id") >= 500))
+    val spec = sink.specFor(batch1, "stream_t", pk = Seq("user_id"))
+    sink.ensureTable(spec)
+    sink.streamUpsert(batch1, spec)
+    sink.streamUpsert(batch2, spec)
+    readBack(s, sink, "STREAM_T").select(
+      col("USER_ID").as("user_id"), col("EVENT_ID").as("event_id"),
+      col("EVENT_TYPE").as("event_type"), col("VALUE").as("value"))
+  }
+
+  private val d4Oracle = """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1"""
+
+  /** D2 LIVE: transactional tmp-table MERGE with a merge window — target
+    * rows outside the window survive a pk collision (D3). */
+  def d2MergeLive(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_d2")
+    dropIfExists(sink, "MERGE_T")
+    val ev = Tables.events(s, d)
+    val target = ev.filter(col("event_id") < 800)
+      .select("event_id", "user_id", "event_type", "ts_ms", "value")
+    val source = Dedup.inBatch(ev.filter(col("event_id") >= 800),
+        Seq("user_id"), arrival = Some(col("event_id")))
+      .select("event_id", "user_id", "event_type", "ts_ms", "value")
+    val spec = sink.specFor(target, "merge_t", pk = Seq("user_id", "event_id"))
+    sink.ensureTable(spec)
+    sink.append(target, spec.name)
+    // window on the TARGET row (D3): only rows inside it may be replaced.
+    // Derby MERGE can't delete, so the live shape is delete-then-insert
+    // like Redshift (redshift.go:260-309): delete in-window pk matches.
+    sink.loadMerge(source, spec.copy(pk = Seq(sink.dialect.adaptIdentifier("user_id"))),
+      windowPredicate = Some("""__T__."TS_MS" >= 1704240000000"""))
+    readBack(s, sink, "MERGE_T").select(
+      col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+      col("EVENT_TYPE").as("event_type"), col("TS_MS").as("ts_ms"), col("VALUE").as("value"))
+  }
+
+  private val d2LiveOracle = EltOpsShared.d2OracleSql
+
+  def qs: Map[String, Q] = Map(
+    "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
+    "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
+    "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
+    "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),
+    "d2_merge_live"     -> Q(d2MergeLive, Some(d2LiveOracle)),
+  )
+}
+
+/** Oracle SQL shared between the DataFrame and live-sink renderings of the
+  * same semantics. */
+object EltOpsShared {
+  val d2OracleSql: String = s"""
+    WITH target AS (SELECT * FROM events WHERE event_id < 800),
+    src AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id >= 800) t WHERE rn = 1)
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM target
+    WHERE NOT coalesce(epoch_ms(ts) >= 1704240000000, false)
+       OR user_id NOT IN (SELECT user_id FROM src)
+    UNION ALL
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM src"""
+}
