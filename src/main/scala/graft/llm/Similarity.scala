@@ -37,6 +37,31 @@ object Similarity {
     Array.tabulate(numPlanes)(j => Array.tabulate(dim)(d =>
       if ((TextOps.hash60Str(s"plane:$j:$d") & 1L) == 1L) 1d else -1d))
 
+  /** Plane count for a corpus of `n` vectors targeting `perBucket` vectors
+    * per bucket. Bucket count MUST grow with the corpus — a fixed 2^b bucket
+    * space makes within-bucket pairing quadratic once n >> 2^b. At 100 TB
+    * (billions of vectors) this yields ~22+ planes; callers that need an
+    * engine-independent oracle pin the count instead and document the scale. */
+  def planesFor(n: Long, perBucket: Int = 256): Int = {
+    val buckets = math.max(1.0, n.toDouble / perBucket)
+    math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ `threshold`, bucket-joined under
+    * corpus-scaled hyperplanes (the production entry point — one count job
+    * to size the bucket space, then one shuffle on the bucket key). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+                   id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val ps = planes(planesFor(corpus.count()), dim)
+    val b = corpus.select(col(id), col(emb).as("embedding"),
+      lshBucket(col(emb), ps).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j"),
+        TextOps.quant(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** b-bit LSH bucket of an embedding column under fixed hyperplanes. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -37,15 +37,18 @@ object Merge {
     * reference's merge window only restricts which rows may be replaced.
     *
     * `sourceKeyCountHint`: pass the (approximate) source row count when known
-    * so the broadcast decision needs no extra job; when absent the source is
-    * assumed micro-batch-sized and broadcast.
+    * — a count at or under [[BroadcastKeyLimit]] forces a broadcast of the
+    * key set. With NO hint the SAFE path is taken: a plain join, letting AQE
+    * convert it to broadcast at runtime if the key side turns out small. A
+    * forced broadcast of an unhinted backfill-sized source would OOM the
+    * driver; AQE's runtime decision costs nothing and is never wrong.
     */
   def upsert(target: DataFrame, source: DataFrame, pk: Seq[String],
              window: Option[Column] = None,
              sourceKeyCountHint: Option[Long] = None): DataFrame = {
     val keyDf = source.select(pk.map(col): _*).distinct()
     val keys =
-      if (sourceKeyCountHint.forall(_ <= BroadcastKeyLimit)) broadcast(keyDf)
+      if (sourceKeyCountHint.exists(_ <= BroadcastKeyLimit)) broadcast(keyDf)
       else keyDf
     val kept = window match {
       case None => target.join(keys, pk, "left_anti")

@@ -23,7 +23,9 @@ object EltOps {
     * array stringified; ISO timestamp string sniffed to TIMESTAMP. */
   def t1Flatten(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val raw = Tables.lineitem(s, d).select(to_json(struct(
+    // spread the unsplittable single-row-group scan: JSON parse+inference is
+    // the CPU-heavy path here and must not run on one core
+    val raw = Tables.spread(s, Tables.lineitem(s, d)).select(to_json(struct(
       struct(col("l_orderkey").as("key"), col("l_linenumber").cast(LongType).as("line")).as("order"),
       col("l_quantity").as("qty"),
       array(col("l_returnflag"), col("l_linestatus")).as("tags"),

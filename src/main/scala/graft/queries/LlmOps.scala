@@ -68,21 +68,41 @@ object LlmOps {
     jaccardVerify(sh, JaccardThreshold)
   }
 
-  /** Shared tail: inter/union from an inverted index of (doc_id, shingle). */
-  private def jaccardVerify(sh: DataFrame, threshold: Double,
-                            restrictTo: Option[DataFrame] = None): DataFrame = {
+  /** Shared tail for the inverted-index path: inter/union from (doc_id,
+    * shingle). Only safe on a DF-CAPPED index (the cap bounds the per-shingle
+    * fan-out); the candidate-verify path uses [[verifyCandidates]] instead. */
+  private def jaccardVerify(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val joined = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-    val pairs0 = restrictTo match {
-      case Some(r) => joined.join(r, Seq("i", "j"), "left_semi")
-      case None    => joined
-    }
-    pairs0.groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    joined.groupBy("i", "j").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
       .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
       .withColumn("jac", TextOps.quant(col("inter") / (col("ni") + col("nj") - col("inter")), 3))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "jac")
+  }
+
+  /** Exact-Jaccard verification of an EXPLICIT candidate pair set. The
+    * shingle index is first semi-joined down to candidate docs, then each
+    * pair hash-joins its two per-doc shingle sets and intersects in-row
+    * (`array_intersect`) — no shingle self-join ever materializes, so a hot
+    * shingle ("the quick brown") cannot make pair generation quadratic. Cost
+    * is linear in |candidates|: the 100 TB-safe verify shape. */
+  private def verifyCandidates(sh: DataFrame, cands: DataFrame,
+                               threshold: Double): DataFrame = {
+    val candDocs = cands.select(col("i").as("doc_id"))
+      .union(cands.select(col("j").as("doc_id"))).distinct()
+    // shingles are distinct per doc, so |set| is also the doc's shingle count
+    val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    cands
+      .join(docSets.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
+      .join(docSets.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac",
+        TextOps.quant(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 3))
       .filter(col("jac") >= threshold)
       .select("i", "j", "jac")
   }
@@ -130,7 +150,7 @@ object LlmOps {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
     val sh = docs.select(col("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
-    jaccardVerify(sh, JaccardThreshold, restrictTo = Some(cands))
+    verifyCandidates(sh, cands, JaccardThreshold)
   }
 
   private val minhashOracle = {
@@ -263,8 +283,10 @@ object LlmOps {
 
   private val AnnK = 5
   private val AnnPlanes = Similarity.planes(6, 64) // 64 buckets
-  private val NearDupPlanes = Similarity.planes(8, 64) // 256 buckets
+  private val NearDupPlanes = Similarity.planes(8, 64) // 256 buckets, pinned for the oracle
   private val NearDupCos = 0.995
+  private val NearDupSeeds = 20 // vectors cloned-with-perturbation to seed real near-dups
+  private val SeedIdOffset = 1000000L
 
   private def cosineSql(a: String, b: String) = {
     def dot(x: String, y: String) =
@@ -316,10 +338,27 @@ object LlmOps {
       WHERE q.vec_id < 10) t
     WHERE rank <= $AnnK"""
 
-  /** Embedding-cosine near-dup pairs, bucket-joined (within a 256-bucket LSH
-    * partition; near-identical vectors share all sign bits). */
+  /** Embedding-cosine near-dup pairs, bucket-joined (near-identical vectors
+    * share all sign bits, so each pair meets inside one LSH bucket).
+    *
+    * The driver's embeddings are mutually random (max pairwise cosine ≈ 0.6),
+    * so a threshold pass over the raw table proves nothing — the query SEEDS
+    * deterministic near-duplicates (a ±0.1% per-coordinate perturbation of
+    * the first [[NearDupSeeds]] vectors, ids offset by [[SeedIdOffset]]) and
+    * the oracle reproduces the same arithmetic, making the hash-match a real
+    * check of bucketing + cosine. The plane count here is pinned at 8 for the
+    * static oracle; the production path is [[Similarity.nearDupPairs]], which
+    * scales the bucket space with the corpus. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+    val seeded = base.filter(col("vec_id") < NearDupSeeds).select(
+      (col("vec_id") + SeedIdOffset).as("vec_id"),
+      transform(col("embedding"),
+        (x, k) => x * (lit(1d) + lit(0.0005) * (k % 5 - lit(2)).cast(DoubleType)))
+        .as("embedding"))
+    val corpus = base.unionByName(seeded)
+    val b = corpus.select(col("vec_id"), col("embedding"),
       Similarity.lshBucket(col("embedding"), NearDupPlanes).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -329,10 +368,18 @@ object LlmOps {
   }
 
   private val embedNearDupOracle = s"""
-    WITH b AS (
+    WITH base AS (
+      SELECT vec_id, list_transform(range(1, 65), k -> embedding[k]::DOUBLE) AS embedding
+      FROM embeddings),
+    seeded AS (
+      SELECT vec_id + $SeedIdOffset AS vec_id,
+        list_transform(range(1, 65), k -> embedding[k]::DOUBLE * (1.0 + 0.0005 * ((k - 1) % 5 - 2))) AS embedding
+      FROM embeddings WHERE vec_id < $NearDupSeeds),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM seeded),
+    b AS (
       SELECT vec_id, embedding,
         ${bucketSql("embedding", NearDupPlanes)} AS bucket
-      FROM embeddings)
+      FROM corpus)
     SELECT a.vec_id AS i, b.vec_id AS j,
       ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} AS cos
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

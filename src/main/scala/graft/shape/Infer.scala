@@ -75,28 +75,33 @@ object Infer {
         case (st: StructType, s) => st(s).dataType
         case (dt, _)             => dt
       }
+    // Array-valued hints ([castType, ddlType], processor.go:54-95) stay a
+    // real ARRAY through the aggregate — a ddlType containing a comma
+    // ("numeric(38,18)") must not be split apart by string surgery.
+    val isArray = fields.map(hf => dtOf(hf.segments).isInstanceOf[ArrayType])
     val aggs = fields.zipWithIndex.map { case (hf, i) =>
       val base = nestedCol(hf.segments)
-      val c = dtOf(hf.segments) match {
-        case _: ArrayType => to_json(first(base, ignoreNulls = true))
-        case _            => first(base, ignoreNulls = true).cast(StringType)
-      }
+      val c =
+        if (isArray(i)) first(transform_(base), ignoreNulls = true)
+        else first(base, ignoreNulls = true).cast(StringType)
       c.as(s"h$i")
     }
     val row = parsed.agg(aggs.head, aggs.tail: _*).collect()(0)
     fields.zipWithIndex.flatMap { case (hf, i) =>
       val target = hf.targetSegments.map(transform).mkString("_")
       val hintName = hf.segments.map(transform).mkString("_")
-      Option(row.getString(i)).map { raw =>
-        if (raw.startsWith("[")) {
-          // ["castType","ddlType"] — strip the JSON array wrapper
-          val parts = raw.stripPrefix("[").stripSuffix("]")
-            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          Hint(target, hintName, parts(0), parts.lift(1))
-        } else Hint(target, hintName, raw, None)
-      }
+      if (isArray(i)) {
+        Option(row.getSeq[String](i)).collect {
+          case parts if parts.nonEmpty =>
+            Hint(target, hintName, parts.head, parts.lift(1))
+        }
+      } else Option(row.getString(i)).map(Hint(target, hintName, _, None))
     }
   }
+
+  /** Array hint elements → strings (elements may parse as non-string). */
+  private def transform_(base: Column): Column =
+    transform(base, e => e.cast(StringType))
 
   /** Remove hint fields from the parsed frame before flattening. Top-level
     * hints drop the column; nested ones rebuild the struct via `dropFields`. */

@@ -3,7 +3,7 @@ package graft.shape
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.Conversions
+import graft.core.{Conversions, DataKind}
 
 /** End-to-end ingest shaping: raw NDJSON → flattened, sanitized, typed
   * DataFrame — the reference's per-event `ProcessEvents` pipeline
@@ -34,7 +34,15 @@ object Ingest {
       schemaFreeze: Boolean = false,
       declaredFields: Seq[String] = Nil,
       /** hard cap on column count (options.go:59-63, default 5000) */
-      maxColumns: Int = 5000)
+      maxColumns: Int = 5000,
+      /** declared column types (the `columnTypes` stream option,
+        * sql/options.go:13-39): overrides the inferred kind of a flattened
+        * column; the value is cast, unconvertible values become null */
+      columnTypes: Map[String, DataKind] = Map.empty,
+      /** schema-inference sampling for `spark.read.json` — at 100 TB a full
+        * second pass for inference is the dominant cost; sample it when the
+        * key universe is stable (1.0 = exact, the correctness-gate default) */
+      samplingRatio: Double = 1.0)
 
   final case class Shaped(df: DataFrame, hints: Seq[Infer.Hint])
 
@@ -48,11 +56,21 @@ object Ingest {
   def shape(spark: SparkSession, raw: Dataset[String],
             opts: ShapeOptions = ShapeOptions()): Shaped = {
     import spark.implicits._
+    // The rename regex only needs to run on lines that actually contain `""`
+    // — the guard is a cheap substring probe, so clean events (the common
+    // case) skip the full regex scan over every byte.
+    val hasEmptyKey = col("value").contains("\"\"")
     val normalized =
       raw.toDF("value")
-        .select(regexp_replace(col("value"), """([\{,]\s*)""\s*:""", "$1\"_unnamed\":").as("value"))
+        .select(when(hasEmptyKey,
+          regexp_replace(col("value"), """([\{,]\s*)""\s*:""", "$1\"_unnamed\":"))
+          .otherwise(col("value")).as("value"))
         .as[String]
-    shapeDf(spark.read.json(normalized), opts)
+    val reader =
+      if (opts.samplingRatio < 1.0)
+        spark.read.option("samplingRatio", opts.samplingRatio.toString)
+      else spark.read
+    shapeDf(reader.json(normalized), opts)
   }
 
   /** Shape an already-parsed (possibly nested) DataFrame. */
@@ -83,19 +101,33 @@ object Ingest {
     val dropped = if (opts.omitNils) renamed.drop(allNull.filterNot(overridden): _*) else renamed
     val hintByCol = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength) -> h).toMap
     val projected = dropped.select(dropped.columns.map { c =>
-      val base =
+      val sniffed =
         if (tsCols.contains(c)) Conversions.sniffTimestamp(col(s"`$c`"))
         else col(s"`$c`")
+      // declared columnTypes override the inferred kind (options.go:13-39)
+      val base = opts.columnTypes.get(c) match {
+        case Some(to) =>
+          val from = DataKind.fromSpark(dropped.schema(c).dataType)
+          Conversions.convert(col(s"`$c`"), from, to).cast(to.spark)
+        case None => sniffed
+      }
       hintByCol.get(c) match {
         case Some(h) => base.as(c, h.metadata)
         case None    => base.as(c)
       }
     }: _*)
 
+    // over-cap columns route to `_unmapped_data` — the reference never drops
+    // data silently (abstract.go:422-553 routes overflow the same way)
     val capped =
-      if (projected.columns.length > opts.maxColumns)
-        projected.select(projected.columns.take(opts.maxColumns).map(c => col(s"`$c`")): _*)
-      else projected
+      if (projected.columns.length > opts.maxColumns) {
+        val keep = projected.columns.take(opts.maxColumns)
+        val over = projected.columns.drop(opts.maxColumns)
+        val overStruct = struct(over.map(c => col(s"`$c`").cast(StringType).as(c)).toSeq: _*)
+        val any = over.map(c => col(s"`$c`").isNotNull).reduce(_ || _)
+        projected.select(keep.map(c => col(s"`$c`")).toSeq
+          :+ when(any, to_json(overStruct)).as(graft.sink.SchemaEvolution.UnmappedColumn): _*)
+      } else projected
     Shaped(capped, hints)
   }
 }

@@ -40,11 +40,18 @@ final case class JdbcSink(url: String, dialect: Dialect) {
   }
 
   /** Existing column specs from JDBC metadata, or None if the table does not
-    * exist (table_helper.go:128-221 getOrCreate path). */
+    * exist (table_helper.go:128-221 getOrCreate path). The table name is a
+    * SEARCH PATTERN to getColumns — `_`/`%` are wildcards, so names like
+    * EVOLVE_T would match phantom tables; escape them and double-check the
+    * returned TABLE_NAME. */
   def existingColumns(table: String): Option[Seq[ColumnSpec]] = withConnection { c =>
-    val rs = c.getMetaData.getColumns(null, null, table, null)
+    val md = c.getMetaData
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    val pattern = table.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    val rs = md.getColumns(null, null, pattern, null)
     val cols = Iterator.continually(rs)
       .takeWhile(_.next())
+      .filter(r => r.getString("TABLE_NAME") == table)
       .map(r => ColumnSpec(r.getString("COLUMN_NAME"), dialect.kindFor(r.getString("TYPE_NAME"))))
       .toList
     if (cols.isEmpty) None else Some(cols)
@@ -75,9 +82,10 @@ final case class JdbcSink(url: String, dialect: Dialect) {
         ColumnSpec(dialect.adaptIdentifier(c), DataKind.fromSpark(df.schema(c).dataType))),
       pk.map(dialect.adaptIdentifier))
 
-  /** Rename DataFrame columns to the dialect's identifier form. */
+  /** Rename DataFrame columns to the dialect's identifier form and apply its
+    * value mapping (T9 — e.g. Postgres NUL-byte strip). */
   def adapt(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(dialect.adaptIdentifier): _*)
+    dialect.mapValues(df.toDF(df.columns.map(dialect.adaptIdentifier): _*))
 
   /** Distributed append into an existing table (the bulk data path). */
   def append(df: DataFrame, table: String): Unit = {
@@ -121,14 +129,26 @@ final case class JdbcSink(url: String, dialect: Dialect) {
     }
   }
 
-  /** ReplacePartition (P1): clear the partition, then append — an empty
-    * batch still clears (replacepartition_stream.go:85-161). */
+  /** ReplacePartition (P1): stage the batch to a tmp table through the
+    * distributed writer, then clear + copy in ONE transaction — a crash
+    * between delete and insert can never lose the partition
+    * (replacepartition_stream.go:85-161 does the same clear+copy in one tx).
+    * An empty batch still clears the partition; no `df.isEmpty` probe job —
+    * an empty tmp table copies zero rows. */
   def replacePartition(df: DataFrame, target: TableSpec,
                        partitionCol: String, partitionId: String): Unit = {
+    val adapted = adapt(df)
     val pc = dialect.adaptIdentifier(partitionCol)
-    withConnection(exec(_,
-      dialect.deleteWhere(target, s"${dialect.quote(pc)} = '${partitionId.replace("'", "''")}'")))
-    if (!df.isEmpty) append(df, target.name)
+    val tmpSpec = specFor(adapted, s"${target.name}_tmp_${System.nanoTime()}")
+    withConnection(exec(_, dialect.createTable(tmpSpec, ifNotExists = false)))
+    try {
+      append(adapted, tmpSpec.name)
+      inTx { c =>
+        exec(c, dialect.deleteWhere(target,
+          s"${dialect.quote(pc)} = '${partitionId.replace("'", "''")}'"))
+        exec(c, dialect.insertSelect(target, tmpSpec, tmpSpec.columns.map(_.name)))
+      }
+    } finally withConnection(exec(_, dialect.drop(tmpSpec)))
   }
 
   /** Stream-mode row-wise upsert (D4, autocommit_stream.go:41-140): each

@@ -32,16 +32,24 @@ object SchemaEvolution {
   /** Align `batch` to `existing`. Returns the projected frame (existing
     * column order, then surviving new columns, then `_unmapped_data`) and
     * the DDL additions the sink must apply. */
+  private def isUnmappedName(n: String): Boolean = n.equalsIgnoreCase(UnmappedColumn)
+
   def evolve(batch: DataFrame, existing: TableSpec,
              schemaFreeze: Boolean = false, maxColumns: Int = 5000): Plan = {
-    val existingNames = existing.columns.map(_.name)
+    // A live table that already holds `_unmapped_data` (any batch after the
+    // first overflow) must NOT yield two same-named output columns: exclude
+    // it from the existing projection and emit exactly one overflow column,
+    // named as the live table spells it (case-normalized dialects uppercase it).
+    val (unmappedExisting, dataExisting) = existing.columns.partition(c => isUnmappedName(c.name))
+    val unmappedName = unmappedExisting.headOption.map(_.name).getOrElse(UnmappedColumn)
+    val existingNames = dataExisting.map(_.name)
     val batchCols = batch.columns.toSeq
 
     // overflow candidates: (name, original column) pairs routed to _unmapped_data
     val overflow = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
 
     // existing columns: cast with existing-type-wins; absent → null
-    val existingProjected = existing.columns.map { spec =>
+    val existingProjected = dataExisting.map { spec =>
       if (batchCols.contains(spec.name)) {
         val from = batchKind(batch, spec.name)
         val orig = col(s"`${spec.name}`")
@@ -53,7 +61,7 @@ object SchemaEvolution {
     }
 
     // new columns: add up to maxColumns unless frozen
-    val newNames = batchCols.filterNot(existingNames.contains).filterNot(_ == UnmappedColumn)
+    val newNames = batchCols.filterNot(existingNames.contains).filterNot(isUnmappedName)
     val room = math.max(0, maxColumns - existing.columns.length)
     val (added, frozen) =
       if (schemaFreeze) (Nil, newNames)
@@ -64,7 +72,15 @@ object SchemaEvolution {
 
     val overflowStruct = struct(overflow.toSeq.map { case (n, c) => c.as(n) }: _*)
     val anyOverflow = overflow.toSeq.map(_._2.isNotNull).reduceOption(_ || _).getOrElse(lit(false))
-    val unmapped = when(anyOverflow, to_json(overflowStruct)).as(UnmappedColumn)
+    // an incoming `_unmapped_data` column (a re-loaded overflow row) merges in:
+    // fresh overflow wins, otherwise the batch's existing value carries through
+    val incomingUnmapped = batchCols.find(isUnmappedName)
+      .map(n => col(s"`$n`").cast("string"))
+    val unmappedValue = incomingUnmapped match {
+      case Some(prev) => coalesce(when(anyOverflow, to_json(overflowStruct)), prev)
+      case None       => when(anyOverflow, to_json(overflowStruct))
+    }
+    val unmapped = unmappedValue.as(unmappedName)
 
     Plan(batch.select(existingProjected ++ addedProjected :+ unmapped: _*),
       addedSpecs)

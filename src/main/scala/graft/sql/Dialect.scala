@@ -40,16 +40,26 @@ trait Dialect {
   def typeFor(kind: DataKind): String
 
   /** DDL type → DataKind, `%`-pattern style reverse match
-    * (sql_adapter_base.go:131-145). */
+    * (sql_adapter_base.go:131-145). Bool/exact cases are checked BEFORE the
+    * integer word-match so MySQL `tinyint(1)` maps to Bool, and the int match
+    * is on the base type word so `point`/`interval` never false-positive. */
   def kindFor(ddl: String): DataKind = {
     val t = ddl.toLowerCase
-    if (t.contains("bigint") || t.contains("int")) DataKind.Int64
-    else if (t.contains("double") || t.contains("float") || t.contains("real") || t.contains("number")) DataKind.Float64
-    else if (t.contains("timestamp") || t.contains("date")) DataKind.Timestamp
-    else if (t.contains("bool") || t == "tinyint(1)") DataKind.Bool
+    val base = t.takeWhile(_ != '(').trim // "tinyint(1)" → "tinyint", "numeric(38,2)" → "numeric"
+    if (t == "tinyint(1)" || t == "bit" || t.contains("bool")) DataKind.Bool
     else if (t.contains("json") || t.contains("variant") || t.contains("super")) DataKind.Json
+    else if (t.contains("timestamp") || t.contains("datetime") || base == "date") DataKind.Timestamp
+    else if (t.contains("double") || t.contains("float") || t.contains("real") ||
+             t.contains("decimal") || t.contains("numeric") || base == "number") DataKind.Float64
+    else if (base.matches("(big|small|tiny|medium)?int(eger)?(2|4|8|64)?") ||
+             base == "serial" || base == "bigserial") DataKind.Int64
     else DataKind.Str
   }
+
+  /** Per-warehouse value mapping (T9) applied to the bulk frame right before
+    * the write — hooks like Postgres's NUL-byte strip
+    * (postgres.go:122-149, sql_adapter_base.go:56-65). Default: identity. */
+  def mapValues(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
 
   def quote(id: String): String =
     quoteChar + id.replace(quoteChar, quoteChar + quoteChar) + quoteChar
@@ -136,6 +146,14 @@ trait Dialect {
 object PostgresDialect extends Dialect {
   val name = "postgres"
   override val caseMode: Names.CaseMode = Names.LowerCase
+  /** Postgres text columns reject NUL bytes — strip them from every string
+    * column (T9, postgres.go:122-149). A narrow codegen'd projection. */
+  override def mapValues(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    df.schema.fields.filter(_.dataType == StringType).foldLeft(df)((d, f) =>
+      d.withColumn(f.name, graft.core.Conversions.stripNulBytes(col(s"`${f.name}`"))))
+  }
   def typeFor(k: DataKind): String = k match {
     case DataKind.Str | DataKind.Unknown => "text"
     case DataKind.Int64     => "bigint"
