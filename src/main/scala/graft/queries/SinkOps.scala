@@ -169,12 +169,91 @@ object SinkOps {
 
   private val d2LiveOracle = EltOpsShared.d2OracleSql
 
+  /** P2 LIVE: ReplaceTable — load the old generation, then replace it with a
+    * new batch via the tmp-table + atomic rename swap
+    * (sql_adapter_base.go:730-740, replacetable_stream.go:51-117). The read-
+    * back must show ONLY the new generation. */
+  def p2ReplaceTable(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_p2")
+    dropIfExists(sink, "REPLACE_T")
+    val ev = Tables.events(s, d)
+    val oldGen = ev.filter(col("event_id") < 300)
+      .select("event_id", "user_id", "event_type", "value")
+    val spec = sink.specFor(oldGen, "replace_t")
+    sink.ensureTable(spec)
+    sink.append(oldGen, spec.name)
+    val newGen = ev.filter(col("event_id") >= 300)
+      .select("event_id", "user_id", "event_type", "value")
+    sink.replaceTable(newGen, "replace_t")
+    readBack(s, sink, "REPLACE_T").select(
+      col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+      col("EVENT_TYPE").as("event_type"), col("VALUE").as("value"))
+  }
+
+  private val p2Oracle = """
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_id >= 300"""
+
+  /** P3 LIVE: targeted DELETE + TRUNCATE (sql_adapter_base.go:299-411).
+    * One table is row-deleted by predicate, a second truncated; the result
+    * is the survivors of the first plus the (empty) second — the truncate is
+    * proven by the read-back row count being exactly the delete survivors. */
+  def p3Delete(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_p3")
+    dropIfExists(sink, "DELETE_T"); dropIfExists(sink, "TRUNC_T")
+    val ev = Tables.events(s, d)
+    val rows = ev.select("event_id", "user_id", "event_type", "value")
+    val spec = sink.specFor(rows, "delete_t")
+    sink.ensureTable(spec)
+    sink.append(rows, spec.name)
+    sink.withConnection(sink.exec(_,
+      sink.dialect.deleteWhere(spec, s"${sink.dialect.quote("EVENT_TYPE")} = 'click'")))
+    val tspec = sink.specFor(rows, "trunc_t")
+    sink.ensureTable(tspec)
+    sink.append(rows.limit(10), tspec.name)
+    sink.withConnection(sink.exec(_, sink.dialect.truncate(tspec)))
+    val survivors = readBack(s, sink, "DELETE_T")
+    val truncated = readBack(s, sink, "TRUNC_T")
+    survivors.unionByName(truncated).select(
+      col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+      col("EVENT_TYPE").as("event_type"), col("VALUE").as("value"))
+  }
+
+  private val p3Oracle = """
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type <> 'click'"""
+
+  /** P1 LIVE: ReplacePartition against the real catalog — tmp-table stage,
+    * DELETE + copy in one transaction (replacepartition_stream.go:85-161). */
+  def p1ReplacePartitionLive(s: SparkSession, d: String): DataFrame = {
+    val sink = derby("graft_p1")
+    dropIfExists(sink, "PART_T")
+    val ev = Tables.events(s, d)
+    val stamped = ev.select(col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("part_id"))
+    val spec = sink.specFor(stamped, "part_t")
+    sink.ensureTable(spec)
+    sink.append(stamped, spec.name)
+    val batch = stamped.filter(col("part_id") === "2024-01-02" && col("event_id") % 3 === 0)
+    sink.replacePartition(batch, spec, "part_id", "2024-01-02")
+    readBack(s, sink, "PART_T").select(
+      col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+      col("PART_ID").as("part_id"))
+  }
+
+  private val p1LiveOracle = """
+    SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS part_id
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') <> '2024-01-02'
+       OR (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-02' AND event_id % 3 = 0)"""
+
   def qs: Map[String, Q] = Map(
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),
     "d2_merge_live"     -> Q(d2MergeLive, Some(d2LiveOracle)),
+    "p2_replace_table"  -> Q(p2ReplaceTable, Some(p2Oracle)),
+    "p3_delete"         -> Q(p3Delete, Some(p3Oracle)),
+    "p1_replace_partition_live" -> Q(p1ReplacePartitionLive, Some(p1LiveOracle)),
   )
 }
 
