@@ -245,8 +245,39 @@ object SinkOps {
     WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') <> '2024-01-02'
        OR (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-02' AND event_id % 3 = 0)"""
 
+  /** K8 LIVE: S3-style file sink — in-file pk dedup, gzip NDJSON objects
+    * partitioned by event_type, read back through the schema-on-read path
+    * (file_storage/abstract.go:27-120). The local dir stands in for the
+    * bucket; the writer/layout/codec path is identical under s3a://. */
+  def k8FileSink(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import graft.sink.FileSink
+    val dir = s"/tmp/graft_k8/events"
+    val data = Tables.events(s, d)
+      .select("user_id", "event_type", "event_id", "ts_ms", "value")
+    val cfg = FileSink.Config(format = "ndjson", gzip = true,
+      partitionBy = Seq("event_type"), pk = Seq("user_id", "event_type"),
+      discriminators = Seq("ts_ms"))
+    FileSink.write(data, dir, SaveMode.Overwrite, cfg, arrival = Some(col("event_id")))
+    FileSink.read(s, dir, StructType(Seq(
+      StructField("user_id", StringType), StructField("event_id", LongType),
+      StructField("ts_ms", LongType), StructField("value", DoubleType),
+      StructField("event_type", StringType))), cfg)
+      .select("user_id", "event_type", "event_id", "ts_ms", "value")
+  }
+
+  // ts_ms (not ts_ns) is the discriminator here, so ties fall to arrival
+  // order (highest event_id) — same shape as the k7 oracle
+  private val k8Oracle = """
+    SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1"""
+
   def qs: Map[String, Q] = Map(
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
+    "k8_file_sink"      -> Q(k8FileSink, Some(k8Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),

@@ -1,0 +1,63 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.ops.Dedup
+
+/** S3/GCS-style batch file destination (K8).
+  *
+  * Reference semantics (implementations/file_storage/abstract.go:27-120,
+  * implementations/s3.go:97-319, types/marshaller.go:37-50,309-325): each
+  * batch becomes object(s) under a folder per table, in NDJSON or CSV,
+  * optionally gzipped; the SAME in-batch pk dedup as the SQL path runs
+  * before marshalling; `replace_table` mode overwrites the whole folder.
+  *
+  * Spark-first rendering: `df.write.json/csv` with a compression codec and
+  * optional `partitionBy` — the distributed writers ARE the marshaller, one
+  * object per partition, no driver-side byte shuffling. A local `baseDir`
+  * stands in for the bucket; on a cluster it is `s3a://…`/`gs://…` and
+  * nothing else changes (the Hadoop FS connector is the only moving part).
+  */
+object FileSink {
+
+  /** Batch-file format negotiation (types/marshaller.go:37-50): the
+    * reference picks NDJSON or CSV (+gzip) per destination. */
+  final case class Config(
+      format: String = "ndjson", // ndjson | csv
+      gzip: Boolean = true,
+      /** folder partitioning (the object-key layout knob) */
+      partitionBy: Seq[String] = Nil,
+      /** in-file dedup keys — same D1 semantics as the SQL path
+        * (file_storage/abstract.go:27-63) */
+      pk: Seq[String] = Nil,
+      discriminators: Seq[String] = Nil)
+
+  /** Write one batch under `dir`. `Append` = batch mode (new objects beside
+    * the old), `Overwrite` = replace_table. Returns the deduped frame that
+    * was written (for callers chaining state accounting). */
+  def write(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Append,
+            cfg: Config = Config(),
+            arrival: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val deduped =
+      if (cfg.pk.nonEmpty) Dedup.inBatch(df, cfg.pk, cfg.discriminators, arrival)
+      else df
+    val w0 = deduped.write.mode(mode)
+    val w1 = if (cfg.partitionBy.nonEmpty) w0.partitionBy(cfg.partitionBy: _*) else w0
+    val w2 = if (cfg.gzip) w1.option("compression", "gzip") else w1
+    cfg.format match {
+      case "ndjson" => w2.json(dir)
+      case "csv"    => w2.option("header", "true").csv(dir)
+      case other    => throw new IllegalArgumentException(s"unknown file format: $other")
+    }
+  }
+
+  /** Read a table folder back. The schema must be supplied — a file sink has
+    * no catalog; partition columns are discovered from the folder layout and
+    * must be included in `schema`. */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+           cfg: Config = Config()): DataFrame = cfg.format match {
+    case "ndjson" => spark.read.schema(schema).json(dir)
+    case "csv"    => spark.read.schema(schema).option("header", "true").csv(dir)
+    case other    => throw new IllegalArgumentException(s"unknown file format: $other")
+  }
+}
