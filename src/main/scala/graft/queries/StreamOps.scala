@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.sink.JdbcSink
+import graft.sql.DerbyDialect
+import graft.streaming.{MicroBatch, RetryQueue, RetryPolicy}
+
+/** Streaming-runtime queries: the Kafka → micro-batch → transactional load →
+  * retry/DLQ pipeline (B1/B3/B4/S5) driven end-to-end with a file source
+  * standing in for the broker, an embedded-Derby warehouse, and an injected
+  * logical clock so every retry_time is reproducible.
+  */
+object StreamOps {
+
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z — logical clock origin
+
+  private def fs(s: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  private def rmrf(s: SparkSession, path: String): Unit =
+    fs(s, path).delete(new Path(path), true)
+
+  /** Stage a frame as ONE NDJSON object under `destDir/name` — one "topic
+    * segment" for the file source (each becomes one micro-batch under
+    * maxFilesPerTrigger=1). */
+  private def writeSegment(df: DataFrame, s: SparkSession,
+                           stage: String, destDir: String, name: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").json(stage)
+    val f = fs(s, destDir)
+    val part = f.globStatus(new Path(s"$stage/part-*")).head.getPath
+    f.mkdirs(new Path(destDir))
+    f.rename(part, new Path(s"$destDir/$name"))
+    f.delete(new Path(stage), true)
+  }
+
+  /** B1+B3+B4+S5 end-to-end: three micro-batches stream into Derby through
+    * the transactional merge path; one batch fails transiently (succeeds on
+    * its first retry), one is permanently rejected by the sink and walks the
+    * full backoff ladder (5·25·125·625·1440 min) into the DLQ. Output =
+    * final warehouse rows ∪ dead-lettered rows, hash-compared to the oracle.
+    */
+  def b4RetryPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_b4"
+    rmrf(s, base)
+    val sink = JdbcSink("jdbc:derby:memory:graft_b4;create=true", DerbyDialect)
+    try sink.withConnection(sink.exec(_, "DROP TABLE \"STREAM_SINK\""))
+    catch { case _: java.sql.SQLException => () }
+
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    writeSegment(ev.filter(col("event_id") < 5000), s, s"$base/stage", s"$base/input", "001.json")
+    writeSegment(ev.filter(col("event_id") >= 5000 && col("event_id") < 9900),
+      s, s"$base/stage", s"$base/input", "002.json")
+    writeSegment(ev.filter(col("event_id") >= 9900), s, s"$base/stage", s"$base/input", "003.json")
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+
+    val spec = sink.specFor(ev, "stream_sink", pk = Seq("event_id"))
+    sink.ensureTable(spec)
+    val mergeSpec = spec.copy(pk = Seq(sink.dialect.adaptIdentifier("event_id")))
+
+    // fault injection at the sink boundary: rows ≥ 9900 violate a
+    // "constraint" permanently; the first batch carrying 5000..9899 hits a
+    // transient failure once (the retry must then succeed)
+    val transientTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def load(df: DataFrame): Unit = {
+      if (df.filter(col("event_id") >= 9900).head(1).nonEmpty)
+        throw new RuntimeException("constraint violation: event_id >= 9900 rejected")
+      if (df.filter(col("event_id").between(5000, 9899)).head(1).nonEmpty
+          && transientTripped.compareAndSet(false, true))
+        throw new RuntimeException("transient connection reset")
+      sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
+    }
+
+    val retry = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())
+    MicroBatch.runFileStream(s, s"$base/input", schema, s"$base/ckpt",
+      retry, clock = () => T0)(load)
+    MicroBatch.drainAll(s, retry, T0)(load)
+
+    val table = s.read.jdbc(sink.url, "\"STREAM_SINK\"", new java.util.Properties())
+      .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+        col("EVENT_TYPE").as("event_type"), col("VALUE").as("value"))
+      .withColumn("retries", lit(0L)).withColumn("sink", lit("table"))
+    val dlq = retry.dlq(s).get
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("__retries").cast(LongType).as("retries"))
+      .withColumn("sink", lit("dlq"))
+    table.unionByName(dlq)
+  }
+
+  private val b4Oracle = """
+    SELECT event_id, user_id, event_type, value,
+           CAST(0 AS BIGINT) AS retries, 'table' AS sink
+    FROM events WHERE event_id < 9900
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           CAST(5 AS BIGINT) AS retries, 'dlq' AS sink
+    FROM events WHERE event_id >= 9900"""
+
+  def qs: Map[String, Q] = Map(
+    "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
+  )
+}

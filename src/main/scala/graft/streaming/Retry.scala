@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retry policy (B4): `retry_time = now + min(base^attempt, cap)` minutes —
+  * exponential backoff base 5 min capped at 24 h, 5 attempts then
+  * dead-letter (abstract_consumer.go:84-87, app_config.go:65,69-71). */
+final case class RetryPolicy(maxRetries: Int = 5, baseMin: Int = 5, capMin: Int = 1440) {
+  def backoffMinutes(attempt: Int): Long =
+    math.min(math.pow(baseMin.toDouble, attempt.toDouble).toLong, capMin.toLong)
+  def backoffMs(attempt: Int): Long = backoffMinutes(attempt) * 60000L
+}
+
+/** Durable retry queue + dead-letter queue as parquet folders — the Spark
+  * rendering of the reference's per-destination `retry.<dest>` topic and
+  * `dead.<dest>` topic (bulkerapp/app/retry_consumer.go:86-233,
+  * batch_consumer.go:269-401).
+  *
+  * Queue rows are the failed batch's rows plus bookkeeping columns
+  * (`__batch_id`, `__retries`, `__retry_time`, `__error`) — the parquet twin
+  * of the reference's Kafka headers `retries`/`retry_time`/`error`. Rows are
+  * drained per ORIGINAL batch (the reference retries whole message groups
+  * against the same destination), so one permanently-poisoned batch cannot
+  * drag unrelated batches' retry counts up.
+  *
+  * Scale posture: the queue holds FAILURES, not the firehose — the
+  * per-batch-id drain loop on the driver is control-plane work over a
+  * handful of ids, while each batch's rows load through the distributed
+  * writer. All clock reads are injected (`nowMs`) so tests and replays are
+  * deterministic.
+  */
+final case class RetryQueue(dir: String, dlqDir: String,
+                            policy: RetryPolicy = RetryPolicy()) {
+
+  val MetaCols = Seq("__batch_id", "__retries", "__retry_time", "__error")
+
+  /** Park a failed batch for retry `attempt` (1-based). */
+  def enqueue(batch: DataFrame, batchId: Long, error: String,
+              nowMs: Long, attempt: Int = 1): Unit =
+    batch
+      .withColumn("__batch_id", lit(batchId))
+      .withColumn("__retries", lit(attempt))
+      .withColumn("__retry_time", lit(nowMs + policy.backoffMs(attempt)))
+      .withColumn("__error", lit(error.take(500)))
+      .write.mode(SaveMode.Append).parquet(dir)
+
+  private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) Some(spark.read.parquet(path))
+      else None
+    } catch { case _: Throwable => None }
+
+  /** Drain every batch whose `__retry_time` has come: re-attempt `load` per
+    * original batch id; still-failing rows re-enqueue with `__retries`+1, or
+    * move to the DLQ once `maxRetries` is exhausted
+    * (retry_consumer.go:86-233). Not-yet-due rows stay parked untouched —
+    * the reference re-queues them transactionally; the parquet form rewrites
+    * the queue folder via a staged swap. */
+  def drain(spark: SparkSession, nowMs: Long)(load: DataFrame => Unit): Unit = {
+    val qOpt = readOrEmpty(spark, dir)
+    if (qOpt.isEmpty) return
+    val q = qOpt.get.persist()
+    try {
+      if (q.isEmpty) return
+      val due = q.filter(col("__retry_time") <= nowMs)
+      // control-plane: ids of due batches (bounded by #failed batches)
+      val ids = due.select("__batch_id").distinct().collect().map(_.getLong(0)).sorted
+      if (ids.isEmpty) return
+      val failedIds = ids.filterNot { id =>
+        val rows = due.filter(col("__batch_id") === id)
+        try { load(rows.drop(MetaCols: _*)); true }
+        catch { case _: Throwable => false }
+      }.toSet
+      val failed = due.filter(col("__batch_id").isInCollection(
+        if (failedIds.isEmpty) Seq(-1L) else failedIds.toSeq))
+      // exhausted rows dead-letter WITH their bookkeeping (error, count)
+      failed.filter(col("__retries") >= policy.maxRetries)
+        .write.mode(SaveMode.Append).parquet(dlqDir)
+      val requeued = failed.filter(col("__retries") < policy.maxRetries)
+        .withColumn("__retries", col("__retries") + 1)
+        .withColumn("__retry_time",
+          lit(nowMs) + expr(s"least(pow(${policy.baseMin}, __retries), ${policy.capMin})").cast("long") * 60000L)
+      val notDue = q.filter(col("__retry_time") > nowMs)
+      val next = notDue.unionByName(requeued)
+      // staged swap: materialize the new queue fully before dropping the old
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
+      next.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.rename(nextPath, new org.apache.hadoop.fs.Path(dir))
+    } finally q.unpersist()
+  }
+
+  /** Dead-lettered rows (empty frame with no rows if nothing ever died). */
+  def dlq(spark: SparkSession): Option[DataFrame] = readOrEmpty(spark, dlqDir)
+}
