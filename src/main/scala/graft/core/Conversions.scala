@@ -57,11 +57,16 @@ object Conversions {
     case _                  => c.cast(StringType)
   }
 
-  /** "1"/"0"/"true"/"false" (any case) → bool (types/converter.go:192-205). */
-  def anyToBoolean(c: Column): Column =
-    when(trim(c).isin("1", "true", "TRUE", "True"), lit(true))
-      .when(trim(c).isin("0", "false", "FALSE", "False"), lit(false))
-      .otherwise(c.try_cast(BooleanType))
+  /** strconv.ParseBool's exact domain (types/converter.go:192-205):
+    * 1/t/T/TRUE/true/True and the 0/f/… negatives; anything else is NOT a
+    * bool (null → unmapped route). Spark's native string→boolean cast also
+    * accepts y/yes/n/no, which the reference rejects — so no cast fallback. */
+  def anyToBoolean(c: Column): Column = {
+    val t = trim(c)
+    when(t.isin("1", "t", "T", "TRUE", "true", "True"), lit(true))
+      .when(t.isin("0", "f", "F", "FALSE", "false", "False"), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+  }
 
   /** Postgres value mapping: strip NUL bytes which text columns reject
     * (implementations/sql/postgres.go:122-149). */

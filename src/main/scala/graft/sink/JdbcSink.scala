@@ -89,6 +89,7 @@ final case class JdbcSink(url: String, dialect: Dialect) {
 
   /** Distributed append into an existing table (the bulk data path). */
   def append(df: DataFrame, table: String): Unit = {
+    JdbcSink.ensureWriterDialects()
     val props = new java.util.Properties()
     adapt(df).write.mode(SaveMode.Append).jdbc(url, dialect.quote(table), props)
   }
@@ -181,6 +182,24 @@ final case class JdbcSink(url: String, dialect: Dialect) {
 }
 
 object JdbcSink {
+
+  /** Spark's built-in Derby writer dialect maps StringType → CLOB, and Derby
+    * rejects a CLOB-typed NULL bind against the VARCHAR columns our DDL
+    * creates. Register a writer dialect that binds strings as VARCHAR;
+    * every other type falls through to Spark's defaults. */
+  private lazy val registerWriterDialects: Unit = {
+    import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+    import org.apache.spark.sql.types.{DataType, StringType}
+    JdbcDialects.registerDialect(new JdbcDialect {
+      override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+      override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+        case StringType => Some(JdbcType("VARCHAR(32000)", java.sql.Types.VARCHAR))
+        case _          => None
+      }
+    })
+  }
+  private[sink] def ensureWriterDialects(): Unit = registerWriterDialects
+
   private[sink] def bindRow(st: PreparedStatement, r: Row, paramIdx: Array[Int]): Unit = {
     var p = 0
     while (p < paramIdx.length) {

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Text/similarity primitives for the training-data operators: portable
+  * hashing, shingle edges, quantization determinism, language-ID tie order,
+  * LSH bucket growth. */
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hash60 column form equals the driver-side constant form") {
+    val s = "the quick brown"
+    val col60 = Seq(s).toDF("v").select(TextOps.hash60(col("v"))).collect()(0).getLong(0)
+    assert(col60 == TextOps.hash60Str(s))
+    assert(col60 >= 0L)
+  }
+
+  test("shingles: short documents yield one whole-text shingle") {
+    val r = Seq("one two").toDF("v")
+      .select(TextOps.shingles(TextOps.tokens(col("v")), 3)).collect()(0).getSeq[String](0)
+    assert(r == Seq("one two"))
+  }
+
+  test("shingles are distinct and ordered windows") {
+    val r = Seq("a b a b a").toDF("v")
+      .select(TextOps.shingles(TextOps.tokens(col("v")), 2)).collect()(0).getSeq[String](0)
+    assert(r == Seq("a b", "b a"))
+  }
+
+  test("quant avoids engine-specific round-half behavior") {
+    val r = Seq(0.05, 0.15, 0.25).toDF("v")
+      .select(TextOps.quant(col("v"), 1)).collect().toSeq.map(_.getDouble(0))
+    // floor(x*10 + 0.5): exact-half always rounds UP regardless of engine
+    assert(r == Seq(0.1, 0.2, 0.3))
+  }
+
+  test("langId breaks ties in fixed priority order (en first)") {
+    val scores = TextOps.LangStopwords.map { case (l, ws) =>
+      l -> TextOps.langScore(TextOps.tokens(col("v")), ws) }
+    val r = Seq("xyz qq").toDF("v") // zero hits everywhere → tie
+      .select(TextOps.langId(scores)).collect()(0).getString(0)
+    assert(r == "en")
+  }
+
+  test("simhash is deterministic and 32-bit bounded") {
+    val r = Seq("the cat sat on the mat", "the cat sat on the mat").toDF("v")
+      .select(TextOps.simhash32(TextOps.tokens(col("v")))).collect().toSeq.map(_.getLong(0))
+    assert(r(0) == r(1))
+    assert(r(0) >= 0L && r(0) < (1L << 32))
+  }
+
+  test("minhash signatures detect containment similarity") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely other thing here now")).toDF("id", "text")
+    val hs = transform(TextOps.shingles(TextOps.tokens(col("text")), 3), TextOps.hash60(_))
+    val sigs = docs.select(col("id"), TextOps.minhash(hs, 0).as("m0"), TextOps.minhash(hs, 1).as("m1"))
+      .collect().toSeq.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // near-identical docs share at least one minhash; the unrelated one shares none
+    assert(sigs(1) != sigs(3))
+    assert(sigs(1)._1 == sigs(2)._1 || sigs(1)._2 == sigs(2)._2)
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      Row(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+    val r = d.select(TextOps.quant(Similarity.cosine(col("a"), col("b")), 4))
+      .collect().toSeq.map(_.getDouble(0))
+    assert(r == Seq(1.0, 0.0))
+  }
+
+  test("lshBucket: identical vectors share the bucket, sign-flipped do not") {
+    val planes = Similarity.planes(6, 4)
+    val d = df("v ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0, 3.0, 4.0)), Row(Seq(1.0, 2.0, 3.0, 4.0)),
+      Row(Seq(-1.0, -2.0, -3.0, -4.0))))
+    val r = d.select(Similarity.lshBucket(col("v"), planes)).collect().toSeq.map(_.getLong(0))
+    assert(r(0) == r(1))
+    assert(r(0) != r(2))
+  }
+
+  test("planesFor grows the bucket space with the corpus") {
+    assert(Similarity.planesFor(1000) == 4)        // floor at 4
+    assert(Similarity.planesFor(1000000) > Similarity.planesFor(10000))
+    assert(Similarity.planesFor(1L << 40) > 20)    // 100 TB scale keeps growing
+  }
+}

@@ -1,0 +1,93 @@
+package graft.shape
+
+import org.apache.spark.sql.types._
+import graft.core.DataKind
+import graft.SparkSuite
+
+/** The shaping pipeline end-to-end over adversarial NDJSON — the reference's
+  * types.ndjson / types_collision / date_mix / schema_option fixture
+  * semantics (bulker_test.go:291 matrix, types_test.go:16). */
+class IngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def shapeOf(opts: Ingest.ShapeOptions, lines: String*): Ingest.Shaped =
+    Ingest.shape(spark, lines.toSeq.toDS(), opts)
+
+  test("types: bool/int/float/string/timestamp infer per batch") {
+    val out = jsonDf(
+      """{"b":true,"i":1,"f":1.5,"s":"x","t":"2024-01-02 03:04:05"}""").df
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("b") == BooleanType)
+    assert(types("i") == LongType)
+    assert(types("f") == DoubleType)
+    assert(types("s") == StringType)
+    assert(types("t") == TimestampType) // sniffed from the string shape
+  }
+
+  test("type collision int+float widens to double (LCA)") {
+    val out = jsonDf("""{"m":1}""", """{"m":1.5}""").df
+    assert(out.schema("m").dataType == DoubleType)
+    assert(canon(out) == Seq(Seq("1.0"), Seq("1.5")))
+  }
+
+  test("type collision number+string widens to string (LCA root)") {
+    val out = jsonDf("""{"m":1}""", """{"m":"x"}""").df
+    assert(out.schema("m").dataType == StringType)
+  }
+
+  test("date_mix: a column with one non-timestamp value stays string") {
+    val out = jsonDf(
+      """{"w":"2024-01-02 03:04:05"}""",
+      """{"w":"not a date"}""").df
+    assert(out.schema("w").dataType == StringType)
+  }
+
+  test("all-null column is dropped under omitNils (default)") {
+    val out = jsonDf("""{"a":1,"gone":null}""", """{"a":2,"gone":null}""").df
+    assert(out.columns.toSeq == Seq("a"))
+  }
+
+  test("omitNils=false keeps the null column") {
+    val out = shapeOf(Ingest.ShapeOptions(omitNils = false),
+      """{"a":1,"gone":null}""").df
+    assert(out.columns.contains("gone"))
+  }
+
+  test("identifiers sanitize and collide-last like the reference corpus") {
+    val out = jsonDf("""{"$part key!":5,"café":6}""").df
+    assert(out.columns.toSeq.sorted == Seq("$part key_", "café"))
+  }
+
+  test("maxColumns overflow routes to _unmapped_data, never drops (abstract.go:422-553)") {
+    val out = shapeOf(Ingest.ShapeOptions(maxColumns = 2),
+      """{"a":1,"b":2,"c":3,"d":4}""").df
+    assert(out.columns.toSeq == Seq("a", "b", "_unmapped_data"))
+    assert(canon(out.select("_unmapped_data")) == Seq(Seq("""{"c":"3","d":"4"}""")))
+  }
+
+  test("columnTypes stream option overrides the inferred kind (options.go:13-39)") {
+    val out = shapeOf(Ingest.ShapeOptions(columnTypes = Map("n" -> DataKind.Int64)),
+      """{"n":"1,234"}""").df
+    assert(out.schema("n").dataType == LongType)
+    assert(canon(out) == Seq(Seq("1234")))
+  }
+
+  test("declaredFields are excluded from flattening (options.go:149-166)") {
+    val out = shapeOf(Ingest.ShapeOptions(declaredFields = Seq("obj")),
+      """{"obj":{"a":1},"x":2}""").df
+    assert(out.columns.toSeq.sorted == Seq("obj", "x"))
+    assert(canon(out.select("obj")) == Seq(Seq("""{"a":1}""")))
+  }
+
+  test("case normalization applies before sanitization (T3)") {
+    val out = shapeOf(Ingest.ShapeOptions(caseMode = Names.LowerCase),
+      """{"MiXeD":1}""").df
+    assert(out.columns.toSeq == Seq("mixed"))
+  }
+
+  test("known timestamp layouts parse; sub-second precision survives") {
+    val out = jsonDf("""{"t":"2024-01-02T03:04:05.123456+00:00"}""").df
+    assert(out.schema("t").dataType == TimestampType)
+    assert(canon(out) == Seq(Seq("2024-01-02 03:04:05.123456")))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.SparkSuite
+
+/** Retry/DLQ semantics (B4/S5): backoff ladder, due-filtering, per-batch
+  * drain isolation, dead-letter after the retry budget
+  * (abstract_consumer.go:84-87, retry_consumer.go:86-233, app_config.go:65). */
+class RetrySpec extends SparkSuite {
+
+  private def tmpQueue(): RetryQueue = {
+    val base = java.nio.file.Files.createTempDirectory("graft_rq_").toString
+    RetryQueue(s"$base/retry", s"$base/dlq")
+  }
+
+  private def batch(ids: Long*) =
+    df("id BIGINT", ids.toSeq.map(Row(_)))
+
+  test("backoff is min(5^n, 1440) minutes") {
+    val p = RetryPolicy()
+    assert((1 to 6).map(p.backoffMinutes) == Seq(5L, 25L, 125L, 625L, 1440L, 1440L))
+  }
+
+  test("a parked batch is not due before its retry_time") {
+    val q = tmpQueue()
+    val t0 = 1000000L
+    q.enqueue(batch(1L), batchId = 7L, error = "boom", nowMs = t0)
+    var loaded = 0
+    q.drain(spark, t0 + 1000L)(_ => loaded += 1) // 1s later: backoff is 5min
+    assert(loaded == 0)
+    q.drain(spark, t0 + 5 * 60000L + 1)(_ => loaded += 1)
+    assert(loaded == 1)
+    // successful drain empties the queue
+    q.drain(spark, t0 + 10 * 60000L)(_ => loaded += 1)
+    assert(loaded == 1)
+  }
+
+  test("failing drains escalate retries and dead-letter at the budget") {
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "constraint", nowMs = t0)
+    val always = (_: DataFrame) => throw new RuntimeException("still broken")
+    val end = MicroBatch.drainAll(spark, q, t0)(always)
+    val dlq = q.dlq(spark).get
+    assert(dlq.count() == 2)
+    assert(canon(dlq.select("__retries", "__error")) ==
+      Seq(Seq("5", "constraint"), Seq("5", "constraint")))
+    // queue is empty after dead-lettering
+    q.drain(spark, end + 100000L)(always)
+    assert(q.dlq(spark).get.count() == 2)
+  }
+
+  test("per-batch isolation: one poisoned batch cannot fail another") {
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = t0)
+    q.enqueue(batch(666L), batchId = 2L, error = "poison", nowMs = t0)
+    val loadedIds = scala.collection.mutable.Set.empty[Long]
+    def load(dfIn: DataFrame): Unit = {
+      val ids = dfIn.collect().toSeq.map(_.getLong(0))
+      if (ids.contains(666L)) throw new RuntimeException("poison")
+      loadedIds ++= ids
+    }
+    q.drain(spark, t0 + 5 * 60000L + 1)(load)
+    assert(loadedIds == Set(1L)) // batch 1 loaded despite batch 2 failing
+    // batch 2 is re-parked with retries=2, not dead-lettered yet
+    assert(q.dlq(spark).isEmpty || q.dlq(spark).get.isEmpty)
+    val parked = spark.read.parquet(q.dir)
+    assert(canon(parked.select("id", "__retries")) == Seq(Seq("666", "2")))
+  }
+
+  test("transient failure: retry succeeds and nothing dead-letters") {
+    val q = tmpQueue()
+    q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = 0L)
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var loads = 0
+    def load(dfIn: DataFrame): Unit = {
+      if (tripped.compareAndSet(false, true)) throw new RuntimeException("once")
+      loads += 1
+    }
+    MicroBatch.drainAll(spark, q, 0L)(load)
+    assert(loads == 1)
+    assert(q.dlq(spark).isEmpty || q.dlq(spark).get.isEmpty)
+  }
+}
