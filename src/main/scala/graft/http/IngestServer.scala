@@ -1,0 +1,87 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP façade (S1/S2) over the engine — the reference's two ingestion
+  * endpoints re-expressed with the JDK's built-in server (zero deps):
+  *
+  *   - `POST /post/:destId?tableName=T` (router.go:122-191): ONE JSON event,
+  *     appended to the destination's spool folder — the stand-in for the
+  *     Kafka produce; the [[graft.streaming.MicroBatch]] file stream drains
+  *     the spool exactly like the reference's batch consumer drains the
+  *     topic. Responds `{"ok":true}` immediately (async path).
+  *   - `POST /bulk/:destId?tableName=T&mode=M` (router.go:220-321): an
+  *     NDJSON body processed SYNCHRONOUSLY through the caller-supplied
+  *     loader; responds with the load state
+  *     (`{"ok":true,"rows":N}` / `{"ok":false,"error":...}`).
+  *
+  * The HTTP layer holds no engine logic: `spool` and `bulkLoad` are
+  * injected, so the same server fronts any destination stack. The payload
+  * path is line-oriented — events are never parsed here (the reference also
+  * forwards raw bytes to Kafka; parsing happens in the consumer).
+  */
+final class IngestServer(
+    spool: (String, String, String) => Unit,        // (dest, table, rawEvent)
+    bulkLoad: (String, String, String, Seq[String]) => Long // (dest, table, mode, lines) => rows
+) {
+
+  private var server: HttpServer = _
+
+  def port: Int = server.getAddress.getPort
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8") }
+      .toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def destOf(ex: HttpExchange, prefix: String): String =
+    ex.getRequestURI.getPath.stripPrefix(prefix).takeWhile(_ != '/')
+
+  def start(portHint: Int = 0): IngestServer = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", portHint), 0)
+    server.createContext("/post/", (ex: HttpExchange) =>
+      try {
+        val dest = destOf(ex, "/post/")
+        val table = query(ex).getOrElse("tableName", "events")
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+        if (ex.getRequestMethod != "POST" || dest.isEmpty || body.isEmpty)
+          respond(ex, 400, """{"ok":false,"error":"POST /post/:dest with a JSON body"}""")
+        else { spool(dest, table, body); respond(ex, 200, """{"ok":true}""") }
+      } catch { case e: Exception =>
+        respond(ex, 500, s"""{"ok":false,"error":"${e.getMessage}"}""")
+      })
+    server.createContext("/bulk/", (ex: HttpExchange) =>
+      try {
+        val dest = destOf(ex, "/bulk/")
+        val q = query(ex)
+        val table = q.getOrElse("tableName", "events")
+        val mode = q.getOrElse("mode", "replace_table") // router.go:233 default
+        val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (ex.getRequestMethod != "POST" || dest.isEmpty)
+          respond(ex, 400, """{"ok":false,"error":"POST /bulk/:dest"}""")
+        else {
+          val rows = bulkLoad(dest, table, mode, lines)
+          respond(ex, 200, s"""{"ok":true,"rows":$rows}""")
+        }
+      } catch { case e: Exception =>
+        respond(ex, 500, s"""{"ok":false,"error":"${Option(e.getMessage).getOrElse("load failed")}"}""")
+      })
+    server.start()
+    this
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+}

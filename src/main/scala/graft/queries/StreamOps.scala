@@ -102,7 +102,50 @@ object StreamOps {
            CAST(5 AS BIGINT) AS retries, 'dlq' AS sink
     FROM events WHERE event_id >= 9900"""
 
+  /** B5+B6: one stream fans out per routing value inside each micro-batch
+    * (the reference's topic-per-table inverted, topic_manager.go:726-787);
+    * per-table loads go through the schema cache so only the FIRST batch of
+    * each table touches the catalog (table_helper.go:285-353). */
+  def b5Routing(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_b5"
+    rmrf(s, base)
+    graft.sink.TableCache.clear()
+    val sink = JdbcSink("jdbc:derby:memory:graft_b5;create=true", DerbyDialect)
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+    types.foreach { t =>
+      try sink.withConnection(sink.exec(_, s"""DROP TABLE "ROUTE_${t.toUpperCase}""""))
+      catch { case _: java.sql.SQLException => () }
+    }
+    // two micro-batches so the second proves the cached-schema path
+    writeSegment(ev.filter(col("event_id") % 2 === 0), s, s"$base/stage", s"$base/input", "001.json")
+    writeSegment(ev.filter(col("event_id") % 2 === 1), s, s"$base/stage", s"$base/input", "002.json")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val retry = RetryQueue(s"$base/retry", s"$base/dlq")
+    MicroBatch.runFileStream(s, s"$base/input", schema, s"$base/ckpt",
+      retry, clock = () => T0) { batch =>
+      graft.streaming.Router.routeBatch(batch, "event_type", "unknown") { (t, slice) =>
+        val spec = sink.specFor(slice, s"route_$t")
+        sink.append(slice, sink.ensureTableCached(spec).name)
+      }
+    }
+    types.map { t =>
+      s.read.jdbc(sink.url, s""""ROUTE_${t.toUpperCase}"""", new java.util.Properties())
+        .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+          col("VALUE").as("value"))
+        .withColumn("routed_to", lit(s"ROUTE_${t.toUpperCase}"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val b5Oracle = """
+    SELECT event_id, user_id, value,
+           'ROUTE_' || UPPER(event_type) AS routed_to
+    FROM events"""
+
   def qs: Map[String, Q] = Map(
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
+    "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),
   )
 }

@@ -60,6 +60,7 @@ final case class JdbcSink(url: String, dialect: Dialect) {
   /** Get-or-create + patch: create the table or ALTER-ADD missing columns
     * (diff by name only, table.go:200-236). Returns the live spec. */
   def ensureTable(spec: TableSpec): TableSpec = {
+    TableCache.missCount.incrementAndGet()
     existingColumns(spec.name) match {
       case None =>
         withConnection(exec(_, dialect.createTable(spec, ifNotExists = false)))
@@ -71,6 +72,40 @@ final case class JdbcSink(url: String, dialect: Dialect) {
           missing.foreach(m => exec(c, dialect.addColumn(spec, m)))
         }
         spec.copy(columns = live ++ missing)
+    }
+  }
+
+  /** [[ensureTable]] behind the schema cache + per-table DDL lock (B6,
+    * table_helper.go:285-353): a cached spec that already covers the batch's
+    * columns costs ZERO catalog round-trips; anything else takes the table
+    * lock and hits the real catalog. Call [[invalidate]] after a load error
+    * so the next batch re-reads reality. */
+  def ensureTableCached(spec: TableSpec): TableSpec =
+    TableCache.get(url, spec.name) match {
+      case Some(cached) if spec.columns.forall(c => cached.columns.exists(_.name == c.name)) =>
+        cached.copy(pk = spec.pk)
+      case _ =>
+        TableCache.lockFor(url, spec.name).synchronized {
+          val live = ensureTable(spec)
+          TableCache.put(url, spec.name, live)
+          live
+        }
+    }
+
+  def invalidate(table: String): Unit = TableCache.invalidate(url, table)
+
+  /** Stream upsert with the autocommit retry (autocommit_stream.go:42-93):
+    * a failed upsert invalidates the schema cache, re-ensures the table
+    * against the REAL catalog (someone may have altered/dropped it), and
+    * retries the batch once. */
+  def streamUpsertWithRetry(df: DataFrame, spec: TableSpec, batchSize: Int = 100): Unit = {
+    val live = ensureTableCached(spec)
+    try streamUpsert(df, live, batchSize)
+    catch {
+      case _: Exception =>
+        invalidate(spec.name)
+        val relive = ensureTableCached(spec)
+        streamUpsert(df, relive, batchSize)
     }
   }
 
@@ -96,14 +131,31 @@ final case class JdbcSink(url: String, dialect: Dialect) {
 
   /** Batch-mode transactional load (B3 + D2/D3): stage to a tmp table, then
     * MERGE/copy into the target in one tx, drop tmp
-    * (abstract_transactional.go:152-206). */
+    * (abstract_transactional.go:152-206).
+    *
+    * `subBatches` > 1 is the reference's `temporaryBatchSize` (B2,
+    * abstract_transactional.go:439-450): one logical batch stages through
+    * multiple deterministic chunk loads into the SAME tmp table before the
+    * single merge tx — bounding any one write wave without changing the
+    * committed result. */
   def loadMerge(df: DataFrame, target: TableSpec,
-                windowPredicate: Option[String] = None): Unit = {
+                windowPredicate: Option[String] = None,
+                subBatches: Int = 1): Unit = {
     val adapted = adapt(df)
     val tmpSpec = specFor(adapted, s"${target.name}_tmp_${System.nanoTime()}")
     withConnection(exec(_, dialect.createTable(tmpSpec, ifNotExists = false)))
     try {
-      append(adapted, tmpSpec.name)
+      if (subBatches <= 1) append(adapted, tmpSpec.name)
+      else {
+        val chunk = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.crc32(
+            org.apache.spark.sql.functions.to_json(
+              org.apache.spark.sql.functions.struct(
+                adapted.columns.map(c => col(s"`$c`")): _*))),
+          org.apache.spark.sql.functions.lit(subBatches))
+        (0 until subBatches).foreach(i =>
+          append(adapted.filter(chunk === i), tmpSpec.name))
+      }
       val cols = tmpSpec.columns.map(_.name)
       inTx { c =>
         dialect.mergeInto(target, tmpSpec, cols, target.pk, windowPredicate)

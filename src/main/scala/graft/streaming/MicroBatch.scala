@@ -36,7 +36,9 @@ object MicroBatch {
     * `retry_time` stamping. */
   def runFileStream(spark: SparkSession, inputDir: String, schema: StructType,
                     checkpointDir: String, retry: RetryQueue,
-                    clock: () => Long, maxFilesPerTrigger: Int = 1)
+                    clock: () => Long, maxFilesPerTrigger: Int = 1,
+                    eventsLog: Option[EventsLog] = None, streamId: String = "stream",
+                    table: String = "")
                    (load: DataFrame => Unit): Unit = {
     val source = spark.readStream
       .schema(schema)
@@ -46,11 +48,17 @@ object MicroBatch {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        try load(df)
+        // B7: per-batch state accounting, success or failure (the row count
+        // is by-name so no job runs when no log is configured)
+        def log(status: String, rows: => Long, err: String): Unit =
+          eventsLog.foreach(_.post(spark,
+            LoadState(streamId, table, batchId, status, rows, err, clock())))
+        try { load(df); log("ok", df.count(), "") }
         catch {
           case e: Throwable =>
-            retry.enqueue(df, batchId,
-              Option(e.getMessage).getOrElse(e.getClass.getName), clock())
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            retry.enqueue(df, batchId, msg, clock())
+            log("failed", df.count(), msg)
         }
       }
       .start()
