@@ -1,0 +1,178 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.DataKind
+import graft.ops.Dedup
+import graft.shape.{Ingest, Names}
+import graft.sink.{JdbcSink, SchemaEvolution}
+import graft.sql.{ColumnSpec, Dialect, TableSpec}
+import graft.streaming.LoadState
+
+/** Stream options — the reference's option surface
+  * (bulkerlib/options.go, implementations/sql/options.go) in one config:
+  * pk/deduplicate/discriminator (D1), mergeWindow (D3), schemaFreeze and
+  * maxColumns (T7), columnTypes and declared schema (T4/T5 priority ladder),
+  * timestampColumn, namespace. */
+final case class StreamConfig(
+    mode: String = Engine.Batch, // bulker.go:22-52 BulkMode
+    pk: Seq[String] = Nil,
+    deduplicate: Boolean = false,
+    discriminator: Seq[String] = Nil, // options: deduplicate + discriminatorField
+    mergeWindowDays: Int = 365,       // sql/options.go:41-45 default
+    timestampColumn: Option[String] = None,
+    partitionId: Option[String] = None, // replace_partition's __partition_id value
+    schemaFreeze: Boolean = false,
+    maxColumns: Int = 5000,
+    columnTypes: Map[String, DataKind] = Map.empty,
+    declaredFields: Seq[String] = Nil,
+    omitNils: Boolean = true,
+    nowMs: () => Long = () => System.currentTimeMillis())
+
+/** The embedding API (§3.3, bulker.go:58-101): `createStream` returns a
+  * session that accepts events and commits them as ONE load unit into one
+  * table — `consume` for driver-side event feeding (the library path),
+  * `consumeDataset` for cluster-scale inputs (never collects). The whole
+  * reference lifecycle — hints → flatten → infer → dedup → evolve-vs-live →
+  * ensure DDL → mode-dispatched transactional load — runs on `complete()`.
+  */
+final class Engine(spark: SparkSession, sink: JdbcSink) {
+
+  def createStream(table: String, cfg: StreamConfig = StreamConfig()): BulkerStream = {
+    require(Engine.Modes.contains(cfg.mode), s"unknown mode: ${cfg.mode}")
+    new BulkerStream(spark, sink, table, cfg)
+  }
+}
+
+object Engine {
+  val Stream = "stream"
+  val Batch = "batch"
+  val ReplaceTable = "replace_table"
+  val ReplacePartition = "replace_partition"
+  val Modes: Set[String] = Set(Stream, Batch, ReplaceTable, ReplacePartition)
+
+  def apply(spark: SparkSession, url: String, dialect: Dialect): Engine =
+    new Engine(spark, JdbcSink(url, dialect))
+}
+
+final class BulkerStream private[graft] (
+    spark: SparkSession, sink: JdbcSink, table: String, cfg: StreamConfig) {
+
+  private val buffered = ArrayBuffer.empty[String]
+  private var datasetInput: Option[Dataset[String]] = None
+  private var aborted = false
+
+  /** Buffer one raw JSON event (bulker.go:92 ConsumeJSON — driver path). */
+  def consume(rawJson: String): Unit = { buffered += rawJson; () }
+
+  /** Provide the whole batch as a distributed Dataset (the scale path; the
+    * reference's HTTP bulk body maps here). */
+  def consumeDataset(ds: Dataset[String]): Unit = { datasetInput = Some(ds); () }
+
+  /** Roll back: nothing was written before complete(), so abort just drops
+    * the buffer (bulker.go:99; transactional modes never partially commit). */
+  def abort(): Unit = { aborted = true; buffered.clear(); datasetInput = None }
+
+  private def shapeOptions = Ingest.ShapeOptions(
+    caseMode = sink.dialect.caseMode match {
+      case Names.KeepCase => Names.KeepCase
+      case m              => m
+    },
+    omitNils = cfg.omitNils,
+    maxIdentifierLength = sink.dialect.maxIdentifierLength,
+    schemaFreeze = false, // freeze applies vs the LIVE table, below
+    declaredFields = cfg.declaredFields,
+    maxColumns = cfg.maxColumns,
+    columnTypes = cfg.columnTypes)
+
+  /** Shape → dedup → evolve-vs-live → DDL → mode-dispatched load. */
+  def complete(): LoadState = {
+    require(!aborted, "stream aborted")
+    val raw = datasetInput.getOrElse(
+      spark.createDataset(buffered.toSeq)(Encoders.STRING))
+    val shaped = Ingest.shape(spark, raw, shapeOptions)
+    val adaptedPk = cfg.pk.map(sink.dialect.adaptIdentifier)
+
+    val deduped =
+      if ((cfg.deduplicate || cfg.mode == Engine.Stream) && cfg.pk.nonEmpty)
+        Dedup.inBatch(shaped.df, cfg.pk, cfg.discriminator) // D1: last-wins + discriminator
+      else shaped.df
+
+    val batchName = sink.dialect.adaptIdentifier(table)
+    // a hint's explicit ddlType passes through raw; a bare castType naming a
+    // canonical kind maps through the dialect's type table (processor.go:54-95)
+    val castKinds = Map("string" -> DataKind.Str, "int" -> DataKind.Int64,
+      "bigint" -> DataKind.Int64, "float" -> DataKind.Float64,
+      "double" -> DataKind.Float64, "bool" -> DataKind.Bool,
+      "timestamp" -> DataKind.Timestamp, "json" -> DataKind.Json)
+    val hintDdl = shaped.hints.map { h =>
+      val ddl = h.ddlType.getOrElse(
+        castKinds.get(h.castType.toLowerCase).map(sink.dialect.typeFor)
+          .getOrElse(h.castType))
+      sink.dialect.adaptIdentifier(h.target) -> ddl
+    }.toMap
+
+    // evolve against the live catalog when the table exists (T7/T8)
+    val (frame, spec) = sink.existingColumns(batchName) match {
+      case Some(live) if cfg.mode != Engine.ReplaceTable =>
+        val adapted = sink.adapt(deduped)
+        val plan = SchemaEvolution.evolve(adapted, TableSpec(batchName, live),
+          schemaFreeze = cfg.schemaFreeze, maxColumns = cfg.maxColumns)
+        val withUnmapped = live.exists(c =>
+          c.name.equalsIgnoreCase(SchemaEvolution.UnmappedColumn))
+        val evolvedCols = live ++ plan.newColumns ++
+          (if (withUnmapped) Nil
+           else Seq(ColumnSpec(
+             sink.dialect.adaptIdentifier(SchemaEvolution.UnmappedColumn), DataKind.Json)))
+        // pk stays LOGICAL (merge key only): most warehouses don't enforce
+        // pk constraints, and merge-window semantics legitimately leave an
+        // out-of-window duplicate beside the new row (redshift_iam.go:428-472)
+        val evolved = TableSpec(batchName, evolvedCols)
+        (plan.projected, sink.ensureTableCached(evolved))
+      case _ =>
+        val spec0 = sink.specFor(deduped, table)
+        val spec = spec0.copy(columns = spec0.columns.map(c =>
+          hintDdl.get(c.name).map(d => c.copy(ddlOverride = Some(d))).getOrElse(c)))
+        (sink.adapt(deduped), sink.ensureTableCached(spec))
+    }
+
+    val windowPredicate = cfg.timestampColumn.map { tc =>
+      val col = sink.dialect.quote(sink.dialect.adaptIdentifier(tc))
+      val fromMs = cfg.nowMs() - cfg.mergeWindowDays * 86400000L
+      val ts = java.time.Instant.ofEpochMilli(fromMs).toString.replace("T", " ").stripSuffix("Z")
+      s"__T__.$col >= TIMESTAMP('$ts')" // D3: prune-the-target predicate
+    }
+
+    try {
+      cfg.mode match {
+        case Engine.Stream =>
+          sink.streamUpsertWithRetry(frame, spec.copy(pk = adaptedPk)) // D4 + B6 retry
+        case Engine.Batch =>
+          if (adaptedPk.nonEmpty)
+            sink.loadMerge(frame, spec.copy(pk = adaptedPk), windowPredicate) // D2/D3/B3
+          else sink.append(frame, spec.name)
+        case Engine.ReplaceTable =>
+          sink.replaceTable(frame, table) // P2 rename swap
+        case Engine.ReplacePartition =>
+          val pid = cfg.partitionId.getOrElse(
+            throw new IllegalArgumentException("replace_partition needs partitionId"))
+          val pc = graft.ops.Partitions.PartitionCol
+          val pcAdapted = sink.dialect.adaptIdentifier(pc)
+          // a live table already carries the partition column — the stamp
+          // below is the only writer of it (replacepartition_stream.go:78-83)
+          val stamped = frame.drop(pc).drop(pcAdapted).withColumn(pc, lit(pid))
+          val full = spec.copy(columns =
+            spec.columns.filterNot(_.name == pcAdapted) :+ ColumnSpec(pcAdapted, DataKind.Str))
+          sink.ensureTable(full)
+          sink.replacePartition(stamped, full, pc, pid) // P1, one tx
+      }
+      LoadState("engine", spec.name, 0L, "ok", frame.count(), "", cfg.nowMs())
+    } catch {
+      case e: Exception =>
+        sink.invalidate(spec.name)
+        LoadState("engine", spec.name, 0L, "failed", 0L,
+          Option(e.getMessage).getOrElse(e.getClass.getName), cfg.nowMs())
+    }
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import graft.sql.DerbyDialect
+import graft.sink.{JdbcSink, TableCache}
+
+/** The reference's matrix pattern (sql/bulker_test.go:291 TestBasics):
+  * NDJSON fixtures driven through the PUBLIC embedding API across bulk
+  * modes, asserting the final live table. Fixtures mirror the semantics of
+  * sql/test_data/{types,repeated_ids,type_hints,schema_option}.ndjson. */
+class EngineSpec extends SparkSuite {
+
+  private def engine(db: String): Engine = {
+    TableCache.clear()
+    new Engine(spark, JdbcSink(s"jdbc:derby:memory:eng_$db;create=true", DerbyDialect))
+  }
+
+  private def readTable(db: String, table: String) =
+    spark.read.jdbc(s"jdbc:derby:memory:eng_$db;create=true",
+      s""""${table.toUpperCase}"""", new java.util.Properties())
+
+  private val typesFixture = Seq(
+    """{"id":1,"b":true,"f":1.5,"s":"x","t":"2024-01-02 03:04:05"}""",
+    """{"id":2,"b":false,"f":2.5,"s":"y","t":"2024-01-03 04:05:06"}""")
+
+  test("batch mode: types fixture creates a typed table (matrix: types.ndjson)") {
+    val e = engine("types")
+    val st = e.createStream("tfix", StreamConfig(mode = Engine.Batch))
+    typesFixture.foreach(st.consume)
+    val state = st.complete()
+    assert(state.status == "ok" && state.rows == 2)
+    val back = readTable("types", "tfix")
+    val types = back.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("ID") == "long"); assert(types("B") == "boolean")
+    assert(types("F") == "double"); assert(types("T") == "timestamp")
+    assert(back.count() == 2)
+  }
+
+  test("batch mode + pk dedups in-batch and merges cross-batch (repeated_ids.ndjson)") {
+    val e = engine("ids")
+    val cfg = StreamConfig(mode = Engine.Batch, pk = Seq("id"), deduplicate = true)
+    val s1 = e.createStream("rfix", cfg)
+    s1.consume("""{"id":1,"v":"a"}"""); s1.consume("""{"id":1,"v":"b"}""")
+    s1.consume("""{"id":2,"v":"c"}""")
+    assert(s1.complete().status == "ok")
+    // later occurrence wins in-batch
+    assert(canon(readTable("ids", "rfix").select("ID", "V")) ==
+      Seq(Seq("1", "b"), Seq("2", "c")))
+    val s2 = e.createStream("rfix", cfg)
+    s2.consume("""{"id":2,"v":"c2"}"""); s2.consume("""{"id":3,"v":"d"}""")
+    assert(s2.complete().status == "ok")
+    // cross-batch upsert by pk
+    assert(canon(readTable("ids", "rfix").select("ID", "V")) ==
+      Seq(Seq("1", "b"), Seq("2", "c2"), Seq("3", "d")))
+  }
+
+  test("stream mode: row-wise upsert path") {
+    val e = engine("stream")
+    val cfg = StreamConfig(mode = Engine.Stream, pk = Seq("id"))
+    val s1 = e.createStream("sfix", cfg)
+    s1.consume("""{"id":1,"v":"a"}""")
+    assert(s1.complete().status == "ok")
+    val s2 = e.createStream("sfix", cfg)
+    s2.consume("""{"id":1,"v":"a2"}""")
+    assert(s2.complete().status == "ok")
+    assert(canon(readTable("stream", "sfix").select("ID", "V")) == Seq(Seq("1", "a2")))
+  }
+
+  test("replace_table swaps the generation (replacetable_stream_test.go)") {
+    val e = engine("rt")
+    val s1 = e.createStream("gfix", StreamConfig(mode = Engine.Batch))
+    s1.consume("""{"id":1}"""); s1.consume("""{"id":2}""")
+    assert(s1.complete().status == "ok")
+    val s2 = e.createStream("gfix", StreamConfig(mode = Engine.ReplaceTable))
+    s2.consume("""{"id":9,"fresh":"yes"}""")
+    assert(s2.complete().status == "ok")
+    val back = readTable("rt", "gfix")
+    assert(canon(back.select("ID", "FRESH")) == Seq(Seq("9", "yes")))
+  }
+
+  test("replace_partition clears exactly one partition (replacepartition_stream_test.go)") {
+    val e = engine("rp")
+    def load(pid: String, rows: String*): Unit = {
+      val st = e.createStream("pfix",
+        StreamConfig(mode = Engine.ReplacePartition, partitionId = Some(pid)))
+      rows.foreach(st.consume)
+      assert(st.complete().status == "ok")
+    }
+    load("d1", """{"id":1}""", """{"id":2}""")
+    load("d2", """{"id":3}""")
+    load("d1", """{"id":9}""") // replaces d1 only
+    assert(canon(readTable("rp", "pfix").select("ID", "__PARTITION_ID")) ==
+      Seq(Seq("3", "d2"), Seq("9", "d1")))
+  }
+
+  test("schema evolution vs live table: new column ALTERed in, wrong type overflows") {
+    val e = engine("evo")
+    val s1 = e.createStream("efix", StreamConfig(mode = Engine.Batch))
+    s1.consume("""{"id":1,"m":10}""")
+    assert(s1.complete().status == "ok")
+    val s2 = e.createStream("efix", StreamConfig(mode = Engine.Batch))
+    s2.consume("""{"id":2,"m":"not-a-number","extra":1.5}""")
+    assert(s2.complete().status == "ok")
+    val back = readTable("evo", "efix")
+    assert(back.columns.toSeq.contains("EXTRA"))
+    val r2 = back.filter("ID = 2").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("M"))) // unconvertible → null
+    assert(r2.getString(r2.fieldIndex("_UNMAPPED_DATA")).contains("not-a-number"))
+  }
+
+  test("schemaFreeze rejects new columns into _unmapped_data (schema_freeze_test.go)") {
+    val e = engine("freeze")
+    val s1 = e.createStream("ffix", StreamConfig(mode = Engine.Batch))
+    s1.consume("""{"id":1}""")
+    assert(s1.complete().status == "ok")
+    val s2 = e.createStream("ffix", StreamConfig(mode = Engine.Batch, schemaFreeze = true))
+    s2.consume("""{"id":2,"sneaky":"v"}""")
+    assert(s2.complete().status == "ok")
+    val back = readTable("freeze", "ffix")
+    assert(!back.columns.contains("SNEAKY"))
+    assert(canon(back.filter("ID = 2").select("_UNMAPPED_DATA")) ==
+      Seq(Seq("""{"SNEAKY":"v"}""")))
+  }
+
+  test("type hints override DDL on create (type_hints.ndjson)") {
+    val e = engine("hints")
+    val st = e.createStream("hfix", StreamConfig(mode = Engine.Batch))
+    st.consume("""{"id":1,"payload":{"k":1},"__sql_type_payload":"json"}""")
+    assert(st.complete().status == "ok")
+    assert(canon(readTable("hints", "hfix").select("PAYLOAD")) ==
+      Seq(Seq("""{"k":1}""")))
+  }
+
+  test("merge window: old target rows survive a pk collision (mergewindow_test.go)") {
+    val fixedNow = java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli
+    val e = engine("win")
+    val cfg = StreamConfig(mode = Engine.Batch, pk = Seq("id"), deduplicate = true,
+      timestampColumn = Some("ts"), mergeWindowDays = 30, nowMs = () => fixedNow)
+    val s1 = e.createStream("wfix", cfg)
+    s1.consume("""{"id":1,"ts":"2024-05-20 00:00:00","v":"in-window"}""")
+    s1.consume("""{"id":2,"ts":"2024-01-01 00:00:00","v":"out-of-window"}""")
+    assert(s1.complete().status == "ok")
+    val s2 = e.createStream("wfix", cfg)
+    s2.consume("""{"id":1,"ts":"2024-05-30 00:00:00","v":"new1"}""")
+    s2.consume("""{"id":2,"ts":"2024-05-30 00:00:00","v":"new2"}""")
+    assert(s2.complete().status == "ok")
+    val back = readTable("win", "wfix")
+    // id=1 was in-window → replaced; id=2's old row predates the window →
+    // it SURVIVES beside the new row (the reference's window semantics)
+    assert(canon(back.select("V")) ==
+      Seq(Seq("new1"), Seq("new2"), Seq("out-of-window")))
+  }
+
+  test("abort discards the buffer; nothing reaches the sink") {
+    val e = engine("abort")
+    val st = e.createStream("afix", StreamConfig(mode = Engine.Batch))
+    st.consume("""{"id":1}""")
+    st.abort()
+    intercept[IllegalArgumentException] { st.complete() }
+  }
+
+  test("consumeDataset drives the distributed path (HTTP bulk body shape)") {
+    import spark.implicits._
+    val e = engine("ds")
+    val st = e.createStream("dfix", StreamConfig(mode = Engine.Batch))
+    st.consumeDataset((1 to 100).map(i => s"""{"id":$i,"v":"r$i"}""").toDS())
+    val state = st.complete()
+    assert(state.status == "ok" && state.rows == 100)
+    assert(readTable("ds", "dfix").count() == 100)
+  }
+}
