@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, classloading, parquet reader init) so the
+    // first timed query isn't charged ~4s of JVM startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
+    catch { case _: Throwable => () }
     // A failing query must NOT masquerade as a fast one: its timing is
     // reported negative and its error recorded.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -92,6 +92,26 @@ object Similarity {
     rank(broadcast(q).join(c, "__bucket"), k)
   }
 
+  /** Multi-probe LSH top-k — the recall knob: each query probes its own
+    * bucket PLUS every bucket at Hamming distance 1 (one sign bit flipped),
+    * catching neighbors that straddle a single hyperplane. Probes explode on
+    * the QUERY side (b+1 rows per query, still an equi-join on the bucket
+    * key) so the corpus shuffles exactly once and nothing is quadratic;
+    * candidate pairs met in several probes dedup before ranking. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        planes: Array[Array[Double]],
+                        queryId: String = "vec_id", corpusId: String = "vec_id"): DataFrame = {
+    val bucket = lshBucket(col("embedding"), planes)
+    val probes = array(bucket +: planes.indices.map(j =>
+      bucket.bitwiseXOR(lit(1L << j))): _*)
+    val q = queries.select(col(queryId).as("query_id"), col("embedding").as("__qe"),
+      explode(probes).as("__bucket"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col("embedding").as("__ce"),
+      bucket.as("__bucket"))
+    rank(broadcast(q).join(c, "__bucket")
+      .dropDuplicates("query_id", "neighbor_id"), k)
+  }
+
   /** Shared ranking tail: cosine (rounded for cross-engine stability),
     * self-match removed, deterministic tie-break, k rows per query. */
   private def rank(cands: DataFrame, k: Int): DataFrame = {

@@ -338,6 +338,36 @@ object LlmOps {
       WHERE q.vec_id < 10) t
     WHERE rank <= $AnnK"""
 
+  /** Multi-probe LSH ANN: same bucket space as [[annLsh]] but each query
+    * also probes every Hamming-1 bucket — recovers neighbors lost to a
+    * single hyperplane split (the plain-LSH recall gap) at (b+1)× the
+    * candidate cost, still equi-joined. */
+  def annMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb, AnnK, AnnPlanes)
+  }
+
+  private val annMultiProbeOracle = s"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        ${bucketSql("embedding", AnnPlanes)} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id, embedding,
+        unnest([bucket] || [xor(bucket, (1::BIGINT << j)) for j in range(0, ${AnnPlanes.length})]) AS pbucket
+      FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM probes q JOIN b c ON c.bucket = q.pbucket AND q.vec_id <> c.vec_id)
+    SELECT query_id, rank, neighbor_id, cos FROM (
+      SELECT query_id, neighbor_id,
+        ${qSql(cosineSql("qe", "ce"), 4)} AS cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY ${qSql(cosineSql("qe", "ce"), 4)} DESC, neighbor_id ASC) AS rank
+      FROM cand) t
+    WHERE rank <= $AnnK"""
+
   /** Embedding-cosine near-dup pairs, bucket-joined (near-identical vectors
     * share all sign bits, so each pair meets inside one LSH bucket).
     *
@@ -412,6 +442,7 @@ object LlmOps {
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
+    "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
   )
