@@ -30,6 +30,37 @@ final case class StreamConfig(
     omitNils: Boolean = true,
     nowMs: () => Long = () => System.currentTimeMillis())
 
+object StreamConfig {
+  /** Parse the reference's string option surface (bulkerlib/options.go,
+    * sql/options.go) — the spellings a connector config carries:
+    * `mode`, `primaryKey` (comma list), `deduplicate`, `discriminatorField`,
+    * `deduplicateWindow` (days), `timestampColumn`, `schemaFreeze`,
+    * `maxColumnsCount`, `columnTypes` (`name=type` comma list),
+    * `omitNils`, `partitionId`, `schema` (declared field comma list). */
+  def fromOptions(opts: Map[String, String]): StreamConfig = {
+    def list(k: String) = opts.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    def bool(k: String, dflt: Boolean) = opts.get(k).map(_.trim.toLowerCase == "true").getOrElse(dflt)
+    StreamConfig(
+      mode = opts.getOrElse("mode", Engine.Batch),
+      pk = list("primaryKey"),
+      deduplicate = bool("deduplicate", dflt = false),
+      discriminator = list("discriminatorField"),
+      mergeWindowDays = opts.get("deduplicateWindow").map(_.trim.toInt).getOrElse(365),
+      timestampColumn = opts.get("timestampColumn").map(_.trim),
+      partitionId = opts.get("partitionId").map(_.trim),
+      schemaFreeze = bool("schemaFreeze", dflt = false),
+      maxColumns = opts.get("maxColumnsCount").map(_.trim.toInt).getOrElse(5000),
+      columnTypes = list("columnTypes").flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(n, t) => DataKind.forName(t).map(n.trim -> _)
+          case _           => None
+        }
+      }.toMap,
+      declaredFields = list("schema"),
+      omitNils = bool("omitNils", dflt = true))
+  }
+}
+
 /** The embedding API (§3.3, bulker.go:58-101): `createStream` returns a
   * session that accepts events and commits them as ONE load unit into one
   * table — `consume` for driver-side event feeding (the library path),
@@ -102,14 +133,9 @@ final class BulkerStream private[graft] (
     val batchName = sink.dialect.adaptIdentifier(table)
     // a hint's explicit ddlType passes through raw; a bare castType naming a
     // canonical kind maps through the dialect's type table (processor.go:54-95)
-    val castKinds = Map("string" -> DataKind.Str, "int" -> DataKind.Int64,
-      "bigint" -> DataKind.Int64, "float" -> DataKind.Float64,
-      "double" -> DataKind.Float64, "bool" -> DataKind.Bool,
-      "timestamp" -> DataKind.Timestamp, "json" -> DataKind.Json)
     val hintDdl = shaped.hints.map { h =>
       val ddl = h.ddlType.getOrElse(
-        castKinds.get(h.castType.toLowerCase).map(sink.dialect.typeFor)
-          .getOrElse(h.castType))
+        DataKind.forName(h.castType).map(sink.dialect.typeFor).getOrElse(h.castType))
       sink.dialect.adaptIdentifier(h.target) -> ddl
     }.toMap
 

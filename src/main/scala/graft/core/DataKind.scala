@@ -95,4 +95,17 @@ object DataKind {
     * length 19..35 whose first char is '1' or '2' are candidates. */
   val TsMinLen = 19
   val TsMaxLen = 35
+
+  /** Kind by user-facing name (the option-surface spellings a hint or a
+    * `columnTypes` option may use, types/datatype.go:36-52). */
+  def forName(s: String): Option[DataKind] = s.trim.toLowerCase match {
+    case "string" | "str" | "text"        => Some(Str)
+    case "int" | "int64" | "bigint" | "long" => Some(Int64)
+    case "float" | "float64" | "double"   => Some(Float64)
+    case "bool" | "boolean"               => Some(Bool)
+    case "timestamp" | "datetime"         => Some(Timestamp)
+    case "json" | "object"                => Some(Json)
+    case "unknown"                        => Some(Unknown)
+    case _                                => None
+  }
 }

@@ -41,13 +41,22 @@ object FileSink {
     val deduped =
       if (cfg.pk.nonEmpty) Dedup.inBatch(df, cfg.pk, cfg.discriminators, arrival)
       else df
-    val w0 = deduped.write.mode(mode)
-    val w1 = if (cfg.partitionBy.nonEmpty) w0.partitionBy(cfg.partitionBy: _*) else w0
-    val w2 = if (cfg.gzip) w1.option("compression", "gzip") else w1
+    // DataFrameWriter mutates in place — build ONE chain per format
+    val w = deduped.write.mode(mode)
+    if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*)
     cfg.format match {
-      case "ndjson" => w2.json(dir)
-      case "csv"    => w2.option("header", "true").csv(dir)
-      case other    => throw new IllegalArgumentException(s"unknown file format: $other")
+      case "ndjson" =>
+        if (cfg.gzip) w.option("compression", "gzip")
+        w.json(dir)
+      case "csv" =>
+        if (cfg.gzip) w.option("compression", "gzip")
+        w.option("header", "true").csv(dir)
+      // beyond the reference's marshaller set: the columnar formats any
+      // Spark-era lake sink actually wants (gzip flag is a no-op — these
+      // carry their own codecs)
+      case "parquet" => w.option("compression", "snappy").parquet(dir)
+      case "orc"     => w.orc(dir)
+      case other     => throw new IllegalArgumentException(s"unknown file format: $other")
     }
   }
 
@@ -56,8 +65,10 @@ object FileSink {
     * must be included in `schema`. */
   def read(spark: SparkSession, dir: String, schema: StructType,
            cfg: Config = Config()): DataFrame = cfg.format match {
-    case "ndjson" => spark.read.schema(schema).json(dir)
-    case "csv"    => spark.read.schema(schema).option("header", "true").csv(dir)
-    case other    => throw new IllegalArgumentException(s"unknown file format: $other")
+    case "ndjson"  => spark.read.schema(schema).json(dir)
+    case "csv"     => spark.read.schema(schema).option("header", "true").csv(dir)
+    case "parquet" => spark.read.schema(schema).parquet(dir)
+    case "orc"     => spark.read.schema(schema).orc(dir)
+    case other     => throw new IllegalArgumentException(s"unknown file format: $other")
   }
 }

@@ -227,6 +227,13 @@ object BigQueryDialect extends Dialect {
     case DataKind.Bool      => "BOOL"
     case DataKind.Json      => "JSON"
   }
+  /** Day-grain TimePartitioning on the timestamp column
+    * (bigquery.go:400-410) — the storage layout that makes the D3 merge
+    * window prune partitions instead of scanning the table. */
+  override def createTable(t: TableSpec, ifNotExists: Boolean = true): String = {
+    val base = super.createTable(t, ifNotExists)
+    t.timestampCol.map(c => s"$base PARTITION BY DATE(${quote(c)})").getOrElse(base)
+  }
 }
 
 /** redshift.go:41-70 — MERGE (delete-then-insert under the hood on RS). */

@@ -158,6 +158,28 @@ class EngineSpec extends SparkSuite {
     intercept[IllegalArgumentException] { st.complete() }
   }
 
+  test("StreamConfig.fromOptions parses the reference's option spellings") {
+    val cfg = StreamConfig.fromOptions(Map(
+      "mode" -> "stream", "primaryKey" -> "id, user_id",
+      "deduplicate" -> "true", "discriminatorField" -> "ts",
+      "deduplicateWindow" -> "31", "timestampColumn" -> "ts",
+      "schemaFreeze" -> "true", "maxColumnsCount" -> "100",
+      "columnTypes" -> "a=bigint, b=timestamp, c=nosuch",
+      "schema" -> "payload", "omitNils" -> "false"))
+    assert(cfg.mode == Engine.Stream)
+    assert(cfg.pk == Seq("id", "user_id"))
+    assert(cfg.deduplicate && cfg.schemaFreeze && !cfg.omitNils)
+    assert(cfg.discriminator == Seq("ts"))
+    assert(cfg.mergeWindowDays == 31 && cfg.maxColumns == 100)
+    assert(cfg.columnTypes == Map(
+      "a" -> graft.core.DataKind.Int64, "b" -> graft.core.DataKind.Timestamp))
+    assert(cfg.declaredFields == Seq("payload"))
+    // defaults
+    val dflt = StreamConfig.fromOptions(Map.empty)
+    assert(dflt.mode == Engine.Batch && dflt.mergeWindowDays == 365 &&
+      dflt.maxColumns == 5000 && dflt.omitNils)
+  }
+
   test("consumeDataset drives the distributed path (HTTP bulk body shape)") {
     import spark.implicits._
     val e = engine("ds")

@@ -51,6 +51,15 @@ class FileSinkSpec extends SparkSuite {
     assert(canon(back.select("id", "v", "s")) == canon(data.select("id", "v", "s")))
   }
 
+  test("parquet and orc columnar formats roundtrip (lake-sink path)") {
+    for (fmt <- Seq("parquet", "orc")) {
+      val dir = tmp()
+      val cfg = FileSink.Config(format = fmt)
+      FileSink.write(data, dir, SaveMode.Overwrite, cfg)
+      assert(canon(FileSink.read(spark, dir, schema, cfg)) == canon(data), fmt)
+    }
+  }
+
   test("batch mode appends new objects beside the old (Append)") {
     val dir = tmp()
     FileSink.write(data, dir, SaveMode.Overwrite, FileSink.Config())

@@ -98,6 +98,15 @@ class DialectSpec extends AnyFunSuite {
     assert(copy.startsWith("INSERT INTO"))
   }
 
+  test("bigquery create adds day-grain time partitioning (bigquery.go:400-410)") {
+    val t = TableSpec("t", Seq(ColumnSpec("id", DataKind.Int64),
+      ColumnSpec("ts", DataKind.Timestamp)), timestampCol = Some("ts"))
+    val sql = BigQueryDialect.createTable(t)
+    assert(sql.endsWith("PARTITION BY DATE(`ts`)"))
+    // no timestamp column → plain table
+    assert(!BigQueryDialect.createTable(t.copy(timestampCol = None)).contains("PARTITION"))
+  }
+
   test("duckdb merge is INSERT OR REPLACE") {
     val t = TableSpec("t", Seq(ColumnSpec("id", DataKind.Int64)), pk = Seq("id"))
     val Seq(sql) = DuckDbDialect.mergeInto(t, TableSpec("tmp", t.columns), Seq("id"), Seq("id"))
