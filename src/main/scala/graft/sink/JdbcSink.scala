@@ -44,24 +44,28 @@ final case class JdbcSink(url: String, dialect: Dialect) {
     * SEARCH PATTERN to getColumns — `_`/`%` are wildcards, so names like
     * EVOLVE_T would match phantom tables; escape them and double-check the
     * returned TABLE_NAME. */
-  def existingColumns(table: String): Option[Seq[ColumnSpec]] = withConnection { c =>
-    val md = c.getMetaData
-    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-    val pattern = table.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-    val rs = md.getColumns(null, null, pattern, null)
-    val cols = Iterator.continually(rs)
-      .takeWhile(_.next())
-      .filter(r => r.getString("TABLE_NAME") == table)
-      .map(r => ColumnSpec(r.getString("COLUMN_NAME"), dialect.kindFor(r.getString("TYPE_NAME"))))
-      .toList
-    if (cols.isEmpty) None else Some(cols)
-  }
+  def existingColumns(table: String,
+                      namespace: Option[String] = None): Option[Seq[ColumnSpec]] =
+    withConnection { c =>
+      val md = c.getMetaData
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def pat(s: String) =
+        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getColumns(null, namespace.map(pat).orNull, pat(table), null)
+      val cols = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .filter(r => r.getString("TABLE_NAME") == table &&
+          namespace.forall(_ == r.getString("TABLE_SCHEM")))
+        .map(r => ColumnSpec(r.getString("COLUMN_NAME"), dialect.kindFor(r.getString("TYPE_NAME"))))
+        .toList
+      if (cols.isEmpty) None else Some(cols)
+    }
 
   /** Get-or-create + patch: create the table or ALTER-ADD missing columns
     * (diff by name only, table.go:200-236). Returns the live spec. */
   def ensureTable(spec: TableSpec): TableSpec = {
     TableCache.missCount.incrementAndGet()
-    existingColumns(spec.name) match {
+    existingColumns(spec.name, spec.namespace) match {
       case None =>
         withConnection(exec(_, dialect.createTable(spec, ifNotExists = false)))
         spec
@@ -127,6 +131,13 @@ final case class JdbcSink(url: String, dialect: Dialect) {
     JdbcSink.ensureWriterDialects()
     val props = new java.util.Properties()
     adapt(df).write.mode(SaveMode.Append).jdbc(url, dialect.quote(table), props)
+  }
+
+  /** Append to a (possibly namespaced) spec — the qualified-name form. */
+  def appendTo(df: DataFrame, spec: TableSpec): Unit = {
+    JdbcSink.ensureWriterDialects()
+    val props = new java.util.Properties()
+    adapt(df).write.mode(SaveMode.Append).jdbc(url, dialect.qualified(spec), props)
   }
 
   /** Batch-mode transactional load (B3 + D2/D3): stage to a tmp table, then

@@ -1,0 +1,92 @@
+package graft.http
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.types._
+import graft.{Engine, StreamConfig}
+import graft.sink.{JdbcSink, TableCache}
+import graft.sql.DerbyDialect
+import graft.streaming.{MicroBatch, RetryQueue}
+import graft.SparkSuite
+
+/** The reference's §3.1 production path end-to-end: HTTP POST → spool
+  * (Kafka stand-in) → checkpointed micro-batch consumer → transactional
+  * warehouse load; and §3.2: HTTP bulk → synchronous engine load. Every
+  * hop is the real component, wired together. */
+class EndToEndSpec extends SparkSuite {
+
+  private def post(url: String, body: String): Int = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val code = conn.getResponseCode
+    conn.getInputStream.readAllBytes(); conn.disconnect()
+    code
+  }
+
+  test("async path: POST /post → spool file → micro-batch stream → Derby") {
+    TableCache.clear()
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e_").toString
+    val sink = JdbcSink("jdbc:derby:memory:e2e_async;create=true", DerbyDialect)
+    try sink.withConnection(sink.exec(_, """DROP TABLE "ORDERS"""" ))
+    catch { case _: Exception => () }
+
+    // S1: one spool segment per (dest, table) — appended per event like the
+    // reference's per-topic produce
+    val srv = new IngestServer(
+      spool = (dest, table, event) => {
+        val dir = new java.io.File(s"$base/spool/$dest")
+        dir.mkdirs()
+        val f = new java.io.FileWriter(new java.io.File(dir, s"$table.json"), true)
+        try f.write(event + "\n") finally f.close()
+      },
+      bulkLoad = (_, _, _, _) => 0L).start()
+    try {
+      (1 to 5).foreach(i =>
+        assert(post(s"http://127.0.0.1:${srv.port}/post/pg1?tableName=orders",
+          s"""{"id":$i,"v":"r$i"}""") == 200))
+    } finally srv.stop()
+
+    // S4+B3: the batch consumer drains the spool into the warehouse
+    val engine = new Engine(spark, sink)
+    val retry = RetryQueue(s"$base/retry", s"$base/dlq")
+    MicroBatch.runFileStream(spark, s"$base/spool/pg1",
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      s"$base/ckpt", retry, clock = () => 0L) { batch =>
+      import spark.implicits._
+      val st = engine.createStream("orders",
+        StreamConfig(mode = Engine.Batch, pk = Seq("id"), deduplicate = true))
+      st.consumeDataset(batch.toJSON)
+      assert(st.complete().status == "ok")
+    }
+    val back = spark.read.jdbc(sink.url, "\"ORDERS\"", new java.util.Properties())
+    assert(back.count() == 5)
+    assert(canon(back.filter("ID = 3").select("V")) == Seq(Seq("r3")))
+  }
+
+  test("sync path: POST /bulk → engine load → rows in the response table") {
+    TableCache.clear()
+    val sink = JdbcSink("jdbc:derby:memory:e2e_bulk;create=true", DerbyDialect)
+    try sink.withConnection(sink.exec(_, """DROP TABLE "ITEMS"""" ))
+    catch { case _: Exception => () }
+    val engine = new Engine(spark, sink)
+    val srv = new IngestServer(
+      spool = (_, _, _) => (),
+      bulkLoad = (_, table, mode, lines) => {
+        import spark.implicits._
+        val st = engine.createStream(table, StreamConfig(mode = mode))
+        st.consumeDataset(lines.toDS())
+        val state = st.complete()
+        assert(state.status == "ok", state.error)
+        state.rows
+      }).start()
+    try {
+      val body = (1 to 7).map(i => s"""{"id":$i}""").mkString("\n")
+      assert(post(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items&mode=replace_table",
+        body) == 200)
+    } finally srv.stop()
+    val back = spark.read.jdbc(sink.url, "\"ITEMS\"", new java.util.Properties())
+    assert(back.count() == 7)
+  }
+}

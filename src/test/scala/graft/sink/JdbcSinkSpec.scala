@@ -142,6 +142,22 @@ class JdbcSinkSpec extends SparkSuite {
     assert(readBack(sink, "DL").count() == 0)
   }
 
+  test("namespace: tables live in their schema, lookups are schema-scoped (namespace_test.go)") {
+    val sink = freshSink("ns")
+    try sink.withConnection(sink.exec(_, "CREATE SCHEMA \"NS1\""))
+    catch { case _: Exception => () }
+    try sink.withConnection(sink.exec(_, """DROP TABLE "NS1"."NT""""))
+    catch { case _: Exception => () }
+    val spec = TableSpec("NT", Seq(ColumnSpec("ID", DataKind.Int64)), namespace = Some("NS1"))
+    sink.ensureTable(spec)
+    assert(sink.existingColumns("NT", Some("NS1")).get.map(_.name) == Seq("ID"))
+    // the same table name outside the namespace is NOT visible
+    assert(sink.existingColumns("NT", Some("APP")).isEmpty)
+    val data = df("ID BIGINT", Seq(Row(1L)))
+    sink.appendTo(data, spec)
+    assert(spark.read.jdbc(sink.url, """"NS1"."NT"""", new java.util.Properties()).count() == 1)
+  }
+
   test("postgres value mapping strips NUL bytes during adapt (T9)") {
     val sink = JdbcSink("unused", graft.sql.PostgresDialect)
     val data = df("S STRING", Seq(Row("a" + "\u0000" + "b")))
