@@ -54,6 +54,15 @@ object TextOps {
     array_min(transform(hashes,
       h => (lit(MinHashA(i)) * (h % MinHashP) + lit(MinHashB(i))) % MinHashP))
 
+  /** The full n-value signature in ONE codegen'd pass — same math as n
+    * [[minhash]] calls, minus the n interpreted traversals (see
+    * [[graft.functions.MinHashSig]]). */
+  def minhashSignature(hashes: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftExpressions.expression(hashes),
+        MinHashA.take(n).toSeq, MinHashB.take(n).toSeq, MinHashP))
+
   /** LSH band key: md5 of the comma-joined signature slice
     * [band*rows, (band+1)*rows). Equal band key ⇒ candidate pair. */
   def bandKey(sig: Seq[Column], band: Int, rows: Int): Column =

@@ -90,13 +90,19 @@ object LlmOps {
     * (`array_intersect`) — no shingle self-join ever materializes, so a hot
     * shingle ("the quick brown") cannot make pair generation quadratic. Cost
     * is linear in |candidates|: the 100 TB-safe verify shape. */
-  private def verifyCandidates(sh: DataFrame, cands: DataFrame,
+  private def verifyCandidates(sh: DataFrame, cands0: DataFrame,
                                threshold: Double): DataFrame = {
+    // candidates are SMALL by construction (they passed an LSH band) but
+    // feed three consumers (candDocs + both per-side joins) — persist so
+    // the signature pipeline upstream runs ONCE, not once per consumer
+    val cands = cands0.persist()
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
-    // shingles are distinct per doc, so |set| is also the doc's shingle count
+    // shingles are distinct per doc, so |set| is also the doc's shingle count;
+    // docSets is per-candidate-doc (small) and joined twice — persist too
     val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+      .persist()
     cands
       .join(docSets.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
       .join(docSets.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
@@ -136,14 +142,22 @@ object LlmOps {
     * join and the candidate verification. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // ONE codegen'd pass computes the whole 16-value signature (a native
+    // Catalyst expression — 16 chained transform/array_min calls would be
+    // interpreted and traverse the hash array 16×, see MinHashSig)
     val withSig = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
       .withColumn("hs", transform(col("sh"), TextOps.hash60(_)))
-    val sig = (0 until NumHashes).map(i => TextOps.minhash(col("hs"), i))
+      .withColumn("sigv", TextOps.minhashSignature(col("hs"), NumHashes))
+    val sig = (0 until NumHashes).map(i => element_at(col("sigv"), i + 1))
+    // narrow rows (doc_id, band, key) — persist so the SELF-join below does
+    // not run the whole shingle→hash→signature pipeline once per side
+    // (broadcast build sides don't reuse exchanges)
     val bands = withSig.select(col("doc_id"), explode(array(
       (0 until NumBands).map(b =>
         struct(lit(b).as("band"), TextOps.bandKey(sig, b, RowsPerBand).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .persist()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

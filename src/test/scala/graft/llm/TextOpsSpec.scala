@@ -64,6 +64,36 @@ class TextOpsSpec extends SparkSuite {
     assert(sigs(1)._1 == sigs(2)._1 || sigs(1)._2 == sigs(2)._2)
   }
 
+  test("MinHashSig (codegen) equals the 16 chained interpreted minhash calls") {
+    val docs = Seq("alpha beta gamma delta epsilon zeta", "one two three", "x")
+      .toDF("text")
+    val hs = transform(TextOps.shingles(TextOps.tokens(col("text")), 3), TextOps.hash60(_))
+    val chained = docs.select(array((0 until 16).map(i => TextOps.minhash(hs, i)): _*))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    val native = docs.select(TextOps.minhashSignature(hs, 16))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    assert(native == chained)
+  }
+
+  test("MinHashSig interpreted eval matches codegen (null elements skipped)") {
+    val d = df("hs ARRAY<BIGINT>", Seq(Row(Seq[Any](5L, null, 11L)), Row(Seq[Any]())))
+    val sigCol = TextOps.minhashSignature(col("hs"), 4)
+    // codegen path
+    val gen = d.select(sigCol).collect().toSeq.map(_.getSeq[Long](0))
+    // force interpreted eval through the expression directly
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val expr = graft.functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType), true),
+      TextOps.MinHashA.take(4).toSeq, TextOps.MinHashB.take(4).toSeq, TextOps.MinHashP)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(Array[Any](5L, null, 11L)))
+    val interp = expr.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(gen.head == interp)
+    // empty array → all mins stay at P (no elements voted)
+    assert(gen(1).forall(_ == TextOps.MinHashP))
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
       Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
