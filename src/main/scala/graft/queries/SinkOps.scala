@@ -275,9 +275,37 @@ object SinkOps {
       FROM events) t
     WHERE rn = 1"""
 
+  /** P1 on the LAKE path: dynamic partition overwrite — only the touched
+    * day rewrites, never the table (the 100 TB ReplacePartition; the pure-
+    * DataFrame p1 query models the same final state for comparison). */
+  def p1ReplacePartitionFile(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p1f/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p1f"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    val batch = ev.filter(col("day") === "2024-01-02" && col("event_id") % 3 === 0)
+    FileSink.replacePartition(batch, dir, Seq("day"))
+    s.read.schema(StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("day", StringType)))).parquet(dir)
+      .select("event_id", "user_id", "day")
+  }
+
+  private val p1FileOracle = """
+    SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') <> '2024-01-02'
+       OR (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-02' AND event_id % 3 = 0)"""
+
   def qs: Map[String, Q] = Map(
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
     "k8_file_sink"      -> Q(k8FileSink, Some(k8Oracle)),
+    "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),

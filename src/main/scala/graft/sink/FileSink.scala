@@ -60,6 +60,32 @@ object FileSink {
     }
   }
 
+  /** ReplacePartition on a lake folder (P1): DYNAMIC partition overwrite —
+    * only the partitions present in `batch` rewrite; everything else is
+    * untouched. This is the 100 TB-safe path the DataFrame union form only
+    * models: `INSERT OVERWRITE` semantics without a full-table rewrite
+    * (replacepartition_stream.go:85-161; an empty batch is a no-op here
+    * because a file store has no partition row to clear — delete the folder
+    * for that). Columnar formats only (JSON/CSV folders have no reliable
+    * overwrite story). */
+  def replacePartition(batch: DataFrame, dir: String, partitionBy: Seq[String],
+                       format: String = "parquet"): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val w = batch.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      format match {
+        case "parquet" => w.parquet(dir)
+        case "orc"     => w.orc(dir)
+        case other => throw new IllegalArgumentException(s"no overwrite for format: $other")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Read a table folder back. The schema must be supplied — a file sink has
     * no catalog; partition columns are discovered from the folder layout and
     * must be included in `schema`. */

@@ -132,6 +132,14 @@ trait Dialect {
      cols)
   }
 
+  /** Physical bulk-load statements: stage-file → warehouse ingestion text
+    * (the per-DB `LoadTable` paths — COPY/PUT+COPY/LOAD DATA). The engine
+    * stages with Spark's distributed file writers; the dialect says how the
+    * warehouse slurps the staged objects. Default: empty (generic JDBC
+    * appends row-wise through the driver instead). */
+  def loadStaged(t: TableSpec, stagePath: String, format: String = "csv",
+                 gzip: Boolean = true): Seq[String] = Nil
+
   def deleteWhere(t: TableSpec, cond: String): String =
     s"DELETE FROM ${qualified(t)} WHERE $cond"
   def truncate(t: TableSpec): String = s"TRUNCATE TABLE ${qualified(t)}"
@@ -198,6 +206,11 @@ object MySqlDialect extends Dialect {
     Seq(s"INSERT INTO ${qualified(target)} ($cl) SELECT * FROM (SELECT $cl FROM ${qualified(from)}) AS S " +
       s"ON DUPLICATE KEY UPDATE $updateSet")
   }
+  /** LOAD DATA LOCAL INFILE from the staged CSV (mysql.go:226-290). */
+  override def loadStaged(t: TableSpec, stagePath: String, format: String,
+                          gzip: Boolean): Seq[String] = Seq(
+    s"LOAD DATA LOCAL INFILE '$stagePath' INTO TABLE ${qualified(t)} " +
+      "FIELDS TERMINATED BY ',' OPTIONALLY ENCLOSED BY '\"' LINES TERMINATED BY '\\n' IGNORE 1 LINES")
 }
 
 /** snowflake.go:42-69 — uppercase identifiers, ANSI MERGE. */
@@ -212,6 +225,13 @@ object SnowflakeDialect extends Dialect {
     case DataKind.Timestamp => "TIMESTAMP_TZ(6)"
     case DataKind.Bool      => "boolean"
   }
+  /** PUT to the user stage, then COPY INTO (snowflake.go:40,414-470). */
+  override def loadStaged(t: TableSpec, stagePath: String, format: String,
+                          gzip: Boolean): Seq[String] = Seq(
+    s"PUT 'file://$stagePath' @~ AUTO_COMPRESS=${if (gzip) "FALSE" else "TRUE"} PARALLEL=8",
+    s"COPY INTO ${qualified(t)} FROM @~ FILE_FORMAT = (TYPE = ${format.toUpperCase}" +
+      s"${if (format.equalsIgnoreCase("csv")) " SKIP_HEADER = 1 FIELD_OPTIONALLY_ENCLOSED_BY = '\"'" else ""})" +
+      " PURGE = TRUE")
 }
 
 /** bigquery.go:42-71 — MERGE with the partition-pruning window predicate. */
@@ -258,6 +278,15 @@ object RedshiftDialect extends Dialect {
       s"DELETE FROM ${qualified(target)} USING ${qualified(from)} S WHERE ${(join ++ win).mkString(" AND ")}",
       insertSelect(target, from, cols))
   }
+  /** CSV.gz staged on S3 → COPY (redshift.go:28-33,220-258). */
+  override def loadStaged(t: TableSpec, stagePath: String, format: String,
+                          gzip: Boolean): Seq[String] = {
+    val fmt = format.toUpperCase match {
+      case "CSV" => "CSV IGNOREHEADER 1"
+      case _     => "JSON 'auto'"
+    }
+    Seq(s"COPY ${qualified(t)} FROM '$stagePath' $fmt${if (gzip) " GZIP" else ""}")
+  }
 }
 
 /** clickhouse.go:1202-1243 — dedup is storage-level (ReplacingMergeTree,
@@ -284,6 +313,13 @@ object ClickHouseDialect extends Dialect {
                          pk: Seq[String], windowPredicate: Option[String]): Seq[String] =
     Seq(insertSelect(target, from, cols)) // ReplacingMergeTree collapses later
   override def truncate(t: TableSpec): String = s"TRUNCATE TABLE ${qualified(t)}"
+  /** Server-side pull from object storage (clickhouse.go:676-820 presigned
+    * `INSERT … SELECT FROM s3(...)`). */
+  override def loadStaged(t: TableSpec, stagePath: String, format: String,
+                          gzip: Boolean): Seq[String] = {
+    val fmt = if (format.equalsIgnoreCase("csv")) "CSVWithNames" else "JSONEachRow"
+    Seq(s"INSERT INTO ${qualified(t)} SELECT * FROM s3('$stagePath', '$fmt')")
+  }
 }
 
 /** duckdb.go:55-72 — INSERT OR REPLACE. The DuckDB correctness oracle's own

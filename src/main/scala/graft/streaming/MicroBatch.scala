@@ -65,6 +65,42 @@ object MicroBatch {
     query.awaitTermination()
   }
 
+  /** The Kafka form of the consumer (S3/S4, stream_consumer.go:108-315 and
+    * batch_consumer.go:56-267): identical trigger/checkpoint/retry/load
+    * semantics, with the broker as the source. Offsets live in the
+    * checkpoint WAL (no manual CommitMessage); `maxOffsetsPerTrigger` is
+    * the reference's batchSize cap; `Trigger.AvailableNow` = one cron
+    * drain, `ProcessingTime` = the continuous consumer. The `kafka` format
+    * resolves at runtime from the spark-sql-kafka connector on the cluster
+    * classpath (this container has no broker, so only the file form runs
+    * here — the pipeline downstream of the source is the same code). */
+  def runKafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
+                     checkpointDir: String, retry: RetryQueue, clock: () => Long,
+                     maxOffsetsPerTrigger: Long = 10000,
+                     trigger: Trigger = Trigger.AvailableNow())
+                    (load: DataFrame => Unit): Unit = {
+    val source = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value", "offset", "partition")
+    val query = source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        try load(df)
+        catch {
+          case e: Throwable =>
+            retry.enqueue(df, batchId,
+              Option(e.getMessage).getOrElse(e.getClass.getName), clock())
+        }
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Drive the retry queue to quiescence under an injected logical clock:
     * advance past each backoff and drain, up to the policy's retry budget
     * (the reference's retry consumer runs on the same cron as S4;

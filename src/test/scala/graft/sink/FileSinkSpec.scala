@@ -60,6 +60,17 @@ class FileSinkSpec extends SparkSuite {
     }
   }
 
+  test("replacePartition rewrites ONLY the touched partition (dynamic overwrite)") {
+    val dir = tmp()
+    data.write.partitionBy("s").parquet(dir + "/t")
+    val batch = df("id BIGINT, v DOUBLE, s STRING", Seq(Row(99L, 9.9, "y")))
+    FileSink.replacePartition(batch, dir + "/t", Seq("s"))
+    val back = spark.read.parquet(dir + "/t")
+    // s=y fully replaced; s=x and s=y2 untouched
+    assert(canon(back.select("id", "s")) == Seq(
+      Seq("1", "x"), Seq("2", "y2"), Seq("99", "y")))
+  }
+
   test("batch mode appends new objects beside the old (Append)") {
     val dir = tmp()
     FileSink.write(data, dir, SaveMode.Overwrite, FileSink.Config())

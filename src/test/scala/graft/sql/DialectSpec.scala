@@ -113,6 +113,22 @@ class DialectSpec extends AnyFunSuite {
     assert(sql.startsWith("INSERT OR REPLACE INTO"))
   }
 
+  test("physical load paths: COPY / PUT+COPY / LOAD DATA / s3() per warehouse") {
+    val t = TableSpec("t", Seq(ColumnSpec("id", DataKind.Int64)))
+    val rs = RedshiftDialect.loadStaged(t, "s3://bucket/stage/part.csv.gz")
+    assert(rs == Seq("""COPY "t" FROM 's3://bucket/stage/part.csv.gz' CSV IGNOREHEADER 1 GZIP"""))
+    val sf = SnowflakeDialect.loadStaged(t, "/tmp/stage/part.csv", gzip = false)
+    assert(sf.head.startsWith("PUT 'file:///tmp/stage/part.csv' @~"))
+    assert(sf(1).startsWith("""COPY INTO "t" FROM @~"""))
+    val my = MySqlDialect.loadStaged(t, "/tmp/stage/part.csv")
+    assert(my.head.startsWith("LOAD DATA LOCAL INFILE '/tmp/stage/part.csv' INTO TABLE `t`"))
+    val ch = ClickHouseDialect.loadStaged(t, "https://bucket.s3/stage.csv")
+    assert(ch == Seq("INSERT INTO `t` SELECT * FROM s3('https://bucket.s3/stage.csv', 'CSVWithNames')"))
+    // generic JDBC dialects have no staged path (row-wise writer instead)
+    assert(PostgresDialect.loadStaged(t, "/x").isEmpty)
+    assert(DerbyDialect.loadStaged(t, "/x").isEmpty)
+  }
+
   test("identifier adaptation applies case mode and length cap per dialect") {
     assert(PostgresDialect.adaptIdentifier("MiXeD Name!") == "mixed name_")
     assert(SnowflakeDialect.adaptIdentifier("mixed") == "MIXED")
