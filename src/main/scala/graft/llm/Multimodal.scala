@@ -54,4 +54,47 @@ object Multimodal {
         lit("text/plain").as("mime"))
       .as[MediaRow]
   }
+
+  /** One sampled frame: parent doc, frame index, frame payload bytes. */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Frame sampling: explode each video payload into every `stride`-th
+    * frame. The STUB "codec" treats the payload as fixed-size frame records
+    * (`frameBytes` each); a real decoder seeks by timestamp instead. The
+    * Spark shape is what matters at 100 TB: one narrow pass, output rows
+    * fan out ~n_frames/stride per input, downstream operators see plain
+    * (doc_id, frame_idx, bytes) rows they can batch-decode per partition. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int,
+                   frameBytes: Int = 64): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(stride > 0 && frameBytes > 0)
+    media.flatMap { r =>
+      val nFrames = math.max(1L, r.media.length.toLong / frameBytes)
+      (0L until nFrames by stride.toLong).map { i =>
+        val from = (i * frameBytes).toInt
+        val until = math.min(r.media.length.toLong, (i + 1) * frameBytes).toInt
+        FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(r.media, from, until))
+      }
+    }
+  }
+
+  /** Resized media record: same payload identity, new declared geometry. */
+  final case class ResizedRow(doc_id: Long, width: Long, height: Long,
+                              resized: Array[Byte])
+
+  /** Resize: per-partition batch pass with one "codec" init per partition.
+    * The STUB maps bytes deterministically (truncate/pad to the target
+    * byte budget) so the oracle can verify the plumbing; a real impl calls
+    * the image library here and nothing else changes. */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    val budget = width * height / 256 + 16 // stub: bytes-per-geometry budget
+    media.mapPartitions { rows =>
+      // real impl: initialize the scaler once per partition here
+      rows.map { r =>
+        val out = java.util.Arrays.copyOf(r.media, budget)
+        ResizedRow(r.doc_id, width.toLong, height.toLong, out)
+      }
+    }
+  }
 }

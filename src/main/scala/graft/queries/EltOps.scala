@@ -31,7 +31,9 @@ object EltOps {
       array(col("l_returnflag"), col("l_linestatus")).as("tags"),
       col("l_partkey").as("$part key!"),
       col("l_shipdate").as("ship"))).as("j")).as[String]
-    Ingest.shape(s, raw).df
+    // the raw lines are COMPUTED (to_json over a table scan): cache the
+    // normalized text so inference + parse don't both rebuild every line
+    Ingest.shape(s, raw, Ingest.ShapeOptions(cacheNormalized = true)).df
   }
 
   private val t1Oracle = """

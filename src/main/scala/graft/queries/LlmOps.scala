@@ -446,6 +446,48 @@ object LlmOps {
       md5(text) AS checksum
     FROM documents"""
 
+  /** Frame sampling: every 3rd fixed-size frame record per payload —
+    * fan-out plumbing with content-exact verification (the docs are ASCII,
+    * so byte slices mirror to substr in the oracle). */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"),
+        stride = 3, frameBytes = 64)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast(LongType).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+
+  private val mmFrameOracle = """
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents),
+    idx AS (
+      SELECT doc_id, n, text,
+             unnest(range(0, greatest(1, n // 64), 3)) AS frame_idx
+      FROM f)
+    SELECT doc_id, frame_idx,
+      octet_length(encode(substr(text, (frame_idx * 64 + 1)::INT, 64)))::BIGINT AS frame_len,
+      md5(substr(text, (frame_idx * 64 + 1)::INT, 64)) AS frame_md5
+    FROM idx"""
+
+  /** Resize plumbing: per-partition batch pass, one codec init per
+    * partition; geometry + byte budget + content checksum verified (budget
+    * 20 ≤ the shortest doc, so the stub never pads and the oracle mirrors
+    * a pure prefix). */
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resize(
+        Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"), 32, 32)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        length(col("resized")).cast(LongType).as("n_bytes"),
+        md5(col("resized")).as("checksum"))
+
+  private val mmResizeOracle = """
+    SELECT doc_id, 32::BIGINT AS width, 32::BIGINT AS height,
+      octet_length(encode(substr(text, 1, 20)))::BIGINT AS n_bytes,
+      md5(substr(text, 1, 20)) AS checksum
+    FROM documents"""
+
   def qs: Map[String, Q] = Map(
     "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
@@ -459,5 +501,7 @@ object LlmOps {
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
+    "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
+    "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )
 }

@@ -42,7 +42,12 @@ object Ingest {
       /** schema-inference sampling for `spark.read.json` — at 100 TB a full
         * second pass for inference is the dominant cost; sample it when the
         * key universe is stable (1.0 = exact, the correctness-gate default) */
-      samplingRatio: Double = 1.0)
+      samplingRatio: Double = 1.0,
+      /** persist the normalized text between the inference pass and the
+        * parse pass — worth it when the raw lines are themselves the output
+        * of upstream compute (serialized events), NOT when they stream
+        * straight off cheap storage reads */
+      cacheNormalized: Boolean = false)
 
   final case class Shaped(df: DataFrame, hints: Seq[Infer.Hint])
 
@@ -60,12 +65,13 @@ object Ingest {
     // — the guard is a cheap substring probe, so clean events (the common
     // case) skip the full regex scan over every byte.
     val hasEmptyKey = col("value").contains("\"\"")
-    val normalized =
+    val normalized0 =
       raw.toDF("value")
         .select(when(hasEmptyKey,
           regexp_replace(col("value"), """([\{,]\s*)""\s*:""", "$1\"_unnamed\":"))
           .otherwise(col("value")).as("value"))
         .as[String]
+    val normalized = if (opts.cacheNormalized) normalized0.persist() else normalized0
     val reader =
       if (opts.samplingRatio < 1.0)
         spark.read.option("samplingRatio", opts.samplingRatio.toString)
