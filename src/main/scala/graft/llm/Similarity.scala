@@ -92,6 +92,45 @@ object Similarity {
     rank(broadcast(q).join(c, "__bucket"), k)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into cells around
+    * centroid vectors; a query searches only its `nprobe` nearest cells.
+    *
+    * Centroids here are DESIGNATED corpus vectors (deterministic — k-means
+    * would converge them, but a reproducible cell assignment is what the
+    * correctness oracle needs; at scale you'd run k-means|| once offline
+    * and pass the result in). Assignment is a broadcast argmax over the
+    * centroid set — one narrow pass; the only shuffle is the cell-key join,
+    * exactly like the LSH path but with learned/designated regions instead
+    * of random hyperplanes. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int,
+              queryId: String = "vec_id", corpusId: String = "vec_id",
+              centroidId: String = "vec_id"): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
+    // nearest cell per corpus vector: rank centroids by cosine, keep 1
+    def cells(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("__cent_id").asc)
+      df.crossJoin(cents)
+        .withColumn("__ccos", TextOps.quant(cosine(col("embedding"), col("__cent")), 6))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .drop("__cent", "__ccos", "__cr")
+        .withColumnRenamed("__cent_id", out)
+    }
+    val corpusCells = cells(
+      corpus.select(col(corpusId).as("neighbor_id"), col("embedding")),
+      "neighbor_id", "__cell", keep = 1)
+      .withColumnRenamed("embedding", "__ce")
+    val queryCells = cells(
+      queries.select(col(queryId).as("query_id"), col("embedding")),
+      "query_id", "__cell", keep = nprobe) // probe the nprobe nearest cells
+      .withColumnRenamed("embedding", "__qe")
+    rank(broadcast(queryCells).join(corpusCells, "__cell")
+      .dropDuplicates("query_id", "neighbor_id"), k)
+  }
+
   /** Multi-probe LSH top-k — the recall knob: each query probes its own
     * bucket PLUS every bucket at Hamming distance 1 (one sign bit flipped),
     * catching neighbors that straddle a single hyperplane. Probes explode on

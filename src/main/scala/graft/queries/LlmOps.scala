@@ -382,6 +382,48 @@ object LlmOps {
       FROM cand) t
     WHERE rank <= $AnnK"""
 
+  private val IvfCentroids = 16
+  private val IvfNprobe = 2
+
+  /** IVF ANN: designated-centroid cells + nprobe probing — the inverted-
+    * file scale path beside the LSH one (cells from data regions instead of
+    * random hyperplanes). Centroids are the first 16 corpus vectors so the
+    * oracle reproduces the assignment exactly. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 10), emb,
+      emb.filter(col("vec_id") < IvfCentroids), AnnK, IvfNprobe)
+  }
+
+  private val annIvfOracle = {
+    def cellsSql(filter: String, keep: String) = s"""
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${qSql(cosineSql("e.embedding", "c.cent"), 6)} DESC, c.cent_id ASC) AS cr
+        FROM embeddings e CROSS JOIN cents c
+        WHERE $filter) t
+      WHERE cr <= $keep"""
+    s"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $IvfCentroids),
+    corpus_cells AS (${cellsSql("TRUE", "1")}),
+    query_cells AS (${cellsSql("e.vec_id < 10", IvfNprobe.toString)}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM query_cells q JOIN corpus_cells c ON q.cent_id = c.cent_id
+        AND q.vec_id <> c.vec_id)
+    SELECT query_id, rank, neighbor_id, cos FROM (
+      SELECT query_id, neighbor_id,
+        ${qSql(cosineSql("qe", "ce"), 4)} AS cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY ${qSql(cosineSql("qe", "ce"), 4)} DESC, neighbor_id ASC) AS rank
+      FROM cand) t
+    WHERE rank <= $AnnK"""
+  }
+
   /** Embedding-cosine near-dup pairs, bucket-joined (near-identical vectors
     * share all sign bits, so each pair meets inside one LSH bucket).
     *
@@ -499,6 +541,7 @@ object LlmOps {
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
+    "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
