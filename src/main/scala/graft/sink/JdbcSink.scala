@@ -20,7 +20,13 @@ import graft.sql.{ColumnSpec, Dialect, TableSpec}
   * Live-tested against embedded Derby (in the local[n] JVM); against a real
   * warehouse only the URL and dialect change.
   */
-final case class JdbcSink(url: String, dialect: Dialect) {
+final case class JdbcSink(url: String, dialect: Dialect,
+                          /** cap on concurrent warehouse connections per
+                            * write — Spark's JDBC `numPartitions` coalesces
+                            * the frame down before writing, so a 32-core
+                            * micro-batch doesn't open 32 sockets for 5k
+                            * rows; raise for genuinely wide bulk loads */
+                          maxWriteConnections: Int = 16) {
 
   def withConnection[T](f: Connection => T): T = {
     val c = DriverManager.getConnection(url)
@@ -130,14 +136,18 @@ final case class JdbcSink(url: String, dialect: Dialect) {
   def append(df: DataFrame, table: String): Unit = {
     JdbcSink.ensureWriterDialects()
     val props = new java.util.Properties()
-    adapt(df).write.mode(SaveMode.Append).jdbc(url, dialect.quote(table), props)
+    adapt(df).write.mode(SaveMode.Append)
+      .option("numPartitions", maxWriteConnections)
+      .jdbc(url, dialect.quote(table), props)
   }
 
   /** Append to a (possibly namespaced) spec — the qualified-name form. */
   def appendTo(df: DataFrame, spec: TableSpec): Unit = {
     JdbcSink.ensureWriterDialects()
     val props = new java.util.Properties()
-    adapt(df).write.mode(SaveMode.Append).jdbc(url, dialect.qualified(spec), props)
+    adapt(df).write.mode(SaveMode.Append)
+      .option("numPartitions", maxWriteConnections)
+      .jdbc(url, dialect.qualified(spec), props)
   }
 
   /** Batch-mode transactional load (B3 + D2/D3): stage to a tmp table, then
@@ -225,8 +235,10 @@ final case class JdbcSink(url: String, dialect: Dialect) {
     // row index for each `?`, in bind order (a column may bind more than once)
     val paramIdx: Array[Int] = paramCols.map(cols.indexOf).toArray
     require(paramIdx.forall(_ >= 0), s"upsertRow param not in frame: $paramCols vs $cols")
+    // one connection per partition — bound them like the bulk writer
+    val bounded = adapted.coalesce(maxWriteConnections)
     // closure captures only primitives/strings — not this (Dialect isn't serializable)
-    adapted.foreachPartition { rows: Iterator[Row] =>
+    bounded.foreachPartition { rows: Iterator[Row] =>
       val c = DriverManager.getConnection(jdbcUrl)
       try {
         val st = c.prepareStatement(sql)

@@ -43,6 +43,9 @@ final case class RetryQueue(dir: String, dlqDir: String,
       .withColumn("__retries", lit(attempt))
       .withColumn("__retry_time", lit(nowMs + policy.backoffMs(attempt)))
       .withColumn("__error", lit(error.take(500)))
+      // failure batches are micro-batch sized — don't scatter them into one
+      // tiny parquet object per core
+      .coalesce(8)
       .write.mode(SaveMode.Append).parquet(dir)
 
   private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
