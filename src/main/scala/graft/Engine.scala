@@ -28,6 +28,9 @@ final case class StreamConfig(
     columnTypes: Map[String, DataKind] = Map.empty,
     declaredFields: Seq[String] = Nil,
     omitNils: Boolean = true,
+    /** target schema/dataset (bulkerlib namespace option); created when
+      * absent */
+    namespace: Option[String] = None,
     nowMs: () => Long = () => System.currentTimeMillis())
 
 object StreamConfig {
@@ -57,7 +60,8 @@ object StreamConfig {
         }
       }.toMap,
       declaredFields = list("schema"),
-      omitNils = bool("omitNils", dflt = true))
+      omitNils = bool("omitNils", dflt = true),
+      namespace = opts.get("namespace").map(_.trim))
   }
 }
 
@@ -124,6 +128,12 @@ final class BulkerStream private[graft] (
       spark.createDataset(buffered.toSeq)(Encoders.STRING))
     val shaped = Ingest.shape(spark, raw, shapeOptions)
     val adaptedPk = cfg.pk.map(sink.dialect.adaptIdentifier)
+    val ns = cfg.namespace.map(sink.dialect.adaptIdentifier)
+    // ensure the target namespace exists (sql_adapter_base.go CreateSchema path)
+    ns.foreach { n =>
+      try sink.withConnection(sink.exec(_, s"CREATE SCHEMA ${sink.dialect.quote(n)}"))
+      catch { case _: java.sql.SQLException => () } // already exists
+    }
 
     val deduped =
       if ((cfg.deduplicate || cfg.mode == Engine.Stream) && cfg.pk.nonEmpty)
@@ -140,7 +150,7 @@ final class BulkerStream private[graft] (
     }.toMap
 
     // evolve against the live catalog when the table exists (T7/T8)
-    val (frame, spec) = sink.existingColumns(batchName) match {
+    val (frame, spec) = sink.existingColumns(batchName, ns) match {
       case Some(live) if cfg.mode != Engine.ReplaceTable =>
         val adapted = sink.adapt(deduped)
         val plan = SchemaEvolution.evolve(adapted, TableSpec(batchName, live),
@@ -154,10 +164,10 @@ final class BulkerStream private[graft] (
         // pk stays LOGICAL (merge key only): most warehouses don't enforce
         // pk constraints, and merge-window semantics legitimately leave an
         // out-of-window duplicate beside the new row (redshift_iam.go:428-472)
-        val evolved = TableSpec(batchName, evolvedCols)
+        val evolved = TableSpec(batchName, evolvedCols, namespace = ns)
         (plan.projected, sink.ensureTableCached(evolved))
       case _ =>
-        val spec0 = sink.specFor(deduped, table)
+        val spec0 = sink.specFor(deduped, table).copy(namespace = ns)
         val spec = spec0.copy(columns = spec0.columns.map(c =>
           hintDdl.get(c.name).map(d => c.copy(ddlOverride = Some(d))).getOrElse(c)))
         (sink.adapt(deduped), sink.ensureTableCached(spec))
@@ -177,7 +187,7 @@ final class BulkerStream private[graft] (
         case Engine.Batch =>
           if (adaptedPk.nonEmpty)
             sink.loadMerge(frame, spec.copy(pk = adaptedPk), windowPredicate) // D2/D3/B3
-          else sink.append(frame, spec.name)
+          else sink.appendTo(frame, spec)
         case Engine.ReplaceTable =>
           sink.replaceTable(frame, table) // P2 rename swap
         case Engine.ReplacePartition =>
@@ -196,7 +206,7 @@ final class BulkerStream private[graft] (
       LoadState("engine", spec.name, 0L, "ok", frame.count(), "", cfg.nowMs())
     } catch {
       case e: Exception =>
-        sink.invalidate(spec.name)
+        sink.invalidate(spec.name, spec.namespace)
         LoadState("engine", spec.name, 0L, "failed", 0L,
           Option(e.getMessage).getOrElse(e.getClass.getName), cfg.nowMs())
     }

@@ -115,11 +115,24 @@ object Relational {
     WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
     ORDER BY c_custkey ASC"""
 
+  /** S7's Count variant (sql_adapter_base.go:287-297): conjunctive
+    * conditions → one count row per group key. */
+  def s7Count(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 1000)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+
+  private val s7CountOracle = """
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer
+    WHERE c_acctbal > 1000 GROUP BY 1"""
+
   def qs: Map[String, Q] = Map(
     "q1_agg"    -> Q(q1, Some(q1Oracle)),
     "q3_join"   -> Q(q3, Some(q3Oracle)),
     "q_window"  -> Q(qWindow, Some(qWindowOracle)),
     "q_topk"    -> Q(qTopK, Some(qTopKOracle)),
     "s7_select" -> Q(s7, Some(s7Oracle)),
+    "s7_count"  -> Q(s7Count, Some(s7CountOracle)),
   )
 }

@@ -90,19 +90,27 @@ final case class JdbcSink(url: String, dialect: Dialect,
     * columns costs ZERO catalog round-trips; anything else takes the table
     * lock and hits the real catalog. Call [[invalidate]] after a load error
     * so the next batch re-reads reality. */
-  def ensureTableCached(spec: TableSpec): TableSpec =
-    TableCache.get(url, spec.name) match {
+  /** Cache key includes the namespace — same-named tables in two schemas
+    * are different tables. */
+  private def cacheKey(table: String, namespace: Option[String]): String =
+    namespace.map(_ + ".").getOrElse("") + table
+
+  def ensureTableCached(spec: TableSpec): TableSpec = {
+    val key = cacheKey(spec.name, spec.namespace)
+    TableCache.get(url, key) match {
       case Some(cached) if spec.columns.forall(c => cached.columns.exists(_.name == c.name)) =>
         cached.copy(pk = spec.pk)
       case _ =>
-        TableCache.lockFor(url, spec.name).synchronized {
+        TableCache.lockFor(url, key).synchronized {
           val live = ensureTable(spec)
-          TableCache.put(url, spec.name, live)
+          TableCache.put(url, key, live)
           live
         }
     }
+  }
 
-  def invalidate(table: String): Unit = TableCache.invalidate(url, table)
+  def invalidate(table: String, namespace: Option[String] = None): Unit =
+    TableCache.invalidate(url, cacheKey(table, namespace))
 
   /** Stream upsert with the autocommit retry (autocommit_stream.go:42-93):
     * a failed upsert invalidates the schema cache, re-ensures the table
@@ -113,7 +121,7 @@ final case class JdbcSink(url: String, dialect: Dialect,
     try streamUpsert(df, live, batchSize)
     catch {
       case _: Exception =>
-        invalidate(spec.name)
+        invalidate(spec.name, spec.namespace)
         val relive = ensureTableCached(spec)
         streamUpsert(df, relive, batchSize)
     }

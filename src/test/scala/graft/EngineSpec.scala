@@ -158,6 +158,25 @@ class EngineSpec extends SparkSuite {
     intercept[IllegalArgumentException] { st.complete() }
   }
 
+  test("namespace option: the table lives in its schema (namespace_test.go)") {
+    val e = engine("nsopt")
+    val st = e.createStream("nfix",
+      StreamConfig(mode = Engine.Batch, namespace = Some("app2")))
+    st.consume("""{"id":1}""")
+    assert(st.complete().status == "ok")
+    val back = spark.read.jdbc("jdbc:derby:memory:eng_nsopt;create=true",
+      """"APP2"."NFIX"""", new java.util.Properties())
+    assert(back.count() == 1)
+    // a second batch evolves INSIDE the namespace
+    val st2 = e.createStream("nfix",
+      StreamConfig(mode = Engine.Batch, namespace = Some("app2")))
+    st2.consume("""{"id":2,"extra":"x"}""")
+    assert(st2.complete().status == "ok")
+    val back2 = spark.read.jdbc("jdbc:derby:memory:eng_nsopt;create=true",
+      """"APP2"."NFIX"""", new java.util.Properties())
+    assert(back2.count() == 2 && back2.columns.contains("EXTRA"))
+  }
+
   test("StreamConfig.fromOptions parses the reference's option spellings") {
     val cfg = StreamConfig.fromOptions(Map(
       "mode" -> "stream", "primaryKey" -> "id, user_id",
