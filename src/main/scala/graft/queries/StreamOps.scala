@@ -51,10 +51,15 @@ object StreamOps {
     catch { case _: java.sql.SQLException => () }
 
     val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
-    writeSegment(ev.filter(col("event_id") < 5000), s, s"$base/stage", s"$base/input", "001.json")
-    writeSegment(ev.filter(col("event_id") >= 5000 && col("event_id") < 9900),
+    // data-relative segment bounds: the poisoned tail is the top 1% of ids
+    // at ANY scale factor (the oracle mirrors the same subqueries)
+    val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val mid = maxId / 2
+    val poisonFrom = maxId - maxId / 100
+    writeSegment(ev.filter(col("event_id") < mid), s, s"$base/stage", s"$base/input", "001.json")
+    writeSegment(ev.filter(col("event_id") >= mid && col("event_id") < poisonFrom),
       s, s"$base/stage", s"$base/input", "002.json")
-    writeSegment(ev.filter(col("event_id") >= 9900), s, s"$base/stage", s"$base/input", "003.json")
+    writeSegment(ev.filter(col("event_id") >= poisonFrom), s, s"$base/stage", s"$base/input", "003.json")
 
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -64,14 +69,14 @@ object StreamOps {
     sink.ensureTable(spec)
     val mergeSpec = spec.copy(pk = Seq(sink.dialect.adaptIdentifier("event_id")))
 
-    // fault injection at the sink boundary: rows ≥ 9900 violate a
-    // "constraint" permanently; the first batch carrying 5000..9899 hits a
-    // transient failure once (the retry must then succeed)
+    // fault injection at the sink boundary: the poisoned tail violates a
+    // "constraint" permanently; the first batch carrying the middle range
+    // hits a transient failure once (the retry must then succeed)
     val transientTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
     def load(df: DataFrame): Unit = {
-      if (df.filter(col("event_id") >= 9900).head(1).nonEmpty)
-        throw new RuntimeException("constraint violation: event_id >= 9900 rejected")
-      if (df.filter(col("event_id").between(5000, 9899)).head(1).nonEmpty
+      if (df.filter(col("event_id") >= poisonFrom).head(1).nonEmpty)
+        throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
+      if (df.filter(col("event_id").between(mid, poisonFrom - 1)).head(1).nonEmpty
           && transientTripped.compareAndSet(false, true))
         throw new RuntimeException("transient connection reset")
       sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
@@ -94,13 +99,15 @@ object StreamOps {
   }
 
   private val b4Oracle = """
+    WITH bounds AS (
+      SELECT max(event_id) - max(event_id) // 100 AS poison_from FROM events)
     SELECT event_id, user_id, event_type, value,
            CAST(0 AS BIGINT) AS retries, 'table' AS sink
-    FROM events WHERE event_id < 9900
+    FROM events, bounds WHERE event_id < poison_from
     UNION ALL
     SELECT event_id, user_id, event_type, value,
            CAST(5 AS BIGINT) AS retries, 'dlq' AS sink
-    FROM events WHERE event_id >= 9900"""
+    FROM events, bounds WHERE event_id >= poison_from"""
 
   /** B5+B6: one stream fans out per routing value inside each micro-batch
     * (the reference's topic-per-table inverted, topic_manager.go:726-787);
