@@ -37,6 +37,33 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array_distinct(array(concat_ws(" ", toks))))
 
+  /** NON-distinct n-grams — repetition metrics need the multiset. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Duplicate-n-gram fraction (the published repetition quality filters:
+    * Gopher/MassiveText-style "fraction of duplicate n-grams"): how much of
+    * the document is repeated phrasing. 0 = no repeats. In-row arithmetic —
+    * no shuffle, no explode. */
+  def dupNgramRatio(toks: Column, n: Int): Column = {
+    val gs = ngrams(toks, n)
+    quant((size(gs) - size(array_distinct(gs))).cast("double") / size(gs), 4)
+  }
+
+  /** Fraction of the document covered by its SINGLE most frequent n-gram
+    * (the "top n-gram coverage" repetition filter). In-row O(distinct·total)
+    * — bounded by doc length, shuffle-free. */
+  def topNgramFraction(toks: Column, n: Int): Column = {
+    val gs = ngrams(toks, n)
+    val maxCount = array_max(transform(array_distinct(gs),
+      g => size(filter(gs, x => x === g))))
+    quant(maxCount.cast("double") / size(gs), 4)
+  }
+
   // ---- MinHash ----------------------------------------------------------
 
   /** Affine MinHash permutations over a prime modulus. h_i(x) =

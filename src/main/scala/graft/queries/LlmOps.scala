@@ -264,6 +264,34 @@ object LlmOps {
       FROM (SELECT doc_id, text, $toksSql AS sp FROM documents) t) tt"""
   }
 
+  /** Repetition quality filters (published MassiveText/Gopher-style rules):
+    * duplicate-2/3-gram fractions and top-2-gram coverage per document —
+    * the standard "is this document degenerate repetition" signals. All
+    * in-row arithmetic: narrow, shuffle-free, codegen-adjacent. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.dupNgramRatio(toks, 2).as("dup2_ratio"),
+      TextOps.dupNgramRatio(toks, 3).as("dup3_ratio"),
+      TextOps.topNgramFraction(toks, 2).as("top2_fraction"))
+  }
+
+  private val repetitionOracle = {
+    def ngramsSql(n: Int) =
+      s"""CASE WHEN len(sp) >= $n
+          THEN [array_to_string(sp[i:i+${n - 1}],' ') for i in range(1, len(sp)-${n - 2})]
+          ELSE [array_to_string(sp,' ')] END"""
+    s"""
+    SELECT doc_id,
+      ${qSql("(len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)", 4)} AS dup2_ratio,
+      ${qSql("(len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)", 4)} AS dup3_ratio,
+      ${qSql("list_max(list_transform(list_distinct(g2), g -> len(list_filter(g2, x -> x = g)))) * 1.0 / len(g2)", 4)} AS top2_fraction
+    FROM (
+      SELECT doc_id, ${ngramsSql(2)} AS g2, ${ngramsSql(3)} AS g3
+      FROM (SELECT doc_id, $toksSql AS sp FROM documents) t) tt"""
+  }
+
   def langId(s: SparkSession, d: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val scores = TextOps.LangStopwords.map { case (l, ws) =>
@@ -537,6 +565,7 @@ object LlmOps {
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
+    "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),

@@ -290,8 +290,11 @@ object RedshiftDialect extends Dialect {
 }
 
 /** clickhouse.go:1202-1243 — dedup is storage-level (ReplacingMergeTree,
-  * D5); merge degenerates to a plain copy (clickhouse.go:821-823). */
-object ClickHouseDialect extends Dialect {
+  * D5); merge degenerates to a plain copy (clickhouse.go:821-823). The
+  * class form carries cluster topology (ON CLUSTER DDL + a Distributed
+  * façade table, clickhouse.go:900+); the companion object is the
+  * single-node instance. */
+sealed class ClickHouseDialectBase(cluster: Option[String]) extends Dialect {
   val name = "clickhouse"
   override val quoteChar = "`"
   def typeFor(k: DataKind): String = k match {
@@ -301,18 +304,32 @@ object ClickHouseDialect extends Dialect {
     case DataKind.Timestamp => "DateTime64(6)"
     case DataKind.Bool      => "Bool"
   }
+  protected def onCluster: String =
+    cluster.map(c => s" ON CLUSTER ${quote(c)}").getOrElse("")
   override def createTable(t: TableSpec, ifNotExists: Boolean): String = {
     val cols = t.columns.map(columnDdl).mkString(", ")
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    val engine = cluster
+      .map(_ => "ReplicatedReplacingMergeTree('/clickhouse/tables/{shard}/" + t.name + "', '{replica}')")
+      .getOrElse("ReplacingMergeTree()")
     val orderBy = if (t.pk.nonEmpty) t.pk.map(quote).mkString(", ")
       else t.columns.headOption.map(c => quote(c.name)).getOrElse("tuple()")
     val partition = t.timestampCol.map(c => s" PARTITION BY toYYYYMM(${quote(c)})").getOrElse("")
-    s"CREATE TABLE $ine${qualified(t)} ($cols) ENGINE = ReplacingMergeTree()$partition ORDER BY ($orderBy)"
+    s"CREATE TABLE $ine${qualified(t)}$onCluster ($cols) ENGINE = $engine$partition ORDER BY ($orderBy)"
   }
+  /** Distributed façade over the sharded local tables
+    * (clickhouse.go cluster mode): readers/writers hit this one. */
+  def createDistributed(t: TableSpec, localSuffix: String = "_local"): Option[String] =
+    cluster.map { c =>
+      s"CREATE TABLE IF NOT EXISTS ${qualified(t)}$onCluster AS ${quote(t.name + localSuffix)} " +
+        s"ENGINE = Distributed(${quote(c)}, currentDatabase(), ${quote(t.name + localSuffix)}, rand())"
+    }
+  override def addColumn(t: TableSpec, col: ColumnSpec): String =
+    s"ALTER TABLE ${qualified(t)}$onCluster ADD COLUMN ${quote(col.name)} ${col.ddlOverride.getOrElse(typeFor(col.kind))}"
   override def mergeInto(target: TableSpec, from: TableSpec, cols: Seq[String],
                          pk: Seq[String], windowPredicate: Option[String]): Seq[String] =
     Seq(insertSelect(target, from, cols)) // ReplacingMergeTree collapses later
-  override def truncate(t: TableSpec): String = s"TRUNCATE TABLE ${qualified(t)}"
+  override def truncate(t: TableSpec): String = s"TRUNCATE TABLE ${qualified(t)}$onCluster"
   /** Server-side pull from object storage (clickhouse.go:676-820 presigned
     * `INSERT … SELECT FROM s3(...)`). */
   override def loadStaged(t: TableSpec, stagePath: String, format: String,
@@ -320,6 +337,12 @@ object ClickHouseDialect extends Dialect {
     val fmt = if (format.equalsIgnoreCase("csv")) "CSVWithNames" else "JSONEachRow"
     Seq(s"INSERT INTO ${qualified(t)} SELECT * FROM s3('$stagePath', '$fmt')")
   }
+}
+
+object ClickHouseDialect extends ClickHouseDialectBase(None) {
+  /** Cluster-mode variant: `ON CLUSTER` DDL + Replicated engines +
+    * Distributed façade (clickhouse.go cluster support). */
+  def onCluster(name: String): ClickHouseDialectBase = new ClickHouseDialectBase(Some(name))
 }
 
 /** duckdb.go:55-72 — INSERT OR REPLACE. The DuckDB correctness oracle's own

@@ -29,6 +29,20 @@ class TextOpsSpec extends SparkSuite {
     assert(r == Seq("a b", "b a"))
   }
 
+  test("repetition filters: dup-n-gram ratio and top-n-gram coverage") {
+    val r = Seq(
+      "spam spam spam spam spam",        // degenerate repetition
+      "all words here are different ok", // clean
+      "a b a b c").toDF("v")
+      .select(
+        TextOps.dupNgramRatio(TextOps.tokens(col("v")), 2).as("dup2"),
+        TextOps.topNgramFraction(TextOps.tokens(col("v")), 2).as("top2"))
+      .collect().toSeq.map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(r(0) == ((0.75, 1.0)))   // 4 grams "spam spam", all identical
+    assert(r(1) == ((0.0, 0.2)))    // 5 distinct grams of 5
+    assert(r(2) == ((0.25, 0.5)))   // "a b" twice of 4 grams
+  }
+
   test("quant avoids engine-specific round-half behavior") {
     val r = Seq(0.05, 0.15, 0.25).toDF("v")
       .select(TextOps.quant(col("v"), 1)).collect().toSeq.map(_.getDouble(0))

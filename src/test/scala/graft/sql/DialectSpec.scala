@@ -113,6 +113,20 @@ class DialectSpec extends AnyFunSuite {
     assert(sql.startsWith("INSERT OR REPLACE INTO"))
   }
 
+  test("clickhouse cluster mode: ON CLUSTER + Replicated engine + Distributed facade") {
+    val d = ClickHouseDialect.onCluster("main")
+    val t = TableSpec("evt", Seq(ColumnSpec("id", DataKind.Int64)), pk = Seq("id"))
+    val create = d.createTable(t)
+    assert(create.contains("ON CLUSTER `main`"))
+    assert(create.contains("ReplicatedReplacingMergeTree"))
+    val Some(dist) = d.createDistributed(t)
+    assert(dist.contains("ENGINE = Distributed(`main`, currentDatabase(), `evt_local`, rand())"))
+    assert(d.addColumn(t, ColumnSpec("v", DataKind.Str)).contains("ON CLUSTER `main`"))
+    // single-node instance emits no cluster clauses
+    assert(!ClickHouseDialect.createTable(t).contains("ON CLUSTER"))
+    assert(ClickHouseDialect.createDistributed(t).isEmpty)
+  }
+
   test("physical load paths: COPY / PUT+COPY / LOAD DATA / s3() per warehouse") {
     val t = TableSpec("t", Seq(ColumnSpec("id", DataKind.Int64)))
     val rs = RedshiftDialect.loadStaged(t, "s3://bucket/stage/part.csv.gz")
