@@ -115,6 +115,55 @@ object Relational {
     WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
     ORDER BY c_custkey ASC"""
 
+  /** TPC-H Q5 shape: six-table star join — small dims broadcast
+    * (region→nation→supplier/customer), the two fact tables join on their
+    * keys, revenue aggregated per nation. The canonical "did the optimizer
+    * pick broadcast for dims and shuffle only the facts" probe. */
+  def q5(s: SparkSession, d: String): DataFrame = {
+    val dec18 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+    Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec18(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec18(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q5Oracle = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN supplier ON n_nationkey = s_nationkey
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name"""
+
+  /** T4-adjacent: typed extraction from a JSON payload column
+    * (`get_json_object`/`from_json` over events.props) feeding an
+    * aggregate — the "parse only the fields you need" path that keeps a
+    * 100 TB JSON column from being fully deserialized. */
+  def propsExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+
+  private val propsOracle = """
+    SELECT json_extract(props::JSON, '$.k')::INT AS k, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1"""
+
   /** S7's Count variant (sql_adapter_base.go:287-297): conjunctive
     * conditions → one count row per group key. */
   def s7Count(s: SparkSession, d: String): DataFrame =
@@ -134,5 +183,7 @@ object Relational {
     "q_topk"    -> Q(qTopK, Some(qTopKOracle)),
     "s7_select" -> Q(s7, Some(s7Oracle)),
     "s7_count"  -> Q(s7Count, Some(s7CountOracle)),
+    "q5_join_agg" -> Q(q5, Some(q5Oracle)),
+    "t9_props_extract" -> Q(propsExtract, Some(propsOracle)),
   )
 }

@@ -36,6 +36,15 @@ class DedupSpec extends SparkSuite {
     assert(out.filter(col("pk") === "c").count() == 1)
   }
 
+  test("default arrival (no explicit column): later source row wins") {
+    // single input partition → monotonically_increasing_id follows source
+    // order deterministically, reproducing Kafka/file arrival semantics
+    val in = df("pk STRING, v STRING", Seq(
+      Row("a", "first"), Row("a", "second"), Row("a", "last"))).coalesce(1)
+    val out = Dedup.inBatch(in, Seq("pk"))
+    assert(canon(out.select("v")) == Seq(Seq("last")))
+  }
+
   test("composite pk dedups on the full key") {
     val in = df("a STRING, b STRING, id BIGINT", Seq(
       Row("x", "1", 1L), Row("x", "2", 2L), Row("x", "1", 3L)))
