@@ -10,4 +10,32 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftExpressions {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's native expressions as SQL functions on a session, so
+    * `spark.sql("SELECT minhash_sig(hs, 16)")` works alongside the Column
+    * API (the FunctionRegistry lives behind sessionState — reachable from
+    * this package, which is why registration sits here). Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("minhash_sig")
+    registry.registerFunction(ident,
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      { args =>
+        val n = args match {
+          case Seq(_, Literal(v: Int, _))  => v
+          case Seq(_, Literal(v: Long, _)) => v.toInt
+          case Seq(_)                      => 16
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(array<bigint>[, numHashes]) — got ${other.length} args")
+        }
+        require(n > 0 && n <= graft.llm.TextOps.MinHashA.length,
+          s"numHashes must be in 1..${graft.llm.TextOps.MinHashA.length}")
+        graft.functions.MinHashSig(args.head,
+          graft.llm.TextOps.MinHashA.take(n).toSeq,
+          graft.llm.TextOps.MinHashB.take(n).toSeq,
+          graft.llm.TextOps.MinHashP)
+      })
+  }
 }

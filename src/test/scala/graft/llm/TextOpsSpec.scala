@@ -108,6 +108,17 @@ class TextOpsSpec extends SparkSuite {
     assert(gen(1).forall(_ == TextOps.MinHashP))
   }
 
+  test("minhash_sig is callable from SQL after registration") {
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array(5L, 11L), 4) AS s").collect()(0).getSeq[Long](0)
+    val viaColumn = Seq(Seq(5L, 11L)).toDF("hs")
+      .select(TextOps.minhashSignature(col("hs"), 4)).collect()(0).getSeq[Long](0)
+    assert(viaSql == viaColumn)
+    // default arity
+    assert(spark.sql("SELECT minhash_sig(array(5L))").collect()(0).getSeq[Long](0).length == 16)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
       Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
