@@ -169,6 +169,35 @@ object EltOps {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2"""
 
+  /** Dataset profiler: per-column null counts + numeric min/max in ONE
+    * map-side-combinable aggregate pass — the "what is in this table"
+    * utility every ELT run wants before schema decisions; at 100 TB still
+    * exactly one scan. */
+  def tProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val row = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("user_id").isNull.cast(LongType)).as("user_id_nulls"),
+      sum(col("event_type").isNull.cast(LongType)).as("event_type_nulls"),
+      sum(col("value").isNull.cast(LongType)).as("value_nulls"),
+      min(col("event_id")).as("event_id_min"), max(col("event_id")).as("event_id_max"),
+      min(dec(col("value"))).cast(DoubleType).as("value_min"),
+      max(dec(col("value"))).cast(DoubleType).as("value_max"),
+      countDistinct(col("event_type")).as("event_type_card"))
+    row
+  }
+
+  private val tProfileOracle = """
+    SELECT COUNT(*) AS n_rows,
+      SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+      SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+      MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max,
+      CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_min,
+      CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_max,
+      COUNT(DISTINCT event_type) AS event_type_card
+    FROM events"""
+
   def qs: Map[String, Q] = Map(
     "t1_flatten"           -> Q(t1Flatten, Some(t1Oracle)),
     "t4_infer"             -> Q(t4Infer, Some(t4Oracle)),
@@ -177,5 +206,6 @@ object EltOps {
     "d2_merge_window"      -> Q(d2MergeWindow, Some(d2Oracle)),
     "p1_replace_partition" -> Q(p1ReplacePartition, Some(p1Oracle)),
     "p4_date_trunc"        -> Q(p4DateTrunc, Some(p4Oracle)),
+    "t_profile"            -> Q(tProfile, Some(tProfileOracle)),
   )
 }

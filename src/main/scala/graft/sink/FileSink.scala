@@ -86,6 +86,31 @@ object FileSink {
     }
   }
 
+  /** Compact a columnar table folder: rewrite into ~`targetFileMB` objects.
+    * Micro-batch sinks accrete small files (one-per-partition-per-batch);
+    * scan cost at 100 TB is dominated by object count, so periodic
+    * compaction is part of the sink's contract. Rewrites via a staged swap
+    * (never read-and-overwrite in place). */
+  def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128,
+              format: String = "parquet"): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val bytes = fs.getContentSummary(path).getLength
+    val files = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val df = format match {
+      case "parquet" => spark.read.parquet(dir)
+      case "orc"     => spark.read.orc(dir)
+      case other     => throw new IllegalArgumentException(s"compact: $other")
+    }
+    val staged = new org.apache.hadoop.fs.Path(dir + "__compact")
+    val w = df.repartition(files).write.mode(SaveMode.Overwrite)
+    format match { case "parquet" => w.parquet(staged.toString); case _ => w.orc(staged.toString) }
+    fs.delete(path, true)
+    fs.rename(staged, path)
+    files.toLong
+  }
+
   /** Read a table folder back. The schema must be supplied — a file sink has
     * no catalog; partition columns are discovered from the folder layout and
     * must be included in `schema`. */

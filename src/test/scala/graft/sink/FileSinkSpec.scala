@@ -71,6 +71,21 @@ class FileSinkSpec extends SparkSuite {
       Seq("1", "x"), Seq("2", "y2"), Seq("99", "y")))
   }
 
+  test("compact rewrites many small objects into few, preserving rows") {
+    val dir = tmp() + "/t"
+    // 6 tiny appends → many small files
+    (1 to 6).foreach { i =>
+      df("id BIGINT, v DOUBLE, s STRING", Seq(Row(i.toLong, i + 0.5, s"r$i")))
+        .write.mode(SaveMode.Append).parquet(dir)
+    }
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 6)
+    FileSink.compact(spark, dir, targetFileMB = 128)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1) // tiny table → one object
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
   test("batch mode appends new objects beside the old (Append)") {
     val dir = tmp()
     FileSink.write(data, dir, SaveMode.Overwrite, FileSink.Config())
