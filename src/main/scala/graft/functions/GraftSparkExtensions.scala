@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Deployment hook: `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  * registers graft's native SQL functions on every session the cluster
+  * builds (the same registration `GraftExpressions.registerFunctions` does
+  * imperatively on an existing session). */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+    import graft.llm.TextOps
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      { args =>
+        val n = args match {
+          case Seq(_, Literal(v: Int, _))  => v
+          case Seq(_, Literal(v: Long, _)) => v.toInt
+          case Seq(_)                      => 16
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(array<bigint>[, numHashes]) — got ${other.length} args")
+        }
+        MinHashSig(args.head,
+          TextOps.MinHashA.take(n).toSeq, TextOps.MinHashB.take(n).toSeq, TextOps.MinHashP)
+      }))
+  }
+}

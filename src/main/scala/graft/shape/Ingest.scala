@@ -93,9 +93,25 @@ object Ingest {
     // T1: flatten.
     val noHints = Flattener.flatten(cleaned, transform, notFlat)
 
-    // T2/T3: sanitize identifiers (collisions keep last, like ordered-map Set)
-    val renamed = noHints.toDF(noHints.columns.map(
-      Names.column(_, Names.KeepCase, opts.maxIdentifierLength)): _*)
+    // T2/T3: sanitize identifiers. DISTINCT source names can sanitize to the
+    // SAME identifier ("a!" and "a?" → "a_"); the reference's ordered-map
+    // put makes the last writer win — merge such collisions into one column
+    // (last non-null value), never emit duplicate names.
+    val sanitized = noHints.columns.map(
+      Names.column(_, Names.KeepCase, opts.maxIdentifierLength))
+    val renamed =
+      if (sanitized.distinct.length == sanitized.length)
+        noHints.toDF(sanitized: _*)
+      else {
+        val pairs = sanitized.zip(noHints.columns.map(c => col(s"`$c`"))).toSeq
+        val byName = pairs.groupBy(_._1)
+        noHints.select(pairs.map(_._1).distinct.map { n =>
+          byName(n) match {
+            case Seq((_, only)) => only.as(n)
+            case cols           => coalesce(cols.map(_._2).reverse: _*).as(n)
+          }
+        }: _*)
+      }
 
     // T4: timestamp sniff + omit-nil columns, one agg over all string cols.
     val overridden = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength)).toSet

@@ -58,6 +58,15 @@ class IngestSpec extends SparkSuite {
     assert(out.columns.toSeq.sorted == Seq("$part key_", "café"))
   }
 
+  test("sanitization collisions merge to ONE column, last writer wins") {
+    // "a!" and "a?" both sanitize to "a_" — the reference's ordered-map put
+    // keeps the later field; two same-named columns would poison every
+    // downstream select
+    val out = jsonDf("""{"a!":1,"a?":2,"x":0}""").df
+    assert(out.columns.count(_ == "a_") == 1)
+    assert(canon(out.select("a_")) == Seq(Seq("2")))
+  }
+
   test("maxColumns overflow routes to _unmapped_data, never drops (abstract.go:422-553)") {
     val out = shapeOf(Ingest.ShapeOptions(maxColumns = 2),
       """{"a":1,"b":2,"c":3,"d":4}""").df
