@@ -218,6 +218,49 @@ object LlmOps {
           FROM documents) t"""
   }
 
+  private val SimHamMax = 3 // published near-dup threshold for 32-bit simhash
+
+  /** SimHash near-dup: candidates share one of the four 8-bit bands of the
+    * 32-bit fingerprint (two fingerprints within Hamming ≤ 3 MUST agree on
+    * ≥1 band — pigeonhole), verified by exact Hamming distance via
+    * bit_count(xor). Pair discovery is an equi-join on (band, byte); no
+    * all-pairs anywhere — the standard simhash dedup shape at corpus scale. */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      TextOps.simhash32(TextOps.tokens(col("text"))).as("sh"))
+    val bands = sh.select(col("doc_id"), col("sh"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.byte"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHamMax)
+  }
+
+  private val simhashNearDupOracle = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) - len(hs) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(" +\n      ")
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+        $bits AS sh
+      FROM (SELECT doc_id, list_transform($toksSql, t -> ${hashSql("t")}) AS hs
+            FROM documents) t),
+    bands AS (
+      SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS byte
+      FROM sh, unnest([0, 1, 2, 3]) AS u(band))
+    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+      bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= $SimHamMax"""
+  }
+
   /** Rolling word-5-gram fingerprint (min-hash; the k=1 winnowing signature). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -563,6 +606,7 @@ object LlmOps {
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
+    "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
