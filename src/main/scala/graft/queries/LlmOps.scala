@@ -272,6 +272,40 @@ object LlmOps {
       list_min(list_transform(${shinglesSql(toksSql, 5)}, x -> ${hashSql("x")})) AS fingerprint
     FROM documents"""
 
+  private val WinnowK = 3 // k-gram size
+  private val WinnowW = 4 // window width (guarantee: any match ≥ w+k-1 tokens is caught)
+
+  /** Winnowing (the published MOSS fingerprint selection): hash every
+    * k-gram IN ORDER, slide a w-window over the hash sequence, keep each
+    * window's minimum, distinct the selected set. Output is the per-doc
+    * fingerprint inventory as (doc_id, fp) rows — the inverted-index shape
+    * plagiarism/overlap detection joins on. Narrow per-row work. */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val hs = transform(TextOps.ngrams(TextOps.tokens(col("text")), WinnowK),
+      TextOps.hash60(_))
+    val fps = when(size(hs) >= WinnowW,
+      array_distinct(transform(sequence(lit(0), size(hs) - WinnowW),
+        i => array_min(slice(hs, i + 1, lit(WinnowW))))))
+      .otherwise(array(array_min(hs)))
+    Tables.documents(s, d).select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  private val winnowOracle = {
+    val ngramsSql =
+      s"""CASE WHEN len(sp) >= $WinnowK
+          THEN [array_to_string(sp[i:i+${WinnowK - 1}],' ') for i in range(1, len(sp)-${WinnowK - 2})]
+          ELSE [array_to_string(sp,' ')] END"""
+    s"""
+    WITH h AS (
+      SELECT doc_id, list_transform($ngramsSql, x -> ${hashSql("x")}) AS hs
+      FROM (SELECT doc_id, $toksSql AS sp FROM documents) t)
+    SELECT doc_id, unnest(
+      CASE WHEN len(hs) >= $WinnowW
+        THEN list_distinct([list_min(hs[i:i+${WinnowW - 1}]) for i in range(1, len(hs)-${WinnowW - 2})])
+        ELSE [list_min(hs)] END) AS fp
+    FROM h"""
+  }
+
   // ---- text analysis ----------------------------------------------------
 
   def textStats(s: SparkSession, d: String): DataFrame = {
@@ -608,6 +642,7 @@ object LlmOps {
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
+    "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
