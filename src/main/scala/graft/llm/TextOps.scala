@@ -46,23 +46,26 @@ object TextOps {
       .otherwise(array(concat_ws(" ", toks)))
 
   /** Duplicate-n-gram fraction (the published repetition quality filters:
-    * Gopher/MassiveText-style "fraction of duplicate n-grams"): how much of
-    * the document is repeated phrasing. 0 = no repeats. In-row arithmetic —
+    * Gopher/MassiveText-style "fraction of duplicate n-grams") over a
+    * MATERIALIZED gram-array column. 0 = no repeats. In-row arithmetic —
     * no shuffle, no explode. */
-  def dupNgramRatio(toks: Column, n: Int): Column = {
-    val gs = ngrams(toks, n)
+  def dupRatioFromGrams(gs: Column): Column =
     quant((size(gs) - size(array_distinct(gs))).cast("double") / size(gs), 4)
-  }
 
   /** Fraction of the document covered by its SINGLE most frequent n-gram
-    * (the "top n-gram coverage" repetition filter). In-row O(distinct·total)
-    * — bounded by doc length, shuffle-free. */
-  def topNgramFraction(toks: Column, n: Int): Column = {
-    val gs = ngrams(toks, n)
+    * (the "top n-gram coverage" repetition filter) over a materialized gram
+    * column — the counting lambda references `gs` per element, so an inline
+    * gram expression would rebuild the array once per distinct gram. */
+  def topFractionFromGrams(gs: Column): Column = {
     val maxCount = array_max(transform(array_distinct(gs),
       g => size(filter(gs, x => x === g))))
     quant(maxCount.cast("double") / size(gs), 4)
   }
+
+  /** Convenience forms over raw tokens — hot paths materialize the gram
+    * array first. */
+  def dupNgramRatio(toks: Column, n: Int): Column = dupRatioFromGrams(ngrams(toks, n))
+  def topNgramFraction(toks: Column, n: Int): Column = topFractionFromGrams(ngrams(toks, n))
 
   // ---- MinHash ----------------------------------------------------------
 
@@ -97,18 +100,23 @@ object TextOps {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 32-bit SimHash over token hashes (frequency-weighted: repeated tokens
-    * vote repeatedly). Bit b is set when the sum over tokens of ±1 (sign of
-    * the token-hash's bit b) is positive. One pass per bit over the
-    * precomputed hash array — arithmetic only, no re-hashing. */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => hash60(t))
+  /** 32-bit SimHash over a MATERIALIZED token-hash array column. Bit b is
+    * set when the sum over tokens of ±1 (sign of the token-hash's bit b) is
+    * positive. The input must be a bound column (not an inline transform):
+    * each of the 32 bit-votes traverses the array once, and an inline
+    * subexpression would re-hash every token 32× per row. */
+  def simhash32FromHashes(hashes: Column): Column =
     (0 until 32).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
-  }
+
+  /** Convenience form over raw tokens — ONLY for one-shot/small frames;
+    * hot paths materialize the hash array first (see
+    * [[simhash32FromHashes]]). */
+  def simhash32(toks: Column): Column =
+    simhash32FromHashes(transform(toks, t => hash60(t)))
 
   // ---- Language ID ------------------------------------------------------
 

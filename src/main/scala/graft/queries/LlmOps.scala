@@ -204,8 +204,10 @@ object LlmOps {
   // ---- SimHash + fingerprint -------------------------------------------
 
   def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
-      TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), TextOps.hash60(_)).as("hs"))
+      .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("simhash"))
 
   private val simhashOracle = {
     val bits = (0 until 32).map { b =>
@@ -226,12 +228,17 @@ object LlmOps {
     * bit_count(xor). Pair discovery is an equi-join on (band, byte); no
     * all-pairs anywhere — the standard simhash dedup shape at corpus scale. */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d).select(col("doc_id"),
-      TextOps.simhash32(TextOps.tokens(col("text"))).as("sh"))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), TextOps.hash60(_)).as("hs"))
+      .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("sh"))
+    // persist: the self-join would otherwise run the 32 bit-vote aggregates
+    // once per side
     val bands = sh.select(col("doc_id"), col("sh"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.byte"))
+      .persist()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -281,13 +288,18 @@ object LlmOps {
     * fingerprint inventory as (doc_id, fp) rows — the inverted-index shape
     * plagiarism/overlap detection joins on. Narrow per-row work. */
   def winnow(s: SparkSession, d: String): DataFrame = {
-    val hs = transform(TextOps.ngrams(TextOps.tokens(col("text")), WinnowK),
-      TextOps.hash60(_))
+    // materialize the hash sequence BEFORE the windowing lambda: an inline
+    // subexpression inside a higher-order lambda re-evaluates per element
+    // (interpreted), which would recompute every md5 once per window
+    val withHs = Tables.documents(s, d).select(col("doc_id"),
+      transform(TextOps.ngrams(TextOps.tokens(col("text")), WinnowK),
+        TextOps.hash60(_)).as("hs"))
+    val hs = col("hs")
     val fps = when(size(hs) >= WinnowW,
       array_distinct(transform(sequence(lit(0), size(hs) - WinnowW),
         i => array_min(slice(hs, i + 1, lit(WinnowW))))))
       .otherwise(array(array_min(hs)))
-    Tables.documents(s, d).select(col("doc_id"), explode(fps).as("fp"))
+    withHs.select(col("doc_id"), explode(fps).as("fp"))
   }
 
   private val winnowOracle = {
@@ -347,11 +359,14 @@ object LlmOps {
     * in-row arithmetic: narrow, shuffle-free, codegen-adjacent. */
   def repetition(s: SparkSession, d: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      TextOps.dupNgramRatio(toks, 2).as("dup2_ratio"),
-      TextOps.dupNgramRatio(toks, 3).as("dup3_ratio"),
-      TextOps.topNgramFraction(toks, 2).as("top2_fraction"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.ngrams(toks, 2).as("g2"), TextOps.ngrams(toks, 3).as("g3"))
+      .select(
+        col("doc_id"),
+        TextOps.dupRatioFromGrams(col("g2")).as("dup2_ratio"),
+        TextOps.dupRatioFromGrams(col("g3")).as("dup3_ratio"),
+        TextOps.topFractionFromGrams(col("g2")).as("top2_fraction"))
   }
 
   private val repetitionOracle = {
