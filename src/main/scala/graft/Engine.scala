@@ -109,17 +109,23 @@ final class BulkerStream private[graft] (
     * the buffer (bulker.go:99; transactional modes never partially commit). */
   def abort(): Unit = { aborted = true; buffered.clear(); datasetInput = None }
 
-  private def shapeOptions = Ingest.ShapeOptions(
-    caseMode = sink.dialect.caseMode match {
-      case Names.KeepCase => Names.KeepCase
-      case m              => m
-    },
-    omitNils = cfg.omitNils,
-    maxIdentifierLength = sink.dialect.maxIdentifierLength,
-    schemaFreeze = false, // freeze applies vs the LIVE table, below
-    declaredFields = cfg.declaredFields,
-    maxColumns = cfg.maxColumns,
-    columnTypes = cfg.columnTypes)
+  private def shapeOptions = {
+    val mode = sink.dialect.caseMode
+    // user-facing option keys address SOURCE field names; the shaped frame
+    // carries case-normalized sanitized names — adapt the keys the same way
+    def adapt(k: String): String =
+      Names.column(Names.normalizeCase(k, mode), Names.KeepCase,
+        sink.dialect.maxIdentifierLength)
+    Ingest.ShapeOptions(
+      caseMode = mode,
+      omitNils = cfg.omitNils,
+      maxIdentifierLength = sink.dialect.maxIdentifierLength,
+      schemaFreeze = false, // freeze applies vs the LIVE table, below
+      // matched against pre-sanitize flattened paths → case-normalize only
+      declaredFields = cfg.declaredFields.map(Names.normalizeCase(_, mode)),
+      maxColumns = cfg.maxColumns,
+      columnTypes = cfg.columnTypes.map { case (k, v) => adapt(k) -> v })
+  }
 
   /** Shape → dedup → evolve-vs-live → DDL → mode-dispatched load. */
   def complete(): LoadState = {

@@ -384,6 +384,25 @@ object LlmOps {
       FROM (SELECT doc_id, $toksSql AS sp FROM documents) t) tt"""
   }
 
+  private val VocabTopK = 100
+
+  /** Vocabulary building: corpus-wide token frequencies, top-K by count
+    * (deterministic tie order). The canonical one-shuffle aggregation —
+    * explode is narrow, the groupBy partial-aggregates map-side, top-K is a
+    * single ordered limit. At 100 TB this is exactly the shape tokenizer
+    * training starts from. */
+  def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(VocabTopK)
+
+  private val vocabOracle = s"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest($toksSql) AS token FROM documents) t
+    GROUP BY token ORDER BY freq DESC, token ASC LIMIT $VocabTopK"""
+
   def langId(s: SparkSession, d: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val scores = TextOps.LangStopwords.map { case (l, ws) =>
@@ -661,6 +680,7 @@ object LlmOps {
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
+    "llm_vocab"         -> Q(vocab, Some(vocabOracle)),
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),

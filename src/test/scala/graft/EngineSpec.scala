@@ -199,6 +199,22 @@ class EngineSpec extends SparkSuite {
       dflt.maxColumns == 5000 && dflt.omitNils)
   }
 
+  test("options-driven stream: discriminator + columnTypes flow end to end") {
+    val e = engine("opts")
+    val cfg = StreamConfig.fromOptions(Map(
+      "mode" -> "batch", "primaryKey" -> "id", "deduplicate" -> "true",
+      "discriminatorField" -> "prio", "columnTypes" -> "amount=bigint"))
+    val st = e.createStream("ofix", cfg)
+    st.consume("""{"id":1,"prio":5,"v":"low","amount":"1,000"}""")
+    st.consume("""{"id":1,"prio":9,"v":"high","amount":"2,000"}""")
+    st.consume("""{"id":1,"prio":7,"v":"mid","amount":"3,000"}""")
+    assert(st.complete().status == "ok")
+    val back = readTable("opts", "ofix")
+    // highest discriminator wins; the declared type parses "2,000" → 2000
+    assert(canon(back.select("ID", "V", "AMOUNT")) == Seq(Seq("1", "high", "2000")))
+    assert(back.schema("AMOUNT").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("consumeDataset drives the distributed path (HTTP bulk body shape)") {
     import spark.implicits._
     val e = engine("ds")
