@@ -140,8 +140,12 @@ object LlmOps {
     * key) → exact-Jaccard verification of candidates only. The 100 TB shape:
     * signatures are narrow per-row work; the only shuffles are the band-key
     * join and the candidate verification. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d))
+
+  /** MinHash-LSH near-dup pairs over ANY (doc_id, text) frame — reused by
+    * the standalone query and the clean-corpus pipeline. */
+  private def minhashPairs(docs: DataFrame): DataFrame = {
     // ONE codegen'd pass computes the whole 16-value signature (a native
     // Catalyst expression — 16 chained transform/array_min calls would be
     // interpreted and traverse the hash array 16×, see MinHashSig)
@@ -610,6 +614,99 @@ object LlmOps {
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
 
+  // ---- the composed training-data pipeline ------------------------------
+
+  private val PipelineQuality = 0.3
+
+  /** The end-to-end corpus-cleaning pipeline — what the operators exist
+    * FOR, composed: quality score → language filter → exact dedup →
+    * MinHash-LSH near-dup removal (higher doc_id of each verified pair
+    * drops). Every stage is the same operator the standalone queries use;
+    * the oracle recomputes the whole chain independently. Output: the
+    * surviving corpus inventory. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTokens = size(toks)
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / nTokens
+    val scores = TextOps.LangStopwords.map { case (l, ws) => l -> TextOps.langScore(toks, ws) }
+    val enriched = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      TextOps.qualityScore(nTokens, punct, stop).as("quality"),
+      TextOps.langId(scores).as("lang"))
+    val kept = enriched.filter(col("quality") >= PipelineQuality && col("lang") === "en")
+    val exact = Dedup.exact(kept, Seq("text"), "doc_id")
+    val losers = minhashPairs(exact.select("doc_id", "text"))
+      .select(col("j").as("doc_id")).distinct()
+    exact.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "quality", "lang", "dup_count")
+  }
+
+  private val cleanCorpusOracle = {
+    val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    val scoreDefs = TextOps.LangStopwords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(sp, t -> list_contains($arr, t)))::BIGINT AS s_$l"
+    }.mkString(",\n        ")
+    val langs = TextOps.LangStopwords.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), elseC) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$l' ELSE $elseC END"
+    }
+    val sigDefs = (0 until NumHashes).map(i => s"${minhashSql("hs", i)} AS s$i").mkString(",\n        ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH feats AS (
+      SELECT doc_id, text,
+        ${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)} AS quality,
+        $caseExpr AS lang
+      FROM (
+        SELECT doc_id, text,
+          len(sp)::BIGINT AS n_tokens,
+          len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
+          len(list_filter(sp, t -> list_contains($en, t)))::DOUBLE / len(sp) AS stop,
+          $scoreDefs
+        FROM (SELECT doc_id, text, $toksSql AS sp FROM documents) t) tt),
+    kept AS (
+      SELECT * FROM feats WHERE quality >= $PipelineQuality AND lang = 'en'),
+    exact AS (
+      SELECT doc_id, text, quality, lang, dup_count FROM (
+        SELECT *, count(*) OVER (PARTITION BY text) AS dup_count,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        FROM kept) t WHERE rn = 1),
+    hsrc AS (
+      SELECT doc_id, list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")}) AS hs
+      FROM exact),
+    sigs AS (
+      SELECT doc_id,
+        $sigDefs
+      FROM hsrc),
+    bands AS (
+      $bandRows),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sh AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM exact),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN cands c ON c.i = a.doc_id AND c.j = b.doc_id
+      GROUP BY 1, 2),
+    losers AS (
+      SELECT DISTINCT j FROM pairs
+      JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold)
+    SELECT doc_id, quality, lang, dup_count FROM exact
+    WHERE doc_id NOT IN (SELECT j FROM losers)"""
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   /** Binary media plumbing: text bytes stand in for opaque payloads; decode
@@ -681,6 +778,7 @@ object LlmOps {
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_vocab"         -> Q(vocab, Some(vocabOracle)),
+    "llm_clean_corpus"  -> Q(cleanCorpus, Some(cleanCorpusOracle)),
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
