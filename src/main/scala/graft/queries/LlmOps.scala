@@ -587,8 +587,11 @@ object LlmOps {
         (x, k) => x * (lit(1d) + lit(0.0005) * (k % 5 - lit(2)).cast(DoubleType)))
         .as("embedding"))
     val corpus = base.unionByName(seeded)
+    // persist: the self-join would evaluate the 8 hyperplane dot-products
+    // once per side otherwise
     val b = corpus.select(col("vec_id"), col("embedding"),
       Similarity.lshBucket(col("embedding"), NearDupPlanes).as("bucket"))
+      .persist()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),

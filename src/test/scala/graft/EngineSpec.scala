@@ -150,6 +150,18 @@ class EngineSpec extends SparkSuite {
       Seq(Seq("new1"), Seq("new2"), Seq("out-of-window")))
   }
 
+  test("emoji and unicode identifiers load cleanly (emoji.ndjson fixture)") {
+    val e = engine("emoji")
+    val st = e.createStream("moji", StreamConfig(mode = Engine.Batch))
+    st.consume("""{"id":1,"😀reaction":"love","café":"au lait"}""")
+    assert(st.complete().status == "ok")
+    val back = readTable("emoji", "moji")
+    // emoji sanitizes to _; unicode letters survive (uppercased by Derby)
+    assert(back.columns.toSet == Set("ID", "_REACTION", "CAFÉ", "_UNMAPPED_DATA")
+      || back.columns.toSet == Set("ID", "_REACTION", "CAFÉ"))
+    assert(canon(back.select("_REACTION", "CAFÉ")) == Seq(Seq("love", "au lait")))
+  }
+
   test("abort discards the buffer; nothing reaches the sink") {
     val e = engine("abort")
     val st = e.createStream("afix", StreamConfig(mode = Engine.Batch))
