@@ -196,6 +196,8 @@ final class BulkerStream private[graft] (
           else sink.appendTo(frame, spec)
         case Engine.ReplaceTable =>
           sink.replaceTable(frame, table) // P2 rename swap
+          // the swap changed the physical table behind the cached spec
+          sink.invalidate(spec.name, spec.namespace)
         case Engine.ReplacePartition =>
           val pid = cfg.partitionId.getOrElse(
             throw new IllegalArgumentException("replace_partition needs partitionId"))
