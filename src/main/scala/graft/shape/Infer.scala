@@ -115,25 +115,53 @@ object Infer {
       }
     }
 
-  /** One pass deciding, for every string column, (a) does every non-null
-    * value look like a timestamp (→ cast), (b) is the column entirely null
-    * (→ drop when omitNils). Returns (tsCols, allNullCols). */
-  def scanStringColumns(df: DataFrame, candidates: Seq[String]): (Seq[String], Seq[String]) = {
-    if (candidates.isEmpty) return (Nil, Nil)
+  /** Column classes recovered from a string column whose values Spark's
+    * JSON inference could not unify: the reference's lattice unifies
+    * BOOL∨INT64→INT64 and BOOL∨FLOAT64→FLOAT64 (converter.go:13-34), while
+    * Spark collapses such mixes to string — these classes restore the
+    * lattice answer. */
+  final case class StringClasses(tsCols: Seq[String], allNull: Seq[String],
+                                 boolIntCols: Seq[String], boolFloatCols: Seq[String])
+
+  private val BoolRe = "(?:true|false|True|False|TRUE|FALSE)"
+  private val IntRe = "[-+]?[0-9]+"
+  private val FloatRe = "[-+]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][-+]?[0-9]+)?"
+
+  /** One pass deciding, for every string column: (a) every value looks like
+    * a timestamp (→ TIMESTAMP), (b) entirely null (→ drop under omitNils),
+    * (c) every value is bool-or-int (→ INT64 per the lattice), (d) every
+    * value is bool-or-numeric (→ FLOAT64). One aggregate job, map-side
+    * combinable; no data collected. */
+  def scanStringColumns(df: DataFrame, candidates: Seq[String]): StringClasses = {
+    if (candidates.isEmpty) return StringClasses(Nil, Nil, Nil, Nil)
     val aggs = candidates.flatMap { c =>
       val v = col(s"`$c`")
       Seq(
         // nulls must not veto the sniff — only non-null values vote
         bool_and(v.isNull || Conversions.looksLikeTimestamp(v)).as(s"ts__$c"),
+        bool_and(v.isNull || v.rlike(s"^(?:$BoolRe|$IntRe)$$")).as(s"bi__$c"),
+        bool_and(v.isNull || v.rlike(s"^(?:$BoolRe|$FloatRe)$$")).as(s"bf__$c"),
+        // the mix must ACTUALLY mix: an all-digit column is a quoted-string
+        // column (the reference keeps quoted values STRING); only a column
+        // holding both bool tokens and number tokens is the inference
+        // conflict the lattice resolves downward
+        bool_or(v.isNotNull && v.rlike(s"^$BoolRe$$")).as(s"hb__$c"),
+        bool_or(v.isNotNull && v.rlike(s"^$FloatRe$$")).as(s"hn__$c"),
         count(v).as(s"n__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val ts = candidates.filter { c =>
-      val idx = row.fieldIndex(s"ts__$c")
-      !row.isNullAt(idx) && row.getBoolean(idx) && row.getLong(row.fieldIndex(s"n__$c")) > 0
+    def flag(prefix: String, c: String): Boolean = {
+      val idx = row.fieldIndex(s"${prefix}__$c")
+      !row.isNullAt(idx) && row.getBoolean(idx) &&
+        row.getLong(row.fieldIndex(s"n__$c")) > 0
     }
+    val ts = candidates.filter(flag("ts", _))
+    def mixed(c: String) = flag("hb", c) && flag("hn", c)
+    val bi = candidates.filterNot(ts.contains).filter(c => flag("bi", c) && mixed(c))
+    val bf = candidates.filterNot(ts.contains).filterNot(bi.contains)
+      .filter(c => flag("bf", c) && mixed(c))
     val allNull = candidates.filter(c => row.getLong(row.fieldIndex(s"n__$c")) == 0L)
-    (ts, allNull)
+    StringClasses(ts, allNull, bi, bf)
   }
 
   /** Default-TIMESTAMP field names (types/converter.go:36-44): these are

@@ -113,19 +113,29 @@ object Ingest {
         }: _*)
       }
 
-    // T4: timestamp sniff + omit-nil columns, one agg over all string cols.
+    // T4: timestamp sniff + lattice recovery of bool/number mixes +
+    // omit-nil columns, one agg over all string cols.
     val overridden = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength)).toSet
     val stringCols = renamed.schema.fields
       .filter(f => f.dataType == StringType && !overridden.contains(f.name))
       .map(_.name).toSeq
-    val (tsCols, allNull) = Infer.scanStringColumns(renamed, stringCols)
+    val classes = Infer.scanStringColumns(renamed, stringCols)
+    val (tsCols, allNull) = (classes.tsCols, classes.allNull)
 
     val dropped = if (opts.omitNils) renamed.drop(allNull.filterNot(overridden): _*) else renamed
     val hintByCol = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength) -> h).toMap
     val projected = dropped.select(dropped.columns.map { c =>
+      val v = col(s"`$c`")
       val sniffed =
-        if (tsCols.contains(c)) Conversions.sniffTimestamp(col(s"`$c`"))
-        else col(s"`$c`")
+        if (tsCols.contains(c)) Conversions.sniffTimestamp(v)
+        // Spark collapses bool/number mixes to string; the reference's
+        // lattice says BOOL∨INT64→INT64 and BOOL∨FLOAT64→FLOAT64
+        // (converter.go:13-34) — restore that answer
+        else if (classes.boolIntCols.contains(c))
+          coalesce(Conversions.anyToBoolean(v).cast(LongType), Conversions.stringToLong(v))
+        else if (classes.boolFloatCols.contains(c))
+          coalesce(Conversions.anyToBoolean(v).cast(DoubleType), Conversions.stringToDouble(v))
+        else v
       // declared columnTypes override the inferred kind (options.go:13-39)
       val base = opts.columnTypes.get(c) match {
         case Some(to) =>

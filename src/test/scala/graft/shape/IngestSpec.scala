@@ -35,6 +35,29 @@ class IngestSpec extends SparkSuite {
     assert(out.schema("m").dataType == StringType)
   }
 
+  test("type collision bool+int resolves DOWN the lattice to INT64 (converter.go:13-34)") {
+    val out = jsonDf("""{"m":true}""", """{"m":3}""", """{"m":false}""").df
+    assert(out.schema("m").dataType == LongType)
+    assert(canon(out) == Seq(Seq("0"), Seq("1"), Seq("3")))
+  }
+
+  test("type collision bool+float resolves to FLOAT64") {
+    val out = jsonDf("""{"m":true}""", """{"m":1.5}""").df
+    assert(out.schema("m").dataType == DoubleType)
+    assert(canon(out) == Seq(Seq("1.0"), Seq("1.5")))
+  }
+
+  test("quoted digit strings STAY strings (no bool/number mix — reference keeps quoted values)") {
+    val out = jsonDf("""{"zip":"01234"}""", """{"zip":"99999"}""").df
+    assert(out.schema("zip").dataType == StringType)
+    assert(canon(out) == Seq(Seq("01234"), Seq("99999")))
+  }
+
+  test("quoted bool strings STAY strings") {
+    val out = jsonDf("""{"b":"true"}""", """{"b":"false"}""").df
+    assert(out.schema("b").dataType == StringType)
+  }
+
   test("date_mix: a column with one non-timestamp value stays string") {
     val out = jsonDf(
       """{"w":"2024-01-02 03:04:05"}""",
