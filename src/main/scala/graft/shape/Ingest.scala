@@ -126,8 +126,13 @@ object Ingest {
     val hintByCol = hints.map(h => Names.column(h.target, Names.KeepCase, opts.maxIdentifierLength) -> h).toMap
     val projected = dropped.select(dropped.columns.map { c =>
       val v = col(s"`$c`")
+      // known timestamp field names are TIMESTAMP whenever their values
+      // parse, EVEN in mixed columns (types/converter.go:36-44) — ordinary
+      // columns only convert when every non-null value passes the sniff
+      val knownTs = Infer.KnownTimestampFields.contains(c.toLowerCase) &&
+        dropped.schema(c).dataType == StringType
       val sniffed =
-        if (tsCols.contains(c)) Conversions.sniffTimestamp(v)
+        if (tsCols.contains(c) || knownTs) Conversions.sniffTimestamp(v)
         // Spark collapses bool/number mixes to string; the reference's
         // lattice says BOOL∨INT64→INT64 and BOOL∨FLOAT64→FLOAT64
         // (converter.go:13-34) — restore that answer

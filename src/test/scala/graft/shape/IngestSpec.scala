@@ -1,5 +1,6 @@
 package graft.shape
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.core.DataKind
 import graft.SparkSuite
@@ -115,6 +116,19 @@ class IngestSpec extends SparkSuite {
     val out = shapeOf(Ingest.ShapeOptions(caseMode = Names.LowerCase),
       """{"MiXeD":1}""").df
     assert(out.columns.toSeq == Seq("mixed"))
+  }
+
+  test("known timestamp field names convert even in MIXED columns (converter.go:36-44)") {
+    val out = jsonDf(
+      """{"_timestamp":"2024-01-02 03:04:05","id":1}""",
+      """{"_timestamp":"not a date","id":2}""").df
+    assert(out.schema("_timestamp").dataType == TimestampType)
+    // the parsing value converts, the junk value nulls
+    assert(canon(out.select(col("id"), col("_timestamp").cast("string"))) == Seq(
+      Seq("1", "2024-01-02 03:04:05"), Seq("2", "∅")))
+    // an ORDINARY mixed column stays string (the lattice: TS ∨ STRING = STRING)
+    val out2 = jsonDf("""{"w":"2024-01-02 03:04:05"}""", """{"w":"junk"}""").df
+    assert(out2.schema("w").dataType == StringType)
   }
 
   test("known timestamp layouts parse; sub-second precision survives") {
