@@ -82,6 +82,14 @@ class IngestSpec extends SparkSuite {
     assert(out.columns.toSeq.sorted == Seq("$part key_", "café"))
   }
 
+  test("length-truncation collisions also merge (63-char cap, naming_test.go corpus)") {
+    val prefix = "p" * 70 // truncates to the same 63-char identifier
+    val out = jsonDf(s"""{"${prefix}_a":1,"${prefix}_b":2}""").df
+    assert(out.columns.length == 1)
+    assert(out.columns.head.length == 63)
+    assert(canon(out) == Seq(Seq("2"))) // last writer wins
+  }
+
   test("sanitization collisions merge to ONE column, last writer wins") {
     // "a!" and "a?" both sanitize to "a_" — the reference's ordered-map put
     // keeps the later field; two same-named columns would poison every

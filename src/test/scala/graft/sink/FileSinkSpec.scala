@@ -34,6 +34,15 @@ class FileSinkSpec extends SparkSuite {
     assert(canon(FileSink.read(spark, dir, schema, cfg)) == canon(data))
   }
 
+  test("gzip CSV objects roundtrip (the Redshift/Snowflake staging format)") {
+    val dir = tmp()
+    val cfg = FileSink.Config(format = "csv", gzip = true)
+    FileSink.write(data, dir, SaveMode.Overwrite, cfg)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")), files.toSeq)
+    assert(canon(FileSink.read(spark, dir, schema, cfg)) == canon(data))
+  }
+
   test("in-file pk dedup: later arrival wins, like the SQL path (D1 parity)") {
     val dir = tmp()
     val cfg = FileSink.Config(pk = Seq("id"))
