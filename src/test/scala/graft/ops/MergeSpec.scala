@@ -43,6 +43,17 @@ class MergeSpec extends SparkSuite {
       Seq(Seq("new-d"), Seq("null-ts")))
   }
 
+  test("hinted small source broadcasts; unhinted takes the safe plan") {
+    val hinted = Merge.upsert(target, source, Seq("pk"), sourceKeyCountHint = Some(4L))
+    hinted.count()
+    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // no hint → no FORCED broadcast hint in the logical plan (AQE may still
+    // choose to broadcast at runtime, which is the point)
+    val unhinted = Merge.upsert(target, source, Seq("pk"))
+    assert(!unhinted.queryExecution.logical.toString.contains("UnresolvedHint"))
+    assert(canon(unhinted.select("pk", "v")) == canon(hinted.select("pk", "v")))
+  }
+
   test("effective window shrinks to the batch's oldest event, clamped") {
     val day = 86400000L
     val now = 100L * day
