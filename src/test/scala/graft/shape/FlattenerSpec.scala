@@ -51,6 +51,16 @@ class FlattenerSpec extends SparkSuite {
       Seq(("v", "string", Some("numeric(38,18)"))))
   }
 
+  test("map-typed columns stringify to JSON like arrays do") {
+    import org.apache.spark.sql.functions._
+    val in = spark.range(1).select(
+      lit(1L).as("id"),
+      map(lit("k1"), lit("v1"), lit("k2"), lit("v2")).as("attrs"))
+    val out = graft.shape.Ingest.shapeDf(in).df
+    assert(out.schema("attrs").dataType == org.apache.spark.sql.types.StringType)
+    assert(canon(out.select("attrs")) == Seq(Seq("""{"k1":"v1","k2":"v2"}""")))
+  }
+
   test("deep nesting flattens fully and keeps sibling order") {
     val out = jsonDf("""{"a":{"x":1,"y":{"z":2}},"b":3}""").df
     assert(out.columns.toSeq == Seq("a_x", "a_y_z", "b"))
