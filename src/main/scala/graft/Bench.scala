@@ -10,15 +10,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, classloading, parquet reader init) so the
-    // first timed query isn't charged ~4s of JVM startup.
+    // Warm the session (codegen, classloading, parquet reader init, and the
+    // window/broadcast/cross-join/JSON executor machinery) so the first
+    // timed query hitting each engine path isn't charged JVM first-use cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
     catch { case _: Throwable => () }
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val a = spark.range(64).withColumn("k", col("id") % 4)
+      val b = spark.range(8).withColumn("k", col("id") % 4)
+      a.withColumn("r", row_number().over(Window.partitionBy("k").orderBy("id")))
+        .join(broadcast(b), "k").crossJoin(b.limit(2))
+        .groupBy("k").agg(count(lit(1))).collect()
+      spark.read.json(spark.createDataset(Seq("""{"a":1,"b":"x"}"""))(
+        org.apache.spark.sql.Encoders.STRING)).collect()
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_warm_").toString
+      spark.range(32).write.mode("overwrite").parquet(warmDir)
+      spark.read.parquet(warmDir).count()
+    } catch { case _: Throwable => () }
     // A failing query must NOT masquerade as a fast one: its timing is
     // reported negative and its error recorded.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,q3_join (unset → all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names.contains(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

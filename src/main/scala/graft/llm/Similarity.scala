@@ -23,9 +23,22 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float-array columns —
-    * `zip_with` product + sequential `aggregate` sum, all codegen'd. */
-  def cosine(a: Column, b: Column): Column = {
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftExpressions.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftExpressions.expression(c)
+
+  /** Double-precision cosine similarity of two float-array columns — a
+    * native codegen'd one-pass kernel ([[graft.functions.CosineSim]]),
+    * bit-identical to [[cosineFolded]]. */
+  def cosine(a: Column, b: Column): Column =
+    bridge(graft.functions.CosineSim(expr(a), expr(b)))
+
+  /** The higher-order-function form of [[cosine]] (`zip_with` product +
+    * sequential `aggregate` fold). Interpreted, so ~6 lambda traversals per
+    * pair — kept as the executable spec the native kernel is verified
+    * against. */
+  def cosineFolded(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
         lit(0d), (acc, v) => acc + v)
@@ -62,8 +75,16 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** b-bit LSH bucket of an embedding column under fixed hyperplanes. */
+  /** b-bit LSH bucket of an embedding column under fixed hyperplanes — all
+    * plane dots in ONE codegen'd traversal ([[graft.functions.LshBucket]]),
+    * bit-identical to [[lshBucketFolded]]. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    bridge(graft.functions.LshBucket(expr(emb), planes.map(_.toSeq).toSeq))
+
+  /** The higher-order-function form of [[lshBucket]]: b interpreted
+    * `aggregate(zip_with(...))` traversals — the executable spec for the
+    * native kernel. */
+  def lshBucketFolded(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val dot = aggregate(
         zip_with(emb, lit(p), (x, w) => x.cast(DoubleType) * w),
@@ -108,27 +129,30 @@ object Similarity {
               centroidId: String = "vec_id"): DataFrame = {
     val cents = broadcast(centroids.select(
       col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
-    // nearest cell per corpus vector: rank centroids by cosine, keep 1
-    def cells(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__ccos").desc, col("__cent_id").asc)
-      df.crossJoin(cents)
-        .withColumn("__ccos", TextOps.quant(cosine(col("embedding"), col("__cent")), 6))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .drop("__cent", "__ccos", "__cr")
-        .withColumnRenamed("__cent_id", out)
-    }
-    val corpusCells = cells(
-      corpus.select(col(corpusId).as("neighbor_id"), col("embedding")),
-      "neighbor_id", "__cell", keep = 1)
-      .withColumnRenamed("embedding", "__ce")
-    val queryCells = cells(
-      queries.select(col(queryId).as("query_id"), col("embedding")),
-      "query_id", "__cell", keep = nprobe) // probe the nprobe nearest cells
-      .withColumnRenamed("embedding", "__qe")
-    rank(broadcast(queryCells).join(corpusCells, "__cell")
-      .dropDuplicates("query_id", "neighbor_id"), k)
+    def withCos(df: DataFrame): DataFrame = df.crossJoin(cents)
+      .withColumn("__ccos", TextOps.quant(cosine(col("embedding"), col("__cent")), 6))
+    // nearest cell per corpus vector: an ARGMAX, so a map-side-combinable
+    // hash aggregate (max_by on the strictly-unique (ccos, -cent_id) key —
+    // same tie order as the oracle's cent_id ASC), NOT a sort window: the
+    // cross-product never shuffles, only one pre-combined row per vector does
+    val corpusCells = withCos(
+      corpus.select(col(corpusId).as("neighbor_id"), col("embedding")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("__cent_id"), struct(col("__ccos"), -col("__cent_id"))).as("__cell"),
+        first(col("embedding")).as("__ce"))
+    // query side: top-nprobe cells per query needs a rank — the query set is
+    // tiny by contract, so this window is control-plane sized
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cent_id").asc)
+    val queryCells = withCos(
+      queries.select(col(queryId).as("query_id"), col("embedding")))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nprobe) // probe the nprobe nearest cells
+      .select(col("query_id"), col("embedding").as("__qe"), col("__cent_id").as("__cell"))
+    // no dedup needed: each corpus vector lives in EXACTLY one cell and a
+    // query's nprobe cells are distinct, so a (query, neighbor) pair meets
+    // at most once — the join output is already pair-unique
+    rank(broadcast(queryCells).join(corpusCells, "__cell"), k)
   }
 
   /** Multi-probe LSH top-k — the recall knob: each query probes its own
@@ -147,8 +171,10 @@ object Similarity {
       explode(probes).as("__bucket"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col("embedding").as("__ce"),
       bucket.as("__bucket"))
-    rank(broadcast(q).join(c, "__bucket")
-      .dropDuplicates("query_id", "neighbor_id"), k)
+    // no dedup needed: the b+1 probe buckets of a query are pairwise distinct
+    // (bucket ^ (1<<j) are all different) and each corpus vector hashes to
+    // ONE bucket, so a (query, neighbor) pair meets in at most one probe
+    rank(broadcast(q).join(c, "__bucket"), k)
   }
 
   /** Shared ranking tail: cosine (rounded for cross-engine stability),

@@ -189,9 +189,9 @@ object EltOps {
 
   private val tProfileOracle = """
     SELECT COUNT(*) AS n_rows,
-      SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-      SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
-      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+      CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+      CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
       MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max,
       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_min,
       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_max,

@@ -637,7 +637,10 @@ object LlmOps {
       TextOps.qualityScore(nTokens, punct, stop).as("quality"),
       TextOps.langId(scores).as("lang"))
     val kept = enriched.filter(col("quality") >= PipelineQuality && col("lang") === "en")
-    val exact = Dedup.exact(kept, Seq("text"), "doc_id")
+    // persist: the survivors feed minhashPairs TWICE (signature branch +
+    // shingle-verify branch) and the final anti-join — without this the
+    // whole tokenize→quality→window-dedup chain re-runs three times
+    val exact = Dedup.exact(kept, Seq("text"), "doc_id").persist()
     val losers = minhashPairs(exact.select("doc_id", "text"))
       .select(col("j").as("doc_id")).distinct()
     exact.join(losers, Seq("doc_id"), "left_anti")

@@ -37,6 +37,23 @@ object StreamOps {
     f.delete(new Path(stage), true)
   }
 
+  /** Stage SEVERAL segments in ONE pass: partition the frame by `segCol`
+    * (each segment collapses to one task via the key repartition, so each
+    * partition dir holds exactly one file), then lift every per-segment file
+    * to `destDir/<seg>.json`. One source scan regardless of segment count. */
+  private def writeSegments(df: DataFrame, segCol: String, s: SparkSession,
+                            stage: String, destDir: String): Unit = {
+    df.repartition(col(segCol)).write.mode("overwrite").partitionBy(segCol).json(stage)
+    val f = fs(s, destDir)
+    f.mkdirs(new Path(destDir))
+    f.globStatus(new Path(s"$stage/$segCol=*")).foreach { dirStatus =>
+      val seg = dirStatus.getPath.getName.stripPrefix(s"$segCol=")
+      val part = f.globStatus(new Path(s"${dirStatus.getPath}/part-*")).head.getPath
+      f.rename(part, new Path(s"$destDir/$seg.json"))
+    }
+    f.delete(new Path(stage), true)
+  }
+
   /** B1+B3+B4+S5 end-to-end: three micro-batches stream into Derby through
     * the transactional merge path; one batch fails transiently (succeeds on
     * its first retry), one is permanently rejected by the sink and walks the
@@ -56,10 +73,10 @@ object StreamOps {
     val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
     val mid = maxId / 2
     val poisonFrom = maxId - maxId / 100
-    writeSegment(ev.filter(col("event_id") < mid), s, s"$base/stage", s"$base/input", "001.json")
-    writeSegment(ev.filter(col("event_id") >= mid && col("event_id") < poisonFrom),
-      s, s"$base/stage", s"$base/input", "002.json")
-    writeSegment(ev.filter(col("event_id") >= poisonFrom), s, s"$base/stage", s"$base/input", "003.json")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") < mid, "001")
+          .when(col("event_id") < poisonFrom, "002").otherwise("003")),
+      "__seg", s, s"$base/stage", s"$base/input")
 
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -74,10 +91,13 @@ object StreamOps {
     // hits a transient failure once (the retry must then succeed)
     val transientTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
     def load(df: DataFrame): Unit = {
-      if (df.filter(col("event_id") >= poisonFrom).head(1).nonEmpty)
+      // ONE probe job decides both fault injections (max id + mid-range hit)
+      val probe = df.agg(max(col("event_id")).as("mx"),
+        max(when(col("event_id").between(mid, poisonFrom - 1), col("event_id"))).as("midmx"))
+        .collect()(0)
+      if (!probe.isNullAt(0) && probe.getLong(0) >= poisonFrom)
         throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
-      if (df.filter(col("event_id").between(mid, poisonFrom - 1)).head(1).nonEmpty
-          && transientTripped.compareAndSet(false, true))
+      if (!probe.isNullAt(1) && transientTripped.compareAndSet(false, true))
         throw new RuntimeException("transient connection reset")
       sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
     }
@@ -125,8 +145,9 @@ object StreamOps {
       catch { case _: java.sql.SQLException => () }
     }
     // two micro-batches so the second proves the cached-schema path
-    writeSegment(ev.filter(col("event_id") % 2 === 0), s, s"$base/stage", s"$base/input", "001.json")
-    writeSegment(ev.filter(col("event_id") % 2 === 1), s, s"$base/stage", s"$base/input", "002.json")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 2 === 0, "001").otherwise("002")),
+      "__seg", s, s"$base/stage", s"$base/input")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType)))

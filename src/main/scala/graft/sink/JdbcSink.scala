@@ -146,6 +146,7 @@ final case class JdbcSink(url: String, dialect: Dialect,
     val props = new java.util.Properties()
     adapt(df).write.mode(SaveMode.Append)
       .option("numPartitions", maxWriteConnections)
+      .option("batchsize", 10000) // fewer executeBatch round-trips per partition
       .jdbc(url, dialect.quote(table), props)
   }
 
@@ -155,6 +156,7 @@ final case class JdbcSink(url: String, dialect: Dialect,
     val props = new java.util.Properties()
     adapt(df).write.mode(SaveMode.Append)
       .option("numPartitions", maxWriteConnections)
+      .option("batchsize", 10000)
       .jdbc(url, dialect.qualified(spec), props)
   }
 

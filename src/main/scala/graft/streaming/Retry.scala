@@ -67,21 +67,24 @@ final case class RetryQueue(dir: String, dlqDir: String,
     if (qOpt.isEmpty) return
     val q = qOpt.get.persist()
     try {
-      if (q.isEmpty) return
       val due = q.filter(col("__retry_time") <= nowMs)
-      // control-plane: ids of due batches (bounded by #failed batches)
-      val ids = due.select("__batch_id").distinct().collect().map(_.getLong(0)).sorted
-      if (ids.isEmpty) return
-      val failedIds = ids.filterNot { id =>
+      // control-plane: ONE aggregate yields the due batch ids AND their retry
+      // depth (bounded by #failed batches) — no separate emptiness probe
+      val info = due.groupBy("__batch_id").agg(max(col("__retries")).as("__r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+      if (info.isEmpty) return
+      val failedIds = info.map(_._1).filterNot { id =>
         val rows = due.filter(col("__batch_id") === id)
         try { load(rows.drop(MetaCols: _*)); true }
         catch { case _: Throwable => false }
       }.toSet
       val failed = due.filter(col("__batch_id").isInCollection(
         if (failedIds.isEmpty) Seq(-1L) else failedIds.toSeq))
-      // exhausted rows dead-letter WITH their bookkeeping (error, count)
-      failed.filter(col("__retries") >= policy.maxRetries)
-        .write.mode(SaveMode.Append).parquet(dlqDir)
+      // exhausted rows dead-letter WITH their bookkeeping (error, count);
+      // retry depth is known driver-side, so nothing writes when none died
+      if (info.exists { case (id, r) => failedIds.contains(id) && r >= policy.maxRetries })
+        failed.filter(col("__retries") >= policy.maxRetries)
+          .write.mode(SaveMode.Append).parquet(dlqDir)
       val requeued = failed.filter(col("__retries") < policy.maxRetries)
         .withColumn("__retries", col("__retries") + 1)
         .withColumn("__retry_time",

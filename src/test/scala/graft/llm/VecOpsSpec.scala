@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Native vector kernels ([[graft.functions.CosineSim]] /
+  * [[graft.functions.LshBucket]]) must be BIT-identical to the interpreted
+  * higher-order forms they replace — the DuckDB oracles reproduce the folded
+  * arithmetic, so any accumulation-order drift would break hash-compares. */
+class VecOpsSpec extends SparkSuite {
+
+  // deterministic pseudo-random float vectors (no Random: reproducible)
+  private def vec(seed: Int, dim: Int): Seq[Float] =
+    Seq.tabulate(dim)(k => (((seed * 1103515245 + k * 12345) % 1000) / 250.0f) - 2.0f)
+
+  private def floatDf(rows: Seq[(Seq[Float], Seq[Float])]) =
+    df("a ARRAY<FLOAT>, b ARRAY<FLOAT>", rows.map(r => Row(r._1, r._2)))
+
+  test("CosineSim is bit-identical to the aggregate/zip_with fold (float)") {
+    val d = floatDf(Seq.tabulate(8)(i => (vec(i, 64), vec(i + 100, 64))))
+    val native = d.select(Similarity.cosine(col("a"), col("b"))).collect().toSeq.map(_.getDouble(0))
+    val folded = d.select(Similarity.cosineFolded(col("a"), col("b"))).collect().toSeq.map(_.getDouble(0))
+    // exact double equality — same accumulation order, same result bits
+    assert(native == folded)
+  }
+
+  test("CosineSim is bit-identical to the fold on double arrays") {
+    val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
+      Row(Seq(0.3, -1.7, 2.44), Seq(1.1, 0.05, -3.2)),
+      Row(Seq(1e-8, 2e8, -5.5), Seq(-1e-8, 2e-8, 5.5))))
+    val native = d.select(Similarity.cosine(col("a"), col("b"))).collect().toSeq.map(_.getDouble(0))
+    val folded = d.select(Similarity.cosineFolded(col("a"), col("b"))).collect().toSeq.map(_.getDouble(0))
+    assert(native == folded)
+  }
+
+  test("CosineSim nulls: mismatched lengths / null element / null array") {
+    val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),      // length mismatch
+      Row(Seq[Any](1.0, null), Seq[Any](1.0, 2.0)), // null element
+      Row(null, Seq(1.0))))                         // null array
+    val r = d.select(Similarity.cosine(col("a"), col("b"))).collect().toSeq
+    assert(r.forall(_.isNullAt(0)))
+    // the folded form agrees on every null case
+    val f = d.select(Similarity.cosineFolded(col("a"), col("b"))).collect().toSeq
+    assert(f.forall(_.isNullAt(0)))
+  }
+
+  test("CosineSim interpreted eval matches the codegen path") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(DoubleType)
+    val e = graft.functions.CosineSim(
+      BoundReference(0, at, true), BoundReference(1, at, true))
+    val interp = e.eval(InternalRow(
+      new GenericArrayData(Array[Any](0.3, -1.7, 2.44)),
+      new GenericArrayData(Array[Any](1.1, 0.05, -3.2)))).asInstanceOf[Double]
+    val gen = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+      Seq(Row(Seq(0.3, -1.7, 2.44), Seq(1.1, 0.05, -3.2))))
+      .select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(interp == gen)
+  }
+
+  test("LshBucket is bit-identical to the per-plane folded form") {
+    val planes = Similarity.planes(10, 64)
+    val d = df("a ARRAY<FLOAT>", Seq.tabulate(16)(i => Row(vec(i * 7 + 1, 64))))
+    val native = d.select(Similarity.lshBucket(col("a"), planes)).collect().toSeq.map(_.getLong(0))
+    val folded = d.select(Similarity.lshBucketFolded(col("a"), planes)).collect().toSeq.map(_.getLong(0))
+    assert(native == folded)
+    // buckets actually spread (not all rows in one bucket)
+    assert(native.distinct.length > 1)
+  }
+
+  test("LshBucket degenerate inputs bucket to 0, matching the fold") {
+    val planes = Similarity.planes(4, 3)
+    val d = df("a ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0)),           // wrong dimension
+      Row(Seq[Any](1.0, null, 2.0)) // null element
+    ))
+    val native = d.select(Similarity.lshBucket(col("a"), planes)).collect().toSeq.map(_.getLong(0))
+    val folded = d.select(Similarity.lshBucketFolded(col("a"), planes)).collect().toSeq.map(_.getLong(0))
+    assert(native == Seq(0L, 0L))
+    assert(native == folded)
+  }
+
+  test("LshBucket interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val planes = Similarity.planes(6, 8)
+    val e = graft.functions.LshBucket(
+      BoundReference(0, ArrayType(DoubleType), true), planes.map(_.toSeq).toSeq)
+    val v = Seq(0.5, -1.25, 3.0, 0.125, -2.0, 1.5, -0.75, 0.25)
+    val interp = e.eval(InternalRow(
+      new GenericArrayData(v.toArray[Any]))).asInstanceOf[Long]
+    val gen = df("a ARRAY<DOUBLE>", Seq(Row(v)))
+      .select(Similarity.lshBucket(col("a"), planes)).collect()(0).getLong(0)
+    assert(interp == gen)
+  }
+}
