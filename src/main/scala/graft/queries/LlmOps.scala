@@ -772,7 +772,88 @@ object LlmOps {
       md5(substr(text, 1, 20)) AS checksum
     FROM documents"""
 
+  // ---- decontamination / sampling / packing ----------------------------
+
+  private val DecontamN = 5
+  private val BenchMod = 97L
+
+  /** Benchmark decontamination: drop every training document sharing ANY
+    * `DecontamN`-gram with the held-out benchmark set (the standard
+    * eval-overlap filter in LLM data pipelines; e.g. GPT-3 appendix C uses
+    * 13-grams — 5 here because the synthetic docs are ~30 tokens).
+    *
+    * Scale shape: the benchmark is tiny by definition, so its distinct
+    * n-gram set BROADCASTS; training docs explode to (doc_id, gram) once and
+    * semi-join that broadcast — no shuffle of the corpus, no self-join. A
+    * deterministic slice (`doc_id % 97 == 0`) stands in for the benchmark. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % BenchMod === 0
+    graft.llm.Corpus.decontaminate(docs.filter(!isBench), docs.filter(isBench), DecontamN)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  private val decontaminateOracle = s"""
+    WITH bench AS (
+      SELECT DISTINCT unnest(${shinglesSql(toksSql, DecontamN)}) AS g
+      FROM documents WHERE doc_id % $BenchMod = 0),
+    tg AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, DecontamN)}) AS g
+      FROM documents WHERE doc_id % $BenchMod <> 0),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g))
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id % $BenchMod <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+  private val SamplePerMille = Seq("en" -> 500L, "de" -> 200L) // others: 100‰
+  private val SampleDefault = 100L
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * `hash(doc_id) mod 1000 < rate(lang)` — per-language per-mille rates
+    * (the corpus-mixing knob of a training-data pipeline). Hash-based gating
+    * makes the sample REPRODUCIBLE and embarrassingly parallel: a narrow
+    * filter with zero shuffles, stable under re-partitioning and re-runs —
+    * unlike `TABLESAMPLE`/`rand()`, identical on every engine. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.sampleStratified(Tables.documents(s, d), "lang",
+        SamplePerMille, SampleDefault)
+      .select("doc_id", "lang", "source")
+
+  private val sampleOracle = {
+    val rateSql = SamplePerMille.foldRight(SampleDefault.toString) {
+      case ((l, r), acc) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ${hashSql("(doc_id::VARCHAR || ':sample')")} % 1000 < ($rateSql)"""
+  }
+
+  private val PackTokens = 512L
+
+  /** Sequence packing: concatenate documents in deterministic order and
+    * assign each the index of the `PackTokens`-token context window its
+    * first token lands in (GPT-style packing with boundary splitting). The
+    * running offset is a cumulative sum PER SOURCE SHARD — packing is
+    * order-dependent, so the parallel unit is the shard, exactly how a
+    * 100 TB corpus packs (per input shard), never a global sort. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.packSequences(Tables.documents(s, d), "source", "doc_id",
+        PackTokens)
+      .select("doc_id", "source", "n_tokens", "seq_id")
+
+  private val packOracle = s"""
+    SELECT doc_id, source, n_tokens,
+      COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackTokens AS seq_id
+    FROM (
+      SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens
+      FROM documents) t"""
+
   def qs: Map[String, Q] = Map(
+    "llm_decontaminate" -> Q(decontaminate, Some(decontaminateOracle)),
+    "llm_sample"        -> Q(sampleStratified, Some(sampleOracle)),
+    "llm_pack"          -> Q(packSequences, Some(packOracle)),
     "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Corpus-level training-data operators: decontamination semantics,
+  * sampling determinism, packing boundary math. */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark, keeps the rest") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog", "en"))
+    val train = docs(
+      (1L, "we saw the quick brown fox jumps today again and again", "en"), // shares a 5-gram
+      (2L, "completely unrelated text with no overlap at all here", "en"),
+      (3L, "fox jumps over the lazy dog said nobody ever before", "en"))    // shares a 5-gram
+    val out = Corpus.decontaminate(train, bench, 5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(2L))
+  }
+
+  test("decontaminate with a disjoint benchmark keeps everything") {
+    val bench = docs((100L, "zzz yyy xxx www vvv uuu", "en"))
+    val train = docs((1L, "aaa bbb ccc ddd eee fff", "en"))
+    assert(Corpus.decontaminate(train, bench, 5).count() == 1L)
+  }
+
+  test("sampleStratified is deterministic and honors per-stratum rates") {
+    val d = docs((0 until 200).map(i =>
+      (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de")): _*)
+    val keep = Corpus.sampleStratified(d, "lang", Seq("en" -> 1000L), 0L)
+    // en: rate 1000‰ keeps every en row; de: default 0‰ keeps none
+    val langs = keep.select("lang").distinct().as[String].collect().toSeq
+    assert(langs == Seq("en") && keep.count() == 100L)
+    // reproducible: the same call yields the same rows
+    val a = Corpus.sampleStratified(d, "lang", Seq("en" -> 300L), 100L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val b = Corpus.sampleStratified(d, "lang", Seq("en" -> 300L), 100L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty && a.length < 200)
+  }
+
+  test("packSequences assigns the window of the doc's first token, per shard") {
+    val d = Seq(
+      (1L, "a b c d", "s1"),   // offset 0  → seq 0
+      (2L, "e f g h", "s1"),   // offset 4  → seq 0
+      (3L, "i j k", "s1"),     // offset 8  → seq 0 (straddles into window 1)
+      (4L, "l m", "s1"),       // offset 11 → seq 1
+      (5L, "x y z", "s2"))     // other shard: offset 0 → seq 0
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.packSequences(d, "source", "doc_id", windowTokens = 10L)
+      .select("doc_id", "n_tokens", "seq_id")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 4L, 0L), (2L, 4L, 0L), (3L, 3L, 0L), (4L, 2L, 1L), (5L, 3L, 0L)))
+  }
+}
