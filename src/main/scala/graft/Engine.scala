@@ -28,6 +28,11 @@ final case class StreamConfig(
     columnTypes: Map[String, DataKind] = Map.empty,
     declaredFields: Seq[String] = Nil,
     omitNils: Boolean = true,
+    /** force every table/column name to the destination's canonical case
+      * (lower; upper where the catalog is upper-native) even for dialects
+      * that would otherwise keep the source casing
+      * (bulkerlib/options.go:115-121, sql/abstract.go:69-78) */
+    toSameCase: Boolean = false,
     /** target schema/dataset (bulkerlib namespace option); created when
       * absent */
     namespace: Option[String] = None,
@@ -52,6 +57,7 @@ object StreamConfig {
       timestampColumn = opts.get("timestampColumn").map(_.trim),
       partitionId = opts.get("partitionId").map(_.trim),
       schemaFreeze = bool("schemaFreeze", dflt = false),
+      toSameCase = bool("toSameCase", dflt = false),
       maxColumns = opts.get("maxColumnsCount").map(_.trim.toInt).getOrElse(5000),
       columnTypes = list("columnTypes").flatMap { kv =>
         kv.split("=", 2) match {
@@ -109,8 +115,16 @@ final class BulkerStream private[graft] (
     * the buffer (bulker.go:99; transactional modes never partially commit). */
   def abort(): Unit = { aborted = true; buffered.clear(); datasetInput = None }
 
+  /** Effective case policy: the dialect's own, unless `toSameCase` forces
+    * the destination-canonical case (lower; upper on upper-native catalogs —
+    * sql/abstract.go:69-78). */
+  private def streamCaseMode: Names.CaseMode =
+    if (!cfg.toSameCase) sink.dialect.caseMode
+    else if (sink.dialect.caseMode == Names.UpperCase) Names.UpperCase
+    else Names.LowerCase
+
   private def shapeOptions = {
-    val mode = sink.dialect.caseMode
+    val mode = streamCaseMode
     // user-facing option keys address SOURCE field names; the shaped frame
     // carries case-normalized sanitized names — adapt the keys the same way
     def adapt(k: String): String =
@@ -146,7 +160,9 @@ final class BulkerStream private[graft] (
         Dedup.inBatch(shaped.df, cfg.pk, cfg.discriminator) // D1: last-wins + discriminator
       else shaped.df
 
-    val batchName = sink.dialect.adaptIdentifier(table)
+    val caseAdjustedTable =
+      if (cfg.toSameCase) Names.normalizeCase(table, streamCaseMode) else table
+    val batchName = sink.dialect.adaptIdentifier(caseAdjustedTable)
     // a hint's explicit ddlType passes through raw; a bare castType naming a
     // canonical kind maps through the dialect's type table (processor.go:54-95)
     val hintDdl = shaped.hints.map { h =>
@@ -173,7 +189,7 @@ final class BulkerStream private[graft] (
         val evolved = TableSpec(batchName, evolvedCols, namespace = ns)
         (plan.projected, sink.ensureTableCached(evolved))
       case _ =>
-        val spec0 = sink.specFor(deduped, table).copy(namespace = ns)
+        val spec0 = sink.specFor(deduped, caseAdjustedTable).copy(namespace = ns)
         val spec = spec0.copy(columns = spec0.columns.map(c =>
           hintDdl.get(c.name).map(d => c.copy(ddlOverride = Some(d))).getOrElse(c)))
         (sink.adapt(deduped), sink.ensureTableCached(spec))

@@ -25,5 +25,24 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(args.head,
           TextOps.MinHashA.take(n).toSeq, TextOps.MinHashB.take(n).toSeq, TextOps.MinHashP)
       }))
+    extensions.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      { args =>
+        require(args.length == 2, "cosine_sim(array<float|double>, array<float|double>)")
+        CosineSim(args.head, args(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      { args =>
+        val (planes, dim) = args match {
+          case Seq(_, Literal(p: Int, _), Literal(d: Int, _)) => (p, d)
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket(embedding, numPlanes, dim) — got ${other.length} args")
+        }
+        LshBucket(args.head,
+          graft.llm.Similarity.planes(planes, dim).map(_.toSeq).toSeq)
+      }))
   }
 }

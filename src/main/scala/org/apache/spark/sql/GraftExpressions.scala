@@ -37,5 +37,22 @@ object GraftExpressions {
           graft.llm.TextOps.MinHashB.take(n).toSeq,
           graft.llm.TextOps.MinHashP)
       })
+    registry.registerFunction(FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      { args =>
+        require(args.length == 2, "cosine_sim(array<float|double>, array<float|double>)")
+        graft.functions.CosineSim(args.head, args(1))
+      })
+    registry.registerFunction(FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[graft.functions.LshBucket].getName, "lsh_bucket"),
+      { args =>
+        val (planes, dim) = args match {
+          case Seq(_, Literal(p: Int, _), Literal(d: Int, _)) => (p, d)
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket(embedding, numPlanes, dim) — got ${other.length} args")
+        }
+        graft.functions.LshBucket(args.head,
+          graft.llm.Similarity.planes(planes, dim).map(_.toSeq).toSeq)
+      })
   }
 }

@@ -236,4 +236,36 @@ class EngineSpec extends SparkSuite {
     assert(state.status == "ok" && state.rows == 100)
     assert(readTable("ds", "dfix").count() == 100)
   }
+
+  /** Derby flavored, but case-preserving (quoted mixed-case identifiers are
+    * legal in Derby) — exercises the toSameCase option's forcing rule against
+    * a dialect that would otherwise keep source casing
+    * (bulkerlib/options.go:115-121, naming_test.go:80-95). */
+  private object KeepCaseDerby extends graft.sql.Dialect {
+    val name = "derby-keepcase"
+    override val maxIdentifierLength = 128
+    override val caseMode = graft.shape.Names.KeepCase
+    override protected def supportsIfNotExists: Boolean = false
+    def typeFor(k: graft.core.DataKind): String = graft.sql.DerbyDialect.typeFor(k)
+  }
+
+  test("toSameCase forces destination-canonical case on a case-keeping dialect") {
+    TableCache.clear()
+    val url = "jdbc:derby:memory:eng_case;create=true"
+    val e = new Engine(spark, JdbcSink(url, KeepCaseDerby))
+    val st = e.createStream("MiXeD_Case",
+      StreamConfig.fromOptions(Map("mode" -> Engine.Batch, "toSameCase" -> "true")))
+    st.consume("""{"UserName":"a","Id":1}""")
+    assert(st.complete().status == "ok")
+    val back = spark.read.jdbc(url, "\"mixed_case\"", new java.util.Properties())
+    assert(back.columns.toSet == Set("username", "id"))
+
+    // without the option the same dialect keeps the source casing
+    val st2 = e.createStream("Kept_Case",
+      StreamConfig.fromOptions(Map("mode" -> Engine.Batch)))
+    st2.consume("""{"UserName":"b","Id":2}""")
+    assert(st2.complete().status == "ok")
+    val kept = spark.read.jdbc(url, "\"Kept_Case\"", new java.util.Properties())
+    assert(kept.columns.toSet == Set("UserName", "Id"))
+  }
 }

@@ -100,4 +100,18 @@ class VecOpsSpec extends SparkSuite {
       .select(Similarity.lshBucket(col("a"), planes)).collect()(0).getLong(0)
     assert(interp == gen)
   }
+
+  test("cosine_sim and lsh_bucket are callable from SQL after registration") {
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()(0).getDouble(0)
+    assert(cos == 1.0)
+    val viaSql = spark.sql(
+      "SELECT lsh_bucket(array(0.5D, -1.5D, 2.0D), 4, 3) AS b").collect()(0).getLong(0)
+    val viaColumn = df("a ARRAY<DOUBLE>",
+      Seq(org.apache.spark.sql.Row(Seq(0.5, -1.5, 2.0))))
+      .select(Similarity.lshBucket(org.apache.spark.sql.functions.col("a"),
+        Similarity.planes(4, 3))).collect()(0).getLong(0)
+    assert(viaSql == viaColumn)
+  }
 }
