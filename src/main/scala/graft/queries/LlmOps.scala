@@ -272,6 +272,29 @@ object LlmOps {
     WHERE bit_count(xor(a.sh, b.sh)) <= $SimHamMax"""
   }
 
+  /** Near-dup CLUSTERS from the simhash pair set: connected components by
+    * min-label propagation ([[graft.llm.Corpus.clusterPairs]]) — dedup must
+    * keep one representative per component, not per pair. The oracle walks
+    * the same reachability with a recursive CTE. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    // the pair set feeds both direction-unions of the edge list — persist so
+    // the banded self-join pipeline runs once
+    val pairs = simhashNearDup(s, d).select("i", "j").persist()
+    graft.llm.Corpus.clusterPairs(pairs)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  private val dedupClusterOracle = s"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
+    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
+    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
+    SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
+
   /** Rolling word-5-gram fingerprint (min-hash; the k=1 winnowing signature). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -859,6 +882,7 @@ object LlmOps {
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
+    "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
     "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),

@@ -56,4 +56,28 @@ class CorpusSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(out == Seq((1L, 4L, 0L), (2L, 4L, 0L), (3L, 3L, 0L), (4L, 2L, 1L), (5L, 3L, 0L)))
   }
+
+  test("clusterPairs: chains, triangles, and singleton pairs get min-id clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4,5} as a chain (diameter 4 → several rounds),
+    // {10,11,12} as a triangle, {20,21} as one pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val out = Corpus.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusterPairs distributed loop matches the driver union-find path") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("i", "j")
+    val dist = Corpus.clusterPairs(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val drv = Corpus.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == drv)
+    assert(dist(5L) == 1L) // the 4-hop chain end reached the component min
+  }
 }
