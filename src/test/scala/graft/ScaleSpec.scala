@@ -53,4 +53,30 @@ class ScaleSpec extends SparkSuite {
     assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("isFinalPlan=true"),
       finalPlan.take(500))
   }
+
+  test("decontaminate broadcasts the benchmark n-gram set (corpus never shuffles for the probe)") {
+    import spark.implicits._
+    val train = (1 to 50).map(i => (i.toLong, s"unique words number $i row and filler tokens here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1000L, "the held out benchmark sentence nobody should train on"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Corpus.decontaminate(train, bench, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the contamination probe must be a broadcast join, not a shuffled one
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(out.count() == 50)
+  }
+
+  test("packSequences never globally sorts: the only exchange is the shard hash partition") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Corpus.packSequences(d, "source", "doc_id", 16L)
+    val plan = out.queryExecution.executedPlan.toString
+    // per-shard window → hashpartitioning exchange; a global order-by would
+    // show rangepartitioning (the single-partition scale-killer)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(out.count() == 100)
+  }
 }
