@@ -150,6 +150,23 @@ object TextOps {
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Email/phone patterns restricted to the RE2 ∩ java.util.regex common
+    * subset (no backreferences, no lookaround), so Spark and any RE2-based
+    * engine (DuckDB, ClickHouse) match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII scrubbing — the standard pre-training cleanup pass: emails then
+    * phone-like digit runs replaced with typed placeholder tokens. A narrow
+    * projection (regex over each row, zero shuffles); emails are redacted
+    * FIRST so their digits can never be eaten as phone fragments. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Engine-agnostic quantization to k decimals: `round()` half-handling
     * differs across engines (Spark HALF_UP vs DuckDB HALF_EVEN), so exact
     * .5 boundaries would hash-mismatch; floor(x·10^k + 0.5) is deterministic

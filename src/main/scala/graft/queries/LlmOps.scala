@@ -295,6 +295,36 @@ object LlmOps {
       SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
     SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
 
+  /** PII redaction over the corpus. The synthetic documents carry no PII,
+    * so (like [[embedNearDup]]'s seeded vectors) every 7th doc gets a
+    * deterministic email + phone appended and the oracle reproduces the
+    * same concatenation — the hash-match proves pattern parity and the
+    * redaction cascade, not an empty no-op. */
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val seeded = Tables.documents(s, d).withColumn("t",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact a"), col("doc_id").cast(StringType),
+          lit("@ex.com or call +1 555 000 "), col("doc_id").cast(StringType)))
+        .otherwise(col("text")))
+    seeded.select(col("doc_id"),
+      regexp_count(col("t"), lit(TextOps.EmailRe)).cast(LongType).as("n_emails"),
+      regexp_count(col("t"), lit(TextOps.PhoneRe)).cast(LongType).as("n_phones"),
+      md5(TextOps.redactPii(col("t"))).as("checksum"))
+  }
+
+  private val redactOracle = s"""
+    SELECT doc_id,
+      len(regexp_extract_all(t, '${TextOps.EmailRe}'))::BIGINT AS n_emails,
+      len(regexp_extract_all(t, '${TextOps.PhoneRe}'))::BIGINT AS n_phones,
+      md5(regexp_replace(regexp_replace(t, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+        '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS checksum
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+          THEN text || ' contact a' || doc_id::VARCHAR || '@ex.com or call +1 555 000 ' || doc_id::VARCHAR
+          ELSE text END AS t
+      FROM documents) s"""
+
   /** Rolling word-5-gram fingerprint (min-hash; the k=1 winnowing signature). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -883,6 +913,7 @@ object LlmOps {
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
+    "llm_redact"        -> Q(redactPii, Some(redactOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
     "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),

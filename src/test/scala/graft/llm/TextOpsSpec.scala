@@ -176,4 +176,17 @@ class TextOpsSpec extends SparkSuite {
     assert(Similarity.planesFor(1000000) > Similarity.planesFor(10000))
     assert(Similarity.planesFor(1L << 40) > 20)    // 100 TB scale keeps growing
   }
+
+  test("redactPii scrubs emails before phones and leaves clean text alone") {
+    val r = Seq(
+      "reach me at jane.doe+x@sub.example.org today",
+      "call +1 555 123-4567 or 555-123-4567 now",
+      "clean text with no pii at all",
+      "both a9@ex.com and +44 20 7946 0958 appear").toDF("v")
+      .select(TextOps.redactPii(col("v"))).collect().toSeq.map(_.getString(0))
+    assert(r(0) == "reach me at <EMAIL> today")
+    assert(r(1) == "call <PHONE> or <PHONE> now")
+    assert(r(2) == "clean text with no pii at all")
+    assert(r(3) == "both <EMAIL> and <PHONE> appear")
+  }
 }
