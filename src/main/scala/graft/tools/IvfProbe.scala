@@ -17,11 +17,9 @@ object IvfProbe {
       val n = f
       println(f"[probe] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
-    val pairs = graft.queries.LlmOps.simhashNearDup(spark, d).select("i", "j")
-    time("simhash pairs")(pairs.count())
-    val cached = pairs.localCheckpoint(true)
-    time("cluster on cached pairs")(graft.llm.Corpus.clusterPairs(cached).count())
-    time("cluster again")(graft.llm.Corpus.clusterPairs(cached).count())
+    time("clean_corpus full")(graft.queries.LlmOps.cleanCorpus(spark, d).count())
+    time("clean_corpus again")(graft.queries.LlmOps.cleanCorpus(spark, d).count())
+    time("minhash_lsh full docs")(graft.queries.LlmOps.minhashLsh(spark, d).count())
     spark.stop()
   }
 }

@@ -15,7 +15,8 @@ object PlanAudit {
     val interesting = Seq(
       "q1_agg", "q3_join", "q_topk", "s7_select",
       "llm_minhash_lsh", "llm_embed_neardup", "llm_ann_multiprobe",
-      "llm_exact_dedup", "d2_merge_window", "t1_flatten")
+      "llm_exact_dedup", "d2_merge_window", "t1_flatten",
+      "llm_decontaminate", "llm_pack", "llm_sample", "llm_redact")
     val qs = graft.queries.Registry.all
     interesting.foreach { name =>
       println(s"\n===== $name =====")

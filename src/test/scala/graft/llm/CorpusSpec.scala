@@ -80,4 +80,22 @@ class CorpusSpec extends SparkSuite {
     assert(dist == drv)
     assert(dist(5L) == 1L) // the 4-hop chain end reached the component min
   }
+
+  test("clusterPairs: distributed and driver paths agree on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: reproducible
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val pairs = (1 to 60).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(p => p._1 != p._2).toDF("i", "j")
+      val dist = Corpus.clusterPairs(pairs, driverMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      val drv = Corpus.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+      assert(dist == drv)
+      // labels are component minima: every label is ≤ its node and is its own label
+      assert(dist.forall { case (node, lab) => lab <= node && dist(lab) == lab })
+    }
+  }
 }
