@@ -20,7 +20,10 @@ import graft.sql.{ColumnSpec, DerbyDialect, TableSpec}
   */
 object SinkOps {
 
-  private def derby(db: String) = JdbcSink(s"jdbc:derby:memory:$db;create=true", DerbyDialect)
+  // low write fan-out: embedded Derby contends on page latches past a few
+  // concurrent writer connections (see StreamOps note)
+  private def derby(db: String) =
+    JdbcSink(s"jdbc:derby:memory:$db;create=true", DerbyDialect, maxWriteConnections = 4)
 
   private def dropIfExists(sink: JdbcSink, table: String): Unit =
     try sink.withConnection(sink.exec(_, s"DROP TABLE \"$table\""))
