@@ -181,3 +181,80 @@ final case class LshBucket(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
 }
+
+/** 32-bit SimHash from a token-hash array in ONE pass: bit `b` of the result
+  * is set when `sum over h of (((h >> b) % 2 == 1) ? +1 : -1) > 0`.
+  *
+  * Replicates the folded form bit-for-bit, including its null semantics: a
+  * NULL element's vote condition is null, so it counts −1 on every bit; a
+  * NULL array makes every per-bit `when` fall to `otherwise(0)`, so the
+  * result is 0 (not null). The fold costs 32 interpreted traversals per row;
+  * this is one codegen'd loop.
+  */
+final case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash32"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val votes = new Array[Long](32)
+    var k = 0
+    while (k < arr.numElements()) {
+      if (arr.isNullAt(k)) {
+        var b = 0
+        while (b < 32) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = arr.getLong(k)
+        var b = 0
+        while (b < 32) {
+          if ((h >> b) % 2 == 1) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      k += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val votes = ctx.freshName("votes")
+    val k = ctx.freshName("k"); val b = ctx.freshName("b")
+    val h = ctx.freshName("h")
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        long[] $votes = new long[32];
+        for (int $k = 0; $k < ${c.value}.numElements(); $k++) {
+          if (${c.value}.isNullAt($k)) {
+            for (int $b = 0; $b < 32; $b++) $votes[$b] -= 1;
+          } else {
+            long $h = ${c.value}.getLong($k);
+            for (int $b = 0; $b < 32; $b++) {
+              if ((($h >> $b) % 2) == 1) $votes[$b] += 1; else $votes[$b] -= 1;
+            }
+          }
+        }
+        for (int $b = 0; $b < 32; $b++)
+          if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}

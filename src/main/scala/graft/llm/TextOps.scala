@@ -106,6 +106,14 @@ object TextOps {
     * each of the 32 bit-votes traverses the array once, and an inline
     * subexpression would re-hash every token 32× per row. */
   def simhash32FromHashes(hashes: Column): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.SimHash32(
+        org.apache.spark.sql.GraftExpressions.expression(hashes)))
+
+  /** The folded form of [[simhash32FromHashes]] — 32 interpreted aggregate
+    * traversals; kept as the executable spec the native kernel is verified
+    * against (including its null-element −1 vote and null-array → 0). */
+  def simhash32Folded(hashes: Column): Column =
     (0 until 32).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))

@@ -114,4 +114,33 @@ class VecOpsSpec extends SparkSuite {
         Similarity.planes(4, 3))).collect()(0).getLong(0)
     assert(viaSql == viaColumn)
   }
+
+  test("SimHash32 is bit-identical to the 32-fold form, incl. negatives and nulls") {
+    val rows = Seq(
+      Row(Seq(5L, 11L, 1023L, 7L)),
+      Row(Seq(-3L, 8L, -1L)),          // negative hashes: % 2 semantics, not & 1
+      Row(Seq[Any](5L, null, 11L)),    // null element votes -1 on every bit
+      Row(Seq[Any]()),                 // empty → all votes 0 → hash 0
+      Row(null))                       // null array → 0, not null
+    val d = df("hs ARRAY<BIGINT>", rows)
+    val native = d.select(TextOps.simhash32FromHashes(col("hs"))).collect().toSeq
+    val folded = d.select(TextOps.simhash32Folded(col("hs"))).collect().toSeq
+    assert(native.map(_.getLong(0)) == folded.map(_.getLong(0)))
+    assert(!native.exists(_.isNullAt(0)))
+  }
+
+  test("SimHash32 interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val e = graft.functions.SimHash32(
+      BoundReference(0, ArrayType(LongType), true))
+    val interp = e.eval(InternalRow(
+      new GenericArrayData(Array[Any](5L, null, 11L)))).asInstanceOf[Long]
+    val gen = df("hs ARRAY<BIGINT>", Seq(Row(Seq[Any](5L, null, 11L))))
+      .select(TextOps.simhash32FromHashes(col("hs"))).collect()(0).getLong(0)
+    assert(interp == gen)
+    assert(e.eval(InternalRow(null)) == 0L)
+  }
 }
