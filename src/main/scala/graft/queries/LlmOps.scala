@@ -113,6 +113,49 @@ object LlmOps {
       .select("i", "j", "jac")
   }
 
+  private val ContainThreshold = 0.8
+
+  /** Containment near-dup: `inter / min(|A|, |B|)` over the same capped
+    * inverted shingle index — the ASYMMETRIC variant that catches a short
+    * document quoted inside a long one, which plain Jaccard's
+    * union-denominator dilutes below threshold. Same 100 TB shape as
+    * [[ngramJaccard]] (index join, never all-pairs). */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh0 = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    val sh = sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= DfCap).drop("df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joined = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    joined.groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
+      .withColumn("containment",
+        TextOps.quant(col("inter") / least(col("ni"), col("nj")), 3))
+      .filter(col("containment") >= ContainThreshold)
+      .select("i", "j", "containment")
+  }
+
+  private val containmentOracle = s"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s
+      FROM documents),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t
+      WHERE df <= $DfCap),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j, ${qSql("inter * 1.0 / least(sa.n, sb.n)", 3)} AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+    WHERE ${qSql("inter * 1.0 / least(sa.n, sb.n)", 3)} >= $ContainThreshold"""
+
   private val ngramOracle = s"""
     WITH sh0 AS (
       SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s
@@ -909,6 +952,7 @@ object LlmOps {
     "llm_pack"          -> Q(packSequences, Some(packOracle)),
     "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
+    "llm_containment"   -> Q(containment, Some(containmentOracle)),
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
