@@ -46,6 +46,27 @@ object Bench {
       st.execute("SELECT * FROM W"); st.close(); c.close()
     } catch { case _: Throwable => () }
     try {
+      // text/vector kernels: shingle→hash→signature→band, simhash, the
+      // inverted-index tail, and the cosine/LSH expressions each compile
+      // non-trivial generated code on first use
+      import org.apache.spark.sql.functions._
+      import graft.llm.{Similarity, TextOps}
+      import spark.implicits._
+      val t = Seq("warm up the text kernels once", "a b c d e f g h i j")
+        .toDF("text")
+        .select(col("text"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .withColumn("hs", transform(col("sh"), TextOps.hash60(_)))
+        .withColumn("sig", TextOps.minhashSignature(col("hs"), 16))
+        .withColumn("simhash", TextOps.simhash32FromHashes(col("hs")))
+      val sig = (0 until 16).map(i => element_at(col("sig"), i + 1))
+      t.select(col("simhash"), TextOps.bandKey(sig, 0, 4),
+        explode(col("sh")).as("s")).groupBy("s").agg(collect_set("s")).collect()
+      val e = Seq((1L, Seq(1f, 2f)), (2L, Seq(2f, 1f))).toDF("vec_id", "embedding")
+      e.as("a").crossJoin(e.as("b")).select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")),
+        Similarity.lshBucket(col("a.embedding"), Similarity.planes(4, 2))).collect()
+    } catch { case _: Throwable => () }
+    try {
       val sdir = java.nio.file.Files.createTempDirectory("graft_warm_s_").toString
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$sdir/1.json"), "{\"i\":1}\n")
       val ck = java.nio.file.Files.createTempDirectory("graft_warm_ck_").toString
