@@ -178,7 +178,45 @@ object StreamOps {
            'ROUTE_' || UPPER(event_type) AS routed_to
     FROM events"""
 
+  /** Event-time windowed aggregation through the REAL streaming machinery:
+    * two file-source micro-batches flow into a watermarked tumbling-window
+    * count (complete mode → memory sink), proving the aggregation state
+    * carries across micro-batches and that stream results equal the batch
+    * oracle exactly. (Late-data DROP semantics are covered by
+    * `WindowedSpec`; complete mode here keeps every window so the oracle
+    * can be a plain GROUP BY.) */
+  def b1StreamWindow(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_b1w"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts_ms"))
+    // two segments: the second micro-batch must UPDATE windows the first began
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 2 === 0, "001").otherwise("002")),
+      "__seg", s, s"$base/stage", s"$base/input")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("ts_ms", LongType)))
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .json(s"$base/input")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val agg = graft.streaming.Windowed.windowedCounts(
+      src, "ts", "event_type", "1 hour", "10 minutes")
+    val qname = "graft_b1w_out"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).select(col("window_start"), col("event_type"), col("n"))
+  }
+
+  private val b1Oracle = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2"""
+
   def qs: Map[String, Q] = Map(
+    "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
     "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),
   )
