@@ -215,7 +215,41 @@ object StreamOps {
            count(*) AS n
     FROM events GROUP BY 1, 2"""
 
+  private val SessionGapMs = 4L * 3600 * 1000
+
+  /** Inactivity-gap sessionization (the custom-state operator built-in
+    * windows can't express): the SAME flatMapGroupsWithState code the
+    * streaming layer runs, driven in batch mode where each key's rows all
+    * arrive at once, so emitting the open tail yields the complete session
+    * set — hash-compared to a lag/cumulative-sum oracle. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms")).as[(Long, Long)]
+    graft.streaming.Windowed.sessionize(ev, SessionGapMs, emitOpenTail = true)
+      .toDF()
+      .select(col("key").as("user_id"), col("n"),
+        col("startMs").as("start_ms"), col("endMs").as("end_ms"))
+  }
+
+  private val sessionizeOracle = s"""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+    marked AS (
+      SELECT user_id, ts_ms,
+        CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+               > $SessionGapMs THEN 1 ELSE 0 END AS brk
+      FROM e),
+    sess AS (
+      SELECT user_id, ts_ms,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, count(*) AS n,
+           min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+    FROM sess GROUP BY user_id, sid"""
+
   def qs: Map[String, Q] = Map(
+    "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
     "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
     "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),

@@ -48,7 +48,13 @@ object Windowed {
     * custom-state operator the built-in windows can't express). */
   final case class Session(key: Long, n: Long, startMs: Long, endMs: Long)
 
-  def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[Session] = {
+  /** `emitOpenTail`: in streaming mode the still-open session stays in
+    * state (it may extend in a later micro-batch — production flushes it
+    * via a state timeout); in BATCH mode each key's rows all arrive in one
+    * call, so emitting the tail yields the COMPLETE session set — the form
+    * the correctness oracle compares. */
+  def sessionize(events: Dataset[(Long, Long)], gapMs: Long,
+                 emitOpenTail: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState[Session, Session](
@@ -70,7 +76,7 @@ object Windowed {
             }
           }
           open.foreach(state.update)
-          closed.iterator
+          if (emitOpenTail) (closed ++ open).iterator else closed.iterator
       }
   }
 }
