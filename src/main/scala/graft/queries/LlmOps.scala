@@ -59,13 +59,20 @@ object LlmOps {
   /** Candidate pairs via an inverted shingle index (join on the shingle —
     * never all-pairs), document-frequency cap for scale, exact Jaccard
     * verification. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardVerify(cappedShingleIndex(Tables.documents(s, d)), JaccardThreshold)
+
+  /** (doc_id, shingle) inverted index with hot shingles removed. The DF cap
+    * is applied as a map-side-combinable count + BROADCAST anti-join of the
+    * (tiny, by definition) over-cap blacklist — never as a window over the
+    * exploded index, which would shuffle-and-sort every (doc, shingle) row.
+    * At 100 TB the blacklist is the only thing that moves. */
+  private def cappedShingleIndex(docs: DataFrame): DataFrame = {
     val sh0 = docs.select(col("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
-    val sh = sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= DfCap).drop("df")
-    jaccardVerify(sh, JaccardThreshold)
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("s")
+    sh0.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
   /** Shared tail for the inverted-index path: inter/union from (doc_id,
@@ -121,11 +128,7 @@ object LlmOps {
     * union-denominator dilutes below threshold. Same 100 TB shape as
     * [[ngramJaccard]] (index join, never all-pairs). */
   def containment(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sh0 = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
-    val sh = sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= DfCap).drop("df")
+    val sh = cappedShingleIndex(Tables.documents(s, d))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val joined = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

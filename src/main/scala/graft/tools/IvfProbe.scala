@@ -1,9 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.sink.JdbcSink
-import graft.sql.DerbyDialect
 
 /** Scratch perf probe (not part of the driver contract). */
 object IvfProbe {
@@ -14,22 +11,21 @@ object IvfProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    def time(tag: String)(f: => Unit): Unit = {
+    // count jobs via listener
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    def time(tag: String)(f: => Long): Unit = {
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
-      f
-      println(f"[probe] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      val n = f
+      println(f"[probe] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n jobs=${jobs.get() - j0}")
     }
-    val ev = graft.core.Tables.events(spark, d)
-      .select("event_id", "user_id", "event_type", "value").localCheckpoint(true)
-    println("rows=" + ev.count())
-    Seq(16, 4, 1).foreach { conns =>
-      val sink = JdbcSink(s"jdbc:derby:memory:probe_$conns;create=true", DerbyDialect,
-        maxWriteConnections = conns)
-      val spec = sink.specFor(ev, "t")
-      sink.ensureTable(spec)
-      time(s"append 100k conns=$conns")(sink.append(ev, spec.name))
-      time(s"append again conns=$conns")(sink.append(ev, spec.name))
-    }
+    time("b4 full")(graft.queries.StreamOps.b4RetryPipeline(spark, d).count())
+    time("b4 again")(graft.queries.StreamOps.b4RetryPipeline(spark, d).count())
     spark.stop()
   }
 }
