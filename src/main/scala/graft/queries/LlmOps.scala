@@ -66,7 +66,10 @@ object LlmOps {
     * is applied as a map-side-combinable count + BROADCAST anti-join of the
     * (tiny, by definition) over-cap blacklist — never as a window over the
     * exploded index, which would shuffle-and-sort every (doc, shingle) row.
-    * At 100 TB the blacklist is the only thing that moves. */
+    * The source is scanned/tokenized twice (count pass + index pass); that
+    * is the right trade at scale — scans are map-only and embarrassingly
+    * parallel, while the window form moves AND sorts the whole index over
+    * the network. */
   private def cappedShingleIndex(docs: DataFrame): DataFrame = {
     val sh0 = docs.select(col("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))

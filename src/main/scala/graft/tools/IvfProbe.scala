@@ -1,6 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.TextOps
 
 /** Scratch perf probe (not part of the driver contract). */
 object IvfProbe {
@@ -11,21 +15,25 @@ object IvfProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    // count jobs via listener
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    })
     def time(tag: String)(f: => Long): Unit = {
-      val j0 = jobs.get()
       val t0 = System.nanoTime()
       val n = f
-      println(f"[probe] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n jobs=${jobs.get() - j0}")
+      println(f"[probe] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
-    time("b4 full")(graft.queries.StreamOps.b4RetryPipeline(spark, d).count())
-    time("b4 again")(graft.queries.StreamOps.b4RetryPipeline(spark, d).count())
+    def sh0 = Tables.documents(spark, d).select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    def winCap: DataFrame = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= 100).drop("df")
+    def bcastCap: DataFrame = {
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select("s")
+      sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    (1 to 2).foreach { i =>
+      time(s"window cap #$i")(winCap.count())
+      time(s"broadcast cap #$i")(bcastCap.count())
+    }
     spark.stop()
   }
 }
