@@ -42,14 +42,16 @@ object StreamOps {
     * partition dir holds exactly one file), then lift every per-segment file
     * to `destDir/<seg>.json`. One source scan regardless of segment count. */
   private def writeSegments(df: DataFrame, segCol: String, s: SparkSession,
-                            stage: String, destDir: String): Unit = {
-    df.repartition(col(segCol)).write.mode("overwrite").partitionBy(segCol).json(stage)
+                            stage: String, destDir: String,
+                            format: String = "json"): Unit = {
+    df.repartition(col(segCol)).write.mode("overwrite").partitionBy(segCol)
+      .format(format).save(stage)
     val f = fs(s, destDir)
     f.mkdirs(new Path(destDir))
     f.globStatus(new Path(s"$stage/$segCol=*")).foreach { dirStatus =>
       val seg = dirStatus.getPath.getName.stripPrefix(s"$segCol=")
       val part = f.globStatus(new Path(s"${dirStatus.getPath}/part-*")).head.getPath
-      f.rename(part, new Path(s"$destDir/$seg.json"))
+      f.rename(part, new Path(s"$destDir/$seg.$format"))
     }
     f.delete(new Path(stage), true)
   }
@@ -189,15 +191,18 @@ object StreamOps {
     val base = "/tmp/graft_b1w"
     rmrf(s, base)
     val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("ts_ms"))
-    // two segments: the second micro-batch must UPDATE windows the first began
+    // two segments: the second micro-batch must UPDATE windows the first
+    // began. Staged as parquet — the JSON-from-broker fidelity lives in
+    // b4/b5; THIS query proves event-time aggregation across micro-batches,
+    // and the wire format is incidental to that
     writeSegments(ev.withColumn("__seg",
         when(col("event_id") % 2 === 0, "001").otherwise("002")),
-      "__seg", s, s"$base/stage", s"$base/input")
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("ts_ms", LongType)))
     val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .json(s"$base/input")
+      .parquet(s"$base/input")
       .withColumn("ts", timestamp_millis(col("ts_ms")))
     val agg = graft.streaming.Windowed.windowedCounts(
       src, "ts", "event_type", "1 hour", "10 minutes")
