@@ -131,6 +131,112 @@ object Corpus {
     parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("node", "cluster_id")
   }
 
+  /** Exact substring-level dedup over fixed token windows (the published
+    * exact pass runs on ~50-token spans; window size is a knob here):
+    * each document splits into consecutive `windowTokens`-token chunks, and
+    * a chunk seen EARLIER anywhere in the corpus (order: doc id, then chunk
+    * position) counts as a duplicate. Returns per-doc
+    * `(id, n_chunks, n_dup_chunks)` — the trim/drop policy is the caller's.
+    *
+    * Scale shape: the chunk explode is narrow; the only corpus-wide shuffle
+    * keys on the 8-byte chunk HASH (never the chunk text), and the
+    * first-occurrence window inside each hash group is tiny. The per-doc
+    * re-aggregation partial-aggregates map-side. Nothing is quadratic — a
+    * repeated chunk costs its own group size, not a pair explosion. */
+  def chunkDedup(docs: DataFrame, windowTokens: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = windowTokens
+    val chunks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      // materialize the token array BEFORE the chunking lambda: higher-order
+      // functions are interpreted and re-evaluate inline subexpressions per
+      // element (the repo-wide lambda discipline)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ceil(size(col("__toks")) / lit(w.toDouble)).cast(IntegerType) - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * w + 1, lit(w))))).as(Seq("__pos", "__chunk")))
+      .select(col(idCol), col("__pos"), TextOps.hash60(col("__chunk")).as("__h"))
+    val firstSeen = Window.partitionBy("__h")
+      .orderBy(col(idCol).asc, col("__pos").asc)
+    chunks
+      .withColumn("__rn", row_number().over(firstSeen))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  /** Deterministic train/val/test assignment: `hash(id+salt) mod 1000`
+    * against cumulative per-mille fences — the split survives re-runs,
+    * re-partitioning, and corpus growth (a doc never migrates between
+    * splits when other docs appear). Narrow, zero shuffles. */
+  def splitAssign(fences: Seq[(String, Long)],
+                  idCol: String = "doc_id", salt: String = ":split"): Column = {
+    val bucket = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt))) % 1000
+    val sorted = fences.sortBy(_._2)
+    sorted.init.foldRight(lit(sorted.last._1): Column) {
+      case ((name, upTo), elseC) => when(bucket < upTo, name).otherwise(elseC)
+    }
+  }
+
+  /** At most `k` documents per stratum, chosen by deterministic hash order —
+    * per-source quota capping for corpus mixing (a giant crawl source can't
+    * drown the curated ones). One shuffle on the stratum; the per-group
+    * window never materializes more than the group. For strata too large to
+    * sort wholesale, [[sampleStratified]] is the constant-rate variant. */
+  def quotaPerStratum(docs: DataFrame, strataCol: String, k: Int,
+                      idCol: String = "doc_id", salt: String = ":quota"): DataFrame = {
+    val h = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt)))
+    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumn("quota_rank", col("__rk").cast(LongType))
+      .drop("__rk")
+  }
+
+  /** Per-document TF-IDF (ln-idf, raw term counts): the feature-extraction
+    * step topic filters and relevance scoring start from. `nDocs` is the
+    * corpus document count — a control-plane constant, passed in so the plan
+    * has no count-induced barrier.
+    *
+    * Scale shape: one (doc, token) aggregation (map-side combinable), a
+    * vocabulary-keyed document-frequency aggregation, and one join keyed on
+    * the token — all hash-shuffles, never all-pairs. The score is quantized
+    * so ranking downstream is cross-engine-stable. */
+  def tfidf(docs: DataFrame, nDocs: Long,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        TextOps.quant(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats) — the
+    * degenerate-text filter repetition ratios miss (a doc cycling two
+    * tokens has dup-ratio ≈ 1 AND entropy ≈ ln 2; a doc of one token glued
+    * to varied text needs the entropy signal). H = ln n − Σ c·ln c / n.
+    *
+    * The Σ c·ln c partial sums land in arbitrary partition order, so each
+    * term is quantized and summed as DECIMAL — exact, order-independent,
+    * identical on every engine (the repo's decimal-sum rule for float
+    * aggregates). */
+  def tokenEntropy(docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    counts.groupBy(idCol)
+      .agg(sum(col("c")).as("n"),
+        sum(TextOps.quant(col("c") * log(col("c")), 6).cast(DecimalType(28, 8)))
+          .cast(DoubleType).as("clnc"))
+      .select(col(idCol), col("n"),
+        TextOps.quant(log(col("n")) - col("clnc") / col("n"), 4).as("entropy"))
+  }
+
   /** GPT-style sequence packing with boundary splitting: documents
     * concatenate in `orderCol` order and each gets the index of the
     * `windowTokens`-token context window its FIRST token lands in.

@@ -945,14 +945,133 @@ object LlmOps {
 
   private val packOracle = s"""
     SELECT doc_id, source, n_tokens,
-      COALESCE(SUM(n_tokens) OVER (
+      CAST(COALESCE(SUM(n_tokens) OVER (
         PARTITION BY source ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackTokens AS seq_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackTokens
+        AS BIGINT) AS seq_id
     FROM (
       SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens
       FROM documents) t"""
 
+  // ---- chunk-level exact dedup -----------------------------------------
+
+  private val ChunkTokens = 20
+
+  /** Exact substring dedup over 20-token windows (the span-level pass that
+    * catches boilerplate shared between otherwise-distinct documents).
+    * Corpus-wide first-occurrence keyed on the chunk HASH — one 8-byte-key
+    * shuffle, no pair explosion. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.chunkDedup(Tables.documents(s, d), ChunkTokens)
+
+  private val chunkDedupOracle = {
+    val w = ChunkTokens
+    s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE length(trim(text)) > 0),
+    c AS (SELECT doc_id, i,
+            ${hashSql(s"array_to_string(toks[(i*$w+1):(i*$w+$w)], ' ')")} AS h
+          FROM t, LATERAL UNNEST(generate_series(0,
+            CAST(ceil(len(toks)/$w.0) AS BIGINT)-1)) AS u(i)),
+    r AS (SELECT doc_id,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+          FROM c)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+    FROM r GROUP BY doc_id"""
+  }
+
+  // ---- train/val/test split --------------------------------------------
+
+  private val SplitFences = Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L)
+
+  /** Deterministic corpus split: per-(split, lang) doc counts — the mixing
+    * table every training run starts from. The assignment is a narrow
+    * hash-gate; the count is one map-side-combinable aggregation. */
+  def splitCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split", graft.llm.Corpus.splitAssign(SplitFences))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+
+  private val splitOracle = """
+    SELECT split, lang, count(*) AS n_docs FROM (
+      SELECT CASE WHEN b < 900 THEN 'train'
+                  WHEN b < 950 THEN 'val' ELSE 'test' END AS split, lang
+      FROM (SELECT """ + hashSql("doc_id::VARCHAR || ':split'") + """ % 1000 AS b, lang
+            FROM documents) t) tt
+    GROUP BY 1, 2"""
+
+  // ---- TF-IDF -----------------------------------------------------------
+
+  /** Top TF-IDF term per document (ln-idf, quantized score, term-asc tie
+    * break). Feature extraction for topic/relevance filtering: two keyed
+    * aggregations + one vocabulary join — never all-pairs. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // corpus document count: control-plane probe (same role as the
+    // broadcast-vs-shuffle count in Merge.upsert)
+    val n = docs.filter(length(trim(col("text"))) > 0).count()
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    graft.llm.Corpus.tfidf(docs, n)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
+  private val tfidfOracle = s"""
+    WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents
+                 WHERE length(trim(text)) > 0),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+    sc AS (SELECT doc_id, token, tf, df,
+             ${qSql("tf * ln(nd::DOUBLE / df)", 4)} AS tfidf
+           FROM tf JOIN dfq USING (token) CROSS JOIN n),
+    rk AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn FROM sc)
+    SELECT doc_id, token AS top_term, tf, df, tfidf FROM rk WHERE rn = 1"""
+
+  // ---- token entropy ----------------------------------------------------
+
+  /** Shannon entropy of each document's token distribution — the
+    * degenerate-text signal repetition ratios miss. Decimal-summed so the
+    * float aggregation is order-independent (cross-engine-stable). */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.tokenEntropy(Tables.documents(s, d))
+
+  private val entropyOracle = s"""
+    WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents
+                 WHERE length(trim(text)) > 0),
+    cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+              SUM(CAST(${qSql("c * ln(c)", 6)} AS DECIMAL(28,8)))::DOUBLE AS clnc
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n, ${qSql("ln(n) - clnc / n", 4)} AS entropy FROM agg"""
+
+  // ---- per-source quota ------------------------------------------------
+
+  private val QuotaK = 10
+
+  /** Per-source quota capping by deterministic hash order — corpus mixing's
+    * "no source drowns the rest" guard. One stratum shuffle. */
+  def quota(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.quotaPerStratum(Tables.documents(s, d), "source", QuotaK)
+      .select("doc_id", "source", "quota_rank")
+
+  private val quotaOracle = s"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS quota_rank FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY ${hashSql("doc_id::VARCHAR || ':quota'")} ASC, doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= $QuotaK"""
+
   def qs: Map[String, Q] = Map(
+    "llm_chunk_dedup"   -> Q(chunkDedup, Some(chunkDedupOracle)),
+    "llm_split"         -> Q(splitCounts, Some(splitOracle)),
+    "llm_tfidf"         -> Q(tfidfTop, Some(tfidfOracle)),
+    "llm_entropy"       -> Q(entropy, Some(entropyOracle)),
+    "llm_quota"         -> Q(quota, Some(quotaOracle)),
     "llm_decontaminate" -> Q(decontaminate, Some(decontaminateOracle)),
     "llm_sample"        -> Q(sampleStratified, Some(sampleOracle)),
     "llm_pack"          -> Q(packSequences, Some(packOracle)),

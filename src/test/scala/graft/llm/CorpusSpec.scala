@@ -81,6 +81,85 @@ class CorpusSpec extends SparkSuite {
     assert(dist(5L) == 1L) // the 4-hop chain end reached the component min
   }
 
+  test("chunkDedup flags later occurrences of a repeated token window") {
+    val d = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" "), "s"), // chunks: w1..w20, w21..w25
+      (2L, (1 to 20).map(i => s"w$i").mkString(" "), "s"), // duplicate of doc 1's chunk 0
+      (3L, "totally different words here", "s"),
+      (4L, "", "s")) // empty: excluded entirely
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.chunkDedup(d, 20)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 0L))) // first seen: nothing duplicate
+    assert(out(2L) == ((1L, 1L))) // its only chunk was seen in doc 1
+    assert(out(3L) == ((1L, 0L)))
+    assert(!out.contains(4L))
+  }
+
+  test("chunkDedup first-occurrence order is (doc id, position), not arrival") {
+    // the duplicate chunk appears at doc 5 pos 1 and doc 6 pos 0: doc 5 wins
+    val rep = (1 to 20).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (6L, rep, "s"),
+      (5L, (1 to 20).map(i => s"q$i").mkString(" ") + " " + rep, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.chunkDedup(d, 20).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(5L) == ((2L, 0L)) && out(6L) == ((1L, 1L)))
+  }
+
+  test("splitAssign is a total, deterministic assignment honoring the fences") {
+    val d = docs((0 until 300).map(i => (i.toLong, s"doc $i", "en")): _*)
+    val out = d.withColumn("split",
+      Corpus.splitAssign(Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L)))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 300L)
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // deterministic under re-partitioning
+    val again = d.repartition(7).withColumn("split",
+      Corpus.splitAssign(Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
+  test("quotaPerStratum caps each stratum at k with a stable choice") {
+    val d = (0 until 50).map(i => (i.toLong, s"doc $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.quotaPerStratum(d, "source", 5)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ == 5L))
+    val a = out.select("doc_id").as[Long].collect().toSeq.sorted
+    val b = Corpus.quotaPerStratum(d.repartition(9), "source", 5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(a == b)
+  }
+
+  test("tfidf: corpus-wide terms score 0, rare terms score ln(N/df) per count") {
+    val d = docs(
+      (1L, "shared shared rare1", "en"),
+      (2L, "shared rare2 rare2", "en"),
+      (3L, "shared other words", "en"))
+    val out = Corpus.tfidf(d, 3)
+      .select("doc_id", "token", "tfidf").as[(Long, String, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, "shared")) == 0.0) // df = N ⇒ idf = 0
+    assert(math.abs(m((1L, "rare1")) - math.log(3.0)) < 1e-3)
+    assert(math.abs(m((2L, "rare2")) - 2 * math.log(3.0)) < 1e-3)
+  }
+
+  test("tokenEntropy: uniform tokens give ln(k), single token gives 0") {
+    val d = docs(
+      (1L, "a b c d", "en"),      // 4 distinct ⇒ ln 4
+      (2L, "x x x x x", "en"),    // one token ⇒ 0
+      (3L, "y y z z", "en"))      // two even ⇒ ln 2
+    val m = Corpus.tokenEntropy(d).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(m(1L) - math.log(4.0)) < 1e-3)
+    assert(m(2L) == 0.0)
+    assert(math.abs(m(3L) - math.log(2.0)) < 1e-3)
+  }
+
   test("clusterPairs: distributed and driver paths agree on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42) // seeded: reproducible
