@@ -75,7 +75,12 @@ object LlmOps {
       explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")
-    sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    // the capped index feeds THREE consumers downstream (both sides of the
+    // pair self-join + the per-doc sizes), and self-join sides do not share
+    // exchanges — persist so tokenize+shingle+cap runs once, not thrice
+    // (at cluster scale the same role is played by materializing the index
+    // to storage once per dedup run)
+    sh0.join(broadcast(hot), Seq("s"), "left_anti").persist()
   }
 
   /** Shared tail for the inverted-index path: inter/union from (doc_id,
@@ -730,12 +735,17 @@ object LlmOps {
     * the oracle recomputes the whole chain independently. Output: the
     * surviving corpus inventory. */
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // materialize the token array ONCE: the five language scores + stopword
+    // ratio are each an interpreted lambda traversal, and an inline
+    // `split()` would re-tokenize the text on every one of them
+    val toks = col("__toks")
     val nTokens = size(toks)
     val punct = TextOps.punctRatio(col("text"))
     val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / nTokens
     val scores = TextOps.LangStopwords.map { case (l, ws) => l -> TextOps.langScore(toks, ws) }
-    val enriched = Tables.documents(s, d).select(col("doc_id"), col("text"),
+    val enriched = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("text"),
       TextOps.qualityScore(nTokens, punct, stop).as("quality"),
       TextOps.langId(scores).as("lang"))
     val kept = enriched.filter(col("quality") >= PipelineQuality && col("lang") === "en")
