@@ -199,23 +199,28 @@ object LlmOps {
 
   /** MinHash-LSH near-dup pairs over ANY (doc_id, text) frame — reused by
     * the standalone query and the clean-corpus pipeline. */
-  private def minhashPairs(docs: DataFrame): DataFrame = {
-    // ONE codegen'd pass computes the whole 16-value signature (a native
-    // Catalyst expression — 16 chained transform/array_min calls would be
-    // interpreted and traverse the hash array 16×, see MinHashSig)
+  /** (doc_id, band, key) MinHash band rows for ANY (doc_id, text) frame —
+    * the unit an LSH index stores. ONE codegen'd pass computes the whole
+    * 16-value signature (a native Catalyst expression — 16 chained
+    * transform/array_min calls would be interpreted and traverse the hash
+    * array 16×, see MinHashSig); the band explode is narrow. */
+  private def bandFrame(docs: DataFrame): DataFrame = {
     val withSig = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
       .withColumn("hs", transform(col("sh"), TextOps.hash60(_)))
       .withColumn("sigv", TextOps.minhashSignature(col("hs"), NumHashes))
     val sig = (0 until NumHashes).map(i => element_at(col("sigv"), i + 1))
-    // narrow rows (doc_id, band, key) — persist so the SELF-join below does
-    // not run the whole shingle→hash→signature pipeline once per side
-    // (broadcast build sides don't reuse exchanges)
-    val bands = withSig.select(col("doc_id"), explode(array(
+    withSig.select(col("doc_id"), explode(array(
       (0 until NumBands).map(b =>
         struct(lit(b).as("band"), TextOps.bandKey(sig, b, RowsPerBand).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .persist()
+  }
+
+  private def minhashPairs(docs: DataFrame): DataFrame = {
+    // narrow rows (doc_id, band, key) — persist so the SELF-join below does
+    // not run the whole shingle→hash→signature pipeline once per side
+    // (broadcast build sides don't reuse exchanges)
+    val bands = bandFrame(docs).persist()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -253,6 +258,67 @@ object LlmOps {
       SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       JOIN cands c ON c.i = a.doc_id AND c.j = b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j, ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} AS jac
+    FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+    WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
+  }
+
+  // ---- incremental near-dup against a stored band index ----------------
+
+  /** Incremental near-dup: dedup the NEW slice of the corpus against the
+    * stored BAND INDEX of the already-ingested corpus — the daily-increment
+    * shape at 100 TB, where yesterday's corpus is never re-signatured: its
+    * (doc_id, band, key) rows live in storage and only the increment
+    * computes signatures. Candidates come from new-bands ⋈ stored-bands
+    * (never new×new, never old×old), and verification touches only
+    * candidate docs. The "stored" index is genuinely written to and read
+    * back from parquet to prove the round-trip. Output: (new doc `i`,
+    * matched old doc `j`, exact jaccard). */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val idxDir = "/tmp/graft_band_index"
+    bandFrame(history).write.mode("overwrite").parquet(idxDir)
+    val idx = s.read.parquet(idxDir)
+    val cands = bandFrame(fresh).as("a").join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    verifyCandidates(sh, cands, JaccardThreshold)
+  }
+
+  private val incrementalOracle = {
+    val sigDefs = (0 until NumHashes).map(i => s"${minhashSql("hs", i)} AS s$i").mkString(",\n        ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH hsrc AS (
+      SELECT doc_id, list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")}) AS hs
+      FROM documents),
+    sigs AS (
+      SELECT doc_id,
+        $sigDefs
+      FROM hsrc),
+    bands AS (
+      $bandRows),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+    sh AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT c.i, c.j, count(*) AS inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.i
+      JOIN sh b ON b.doc_id = c.j AND b.s = a.s
       GROUP BY 1, 2)
     SELECT i, j, ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} AS jac
     FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
@@ -724,6 +790,33 @@ object LlmOps {
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
 
+  /** SemDeDup-style semantic dedup: embedding near-dup pairs (LSH-bucketed
+    * cosine, [[embedNearDup]]) → connected components → keep the minimum id
+    * per component. Pairwise removal alone would over-keep: of (a,b),(b,c)
+    * it keeps a AND c even when all three are mutual near-dups. Output is
+    * the cluster assignment + keep flag for every vector that participated
+    * in a pair (vectors in no pair survive by definition). */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    // the pair set feeds both direction-unions of the edge list — persist
+    // so the bucketed pair pipeline runs once
+    val pairs = embedNearDup(s, d).select("i", "j").persist()
+    graft.llm.Corpus.clusterPairs(pairs)
+      .select(col("node").as("vec_id"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("kept"))
+  }
+
+  private val semDedupOracle = s"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ($embedNearDupOracle) q),
+    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
+    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
+    SELECT node AS vec_id, min(m) AS cluster_id, node = min(m) AS kept
+    FROM reach GROUP BY node"""
+
   // ---- the composed training-data pipeline ------------------------------
 
   private val PipelineQuality = 0.3
@@ -1105,6 +1198,8 @@ object LlmOps {
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
     "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
+    "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
+    "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
