@@ -16,7 +16,9 @@ object PlanAudit {
       "q1_agg", "q3_join", "q_topk", "s7_select",
       "llm_minhash_lsh", "llm_embed_neardup", "llm_ann_multiprobe",
       "llm_exact_dedup", "d2_merge_window", "t1_flatten",
-      "llm_decontaminate", "llm_pack", "llm_sample", "llm_redact")
+      "llm_decontaminate", "llm_pack", "llm_sample", "llm_redact",
+      "llm_chunk_dedup", "llm_tfidf", "llm_entropy", "llm_incremental",
+      "llm_semdedup", "llm_quota")
     val qs = graft.queries.Registry.all
     interesting.foreach { name =>
       println(s"\n===== $name =====")

@@ -67,6 +67,29 @@ class ScaleSpec extends SparkSuite {
     assert(out.count() == 50)
   }
 
+  test("chunkDedup plan: hash-keyed exchanges only, no pair join anywhere") {
+    import spark.implicits._
+    val d = (1 to 60).map(i => (i.toLong, (1 to 30).map(k => s"w${i}_$k").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Corpus.chunkDedup(d, 20)
+    val plan = out.queryExecution.executedPlan.toString
+    // a repeated chunk must cost its group size, not a pair explosion: the
+    // plan has NO join at all — only the hash window + per-doc aggregation
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(out.count() == 60)
+  }
+
+  test("tfidf plan: keyed joins only, never a nested-loop pair product") {
+    import spark.implicits._
+    val d = (1 to 40).map(i => (i.toLong, s"common shared w$i extra tokens"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Corpus.tfidf(d, 40)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(out.count() > 0)
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
