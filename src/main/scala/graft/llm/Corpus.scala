@@ -193,6 +193,24 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Select documents per stratum in deterministic hash order until a TOKEN
+    * budget fills — mixing "N billion tokens per source" is specified in
+    * tokens, not documents, so a per-mille row gate cannot express it.
+    * A doc is kept iff the running token total through it stays within
+    * budget. One shuffle (the stratum window); the cumulative sum is exact
+    * integer arithmetic, so the selection is reproducible everywhere. */
+  def tokenBudget(docs: DataFrame, strataCol: String, budgetTokens: Long,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  salt: String = ":budget"): DataFrame = {
+    val h = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt)))
+    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast(LongType))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Per-document TF-IDF (ln-idf, raw term counts): the feature-extraction
     * step topic filters and relevance scoring start from. `nDocs` is the
     * corpus document count — a control-plane constant, passed in so the plan

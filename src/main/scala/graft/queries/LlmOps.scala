@@ -1169,7 +1169,31 @@ object LlmOps {
       FROM documents) t
     WHERE rn <= $QuotaK"""
 
+  // ---- token-budget mixing ---------------------------------------------
+
+  private val BudgetTokens = 2000L
+
+  /** Token-budget sampling per source: keep docs in deterministic hash
+    * order while the running token total stays within budget — the
+    * "N tokens per source" mixing primitive. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.tokenBudget(Tables.documents(s, d), "source", BudgetTokens)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+
+  private val tokenBudgetOracle = s"""
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM (
+        SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens,
+               ${hashSql("doc_id::VARCHAR || ':budget'")} AS h
+        FROM documents) t) tt
+    WHERE cum_tokens <= $BudgetTokens"""
+
   def qs: Map[String, Q] = Map(
+    "llm_token_budget"  -> Q(tokenBudget, Some(tokenBudgetOracle)),
     "llm_chunk_dedup"   -> Q(chunkDedup, Some(chunkDedupOracle)),
     "llm_split"         -> Q(splitCounts, Some(splitOracle)),
     "llm_tfidf"         -> Q(tfidfTop, Some(tfidfOracle)),

@@ -135,6 +135,21 @@ class CorpusSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("tokenBudget keeps the hash-order prefix whose running total fits") {
+    val d = (0 until 30).map(i => (i.toLong, ("t " * 10).trim, s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    // 10 tokens per doc, budget 35 ⇒ exactly 3 docs per source survive
+    val out = Corpus.tokenBudget(d, "source", 35L)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ == 3L), bySrc.toString)
+    assert(out.agg(max(col("cum_tokens"))).as[Long].collect()(0) == 30L)
+    // stable under re-partitioning
+    val a = out.select("doc_id").as[Long].collect().toSeq.sorted
+    val b = Corpus.tokenBudget(d.repartition(5), "source", 35L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(a == b)
+  }
+
   test("tfidf: corpus-wide terms score 0, rare terms score ln(N/df) per count") {
     val d = docs(
       (1L, "shared shared rare1", "en"),
