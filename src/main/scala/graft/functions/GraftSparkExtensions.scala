@@ -26,6 +26,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           TextOps.MinHashA.take(n).toSeq, TextOps.MinHashB.take(n).toSeq, TextOps.MinHashP)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("hash60_array"),
+      new ExpressionInfo(classOf[Hash60Array].getName, "hash60_array"),
+      { args =>
+        require(args.length == 1, "hash60_array(array<string>)")
+        Hash60Array(args.head)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       { args =>

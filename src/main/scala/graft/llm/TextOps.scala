@@ -29,6 +29,15 @@ object TextOps {
     java.lang.Long.parseLong(
       graft.shape.Names.md5hex(s).substring(0, 15), 16)
 
+  /** Every element of a string array hashed in ONE codegen'd pass — the
+    * native twin of `transform(arr, hash60)`, which would run the per-
+    * element md5 behind an interpreted lambda traversal (see
+    * [[graft.functions.Hash60Array]]; bit-parity proved in TextOpsSpec). */
+  def hash60Array(c: Column): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.Hash60Array(
+        org.apache.spark.sql.GraftExpressions.expression(c)))
+
   /** Distinct word n-gram shingles. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -124,7 +133,7 @@ object TextOps {
     * hot paths materialize the hash array first (see
     * [[simhash32FromHashes]]). */
   def simhash32(toks: Column): Column =
-    simhash32FromHashes(transform(toks, t => hash60(t)))
+    simhash32FromHashes(hash60Array(toks))
 
   // ---- Language ID ------------------------------------------------------
 

@@ -207,7 +207,7 @@ object LlmOps {
   private def bandFrame(docs: DataFrame): DataFrame = {
     val withSig = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-      .withColumn("hs", transform(col("sh"), TextOps.hash60(_)))
+      .withColumn("hs", TextOps.hash60Array(col("sh")))
       .withColumn("sigv", TextOps.minhashSignature(col("hs"), NumHashes))
     val sig = (0 until NumHashes).map(i => element_at(col("sigv"), i + 1))
     withSig.select(col("doc_id"), explode(array(
@@ -330,7 +330,7 @@ object LlmOps {
   def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        transform(TextOps.tokens(col("text")), TextOps.hash60(_)).as("hs"))
+        TextOps.hash60Array(TextOps.tokens(col("text"))).as("hs"))
       .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("simhash"))
 
   private val simhashOracle = {
@@ -354,7 +354,7 @@ object LlmOps {
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
-        transform(TextOps.tokens(col("text")), TextOps.hash60(_)).as("hs"))
+        TextOps.hash60Array(TextOps.tokens(col("text"))).as("hs"))
       .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("sh"))
     // persist: the self-join would otherwise run the 32 bit-vote aggregates
     // once per side
@@ -448,7 +448,7 @@ object LlmOps {
   /** Rolling word-5-gram fingerprint (min-hash; the k=1 winnowing signature). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
-      array_min(transform(TextOps.shingles(TextOps.tokens(col("text")), 5), TextOps.hash60(_)))
+      array_min(TextOps.hash60Array(TextOps.shingles(TextOps.tokens(col("text")), 5)))
         .as("fingerprint"))
 
   private val fingerprintOracle = s"""
@@ -469,8 +469,7 @@ object LlmOps {
     // subexpression inside a higher-order lambda re-evaluates per element
     // (interpreted), which would recompute every md5 once per window
     val withHs = Tables.documents(s, d).select(col("doc_id"),
-      transform(TextOps.ngrams(TextOps.tokens(col("text")), WinnowK),
-        TextOps.hash60(_)).as("hs"))
+      TextOps.hash60Array(TextOps.ngrams(TextOps.tokens(col("text")), WinnowK)).as("hs"))
     val hs = col("hs")
     val fps = when(size(hs) >= WinnowW,
       array_distinct(transform(sequence(lit(0), size(hs) - WinnowW),

@@ -37,6 +37,12 @@ object GraftExpressions {
           graft.llm.TextOps.MinHashB.take(n).toSeq,
           graft.llm.TextOps.MinHashP)
       })
+    registry.registerFunction(FunctionIdentifier("hash60_array"),
+      new ExpressionInfo(classOf[graft.functions.Hash60Array].getName, "hash60_array"),
+      { args =>
+        require(args.length == 1, "hash60_array(array<string>)")
+        graft.functions.Hash60Array(args.head)
+      })
     registry.registerFunction(FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       { args =>

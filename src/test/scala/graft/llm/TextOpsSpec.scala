@@ -108,6 +108,43 @@ class TextOpsSpec extends SparkSuite {
     assert(gen(1).forall(_ == TextOps.MinHashP))
   }
 
+  test("Hash60Array (codegen) equals transform+hash60 element-for-element") {
+    val docs = Seq("alpha beta gamma delta", "one", "", "naïve café 日本語 text")
+      .toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    val folded = docs.select(transform(toks, t => TextOps.hash60(t)))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    val native = docs.select(TextOps.hash60Array(toks))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    assert(native == folded)
+    // and against the driver-side twin
+    assert(native.head.head == TextOps.hash60Str("alpha"))
+  }
+
+  test("Hash60Array interpreted eval matches codegen; null elements stay null") {
+    val d = df("a ARRAY<STRING>", Seq(Row(Seq[Any]("x", null, "y")), Row(Seq[Any]())))
+    val gen = d.select(TextOps.hash60Array(col("a"))).collect().toSeq
+      .map(_.getSeq[java.lang.Long](0))
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.Hash60Array(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType), true))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(Array[Any](UTF8String.fromString("x"), null, UTF8String.fromString("y"))))
+    val interp = expr.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(gen.head(0) == interp.getLong(0) && gen.head(2) == interp.getLong(2))
+    assert(gen.head(1) == null && interp.isNullAt(1))
+    assert(gen(1).isEmpty)
+  }
+
+  test("hash60_array is callable from SQL after registration") {
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    val viaSql = spark.sql("SELECT hash60_array(array('a','b')) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(TextOps.hash60Str("a"), TextOps.hash60Str("b")))
+  }
+
   test("minhash_sig is callable from SQL after registration") {
     org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
     val viaSql = spark.sql(
