@@ -95,6 +95,36 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(); () })
         .start().awaitTermination()
+      // event-time machinery: watermarked windowed aggregation into the
+      // memory sink — the stateful-streaming runtime (state store, complete
+      // mode) is its own multi-second first-touch beyond foreachBatch
+      import org.apache.spark.sql.functions._
+      val ck2 = java.nio.file.Files.createTempDirectory("graft_warm_ck2_").toString
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("i BIGINT")).json(sdir)
+        .withColumn("ts", timestamp_millis(col("i") * 1000))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .writeStream.outputMode("complete").format("memory").queryName("graft_warm_mem")
+        .option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      // staged segment write (partitionBy JSON) — the b1/b4/b5 input prep
+      val seg = java.nio.file.Files.createTempDirectory("graft_warm_seg_").toString
+      spark.range(4).withColumn("__seg", (col("id") % 2).cast("string"))
+        .write.mode("overwrite").partitionBy("__seg").json(seg)
+    } catch { case _: Throwable => () }
+    try {
+      // transactional JDBC load path: ensure + tmp table + MERGE on Derby —
+      // the dialect/metadata/Spark-JDBC-writer machinery b4 touches first
+      import org.apache.spark.sql.functions._
+      val sink = graft.sink.JdbcSink("jdbc:derby:memory:bench_warm;create=true",
+        graft.sql.DerbyDialect, maxWriteConnections = 2)
+      val df = spark.range(4).select(col("id").as("event_id"), col("id").cast("double").as("value"))
+      val spec = sink.specFor(df, "warm_merge", pk = Seq("event_id"))
+      sink.ensureTable(spec)
+      sink.loadMerge(df, spec.copy(pk = Seq(sink.dialect.adaptIdentifier("event_id"))))
+      spark.read.jdbc(sink.url, "\"WARM_MERGE\"", new java.util.Properties()).count()
     } catch { case _: Throwable => () }
     // A failing query must NOT masquerade as a fast one: its timing is
     // reported negative and its error recorded.
@@ -105,7 +135,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names.contains(q._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // queries are independent loads: drop the previous query's persisted
       // frames so a late query isn't taxed by sixty earlier caches' eviction
       // pressure (their persists exist to dedupe work WITHIN one query)
@@ -125,7 +155,7 @@ object Bench {
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.values.map(math.abs).sum
+    val total = results.map(r => math.abs(r._2)).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
