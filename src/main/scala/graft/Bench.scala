@@ -67,23 +67,16 @@ object Bench {
         Similarity.lshBucket(col("a.embedding"), Similarity.planes(4, 2))).collect()
       // the inverted-index pair shape (capped index → self-join → per-pair
       // aggregate → size joins) JIT-compiles several seconds of generated
-      // operator code on first touch — run it once at toy size so the first
-      // real dedup query isn't charged the compiler, not the data
+      // operator code on first touch — drive the REAL operator on a 3-doc
+      // toy corpus so the warm can never drift from the production plan,
+      // and the first real dedup query isn't charged the compiler
       val toyDir = java.nio.file.Files.createTempDirectory("graft_warm_t_").toString
-      Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
-        .toDF("doc_id", "text").write.mode("overwrite").parquet(toyDir)
-      val toy = spark.read.parquet(toyDir) // parquet-scan stage, like the real thing
-        .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
-      val hot = toy.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > 100).select("s")
-      val idx = toy.join(broadcast(hot), Seq("s"), "left_anti").persist()
-      val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      idx.as("a").join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-        .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "ni"), "i")
-        .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nj"), "j")
-        .select(col("inter") / (col("ni") + col("nj") - col("inter"))).collect()
-      idx.unpersist()
+      Seq((1L, "a b c d e f", "en", "s0", 11),
+          (2L, "a b c d e g", "en", "s0", 11),
+          (3L, "x y z w v u", "en", "s1", 11))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$toyDir/documents.parquet")
+      graft.queries.Registry.all("llm_ngram_jaccard").fn(spark, toyDir).collect()
     } catch { case _: Throwable => () }
     try {
       val sdir = java.nio.file.Files.createTempDirectory("graft_warm_s_").toString

@@ -230,15 +230,17 @@ object LlmOps {
     verifyCandidates(sh, cands, JaccardThreshold)
   }
 
-  private val minhashOracle = {
+  /** Shared oracle CTE block (shingle-hash source -> 16-value signatures ->
+    * (doc_id, band, key) rows), interpolated by every MinHash oracle so the
+    * band-key SQL shape can never desynchronize between them. */
+  private lazy val bandsCteSql: String = {
     val sigDefs = (0 until NumHashes).map(i => s"${minhashSql("hs", i)} AS s$i").mkString(",\n        ")
     val bandRows = (0 until NumBands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS key FROM sigs"
     }.mkString("\n      UNION ALL\n      ")
-    s"""
-    WITH hsrc AS (
+    s"""hsrc AS (
       SELECT doc_id, list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")}) AS hs
       FROM documents),
     sigs AS (
@@ -246,7 +248,12 @@ object LlmOps {
         $sigDefs
       FROM hsrc),
     bands AS (
-      $bandRows),
+      $bandRows)"""
+  }
+
+  private val minhashOracle = {
+    s"""
+    WITH $bandsCteSql,
     cands AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       FROM bands a JOIN bands b
@@ -279,7 +286,9 @@ object LlmOps {
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 2 === 0)
     val fresh = docs.filter(col("doc_id") % 2 === 1)
-    val idxDir = "/tmp/graft_band_index"
+    // fresh scratch dir per run: a fixed shared path would let a concurrent
+    // session's overwrite race this session's lazy read
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_band_index_").toString
     bandFrame(history).write.mode("overwrite").parquet(idxDir)
     val idx = s.read.parquet(idxDir)
     val cands = bandFrame(fresh).as("a").join(idx.as("b"),
@@ -291,22 +300,8 @@ object LlmOps {
   }
 
   private val incrementalOracle = {
-    val sigDefs = (0 until NumHashes).map(i => s"${minhashSql("hs", i)} AS s$i").mkString(",\n        ")
-    val bandRows = (0 until NumBands).map { b =>
-      val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sigs"
-    }.mkString("\n      UNION ALL\n      ")
     s"""
-    WITH hsrc AS (
-      SELECT doc_id, list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")}) AS hs
-      FROM documents),
-    sigs AS (
-      SELECT doc_id,
-        $sigDefs
-      FROM hsrc),
-    bands AS (
-      $bandRows),
+    WITH $bandsCteSql,
     cands AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -1095,13 +1090,18 @@ object LlmOps {
       .withColumn("split", graft.llm.Corpus.splitAssign(SplitFences))
       .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
 
-  private val splitOracle = """
+  private val splitOracle = {
+    // CASE arms generated from the SAME fences the Spark side folds over —
+    // editing SplitFences can never desynchronize the oracle
+    val sorted = SplitFences.sortBy(_._2)
+    val arms = sorted.init.map { case (n, f) => s"WHEN b < $f THEN '$n'" }.mkString(" ")
+    s"""
     SELECT split, lang, count(*) AS n_docs FROM (
-      SELECT CASE WHEN b < 900 THEN 'train'
-                  WHEN b < 950 THEN 'val' ELSE 'test' END AS split, lang
-      FROM (SELECT """ + hashSql("doc_id::VARCHAR || ':split'") + """ % 1000 AS b, lang
+      SELECT CASE $arms ELSE '${sorted.last._1}' END AS split, lang
+      FROM (SELECT ${hashSql("doc_id::VARCHAR || ':split'")} % 1000 AS b, lang
             FROM documents) t) tt
     GROUP BY 1, 2"""
+  }
 
   // ---- TF-IDF -----------------------------------------------------------
 

@@ -15,6 +15,7 @@ object VerifySubset {
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC") // match Verify exactly
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wanted = names.split(",").toSeq
@@ -24,14 +25,10 @@ object VerifySubset {
       catch { case e: Throwable => println(s"[subset] $name failed: $e") }
     }
     val json = qs.collect { case (n, q) if q.oracle.isDefined =>
-      s""""$n": ${ujsonStr(q.oracle.get)}"""
+      s""""$n": ${graft.Verify.jsonStr(q.oracle.get)}"""
     }.mkString("{", ",\n", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
-
-  private def ujsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\t", "\\t") + "\""
 }
