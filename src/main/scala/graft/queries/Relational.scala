@@ -176,7 +176,50 @@ object Relational {
     SELECT c_mktsegment, COUNT(*) AS n FROM customer
     WHERE c_acctbal > 1000 GROUP BY 1"""
 
+  /** As-of enrichment over the event stream: every 10th event is a "profile
+    * update"; each event picks up the latest update's value at or before
+    * its timestamp, per user. Runs [[graft.ops.AsOf.join]] — the
+    * union-window form with ONE key shuffle and no range join; the oracle
+    * is the identical window construction in SQL. */
+  def qAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+    // updates dedupe to one per (user, ts): latest event id wins — the
+    // uniqueness contract AsOf.join requires
+    val upd = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("dim_id"),
+        max_by(col("value"), col("event_id")).as("dim_value"))
+    graft.ops.AsOf.join(
+      ev.select("event_id", "user_id", "ts_ms"), upd,
+      key = "user_id", ts = "ts_ms", valueCols = Seq("dim_id", "dim_value"))
+  }
+
+  private val qAsofOracle = """
+    WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+    upd AS (
+      SELECT user_id, ts_ms, max(event_id) AS dim_id,
+             max_by(value, event_id) AS dim_value
+      FROM ev WHERE event_id % 10 = 0 GROUP BY 1, 2),
+    merged AS (
+      SELECT user_id, ts_ms, 0 AS is_left, NULL::BIGINT AS event_id,
+             dim_id, dim_value FROM upd
+      UNION ALL
+      SELECT user_id, ts_ms, 1, event_id, NULL, NULL FROM ev),
+    filled AS (
+      SELECT user_id, ts_ms, is_left, event_id,
+        last_value(dim_id IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts_ms, is_left
+          ROWS UNBOUNDED PRECEDING) AS asof_dim_id,
+        last_value(dim_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts_ms, is_left
+          ROWS UNBOUNDED PRECEDING) AS asof_dim_value
+      FROM merged)
+    SELECT event_id, user_id, ts_ms, asof_dim_id, asof_dim_value
+    FROM filled WHERE is_left = 1"""
+
   def qs: Map[String, Q] = Map(
+    "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
     "q1_agg"    -> Q(q1, Some(q1Oracle)),
     "q3_join"   -> Q(q3, Some(q3Oracle)),
     "q_window"  -> Q(qWindow, Some(qWindowOracle)),

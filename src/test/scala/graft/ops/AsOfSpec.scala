@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** As-of join semantics: `<=` visibility, null before any update, and the
+  * union-window form agreeing with the range-join executable spec. */
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def leftDf(rows: (Long, String, Long)*) =
+    rows.toDF("id", "k", "ts")
+  private def rightDf(rows: (String, Long, Double)*) =
+    rows.toDF("k", "ts", "v")
+
+  test("each left row sees the latest right row at or before its ts") {
+    val l = leftDf((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 20L), (4L, "b", 7L))
+    val r = rightDf(("a", 10L, 1.0), ("a", 15L, 2.0), ("b", 1L, 9.0))
+    val out = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)        // nothing at or before ts=5
+    assert(out(2L).contains(1.0))  // update AT ts=10 is visible (<=)
+    assert(out(3L).contains(2.0))  // latest preceding
+    assert(out(4L).contains(9.0))  // per-key isolation
+  }
+
+  test("no join explosion: output has exactly one row per left row") {
+    val l = leftDf((1L, "a", 100L), (2L, "a", 100L)) // duplicate left rows
+    val r = rightDf(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))
+    val out = AsOf.join(l, r, "k", "ts", Seq("v"))
+    assert(out.count() == 2)
+    assert(out.select("asof_v").as[Double].collect().toSeq == Seq(3.0, 3.0))
+  }
+
+  test("union-window form equals the range-join spec on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val l = leftDf((1 to 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(50).toLong)): _*)
+    val r = rightDf((1 to 30).map { i =>
+      (s"k${i % 5}", (i * 2).toLong, i.toDouble) // unique (k, ts) by construction
+    }.distinct: _*)
+    val a = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    val b = AsOf.joinViaRange(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(a == b)
+  }
+
+  test("the plan shuffles once on the key — no nested-loop, no cartesian") {
+    val l = leftDf((1L, "a", 5L), (2L, "b", 6L))
+    val r = rightDf(("a", 1L, 1.0), ("b", 2L, 2.0))
+    val plan = AsOf.join(l, r, "k", "ts", Seq("v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+}
