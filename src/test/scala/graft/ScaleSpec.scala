@@ -67,6 +67,30 @@ class ScaleSpec extends SparkSuite {
     assert(out.count() == 50)
   }
 
+  test("chunkDedup at 200k docs: exact dup accounting, no pair blowup") {
+    // docs 2j and 2j+1 share identical text (25 tokens → 2 chunks each):
+    // the odd twin's chunks are all duplicates, the even one's never are
+    val docs = spark.range(200000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 25).map(k =>
+        concat(lit(s"w${k}_"), (col("id") / 2).cast("long"))): _*).as("text"))
+    val out = graft.llm.Corpus.chunkDedup(docs, 20)
+      .agg(sum(col("n_chunks")), sum(col("n_dup_chunks"))).collect()(0)
+    assert(out.getLong(0) == 400000L)
+    assert(out.getLong(1) == 200000L) // every odd doc: both chunks dup
+  }
+
+  test("as-of join at 1M left rows: one shuffle, exact row preservation") {
+    val left = spark.range(1000000L).select(col("id"),
+      (col("id") % 1000L).cast("string").as("k"), (col("id") % 5000L).as("ts"))
+    val right = spark.range(10000L).select(
+      (col("id") % 1000L).cast("string").as("k"),
+      (col("id") % 5000L).as("ts0"), col("id").cast("double").as("v"))
+      .groupBy("k", "ts0").agg(max(col("v")).as("v")).withColumnRenamed("ts0", "ts")
+    val out = graft.ops.AsOf.join(left, right, "k", "ts", Seq("v"))
+    assert(out.count() == 1000000L) // every left row exactly once — no blowup
+  }
+
   test("chunkDedup plan: hash-keyed exchanges only, no pair join anywhere") {
     import spark.implicits._
     val d = (1 to 60).map(i => (i.toLong, (1 to 30).map(k => s"w${i}_$k").mkString(" "), "s"))
