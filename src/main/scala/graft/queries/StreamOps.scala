@@ -253,7 +253,33 @@ object StreamOps {
            min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
     FROM sess GROUP BY user_id, sid"""
 
+  private val IntervalBoundMs = 5L * 60 * 1000
+
+  /** The stream-stream interval join in batch mode (same code path as the
+    * streaming form proved in WindowedSpec — batch ignores the watermarks):
+    * each event matches the profile updates in the preceding 5 minutes for
+    * its user. The oracle is the identical time-bounded join. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val upd = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.streaming.Windowed.intervalJoin(
+      left, upd, keyCol = "user_id", tsCol = "ts",
+      boundMs = IntervalBoundMs, watermarkDelay = "10 minutes")
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("upd_id"), col("r_value").as("upd_value"))
+  }
+
+  private val intervalJoinOracle = s"""
+    WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)
+    SELECT l.event_id, l.user_id, r.event_id AS upd_id, r.value AS upd_value
+    FROM ev l JOIN ev r
+      ON r.user_id = l.user_id AND r.event_id % 10 = 0
+     AND r.ts_ms >= l.ts_ms - $IntervalBoundMs AND r.ts_ms <= l.ts_ms"""
+
   def qs: Map[String, Q] = Map(
+    "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
     "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),

@@ -26,6 +26,26 @@ object Windowed {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Watermarked stream-stream interval join: left events match right
+    * events with the same key whose timestamp falls in
+    * `[left.ts - boundMs, left.ts]` — the enrichment join both sides of
+    * which are streams (Spark buffers each side's state and the time bound
+    * + watermarks let it EVICT: without them stream-stream state grows
+    * forever). Right columns are prefixed to avoid collisions. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, boundMs: Long, watermarkDelay: String,
+                   rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).as("l")
+    // rename BEFORE the watermark so it attaches to the surviving attribute
+    val r = right.columns
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"$rightPrefix$c"))
+      .withWatermark(s"$rightPrefix$tsCol", watermarkDelay).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$rightPrefix$keyCol") &&
+        col(s"r.$rightPrefix$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $boundMs MILLISECONDS") &&
+        col(s"r.$rightPrefix$tsCol") <= col(s"l.$tsCol"))
+  }
+
   /** Per-key running event count — keyed state that persists across
     * micro-batches (checkpointed with the query). The minimal shape of
     * every `mapGroupsWithState` accumulator: read state, fold the batch's

@@ -43,6 +43,33 @@ class WindowedSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches across micro-batches, within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lIn = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val joined = Windowed.intervalJoin(
+      lIn.toDS().toDF("ts", "k", "ev"), rIn.toDS().toDF("ts", "k", "v"),
+      keyCol = "k", tsCol = "ts", boundMs = 5L * 60 * 1000,
+      watermarkDelay = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // right side arrives in an EARLIER micro-batch than its left match:
+      // the join must buffer it in state
+      rIn.addData((ts("2024-01-01 10:00:00"), "a", 1.0))
+      query.processAllAvailable()
+      lIn.addData(
+        (ts("2024-01-01 10:03:00"), "a", 1L),  // within 5 min of the update
+        (ts("2024-01-01 10:09:00"), "a", 2L),  // outside the bound — no match
+        (ts("2024-01-01 10:03:00"), "b", 3L))  // wrong key — no match
+      query.processAllAvailable()
+      val rows = spark.table("ssj").select("ev", "r_v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      assert(rows == Seq(1L -> 1.0)) // inner join: only the in-bound pair
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries keyed counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
