@@ -18,7 +18,7 @@ object PlanAudit {
       "llm_exact_dedup", "d2_merge_window", "t1_flatten",
       "llm_decontaminate", "llm_pack", "llm_sample", "llm_redact",
       "llm_chunk_dedup", "llm_tfidf", "llm_entropy", "llm_incremental",
-      "llm_semdedup", "llm_quota")
+      "llm_semdedup", "llm_quota", "q_asof", "q_interval_join")
     val qs = graft.queries.Registry.all
     interesting.foreach { name =>
       println(s"\n===== $name =====")
