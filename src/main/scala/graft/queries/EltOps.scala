@@ -183,6 +183,12 @@ object EltOps {
       min(col("event_id")).as("event_id_min"), max(col("event_id")).as("event_id_max"),
       min(dec(col("value"))).cast(DoubleType).as("value_min"),
       max(dec(col("value"))).cast(DoubleType).as("value_max"),
+      // EXACT percentiles (linear interpolation between closest ranks —
+      // the same rule DuckDB's quantile_cont applies), quantized for
+      // cross-engine float stability. At 100 TB swap for approx_percentile
+      // and drop the oracle to a tolerance check — exact percentile sorts.
+      graft.llm.TextOps.quant(percentile(col("value"), lit(0.5)), 4).as("value_p50"),
+      graft.llm.TextOps.quant(percentile(col("value"), lit(0.95)), 4).as("value_p95"),
       countDistinct(col("event_type")).as("event_type_card"))
     row
   }
@@ -195,6 +201,8 @@ object EltOps {
       MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max,
       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_min,
       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_max,
+      floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS value_p50,
+      floor(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS value_p95,
       COUNT(DISTINCT event_type) AS event_type_card
     FROM events"""
 
