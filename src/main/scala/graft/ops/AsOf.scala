@@ -26,34 +26,44 @@ object AsOf {
 
   /** Enrich `left` with the latest `valueCols` from `right` per `key` at or
     * before `ts`. Output = every left row + `asof_<col>` columns (null when
-    * no right row precedes it). */
+    * no right row precedes it).
+    *
+    * The right row is carried forward as ONE struct, not per-column fills:
+    * a per-column `last(ignoreNulls)` would skip a NULL field in the latest
+    * snapshot and resurrect a stale older value — even tearing a row out of
+    * two different snapshots. Atomic struct fill means the output is always
+    * exactly the latest preceding right ROW, nulls and all. Right rows with
+    * a null `ts` have no position on the timeline and are dropped; a left
+    * row with null `ts` sees nothing. */
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
            valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
-    val rightTypes = valueCols.map(c => c -> right.schema(c).dataType).toMap
     val leftCols = left.columns.toSeq
+    val snapType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
 
-    val leftTagged = valueCols.foldLeft(left.withColumn("__is_left", lit(1))) {
-      (df, c) => df.withColumn(s"$prefix$c", lit(null).cast(rightTypes(c)))
-    }
+    val leftTagged = left.withColumn("__is_left", lit(1))
+      .withColumn("__snap", lit(null).cast(snapType))
     val rightTagged = leftCols.filterNot(c => c == key || c == ts)
-      .foldLeft(right.select(
-        (col(key) +: col(ts) +: valueCols.map(c => col(c).as(s"$prefix$c"))): _*)
+      .foldLeft(right.filter(col(ts).isNotNull)
+        .select(col(key), col(ts),
+          struct(valueCols.map(col): _*).as("__snap"))
         .withColumn("__is_left", lit(0))) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
 
-    // right rows sort BEFORE left rows at equal ts (<= visibility); within
-    // a key group the fill only ever reads right rows, so ordering among
-    // equal-ts left rows cannot change any output value
+    // right rows sort BEFORE left rows at equal ts (<= visibility); null-ts
+    // left rows sort first and therefore see nothing. Within a key group
+    // the fill only ever reads right rows, so ordering among equal-ts left
+    // rows cannot change any output value.
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__is_left").asc)
+      .orderBy(col(ts).asc_nulls_first, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(leftTagged.unionByName(rightTagged)) {
-      (df, c) => df.withColumn(s"$prefix$c",
-        last(col(s"$prefix$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"$prefix$c")): _*)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("__snap", last(col("__snap"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__snap.$c").as(s"$prefix$c")): _*)
   }
 
   /** The range-join rendering of the same semantics — kept as the

@@ -200,23 +200,27 @@ object Relational {
     upd AS (
       SELECT user_id, ts_ms, max(event_id) AS dim_id,
              max_by(value, event_id) AS dim_value
-      FROM ev WHERE event_id % 10 = 0 GROUP BY 1, 2),
+      FROM ev WHERE event_id % 10 = 0 AND ts_ms IS NOT NULL GROUP BY 1, 2),
     merged AS (
       SELECT user_id, ts_ms, 0 AS is_left, NULL::BIGINT AS event_id,
-             dim_id, dim_value FROM upd
+             dim_id FROM upd
       UNION ALL
-      SELECT user_id, ts_ms, 1, event_id, NULL, NULL FROM ev),
+      SELECT user_id, ts_ms, 1, event_id, NULL FROM ev),
     filled AS (
+      -- carry the never-null update ANCHOR forward, then join the full
+      -- update row back: the output is always one atomic snapshot (the
+      -- implementation fills a struct; per-column IGNORE-NULLS fills would
+      -- resurrect stale values under null fields)
       SELECT user_id, ts_ms, is_left, event_id,
         last_value(dim_id IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY ts_ms, is_left
-          ROWS UNBOUNDED PRECEDING) AS asof_dim_id,
-        last_value(dim_value IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY ts_ms, is_left
-          ROWS UNBOUNDED PRECEDING) AS asof_dim_value
+          PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, is_left
+          ROWS UNBOUNDED PRECEDING) AS asof_dim_id
       FROM merged)
-    SELECT event_id, user_id, ts_ms, asof_dim_id, asof_dim_value
-    FROM filled WHERE is_left = 1"""
+    SELECT f.event_id, f.user_id, f.ts_ms, f.asof_dim_id,
+           u.dim_value AS asof_dim_value
+    FROM filled f
+    LEFT JOIN upd u ON u.user_id = f.user_id AND u.dim_id = f.asof_dim_id
+    WHERE f.is_left = 1"""
 
   def qs: Map[String, Q] = Map(
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),

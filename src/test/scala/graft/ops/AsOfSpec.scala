@@ -32,6 +32,27 @@ class AsOfSpec extends SparkSuite {
     assert(out.select("asof_v").as[Double].collect().toSeq == Seq(3.0, 3.0))
   }
 
+  test("a NULL field in the latest snapshot stays NULL — no stale resurrection") {
+    val l = leftDf((1L, "a", 10L))
+    val r = Seq(("a", 1L, Some(5.0)), ("a", 2L, None)) // latest update: v is NULL
+      .toDF("k", "ts", "v")
+    val win = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("asof_v").as[Option[Double]].collect().toSeq
+    val rng = AsOf.joinViaRange(l, r, "k", "ts", Seq("v"))
+      .select("asof_v").as[Option[Double]].collect().toSeq
+    assert(win == Seq(None)) // the snapshot IS the null, not the older 5.0
+    assert(win == rng)
+  }
+
+  test("null-ts right rows are dropped; null-ts left rows see nothing") {
+    val l = Seq((1L, "a", Some(10L)), (2L, "a", None)).toDF("id", "k", "ts")
+    val r = Seq(("a", Some(1L), 7.0), ("a", None, 9.9)).toDF("k", "ts", "v")
+    val out = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(7.0)) // the null-ts update never surfaces
+    assert(out(2L).isEmpty)       // a timeless left row matches nothing
+  }
+
   test("union-window form equals the range-join spec on seeded random data") {
     val rnd = new scala.util.Random(7)
     val l = leftDf((1 to 200).map(i =>
