@@ -1191,7 +1191,32 @@ object LlmOps {
         FROM documents) t) tt
     WHERE cum_tokens <= $BudgetTokens"""
 
+  // ---- shard materialization -------------------------------------------
+
+  private val NumShards = 32
+
+  /** The build's last step: deterministic hash-sharding for training
+    * consumption. Shard id is a pure hash gate (narrow, reproducible,
+    * stable under repartitioning — `rand()` or round-robin would not be);
+    * the output here is the per-shard manifest (doc count + token mass)
+    * a writer uses to size output files. At scale the frame then writes
+    * `partitionBy(shard)` through the file sink. */
+  def shard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shard",
+        TextOps.hash60(concat(col("doc_id").cast(StringType), lit(":shard"))) % NumShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast(LongType)).as("n_tokens"))
+
+  private val shardOracle = s"""
+    SELECT ${hashSql("doc_id::VARCHAR || ':shard'")} % $NumShards AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1"""
+
   def qs: Map[String, Q] = Map(
+    "llm_shard"         -> Q(shard, Some(shardOracle)),
     "llm_token_budget"  -> Q(tokenBudget, Some(tokenBudgetOracle)),
     "llm_chunk_dedup"   -> Q(chunkDedup, Some(chunkDedupOracle)),
     "llm_split"         -> Q(splitCounts, Some(splitOracle)),
