@@ -116,7 +116,7 @@ object Bench {
       val df = spark.range(4).select(col("id").as("event_id"), col("id").cast("double").as("value"))
       val spec = sink.specFor(df, "warm_merge", pk = Seq("event_id"))
       sink.ensureTable(spec)
-      sink.loadMerge(df, spec.copy(pk = Seq(sink.dialect.adaptIdentifier("event_id"))))
+      sink.loadMerge(df, spec) // specFor already dialect-adapts the pk
       spark.read.jdbc(sink.url, "\"WARM_MERGE\"", new java.util.Properties()).count()
     } catch { case _: Throwable => () }
     // A failing query must NOT masquerade as a fast one: its timing is

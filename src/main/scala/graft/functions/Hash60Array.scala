@@ -32,10 +32,15 @@ final case class Hash60Array(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hash60_array"
 
+  // interpreted-path digest, built once per (deserialized, per-task)
+  // expression instance — getInstance per ROW would be a JCA provider
+  // lookup per document, the exact overhead this kernel exists to avoid
+  @transient private lazy val evalMd = java.security.MessageDigest.getInstance("MD5")
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val out = new Array[Any](arr.numElements())
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = evalMd
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {

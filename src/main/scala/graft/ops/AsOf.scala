@@ -38,6 +38,10 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
            valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = leftCols.toSet
+      .intersect(Set("__snap", "__is_left") ++ valueCols.map(c => s"$prefix$c"))
+    require(reserved.isEmpty,
+      s"AsOf.join: left columns collide with internal/output names: $reserved")
     val snapType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => org.apache.spark.sql.types.StructField(
         c, right.schema(c).dataType, nullable = true)))

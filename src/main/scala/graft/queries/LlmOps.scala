@@ -286,9 +286,10 @@ object LlmOps {
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 2 === 0)
     val fresh = docs.filter(col("doc_id") % 2 === 1)
-    // fresh scratch dir per run: a fixed shared path would let a concurrent
-    // session's overwrite race this session's lazy read
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_band_index_").toString
+    // ONE scratch dir per JVM (a fixed shared path would let a concurrent
+    // session's overwrite race this session's lazy read; a dir per CALL
+    // would orphan one per Bench/Verify/PlanAudit invocation)
+    val idxDir = IncrementalIdxDir
     bandFrame(history).write.mode("overwrite").parquet(idxDir)
     val idx = s.read.parquet(idxDir)
     val cands = bandFrame(fresh).as("a").join(idx.as("b"),
@@ -298,6 +299,9 @@ object LlmOps {
       explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
     verifyCandidates(sh, cands, JaccardThreshold)
   }
+
+  private lazy val IncrementalIdxDir: String =
+    java.nio.file.Files.createTempDirectory("graft_band_index_").toString
 
   private val incrementalOracle = {
     s"""

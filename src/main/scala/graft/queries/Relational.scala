@@ -208,9 +208,11 @@ object Relational {
       SELECT user_id, ts_ms, 1, event_id, NULL FROM ev),
     filled AS (
       -- carry the never-null update ANCHOR forward, then join the full
-      -- update row back: the output is always one atomic snapshot (the
-      -- implementation fills a struct; per-column IGNORE-NULLS fills would
-      -- resurrect stale values under null fields)
+      -- update row back ON THE ANCHOR ALONE (dim_id is a globally-unique
+      -- event id; re-adding user_id would silently drop NULL-keyed rows):
+      -- the output is always one atomic snapshot (the implementation fills
+      -- a struct; per-column IGNORE-NULLS fills would resurrect stale
+      -- values under null fields)
       SELECT user_id, ts_ms, is_left, event_id,
         last_value(dim_id IGNORE NULLS) OVER (
           PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, is_left
@@ -219,7 +221,7 @@ object Relational {
     SELECT f.event_id, f.user_id, f.ts_ms, f.asof_dim_id,
            u.dim_value AS asof_dim_value
     FROM filled f
-    LEFT JOIN upd u ON u.user_id = f.user_id AND u.dim_id = f.asof_dim_id
+    LEFT JOIN upd u ON u.dim_id = f.asof_dim_id
     WHERE f.is_left = 1"""
 
   def qs: Map[String, Q] = Map(

@@ -91,7 +91,7 @@ object StreamOps {
 
     val spec = sink.specFor(ev, "stream_sink", pk = Seq("event_id"))
     sink.ensureTable(spec)
-    val mergeSpec = spec.copy(pk = Seq(sink.dialect.adaptIdentifier("event_id")))
+    val mergeSpec = spec // specFor already dialect-adapts the pk
 
     // fault injection at the sink boundary: the poisoned tail violates a
     // "constraint" permanently; the first batch carrying the middle range

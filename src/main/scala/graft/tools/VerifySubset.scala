@@ -18,6 +18,7 @@ object VerifySubset {
       .config("spark.sql.session.timeZone", "UTC") // match Verify exactly
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs() // oracle_sql.json writes even when every query fails
     val wanted = names.split(",").toSeq
     val qs = graft.queries.Registry.all.filter(kv => wanted.contains(kv._1))
     qs.foreach { case (name, q) =>
