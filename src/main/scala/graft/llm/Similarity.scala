@@ -177,6 +177,40 @@ object Similarity {
     rank(broadcast(q).join(c, "__bucket"), k)
   }
 
+  /** One distributed Lloyd iteration — the k-means step semantic-dedup and
+    * curriculum pipelines run over corpus embeddings: assign every vector
+    * to its nearest centroid by cosine, then recompute each centroid as the
+    * per-dimension member mean.
+    *
+    * Scale shape: assignment is a broadcast-centroids cross consumed by a
+    * map-side-combinable argmax (the corpus never shuffles for it; same
+    * shape as [[ivfTopK]]'s cell assignment); the update is ONE
+    * (cluster, dim) hash aggregation whose sums are decimal-exact —
+    * order-independent, so the new centroids are bit-reproducible on any
+    * partitioning. Output is flat per-dim rows
+    * `(cent_id, dim, mean_q, n_members)` — the array form is one
+    * `collect_list` away, flat rows hash-compare across engines. */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame,
+                 corpusId: String = "vec_id",
+                 centroidId: String = "vec_id"): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
+    val assigned = corpus.select(col(corpusId).as("__vid"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("__ccos", TextOps.quant(cosine(col("embedding"), col("__cent")), 6))
+      .groupBy(col("__vid"))
+      .agg(max_by(col("__cent_id"), struct(col("__ccos"), -col("__cent_id"))).as("cent_id"),
+        first(col("embedding")).as("__e"))
+    assigned
+      .select(col("cent_id"), posexplode(col("__e")).as(Seq("dim", "__v")))
+      .groupBy(col("cent_id"), col("dim").cast(LongType).as("dim"))
+      .agg(
+        TextOps.quant(
+          sum(TextOps.quant(col("__v").cast(DoubleType), 6).cast(DecimalType(28, 8)))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_q"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Shared ranking tail: cosine (rounded for cross-engine stability),
     * self-match removed, deterministic tie-break, k rows per query. */
   private def rank(cands: DataFrame, k: Int): DataFrame = {

@@ -788,6 +788,39 @@ object LlmOps {
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
 
+  private val KmeansCentroids = 32
+
+  /** One k-means Lloyd step over the corpus embeddings (deterministic
+    * data-vector seeds, like [[annIvf]]'s cells): assignment via broadcast
+    * argmax, centroid update via a decimal-exact (cluster, dim) aggregate.
+    * Output = the updated centroids as flat per-dim rows. */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.kmeansStep(emb, emb.filter(col("vec_id") < KmeansCentroids))
+  }
+
+  private val kmeansOracle = s"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      WHERE vec_id < $KmeansCentroids),
+    asg AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${qSql(cosineSql("e.embedding", "c.cent"), 6)} DESC,
+                     c.cent_id ASC) AS cr
+        FROM embeddings e CROSS JOIN cents c) t
+      WHERE cr = 1),
+    exploded AS (
+      SELECT cent_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM asg)
+    SELECT cent_id, dim,
+      ${qSql(s"SUM(CAST(${qSql("v", 6)} AS DECIMAL(28,8)))::DOUBLE / count(*)", 4)} AS mean_q,
+      count(*) AS n_members
+    FROM exploded GROUP BY 1, 2"""
+
   /** SemDeDup-style semantic dedup: embedding near-dup pairs (LSH-bucketed
     * cosine, [[embedNearDup]]) → connected components → keep the minimum id
     * per component. Pairwise removal alone would over-keep: of (a,b),(b,c)
@@ -1251,6 +1284,7 @@ object LlmOps {
     "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
+    "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),

@@ -143,4 +143,23 @@ class VecOpsSpec extends SparkSuite {
     assert(interp == gen)
     assert(e.eval(InternalRow(null)) == 0L)
   }
+
+  test("kmeansStep: assignment picks the cosine-nearest centroid; means are exact") {
+    import spark.implicits._
+    // two orthogonal centroids; members are scaled copies (cosine 1 to
+    // their own centroid, 0 to the other)
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),   // the seeds themselves
+      (10L, Seq(2f, 0f)), (11L, Seq(4f, 0f)), // cluster 0
+      (12L, Seq(0f, 3f))                      // cluster 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(corpus, cents)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((0L, 0L)) == ((math.floor((1.0 + 2 + 4) / 3 * 1e4 + 0.5) / 1e4, 3L)))
+    assert(out((0L, 1L)) == ((0.0, 3L)))
+    assert(out((1L, 0L)) == ((0.0, 2L)))
+    assert(out((1L, 1L)) == ((2.0, 2L))) // (1 + 3) / 2
+  }
 }
