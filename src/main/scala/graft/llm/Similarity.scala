@@ -211,6 +211,30 @@ object Similarity {
         count(lit(1)).as("n_members"))
   }
 
+  /** Iterated Lloyd: run [[kmeansStep]] `iters` times, feeding each round's
+    * centroids back in. Centroids are CONTROL-PLANE data (k × dim doubles —
+    * kilobytes at any corpus size), so collecting them to the driver and
+    * re-broadcasting per round is the correct shape: the corpus-sized work
+    * stays distributed, and there is no growing lineage to checkpoint
+    * because each round starts from a fresh literal centroid frame.
+    * Returns the final per-dim centroid rows (kmeansStep's shape). */
+  def kmeansIterate(corpus: DataFrame, seeds: DataFrame, iters: Int,
+                    corpusId: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = seeds
+    var result: DataFrame = null
+    (0 until iters).foreach { _ =>
+      result = kmeansStep(corpus, cents, corpusId = corpusId)
+      val rows = result.select("cent_id", "dim", "mean_q").collect()
+      val byCent = rows.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getLong(1)).map(r => r.getDouble(2).toFloat).toSeq
+      }
+      cents = byCent.toDF("vec_id", "embedding")
+    }
+    result
+  }
+
   /** Shared ranking tail: cosine (rounded for cross-engine stability),
     * self-match removed, deterministic tie-break, k rows per query. */
   private def rank(cands: DataFrame, k: Int): DataFrame = {

@@ -162,4 +162,26 @@ class VecOpsSpec extends SparkSuite {
     assert(out((1L, 0L)) == ((0.0, 2L)))
     assert(out((1L, 1L)) == ((2.0, 2L))) // (1 + 3) / 2
   }
+
+  test("kmeansIterate converges on separable blobs: members end with their own blob's centroid") {
+    import spark.implicits._
+    // two tight blobs on orthogonal axes + seeds both starting NEAR blob A:
+    // iteration must pull one centroid over to blob B
+    val corpus = (
+      (0 until 10).map(i => (i.toLong, Seq(1f + i * 0.01f, 0.1f))) ++      // blob A
+      (0 until 10).map(i => (100L + i, Seq(0.1f, 1f + i * 0.01f)))          // blob B
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Seq(1f, 0.3f)), (1L, Seq(1f, 0.5f))).toDF("vec_id", "embedding")
+    val fin = Similarity.kmeansIterate(corpus, seeds, iters = 4)
+      .as[(Long, Long, Double, Long)].collect()
+    // each final centroid holds exactly one blob (10 members each)
+    val sizes = fin.groupBy(_._1).map { case (_, rs) => rs.head._4 }.toSeq.sorted
+    assert(sizes == Seq(10L, 10L), sizes.toString)
+    // the blob-B centroid points along the y axis: dim1 mean >> dim0 mean
+    val byCent = fin.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(byCent.values.exists(v => v(1) > 5 * v(0))) // a y-dominant centroid exists
+    assert(byCent.values.exists(v => v(0) > 5 * v(1))) // and an x-dominant one
+  }
 }
