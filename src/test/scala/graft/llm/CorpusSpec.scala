@@ -175,6 +175,43 @@ class CorpusSpec extends SparkSuite {
     assert(math.abs(m(3L) - math.log(2.0)) < 1e-3)
   }
 
+  test("chunkDedup equals a driver-side brute-force reference on seeded random corpora") {
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { _ =>
+      val w = 5
+      val vocab = Vector("aa", "bb", "cc") // tiny vocab → real chunk collisions
+      val rows = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "), "s")
+      }
+      // brute force: enumerate chunks in (doc, pos) order, count later occurrences
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val expect = rows.sortBy(_._1).flatMap { case (id, text, _) =>
+        val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (toks.isEmpty) None else {
+          val chunks = toks.grouped(w).map(_.mkString(" ")).toSeq
+          val dups = chunks.count(c => !seen.add(c))
+          Some(id -> ((chunks.size.toLong, dups.toLong)))
+        }
+      }.toMap
+      val got = Corpus.chunkDedup(rows.toDF("doc_id", "text", "source"), w)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("tokenBudget is prefix-monotone: a larger budget only ever ADDS docs") {
+    val rnd = new scala.util.Random(5)
+    val d = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(9))("t").mkString(" "), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val small = Corpus.tokenBudget(d, "source", 40L)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Corpus.tokenBudget(d, "source", 120L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    assert(big.size > small.size)
+  }
+
   test("clusterPairs: distributed and driver paths agree on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42) // seeded: reproducible

@@ -67,6 +67,25 @@ class AsOfSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("window form equals the range spec on seeded random data WITH null values and null ts") {
+    val rnd = new scala.util.Random(13)
+    def maybe[T](v: T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
+    val l = (1 to 150).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", maybe(rnd.nextInt(40).toLong)))
+      .toDF("id", "k", "ts")
+    // unique (k, ts) among non-null-ts rows by construction; ts and values
+    // each go null ~20%
+    val r = (1 to 20).map { i =>
+      (s"k${i % 4}", maybe((i * 2).toLong), maybe(i.toDouble))
+    }.toDF("k", "ts", "v")
+    val a = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    // range spec with null-ts right rows dropped (the documented contract)
+    val b = AsOf.joinViaRange(l, r.filter(col("ts").isNotNull), "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(a == b)
+  }
+
   test("the plan shuffles once on the key — no nested-loop, no cartesian") {
     val l = leftDf((1L, "a", 5L), (2L, "b", 6L))
     val r = rightDf(("a", 1L, 1.0), ("b", 2L, 2.0))
