@@ -32,15 +32,18 @@ final case class Hash60Array(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hash60_array"
 
-  // interpreted-path digest, built once per (deserialized, per-task)
-  // expression instance — getInstance per ROW would be a JCA provider
-  // lookup per document, the exact overhead this kernel exists to avoid
-  @transient private lazy val evalMd = java.security.MessageDigest.getInstance("MD5")
+  // interpreted-path digest, one per THREAD — getInstance per ROW would be
+  // a JCA provider lookup per document, and a single shared instance would
+  // corrupt hashes if two plans ever eval the same (immutable, shared)
+  // expression tree concurrently
+  @transient private lazy val evalMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val out = new Array[Any](arr.numElements())
-    val md = evalMd
+    val md = evalMd.get()
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {

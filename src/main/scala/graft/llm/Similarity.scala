@@ -220,19 +220,28 @@ object Similarity {
     * Returns the final per-dim centroid rows (kmeansStep's shape). */
   def kmeansIterate(corpus: DataFrame, seeds: DataFrame, iters: Int,
                     corpusId: String = "vec_id"): DataFrame = {
+    require(iters > 0, s"kmeansIterate needs at least one iteration, got $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents = seeds
-    var result: DataFrame = null
+    // centroid state lives on the driver across rounds (control-plane sized);
+    // a centroid that wins no members keeps its PREVIOUS position instead of
+    // vanishing — standard Lloyd never shrinks k mid-run
+    var centsMap: Map[Long, Seq[Float]] = seeds
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    var lastRows: Array[org.apache.spark.sql.Row] = Array.empty
     (0 until iters).foreach { _ =>
-      result = kmeansStep(corpus, cents, corpusId = corpusId)
-      val rows = result.select("cent_id", "dim", "mean_q").collect()
-      val byCent = rows.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+      val cents = centsMap.toSeq.toDF("vec_id", "embedding")
+      lastRows = kmeansStep(corpus, cents, corpusId = corpusId).collect()
+      val means = lastRows.groupBy(_.getLong(0)).map { case (cid, rs) =>
         cid -> rs.sortBy(_.getLong(1)).map(r => r.getDouble(2).toFloat).toSeq
       }
-      cents = byCent.toDF("vec_id", "embedding")
+      centsMap = centsMap ++ means
     }
-    result
+    // the final round is already on the driver — return it as a literal
+    // frame instead of a lazy plan that would re-run the whole step on use
+    lastRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.toDF("cent_id", "dim", "mean_q", "n_members")
   }
 
   /** Shared ranking tail: cosine (rounded for cross-engine stability),

@@ -22,7 +22,9 @@ object PlanSweep {
           "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"))
           .collect { case (f, true) => f }
         println(s"[sweep] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
-      } catch { case e: Throwable => println(s"[sweep] $name: ERROR ${e.getMessage.take(80)}") }
+      } catch { case e: Throwable =>
+        println(s"[sweep] $name: ERROR ${Option(e.getMessage).getOrElse(e.toString).take(80)}")
+      }
     }
     spark.stop()
   }

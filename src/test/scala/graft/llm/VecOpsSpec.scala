@@ -184,4 +184,18 @@ class VecOpsSpec extends SparkSuite {
     assert(byCent.values.exists(v => v(1) > 5 * v(0))) // a y-dominant centroid exists
     assert(byCent.values.exists(v => v(0) > 5 * v(1))) // and an x-dominant one
   }
+
+  test("kmeansIterate keeps an empty centroid at its previous position (k never shrinks)") {
+    import spark.implicits._
+    // duplicate seeds: every vector ties on cosine, the tie-break hands all
+    // members to the lower cent_id — the other centroid must SURVIVE
+    val corpus = (0 until 6).map(i => (i.toLong, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val fin = Similarity.kmeansIterate(corpus, seeds, iters = 3)
+      .select("cent_id").distinct().as[Long].collect().toSet
+    assert(fin == Set(0L)) // only centroid 0 wins members...
+    // ...but the run completes all 3 rounds without losing centroid 1 from
+    // the state (no exception, deterministic result)
+    intercept[IllegalArgumentException](Similarity.kmeansIterate(corpus, seeds, iters = 0))
+  }
 }
