@@ -23,13 +23,13 @@ import graft.ops.Dedup
 object LlmOps {
 
   // ---- shared SQL fragments (DuckDB), mirrors of TextOps ----------------
-  private def hashSql(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
-  private val toksSql = """string_split_regex(trim(text), '\s+')"""
-  private def shinglesSql(sp: String, n: Int) =
+  private[queries] def hashSql(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+  private[queries] val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private[queries] def shinglesSql(sp: String, n: Int) =
     s"""CASE WHEN len($sp) >= $n
         THEN list_distinct([array_to_string($sp[i:i+${n - 1}],' ') for i in range(1, len($sp)-${n - 2})])
         ELSE [array_to_string($sp,' ')] END"""
-  private def qSql(e: String, k: Int) = s"floor(($e) * 1e$k + 0.5) / 1e$k"
+  private[queries] def qSql(e: String, k: Int) = s"floor(($e) * 1e$k + 0.5) / 1e$k"
   private def minhashSql(hs: String, i: Int) = {
     val (a, b, p) = (TextOps.MinHashA(i), TextOps.MinHashB(i), TextOps.MinHashP)
     s"list_min(list_transform($hs, h -> ($a * (h % $p) + $b) % $p))"

@@ -224,8 +224,69 @@ object Relational {
     LEFT JOIN upd u ON u.dim_id = f.asof_dim_id
     WHERE f.is_left = 1"""
 
+  /** ROLLUP grouping-set aggregation: per-(flag, status) subtotals, per-flag
+    * subtotals, and the grand total in ONE pass — Spark expands the grouping
+    * sets inside a single hash aggregate (map-side partials included), so
+    * the fact table is scanned and shuffled once, not once per level.
+    * `grouping_id` disambiguates real NULL keys from subtotal rows. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        count(lit(1)).as("n"))
+
+  private val qRollupOracle = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  /** Z-score outlier detection per event type — the load-time data-quality
+    * screen. One map-side-combined stats aggregate (5 rows) broadcast back
+    * onto the stream; the moment sums are decimal-quantized so mean/σ are
+    * bit-identical regardless of partition order, making the z-cut
+    * deterministic at any parallelism. */
+  def tAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val q6 = (c: Column) => graft.llm.TextOps.quant(c, 6).cast(DecimalType(28, 8))
+    val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(q6(col("value"))).cast(DoubleType).as("s1"),
+        sum(q6(col("value") * col("value"))).cast(DoubleType).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd",
+        sqrt(greatest(col("s2") / col("n") - col("mean") * col("mean"), lit(0d))))
+    ev.join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0 && abs(col("value") - col("mean")) >= lit(3d) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        graft.llm.TextOps.quant((col("value") - col("mean")) / col("sd"), 4).as("z"))
+  }
+
+  private val tAnomalyOracle = """
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+        CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(floor((value * value) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,8))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1),
+    st AS (
+      SELECT event_type, s1 / n AS mean,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd
+      FROM stats)
+    SELECT e.event_id, e.event_type, e.value,
+           floor(((e.value - mean) / sd) * 1e4 + 0.5) / 1e4 AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE sd > 0 AND abs(e.value - mean) >= 3 * sd"""
+
   def qs: Map[String, Q] = Map(
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
+    "q_rollup"  -> Q(qRollup, Some(qRollupOracle)),
+    "t_anomaly" -> Q(tAnomaly, Some(tAnomalyOracle)),
     "q1_agg"    -> Q(q1, Some(q1Oracle)),
     "q3_join"   -> Q(q3, Some(q3Oracle)),
     "q_window"  -> Q(qWindow, Some(qWindowOracle)),

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.llm.TextOps
+import LlmOps.{hashSql, qSql, shinglesSql, toksSql}
+
+/** Corpus-statistics operators a 100 TB training-data build runs before and
+  * during selection: sketch-based distinct counting (KMV), unigram language-
+  * model scoring (the classic perplexity-filter signal), DSIR-style hashed
+  * n-gram importance weighting for data selection, and curriculum phase
+  * assignment.
+  *
+  * Shared discipline with [[LlmOps]]: every sketch is deterministic (the
+  * portable 60-bit md5 hash), every float aggregation is decimal-quantized
+  * so partition order cannot change the answer, and no operator's plan
+  * contains a global sort or an unbucketed pair join.
+  */
+object SketchOps {
+
+  // ---- KMV distinct-count sketch ---------------------------------------
+
+  private val KmvK = 64
+  private val Max60 = 1152921504606846976.0 // 2^60: the hash60 value space
+
+  /** Per-source distinct-shingle estimate via a K-Minimum-Values sketch
+    * (Bar-Yossef et al. 2002): keep the K smallest distinct hash values;
+    * estimate = (K−1) / U_(K) where U_(K) is the K-th smallest hash scaled
+    * to [0,1). The exact-distinct answer this replaces is a full shuffle of
+    * every distinct value; the sketch shuffles the same distinct stream but
+    * the per-group state downstream is K longs.
+    *
+    * Scale shape: one distinct-aggregate on (source, h) — map-side partial —
+    * then a PARTIAL top-K inside 64 hash sub-buckets before the per-source
+    * top-K, so no single task ever sorts a whole source's distinct set
+    * (the two windows are hash-partitioned; there is no global sort). */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("source"), explode(TextOps.shingles(col("__toks"), 3)).as("g"))
+    val hashes = sh.select(col("source"), TextOps.hash60(col("g")).as("h")).distinct()
+      .withColumn("b", pmod(col("h"), lit(64L)))
+    // a global top-K member is necessarily inside its sub-bucket's top-K,
+    // so the second window ranks at most 64·K candidate rows per source
+    val wb = Window.partitionBy("source", "b").orderBy("h")
+    val ws = Window.partitionBy("source").orderBy("h")
+    hashes
+      .withColumn("rb", row_number().over(wb)).filter(col("rb") <= KmvK)
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === KmvK)
+      .select(col("source"),
+        floor(lit((KmvK - 1).toDouble * Max60) / col("h")).cast(LongType)
+          .as("est_distinct"))
+  }
+
+  private val kmvOracle = s"""
+    WITH sh AS (
+      SELECT source, unnest(${shinglesSql(toksSql, 3)}) AS g FROM (
+        SELECT source, $toksSql AS sp, text FROM documents) t),
+    h AS (SELECT DISTINCT source, ${hashSql("g")} AS h FROM sh),
+    r AS (SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+    SELECT source,
+           CAST(floor(${(KmvK - 1).toDouble * Max60} / h) AS BIGINT) AS est_distinct
+    FROM r WHERE rn = $KmvK"""
+
+  // ---- unigram-LM perplexity scoring -----------------------------------
+
+  /** Per-document negative log-likelihood under the corpus's own unigram
+    * language model — the classic perplexity quality filter (high nll =
+    * tokens the corpus finds surprising = likely junk). Two map-side-
+    * combinable aggregations (doc term counts → corpus term counts) and one
+    * token-keyed join; per-token nll terms are quantized and decimal-summed
+    * so the per-doc average is partition-order-independent. */
+  def perplexity(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("ctf"))
+    val vocab = tf.groupBy("t").agg(sum("ctf").as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_total"))
+    val scores = vocab.crossJoin(broadcast(total))
+      .select(col("t"),
+        TextOps.quant(log(col("n_total") * lit(1.0) / col("c")), 6).as("nll_t"))
+    tf.join(scores, "t")
+      .select(col("doc_id"), col("ctf"),
+        TextOps.quant(col("ctf") * col("nll_t"), 6).cast(DecimalType(28, 8)).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("ctf")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextOps.quant(col("s").cast(DoubleType) / col("n_tokens"), 4).as("nll"))
+  }
+
+  private val perplexityOracle = s"""
+    WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents
+                 WHERE length(trim(text)) > 0),
+    tf AS (SELECT doc_id, t, count(*) AS ctf FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT t, CAST(sum(ctf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+    scores AS (SELECT t, ${qSql("ln(n_total * 1.0 / c)", 6)} AS nll_t FROM vocab, tot),
+    terms AS (SELECT doc_id, ctf,
+                CAST(${qSql("ctf * nll_t", 6)} AS DECIMAL(28,8)) AS term
+              FROM tf JOIN scores USING (t))
+    SELECT doc_id, CAST(sum(ctf) AS BIGINT) AS n_tokens,
+           ${qSql("CAST(sum(term) AS DOUBLE) / sum(ctf)", 4)} AS nll
+    FROM terms GROUP BY doc_id"""
+
+  // ---- DSIR importance weights -----------------------------------------
+
+  private val DsirBuckets = 8192L
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023) weights:
+    * hashed-bigram bag-of-features models of a TARGET distribution (here the
+    * English slice) and the RAW corpus; each document's weight is its mean
+    * per-feature log-likelihood ratio. Documents that look like the target
+    * score above 0, off-target ones below — the selection signal a mixture
+    * builder resamples by.
+    *
+    * Scale shape: feature extraction is narrow; both distribution models
+    * collapse to ≤ 8192-row bucket tables (map-side-combined counts) that
+    * BROADCAST back onto the per-doc bucket counts — the corpus is never
+    * shuffled except to group its own (doc, bucket) rows. */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.shingles(col("__toks"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.hash60(col("g")), lit(DsirBuckets)).as("b"))
+      .persist() // three consumers: raw counts, target counts, per-doc counts
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+    val j = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    val tot = j.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    // add-1 smoothed log-ratio per bucket, quantized so the broadcast table
+    // is bit-identical on every executor and engine
+    val w = j.crossJoin(broadcast(tot)).select(col("b"),
+      TextOps.quant(
+        log((col("ct") + 1) * lit(1.0) / (col("nt") + DsirBuckets)) -
+        log((col("cr") + 1) * lit(1.0) / (col("nr") + DsirBuckets)), 6).as("w"))
+    feats.groupBy("doc_id", "b").agg(count(lit(1)).as("cb"))
+      .join(broadcast(w), "b")
+      .select(col("doc_id"), col("cb"),
+        TextOps.quant(col("cb") * col("w"), 6).cast(DecimalType(28, 8)).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("cb")).as("n_feats"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        TextOps.quant(col("s").cast(DoubleType) / col("n_feats"), 4).as("logw"))
+  }
+
+  private val dsirOracle = s"""
+    WITH feats AS (
+      SELECT doc_id, lang, ${hashSql("g")} % $DsirBuckets AS b FROM (
+        SELECT doc_id, lang, unnest(${shinglesSql(toksSql, 2)}) AS g FROM (
+          SELECT doc_id, lang, $toksSql AS sp, text FROM documents) t0) t),
+    raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY 1),
+    tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+    j AS (SELECT b, cr, COALESCE(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM j),
+    w AS (SELECT b, ${qSql(s"ln((ct + 1) * 1.0 / (nt + $DsirBuckets)) - ln((cr + 1) * 1.0 / (nr + $DsirBuckets))", 6)} AS w
+          FROM j, tot),
+    db AS (SELECT doc_id, b, count(*) AS cb FROM feats GROUP BY 1, 2),
+    terms AS (SELECT doc_id, cb, CAST(${qSql("cb * w", 6)} AS DECIMAL(28,8)) AS term
+              FROM db JOIN w USING (b))
+    SELECT doc_id, CAST(sum(cb) AS BIGINT) AS n_feats,
+           ${qSql("CAST(sum(term) AS DOUBLE) / sum(cb)", 4)} AS logw
+    FROM terms GROUP BY doc_id"""
+
+  // ---- curriculum phases -----------------------------------------------
+
+  private val CurriculumPhases = 4
+
+  /** Curriculum assignment: within each source stratum, rank documents by
+    * quality (best first) and cut into equal phases — phase 1 trains first.
+    * Stratifying by source keeps the window hash-partitioned (a GLOBAL
+    * quality ntile would be a rangepartitioning sort — the shape this
+    * codebase bans) and matches how corpus shards are actually scheduled. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / n
+    Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(n, punct, stop).as("quality"))
+      .withColumn("phase",
+        ntile(CurriculumPhases).over(
+          Window.partitionBy("source")
+            .orderBy(col("quality").desc, col("doc_id").asc)).cast(LongType))
+  }
+
+  private val curriculumOracle = {
+    val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""
+    WITH feats AS (
+      SELECT doc_id, source,
+        ${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)} AS quality
+      FROM (
+        SELECT doc_id, source,
+          len(sp)::BIGINT AS n_tokens,
+          len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
+          len(list_filter(sp, t -> list_contains($en, t)))::DOUBLE / len(sp) AS stop
+        FROM (SELECT doc_id, source, text, $toksSql AS sp FROM documents) t) tt)
+    SELECT doc_id, source, quality,
+           CAST(ntile($CurriculumPhases) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS phase
+    FROM feats"""
+  }
+
+  // ---- BM25 retrieval scoring ------------------------------------------
+
+  private val Bm25Terms = Seq("table", "query", "join")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 relevance of every document to a fixed query-term set — the
+    * retrieval scorer a data pipeline uses to mine topical subsets. The
+    * query terms are filtered out of the token stream BEFORE any shuffle
+    * (the exploded frame holds only matching tokens), document frequencies
+    * and idf live in a ≤|terms|-row broadcast, and document length
+    * normalization comes from one corpus-stats row — the fact table
+    * shuffles once, keyed on doc_id. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"), col("__toks"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("__toks"),
+          t => t.isin(Bm25Terms.map(_.asInstanceOf[Any]): _*))).as("t"))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val corpusStats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val idf = df_.crossJoin(broadcast(corpusStats))
+      .select(col("t"), col("n_docs"), col("sum_dl"),
+        TextOps.quant(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), "t")
+      .select(col("doc_id"),
+        TextOps.quant(
+          col("idf") * (col("tf") * (Bm25K1 + 1)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1 - Bm25B) + lit(Bm25B) * col("dl") /
+                (col("sum_dl") * lit(1.0) / col("n_docs")))), 6)
+          .cast(DecimalType(28, 8)).as("term"))
+      .groupBy("doc_id").agg(sum("term").as("s"))
+      .select(col("doc_id"), TextOps.quant(col("s").cast(DoubleType), 4).as("score"))
+  }
+
+  private val bm25Oracle = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH docs AS (SELECT doc_id, len($toksSql)::BIGINT AS dl, text FROM documents),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+    tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+    tf AS (SELECT d.doc_id, d.dl, k.t, count(*) AS tf
+           FROM (SELECT * FROM tok WHERE t IN ($terms)) k JOIN docs d USING (doc_id)
+           GROUP BY 1, 2, 3),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT t, n_docs, sum_dl,
+              ${qSql("ln((n_docs - df + 0.5) / (df + 0.5) + 1)", 6)} AS idf
+            FROM df, stats),
+    terms AS (SELECT doc_id,
+                CAST(${qSql(s"idf * (tf * ($Bm25K1 + 1)) / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / (sum_dl * 1.0 / n_docs)))", 6)} AS DECIMAL(28,8)) AS term
+              FROM tf JOIN idf USING (t))
+    SELECT doc_id, ${qSql("CAST(sum(term) AS DOUBLE)", 4)} AS score
+    FROM terms GROUP BY doc_id"""
+  }
+
+  // ---- domain mixture weights ------------------------------------------
+
+  /** Per-source resampling weights that rebalance the corpus token mass to
+    * a uniform mixture — weight > 1 means upsample, < 1 downsample. One
+    * map-side-combined aggregate to |sources| rows plus a one-row totals
+    * broadcast; nothing document-sized ever shuffles. */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast(LongType).as("dl"))
+      .groupBy("source").agg(sum("dl").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        TextOps.quant(col("total") * lit(1.0) / (col("n_sources") * col("n_tokens")), 6)
+          .as("weight"))
+  }
+
+  private val domainMixOracle = s"""
+    WITH per AS (
+      SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_sources FROM per)
+    SELECT source, n_tokens,
+           ${qSql("total * 1.0 / (n_sources * n_tokens)", 6)} AS weight
+    FROM per, tot"""
+
+  def qs: Map[String, Q] = Map(
+    "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
+    "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
+    "llm_dsir"         -> Q(dsir, Some(dsirOracle)),
+    "llm_curriculum"   -> Q(curriculum, Some(curriculumOracle)),
+    "llm_bm25"         -> Q(bm25, Some(bm25Oracle)),
+    "llm_domain_mix"   -> Q(domainMix, Some(domainMixOracle)))
+}

@@ -278,7 +278,61 @@ object StreamOps {
       ON r.user_id = l.user_id AND r.event_id % 10 = 0
      AND r.ts_ms >= l.ts_ms - $IntervalBoundMs AND r.ts_ms <= l.ts_ms"""
 
+  /** Watermarked streaming dedup — the at-least-once absorber for sinks with
+    * no primary key to merge on (the pk-MERGE path absorbs redelivery for
+    * keyed tables; THIS is the stateful-streaming equivalent for append-only
+    * ones). Events arrive in ascending time segments; each segment's final
+    * hour is redelivered in the NEXT micro-batch, inside the 2-hour
+    * watermark, so the duplicates are suppressed by dedup STATE — and that
+    * state is evicted as the watermark passes, which is what makes the
+    * operator viable on an unbounded stream. Output must equal the original
+    * event set exactly. */
+  def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_sdedup"
+    rmrf(s, base)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"))
+    // data-relative segmentation: four ascending time quartiles at any SF
+    val bounds = ev.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val q = least(lit(3L), floor((col("ts_ms") - lo) * 4 / span).cast(LongType))
+    val qEnd = (lit(lo) + (q + 1) * span / 4).cast(LongType)
+    val orig = ev.withColumn("__seg", format_string("%03d", q * 2))
+    val redelivered = ev.filter(col("ts_ms") >= qEnd - 3600L * 1000)
+      .withColumn("__seg", format_string("%03d", q * 2 + 1))
+    writeSegments(orig.union(redelivered), "__seg", s, s"$base/stage",
+      s"$base/input", format = "parquet")
+    // the file source orders equal-mtime files by path; make the intended
+    // segment order explicit so a watermark can never see time run backwards
+    val f = fs(s, base)
+    f.globStatus(new Path(s"$base/input/*.parquet")).map(_.getPath)
+      .sortBy(_.getName).zipWithIndex
+      .foreach { case (p, i) => f.setTimes(p, T0 + i * 1000L, -1) }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_ms", LongType)))
+    val out = s"$base/out"
+    val query = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).select("event_id", "user_id", "event_type", "value")
+  }
+
+  private val streamDedupOracle = """
+    SELECT event_id, user_id, event_type, value FROM events"""
+
   def qs: Map[String, Q] = Map(
+    "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
     "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
     "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.llm.TextOps
+
+/** Round-6 corpus-statistics operators, each checked against an exact
+  * driver-side reference computed with the same quantization arithmetic
+  * (the specs re-derive the math independently of the Spark plan). */
+class SketchOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- shared Scala twins of the operator arithmetic --------------------
+
+  private def quant(x: Double, k: Int): Double = {
+    val m = math.pow(10, k); math.floor(x * m + 0.5) / m
+  }
+  private def toks(text: String): Seq[String] = text.trim.split("\\s+").toSeq
+  private def shingles(ts: Seq[String], n: Int): Seq[String] =
+    if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    else Seq(ts.mkString(" "))
+  /** Decimal sum exactly as the plans do it: each quant6 double cast to
+    * DECIMAL(28,8) (HALF_UP at the 8th place), summed, back to double. */
+  private def decSum(terms: Seq[Double]): Double =
+    terms.map(t => BigDecimal(t).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  /** Deterministic synthetic corpus: `n` docs over `nSources` sources with a
+    * seeded token stream (vocab `v`), plus a per-doc marker so every text is
+    * unique. */
+  private def corpus(n: Int, nSources: Int, v: Int, len: Int,
+                     seed: Long): Seq[(Long, String, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val words = Seq.fill(len)(s"w${rnd.nextInt(v)}")
+      (i.toLong, (words :+ s"m$i").mkString(" "), "en", s"src${i % nSources}")
+    }
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- KMV --------------------------------------------------------------
+
+  test("kmvDistinct equals the exact K-minimum-values estimate and lands near truth") {
+    val rows = corpus(60, 2, 400, 40, seed = 7L)
+    val d = writeDocs(rows)
+    val out = SketchOps.kmvDistinct(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val bySource = rows.groupBy(_._4)
+    bySource.foreach { case (src, docs) =>
+      val hs = docs.flatMap(r => shingles(toks(r._2), 3))
+        .map(TextOps.hash60Str).distinct.sorted
+      assert(hs.length >= 64, s"seed corpus too small for $src: ${hs.length}")
+      val hk = hs(63) // 64th smallest
+      val expected = math.floor(63.0 * 1152921504606846976.0 / hk).toLong
+      assert(out(src) == expected, s"$src: ${out(src)} vs $expected")
+      // estimator sanity: within 40% of the true distinct count (k=64 ⇒
+      // ~12.6% standard error; the seed keeps this deterministic)
+      assert(math.abs(out(src).toDouble / hs.length - 1.0) < 0.4,
+        s"$src: est ${out(src)} vs exact ${hs.length}")
+    }
+  }
+
+  // ---- unigram perplexity ----------------------------------------------
+
+  test("perplexity matches an exact unigram-NLL reference, junk scores above fluent") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat and the cat slept", "en", "s0"),
+      (2L, "the cat sat on the mat again and again today", "en", "s0"),
+      (3L, "zqx jvk wpf qqq zzz", "en", "s0")) // off-distribution junk
+    val d = writeDocs(rows)
+    val out = SketchOps.perplexity(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    val tf = rows.flatMap(r => toks(r._2).map(t => (r._1, t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = vocab.values.sum
+    rows.foreach { case (id, text, _, _) =>
+      val terms = toks(text).distinct.map { t =>
+        val ctf = tf((id, t))
+        quant(ctf * quant(math.log(n * 1.0 / vocab(t)), 6), 6)
+      }
+      val nTok = toks(text).size.toLong
+      val expected = quant(decSum(terms) / nTok, 4)
+      assert(out(id)._1 == nTok && out(id)._2 == expected,
+        s"doc $id: ${out(id)} vs ($nTok, $expected)")
+    }
+    // the signal: junk doc is more surprising than the fluent pair
+    assert(out(3L)._2 > out(1L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
+  // ---- DSIR -------------------------------------------------------------
+
+  test("dsir matches an exact log-ratio reference and ranks target-like docs first") {
+    val en = (1 to 6).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran fast today number " + i, "en", "s0"))
+    val fr = (7 to 12).map(i =>
+      (i.toLong, "le chat dort sur le tapis et le chien court vite numero " + i, "fr", "s0"))
+    val rows = en ++ fr
+    val d = writeDocs(rows)
+    val out = SketchOps.dsir(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    val B = 8192L
+    val feats = rows.flatMap(r => shingles(toks(r._2), 2)
+      .map(g => (r._1, r._3, TextOps.hash60Str(g) % B)))
+    val cr = feats.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = feats.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nr = cr.values.sum; val nt = ct.values.sum
+    val w = cr.keys.map { b =>
+      b -> quant(math.log((ct.getOrElse(b, 0L) + 1) * 1.0 / (nt + B)) -
+                 math.log((cr(b) + 1) * 1.0 / (nr + B)), 6)
+    }.toMap
+    rows.foreach { case (id, text, _, _) =>
+      val db = feats.filter(_._1 == id).groupBy(_._3).view.mapValues(_.size.toLong)
+      val terms = db.map { case (b, cb) => quant(cb * w(b), 6) }.toSeq
+      val nF = db.values.sum
+      val expected = quant(decSum(terms) / nF, 4)
+      assert(out(id) == ((nF, expected)), s"doc $id: ${out(id)} vs ($nF, $expected)")
+    }
+    val enMean = en.map(r => out(r._1)._2).sum / en.size
+    val frMean = fr.map(r => out(r._1)._2).sum / fr.size
+    assert(enMean > 0 && frMean < 0 && enMean > frMean,
+      s"selection signal inverted: en $enMean fr $frMean")
+  }
+
+  // ---- curriculum -------------------------------------------------------
+
+  test("curriculum phases are balanced per source and ordered by quality") {
+    val rows = corpus(48, 2, 200, 30, seed = 11L)
+    val d = writeDocs(rows)
+    val out = SketchOps.curriculum(spark, d)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+
+    out.groupBy(_._1).foreach { case (src, docs) =>
+      val sizes = docs.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$src phases: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src unbalanced: $sizes")
+      // phase 1 holds the best quality; boundaries may tie but never invert
+      (1L to 3L).foreach { p =>
+        val lo = docs.filter(_._3 == p).map(_._2).min
+        val hi = docs.filter(_._3 == p + 1).map(_._2).max
+        assert(lo >= hi, s"$src: phase $p min $lo < phase ${p + 1} max $hi")
+      }
+    }
+  }
+
+  // ---- BM25 -------------------------------------------------------------
+
+  test("bm25 matches an exact reference; more query-term mass scores higher") {
+    val rows = Seq(
+      (1L, "table table table scan of the table", "en", "s0"),
+      (2L, "one table mention in otherwise plain text here", "en", "s0"),
+      (3L, "query join query join table", "en", "s0"),
+      (4L, "nothing relevant in this document at all", "en", "s0"))
+    val d = writeDocs(rows)
+    val out = SketchOps.bm25(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val (k1, b) = (1.2, 0.75)
+    val terms = Seq("table", "query", "join")
+    val dls = rows.map(r => r._1 -> toks(r._2).size.toLong).toMap
+    val nDocs = rows.size
+    val avgdl = dls.values.sum * 1.0 / nDocs
+    val tf = rows.flatMap(r => toks(r._2).filter(terms.contains)
+      .groupBy(identity).map { case (t, o) => ((r._1, t), o.size.toLong) }).toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = rows.flatMap { case (id, text, _, _) =>
+      val ts = toks(text).filter(terms.contains).distinct
+      if (ts.isEmpty) None else Some(id -> quant(decSum(ts.map { t =>
+        val idf = quant(math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1), 6)
+        val f = tf((id, t)).toDouble
+        quant(idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * dls(id) / avgdl)), 6)
+      }), 4))
+    }.toMap
+    assert(out == expected, s"$out vs $expected")
+    assert(!out.contains(4L) && out(1L) > out(2L))
+  }
+
+  test("domainMix rebalances token mass toward the uniform mixture exactly") {
+    val rows = Seq(
+      (1L, "a b c d e f g h", "en", "big"),   // 8 tokens
+      (2L, "a b c d e f g h", "en", "big"),   // big: 16
+      (3L, "a b c d e f g h", "en", "small")) // small: 8
+    val d = writeDocs(rows)
+    val out = SketchOps.domainMix(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // total 24, S=2: w = 24 / (2 * n_s)
+    assert(out("big") == ((16L, quant(24.0 / 32, 6))))
+    assert(out("small") == ((8L, quant(24.0 / 16, 6))))
+  }
+
+  // ---- anomaly ----------------------------------------------------------
+
+  test("tAnomaly flags exactly the >=3-sigma rows with the exact z") {
+    // 40 tightly clustered values + one wild outlier per type
+    val base = (0 until 40).map(i => (i.toLong, 1704067200000000000L + i * 1000000000L,
+      i.toLong, "click", 100.0 + (i % 5)))
+    val outlier = Seq((99L, 1704067200000000000L, 99L, "click", 500.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_").toString
+    (base ++ outlier).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = graft.queries.Relational.tAnomaly(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val vals = (base ++ outlier).map(_._5)
+    val q6d = (x: Double) => BigDecimal(quant(x, 6)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val n = vals.size
+    val s1 = vals.map(q6d).sum.toDouble
+    val s2 = vals.map(v => q6d(v * v)).sum.toDouble
+    val mean = s1 / n
+    val sd = math.sqrt(math.max(s2 / n - mean * mean, 0))
+    val exp = (base ++ outlier).filter(r => math.abs(r._5 - mean) >= 3 * sd)
+      .map(r => (r._1, r._5, quant((r._5 - mean) / sd, 4)))
+    assert(out.toSet == exp.toSet, s"${out.toSeq} vs $exp")
+    assert(out.exists(_._1 == 99L) && out.length == 1)
+  }
+
+  // ---- plan shapes ------------------------------------------------------
+
+  test("sketch-op plans: hash-partitioned only — no global sort, no pair product") {
+    val d = writeDocs(corpus(24, 2, 100, 20, seed = 3L))
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "kmv" -> SketchOps.kmvDistinct(spark, d),
+      "perplexity" -> SketchOps.perplexity(spark, d),
+      "dsir" -> SketchOps.dsir(spark, d),
+      "curriculum" -> SketchOps.curriculum(spark, d)
+    ).foreach { case (name, df0) =>
+      val plan = df0.queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"), s"$name global-sorts:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name cross-joins:\n$plan")
+      // perplexity/dsir cross a ONE-ROW broadcast totals frame into their
+      // bounded model tables (vocab / 8192 buckets) — that nested-loop is
+      // the intended plan; kmv/curriculum must have none at all
+      assert(!plan.contains("BroadcastNestedLoop") ||
+        name == "perplexity" || name == "dsir",
+        s"$name nested-loops:\n$plan")
+      assert(df0.count() > 0)
+    }
+  }
+}
