@@ -204,9 +204,17 @@ object LlmOps {
     * 16-value signature (a native Catalyst expression — 16 chained
     * transform/array_min calls would be interpreted and traverse the hash
     * array 16×, see MinHashSig); the band explode is narrow. */
-  private def bandFrame(docs: DataFrame): DataFrame = {
-    val withSig = docs.select(col("doc_id"),
+  /** (doc_id, shingle-array) — the frame both the signature branch and the
+    * verify branch consume. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+
+  private def bandFrame(docs: DataFrame): DataFrame =
+    bandFrameFromShingles(shingled(docs))
+
+  private def bandFrameFromShingles(withSh: DataFrame): DataFrame = {
+    val withSig = withSh
       .withColumn("hs", TextOps.hash60Array(col("sh")))
       .withColumn("sigv", TextOps.minhashSignature(col("hs"), NumHashes))
     val sig = (0 until NumHashes).map(i => element_at(col("sigv"), i + 1))
@@ -217,16 +225,20 @@ object LlmOps {
   }
 
   private def minhashPairs(docs: DataFrame): DataFrame = {
+    // shingle ONCE: the signature branch and the verify branch both consume
+    // the (doc_id, shingles) frame — persist it so the text is tokenized and
+    // shingled a single time, not once per branch (at cluster scale: the
+    // shingle frame is materialized to storage once per dedup run)
+    val withSh = shingled(docs).persist()
     // narrow rows (doc_id, band, key) — persist so the SELF-join below does
     // not run the whole shingle→hash→signature pipeline once per side
     // (broadcast build sides don't reuse exchanges)
-    val bands = bandFrame(docs).persist()
+    val bands = bandFrameFromShingles(withSh).persist()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    val sh = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     verifyCandidates(sh, cands, JaccardThreshold)
   }
 
