@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Event-analytics operators over the append stream a warehouse load feeds:
+  * multidimensional aggregation (CUBE / pivot), behavioral analytics
+  * (funnel, cohort retention, gap-fill), dimension versioning (SCD2), and a
+  * Z-order layout key for multi-column data skipping.
+  *
+  * Shared discipline: time arithmetic is integer epoch-ms bucketing (no
+  * engine-dependent calendar math in hash-compared output), money/value
+  * aggregates run in DECIMAL and cast to DOUBLE at the end, and no
+  * operator's plan contains a global sort — windows are keyed per user /
+  * per bucket, which is what keeps them hash-partitioned at 100 TB.
+  */
+object EventOps {
+
+  private val DayMs = 86400000L
+  private val WeekMs = 7L * DayMs
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---- CUBE ------------------------------------------------------------
+
+  /** CUBE over (event_type, day): all four aggregation levels in ONE hash
+    * aggregate — Spark expands the grouping sets inside a single operator
+    * with map-side partials, so the fact table is scanned and shuffled once,
+    * not once per level. `grouping_id` disambiguates subtotal rows from
+    * genuine NULL keys. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_idx", expr(s"ts_ms div $DayMs"))
+      .cube("event_type", "day_idx")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+
+  private val cubeOracle = s"""
+    SELECT event_type, day_idx,
+      CAST(GROUPING(event_type, day_idx) AS BIGINT) AS gid,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (SELECT event_type, epoch_ms(ts) // $DayMs AS day_idx, value FROM events) t
+    GROUP BY CUBE(event_type, day_idx)"""
+
+  // ---- pivot -----------------------------------------------------------
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user pivot of event-type value totals into columns. The pivot
+    * values are DECLARED (not discovered), so there is no extra distinct
+    * scan and the plan is one hash aggregate — the pivot is a projection
+    * shape, not a shuffle shape. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(sum(dec(col("value"))).cast(DoubleType))
+
+  private val pivotOracle = {
+    val cols = EventTypes.map(t =>
+      s"""CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS "$t"""")
+      .mkString(",\n      ")
+    s"""
+    SELECT user_id,
+      $cols
+    FROM events GROUP BY user_id"""
+  }
+
+  // ---- funnel ----------------------------------------------------------
+
+  /** Ordered conversion funnel: first view → first click at-or-after it →
+    * first purchase at-or-after that, per user. Each stage is a keyed
+    * aggregate joined on user_id (stage frames are |users|-sized, so the
+    * joins broadcast at any corpus scale); no window over the raw stream. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ms")
+    val users = ev.select("user_id").distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_ms") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_ms") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+  }
+
+  private val funnelOracle = """
+    WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v AS (SELECT user_id, min(ts_ms) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(ts_ms) AS t_click FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts_ms >= t_view GROUP BY 1),
+    p AS (SELECT e.user_id, min(ts_ms) AS t_purchase FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts_ms >= t_click GROUP BY 1)
+    SELECT u.user_id, t_view, t_click, t_purchase
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)"""
+
+  // ---- cohort retention ------------------------------------------------
+
+  /** Weekly cohort retention: users grouped by first-seen week, distinct
+    * actives counted per (cohort, week offset). Two keyed aggregates + one
+    * user-keyed join; the |users|-sized cohort frame broadcasts. Weeks are
+    * integer epoch-week buckets — no calendar arithmetic to disagree on. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts_ms div $WeekMs").as("week_idx"))
+    val active = wk.distinct()
+    val cohort = active.groupBy("user_id").agg(min("week_idx").as("cohort_week"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week_idx") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  private val retentionOracle = s"""
+    WITH wk AS (SELECT DISTINCT user_id, epoch_ms(ts) // $WeekMs AS week_idx FROM events),
+    cohort AS (SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY 1)
+    SELECT cohort_week, week_idx - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM wk JOIN cohort USING (user_id)
+    GROUP BY 1, 2"""
+
+  // ---- gap fill + forward fill -----------------------------------------
+
+  /** Per-user daily time series with gaps materialized and totals carried
+    * forward: the feature-engineering shape ("value as of day D") that a
+    * training pipeline derives from an event stream. The day grid comes
+    * from `sequence()` per user (bounded by each user's own span — never a
+    * driver-side calendar), and the fill window is keyed per user, so the
+    * whole operator stays hash-partitioned. */
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .withColumn("day_idx", expr(s"ts_ms div $DayMs"))
+      .groupBy("user_id", "day_idx")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+    val span = daily.groupBy("user_id")
+      .agg(min("day_idx").as("d0"), max("day_idx").as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+    val w = Window.partitionBy("user_id").orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day_idx"), "left")
+      .select(col("user_id"), col("day_idx"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("total"), ignoreNulls = true).over(w).as("total_filled"))
+  }
+
+  private val gapFillOracle = s"""
+    WITH daily AS (
+      SELECT user_id, epoch_ms(ts) // $DayMs AS day_idx, count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+             FROM daily GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_idx FROM span)
+    SELECT g.user_id, g.day_idx,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day_idx
+             ROWS UNBOUNDED PRECEDING) AS total_filled
+    FROM grid g LEFT JOIN daily USING (user_id, day_idx)"""
+
+  // ---- SCD2 dimension versioning ---------------------------------------
+
+  /** Slowly-changing-dimension type 2 history: collapse each user's event
+    * stream into versioned state runs (state = event_type) with
+    * [valid_from, valid_to) bounds — the dimension-table shape a warehouse
+    * keeps for "what was this row at time T" joins. Gaps-and-islands with
+    * per-user windows: one hash shuffle on user_id, every window shares it. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    val runs = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "version")
+      .agg(max(col("event_type")).as("state"), // constant within a run
+        min(col("ts_ms")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    runs.withColumn("valid_to",
+      lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy("version")))
+      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+  }
+
+  private val scd2Oracle = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    m AS (
+      SELECT user_id, event_type, ts_ms, event_id,
+        CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
+    v AS (
+      SELECT user_id, event_type, ts_ms,
+        sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+          ROWS UNBOUNDED PRECEDING) AS version
+      FROM m),
+    g AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             max(event_type) AS state, min(ts_ms) AS valid_from,
+             count(*) AS n_events
+      FROM v GROUP BY 1, 2)
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events
+    FROM g"""
+
+  // ---- Z-order layout key ----------------------------------------------
+
+  /** Interleave the low 16 bits of `x` (Morton/Z-order spread): after the
+    * fold, bit i of the input sits at bit 2i of the output. */
+  private def spreadBits(x: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (v, (sh, m)) =>
+        (v.bitwiseOR(shiftleft(v, sh))).bitwiseAND(lit(m))
+      }
+
+  private def spreadSql(e: String): String =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(s"($e & 65535)") { case (v, (sh, m)) => s"(($v | ($v << $sh)) & $m)" }
+
+  /** Z-order clustering stats: every event keyed by the Morton interleave of
+    * (user_id, value-centile), bucketed by the top 8 z-bits, with per-bucket
+    * min/max of BOTH dimensions. This is the layout operator for multi-column
+    * data skipping at 100 TB: rows written in z-bucket order give every file
+    * a tight bounding rectangle in (user, value) space, so a predicate on
+    * EITHER column prunes files — a single-column sort only prunes one. The
+    * per-bucket min/max spans in the output are exactly the file-skipping
+    * statistics a scan would consult. */
+  def tZorder(s: SparkSession, d: String): DataFrame = {
+    val vb = least(greatest(floor(col("value") * 100.0).cast(LongType), lit(0L)), lit(65535L))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), vb.as("vb"))
+      .withColumn("zval", spreadBits(col("user_id")).bitwiseOR(shiftleft(spreadBits(col("vb")), 1)))
+      .withColumn("zbucket", shiftright(col("zval"), 24))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("vb").as("v_min"), max("vb").as("v_max"))
+  }
+
+  private val zorderOracle = {
+    val u = spreadSql("user_id")
+    val v = spreadSql("vb")
+    s"""
+    WITH b AS (
+      SELECT event_id, user_id,
+        least(greatest(CAST(floor(value * 100.0) AS BIGINT), 0), 65535) AS vb
+      FROM events),
+    z AS (SELECT user_id, vb, ($u | ($v << 1)) AS zval FROM b)
+    SELECT zval >> 24 AS zbucket, count(*) AS n,
+           min(user_id) AS u_min, max(user_id) AS u_max,
+           min(vb) AS v_min, max(vb) AS v_max
+    FROM z GROUP BY 1"""
+  }
+
+  def qs: Map[String, Q] = Map(
+    "q_cube"      -> Q(qCube, Some(cubeOracle)),
+    "q_pivot"     -> Q(qPivot, Some(pivotOracle)),
+    "q_funnel"    -> Q(qFunnel, Some(funnelOracle)),
+    "q_retention" -> Q(qRetention, Some(retentionOracle)),
+    "q_gap_fill"  -> Q(qGapFill, Some(gapFillOracle)),
+    "q_scd2"      -> Q(qScd2, Some(scd2Oracle)),
+    "t_zorder"    -> Q(tZorder, Some(zorderOracle)))
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -296,7 +296,71 @@ object SketchOps {
            ${qSql("total * 1.0 / (n_sources * n_tokens)", 6)} AS weight
     FROM per, tot"""
 
+  // ---- PMI co-occurrence mining ----------------------------------------
+
+  private val PmiMinCount = 5L
+
+  /** Pointwise-mutual-information co-occurrence pairs within a ±2-token
+    * window — the collocation statistic (word2vec-era SGNS trains on exactly
+    * this co-occurrence distribution) a corpus build mines for tokenizer
+    * merges and phrase detection.
+    *
+    * Scale shape: pair generation is NARROW — each offset-k pair list is a
+    * zip of two slices of the materialized token array (no positional
+    * self-join, no explode-then-join-on-position, which would be quadratic
+    * in document length) — and the only shuffles key on the pair and the
+    * unigram. The unigram model and the two corpus totals collapse to
+    * broadcast tables, so nothing document-sized moves twice. The total
+    * pair count is computed arithmetically from per-doc token counts
+    * (Σ max(n−1,0)+max(n−2,0)) instead of re-scanning the pair stream. */
+  def pmi(s: SparkSession, d: String): DataFrame = {
+    val toksd = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .persist() // three consumers: unigrams, pairs, totals
+    val n = size(col("tk"))
+    def pairsAt(k: Int): Column =
+      zip_with(slice(col("tk"), lit(1), greatest(n - k, lit(0))),
+        slice(col("tk"), lit(1 + k), greatest(n - k, lit(0))),
+        (a, b) => struct(least(a, b).as("x"), greatest(a, b).as("y")))
+    val pairs = toksd.select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val pc = pairs.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= PmiMinCount)
+    val uni = toksd.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val totals = toksd
+      .agg(sum(greatest(n - 1, lit(0)) + greatest(n - 2, lit(0))).cast(LongType).as("n_pair"))
+      .crossJoin(broadcast(uni.agg(sum(col("n_t")).cast(LongType).as("n_tok"))))
+    pc.join(broadcast(uni.select(col("t").as("x"), col("n_t").as("n_x"))), "x")
+      .join(broadcast(uni.select(col("t").as("y"), col("n_t").as("n_y"))), "y")
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("n_xy"),
+        TextOps.quant(log(
+          (col("n_xy").cast(DoubleType) * col("n_tok") * col("n_tok")) /
+            (col("n_pair").cast(DoubleType) * col("n_x") * col("n_y"))), 4).as("pmi"))
+  }
+
+  private val pmiOracle = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS sp FROM documents),
+    tok AS (SELECT doc_id, unnest(sp) AS w, generate_subscripts(sp, 1) AS pos FROM t),
+    pairs AS (
+      SELECT least(a.w, b.w) AS x, greatest(a.w, b.w) AS y
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2),
+    pc AS (SELECT x, y, count(*) AS n_xy FROM pairs GROUP BY 1, 2
+           HAVING count(*) >= $PmiMinCount),
+    uni AS (SELECT w, count(*) AS n_t FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pair FROM pairs),
+    tk AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_tok FROM uni)
+    SELECT x, y, n_xy,
+      ${qSql("ln((n_xy * 1.0 * n_tok * n_tok) / (n_pair * 1.0 * ux.n_t * uy.n_t))", 4)} AS pmi
+    FROM pc
+    JOIN uni ux ON ux.w = pc.x
+    JOIN uni uy ON uy.w = pc.y
+    CROSS JOIN tot CROSS JOIN tk"""
+
   def qs: Map[String, Q] = Map(
+    "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
     "llm_dsir"         -> Q(dsir, Some(dsirOracle)),

@@ -331,7 +331,45 @@ object StreamOps {
   private val streamDedupOracle = """
     SELECT event_id, user_id, event_type, value FROM events"""
 
+  /** Stream–static dimension enrichment: the event stream joins a static
+    * customer dimension INSIDE the streaming query (Spark's stream-static
+    * join — the dimension is re-resolvable per micro-batch, broadcast to
+    * the stream side, and never holds state). This is the warehouse
+    * enrichment step bulker leaves to downstream SQL, run at ingest time
+    * instead; at 100 TB of stream the static side is still only
+    * |dimension|-sized, so the stream never shuffles for the join. */
+  def qStreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_senrich"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    // two micro-batches prove the dimension joins consistently across batches
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 2 === 0, "001").otherwise("002")),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val dim = Tables.customer(s, d)
+      .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+    val out = s"$base/out"
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+  }
+
+  private val streamEnrichOracle = """
+    SELECT event_id, user_id, event_type, value, c_mktsegment
+    FROM events LEFT JOIN customer ON c_custkey = user_id + 1"""
+
   def qs: Map[String, Q] = Map(
+    "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
     "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),

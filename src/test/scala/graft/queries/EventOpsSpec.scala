@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** `ts` is epoch-NANOS int64 — the physical type the driver testdata uses. */
+private[queries] case class Ev(event_id: Long, ts: Long, user_id: Long,
+                               event_type: String, value: Double, props: String)
+
+/** Event-analytics operators (CUBE/pivot/funnel/retention/gap-fill/SCD2/
+  * Z-order), each checked against an exact Scala reference computed with the
+  * same arithmetic, plus plan-shape assertions (no global sort, no
+  * unbounded pair joins). */
+class EventOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Types = Vector("view", "click", "purchase", "signup", "error")
+  private val DayMs = 86400000L
+  private val WeekMs = 7L * DayMs
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+
+  /** Synthetic gappy event stream (Tables.events contract). */
+  private lazy val fixture: (String, Seq[Ev]) = {
+    val rnd = new scala.util.Random(42L)
+    val rows = (0 until 600).map { i =>
+      val tsMs = T0 + rnd.nextInt(25) * DayMs + rnd.nextInt(DayMs.toInt)
+      Ev(i.toLong, tsMs * 1000000L, rnd.nextInt(8).toLong,
+        Types(rnd.nextInt(Types.length)),
+        math.floor(rnd.nextDouble() * 5000) / 100.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (dir, rows)
+  }
+
+  private def tsMs(e: Ev): Long = e.ts / 1000000L
+  /** DECIMAL(18,2) HALF_UP sum → double — the dec() aggregate twin. */
+  private def decSum(vs: Seq[Double]): Double =
+    vs.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  // ---- SCD2 -------------------------------------------------------------
+
+  test("qScd2 equals a per-user fold over (ts, event_id)-ordered runs") {
+    val (dir, rows) = fixture
+    val expected = rows.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (tsMs(e), e.event_id))
+      // fold into runs of equal consecutive event_type
+      val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) { (acc, e) =>
+        acc.lastOption match {
+          case Some((st, from, n)) if st == e.event_type =>
+            acc.init :+ ((st, from, n + 1))
+          case _ => acc :+ ((e.event_type, tsMs(e), 1L))
+        }
+      }
+      runs.zipWithIndex.map { case ((st, from, n), i) =>
+        val validTo = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (u, (i + 1).toLong, st, from, validTo, n)
+      }
+    }
+    val got = EventOps.qScd2(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))).toSeq
+    assert(got.sorted == expected.sorted)
+    val plan = EventOps.qScd2(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  // ---- funnel -----------------------------------------------------------
+
+  test("qFunnel equals the staged min-timestamp reference") {
+    val (dir, rows) = fixture
+    val expected = rows.groupBy(_.user_id).toSeq.map { case (u, evs) =>
+      def minAfter(t: String, lo: Option[Long]): Option[Long] = lo.flatMap { b =>
+        val c = evs.filter(e => e.event_type == t && tsMs(e) >= b)
+        if (c.isEmpty) None else Some(c.map(tsMs).min)
+      }
+      val tv = { val v = evs.filter(_.event_type == "view"); if (v.isEmpty) None else Some(v.map(tsMs).min) }
+      val tc = minAfter("click", tv)
+      val tp = minAfter("purchase", tc)
+      (u, tv, tc, tp)
+    }
+    val got = EventOps.qFunnel(spark, dir).collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got.sorted == expected.sorted)
+  }
+
+  // ---- retention --------------------------------------------------------
+
+  test("qRetention equals the cohort-set reference") {
+    val (dir, rows) = fixture
+    val active = rows.map(e => (e.user_id, tsMs(e) / WeekMs)).distinct
+    val cohort = active.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val expected = active.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, us) => (k._1, k._2, us.map(_._1).distinct.size.toLong) }.toSeq
+    val got = EventOps.qRetention(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == expected.sorted)
+  }
+
+  // ---- gap fill ---------------------------------------------------------
+
+  test("qGapFill materializes every day in each user's span and carries totals forward") {
+    val (dir, rows) = fixture
+    val daily = rows.groupBy(e => (e.user_id, tsMs(e) / DayMs))
+      .map { case (k, es) => k -> ((es.size.toLong, decSum(es.map(_.value)))) }
+    val expected = rows.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+      val days = evs.map(e => tsMs(e) / DayMs)
+      (days.min to days.max).map { day =>
+        val lastTotal = (days.min to day).reverse
+          .collectFirst { case d0 if daily.contains((u, d0)) => daily((u, d0))._2 }
+        (u, day, daily.get((u, day)).map(_._1).getOrElse(0L), lastTotal.get)
+      }
+    }
+    val got = EventOps.qGapFill(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.sorted == expected.sorted)
+    val plan = EventOps.qGapFill(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  // ---- CUBE / pivot -----------------------------------------------------
+
+  test("qCube grand total, per-type and per-day slices match direct aggregation") {
+    val (dir, rows) = fixture
+    val out = EventOps.qCube(spark, dir).collect()
+      .map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val grand = out.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._4 == rows.length.toLong)
+    assert(grand.head._5 == decSum(rows.map(_.value)))
+    // gid=1: per-type subtotals (day nulled out)
+    val perType = out.filter(o => o._3 == 1L).map(o => o._1.get -> o._4).toMap
+    assert(perType == rows.groupBy(_.event_type).map { case (t, es) => t -> es.size.toLong })
+    // gid=0: finest level row count = distinct (type, day) combos
+    assert(out.count(_._3 == 0L) ==
+      rows.map(e => (e.event_type, tsMs(e) / DayMs)).distinct.size)
+  }
+
+  test("qPivot cells equal filtered decimal sums (null when absent)") {
+    val (dir, rows) = fixture
+    val pivoted = EventOps.qPivot(spark, dir)
+    val typeCols = pivoted.columns.drop(1).toSeq
+    val got = pivoted.collect()
+      .map(r => r.getLong(0) -> typeCols.zipWithIndex.map { case (t, i) =>
+        t -> (if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1)))
+      }.toMap).toMap
+    rows.groupBy(_.user_id).foreach { case (u, evs) =>
+      Types.foreach { t =>
+        val vs = evs.filter(_.event_type == t).map(_.value)
+        val exp = if (vs.isEmpty) None else Some(decSum(vs))
+        assert(got(u)(t) == exp, s"user $u type $t")
+      }
+    }
+    // the pivot values are DECLARED (alphabetical), not discovered: all five
+    // types appear as columns in the declared order
+    assert(typeCols == Types.sorted)
+  }
+
+  // ---- Z-order ----------------------------------------------------------
+
+  private def spread(x: Long): Long = {
+    var v = x & 0xFFFFL
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+
+  test("tZorder equals the Morton-interleave reference on wide-range keys") {
+    // wide user/value ranges so the interleave exercises the high bits
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 300).map { i =>
+      Ev(i.toLong, (T0 + i * 1000L) * 1000000L, rnd.nextInt(60000).toLong,
+        Types(i % Types.length), math.floor(rnd.nextDouble() * 65000) / 100.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_zev_").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val expected = rows.map { e =>
+      val vb = math.min(math.max(math.floor(e.value * 100.0).toLong, 0L), 65535L)
+      val z = spread(e.user_id) | (spread(vb) << 1)
+      (z >> 24, e.user_id, vb)
+    }.groupBy(_._1).map { case (b, es) =>
+      (b, es.size.toLong, es.map(_._2).min, es.map(_._2).max,
+        es.map(_._3).min, es.map(_._3).max)
+    }.toSeq
+    val got = EventOps.tZorder(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.sorted == expected.sorted)
+    // a z-bucket pins the top 4 bits of BOTH 16-bit dims: every bucket's
+    // bounding rectangle is at most 2^12 wide per dimension — the property
+    // that makes file-level min/max stats prune on either column
+    got.foreach { case (b, _, uMin, uMax, vMin, vMax) =>
+      assert(uMax - uMin < 4096, s"bucket $b user span")
+      assert(vMax - vMin < 4096, s"bucket $b value span")
+    }
+  }
+
+  // ---- plan shapes ------------------------------------------------------
+
+  test("new event operators: no cartesian, no nested-loop, no global sort") {
+    val (dir, _) = fixture
+    Seq("q_cube" -> EventOps.qCube _, "q_pivot" -> EventOps.qPivot _,
+      "q_funnel" -> EventOps.qFunnel _, "q_retention" -> EventOps.qRetention _,
+      "q_gap_fill" -> EventOps.qGapFill _, "q_scd2" -> EventOps.qScd2 _,
+      "t_zorder" -> EventOps.tZorder _).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$name: $plan")
+      assert(!plan.contains("rangepartitioning"), s"$name: $plan")
+    }
+  }
+}

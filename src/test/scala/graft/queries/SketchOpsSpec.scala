@@ -224,6 +224,35 @@ class SketchOpsSpec extends SparkSuite {
     assert(out.exists(_._1 == 99L) && out.length == 1)
   }
 
+  // ---- PMI --------------------------------------------------------------
+
+  test("pmi equals the exact windowed co-occurrence reference") {
+    val rows = corpus(50, 2, 12, 30, seed = 11L) // small vocab → counts ≥ 5
+    val d = writeDocs(rows)
+    val docsToks = rows.map(r => toks(r._2))
+    def pairsOf(ts: Seq[String]): Seq[(String, String)] =
+      (ts.dropRight(1).zip(ts.drop(1)) ++ ts.dropRight(2).zip(ts.drop(2)))
+        .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+    val allPairs = docsToks.flatMap(pairsOf)
+    val nPair = docsToks.map(ts => math.max(ts.length - 1, 0) + math.max(ts.length - 2, 0)).sum.toLong
+    assert(allPairs.length.toLong == nPair) // the arithmetic total the plan uses
+    val uni = docsToks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val nTok = uni.values.sum
+    val expected = allPairs.groupBy(identity).collect {
+      case ((x, y), ps) if ps.size >= 5 =>
+        val nxy = ps.size.toLong
+        (x, y, nxy, quant(math.log(
+          nxy.toDouble * nTok * nTok / (nPair.toDouble * uni(x) * uni(y))), 4))
+    }.toSeq
+    assert(expected.nonEmpty, "fixture produced no pairs over the count floor")
+    val got = SketchOps.pmi(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.sorted == expected.sorted)
+    // narrow pair generation: no positional self-join, no pair product
+    val plan = SketchOps.pmi(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
+  }
+
   // ---- plan shapes ------------------------------------------------------
 
   test("sketch-op plans: hash-partitioned only — no global sort, no pair product") {
