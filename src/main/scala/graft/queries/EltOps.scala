@@ -206,7 +206,45 @@ object EltOps {
       COUNT(DISTINCT event_type) AS event_type_card
     FROM events"""
 
+  /** CDC apply: collapse an (entity, seq)-ordered change stream of
+    * upserts/deletes into the final snapshot — the "apply the binlog to the
+    * warehouse" operator downstream of bulker's upsert path (the reference
+    * merges updates only, sql_adapter_base.go:495-560; delete-aware apply is
+    * what a CDC source like Debezium needs on top). Latest change per entity
+    * wins; a terminal delete removes the entity.
+    *
+    * Scale shape: ONE map-side-combinable aggregate (`max_by` on the unique
+    * sequence number) — no window sort, no join; duplicates and out-of-order
+    * delivery collapse in the partial aggregate before anything shuffles. */
+  def d6CdcApply(s: SparkSession, d: String): DataFrame = {
+    val ch = Tables.events(s, d).select(
+      expr("event_id div 3").as("entity_id"), col("event_id").as("seq"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("value"), col("ts_ms"))
+    ch.groupBy("entity_id")
+      .agg(max(col("seq")).as("seq"),
+        max_by(col("op"), col("seq")).as("op"),
+        max_by(col("value"), col("seq")).as("value"),
+        max_by(col("ts_ms"), col("seq")).as("ts_ms"))
+      .filter(col("op") =!= "D")
+      .select("entity_id", "seq", "value", "ts_ms")
+  }
+
+  private val d6Oracle = """
+    WITH ch AS (
+      SELECT event_id // 3 AS entity_id, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value, epoch_ms(ts) AS ts_ms
+      FROM events),
+    latest AS (
+      SELECT entity_id, max(seq) AS seq,
+             max_by(op, seq) AS op, max_by(value, seq) AS value,
+             max_by(ts_ms, seq) AS ts_ms
+      FROM ch GROUP BY 1)
+    SELECT entity_id, seq, value, ts_ms FROM latest WHERE op <> 'D'"""
+
   def qs: Map[String, Q] = Map(
+    "d6_cdc_apply"         -> Q(d6CdcApply, Some(d6Oracle)),
     "t1_flatten"           -> Q(t1Flatten, Some(t1Oracle)),
     "t4_infer"             -> Q(t4Infer, Some(t4Oracle)),
     "t5_hints"             -> Q(t5Hints, Some(t5Oracle)),

@@ -66,6 +66,41 @@ object SketchOps {
            CAST(floor(${(KmvK - 1).toDouble * Max60} / h) AS BIGINT) AS est_distinct
     FROM r WHERE rn = $KmvK"""
 
+  /** Hierarchical KMV rollup — the MERGEABILITY of the sketch, which is the
+    * whole reason sketches exist at 100 TB: each shard keeps its own K
+    * minimum distinct hash values (map-side, bounded state), and merging is
+    * "union the survivor sets, keep the K smallest" — which by construction
+    * equals the K smallest of the whole corpus, so the rolled-up estimate is
+    * BIT-IDENTICAL to a direct single-pass sketch (the oracle computes the
+    * direct form; equality is the merge law, not luck). After the per-shard
+    * top-K the merge input is ≤ shards·K rows — the final top-K is a
+    * TakeOrdered (per-partition heads + driver merge), never a global sort. */
+  def kmvRollup(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(pmod(col("doc_id"), lit(8L)).as("shard"),
+        explode(TextOps.shingles(col("__toks"), 3)).as("g"))
+    val hashes = sh.select(col("shard"), TextOps.hash60(col("g")).as("h")).distinct()
+    val wb = Window.partitionBy("shard").orderBy("h")
+    val survivors = hashes
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= KmvK)
+      .select("h").distinct()
+    survivors.orderBy(col("h").asc).limit(KmvK)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
+      .select(floor(lit((KmvK - 1).toDouble * Max60) / col("hk")).cast(LongType)
+        .as("est_distinct"), col("k"))
+  }
+
+  private val kmvRollupOracle = s"""
+    WITH sh AS (
+      SELECT unnest(${shinglesSql(toksSql, 3)}) AS g FROM (
+        SELECT $toksSql AS sp, text FROM documents) t),
+    h AS (SELECT DISTINCT ${hashSql("g")} AS h FROM sh),
+    r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+    SELECT CAST(floor(${(KmvK - 1).toDouble * Max60} / max(h)) AS BIGINT) AS est_distinct,
+           count(*) AS k
+    FROM r WHERE rn <= $KmvK"""
+
   // ---- unigram-LM perplexity scoring -----------------------------------
 
   /** Per-document negative log-likelihood under the corpus's own unigram
@@ -360,6 +395,7 @@ object SketchOps {
     CROSS JOIN tot CROSS JOIN tk"""
 
   def qs: Map[String, Q] = Map(
+    "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),

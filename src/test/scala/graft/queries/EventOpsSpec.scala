@@ -203,6 +203,23 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  // ---- CDC apply --------------------------------------------------------
+
+  test("d6CdcApply keeps only the latest non-delete change per entity, no window sort") {
+    val (dir, rows) = fixture
+    val expected = rows.groupBy(_.event_id / 3).toSeq.flatMap { case (ent, evs) =>
+      val last = evs.maxBy(_.event_id)
+      if (last.event_type == "error") None
+      else Some((ent, last.event_id, last.value, tsMs(last)))
+    }
+    val got = EltOps.d6CdcApply(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got.sorted == expected.sorted)
+    // one max_by aggregate — no window, no sort, partials combine map-side
+    val plan = EltOps.d6CdcApply(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("rangepartitioning"), plan)
+  }
+
   // ---- plan shapes ------------------------------------------------------
 
   test("new event operators: no cartesian, no nested-loop, no global sort") {

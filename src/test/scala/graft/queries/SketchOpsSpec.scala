@@ -224,6 +224,27 @@ class SketchOpsSpec extends SparkSuite {
     assert(out.exists(_._1 == 99L) && out.length == 1)
   }
 
+  test("kmvRollup: shard-merged sketch equals the direct global sketch (merge law)") {
+    val rows = corpus(60, 2, 400, 40, seed = 7L)
+    val d = writeDocs(rows)
+    // direct global reference: K-th smallest distinct hash over ALL shingles
+    val hs = rows.flatMap(r => shingles(toks(r._2), 3))
+      .map(TextOps.hash60Str).distinct.sorted
+    assert(hs.length >= 64)
+    val expEst = math.floor(63.0 * 1152921504606846976.0 / hs(63)).toLong
+    val got = SketchOps.kmvRollup(spark, d).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == expEst) // bit-identical to the direct form
+    assert(got(0).getLong(1) == 64L)
+    // estimate lands near the true distinct count (KMV σ ≈ 1/√(K−2) ≈ 13%)
+    val err = math.abs(got(0).getLong(0).toDouble / hs.length - 1.0)
+    assert(err < 0.5, s"estimate ${got(0).getLong(0)} vs truth ${hs.length}")
+    // merge input is bounded: no global sort anywhere (TakeOrdered instead)
+    val plan = SketchOps.kmvRollup(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   // ---- PMI --------------------------------------------------------------
 
   test("pmi equals the exact windowed co-occurrence reference") {
