@@ -33,6 +33,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         Hash60Array(args.head)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
+      { args =>
+        require(args.length == 1, "lang_hits(array<string>)")
+        LangHits(args.head)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       { args =>

@@ -144,9 +144,20 @@ object TextOps {
     "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
     "fr" -> Seq("le", "et", "un", "pour", "dans", "ce", "une", "sur", "avec", "pas"))
 
-  /** Frequency-weighted stopword hits for one language. */
+  /** Frequency-weighted stopword hits for one language — the interpreted
+    * executable spec of [[langHits]] (one lambda traversal per language). */
   def langScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** ALL per-language stopword hit counts (LangStopwords order) in ONE
+    * codegen'd traversal — one hash probe per token instead of
+    * |languages|·|stopwords| string compares (see
+    * [[graft.functions.LangHits]]; parity with [[langScore]] proved in
+    * TextOpsSpec). Bind the result to a column and `element_at` it. */
+  def langHits(toks: Column): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.LangHits(
+        org.apache.spark.sql.GraftExpressions.expression(toks)))
 
   /** Arg-max language with a fixed priority order on ties (en→de→es→fr). */
   def langId(scores: Seq[(String, Column)]): Column =

@@ -508,18 +508,21 @@ object LlmOps {
   // ---- text analysis ----------------------------------------------------
 
   def textStats(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val nTokens = size(toks)
+    val nTokens = size(col("__toks"))
     val punct = TextOps.punctRatio(col("text"))
-    val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / nTokens
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      nTokens.cast(LongType).as("n_tokens"),
-      length(col("text")).cast(LongType).as("n_chars_m"),
-      TextOps.bpeishCount(col("text")).cast(LongType).as("n_bpeish"),
-      TextOps.quant(punct, 4).as("punct_ratio"),
-      TextOps.quant(stop, 4).as("stop_ratio"),
-      TextOps.qualityScore(nTokens, punct, stop).as("quality"))
+    // stopword hits via the one-pass LangHits kernel (hits[1] = en)
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / nTokens
+    Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .select(
+        col("doc_id"),
+        nTokens.cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        TextOps.bpeishCount(col("text")).cast(LongType).as("n_bpeish"),
+        TextOps.quant(punct, 4).as("punct_ratio"),
+        TextOps.quant(stop, 4).as("stop_ratio"),
+        TextOps.qualityScore(nTokens, punct, stop).as("quality"))
   }
 
   private val textStatsOracle = {
@@ -591,13 +594,16 @@ object LlmOps {
     GROUP BY token ORDER BY freq DESC, token ASC LIMIT $VocabTopK"""
 
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val scores = TextOps.LangStopwords.map { case (l, ws) =>
-      l -> TextOps.langScore(toks, ws)
+    // all four language scores from ONE LangHits traversal
+    val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(col("__hits"), i + 1)
     }
-    Tables.documents(s, d).select(
-      col("doc_id") +: scores.map { case (l, c) => c.cast(LongType).as(s"s_$l") }
-        :+ TextOps.langId(scores).as("lang_guess"): _*)
+    Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .select(
+        col("doc_id") +: scores.map { case (l, c) => c.cast(LongType).as(s"s_$l") }
+          :+ TextOps.langId(scores).as("lang_guess"): _*)
   }
 
   private val langIdOracle = {
@@ -871,16 +877,18 @@ object LlmOps {
     * the oracle recomputes the whole chain independently. Output: the
     * surviving corpus inventory. */
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    // materialize the token array ONCE: the five language scores + stopword
-    // ratio are each an interpreted lambda traversal, and an inline
-    // `split()` would re-tokenize the text on every one of them
-    val toks = col("__toks")
-    val nTokens = size(toks)
+    // materialize the token array ONCE, then ALL language scores + the
+    // stopword ratio come from a single LangHits traversal (one codegen'd
+    // pass; the old form was five interpreted lambda traversals)
+    val nTokens = size(col("__toks"))
     val punct = TextOps.punctRatio(col("text"))
-    val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / nTokens
-    val scores = TextOps.LangStopwords.map { case (l, ws) => l -> TextOps.langScore(toks, ws) }
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / nTokens
+    val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(col("__hits"), i + 1)
+    }
     val enriched = Tables.documents(s, d)
       .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
       .select(col("doc_id"), col("text"),
       TextOps.qualityScore(nTokens, punct, stop).as("quality"),
       TextOps.langId(scores).as("lang"))

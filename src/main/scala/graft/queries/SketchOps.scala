@@ -213,12 +213,12 @@ object SketchOps {
     * quality ntile would be a rangepartitioning sort — the shape this
     * codebase bans) and matches how corpus shards are actually scheduled. */
   def curriculum(s: SparkSession, d: String): DataFrame = {
-    val toks = col("__toks")
-    val n = size(toks)
+    val n = size(col("__toks"))
     val punct = TextOps.punctRatio(col("text"))
-    val stop = TextOps.langScore(toks, TextOps.LangStopwords.head._2).cast(DoubleType) / n
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n // LangHits: en
     Tables.documents(s, d)
       .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
       .select(col("doc_id"), col("source"),
         TextOps.qualityScore(n, punct, stop).as("quality"))
       .withColumn("phase",

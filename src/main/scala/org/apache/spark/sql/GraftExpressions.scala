@@ -43,6 +43,12 @@ object GraftExpressions {
         require(args.length == 1, "hash60_array(array<string>)")
         graft.functions.Hash60Array(args.head)
       })
+    registry.registerFunction(FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(classOf[graft.functions.LangHits].getName, "lang_hits"),
+      { args =>
+        require(args.length == 1, "lang_hits(array<string>)")
+        graft.functions.LangHits(args.head)
+      })
     registry.registerFunction(FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       { args =>

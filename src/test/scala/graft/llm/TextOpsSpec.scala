@@ -226,4 +226,47 @@ class TextOpsSpec extends SparkSuite {
     assert(r(2) == "clean text with no pii at all")
     assert(r(3) == "both <EMAIL> and <PHONE> appear")
   }
+
+  test("LangHits (codegen) equals the per-language interpreted langScore filters") {
+    val docs = Seq(
+      "the cat sat on the mat and it was fine",   // en-heavy
+      "der hund und die katze auf der matte",     // de-heavy
+      "el perro y la casa en un dia",             // es (note: 'en' is es too)
+      "le chat et un chien dans une maison",      // fr ('un' is es AND fr)
+      "", "xyzzy plugh").toDF("text")
+      .withColumn("__toks", TextOps.tokens(col("text")))
+    val folded = docs.select(array(TextOps.LangStopwords.map { case (_, ws) =>
+      TextOps.langScore(col("__toks"), ws).cast("long") }: _*))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    val native = docs.select(TextOps.langHits(col("__toks")))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    assert(native == folded)
+    // multi-membership tokens count for EVERY language that lists them
+    val un = Seq("un un").toDF("text")
+      .select(TextOps.langHits(TextOps.tokens(col("text"))))
+      .collect()(0).getSeq[Long](0)
+    assert(un == Seq(0L, 0L, 2L, 2L)) // 'un' is an es AND fr stopword
+  }
+
+  test("LangHits interpreted eval matches codegen; null tokens count nothing") {
+    val d = df("a ARRAY<STRING>", Seq(Row(Seq[Any]("the", null, "und")), Row(null)))
+    val gen = d.select(TextOps.langHits(col("a"))).collect().toSeq
+    assert(gen(0).getSeq[Long](0) == Seq(1L, 1L, 0L, 0L))
+    assert(gen(1).isNullAt(0)) // null array → null
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.LangHits(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType), true))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(Array[Any](UTF8String.fromString("the"), null,
+        UTF8String.fromString("und"))))
+    val interp = expr.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toLongArray().toSeq == Seq(1L, 1L, 0L, 0L))
+    // SQL registration parity
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    d.createOrReplaceTempView("langhits_t")
+    val viaSql = spark.sql("SELECT lang_hits(a) FROM langhits_t").collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(1L, 1L, 0L, 0L))
+  }
 }
