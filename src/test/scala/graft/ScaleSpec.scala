@@ -114,6 +114,54 @@ class ScaleSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("SCD2 + CDC apply at 1M events: exact run/entity accounting, no global sort") {
+    // deterministic 1M-event stream, ts ascending with id, nanos physical
+    // type (the Tables.events contract); type pattern gives closed-form runs
+    val t0 = 1704067200000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_ev_").toString
+    spark.range(1000000L).select(
+      col("id").as("event_id"),
+      ((col("id") * 200 + t0) * 1000000L).as("ts"),
+      (col("id") % 5000L).as("user_id"),
+      when(col("id") % 7 === 0, "error")
+        .otherwise(concat(lit("t"), ((col("id") / 5000).cast("long") / 4 % 3).cast("long")))
+        .as("event_type"),
+      (col("id") % 1000L).cast("double").as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // driver replay of the same arithmetic (no data transfer)
+    def typ(id: Long): String =
+      if (id % 7 == 0) "error" else "t" + ((id / 5000) / 4 % 3)
+    var expRuns = 0L
+    var u = 0L
+    while (u < 5000L) {
+      var prev: String = null
+      var k = 0L
+      while (k < 200L) {
+        val t = typ(u + 5000L * k)
+        if (t != prev) { expRuns += 1; prev = t }
+        k += 1
+      }
+      u += 1
+    }
+    val scd2 = graft.queries.EventOps.qScd2(spark, dir)
+    assert(scd2.count() == expRuns)
+    assert(!scd2.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+
+    var expLive = 0L
+    var e = 0L
+    while (e <= 333333L) {
+      val latest = math.min(3 * e + 2, 999999L)
+      if (typ(latest) != "error") expLive += 1
+      e += 1
+    }
+    val cdc = graft.queries.EltOps.d6CdcApply(spark, dir)
+    assert(cdc.count() == expLive)
+    val cdcPlan = cdc.queryExecution.executedPlan.toString
+    assert(!cdcPlan.contains("Window") && !cdcPlan.contains("rangepartitioning"), cdcPlan)
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
