@@ -283,7 +283,30 @@ object Relational {
     FROM events e JOIN st USING (event_type)
     WHERE sd > 0 AND abs(e.value - mean) >= 3 * sd"""
 
+  /** Per-group top-k — the scale-safe form of "top 5 per category": a
+    * hash-partitioned rank window + filter, so every group ranks inside its
+    * own partition and nothing global sorts (contrast [[qTopK]], whose
+    * global ORDER BY LIMIT is a TakeOrdered). The deterministic (value,
+    * event_id) tiebreak keeps the answer engine-independent. */
+  def qGroupTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 5)
+  }
+
+  private val qGroupTopKOracle = """
+    SELECT event_id, event_type, value, rk FROM (
+      SELECT event_id, event_type, value,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+      FROM events) t
+    WHERE rk <= 5"""
+
   def qs: Map[String, Q] = Map(
+    "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
     "q_rollup"  -> Q(qRollup, Some(qRollupOracle)),
     "t_anomaly" -> Q(tAnomaly, Some(tAnomalyOracle)),

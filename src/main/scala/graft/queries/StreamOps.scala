@@ -253,6 +253,36 @@ object StreamOps {
            min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
     FROM sess GROUP BY user_id, sid"""
 
+  /** The BUILT-IN session-window aggregation over the same 4-hour
+    * inactivity gap as [[qSessionize]] — the declarative twin of the
+    * flatMapGroupsWithState form (Spark merges overlapping [ts, ts+gap)
+    * windows inside a hash aggregate; in streaming mode the same expression
+    * runs with watermark-evicted state). Boundary semantics differ from the
+    * lag form by one edge: a successor at EXACTLY gap distance starts a new
+    * session (diff >= gap breaks), and the oracle mirrors that. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n"),
+        min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+      .select("user_id", "n", "start_ms", "end_ms")
+
+  private val sessionWindowOracle = s"""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+    marked AS (
+      SELECT user_id, ts_ms,
+        CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+               >= $SessionGapMs THEN 1 ELSE 0 END AS brk
+      FROM e),
+    sess AS (
+      SELECT user_id, ts_ms,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, count(*) AS n,
+           min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+    FROM sess GROUP BY user_id, sid"""
+
   private val IntervalBoundMs = 5L * 60 * 1000
 
   /** The stream-stream interval join in batch mode (same code path as the
@@ -299,9 +329,13 @@ object StreamOps {
     val span = math.max(1L, hi - lo + 1)
     val q = least(lit(3L), floor((col("ts_ms") - lo) * 4 / span).cast(LongType))
     val qEnd = (lit(lo) + (q + 1) * span / 4).cast(LongType)
-    val orig = ev.withColumn("__seg", format_string("%03d", q * 2))
+    // quartile q's redelivered tail rides in the NEXT quartile's micro-batch
+    // (still strictly a LATER batch than the originals — the cross-batch
+    // property under test — but 5 scheduler rounds instead of 8: the
+    // per-micro-batch state-store commit is the fixed cost here)
+    val orig = ev.withColumn("__seg", format_string("%03d", q))
     val redelivered = ev.filter(col("ts_ms") >= qEnd - 3600L * 1000)
-      .withColumn("__seg", format_string("%03d", q * 2 + 1))
+      .withColumn("__seg", format_string("%03d", q + 1))
     writeSegments(orig.union(redelivered), "__seg", s, s"$base/stage",
       s"$base/input", format = "parquet")
     // the file source orders equal-mtime files by path; make the intended
@@ -370,6 +404,7 @@ object StreamOps {
 
   def qs: Map[String, Q] = Map(
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
+    "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
     "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
