@@ -226,6 +226,9 @@ object Corpus {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      // two consumers (the df aggregation + the scoring join): persist so
+      // tokenize→explode→per-doc aggregate runs once, not per consumer
+      .persist()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df, "token")
       .select(col(idCol), col("token"), col("tf"), col("df"),

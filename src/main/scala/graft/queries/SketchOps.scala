@@ -114,6 +114,7 @@ object SketchOps {
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("ctf"))
+      .persist() // two consumers: the vocab aggregate + the scoring join
     val vocab = tf.groupBy("t").agg(sum("ctf").as("c"))
     val total = vocab.agg(sum(col("c")).as("n_total"))
     val scores = vocab.crossJoin(broadcast(total))
