@@ -266,7 +266,43 @@ object EventOps {
     FROM z GROUP BY 1"""
   }
 
+  // ---- incremental aggregate maintenance --------------------------------
+
+  /** Incrementally-maintained aggregate table: history's per-key partials
+    * are STORED (genuinely written to and read back from parquet) and a new
+    * increment only aggregates its own rows — history is never rescanned,
+    * the merge is `sum` over partials, exact because the per-key state
+    * (count, DECIMAL sum) is a commutative monoid. This is how a 100 TB
+    * rollup stays cheap: the daily job touches the day's data plus a
+    * |keys|-sized state table, and the result equals the full recompute
+    * (which is exactly what the oracle runs). */
+  def d7IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+    val hist = ev.filter(col("event_id") % 4 =!= 3)
+    val fresh = ev.filter(col("event_id") % 4 === 3)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+    val stateDir = IncAggStateDir
+    partial(hist).write.mode("overwrite").parquet(stateDir)
+    s.read.parquet(stateDir).unionByName(partial(fresh))
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("total")).cast(DoubleType).as("total"))
+  }
+
+  // one scratch dir per JVM (a shared fixed path would race concurrent
+  // sessions; one per call would orphan a dir per Bench/Verify invocation)
+  private lazy val IncAggStateDir: String =
+    java.nio.file.Files.createTempDirectory("graft_incagg_").toString
+
+  private val incAggOracle = """
+    SELECT user_id, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2"""
+
   def qs: Map[String, Q] = Map(
+    "d7_incremental_agg" -> Q(d7IncrementalAgg, Some(incAggOracle)),
     "q_cube"      -> Q(qCube, Some(cubeOracle)),
     "q_pivot"     -> Q(qPivot, Some(pivotOracle)),
     "q_funnel"    -> Q(qFunnel, Some(funnelOracle)),

@@ -395,7 +395,40 @@ object SketchOps {
     JOIN uni uy ON uy.w = pc.y
     CROSS JOIN tot CROSS JOIN tk"""
 
+  // ---- mixture resampling ----------------------------------------------
+
+  /** The RESAMPLING step [[domainMix]]'s weights exist for, composed
+    * end-to-end: each source's per-mille keep rate is its rebalancing
+    * weight scaled and clamped, and each document passes a deterministic
+    * hash gate — reproducible under any partitioning, any engine, any
+    * re-run (no `rand()`). One |sources|-row broadcast onto a narrow
+    * filter: the corpus is scanned once and never shuffled. */
+  def resample(s: SparkSession, d: String): DataFrame = {
+    val rates = domainMix(s, d).select(col("source"),
+      least(greatest(floor(col("weight") * 300).cast(LongType), lit(1L)), lit(1000L))
+        .as("per_mille"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(pmod(TextOps.hash60(concat(col("doc_id").cast(StringType),
+        lit(":resample"))), lit(1000L)) < col("per_mille"))
+      .select("doc_id", "source", "per_mille")
+  }
+
+  private val resampleOracle = s"""
+    WITH per AS (
+      SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_sources FROM per),
+    rates AS (
+      SELECT source,
+        least(greatest(CAST(floor(${qSql("total * 1.0 / (n_sources * n_tokens)", 6)} * 300) AS BIGINT), 1), 1000) AS per_mille
+      FROM per, tot)
+    SELECT doc_id, source, per_mille
+    FROM documents JOIN rates USING (source)
+    WHERE ${hashSql("doc_id::VARCHAR || ':resample'")} % 1000 < per_mille"""
+
   def qs: Map[String, Q] = Map(
+    "llm_resample"     -> Q(resample, Some(resampleOracle)),
     "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),

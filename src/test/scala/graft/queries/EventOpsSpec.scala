@@ -220,6 +220,18 @@ class EventOpsSpec extends SparkSuite {
     assert(!plan.contains("Window") && !plan.contains("rangepartitioning"), plan)
   }
 
+  // ---- incremental aggregate maintenance --------------------------------
+
+  test("d7IncrementalAgg: merged history partials + increment equals full recompute") {
+    val (dir, rows) = fixture
+    val expected = rows.groupBy(e => (e.user_id, e.event_type)).map { case ((u, t), es) =>
+      (u, t, es.size.toLong, decSum(es.map(_.value)))
+    }.toSeq
+    val got = EventOps.d7IncrementalAgg(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.sorted == expected.sorted)
+  }
+
   // ---- plan shapes ------------------------------------------------------
 
   test("new event operators: no cartesian, no nested-loop, no global sort") {

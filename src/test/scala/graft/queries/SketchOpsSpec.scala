@@ -245,6 +245,31 @@ class SketchOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("resample: per-source keep rates derive from mixture weights; the hash gate is reproducible") {
+    val rows = Seq(
+      (1L, "a b c d e f g h", "en", "big"), (2L, "a b c d e f g h", "en", "big"),
+      (3L, "a b c d e f g h", "en", "small")) ++
+      (4L to 40L).map(i => (i, "w x y z " * 2, "en", if (i % 3 == 0) "small" else "big"))
+    val d = writeDocs(rows.map(r => (r._1, r._2.trim, r._3, r._4)))
+    val out = SketchOps.resample(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // rates: clamp(floor(quant6(total/(S*n_s)) * 300), 1, 1000) per source
+    val toksOf = (t: String) => t.trim.split("\\s+").length.toLong
+    val per = rows.groupBy(_._4).map { case (s0, rs) => s0 -> rs.map(r => toksOf(r._2)).sum }
+    val total = per.values.sum
+    val rates = per.map { case (s0, n) =>
+      s0 -> math.min(math.max(math.floor(quant(total.toDouble / (per.size * n), 6) * 300).toLong, 1L), 1000L)
+    }
+    out.foreach { case (_, s0, pm) => assert(pm == rates(s0)) }
+    // gate: kept iff hash60(id:resample) % 1000 < rate — exact replay
+    val expectedKept = rows.filter { r =>
+      TextOps.hash60Str(s"${r._1}:resample") % 1000 < rates(r._4)
+    }.map(_._1).toSet
+    assert(out.map(_._1).toSet == expectedKept)
+    // determinism: a second run keeps the identical set
+    assert(SketchOps.resample(spark, d).collect().map(_.getLong(0)).toSet == expectedKept)
+  }
+
   // ---- PMI --------------------------------------------------------------
 
   test("pmi equals the exact windowed co-occurrence reference") {
