@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
-import graft.llm.{Multimodal, Similarity, TextOps}
+import graft.llm.{Corpus, Multimodal, Similarity, TextOps}
 import graft.ops.Dedup
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -969,6 +969,130 @@ object LlmOps {
     WHERE doc_id NOT IN (SELECT j FROM losers)"""
   }
 
+  // ---- the full selection-and-mixing build ------------------------------
+
+  /** The flagship end-to-end BUILD: every selection/mixing stage chained in
+    * production order over one corpus —
+    *   quality+language gate → exact dedup → benchmark decontamination →
+    *   domain-mix resampling → train/val/test split → sequence packing —
+    * each stage the same library operator its standalone query drives, the
+    * oracle one independent SQL recomputation of the whole chain. Where
+    * [[cleanCorpus]] proves the dedup family composes, this proves the
+    * SELECTION family does: what ships is (doc, source, split, seq) — the
+    * manifest a trainer reads.
+    *
+    * Scale posture: the gates are narrow; dedup is one content-hash
+    * shuffle; decontamination broadcasts the benchmark n-gram set; the
+    * mixture model is a |sources|-row broadcast; packing windows per
+    * source shard. Nothing global-sorts and nothing pair-joins. */
+  def build(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    val nTokens = size(col("__toks"))
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / nTokens
+    val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(col("__hits"), i + 1)
+    }
+    val kept = corpus
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .select(col("doc_id"), col("text"), col("source"),
+        nTokens.cast(LongType).as("n_tokens"),
+        TextOps.qualityScore(nTokens, punct, stop).as("quality"),
+        TextOps.langId(scores).as("lang"))
+      .filter(col("quality") >= PipelineQuality && col("lang") === "en")
+    // survivors feed the decontamination probe AND the final anti-join —
+    // persist so the enrichment+window chain runs once
+    val exact = Dedup.exact(kept, Seq("text"), "doc_id").persist()
+    val decon = Corpus.decontaminate(exact, bench, 3).persist()
+    val per = decon.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = per.agg(sum(col("src_tokens")).as("total"), count(lit(1)).as("n_sources"))
+    val rates = per.crossJoin(broadcast(tot)).select(col("source"),
+      least(greatest(floor(
+        TextOps.quant(col("total") * lit(1.0) / (col("n_sources") * col("src_tokens")), 6)
+          * 300).cast(LongType), lit(1L)), lit(1000L)).as("per_mille"))
+    val sampled = decon.join(broadcast(rates), "source")
+      .filter(pmod(TextOps.hash60(concat(col("doc_id").cast(StringType),
+        lit(":resample"))), lit(1000L)) < col("per_mille"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sampled
+      .withColumn("split", Corpus.splitAssign(SplitFences))
+      .withColumn("seq_id",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).divide(PackTokens).cast(LongType))
+      .select("doc_id", "source", "quality", "split", "n_tokens", "seq_id")
+  }
+
+  // lazy: interpolates SplitFences/PackTokens, declared further down the file
+  private lazy val buildOracle = {
+    val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    val scoreDefs = TextOps.LangStopwords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(sp, t -> list_contains($arr, t)))::BIGINT AS s_$l"
+    }.mkString(",\n        ")
+    val langs = TextOps.LangStopwords.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), elseC) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$l' ELSE $elseC END"
+    }
+    val sortedFences = SplitFences.sortBy(_._2)
+    val splitArms = sortedFences.init.map { case (n, f) => s"WHEN sb < $f THEN '$n'" }
+      .mkString(" ")
+    s"""
+    WITH feats AS (
+      SELECT doc_id, text, source, n_tokens,
+        ${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)} AS quality,
+        $caseExpr AS lang
+      FROM (
+        SELECT doc_id, text, source,
+          len(sp)::BIGINT AS n_tokens,
+          len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
+          len(list_filter(sp, t -> list_contains($en, t)))::DOUBLE / len(sp) AS stop,
+          $scoreDefs
+        FROM (SELECT doc_id, text, source, $toksSql AS sp FROM documents
+              WHERE doc_id % 50 <> 0) t) tt),
+    kept AS (
+      SELECT * FROM feats WHERE quality >= $PipelineQuality AND lang = 'en'),
+    exact AS (
+      SELECT doc_id, text, source, n_tokens, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        FROM kept) t WHERE rn = 1),
+    bgrams AS (
+      SELECT DISTINCT unnest(${shinglesSql(toksSql, 3)}) AS g
+      FROM documents WHERE doc_id % 50 = 0),
+    tsh AS (
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS g FROM exact),
+    contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bgrams b ON t.g = b.g),
+    decon AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+            FROM decon GROUP BY 1),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total, count(*) AS n_sources
+            FROM per),
+    rates AS (
+      SELECT source,
+        least(greatest(CAST(floor(${qSql("total * 1.0 / (n_sources * src_tokens)", 6)} * 300) AS BIGINT), 1), 1000) AS per_mille
+      FROM per, tot),
+    sampled AS (
+      SELECT d.doc_id, d.source, d.quality, d.n_tokens
+      FROM decon d JOIN rates USING (source)
+      WHERE ${hashSql("d.doc_id::VARCHAR || ':resample'")} % 1000 < per_mille),
+    packed AS (
+      SELECT doc_id, source, quality, n_tokens,
+        ${hashSql("doc_id::VARCHAR || ':split'")} % 1000 AS sb,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackTokens
+          AS BIGINT) AS seq_id
+      FROM sampled)
+    SELECT doc_id, source, quality,
+      CASE $splitArms ELSE '${sortedFences.last._1}' END AS split,
+      n_tokens, seq_id
+    FROM packed"""
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   /** Binary media plumbing: text bytes stand in for opaque payloads; decode
@@ -1298,6 +1422,7 @@ object LlmOps {
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_vocab"         -> Q(vocab, Some(vocabOracle)),
     "llm_clean_corpus"  -> Q(cleanCorpus, Some(cleanCorpusOracle)),
+    "llm_build"         -> Q(build, Some(buildOracle)),
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),

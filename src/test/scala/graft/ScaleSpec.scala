@@ -162,6 +162,32 @@ class ScaleSpec extends SparkSuite {
     assert(!cdcPlan.contains("Window") && !cdcPlan.contains("rangepartitioning"), cdcPlan)
   }
 
+  test("llm_build (full selection pipeline) plan: no global sort, no pair join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_build_").toString
+    val rnd = new scala.util.Random(5L)
+    // english-ish docs so the quality/language gate keeps a population;
+    // doc_id % 50 == 0 rows become the benchmark slice by construction
+    (0 until 120).map { i =>
+      val en = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+      val words = Seq.fill(40)(if (rnd.nextBoolean()) en(rnd.nextInt(en.length))
+                               else s"w${rnd.nextInt(50)}")
+      (i.toLong, (words :+ s"m$i").mkString(" "), "en", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qs("llm_build").fn(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every surviving doc is non-benchmark and sequences start at 0 per source
+    assert(rows.forall(_.getLong(0) % 50 != 0))
+    assert(rows.map(r => (r.getString(1), r.getLong(5))).groupBy(_._1)
+      .forall { case (_, seqs) => seqs.map(_._2).min == 0L })
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
