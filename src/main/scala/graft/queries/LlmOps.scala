@@ -969,6 +969,46 @@ object LlmOps {
     WHERE doc_id NOT IN (SELECT j FROM losers)"""
   }
 
+  // ---- vocabulary encoding ----------------------------------------------
+
+  private val EncodeVocabK = 100
+
+  /** Materialize training tokens: every (doc, position) encoded against the
+    * corpus's own top-K vocabulary, out-of-vocabulary → id 0 — the step that
+    * turns a selected corpus into model input. The vocabulary is a
+    * CONTROL-PLANE artifact: K rows collected once on the driver (a
+    * TakeOrdered, not a global sort), ids assigned there, broadcast back —
+    * so the token stream itself is one narrow explode + one broadcast join,
+    * scanned exactly once. A window-over-everything id assignment would be
+    * the banned single-partition sort. */
+  def encode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val top = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(EncodeVocabK)
+      .collect().map(_.getString(0))
+    val vocab = top.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+      .toSeq.toDF("token", "vid")
+    docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        coalesce(col("vid"), lit(0L)).as("token_id"))
+  }
+
+  private val encodeOracle = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(sp) AS token,
+             generate_subscripts(sp, 1)::BIGINT - 1 AS pos
+      FROM (SELECT doc_id, $toksSql AS sp FROM documents) t),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) AS vid
+      FROM (SELECT token, count(*) AS freq FROM tok GROUP BY 1
+            ORDER BY freq DESC, token ASC LIMIT $EncodeVocabK) v)
+    SELECT doc_id, pos, COALESCE(vid, 0) AS token_id
+    FROM tok LEFT JOIN vocab USING (token)"""
+
   // ---- the full selection-and-mixing build ------------------------------
 
   /** The flagship end-to-end BUILD: every selection/mixing stage chained in
@@ -1423,6 +1463,7 @@ object LlmOps {
     "llm_vocab"         -> Q(vocab, Some(vocabOracle)),
     "llm_clean_corpus"  -> Q(cleanCorpus, Some(cleanCorpusOracle)),
     "llm_build"         -> Q(build, Some(buildOracle)),
+    "llm_encode"        -> Q(encode, Some(encodeOracle)),
     "llm_ann_brute"     -> Q(annBrute, Some(annBruteOracle)),
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
