@@ -71,8 +71,15 @@ object LlmOps {
     * parallel, while the window form moves AND sorts the whole index over
     * the network. */
   private def cappedShingleIndex(docs: DataFrame): DataFrame = {
+    // index rows carry the 60-bit shingle HASH, not the shingle string: the
+    // count pass, the blacklist join, and the pair self-join all shuffle and
+    // compare 8-byte longs instead of ~30-byte strings (the hash is the
+    // codegen'd Hash60Array kernel; the oracle hashes identically, so the
+    // comparison stays exact — a collision would fold the same pair of
+    // shingles on both engines)
     val sh0 = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+      explode(TextOps.hash60Array(
+        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s"))
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")
     // the capped index feeds THREE consumers downstream (both sides of the
@@ -152,7 +159,7 @@ object LlmOps {
 
   private val containmentOracle = s"""
     WITH sh0 AS (
-      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
       FROM documents),
     sh AS (
       SELECT doc_id, s FROM (
@@ -169,7 +176,7 @@ object LlmOps {
 
   private val ngramOracle = s"""
     WITH sh0 AS (
-      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
       FROM documents),
     sh AS (
       SELECT doc_id, s FROM (
