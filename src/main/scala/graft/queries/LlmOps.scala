@@ -211,18 +211,21 @@ object LlmOps {
     * 16-value signature (a native Catalyst expression — 16 chained
     * transform/array_min calls would be interpreted and traverse the hash
     * array 16×, see MinHashSig); the band explode is narrow. */
-  /** (doc_id, shingle-array) — the frame both the signature branch and the
-    * verify branch consume. */
-  private def shingled(docs: DataFrame): DataFrame =
+  /** (doc_id, shingle-HASH-array) — the frame both the signature branch and
+    * the verify branch consume. Hashing happens HERE, once (the codegen'd
+    * Hash60Array kernel): signatures permute the hashes, and verification
+    * intersects 8-byte-long sets instead of shingle strings — same exactness
+    * (the oracle hashes identically), smaller state everywhere downstream. */
+  private def hashedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      TextOps.hash60Array(
+        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("hs"))
 
   private def bandFrame(docs: DataFrame): DataFrame =
-    bandFrameFromShingles(shingled(docs))
+    bandFrameFromHashes(hashedShingles(docs))
 
-  private def bandFrameFromShingles(withSh: DataFrame): DataFrame = {
-    val withSig = withSh
-      .withColumn("hs", TextOps.hash60Array(col("sh")))
+  private def bandFrameFromHashes(withHs: DataFrame): DataFrame = {
+    val withSig = withHs
       .withColumn("sigv", TextOps.minhashSignature(col("hs"), NumHashes))
     val sig = (0 until NumHashes).map(i => element_at(col("sigv"), i + 1))
     withSig.select(col("doc_id"), explode(array(
@@ -232,20 +235,21 @@ object LlmOps {
   }
 
   private def minhashPairs(docs: DataFrame): DataFrame = {
-    // shingle ONCE: the signature branch and the verify branch both consume
-    // the (doc_id, shingles) frame — persist it so the text is tokenized and
-    // shingled a single time, not once per branch (at cluster scale: the
-    // shingle frame is materialized to storage once per dedup run)
-    val withSh = shingled(docs).persist()
+    // shingle+hash ONCE: the signature branch and the verify branch both
+    // consume the (doc_id, hashes) frame — persist it so the text is
+    // tokenized, shingled, and hashed a single time, not once per branch
+    // (at cluster scale: the hash frame is materialized to storage once per
+    // dedup run)
+    val withHs = hashedShingles(docs).persist()
     // narrow rows (doc_id, band, key) — persist so the SELF-join below does
     // not run the whole shingle→hash→signature pipeline once per side
     // (broadcast build sides don't reuse exchanges)
-    val bands = bandFrameFromShingles(withSh).persist()
+    val bands = bandFrameFromHashes(withHs).persist()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    val sh = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh = withHs.select(col("doc_id"), explode(col("hs")).as("s"))
     verifyCandidates(sh, cands, JaccardThreshold)
   }
 
@@ -278,7 +282,7 @@ object LlmOps {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
     sh AS (
-      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM documents),
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
@@ -314,8 +318,7 @@ object LlmOps {
     val cands = bandFrame(fresh).as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+    val sh = hashedShingles(docs).select(col("doc_id"), explode(col("hs")).as("s"))
     verifyCandidates(sh, cands, JaccardThreshold)
   }
 
@@ -330,7 +333,7 @@ object LlmOps {
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
       WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
     sh AS (
-      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM documents),
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     pairs AS (
       SELECT c.i, c.j, count(*) AS inter
@@ -961,7 +964,7 @@ object LlmOps {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
     sh AS (
-      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM exact),
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s FROM exact),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
