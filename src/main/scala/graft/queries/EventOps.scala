@@ -301,7 +301,53 @@ object EventOps {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2"""
 
+  // ---- data-quality rules ----------------------------------------------
+
+  /** Declarative load-time data-quality screen (Deequ/dbt-test-style): every
+    * rule is a boolean Column, ALL rules evaluate in ONE scan — one
+    * map-side-combined aggregate producing a violation count per rule, then
+    * a narrow unpivot of the single stats row. Adding a rule adds a column
+    * to the aggregate, never a pass over the data — the only shape that
+    * holds when the table is 100 TB and the rule list is long. */
+  def tDqRules(s: SparkSession, d: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "value_not_null"  -> col("value").isNull,
+      "value_in_range"  -> !col("value").between(0d, 1000d),
+      "known_type"      -> !col("event_type").isin(EventTypes.map(_.asInstanceOf[Any]): _*),
+      "ts_in_window"    -> !col("ts_ms").between(1704067200000L, 1735689600000L),
+      "props_has_int_k" -> get_json_object(col("props"), "$.k").cast(LongType).isNull)
+    val stats = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v_$name")
+      }: _*)
+    stats.select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"v_$name").as("n_violations"), col("n").as("n_checked"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_violations"), col("r.n_checked"),
+        graft.llm.TextOps.quant(lit(1d) - col("r.n_violations") / col("r.n_checked"), 6)
+          .as("pass_rate"))
+  }
+
+  private val dqOracle = {
+    val types = EventTypes.map(t => s"'$t'").mkString(", ")
+    val ruleSql = Seq(
+      "value_not_null"  -> "value IS NULL",
+      "value_in_range"  -> "NOT (value BETWEEN 0 AND 1000)",
+      "known_type"      -> s"event_type NOT IN ($types)",
+      "ts_in_window"    -> "NOT (epoch_ms(ts) BETWEEN 1704067200000 AND 1735689600000)",
+      "props_has_int_k" -> "TRY_CAST(json_extract_string(props::JSON, '$.k') AS BIGINT) IS NULL")
+    ruleSql.map { case (name, cond) =>
+      s"""SELECT '$name' AS rule,
+        CAST(SUM(CASE WHEN COALESCE($cond, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        COUNT(*) AS n_checked,
+        floor((1 - SUM(CASE WHEN COALESCE($cond, FALSE) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS pass_rate
+      FROM events"""
+    }.mkString("\nUNION ALL\n")
+  }
+
   def qs: Map[String, Q] = Map(
+    "t_dq_rules"         -> Q(tDqRules, Some(dqOracle)),
     "d7_incremental_agg" -> Q(d7IncrementalAgg, Some(incAggOracle)),
     "q_cube"      -> Q(qCube, Some(cubeOracle)),
     "q_pivot"     -> Q(qPivot, Some(pivotOracle)),

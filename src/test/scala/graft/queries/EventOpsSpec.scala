@@ -232,6 +232,27 @@ class EventOpsSpec extends SparkSuite {
     assert(got.sorted == expected.sorted)
   }
 
+  // ---- data-quality rules ----------------------------------------------
+
+  test("tDqRules: one scan evaluates every rule; null predicates are not violations") {
+    val rows = Seq(
+      Ev(0L, (T0 + 1000) * 1000000L, 1L, "click", 5.0, """{"k":1}"""),
+      Ev(1L, (T0 + 2000) * 1000000L, 1L, "weird", -3.0, """{"k":2}"""),   // type + range
+      Ev(2L, (T0 + 3000) * 1000000L, 2L, "view", 2000.0, """{"nope":1}""")) // range + props
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq_").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.tDqRules(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("value_not_null") == ((0L, 3L)))
+    assert(got("value_in_range") == ((2L, 3L)))
+    assert(got("known_type") == ((1L, 3L)))
+    assert(got("ts_in_window") == ((0L, 3L)))
+    assert(got("props_has_int_k") == ((1L, 3L)))
+    // ONE scan: a single aggregate, no join, no shuffle beyond the partial
+    val plan = EventOps.tDqRules(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   // ---- plan shapes ------------------------------------------------------
 
   test("new event operators: no cartesian, no nested-loop, no global sort") {
