@@ -78,6 +78,46 @@ object Multimodal {
     }
   }
 
+  /** Perceptual fingerprint row: doc, 8-bit blockhash, payload size. */
+  final case class BlockHashRow(doc_id: Long, blockhash: Long, n_bytes: Long)
+
+  /** Blockhash-style perceptual fingerprint (Yang et al.'s blockhash shape,
+    * byte-domain): the payload splits into `blocks` equal spans; bit k is
+    * set when span k's byte mass is ABOVE the payload's overall mean —
+    * integer cross-multiplied (`sum_k · N > S · n_k`) so no division and no
+    * float anywhere, which is what lets the oracle mirror it exactly. Near-
+    * identical payloads (a re-encode, a few changed bytes) keep their hash
+    * Hamming-close, so downstream dedup is the SAME band+Hamming shape the
+    * SimHash pipeline runs. A real image phash replaces the byte spans with
+    * DCT coefficients; the Spark shape — one narrow per-partition pass,
+    * 8 bytes of output per payload — does not change. */
+  def blockHash(media: Dataset[MediaRow], blocks: Int = 8): Dataset[BlockHashRow] = {
+    import media.sparkSession.implicits._
+    require(blocks > 0 && blocks <= 62)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.media.length
+        val sums = new Array[Long](blocks)
+        val cnts = new Array[Long](blocks)
+        var j = 0
+        while (j < n) {
+          val k = j * blocks / n // 0-based byte j → block (equal spans)
+          sums(k) += r.media(j) & 0xffL
+          cnts(k) += 1
+          j += 1
+        }
+        val total = sums.sum
+        var hash = 0L
+        var k = 0
+        while (k < blocks) {
+          if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) hash |= 1L << k
+          k += 1
+        }
+        BlockHashRow(r.doc_id, hash, n.toLong)
+      }
+    }
+  }
+
   /** Resized media record: same payload identity, new declared geometry. */
   final case class ResizedRow(doc_id: Long, width: Long, height: Long,
                               resized: Array[Byte])

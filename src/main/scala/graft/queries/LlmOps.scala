@@ -1160,6 +1160,28 @@ object LlmOps {
       md5(text) AS checksum
     FROM documents"""
 
+  /** Perceptual blockhash over the binary payload: 8 equal byte spans, bit
+    * set where the span's byte mass beats the payload mean — integer-exact
+    * (cross-multiplied), so the oracle mirrors it bit-for-bit; docs are
+    * ASCII so `ord(substr(...))` IS the byte. Near-identical payloads stay
+    * Hamming-close → downstream dedup reuses the SimHash band shape. */
+  def mmBlockhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.blockHash(
+      Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")).toDF()
+
+  private val mmBlockhashOracle = """
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    by AS (SELECT doc_id, n, ((i - 1) * 8) // n AS k, ord(substr(text, i, 1)) AS v
+           FROM b, LATERAL UNNEST(generate_series(1, n)) AS u(i)),
+    blk AS (SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
+            FROM by GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, CAST(sum(s_k) AS BIGINT) AS s FROM blk GROUP BY 1)
+    SELECT blk.doc_id,
+      CAST(SUM(CASE WHEN s_k * n > s * c_k THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS blockhash,
+      CAST(max(n) AS BIGINT) AS n_bytes
+    FROM blk JOIN tot USING (doc_id) GROUP BY 1"""
+
   /** Frame sampling: every 3rd fixed-size frame record per payload —
     * fan-out plumbing with content-exact verification (the docs are ASCII,
     * so byte slices mirror to substr in the oracle). */
@@ -1483,6 +1505,7 @@ object LlmOps {
     "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
+    "mm_blockhash"      -> Q(mmBlockhash, Some(mmBlockhashOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Multimodal binary-column plumbing: the decode stays a documented stub,
+  * but the Dataset shapes, byte arithmetic, and fingerprint properties are
+  * real and pinned here. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def media(rows: (Long, String)*) =
+    Multimodal.fromText(rows.toDF("doc_id", "text"), "doc_id", "text")
+
+  /** Driver-side twin of the blockhash arithmetic. */
+  private def refBlockHash(bytes: Array[Byte], blocks: Int = 8): Long = {
+    val sums = new Array[Long](blocks); val cnts = new Array[Long](blocks)
+    bytes.indices.foreach { j =>
+      val k = j * blocks / bytes.length
+      sums(k) += bytes(j) & 0xffL; cnts(k) += 1
+    }
+    val total = sums.sum
+    (0 until blocks).map { k =>
+      if (cnts(k) > 0 && sums(k) * bytes.length > total * cnts(k)) 1L << k else 0L
+    }.sum
+  }
+
+  test("blockHash equals the integer reference, including payloads shorter than the block count") {
+    val texts = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "aAbBcC", 3L -> "zz", 4L -> ("x" * 500 + "Z" * 100))
+    val got = Multimodal.blockHash(media(texts: _*)).collect()
+      .map(r => r.doc_id -> ((r.blockhash, r.n_bytes))).toMap
+    texts.foreach { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      assert(got(id) == ((refBlockHash(b), b.length.toLong)), s"doc $id")
+    }
+  }
+
+  test("blockHash: near-identical payloads stay Hamming-close, disjoint content does not collide to it") {
+    val base = ("lorem ipsum dolor sit amet " * 20).trim
+    val tweaked = base.updated(10, 'X').updated(200, 'Y') // a few changed bytes
+    val other = ("zzzz AAAA " * 40).trim
+    val out = Multimodal.blockHash(media(1L -> base, 2L -> tweaked, 3L -> other))
+      .collect().map(r => r.doc_id -> r.blockhash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(2L)) <= 1, s"${out(1L)} vs ${out(2L)}")
+  }
+
+  test("sampleFrames covers every stride-th frame with exact byte slices") {
+    val t = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
+    val frames = Multimodal.sampleFrames(media(7L -> t), stride = 2, frameBytes = 64)
+      .collect().sortBy(_.frame_idx)
+    // 300 bytes / 64 = 4 full-ish frames → indices 0 and 2 at stride 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(new String(frames(0).frame, "UTF-8") == t.substring(0, 64))
+    assert(new String(frames(1).frame, "UTF-8") == t.substring(128, 192))
+  }
+}
