@@ -318,7 +318,13 @@ object LlmOps {
     val cands = bandFrame(fresh).as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    val sh = hashedShingles(docs).select(col("doc_id"), explode(col("hs")).as("s"))
+    // verify on STRING shingles here: the candidate semi-join inside
+    // verifyCandidates prunes to a handful of docs before anything is
+    // collected, so hashing the WHOLE corpus's shingles first (as
+    // minhashPairs does, where the signature pass needs the hashes anyway)
+    // would be a pure extra md5 pass with no downstream saving
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
     verifyCandidates(sh, cands, JaccardThreshold)
   }
 
@@ -333,7 +339,7 @@ object LlmOps {
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
       WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
     sh AS (
-      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s FROM documents),
+      SELECT doc_id, unnest(${shinglesSql(toksSql, 3)}) AS s FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     pairs AS (
       SELECT c.i, c.j, count(*) AS inter
