@@ -305,7 +305,34 @@ object Relational {
       FROM events) t
     WHERE rk <= 5"""
 
+  /** Semi/anti-join breadth (EXISTS / NOT EXISTS): customers with at least
+    * one 1996 order vs customers with none — `left_semi` and `left_anti`
+    * keep only the probe side's columns, so the build side never widens the
+    * output and the join degenerates to a hash-set membership test. */
+  def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    val active = c.join(o96, c("c_custkey") === o96("o_custkey"), "left_semi")
+      .withColumn("status", lit("active_1996"))
+    val dormant = c.join(o96, c("c_custkey") === o96("o_custkey"), "left_anti")
+      .withColumn("status", lit("no_1996_orders"))
+    active.unionByName(dormant).select("c_custkey", "c_mktsegment", "status")
+  }
+
+  private val qSemiAntiOracle = """
+    SELECT c_custkey, c_mktsegment, 'active_1996' AS status FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 'no_1996_orders' AS status FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')"""
+
   def qs: Map[String, Q] = Map(
+    "q_semi_anti"  -> Q(qSemiAnti, Some(qSemiAntiOracle)),
     "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
     "q_rollup"  -> Q(qRollup, Some(qRollupOracle)),
