@@ -248,6 +248,22 @@ class TextOpsSpec extends SparkSuite {
     assert(un == Seq(0L, 0L, 2L, 2L)) // 'un' is an es AND fr stopword
   }
 
+  test("LangHits randomized parity: 200 seeded token mixes equal the folded form") {
+    val rnd = new scala.util.Random(31L)
+    val pool = TextOps.LangStopwords.flatMap(_._2) ++
+      Seq("xyz", "Der", "THE", "un!", "", "quelque", "数据") // case/punct/unicode near-misses
+    val rows = (0 until 200).map { _ =>
+      Seq.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.length))).mkString(" ")
+    }
+    val d = rows.toDF("text").withColumn("__toks", TextOps.tokens(col("text")))
+    val folded = d.select(array(TextOps.LangStopwords.map { case (_, ws) =>
+      TextOps.langScore(col("__toks"), ws).cast("long") }: _*))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    val native = d.select(TextOps.langHits(col("__toks")))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    assert(native == folded)
+  }
+
   test("LangHits interpreted eval matches codegen; null tokens count nothing") {
     val d = df("a ARRAY<STRING>", Seq(Row(Seq[Any]("the", null, "und")), Row(null)))
     val gen = d.select(TextOps.langHits(col("a"))).collect().toSeq
