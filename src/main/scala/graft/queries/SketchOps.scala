@@ -306,6 +306,71 @@ object SketchOps {
     FROM terms GROUP BY doc_id"""
   }
 
+  // ---- reciprocal-rank fusion ------------------------------------------
+
+  private val RrfK = 60   // the published RRF damping constant
+  private val RrfTopN = 100
+
+  /** Hybrid retrieval fusion (Cormack et al.'s reciprocal rank fusion):
+    * the BM25 relevance ranking fused with a document-quality ranking —
+    * RRF = Σ 1/(K + rank_i) over the rankings a doc appears in. This is how
+    * a topical-subset miner combines "matches the query" with "worth
+    * training on" without score calibration.
+    *
+    * Scale shape: each ranking is first cut to its top-N by a TakeOrdered
+    * (per-partition heads + driver merge — never a global sort of the
+    * corpus); the rank-assignment windows then order ≤ N rows, and the
+    * fusion is a full outer join of two ≤ N-row frames. Everything
+    * downstream of the TakeOrdered is control-plane-sized. */
+  def rankFusion(s: SparkSession, d: String): DataFrame = {
+    val wBm = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val topBm = bm25(s, d).orderBy(col("score").desc, col("doc_id").asc).limit(RrfTopN)
+      .withColumn("r_bm25", row_number().over(wBm).cast(LongType))
+      .select("doc_id", "r_bm25")
+    val n = size(col("__toks"))
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n
+    val qual = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .select(col("doc_id"), TextOps.qualityScore(n, punct, stop).as("quality"))
+    val wQ = Window.orderBy(col("quality").desc, col("doc_id").asc)
+    val topQ = qual.orderBy(col("quality").desc, col("doc_id").asc).limit(RrfTopN)
+      .withColumn("r_quality", row_number().over(wQ).cast(LongType))
+      .select("doc_id", "r_quality")
+    topBm.join(topQ, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_quality"),
+        TextOps.quant(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_quality")), lit(0.0)), 6).as("rrf"))
+  }
+
+  private lazy val rankFusionOracle = {
+    val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""
+    WITH bm AS (
+      SELECT doc_id, score,
+        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_bm25
+      FROM ($bm25Oracle) b
+      ORDER BY score DESC, doc_id ASC LIMIT $RrfTopN),
+    qual AS (
+      SELECT doc_id,
+        ${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)} AS quality
+      FROM (
+        SELECT doc_id,
+          len(sp)::BIGINT AS n_tokens,
+          len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
+          len(list_filter(sp, t -> list_contains($en, t)))::DOUBLE / len(sp) AS stop
+        FROM (SELECT doc_id, text, $toksSql AS sp FROM documents) t) tt),
+    tq AS (
+      SELECT doc_id,
+        row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS r_quality
+      FROM qual ORDER BY quality DESC, doc_id ASC LIMIT $RrfTopN)
+    SELECT COALESCE(bm.doc_id, tq.doc_id) AS doc_id, r_bm25, r_quality,
+      ${qSql("COALESCE(1.0 / (" + RrfK + " + r_bm25), 0.0) + COALESCE(1.0 / (" + RrfK + " + r_quality), 0.0)", 6)} AS rrf
+    FROM bm FULL OUTER JOIN tq ON bm.doc_id = tq.doc_id"""
+  }
+
   // ---- domain mixture weights ------------------------------------------
 
   /** Per-source resampling weights that rebalance the corpus token mass to
@@ -429,6 +494,7 @@ object SketchOps {
 
   def qs: Map[String, Q] = Map(
     "llm_resample"     -> Q(resample, Some(resampleOracle)),
+    "llm_rank_fusion"  -> Q(rankFusion, Some(rankFusionOracle)),
     "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
