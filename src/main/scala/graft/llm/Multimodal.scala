@@ -96,26 +96,32 @@ object Multimodal {
     require(blocks > 0 && blocks <= 62)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val n = r.media.length
-        val sums = new Array[Long](blocks)
-        val cnts = new Array[Long](blocks)
-        var j = 0
-        while (j < n) {
-          val k = j * blocks / n // 0-based byte j → block (equal spans)
-          sums(k) += r.media(j) & 0xffL
-          cnts(k) += 1
-          j += 1
-        }
-        val total = sums.sum
-        var hash = 0L
-        var k = 0
-        while (k < blocks) {
-          if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) hash |= 1L << k
-          k += 1
-        }
-        BlockHashRow(r.doc_id, hash, n.toLong)
+        // defensive: a null/empty payload fingerprints to 0 rather than NPE
+        if (r.media == null || r.media.isEmpty) BlockHashRow(r.doc_id, 0L, 0L)
+        else blockHashOne(r, blocks)
       }
     }
+  }
+
+  private def blockHashOne(r: MediaRow, blocks: Int): BlockHashRow = {
+    val n = r.media.length
+    val sums = new Array[Long](blocks)
+    val cnts = new Array[Long](blocks)
+    var j = 0
+    while (j < n) {
+      val k = j * blocks / n // 0-based byte j → block (equal spans)
+      sums(k) += r.media(j) & 0xffL
+      cnts(k) += 1
+      j += 1
+    }
+    val total = sums.sum
+    var hash = 0L
+    var k = 0
+    while (k < blocks) {
+      if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) hash |= 1L << k
+      k += 1
+    }
+    BlockHashRow(r.doc_id, hash, n.toLong)
   }
 
   /** Resized media record: same payload identity, new declared geometry. */

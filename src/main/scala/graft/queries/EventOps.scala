@@ -78,13 +78,18 @@ object EventOps {
     * aggregate joined on user_id (stage frames are |users|-sized, so the
     * joins broadcast at any corpus scale); no window over the raw stream. */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ms")
+    // ev feeds four stage branches and broadcast sides don't reuse
+    // exchanges — persist it (and each multi-consumer stage frame) so the
+    // raw stream is scanned once, not once per stage
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ms").persist()
     val users = ev.select("user_id").distinct()
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+      .persist() // consumers: the click stage + the final join
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("ts_ms") >= col("t_view"))
       .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+      .persist() // consumers: the purchase stage + the final join
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts_ms") >= col("t_click"))
       .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
@@ -115,7 +120,9 @@ object EventOps {
   def qRetention(s: SparkSession, d: String): DataFrame = {
     val wk = Tables.events(s, d)
       .select(col("user_id"), expr(s"ts_ms div $WeekMs").as("week_idx"))
-    val active = wk.distinct()
+    // two consumers (cohort aggregate + the join): persist so the distinct
+    // over the full stream runs once
+    val active = wk.distinct().persist()
     val cohort = active.groupBy("user_id").agg(min("week_idx").as("cohort_week"))
     active.join(cohort, "user_id")
       .groupBy(col("cohort_week"), (col("week_idx") - col("cohort_week")).as("week_offset"))

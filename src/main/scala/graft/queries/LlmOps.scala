@@ -893,21 +893,9 @@ object LlmOps {
     * the oracle recomputes the whole chain independently. Output: the
     * surviving corpus inventory. */
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    // materialize the token array ONCE, then ALL language scores + the
-    // stopword ratio come from a single LangHits traversal (one codegen'd
-    // pass; the old form was five interpreted lambda traversals)
-    val nTokens = size(col("__toks"))
-    val punct = TextOps.punctRatio(col("text"))
-    val stop = element_at(col("__hits"), 1).cast(DoubleType) / nTokens
-    val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
-      l -> element_at(col("__hits"), i + 1)
-    }
-    val enriched = Tables.documents(s, d)
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__hits", TextOps.langHits(col("__toks")))
-      .select(col("doc_id"), col("text"),
-      TextOps.qualityScore(nTokens, punct, stop).as("quality"),
-      TextOps.langId(scores).as("lang"))
+    val enriched = enrich(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), col("quality"),
+        col("lang_guess").as("lang"))
     val kept = enriched.filter(col("quality") >= PipelineQuality && col("lang") === "en")
     // persist: the survivors feed minhashPairs TWICE (signature branch +
     // shingle-verify branch) and the final anti-join — without this the
@@ -999,16 +987,17 @@ object LlmOps {
     * the banned single-partition sort. */
   def encode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val top = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // ONE tokenize+explode serves both the vocab pass and the output pass
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .persist()
+    val top = toks.groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc).limit(EncodeVocabK)
       .collect().map(_.getString(0))
     val vocab = top.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
       .toSeq.toDF("token", "vid")
-    docs.select(col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
-      .join(broadcast(vocab), Seq("token"), "left")
+    toks.join(broadcast(vocab), Seq("token"), "left")
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         coalesce(col("vid"), lit(0L)).as("token_id"))
   }
@@ -1024,6 +1013,30 @@ object LlmOps {
             ORDER BY freq DESC, token ASC LIMIT $EncodeVocabK) v)
     SELECT doc_id, pos, COALESCE(vid, 0) AS token_id
     FROM tok LEFT JOIN vocab USING (token)"""
+
+  /** THE shared quality/language enrichment — single source of truth for
+    * every query that gates or ranks on document quality (clean_corpus,
+    * build, curriculum, rank_fusion). Adds `n_tokens`, `quality`, and
+    * `lang_guess` (the table's own `lang` column, where present, is
+    * untouched); all language scores come from ONE LangHits traversal of a
+    * bound token column. Editing the quality formula or the language
+    * inventory here changes every consumer at once — the six hand-copied
+    * variants this replaces could silently diverge. */
+  private[queries] def enrich(docs: DataFrame): DataFrame = {
+    val n = size(col("__toks"))
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n
+    val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(col("__hits"), i + 1)
+    }
+    docs
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .withColumn("n_tokens", n.cast(LongType))
+      .withColumn("quality", TextOps.qualityScore(n, punct, stop))
+      .withColumn("lang_guess", TextOps.langId(scores))
+      .drop("__toks", "__hits")
+  }
 
   // ---- the full selection-and-mixing build ------------------------------
 
@@ -1045,19 +1058,9 @@ object LlmOps {
     val all = Tables.documents(s, d)
     val bench = all.filter(col("doc_id") % 50 === 0)
     val corpus = all.filter(col("doc_id") % 50 =!= 0)
-    val nTokens = size(col("__toks"))
-    val punct = TextOps.punctRatio(col("text"))
-    val stop = element_at(col("__hits"), 1).cast(DoubleType) / nTokens
-    val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
-      l -> element_at(col("__hits"), i + 1)
-    }
-    val kept = corpus
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__hits", TextOps.langHits(col("__toks")))
-      .select(col("doc_id"), col("text"), col("source"),
-        nTokens.cast(LongType).as("n_tokens"),
-        TextOps.qualityScore(nTokens, punct, stop).as("quality"),
-        TextOps.langId(scores).as("lang"))
+    val kept = enrich(corpus)
+      .select(col("doc_id"), col("text"), col("source"), col("n_tokens"),
+        col("quality"), col("lang_guess").as("lang"))
       .filter(col("quality") >= PipelineQuality && col("lang") === "en")
     // survivors feed the decontamination probe AND the final anti-join —
     // persist so the enrichment+window chain runs once
@@ -1066,12 +1069,11 @@ object LlmOps {
     val per = decon.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
     val tot = per.agg(sum(col("src_tokens")).as("total"), count(lit(1)).as("n_sources"))
     val rates = per.crossJoin(broadcast(tot)).select(col("source"),
-      least(greatest(floor(
-        TextOps.quant(col("total") * lit(1.0) / (col("n_sources") * col("src_tokens")), 6)
-          * 300).cast(LongType), lit(1L)), lit(1000L)).as("per_mille"))
+      SketchOps.perMilleFromWeight(
+        TextOps.quant(col("total") * lit(1.0) / (col("n_sources") * col("src_tokens")), 6))
+        .as("per_mille"))
     val sampled = decon.join(broadcast(rates), "source")
-      .filter(pmod(TextOps.hash60(concat(col("doc_id").cast(StringType),
-        lit(":resample"))), lit(1000L)) < col("per_mille"))
+      .filter(SketchOps.resampleGate(col("doc_id"), col("per_mille")))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     sampled
@@ -1173,7 +1175,10 @@ object LlmOps {
     * Hamming-close → downstream dedup reuses the SimHash band shape. */
   def mmBlockhash(s: SparkSession, d: String): DataFrame =
     Multimodal.blockHash(
-      Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")).toDF()
+      Multimodal.fromText(
+        // empty payloads carry no signal and the oracle drops them — match
+        Tables.documents(s, d).filter(length(col("text")) > 0),
+        "doc_id", "text")).toDF()
 
   private val mmBlockhashOracle = """
     WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents

@@ -214,14 +214,8 @@ object SketchOps {
     * quality ntile would be a rangepartitioning sort — the shape this
     * codebase bans) and matches how corpus shards are actually scheduled. */
   def curriculum(s: SparkSession, d: String): DataFrame = {
-    val n = size(col("__toks"))
-    val punct = TextOps.punctRatio(col("text"))
-    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n // LangHits: en
-    Tables.documents(s, d)
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__hits", TextOps.langHits(col("__toks")))
-      .select(col("doc_id"), col("source"),
-        TextOps.qualityScore(n, punct, stop).as("quality"))
+    LlmOps.enrich(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality"))
       .withColumn("phase",
         ntile(CurriculumPhases).over(
           Window.partitionBy("source")
@@ -327,13 +321,8 @@ object SketchOps {
     val topBm = bm25(s, d).orderBy(col("score").desc, col("doc_id").asc).limit(RrfTopN)
       .withColumn("r_bm25", row_number().over(wBm).cast(LongType))
       .select("doc_id", "r_bm25")
-    val n = size(col("__toks"))
-    val punct = TextOps.punctRatio(col("text"))
-    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n
-    val qual = Tables.documents(s, d)
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__hits", TextOps.langHits(col("__toks")))
-      .select(col("doc_id"), TextOps.qualityScore(n, punct, stop).as("quality"))
+    val qual = LlmOps.enrich(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
     val wQ = Window.orderBy(col("quality").desc, col("doc_id").asc)
     val topQ = qual.orderBy(col("quality").desc, col("doc_id").asc).limit(RrfTopN)
       .withColumn("r_quality", row_number().over(wQ).cast(LongType))
@@ -429,6 +418,8 @@ object SketchOps {
       .filter(col("n_xy") >= PmiMinCount)
     val uni = toksd.select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n_t"))
+      .persist() // three consumers (x-side, y-side, totals) — broadcast
+                 // build sides don't reuse exchanges
     val totals = toksd
       .agg(sum(greatest(n - 1, lit(0)) + greatest(n - 2, lit(0))).cast(LongType).as("n_pair"))
       .crossJoin(broadcast(uni.agg(sum(col("n_t")).cast(LongType).as("n_tok"))))
@@ -462,20 +453,29 @@ object SketchOps {
 
   // ---- mixture resampling ----------------------------------------------
 
+  /** Mixture weight → clamped per-mille keep rate — THE resampling scale,
+    * shared with [[LlmOps.build]] so the two can never disagree about what
+    * "the" resampling step is. */
+  private[queries] def perMilleFromWeight(weight: Column): Column =
+    least(greatest(floor(weight * 300).cast(LongType), lit(1L)), lit(1000L))
+
+  /** Deterministic resample gate: keep iff hash60(id:resample) ‰ < rate —
+    * reproducible under any partitioning, any engine, any re-run. */
+  private[queries] def resampleGate(id: Column, perMille: Column): Column =
+    pmod(TextOps.hash60(concat(id.cast(StringType), lit(":resample"))),
+      lit(1000L)) < perMille
+
   /** The RESAMPLING step [[domainMix]]'s weights exist for, composed
     * end-to-end: each source's per-mille keep rate is its rebalancing
-    * weight scaled and clamped, and each document passes a deterministic
-    * hash gate — reproducible under any partitioning, any engine, any
-    * re-run (no `rand()`). One |sources|-row broadcast onto a narrow
+    * weight scaled and clamped, and each document passes the deterministic
+    * hash gate (no `rand()`). One |sources|-row broadcast onto a narrow
     * filter: the corpus is scanned once and never shuffled. */
   def resample(s: SparkSession, d: String): DataFrame = {
     val rates = domainMix(s, d).select(col("source"),
-      least(greatest(floor(col("weight") * 300).cast(LongType), lit(1L)), lit(1000L))
-        .as("per_mille"))
+      perMilleFromWeight(col("weight")).as("per_mille"))
     Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
-      .filter(pmod(TextOps.hash60(concat(col("doc_id").cast(StringType),
-        lit(":resample"))), lit(1000L)) < col("per_mille"))
+      .filter(resampleGate(col("doc_id"), col("per_mille")))
       .select("doc_id", "source", "per_mille")
   }
 

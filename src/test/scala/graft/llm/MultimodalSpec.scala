@@ -36,14 +36,28 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("blockHash: near-identical payloads stay Hamming-close, disjoint content does not collide to it") {
+  test("blockHash: near-identical payloads stay Hamming-close; a structured payload hits its derivable hash") {
     val base = ("lorem ipsum dolor sit amet " * 20).trim
     val tweaked = base.updated(10, 'X').updated(200, 'Y') // a few changed bytes
-    val other = ("zzzz AAAA " * 40).trim
-    val out = Multimodal.blockHash(media(1L -> base, 2L -> tweaked, 3L -> other))
+    // low bytes then high bytes: blocks 0-3 below the mean, 4-7 above → 0xF0
+    val ramp = "a" * 200 + "z" * 200
+    val out = Multimodal.blockHash(media(1L -> base, 2L -> tweaked, 3L -> ramp))
       .collect().map(r => r.doc_id -> r.blockhash).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(out(1L), out(2L)) <= 1, s"${out(1L)} vs ${out(2L)}")
+    assert(out(3L) == 0xF0L)
+  }
+
+  test("blockHash: empty and null payloads fingerprint to 0 instead of diverging or throwing") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](), "text/plain"),
+      Multimodal.MediaRow(2L, null, "text/plain"),
+      Multimodal.MediaRow(3L, "abcz".getBytes("UTF-8"), "text/plain"))
+    val out = Multimodal.blockHash(rows.toDS()).collect()
+      .map(r => r.doc_id -> ((r.blockhash, r.n_bytes))).toMap
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((0L, 0L)))
+    assert(out(3L)._2 == 4L)
   }
 
   test("sampleFrames covers every stride-th frame with exact byte slices") {
