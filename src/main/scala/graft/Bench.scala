@@ -154,10 +154,19 @@ object Bench {
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // ms-rounded timings keep the artifact compact enough that a bounded
+    // tail capture always holds every query; full precision adds nothing
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(r => math.abs(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // durable copy at the repo root: survives any stdout truncation
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // the summary is the LAST line of output so a tail capture can't cut it
+    println(line)
+    System.out.flush()
   }
 }

@@ -60,23 +60,28 @@ object Corpus {
     * the per-round dataflow is identical. */
   def clusterPairs(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
                    maxIter: Int = 25, driverMaxEdges: Long = 2000000L): DataFrame = {
-    // every round's frame is localCheckpoint'ed: iterative plans otherwise
-    // NEST (round n's lineage contains round n-1's twice) and the analyzer
-    // blows the driver heap long before the data is large — checkpointing
-    // truncates the lineage to the materialized blocks, the standard shape
-    // for iterative dataflow on Spark
-    val edges = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
-      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
-      .localCheckpoint(true)
     // near-dup pairs are the corpus's uniqueness FAILURES — usually a sliver
     // of the data. Under the threshold, union-find on the driver beats ~6
     // distributed rounds of fixed scheduler cost; past it (or for non-long
-    // ids) the iterative dataflow below scales arbitrarily. The count is the
-    // same control-plane probe Merge.upsert uses to pick broadcast-vs-shuffle.
+    // ids) the iterative dataflow below scales arbitrarily. The probe is ONE
+    // limit-guarded collect of the undirected pair rows (union-find needs no
+    // direction doubling) — not a count + a second collect, and not an eager
+    // edge checkpoint: each of those cost an extra pass of the pair pipeline.
     val longIds = pairs.schema(iCol).dataType == org.apache.spark.sql.types.LongType &&
       pairs.schema(jCol).dataType == org.apache.spark.sql.types.LongType
-    if (longIds && edges.count() <= 2 * driverMaxEdges)
-      return driverUnionFind(edges)
+    if (longIds) {
+      val guard = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
+      val probe = pairs.select(col(iCol), col(jCol)).limit(guard + 1).collect()
+      if (probe.length <= guard) return driverUnionFind(pairs.sparkSession, probe)
+    }
+    val edgesRaw = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
+    // the iterative path's frames are localCheckpoint'ed: iterative plans
+    // otherwise NEST (round n's lineage contains round n-1's twice) and the
+    // analyzer blows the driver heap long before the data is large —
+    // checkpointing truncates the lineage to the materialized blocks, the
+    // standard shape for iterative dataflow on Spark
+    val edges = edgesRaw.localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
@@ -111,7 +116,8 @@ object Corpus {
     * root, so the invariant "root = min of merged roots" makes the final
     * root exactly the component minimum (the same labels the distributed
     * loop converges to). */
-  private def driverUnionFind(edges: DataFrame): DataFrame = {
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -120,13 +126,12 @@ object Corpus {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edges.select(col("src"), col("dst")).collect().foreach { row =>
+    pairRows.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    val spark = edges.sparkSession
     import spark.implicits._
     parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("node", "cluster_id")
   }

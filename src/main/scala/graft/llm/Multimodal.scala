@@ -109,7 +109,8 @@ object Multimodal {
     val cnts = new Array[Long](blocks)
     var j = 0
     while (j < n) {
-      val k = j * blocks / n // 0-based byte j → block (equal spans)
+      // j*blocks can exceed Int for payloads >= ~268 MB: index in Long space
+      val k = (j.toLong * blocks / n).toInt // 0-based byte j → block (equal spans)
       sums(k) += r.media(j) & 0xffL
       cnts(k) += 1
       j += 1
@@ -118,7 +119,9 @@ object Multimodal {
     var hash = 0L
     var k = 0
     while (k < blocks) {
-      if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) hash |= 1L << k
+      // cross-multiply in BigInt: sums(k)·n reaches ~2^70 for multi-GB spans
+      // (per-block, not per-byte, so the cost is 8 BigInt ops per payload)
+      if (cnts(k) > 0 && BigInt(sums(k)) * n > BigInt(total) * cnts(k)) hash |= 1L << k
       k += 1
     }
     BlockHashRow(r.doc_id, hash, n.toLong)

@@ -38,6 +38,15 @@ object TextOps {
       graft.functions.Hash60Array(
         org.apache.spark.sql.GraftExpressions.expression(c)))
 
+  /** Bounded K-minimum-values aggregate: the K smallest DISTINCT longs per
+    * group in O(K) map-side state (see [[graft.functions.KMinK]]) — no
+    * upstream `.distinct()` and no rank window needed. */
+  def kminK(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.KMinK(
+        org.apache.spark.sql.GraftExpressions.expression(c), k)
+        .toAggregateExpression())
+
   /** Distinct word n-gram shingles. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

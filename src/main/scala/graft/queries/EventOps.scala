@@ -291,17 +291,27 @@ object EventOps {
     def partial(df: DataFrame): DataFrame =
       df.groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
-    val stateDir = IncAggStateDir
+    val stateDir = newIncAggStateDir()
     partial(hist).write.mode("overwrite").parquet(stateDir)
     s.read.parquet(stateDir).unionByName(partial(fresh))
       .groupBy("user_id", "event_type")
       .agg(sum(col("n")).as("n"), sum(col("total")).cast(DoubleType).as("total"))
   }
 
-  // one scratch dir per JVM (a shared fixed path would race concurrent
-  // sessions; one per call would orphan a dir per Bench/Verify invocation)
-  private lazy val IncAggStateDir: String =
-    java.nio.file.Files.createTempDirectory("graft_incagg_").toString
+  // fresh scratch dir per invocation (a shared per-JVM path would race
+  // concurrent builds of this query: overwrite-vs-read corruption); the
+  // returned frame reads it lazily, so cleanup is deferred to JVM exit
+  private def newIncAggStateDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_incagg_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Exception => () }
+    }))
+    p.toString
+  }
 
   private val incAggOracle = """
     SELECT user_id, event_type, COUNT(*) AS n,
@@ -322,7 +332,11 @@ object EventOps {
       "value_in_range"  -> !col("value").between(0d, 1000d),
       "known_type"      -> !col("event_type").isin(EventTypes.map(_.asInstanceOf[Any]): _*),
       "ts_in_window"    -> !col("ts_ms").between(1704067200000L, 1735689600000L),
-      "props_has_int_k" -> get_json_object(col("props"), "$.k").cast(LongType).isNull)
+      // strict integer grammar on BOTH engines: Spark's lenient cast and
+      // DuckDB's TRY_CAST accept different lexical forms ('1e3', ' 42', '3.0')
+      // — ≤18 digits also guarantees the cast itself can never overflow-diverge
+      "props_has_int_k" -> !coalesce(
+        get_json_object(col("props"), "$.k").rlike("^-?\\d{1,18}$"), lit(false)))
     val stats = Tables.events(s, d).agg(
       count(lit(1)).as("n"),
       rules.map { case (name, bad) =>
@@ -343,7 +357,7 @@ object EventOps {
       "value_in_range"  -> "NOT (value BETWEEN 0 AND 1000)",
       "known_type"      -> s"event_type NOT IN ($types)",
       "ts_in_window"    -> "NOT (epoch_ms(ts) BETWEEN 1704067200000 AND 1735689600000)",
-      "props_has_int_k" -> "TRY_CAST(json_extract_string(props::JSON, '$.k') AS BIGINT) IS NULL")
+      "props_has_int_k" -> "NOT COALESCE(regexp_matches(json_extract_string(props::JSON, '$.k'), '^-?\\d{1,18}$'), FALSE)")
     ruleSql.map { case (name, cond) =>
       s"""SELECT '$name' AS rule,
         CAST(SUM(CASE WHEN COALESCE($cond, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,

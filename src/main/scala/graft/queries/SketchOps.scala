@@ -33,26 +33,20 @@ object SketchOps {
     * every distinct value; the sketch shuffles the same distinct stream but
     * the per-group state downstream is K longs.
     *
-    * Scale shape: one distinct-aggregate on (source, h) — map-side partial —
-    * then a PARTIAL top-K inside 64 hash sub-buckets before the per-source
-    * top-K, so no single task ever sorts a whole source's distinct set
-    * (the two windows are hash-partitioned; there is no global sort). */
+    * Scale shape: ONE shuffle on `source` where the map-side partial is the
+    * native [[graft.functions.KMinK]] aggregate — ≤K longs of state per
+    * group per task, distinct-inside-the-bound, no rank window and no
+    * upstream `.distinct()` shuffle; nothing ever sorts more than K rows. */
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .withColumn("__toks", TextOps.tokens(col("text")))
       .select(col("source"), explode(TextOps.shingles(col("__toks"), 3)).as("g"))
-    val hashes = sh.select(col("source"), TextOps.hash60(col("g")).as("h")).distinct()
-      .withColumn("b", pmod(col("h"), lit(64L)))
-    // a global top-K member is necessarily inside its sub-bucket's top-K,
-    // so the second window ranks at most 64·K candidate rows per source
-    val wb = Window.partitionBy("source", "b").orderBy("h")
-    val ws = Window.partitionBy("source").orderBy("h")
-    hashes
-      .withColumn("rb", row_number().over(wb)).filter(col("rb") <= KmvK)
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === KmvK)
+    sh.select(col("source"), TextOps.hash60(col("g")).as("h"))
+      .groupBy("source").agg(TextOps.kminK(col("h"), KmvK).as("hs"))
+      .filter(size(col("hs")) === KmvK) // sources with < K distinct have no estimate
       .select(col("source"),
-        floor(lit((KmvK - 1).toDouble * Max60) / col("h")).cast(LongType)
-          .as("est_distinct"))
+        floor(lit((KmvK - 1).toDouble * Max60) / element_at(col("hs"), KmvK))
+          .cast(LongType).as("est_distinct"))
   }
 
   private val kmvOracle = s"""
@@ -72,19 +66,20 @@ object SketchOps {
     * "union the survivor sets, keep the K smallest" — which by construction
     * equals the K smallest of the whole corpus, so the rolled-up estimate is
     * BIT-IDENTICAL to a direct single-pass sketch (the oracle computes the
-    * direct form; equality is the merge law, not luck). After the per-shard
-    * top-K the merge input is ≤ shards·K rows — the final top-K is a
-    * TakeOrdered (per-partition heads + driver merge), never a global sort. */
+    * direct form; equality is the merge law, not luck). The per-shard state
+    * is the native [[graft.functions.KMinK]] aggregate — bounded ≤K map-side
+    * partials, no rank window sorting a shard's whole distinct set. After
+    * the per-shard sketches the merge input is ≤ shards·K rows — the final
+    * top-K is a TakeOrdered (per-partition heads + driver merge), never a
+    * global sort. */
   def kmvRollup(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .withColumn("__toks", TextOps.tokens(col("text")))
       .select(pmod(col("doc_id"), lit(8L)).as("shard"),
         explode(TextOps.shingles(col("__toks"), 3)).as("g"))
-    val hashes = sh.select(col("shard"), TextOps.hash60(col("g")).as("h")).distinct()
-    val wb = Window.partitionBy("shard").orderBy("h")
-    val survivors = hashes
-      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= KmvK)
-      .select("h").distinct()
+    val survivors = sh.select(col("shard"), TextOps.hash60(col("g")).as("h"))
+      .groupBy("shard").agg(TextOps.kminK(col("h"), KmvK).as("hs"))
+      .select(explode(col("hs")).as("h")).distinct() // ≤ shards·K rows total
     survivors.orderBy(col("h").asc).limit(KmvK)
       .agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
       .select(floor(lit((KmvK - 1).toDouble * Max60) / col("hk")).cast(LongType)

@@ -239,10 +239,30 @@ class SketchOpsSpec extends SparkSuite {
     // estimate lands near the true distinct count (KMV σ ≈ 1/√(K−2) ≈ 13%)
     val err = math.abs(got(0).getLong(0).toDouble / hs.length - 1.0)
     assert(err < 0.5, s"estimate ${got(0).getLong(0)} vs truth ${hs.length}")
-    // merge input is bounded: no global sort anywhere (TakeOrdered instead)
+    // merge input is bounded: no global sort anywhere (TakeOrdered instead),
+    // and no rank window — per-shard minima come from the bounded KMinK
+    // aggregate's map-side partials
     val plan = SketchOps.kmvRollup(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("rangepartitioning"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+    assert(plan.contains("kmin_k"), plan)
+  }
+
+  test("KMinK aggregate: K smallest distinct longs, map-side-combinable, null-safe") {
+    import spark.implicits._
+    val vals = Seq(9L, 3L, 3L, 7L, 1L, 5L, 5L, 8L, 2L, 6L, 4L, 1L)
+    val df = vals.map(v => ("g", v)).toDF("g", "h")
+      .union(Seq(("g", null.asInstanceOf[java.lang.Long])).toDF("g", "h"))
+      .repartition(5) // forces partial buffers + a real merge path
+    val out = df.groupBy("g").agg(TextOps.kminK(col("h"), 4).as("hs"))
+      .collect()(0).getSeq[Long](1)
+    assert(out == Seq(1L, 2L, 3L, 4L)) // distinct, ascending, bounded at K
+    // fewer than K distinct values → all of them, still ascending
+    val small = Seq(5L, 5L, 2L).map(v => ("g", v)).toDF("g", "h")
+      .groupBy("g").agg(TextOps.kminK(col("h"), 4).as("hs"))
+      .collect()(0).getSeq[Long](1)
+    assert(small == Seq(2L, 5L))
   }
 
   test("resample: per-source keep rates derive from mixture weights; the hash gate is reproducible") {
