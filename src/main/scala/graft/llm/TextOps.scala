@@ -38,6 +38,15 @@ object TextOps {
       graft.functions.Hash60Array(
         org.apache.spark.sql.GraftExpressions.expression(c)))
 
+  /** BPE piece kernel: apply a learned merge list in one codegen'd pass
+    * (see [[graft.functions.BpePieces]]). `perWord = true` treats the array
+    * as a word list and flattens per-word pieces; `false` applies the rules
+    * to the array as one symbol sequence. */
+  def bpePieces(c: Column, rules: Seq[(String, String)], perWord: Boolean): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.BpePieces(
+        org.apache.spark.sql.GraftExpressions.expression(c), rules, perWord))
+
   /** Bounded K-minimum-values aggregate: the K smallest DISTINCT longs per
     * group in O(K) map-side state (see [[graft.functions.KMinK]]) — no
     * upstream `.distinct()` and no rank window needed. */

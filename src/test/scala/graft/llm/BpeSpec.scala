@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** BPE tokenizer: trainer determinism, the merge-application convention,
+  * driver/distributed trainer parity, and the BpePieces kernel's
+  * eval/codegen agreement. The query-level oracle (BpeOps) replays the same
+  * loop in DuckDB SQL; these specs pin the Scala semantics it mirrors. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("applyRule merges left-to-right in one pass (aaa + (a,a) -> [aa, a])") {
+    assert(Bpe.applyRule(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyRule(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(Bpe.applyRule(Array("x", "a", "b", "y"), "a", "b").toSeq == Seq("x", "ab", "y"))
+    // a freshly merged symbol can chain only via its own rule
+    assert(Bpe.applyRule(Array("aa", "a"), "aa", "a").toSeq == Seq("aaa"))
+    assert(Bpe.applyRule(Array("q"), "a", "b").toSeq == Seq("q"))
+  }
+
+  test("train picks max weight with (weight DESC, lhs, rhs) tie-break and replays merges") {
+    // freqs: "abab"×3, "abc"×2 → pairs: (a,b)=8, (b,a)=3, (b,c)=2
+    val m = Bpe.train(Seq("abab" -> 3L, "abc" -> 2L), 3)
+    assert(m(0).lhs == "a" && m(0).rhs == "b" && m(0).weight == 8L && m(0).merged == "ab")
+    // after merge 0: abab→[ab,ab]×3, abc→[ab,c]×2 → (ab,ab)=3, (ab,c)=2
+    assert(m(1).lhs == "ab" && m(1).rhs == "ab" && m(1).weight == 3L)
+    assert(m(2).lhs == "ab" && m(2).rhs == "c" && m(2).weight == 2L)
+    // tie-break: equal weights go lexicographically smallest
+    val t = Bpe.train(Seq("xy" -> 1L, "ab" -> 1L), 1)
+    assert(t(0).lhs == "a" && t(0).rhs == "b")
+  }
+
+  test("train stops when the vocabulary is fully merged") {
+    val m = Bpe.train(Seq("ab" -> 5L), 10)
+    assert(m.length == 1 && m(0).merged == "ab")
+  }
+
+  test("encodeWord applies ranks in order and reproduces training segmentation") {
+    val rules = Bpe.train(Seq("lower" -> 5L, "lowest" -> 2L), 4).map(m => (m.lhs, m.rhs))
+    val enc = Bpe.encodeWord("lowering", rules)
+    // whatever the exact merges, re-encoding a training word must equal its
+    // final training state
+    val trained = Bpe.train(Seq("lower" -> 5L, "lowest" -> 2L), 4)
+    var st = "lower".map(String.valueOf(_)).toArray
+    trained.foreach(m => st = Bpe.applyRule(st, m.lhs, m.rhs))
+    assert(Bpe.encodeWord("lower", rules).toSeq == st.toSeq)
+    assert(enc.mkString == "lowering") // concatenation always restores the word
+  }
+
+  test("trainDistributed emits the identical merge table to the driver trainer") {
+    val words = Seq("spark" -> 40L, "sparse" -> 25L, "parse" -> 25L, "park" -> 10L,
+      "stream" -> 8L, "scan" -> 8L, "a" -> 100L)
+    val wdf = words.toDF("word", "freq")
+    val dist = Bpe.trainDistributed(wdf, 8)
+    val drv = Bpe.train(words, 8)
+    assert(dist == drv, s"$dist vs $drv")
+  }
+
+  test("BpePieces perWord flattens per-word pieces, skips nulls/empties; eval==codegen") {
+    val rules = Seq(("a", "b"), ("ab", "c"))
+    val df = Seq(
+      (1L, Seq("abc", "ab", "x")),
+      (2L, Seq("", "abcabc")),
+      (3L, Seq[String]())).toDF("id", "ws")
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      df.select(col("id"), TextOps.bpePieces(col("ws"), rules, perWord = true).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    }
+    val on = run("true"); val off = run("false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val exp = Map(
+      1L -> Seq("abc", "ab", "x"),
+      2L -> Seq("abc", "abc"),
+      3L -> Seq[String]())
+    assert(on == exp, s"$on")
+    assert(off == exp, s"$off")
+  }
+
+  test("BpePieces sequence mode applies rules to the array as one symbol sequence") {
+    val df = Seq((1L, Seq("a", "b", "c"))).toDF("id", "syms")
+    val out = df.select(TextOps.bpePieces(col("syms"), Seq(("a", "b"), ("ab", "c")),
+      perWord = false)).collect()(0).getSeq[String](0)
+    assert(out == Seq("abc"))
+  }
+
+  test("spark split(word, \"\") yields per-character symbols (trainDistributed invariant)") {
+    val out = Seq("spark").toDF("w").select(split(col("w"), "")).collect()(0).getSeq[String](0)
+    assert(out == Seq("s", "p", "a", "r", "k"), out)
+  }
+
+  test("bpe queries: encode checksum equals the driver replay on a parquet corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    val rows = Seq(
+      (0L, "stream spark sort scan stream spark", "en", "s0"),
+      (1L, "sparse parse spark park sort", "en", "s0"),
+      (2L, "scan scan stream parse spark sort park", "en", "s1"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val merges = graft.queries.BpeOps.trainedMerges(spark, dir)
+    // independent replay: word counts -> driver trainer
+    val wc = rows.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, l) => w -> l.size.toLong }.toSeq
+      .sortBy { case (w, f) => (-f, w) }
+    assert(merges == Bpe.train(wc, graft.queries.BpeOps.NMerges))
+
+    val trainDf = graft.queries.BpeOps.bpeTrain(spark, dir).collect()
+    assert(trainDf.length == merges.length && merges.nonEmpty)
+
+    val rules = merges.map(m => (m.lhs, m.rhs))
+    val got = graft.queries.BpeOps.bpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val exp = rows.map { case (id, text, _, _) =>
+      val pieces = text.trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, rules))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(pieces.mkString("\u001f").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> ((pieces.length.toLong, hex))
+    }.toMap
+    assert(got == exp, s"$got vs $exp")
+  }
+}
