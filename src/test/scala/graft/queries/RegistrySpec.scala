@@ -10,7 +10,8 @@ class RegistrySpec extends AnyFunSuite {
   private val families: Seq[(String, Map[String, Q])] = Seq(
     "Relational" -> Relational.qs, "EltOps" -> EltOps.qs, "LlmOps" -> LlmOps.qs,
     "SketchOps" -> SketchOps.qs, "SinkOps" -> SinkOps.qs,
-    "StreamOps" -> StreamOps.qs, "EventOps" -> EventOps.qs, "BpeOps" -> BpeOps.qs)
+    "StreamOps" -> StreamOps.qs, "EventOps" -> EventOps.qs, "BpeOps" -> BpeOps.qs,
+    "FilterOps" -> FilterOps.qs)
 
   test("no query name collides across families (Map ++ would silently override)") {
     val all = families.flatMap { case (f, qs) => qs.keys.map(_ -> f) }
