@@ -38,6 +38,14 @@ object Bench {
       import spark.implicits._
       graft.shape.Ingest.shape(spark,
         Seq("""{"a":{"b":1},"t":"2024-01-02 03:04:05","x":true}""").toDS()).df.count()
+      // ...and the exact option path t1 runs (dataset persist machinery +
+      // sampled inference): the block-manager write path is its own
+      // multi-second first touch
+      graft.shape.Ingest.shape(spark,
+        Seq("""{"a":{"b":1},"t":"2024-01-02 03:04:05","x":true}""").toDS(),
+        graft.shape.Ingest.ShapeOptions(cacheNormalized = true,
+          samplingRatio = 0.5)).df.count()
+      spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
     try {
       val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:bench_warm;create=true")

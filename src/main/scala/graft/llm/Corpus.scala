@@ -149,8 +149,17 @@ object Corpus {
     * re-aggregation partial-aggregates map-side. Nothing is quadratic — a
     * repeated chunk costs its own group size, not a pair explosion. */
   def chunkDedup(docs: DataFrame, windowTokens: Int,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 stride: Int = 0): DataFrame = {
     val w = windowTokens
+    // stride < window ⇒ overlapping windows: a duplicated span is caught
+    // when its two occurrence offsets agree mod `stride` — disjoint blocks
+    // need agreement mod `window`, so sliding raises the catch rate from
+    // 1/window to 1/stride phase alignments (certainty needs stride=1 — a
+    // suffix-array pass; winnowing fingerprints are the probabilistic
+    // alternative already in [[fingerprints]]). stride = w (the default) is
+    // the original disjoint chunking.
+    val st = if (stride <= 0) w else { require(stride <= w, "stride > window"); stride }
     val chunks = docs
       .filter(length(trim(col(textCol))) > 0)
       // materialize the token array BEFORE the chunking lambda: higher-order
@@ -158,8 +167,8 @@ object Corpus {
       // element (the repo-wide lambda discipline)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), posexplode(transform(
-        sequence(lit(0), ceil(size(col("__toks")) / lit(w.toDouble)).cast(IntegerType) - 1),
-        i => concat_ws(" ", slice(col("__toks"), i * w + 1, lit(w))))).as(Seq("__pos", "__chunk")))
+        sequence(lit(0), floor((size(col("__toks")) - 1) / lit(st.toDouble)).cast(IntegerType)),
+        i => concat_ws(" ", slice(col("__toks"), i * st + 1, lit(w))))).as(Seq("__pos", "__chunk")))
       .select(col(idCol), col("__pos"), TextOps.hash60(col("__chunk")).as("__h"))
     val firstSeen = Window.partitionBy("__h")
       .orderBy(col(idCol).asc, col("__pos").asc)

@@ -1342,6 +1342,38 @@ object LlmOps {
     FROM r GROUP BY doc_id"""
   }
 
+  private val ChunkStride = 10
+
+  /** Overlapping-window exact dedup (stride < window): catches duplicated
+    * spans that straddle the disjoint chunk boundaries [[chunkDedup]] uses —
+    * two occurrences align whenever their offsets agree mod `stride`
+    * (1/stride of phases, vs 1/window for disjoint blocks; certainty needs a
+    * suffix-array pass, and `llm_fingerprint_winnow` is the probabilistic
+    * alternative). Costs window/stride× the chunk rows of the disjoint
+    * pass; the plan shape (narrow explode → one 8-byte-hash shuffle) is
+    * identical. */
+  def chunkDedupOverlap(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.chunkDedup(Tables.documents(s, d), ChunkTokens,
+      stride = ChunkStride)
+
+  private val chunkDedupOverlapOracle = {
+    val w = ChunkTokens
+    val st = ChunkStride
+    s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE length(trim(text)) > 0),
+    c AS (SELECT doc_id, i,
+            ${hashSql(s"array_to_string(toks[(i*$st+1):(i*$st+$w)], ' ')")} AS h
+          FROM t, LATERAL UNNEST(generate_series(0,
+            CAST(floor((len(toks)-1)/$st.0) AS BIGINT))) AS u(i)),
+    r AS (SELECT doc_id,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+          FROM c)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+    FROM r GROUP BY doc_id"""
+  }
+
   // ---- train/val/test split --------------------------------------------
 
   private val SplitFences = Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L)
@@ -1483,6 +1515,7 @@ object LlmOps {
     "llm_shard"         -> Q(shard, Some(shardOracle)),
     "llm_token_budget"  -> Q(tokenBudget, Some(tokenBudgetOracle)),
     "llm_chunk_dedup"   -> Q(chunkDedup, Some(chunkDedupOracle)),
+    "llm_chunk_dedup_overlap" -> Q(chunkDedupOverlap, Some(chunkDedupOverlapOracle)),
     "llm_split"         -> Q(splitCounts, Some(splitOracle)),
     "llm_tfidf"         -> Q(tfidfTop, Some(tfidfOracle)),
     "llm_entropy"       -> Q(entropy, Some(entropyOracle)),

@@ -47,7 +47,14 @@ object Ingest {
         * parse pass — worth it when the raw lines are themselves the output
         * of upstream compute (serialized events), NOT when they stream
         * straight off cheap storage reads */
-      cacheNormalized: Boolean = false)
+      cacheNormalized: Boolean = false,
+      /** persist the PARSED frame: the timestamp sniff is an aggregate over
+        * the parsed rows and the shaped projection is another consumer, so
+        * without this the batch is JSON-parsed twice. The cache holds
+        * columnar rows (not text); the sniff's one pass builds it and the
+        * projection reads it back. The right setting whenever the sniff is
+        * on and the batch is parse-dominated. */
+      cacheParsed: Boolean = false)
 
   final case class Shaped(df: DataFrame, hints: Seq[Infer.Hint])
 
@@ -76,7 +83,8 @@ object Ingest {
       if (opts.samplingRatio < 1.0)
         spark.read.option("samplingRatio", opts.samplingRatio.toString)
       else spark.read
-    shapeDf(reader.json(normalized), opts)
+    val parsed = reader.json(normalized)
+    shapeDf(if (opts.cacheParsed) parsed.persist() else parsed, opts)
   }
 
   /** Shape an already-parsed (possibly nested) DataFrame. */

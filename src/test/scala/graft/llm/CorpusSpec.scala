@@ -108,6 +108,29 @@ class CorpusSpec extends SparkSuite {
     assert(out(5L) == ((2L, 0L)) && out(6L) == ((1L, 1L)))
   }
 
+  test("chunkDedup with stride<window catches a cross-boundary duplicated span") {
+    // S = 30 shared tokens; doc 1 has S at offset 0, doc 2 at offset 10 —
+    // offsets agree mod 10 but NOT mod 20, so the disjoint pass misses the
+    // duplication and the stride-10 sliding pass catches it
+    val span = (1 to 30).map(i => s"s$i").mkString(" ")
+    val padA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val padB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, span + " " + padA, "s"),
+      (2L, padB + " " + span, "s")).toDF("doc_id", "text", "source")
+    val disjoint = Corpus.chunkDedup(d, 20)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(disjoint(1L) == 0L && disjoint(2L) == 0L) // phase mismatch: blind
+    val sliding = Corpus.chunkDedup(d, 20, stride = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(sliding(2L) >= 1L, sliding) // doc 2's window at start 10 == doc 1's at 0
+    assert(sliding(1L) == 0L)
+    // stride = window reproduces the disjoint chunk count exactly
+    val a = Corpus.chunkDedup(d, 20).as[(Long, Long, Long)].collect().toSet
+    val b = Corpus.chunkDedup(d, 20, stride = 20).as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("splitAssign is a total, deterministic assignment honoring the fences") {
     val d = docs((0 until 300).map(i => (i.toLong, s"doc $i", "en")): _*)
     val out = d.withColumn("split",
