@@ -195,11 +195,18 @@ final class BulkerStream private[graft] (
         (sink.adapt(deduped), sink.ensureTableCached(spec))
     }
 
-    val windowPredicate = cfg.timestampColumn.map { tc =>
-      val col = sink.dialect.quote(sink.dialect.adaptIdentifier(tc))
-      val fromMs = cfg.nowMs() - cfg.mergeWindowDays * 86400000L
-      val ts = java.time.Instant.ofEpochMilli(fromMs).toString.replace("T", " ").stripSuffix("Z")
-      s"__T__.$col >= TIMESTAMP('$ts')" // D3: prune-the-target predicate
+    val windowPredicate = cfg.timestampColumn.flatMap { tc =>
+      val adapted = sink.dialect.adaptIdentifier(tc)
+      // a batch whose events carry no timestamp column can't window: the
+      // predicate would reference a column the table doesn't have (yet) —
+      // merge unwindowed, exactly as if the option were unset for this batch
+      if (!spec.columns.exists(_.name == adapted)) None
+      else {
+        val col = sink.dialect.quote(adapted)
+        val fromMs = cfg.nowMs() - cfg.mergeWindowDays * 86400000L
+        val ts = java.time.Instant.ofEpochMilli(fromMs).toString.replace("T", " ").stripSuffix("Z")
+        Some(s"__T__.$col >= TIMESTAMP('$ts')") // D3: prune-the-target predicate
+      }
     }
 
     try {

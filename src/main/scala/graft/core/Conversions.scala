@@ -34,6 +34,21 @@ object Conversions {
   /** True for strings that look like timestamps under the sniff guards. */
   def looksLikeTimestamp(c: Column): Column = sniffTimestamp(c).isNotNull
 
+  /** Convert-path sniff that ALSO accepts bare `yyyy-MM-dd` dates (→
+    * midnight), mirroring `ReformatTimeValue(v, supportDates = true)` —
+    * the reference allows dates when converting INTO an already
+    * timestamp-typed column (types/converter.go:354) while type DETECTION
+    * keeps the 19-char minimum (datatype.go:126, supportDates = false). */
+  def sniffTimestampOrDate(c: Column): Column = {
+    val dateCandidate = length(c) === 10 && substring(c, 1, 1).isin("1", "2")
+    coalesce(sniffTimestamp(c),
+      when(dateCandidate, try_to_timestamp(c, lit("yyyy-MM-dd"))))
+  }
+
+  /** True for values the convert path accepts into a TIMESTAMP column. */
+  def looksLikeTimestampOrDate(c: Column): Column =
+    sniffTimestampOrDate(c).isNotNull
+
   /** string → int64; the reference also accepts comma/space grouped numbers
     * (`StringWithCommasToFloat`, types/converter.go:333-365). */
   def stringToLong(c: Column): Column =
@@ -84,7 +99,8 @@ object Conversions {
     case (DataKind.Unknown, _)  => lit(null).cast(to.spark)
     case (_, DataKind.Str)      => toText(c, from)
     case (_, DataKind.Json)     => toText(c, from)
-    case (DataKind.Str, DataKind.Timestamp) => sniffTimestamp(c)
+    // declared/convert path allows bare dates (converter.go:354)
+    case (DataKind.Str, DataKind.Timestamp) => sniffTimestampOrDate(c)
     case (DataKind.Str, DataKind.Int64)     => stringToLong(c)
     case (DataKind.Str, DataKind.Float64)   => stringToDouble(c)
     case (DataKind.Str, DataKind.Bool)      => anyToBoolean(c)

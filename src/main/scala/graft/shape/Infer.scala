@@ -137,8 +137,15 @@ object Infer {
     val aggs = candidates.flatMap { c =>
       val v = col(s"`$c`")
       Seq(
-        // nulls must not veto the sniff — only non-null values vote
-        bool_and(v.isNull || Conversions.looksLikeTimestamp(v)).as(s"ts__$c"),
+        // nulls must not veto the sniff — only non-null values vote.
+        // TIMESTAMP classification needs every value to pass the CONVERT
+        // sniff (which allows bare dates, converter.go:354) AND at least one
+        // value to be a full timestamp — a column of only `yyyy-MM-dd`
+        // strings stays STRING, matching detection with supportDates=false
+        // (datatype.go:126); mixed full-ISO + date columns land TIMESTAMP
+        // with dates at midnight (the date_mix fixture)
+        bool_and(v.isNull || Conversions.looksLikeTimestampOrDate(v)).as(s"ts__$c"),
+        bool_or(v.isNotNull && Conversions.looksLikeTimestamp(v)).as(s"hts__$c"),
         bool_and(v.isNull || v.rlike(s"^(?:$BoolRe|$IntRe)$$")).as(s"bi__$c"),
         bool_and(v.isNull || v.rlike(s"^(?:$BoolRe|$FloatRe)$$")).as(s"bf__$c"),
         // the mix must ACTUALLY mix: an all-digit column is a quoted-string
@@ -155,7 +162,7 @@ object Infer {
       !row.isNullAt(idx) && row.getBoolean(idx) &&
         row.getLong(row.fieldIndex(s"n__$c")) > 0
     }
-    val ts = candidates.filter(flag("ts", _))
+    val ts = candidates.filter(c => flag("ts", c) && flag("hts", c))
     def mixed(c: String) = flag("hb", c) && flag("hn", c)
     val bi = candidates.filterNot(ts.contains).filter(c => flag("bi", c) && mixed(c))
     val bf = candidates.filterNot(ts.contains).filterNot(bi.contains)

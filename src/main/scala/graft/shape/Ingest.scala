@@ -140,7 +140,9 @@ object Ingest {
       val knownTs = Infer.KnownTimestampFields.contains(c.toLowerCase) &&
         dropped.schema(c).dataType == StringType
       val sniffed =
-        if (tsCols.contains(c) || knownTs) Conversions.sniffTimestamp(v)
+        // conversion INTO a timestamp column accepts bare dates → midnight
+        // (converter.go:354 supportDates=true), unlike the detection sniff
+        if (tsCols.contains(c) || knownTs) Conversions.sniffTimestampOrDate(v)
         // Spark collapses bool/number mixes to string; the reference's
         // lattice says BOOL∨INT64→INT64 and BOOL∨FLOAT64→FLOAT64
         // (converter.go:13-34) — restore that answer

@@ -150,6 +150,118 @@ class EngineSpec extends SparkSuite {
       Seq(Seq("new1"), Seq("new2"), Seq("out-of-window")))
   }
 
+  test("merge window fixture replay: 31-day window (mergewindow_test.go runs 1-2)") {
+    // frozen clock 2023-02-07T00:00:00Z, the reference's fixture timestamps
+    val now = java.time.Instant.parse("2023-02-07T00:00:00Z").toEpochMilli
+    def cfg(days: Int) = StreamConfig(mode = Engine.Batch, pk = Seq("id"),
+      deduplicate = true, timestampColumn = Some("_timestamp"),
+      mergeWindowDays = days, nowMs = () => now)
+    def row(d: String, id: Int, name: String) =
+      s"""{"_timestamp":"2023-$d:00:00.000Z","id":$id,"name":"$name"}"""
+    val e = engine("mw12")
+    val batch1 = Seq("01-01T00" -> 1, "01-05T00" -> 2, "01-09T00" -> 3,
+      "01-13T00" -> 4, "01-17T00" -> 5, "01-21T00" -> 6, "01-25T00" -> 7,
+      "01-29T00" -> 8, "02-02T00" -> 9, "02-07T00" -> 10)
+    val s1 = e.createStream("mw", cfg(365))
+    batch1.foreach { case (d, id) => s1.consume(row(d, id, s"test$id")) }
+    assert(s1.complete().status == "ok")
+    assert(readTable("mw12", "mw").count() == 10L)
+    // run 2: same ids suffixed B, window 31d → cutoff 2023-01-07: ids 1, 2
+    // predate it, so their old rows SURVIVE beside the new ones; 3-10 merge
+    val s2 = e.createStream("mw", cfg(31))
+    batch1.foreach { case (d, id) => s2.consume(row(d, id, s"test${id}B")) }
+    assert(s2.complete().status == "ok")
+    val got = readTable("mw12", "mw").select("NAME").collect()
+      .map(_.getString(0)).sorted.toSeq
+    val exp = (Seq("test1", "test2") ++ (1 to 10).map(i => s"test${i}B")).sorted
+    assert(got == exp, s"$got")
+  }
+
+  test("merge window fixture replay: 5-day then wide window (runs 3-4)") {
+    val now = java.time.Instant.parse("2023-02-07T00:00:00Z").toEpochMilli
+    def cfg(days: Int) = StreamConfig(mode = Engine.Batch, pk = Seq("id"),
+      deduplicate = true, timestampColumn = Some("_timestamp"),
+      mergeWindowDays = days, nowMs = () => now)
+    def row(d: String, id: Int, name: String) =
+      s"""{"_timestamp":"2023-$d:00:00.000Z","id":$id,"name":"$name"}"""
+    val e = engine("mw34")
+    val dates = Map(7 -> "01-25T00", 8 -> "01-29T00", 9 -> "02-02T00", 10 -> "02-07T00")
+    val s1 = e.createStream("mw", cfg(365))
+    dates.toSeq.sortBy(_._1).foreach { case (id, d) => s1.consume(row(d, id, s"test${id}B")) }
+    assert(s1.complete().status == "ok")
+    // run 3 (window 5 → cutoff 2023-02-02 INCLUSIVE): 7, 8 predate it and
+    // duplicate; 9 (exactly at the cutoff) and 10 merge
+    val s2 = e.createStream("mw", cfg(5))
+    dates.toSeq.sortBy(_._1).foreach { case (id, d) => s2.consume(row(d, id, s"test${id}C")) }
+    assert(s2.complete().status == "ok")
+    val got3 = readTable("mw34", "mw").select("NAME").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got3 == Seq("test10C", "test7B", "test7C", "test8B", "test8C", "test9C"), s"$got3")
+    // run 4 (wide window again, ids 9-10 only): 9C/10C replaced by D; the
+    // 7/8 duplicates left by run 3 are untouched — merges never reach back
+    val s3 = e.createStream("mw", cfg(365))
+    Seq(9, 10).foreach(id => s3.consume(row(dates(id), id, s"test${id}D")))
+    assert(s3.complete().status == "ok")
+    val got4 = readTable("mw34", "mw").select("NAME").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got4 == Seq("test10D", "test7B", "test7C", "test8B", "test8C", "test9D"), s"$got4")
+  }
+
+  test("merge window: a null-timestamp target row is never replaced (kept, not dropped)") {
+    val now = java.time.Instant.parse("2023-02-07T00:00:00Z").toEpochMilli
+    val cfg = StreamConfig(mode = Engine.Batch, pk = Seq("id"), deduplicate = true,
+      timestampColumn = Some("_timestamp"), mergeWindowDays = 365, nowMs = () => now)
+    val e = engine("mwnull")
+    val s1 = e.createStream("mw", cfg)
+    s1.consume("""{"id":1,"name":"no-ts"}""") // null _timestamp
+    assert(s1.complete().status == "ok")
+    val s2 = e.createStream("mw", cfg)
+    s2.consume("""{"id":1,"_timestamp":"2023-02-06T00:00:00.000Z","name":"with-ts"}""")
+    assert(s2.complete().status == "ok")
+    val got = readTable("mwnull", "mw").select("NAME").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("no-ts", "with-ts"), s"$got") // null ts = outside window
+  }
+
+  test("date_mix: mixed full-ISO and bare-date strings type TIMESTAMP (date_mix.ndjson)") {
+    val e = engine("dmix")
+    val st = e.createStream("dm", StreamConfig(mode = Engine.Batch))
+    st.consume("""{"_timestamp":"2022-08-18T14:17:22.375Z","id":1,"name":"test1","dt":"2022-08-18T14:17:22.375Z"}""")
+    st.consume("""{"_timestamp":"2022-08-18T14:17:22.375Z","id":2,"name":"test2","dt":"2022-08-18"}""")
+    st.consume("""{"_timestamp":"2022-08-18T14:17:22.375Z","id":3,"name":"test3","dt":"2022-08-18T14:17:22.375Z"}""")
+    assert(st.complete().status == "ok")
+    val back = readTable("dmix", "dm")
+    assert(back.schema("DT").dataType.typeName == "timestamp", back.schema.treeString)
+    val got = back.select(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("DT"), "yyyy-MM-dd HH:mm:ss.SSS"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    // the bare date landed at midnight (converter.go:354 supportDates=true)
+    assert(got == Seq("2022-08-18 00:00:00.000",
+      "2022-08-18 14:17:22.375", "2022-08-18 14:17:22.375"), s"$got")
+  }
+
+  test("date_mix with declared schema: columnTypes dt=TIMESTAMP forces the type") {
+    val e = engine("dmix2")
+    val st = e.createStream("dm", StreamConfig(mode = Engine.Batch,
+      columnTypes = Map("dt" -> graft.core.DataKind.Timestamp)))
+    st.consume("""{"_timestamp":"2022-08-18T14:17:22.375Z","id":1,"dt":"2022-08-18T14:17:22.375Z"}""")
+    st.consume("""{"_timestamp":"2022-08-18T14:17:22.375Z","id":2,"dt":"2022-08-18"}""")
+    assert(st.complete().status == "ok")
+    val back = readTable("dmix2", "dm")
+    assert(back.schema("DT").dataType.typeName == "timestamp")
+    assert(back.count() == 2L)
+  }
+
+  test("a column of ONLY bare dates stays STRING (detection keeps the 19-char floor)") {
+    val e = engine("donly")
+    val st = e.createStream("d", StreamConfig(mode = Engine.Batch))
+    st.consume("""{"id":1,"day":"2022-08-18"}""")
+    st.consume("""{"id":2,"day":"2022-08-19"}""")
+    assert(st.complete().status == "ok")
+    val back = readTable("donly", "d")
+    assert(back.schema("DAY").dataType.typeName == "string", back.schema.treeString)
+  }
+
   test("emoji and unicode identifiers load cleanly (emoji.ndjson fixture)") {
     val e = engine("emoji")
     val st = e.createStream("moji", StreamConfig(mode = Engine.Batch))
