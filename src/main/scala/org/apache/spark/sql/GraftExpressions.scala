@@ -55,6 +55,43 @@ object GraftExpressions {
         require(args.length == 2, "cosine_sim(array<float|double>, array<float|double>)")
         graft.functions.CosineSim(args.head, args(1))
       })
+    registry.registerFunction(FunctionIdentifier("kmin_k"),
+      new ExpressionInfo(classOf[graft.functions.KMinK].getName, "kmin_k"),
+      { args =>
+        val k = args match {
+          case Seq(_, Literal(v: Int, _))  => v
+          case Seq(_, Literal(v: Long, _)) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmin_k(bigint, k) — got ${other.length} args")
+        }
+        graft.functions.KMinK(args.head, k).toAggregateExpression()
+      })
+    registry.registerFunction(FunctionIdentifier("bpe_pieces"),
+      new ExpressionInfo(classOf[graft.functions.BpePieces].getName, "bpe_pieces"),
+      { args =>
+        // rules ride as a pair of array<string> literals: lhs[], rhs[]
+        def strings(e: Expression): Seq[String] = e match {
+          case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+            arr.toSeq[org.apache.spark.unsafe.types.UTF8String](
+              org.apache.spark.sql.types.StringType).map(_.toString)
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+            children.map {
+              case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+              case other => throw new IllegalArgumentException(
+                s"bpe_pieces rule arrays must be string literals, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"bpe_pieces rule arrays must be literal, got $other")
+        }
+        args match {
+          case Seq(child, l, r) =>
+            val (ls, rs) = (strings(l), strings(r))
+            require(ls.length == rs.length, "bpe_pieces: lhs/rhs length mismatch")
+            graft.functions.BpePieces(child, ls.zip(rs), perWord = true)
+          case other => throw new IllegalArgumentException(
+            s"bpe_pieces(words, lhs[], rhs[]) — got ${other.length} args")
+        }
+      })
     registry.registerFunction(FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[graft.functions.LshBucket].getName, "lsh_bucket"),
       { args =>

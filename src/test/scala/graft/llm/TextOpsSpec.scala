@@ -156,6 +156,22 @@ class TextOpsSpec extends SparkSuite {
     assert(spark.sql("SELECT minhash_sig(array(5L))").collect()(0).getSeq[Long](0).length == 16)
   }
 
+  test("kmin_k is callable from SQL after registration") {
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    Seq(9L, 3L, 3L, 1L, 7L).toDF("h").createOrReplaceTempView("kmin_t")
+    val viaSql = spark.sql("SELECT kmin_k(h, 3) FROM kmin_t")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(1L, 3L, 7L)) // distinct, ascending, bounded
+  }
+
+  test("bpe_pieces is callable from SQL after registration") {
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT bpe_pieces(array('abc','x'), array('a','ab'), array('b','c'))")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("abc", "x")) // (a,b) then (ab,c) fully merges 'abc'
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val d = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
       Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
