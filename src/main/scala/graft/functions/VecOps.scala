@@ -109,6 +109,74 @@ final case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `l2sq(a, b) = Σ (a_k − b_k)²` in ONE pass — the squared-Euclidean kernel
+  * product quantization trains and searches with.
+  *
+  * Accumulation order matches the sequential `aggregate(zip_with(...))` fold
+  * (per-element squared difference, index order), so results are
+  * bit-identical to the interpreted form; unequal lengths or a null element
+  * yield NULL, mirroring `zip_with` padding.
+  */
+final case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecOps.checkVec(prettyName, left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecOps.checkVec(prettyName, right.dataType)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  private def elemOf(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (ea, eb) = (elemOf(left), elemOf(right))
+    var s = 0d
+    var k = 0
+    while (k < n) {
+      if (a.isNullAt(k) || b.isNullAt(k)) return null
+      val d = VecOps.elemScala(ea, a, k) - VecOps.elemScala(eb, b, k)
+      s += d * d
+      k += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val k = ctx.freshName("k")
+      val d = ctx.freshName("d"); val bad = ctx.freshName("bad")
+      s"""
+         |boolean $bad = $a.numElements() != $b.numElements();
+         |double $s = 0d;
+         |if (!$bad) {
+         |  for (int $k = 0; $k < $a.numElements(); $k++) {
+         |    if ($a.isNullAt($k) || $b.isNullAt($k)) { $bad = true; break; }
+         |    double $d = ${VecOps.elemJava(elemOf(left), a, k)} - ${VecOps.elemJava(elemOf(right), b, k)};
+         |    $s += $d * $d;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** b-bit random-hyperplane LSH bucket: bit j set iff `dot(emb, planes(j)) > 0`,
   * all plane dots accumulated in one traversal of the embedding.
   *

@@ -244,6 +244,124 @@ object Similarity {
       .toSeq.toDF("cent_id", "dim", "mean_q", "n_members")
   }
 
+  /** Squared-Euclidean distance — codegen'd one-pass kernel
+    * ([[graft.functions.L2Sq]]), bit-identical to [[l2sqFolded]]. */
+  def l2sq(a: Column, b: Column): Column =
+    bridge(graft.functions.L2Sq(expr(a), expr(b)))
+
+  /** Interpreted executable spec for [[l2sq]]. */
+  def l2sqFolded(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (p, q) => {
+        val d = p.cast(DoubleType) - q.cast(DoubleType); d * d
+      }),
+      lit(0d), (acc, v) => acc + v)
+
+  // ---- product quantization --------------------------------------------
+
+  /** PQ codebook rows `(sub, code_id, subvec)` from DESIGNATED seed vectors
+    * (Jégou et al. 2011 "Product Quantization for Nearest Neighbor Search"):
+    * each seed's embedding is sliced into `m` contiguous subvectors. Seeds
+    * stand in for per-subspace k-means codebooks — deterministic, which is
+    * what the correctness oracle needs; at scale you'd run [[kmeansIterate]]
+    * per subspace offline and pass the result in, and nothing downstream
+    * changes. The codebook is control-plane sized (m · k · dim/m floats). */
+  def pqCodebook(seeds: DataFrame, m: Int, dim: Int,
+                 id: String = "vec_id"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    seeds.select(col(id).as("code_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("embedding"), j * sub + 1, sub).as("subvec"))): _*)).as("s"))
+      .select(col("s.sub").as("sub"), col("code_id"), col("s.subvec"))
+  }
+
+  /** PQ encode: each vector's `m` subvectors → the id of the nearest
+    * codeword (squared L2, deterministic min-code tie-break). Output
+    * `(vec_id, sub, code, dist_q)` — the 1-byte-per-subspace compressed
+    * representation that makes billion-vector search memory-bound instead
+    * of FLOP-bound.
+    *
+    * Scale shape: the codebook cross is BROADCAST and collapses through a
+    * map-side-combinable argmin before anything shuffles — the corpus
+    * never moves; the output is m rows (effectively m bytes) per vector. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int,
+               id: String = "vec_id"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cb = broadcast(codebook.select(col("sub"), col("code_id"), col("subvec")))
+    corpus.select(col(id).as("vec_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("embedding"), j * sub + 1, sub).as("__sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.__sv").as("__sv"))
+      .join(cb, "sub")
+      .withColumn("__d", TextOps.quant(l2sq(col("__sv"), col("subvec")), 6))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("code_id"), struct(-col("__d"), -col("code_id"))).as("code"),
+        min(col("__d")).as("dist_q"))
+  }
+
+  /** Asymmetric-distance (ADC) PQ search: the per-query distance TABLE
+    * (m × k quantized subdistances — kilobytes) is computed on the driver
+    * from the query vectors and the codebook, then baked into the scan as
+    * literal lookup arrays: the corpus pass reads each vector's m codes,
+    * indexes the table, and decimal-sums — a narrow projection per query
+    * with no join, which is the whole point of ADC. (The one shuffle here
+    * consolidates the flat encode rows to a wide row per vector — a store
+    * that persists codes wide, as a production build would, skips it.)
+    * `queries`: (query_id, full embedding) collected rows; `codes`: the
+    * [[pqEncode]] output. Returns top-k by approximate distance. */
+  def pqSearchADC(queryVecs: Seq[(Long, Array[Double])], codes: DataFrame,
+                  codebook: Seq[(Int, Long, Array[Double])],
+                  m: Int, k: Int): DataFrame = {
+    // dtab(query)(sub) = sorted-by-code array of quant6 subdistances; code
+    // ids are the seed vec_ids — map them to dense positions for indexing
+    val codeIds = codebook.map(_._2).distinct.sorted
+    val codePos = codeIds.zipWithIndex.toMap
+    // consolidate flat encode rows to one wide row per vector ONCE and cache
+    // it: every query branch scans this frame (a production build persists
+    // codes wide to storage and skips the consolidation entirely)
+    val wide = codes.groupBy("vec_id")
+      .agg(map_from_arrays(collect_list(col("sub")), collect_list(col("code")))
+        .as("__cm"))
+      .persist()
+    // ALL queries ride one exploded projection (not a union of per-query
+    // branches: each branch's distinct literals would compile its own
+    // whole-stage codegen unit — Q compilations for one logical scan)
+    val queryStructs = queryVecs.map { case (qid, qv) =>
+      val dtab: Map[Int, Array[Double]] = codebook.groupBy(_._1).map {
+        case (s, rows) =>
+          val arr = new Array[Double](codeIds.length)
+          rows.foreach { case (_, cid, cv) =>
+            var acc = 0d
+            var i = 0
+            while (i < cv.length) {
+              val d = qv(s * cv.length + i) - cv(i); acc += d * d; i += 1
+            }
+            arr(codePos(cid)) = math.floor(acc * 1e6 + 0.5) / 1e6 // quant6, driver twin
+          }
+          s -> arr
+      }
+      // Σ_sub dtab[sub][code(sub)] as an exact decimal sum of quant6 terms
+      val adist = (0 until m).map { s =>
+        // literal k-entry lookup array, indexed by the code's dense position
+        element_at(lit(dtab(s)), array_position(lit(codeIds.toArray),
+          element_at(col("__cm"), lit(s))).cast("int"))
+          .cast(DecimalType(28, 8))
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), TextOps.quant(adist.cast(DoubleType), 6).as("adist"))
+    }
+    val perQuery = wide
+      .select(col("vec_id").as("neighbor_id"), explode(array(queryStructs: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col("neighbor_id"), col("__q.adist").as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    perQuery.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Shared ranking tail: cosine (rounded for cross-engine stability),
     * self-match removed, deterministic tie-break, k rows per query. */
   private def rank(cands: DataFrame, k: Int): DataFrame = {

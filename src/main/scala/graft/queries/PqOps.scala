@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.Similarity
+import LlmOps.qSql
+
+/** Product-quantization ANN (Jégou et al. 2011) — the compressed-domain
+  * search layer a billion-vector corpus actually runs: vectors become
+  * `m` one-byte codes against per-subspace codebooks; search reads codes,
+  * not floats, through a per-query distance table (ADC).
+  *
+  * Scale analysis:
+  *  - encode: broadcast codebook cross collapsed by a map-side argmin —
+  *    the corpus never shuffles; output is m small rows (bytes) per vector;
+  *  - search: the m×k distance table is driver-computed (kilobytes) and
+  *    baked into the scan as literal lookups — ONE narrow projection over
+  *    the codes table, no join, no shuffle; memory-bound by design, which
+  *    is the entire point of PQ at 100 TB.
+  *
+  * Codebooks are designated seed vectors (deterministic — the oracle
+  * replays them exactly); a production build trains them with per-subspace
+  * [[graft.llm.Similarity.kmeansIterate]] and nothing downstream changes.
+  */
+object PqOps {
+
+  private val Dim = 64
+  private val M = 8          // subspaces → 8 codes per vector
+  private val Sub = Dim / M
+  private val KCodes = 16    // codewords per subspace (seed vec_id < 16)
+  private val NQueries = 4   // query vectors (vec_id < 4)
+  private val TopK = 5
+
+  private def seeds(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < KCodes)
+
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = Similarity.pqCodebook(seeds(s, d), M, Dim)
+    Similarity.pqEncode(emb, cb, M, Dim)
+  }
+
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // ONE control-plane collect: the seed vectors yield the codebook (sliced
+    // on the driver — it is kilobytes) AND the query vectors (queries ⊂
+    // seeds by construction here); the only corpus-scale work is the encode
+    val seedRows = seeds(s, d).select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cbRows = for {
+      (vid, e) <- seedRows.toSeq; j <- 0 until M
+    } yield (j, vid, e.slice(j * Sub, j * Sub + Sub).map(_.toDouble))
+    val qs = seedRows.filter(_._1 < NQueries)
+      .map { case (vid, e) => (vid, e.map(_.toDouble)) }.toSeq
+    val cbDf = cbRows.map { case (j, vid, sv) => (j, vid, sv.map(_.toFloat).toSeq) }
+      .toDF("sub", "code_id", "subvec")
+    val codes = Similarity.pqEncode(emb, cbDf, M, Dim)
+    Similarity.pqSearchADC(qs, codes, cbRows, M, TopK)
+  }
+
+  // ---- oracles ----------------------------------------------------------
+
+  private def l2Sql(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, ${Sub + 1}),
+        k -> ($a[k]::DOUBLE - $b[k]::DOUBLE) * ($a[k]::DOUBLE - $b[k]::DOUBLE)))"""
+
+  // codebook + per-(vector,subspace) nearest codeword, shared by both oracles
+  private def encodeCtes = s"""cb AS MATERIALIZED (
+      SELECT CAST(j AS INTEGER) AS sub, vec_id AS code_id,
+             embedding[(j*$Sub+1):(j*$Sub+$Sub)] AS subvec
+      FROM embeddings, unnest(range(0, $M)) AS u(j) WHERE vec_id < $KCodes),
+    sv AS (
+      SELECT vec_id, CAST(j AS INTEGER) AS sub,
+             embedding[(j*$Sub+1):(j*$Sub+$Sub)] AS svec
+      FROM embeddings, unnest(range(0, $M)) AS u(j)),
+    dists AS MATERIALIZED (
+      SELECT sv.vec_id, sv.sub, cb.code_id,
+             ${qSql(l2Sql("svec", "subvec"), 6)} AS d
+      FROM sv JOIN cb USING (sub)),
+    enc AS MATERIALIZED (
+      SELECT vec_id, sub, code_id AS code, d AS dist_q FROM (
+        SELECT vec_id, sub, code_id, d,
+          row_number() OVER (PARTITION BY vec_id, sub
+            ORDER BY d ASC, code_id ASC) AS rn
+        FROM dists) t WHERE rn = 1)"""
+
+  private val pqEncodeOracle =
+    s"WITH $encodeCtes\n    SELECT vec_id, sub, code, dist_q FROM enc"
+
+  private val pqSearchOracle = s"""WITH $encodeCtes,
+    qd AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, q.sub, cb.code_id,
+             ${qSql(l2Sql("svec", "subvec"), 6)} AS d
+      FROM (SELECT vec_id, sub, svec FROM sv WHERE vec_id < $NQueries) q
+      JOIN cb USING (sub)),
+    approx AS (
+      SELECT qd.query_id, e.vec_id AS neighbor_id,
+             ${qSql("CAST(SUM(CAST(qd.d AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS adist
+      FROM enc e JOIN qd ON qd.sub = e.sub AND qd.code_id = e.code
+      WHERE qd.query_id <> e.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, rank, neighbor_id, adist FROM (
+      SELECT query_id, neighbor_id, adist,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM approx) t WHERE rank <= $TopK"""
+
+  def qs: Map[String, Q] = Map(
+    "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
+    "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)))
+}

@@ -198,4 +198,68 @@ class VecOpsSpec extends SparkSuite {
     // the state (no exception, deterministic result)
     intercept[IllegalArgumentException](Similarity.kmeansIterate(corpus, seeds, iters = 0))
   }
+
+  test("L2Sq is bit-identical to the fold; nulls mirror zip_with padding") {
+    val d = floatDf(Seq.tabulate(8)(i => (vec(i, 64), vec(i + 100, 64))))
+    val native = d.select(Similarity.l2sq(col("a"), col("b"))).collect().toSeq.map(_.getDouble(0))
+    val folded = d.select(Similarity.l2sqFolded(col("a"), col("b"))).collect().toSeq.map(_.getDouble(0))
+    assert(native == folded)
+    assert(native.forall(_ >= 0d))
+    val n = df("a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      Row(Seq[Any](1.0, null), Seq[Any](1.0, 2.0)),
+      Row(null, Seq(1.0))))
+    assert(n.select(Similarity.l2sq(col("a"), col("b"))).collect().forall(_.isNullAt(0)))
+    // identical vectors → exactly 0
+    val z = floatDf(Seq((vec(3, 16), vec(3, 16))))
+    assert(z.select(Similarity.l2sq(col("a"), col("b"))).collect()(0).getDouble(0) == 0d)
+  }
+
+  test("pqEncode: a codebook seed encodes to ITSELF with distance 0 in every subspace") {
+    import spark.implicits._
+    val rows = (0L until 12L).map(i => (i, vec(i.toInt * 7 + 1, 16)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb.filter(col("vec_id") < 4), m = 4, dim = 16)
+    val codes = Similarity.pqEncode(emb, cb, m = 4, dim = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(codes.length == 12 * 4)
+    // seeds 0..3: nearest codeword in every subspace is their own subvector
+    codes.filter(_._1 < 4).foreach { case (vid, _, code, dist) =>
+      assert(code == vid && dist == 0d, s"$vid -> $code ($dist)")
+    }
+    // non-seeds: valid code range, non-negative distances
+    codes.filter(_._1 >= 4).foreach { case (_, _, code, dist) =>
+      assert(code >= 0 && code < 4 && dist >= 0d)
+    }
+  }
+
+  test("pqSearchADC ranks by the exact sum of per-subspace code distances") {
+    import spark.implicits._
+    val rows = (0L until 10L).map(i => (i, vec(i.toInt * 11 + 3, 16)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cbDf = Similarity.pqCodebook(emb.filter(col("vec_id") < 4), m = 4, dim = 16)
+    val codes = Similarity.pqEncode(emb, cbDf, m = 4, dim = 16)
+    val cbRows = cbDf.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    val q = Seq((0L, rows(0)._2.map(_.toDouble).toArray))
+    val out = Similarity.pqSearchADC(q, codes, cbRows, m = 4, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(out.length == 3 && out.forall(_._1 == 0L))
+    // independent replay: dtab + codes -> expected ranking
+    val codeMap = codes.as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (v, rs) => v -> rs.sortBy(_._2).map(_._3) }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val qv = rows(0)._2.map(_.toDouble)
+    def sub(a: Seq[Double], s: Int) = a.slice(s * 4, s * 4 + 4)
+    val cbByKey = cbRows.map(r => (r._1, r._2) -> r._3).toMap
+    val exp = rows.filter(_._1 != 0L).map { case (v, _) =>
+      val adist = (0 until 4).map { s0 =>
+        val cv = cbByKey((s0, codeMap(v)(s0)))
+        val d = sub(qv, s0).zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+        BigDecimal(q6(d)).setScale(8)
+      }.sum.toDouble
+      v -> q6(adist)
+    }.sortBy { case (v, a) => (a, v) }.take(3)
+    assert(out.map(r => (r._3, r._4)).toSeq == exp, s"${out.toSeq} vs $exp")
+  }
 }
