@@ -24,7 +24,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class IngestServer(
     spool: (String, String, String) => Unit,        // (dest, table, rawEvent)
-    bulkLoad: (String, String, String, Seq[String]) => Long // (dest, table, mode, lines) => rows
+    bulkLoad: (String, String, String, Seq[String]) => Long, // (dest, table, mode, lines) => rows
+    auth: Option[WriteKeys.Registry] = None // enables /api/s/... writeKey auth
 ) {
 
   private var server: HttpServer = _
@@ -79,6 +80,39 @@ final class IngestServer(
       } catch { case e: Exception =>
         respond(ex, 500, s"""{"ok":false,"error":"${Option(e.getMessage).getOrElse("load failed")}"}""")
       })
+    // Segment-compatible authenticated edge (ingest/router.go:174-176
+    // `/api/s/:tp` + `/api/s/s2s/:tp`, auth per router.go:369-397): resolve
+    // the writeKey to its bound stream (here: destination), stamp the event
+    // with its type + ingest mode, spool like /post. 401 when the key is
+    // missing, unknown, wrong-secret, or a browser key on the s2s path.
+    auth.foreach { reg =>
+      server.createContext("/api/s/", (ex: HttpExchange) =>
+        try {
+          val path = ex.getRequestURI.getPath.stripPrefix("/api/s/")
+          val s2s = path.startsWith("s2s/")
+          val tp = (if (s2s) path.stripPrefix("s2s/") else path).takeWhile(_ != '/')
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+          val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
+          val key = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
+            query(ex).get("writekey"))
+          if (ex.getRequestMethod != "POST" || tp.isEmpty || body.isEmpty)
+            respond(ex, 400, """{"ok":false,"error":"POST /api/s/[s2s/]:type with a JSON body"}""")
+          else key.flatMap(k => reg.resolve(k, s2s)) match {
+            case None =>
+              respond(ex, 401, s"""{"ok":false,"error":"invalid writeKey ${
+                key.map(WriteKeys.mask).getOrElse("(none)")}"}""")
+            case Some((streamId, keyType)) =>
+              // stamp type + ingestType WITHOUT parsing the payload (the
+              // reference also wraps raw bytes; parsing is the consumer's)
+              val stamped = s"""{"type":"$tp","ingestType":"${
+                if (s2s) "s2s" else keyType}","event":$body}"""
+              spool(streamId, query(ex).getOrElse("tableName", "events"), stamped)
+              respond(ex, 200, """{"ok":true}""")
+          }
+        } catch { case e: Exception =>
+          respond(ex, 500, s"""{"ok":false,"error":"${e.getMessage}"}""")
+        })
+    }
     server.start()
     this
   }

@@ -1,0 +1,80 @@
+package graft.http
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** writeKey authentication for the ingest edge — the reference's key model
+  * (ingest/router.go:369-397 credential extraction, 540-561 hashing,
+  * 628-655 stream resolution) re-expressed:
+  *
+  *   - a writeKey is either PLAIN (`abc123`, looked up directly — browser
+  *     keys for non-strict streams) or `keyId:secret`, where only
+  *     `sha512(secret + salt + globalSecret)` is stored as `salt.hexdigest`;
+  *   - credentials arrive via `Authorization: Basic base64(key[:])`,
+  *     `X-Write-Key`, or the `writekey` query parameter — in that priority
+  *     order;
+  *   - a resolved key yields the stream (here: destination) it is bound to,
+  *     with its declared key type (`s2s` or `browser`); s2s endpoints
+  *     reject browser keys.
+  */
+object WriteKeys {
+
+  final case class Binding(keyId: String, hash: String, streamId: String,
+                           keyType: String) // "s2s" | "browser"
+
+  /** Key registry + the deployment's global hash secrets. Plain keys map
+    * key → (streamId, keyType) directly. */
+  final case class Registry(bindings: Map[String, Binding],
+                            plain: Map[String, (String, String)],
+                            globalSecrets: Seq[String]) {
+
+    /** Resolve a writeKey to (streamId, keyType); None = unauthorized. */
+    def resolve(writeKey: String, s2sEndpoint: Boolean): Option[(String, String)] = {
+      val parts = writeKey.split(":", 2)
+      val resolved =
+        if (parts.length == 1) plain.get(writeKey)
+        else bindings.get(parts(0)).filter(b => checkHash(b.hash, parts(1)))
+          .map(b => (b.streamId, b.keyType))
+      // an s2s endpoint never accepts a browser key (router.go:632-643)
+      resolved.filterNot { case (_, kt) => s2sEndpoint && kt == "browser" }
+    }
+
+    def checkHash(hash: String, secret: String): Boolean = {
+      hash.split("\\.", 2) match {
+        case Array(salt, hex) =>
+          globalSecrets.exists(gs => hex == hashApiKey(secret, salt, gs))
+        case _ => false
+      }
+    }
+  }
+
+  /** `sha512(token + salt + secret)` hex — router.go:540-545. */
+  def hashApiKey(token: String, salt: String, secret: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-512")
+    md.digest((token + salt + secret).getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Build the stored form of a secret: `salt.sha512hex`. */
+  def storedHash(secret: String, salt: String, globalSecret: String): String =
+    s"$salt.${hashApiKey(secret, salt, globalSecret)}"
+
+  /** Extract the writeKey from request headers/query — priority order and
+    * Basic-auth trailing-`:` trim per router.go:371-387. */
+  def extract(authorization: Option[String], xWriteKey: Option[String],
+              queryKey: Option[String]): Option[String] =
+    authorization.map { a =>
+      val b64 = a.stripPrefix("Basic ").trim
+      try new String(java.util.Base64.getDecoder.decode(b64), UTF_8)
+        .stripSuffix(":")
+      catch { case _: IllegalArgumentException => a } // not base64: raw token
+    }.orElse(xWriteKey).orElse(queryKey)
+
+  /** Log-safe masking — router.go:717-727. */
+  def mask(writeKey: String): String =
+    if (writeKey.isEmpty) writeKey
+    else {
+      val parts = writeKey.split(":", 2)
+      if (parts.length > 1) parts(0) + ":***"
+      else writeKey.take(1) + "***" + writeKey.takeRight(1)
+    }
+}

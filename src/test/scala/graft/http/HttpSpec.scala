@@ -22,6 +22,90 @@ class HttpSpec extends SparkSuite {
     (code, resp)
   }
 
+  private def postAuth(url: String, body: String,
+                       headers: Map[String, String]): (Int, String) = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, resp)
+  }
+
+  private def testRegistry = WriteKeys.Registry(
+    bindings = Map(
+      "k1" -> WriteKeys.Binding("k1",
+        WriteKeys.storedHash("sec1", "salt0", "global-secret"), "destA", "s2s"),
+      "kb" -> WriteKeys.Binding("kb",
+        WriteKeys.storedHash("bsec", "s2", "global-secret"), "destB", "browser")),
+    plain = Map("plainkey" -> (("destC", "browser"))),
+    globalSecrets = Seq("global-secret"))
+
+  test("writeKey hashing: storedHash verifies, wrong secret/salt/global fails") {
+    val reg = testRegistry
+    assert(reg.checkHash(WriteKeys.storedHash("s", "x", "global-secret"), "s"))
+    assert(!reg.checkHash(WriteKeys.storedHash("s", "x", "global-secret"), "wrong"))
+    assert(!reg.checkHash(WriteKeys.storedHash("s", "x", "other-global"), "s"))
+    assert(!reg.checkHash("malformed-no-dot", "s"))
+    assert(WriteKeys.mask("k1:sec1") == "k1:***")
+    assert(WriteKeys.mask("plainkey") == "p***y")
+  }
+
+  test("writeKey extraction: Authorization Basic > X-Write-Key > query") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("k1:sec1:".getBytes(UTF_8))
+    assert(WriteKeys.extract(Some(s"Basic $b64"), Some("x"), Some("q"))
+      .contains("k1:sec1")) // trailing ':' trimmed, header wins
+    assert(WriteKeys.extract(None, Some("x"), Some("q")).contains("x"))
+    assert(WriteKeys.extract(None, None, Some("q")).contains("q"))
+    assert(WriteKeys.extract(None, None, None).isEmpty)
+  }
+
+  test("/api/s/s2s/:type: valid key spools a stamped event to its stream — auth path") {
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val srv = new IngestServer(
+      spool = (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
+      bulkLoad = (_, _, _, _) => 0L, auth = Some(testRegistry)).start()
+    try {
+      val (code, resp) = postAuth(
+        s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        """{"userId":"u1"}""", Map("X-Write-Key" -> "k1:sec1"))
+      assert(code == 200 && resp == """{"ok":true}""")
+      assert(spooled.toSeq == Seq(("destA", "events",
+        """{"type":"track","ingestType":"s2s","event":{"userId":"u1"}}""")))
+      // Basic auth spelling of the same key also lands
+      val b64 = java.util.Base64.getEncoder.encodeToString("k1:sec1".getBytes(UTF_8))
+      val (code2, _) = postAuth(s"http://127.0.0.1:${srv.port}/api/s/s2s/identify",
+        """{"traits":{}}""", Map("Authorization" -> s"Basic $b64"))
+      assert(code2 == 200 && spooled.length == 2)
+    } finally srv.stop()
+  }
+
+  test("/api/s/s2s rejects: no key, wrong secret, unknown id, browser key on s2s") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+      auth = Some(testRegistry)).start()
+    try {
+      val url = s"http://127.0.0.1:${srv.port}/api/s/s2s/track"
+      assert(postAuth(url, """{"a":1}""", Map.empty)._1 == 401)
+      assert(postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "k1:WRONG"))._1 == 401)
+      assert(postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "nope:x"))._1 == 401)
+      // browser-typed key is refused on the s2s endpoint...
+      assert(postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec"))._1 == 401)
+      // ...but accepted on the browser endpoint
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page",
+        """{"a":1}""", Map("X-Write-Key" -> "kb:bsec"))._1 == 200)
+      // plain key resolves on the browser endpoint via query param
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page?writekey=plainkey",
+        """{"a":1}""", Map.empty)._1 == 200)
+      // 401 responses never echo the key
+      val (_, body) = postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "k1:WRONG"))
+      assert(body.contains("k1:***") && !body.contains("WRONG"))
+    } finally srv.stop()
+  }
+
   test("POST /post/:dest spools raw events per (dest, table) — S1") {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val srv = new IngestServer(
