@@ -318,6 +318,61 @@ object EventOps {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2"""
 
+  // ---- marketing attribution -------------------------------------------
+
+  /** First/last-touch conversion attribution: every purchase credits (a)
+    * the user's FIRST preceding non-purchase touch and (b) the LAST one;
+    * purchases with no preceding touch credit `direct`. Both models emit
+    * from ONE pass: a user-keyed window carries the running first/last touch
+    * (ignore-nulls over the preceding frame — purchases are transparent to
+    * it), the purchase rows explode into their two model rows, and a
+    * map-side-combined aggregate folds (model, touch) credit. One shuffle
+    * on `user_id`, windows bounded by a user's own history — the exact
+    * shape a 100 TB clickstream needs (no self-join of events to events).
+    * Ties at the same millisecond break on event id, both engines. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"), col("event_id"), col("ts_ms"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("value"), explode(array(
+        struct(lit("first_touch").as("model"),
+          coalesce(col("first_touch"), lit("direct")).as("touch")),
+        struct(lit("last_touch").as("model"),
+          coalesce(col("last_touch"), lit("direct")).as("touch")))).as("m"))
+      .groupBy(col("m.model").as("model"), col("m.touch").as("touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(dec(col("value"))).cast(DoubleType).as("value_sum"))
+  }
+
+  private val attributionOracle = """
+    WITH e AS (
+      SELECT user_id, event_type, value, event_id, epoch_ms(ts) AS ts_ms,
+        CASE WHEN event_type <> 'purchase' THEN event_type END AS touch0
+      FROM events),
+    t AS (
+      SELECT *,
+        first_value(touch0 IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        last_value(touch0 IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM e),
+    x AS (
+      SELECT value, 'first_touch' AS model, COALESCE(first_touch, 'direct') AS touch
+      FROM t WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT value, 'last_touch', COALESCE(last_touch, 'direct')
+      FROM t WHERE event_type = 'purchase')
+    SELECT model, touch, count(*) AS n_conversions,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM x GROUP BY 1, 2"""
+
   // ---- data-quality rules ----------------------------------------------
 
   /** Declarative load-time data-quality screen (Deequ/dbt-test-style): every
@@ -368,6 +423,7 @@ object EventOps {
   }
 
   def qs: Map[String, Q] = Map(
+    "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "t_dq_rules"         -> Q(tDqRules, Some(dqOracle)),
     "d7_incremental_agg" -> Q(d7IncrementalAgg, Some(incAggOracle)),
     "q_cube"      -> Q(qCube, Some(cubeOracle)),

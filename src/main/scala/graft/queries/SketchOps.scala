@@ -138,6 +138,73 @@ object SketchOps {
            ${qSql("CAST(sum(term) AS DOUBLE) / sum(ctf)", 4)} AS nll
     FROM terms GROUP BY doc_id"""
 
+  // ---- bigram-LM scoring -----------------------------------------------
+
+  /** Per-document NLL under the corpus's own add-one-smoothed BIGRAM model —
+    * the context-aware upgrade of [[perplexity]]'s unigram filter:
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)`, so a document full of common
+    * words in UNCOMMON orders now scores as surprising.
+    *
+    * Scale shape mirrors perplexity exactly: the model is two token-keyed
+    * aggregates (bigram + left-word counts, both ≪ corpus) and V is a 1-row
+    * total; the scoring join keys on the bigram; every float is quantized
+    * and decimal-summed. Documents under 2 tokens have no bigrams and are
+    * excluded on both sides. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val bf = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("__toks", toks).filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(TextOps.ngrams(col("__toks"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cbg"))
+      .persist() // model aggregates + the scoring join both consume it
+    val bigrams = bf.groupBy("bg").agg(sum("cbg").as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val unigrams = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(toks).as("t")).filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val v = unigrams.agg(count(lit(1)).as("vsize"))
+    val scores = bigrams
+      .join(unigrams.select(col("t").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        TextOps.quant(log((col("c1") + col("vsize")) * lit(1.0) / (col("c12") + 1)), 6)
+          .as("nll_bg"))
+    bf.join(scores, "bg")
+      .select(col("doc_id"), col("cbg"),
+        TextOps.quant(col("cbg") * col("nll_bg"), 6).cast(DecimalType(28, 8)).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("cbg")).as("n_bigrams"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        TextOps.quant(col("s").cast(DoubleType) / col("n_bigrams"), 4).as("nll"))
+  }
+
+  private val bigramLmOracle = {
+    val ngrams2 = s"""CASE WHEN len(sp) >= 2
+          THEN [array_to_string(sp[i:i+1],' ') for i in range(1, len(sp))]
+          ELSE [array_to_string(sp,' ')] END"""
+    s"""
+    WITH t0 AS (SELECT doc_id, $toksSql AS sp FROM documents
+                WHERE length(trim(text)) > 0),
+    bf AS (SELECT doc_id, bg, count(*) AS cbg FROM (
+             SELECT doc_id, unnest($ngrams2) AS bg FROM t0 WHERE len(sp) >= 2) x
+           GROUP BY 1, 2),
+    bigrams AS (SELECT bg, CAST(sum(cbg) AS BIGINT) AS c12,
+                  string_split(bg, ' ')[1] AS w1 FROM bf GROUP BY 1),
+    unigrams AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM (
+                   SELECT unnest(sp) AS t FROM t0) u WHERE length(t) > 0 GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM unigrams),
+    scores AS (SELECT bg, ${qSql("ln((c1 + vsize) * 1.0 / (c12 + 1))", 6)} AS nll_bg
+               FROM bigrams JOIN unigrams ON bigrams.w1 = unigrams.t CROSS JOIN v),
+    terms AS (SELECT doc_id, cbg,
+                CAST(${qSql("cbg * nll_bg", 6)} AS DECIMAL(28,8)) AS term
+              FROM bf JOIN scores USING (bg))
+    SELECT doc_id, CAST(sum(cbg) AS BIGINT) AS n_bigrams,
+           ${qSql("CAST(sum(term) AS DOUBLE) / sum(cbg)", 4)} AS nll
+    FROM terms GROUP BY doc_id"""
+  }
+
   // ---- DSIR importance weights -----------------------------------------
 
   private val DsirBuckets = 8192L
@@ -494,6 +561,7 @@ object SketchOps {
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
+    "llm_bigram_lm"    -> Q(bigramLm, Some(bigramLmOracle)),
     "llm_dsir"         -> Q(dsir, Some(dsirOracle)),
     "llm_curriculum"   -> Q(curriculum, Some(curriculumOracle)),
     "llm_bm25"         -> Q(bm25, Some(bm25Oracle)),

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.DriverManager
+
+/** The reference's actor-scoped events log (eventslog/events_log.go:43-59):
+  * `ActorEvent(eventType, actorId, level, timestamp, content)` posted
+  * asynchronously (buffered, flush on size/interval) and queried back by
+  * (type, actor, level, time range, limit). Backends there are ClickHouse
+  * (buffered async inserts, ch_events_log.go:95-150) and Redis streams;
+  * here:
+  *
+  *   - [[JdbcEventsLog]] — a LIVE backend on any JDBC engine (tested on
+  *     embedded Derby): real DDL, batched transactional flushes, filtered
+  *     reads. The write path is driver-side control-plane traffic (one row
+  *     per batch), so a plain connection is the right tool — no Spark job.
+  *   - [[ChEventsLogSql]] — the ClickHouse statement set (async-insert
+  *     settings, MergeTree layout keyed the way the reads filter), the
+  *     spec-proven SQL-text twin for the backend this environment can't run.
+  *
+  * [[EventsLog]] (parquet) remains the analytics-facing log: queryable by
+  * the same Spark engine that produced it.
+  */
+final case class ActorEvent(eventType: String, actorId: String, level: String,
+                            timestampMs: Long, content: String)
+
+final class JdbcEventsLog(url: String, flushEvery: Int = 100) {
+
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[ActorEvent]
+
+  locally {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(
+        """CREATE TABLE events_log (
+          |  ts_ms BIGINT NOT NULL,
+          |  actor_id VARCHAR(256) NOT NULL,
+          |  event_type VARCHAR(64) NOT NULL,
+          |  level VARCHAR(16) NOT NULL,
+          |  content VARCHAR(4096))""".stripMargin)
+      catch { case _: java.sql.SQLException => () } // exists
+      finally st.close()
+    } finally c.close()
+  }
+
+  /** Buffered post (the reference's PostAsync): flushes when the buffer
+    * reaches `flushEvery`. */
+  def post(e: ActorEvent): Unit = synchronized {
+    buffer += e
+    if (buffer.length >= flushEvery) flush()
+  }
+
+  /** One transactional batched insert for everything buffered —
+    * ch_events_log.go:95-117's flush, minus the async-insert settings the
+    * JDBC engine doesn't need. */
+  def flush(): Unit = synchronized {
+    if (buffer.nonEmpty) {
+      val c = DriverManager.getConnection(url)
+      try {
+        c.setAutoCommit(false)
+        val ps = c.prepareStatement(
+          "INSERT INTO events_log (ts_ms, actor_id, event_type, level, content) VALUES (?,?,?,?,?)")
+        try {
+          buffer.foreach { e =>
+            ps.setLong(1, e.timestampMs); ps.setString(2, e.actorId)
+            ps.setString(3, e.eventType); ps.setString(4, e.level)
+            ps.setString(5, e.content); ps.addBatch()
+          }
+          ps.executeBatch()
+          c.commit()
+        } finally ps.close()
+      } finally c.close()
+      buffer.clear()
+    }
+  }
+
+  /** Filtered read-back, newest first (events_log.go:59 GetEvents): `level`
+    * and the time bounds are optional, `limit` caps the page. */
+  def getEvents(eventType: String, actorId: String, level: Option[String] = None,
+                startMs: Option[Long] = None, endMs: Option[Long] = None,
+                limit: Int = 100): Seq[ActorEvent] = {
+    flush()
+    val conds = Seq("event_type = ?", "actor_id = ?") ++
+      level.map(_ => "level = ?") ++ startMs.map(_ => "ts_ms >= ?") ++
+      endMs.map(_ => "ts_ms <= ?")
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement(
+        s"""SELECT ts_ms, actor_id, event_type, level, content FROM events_log
+           |WHERE ${conds.mkString(" AND ")}
+           |ORDER BY ts_ms DESC FETCH FIRST $limit ROWS ONLY""".stripMargin)
+      try {
+        var i = 0
+        def set(v: Any): Unit = { i += 1; v match {
+          case s: String => ps.setString(i, s)
+          case l: Long   => ps.setLong(i, l)
+        } }
+        set(eventType); set(actorId)
+        level.foreach(set); startMs.foreach(set); endMs.foreach(set)
+        val rs = ps.executeQuery()
+        val out = Seq.newBuilder[ActorEvent]
+        while (rs.next()) out += ActorEvent(rs.getString(3), rs.getString(2),
+          rs.getString(4), rs.getLong(1), rs.getString(5))
+        out.result()
+      } finally ps.close()
+    } finally c.close()
+  }
+}
+
+/** ClickHouse statement set for the same log — the backend the reference
+  * runs in production (ch_events_log.go); executes verbatim on a CH cluster,
+  * spec-proven as text here (no CH in this environment, same treatment as
+  * the K1-K6 warehouse dialects). */
+object ChEventsLogSql {
+
+  /** MergeTree keyed exactly how GetEvents filters (type, actor, time);
+    * 90-day TTL mirrors the log's retention role. */
+  val ddl: String =
+    """CREATE TABLE IF NOT EXISTS events_log (
+      |  timestamp DateTime64(3),
+      |  actor_id String,
+      |  event_type LowCardinality(String),
+      |  level LowCardinality(String),
+      |  content String
+      |) ENGINE = MergeTree()
+      |ORDER BY (event_type, actor_id, timestamp)
+      |TTL toDateTime(timestamp) + INTERVAL 90 DAY""".stripMargin
+
+  /** ch_events_log.go:147 — async insert, fire-and-forget. */
+  val insert: String =
+    "INSERT INTO events_log SETTINGS async_insert=1, wait_for_async_insert=0 VALUES (?,?,?,?,?)"
+
+  def select(withLevel: Boolean, withStart: Boolean, withEnd: Boolean,
+             limit: Int): String = {
+    val conds = Seq("event_type = ?", "actor_id = ?") ++
+      (if (withLevel) Seq("level = ?") else Nil) ++
+      (if (withStart) Seq("timestamp >= ?") else Nil) ++
+      (if (withEnd) Seq("timestamp <= ?") else Nil)
+    s"""SELECT timestamp, actor_id, event_type, level, content FROM events_log
+       |WHERE ${conds.mkString(" AND ")}
+       |ORDER BY timestamp DESC LIMIT $limit""".stripMargin
+  }
+}

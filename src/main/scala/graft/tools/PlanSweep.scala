@@ -29,6 +29,7 @@ object PlanSweep {
     "llm_dsir"        -> Set("BroadcastNestedLoop"),
     "llm_kmeans"      -> Set("BroadcastNestedLoop"),
     "llm_perplexity"  -> Set("BroadcastNestedLoop"),
+    "llm_bigram_lm"   -> Set("BroadcastNestedLoop"), // 1-row V-size cross, as perplexity
     "llm_pmi"         -> Set("BroadcastNestedLoop"),
     "llm_rank_fusion" -> Set("BroadcastNestedLoop"),
     "llm_resample"    -> Set("BroadcastNestedLoop"),

@@ -205,6 +205,30 @@ class EventOpsSpec extends SparkSuite {
 
   // ---- CDC apply --------------------------------------------------------
 
+  test("qAttribution credits first/last preceding touch; untouched purchases go direct") {
+    val (dir, rows) = fixture
+    val out = EventOps.qAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // independent replay over the fixture
+    val byUser = rows.groupBy(_.user_id)
+    val credits = byUser.values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e.ts / 1000000L, e.event_id))
+      ordered.zipWithIndex.collect {
+        case (e, i) if e.event_type == "purchase" =>
+          val touches = ordered.take(i).filter(_.event_type != "purchase")
+          Seq(("first_touch", touches.headOption.map(_.event_type).getOrElse("direct"), e.value),
+            ("last_touch", touches.lastOption.map(_.event_type).getOrElse("direct"), e.value))
+      }.flatten
+    }.toSeq
+    val exp = credits.groupBy(c => (c._1, c._2)).map { case (k, cs) =>
+      k -> ((cs.length.toLong,
+        cs.map(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble))
+    }
+    assert(out == exp, s"$out vs $exp")
+    assert(out.keys.map(_._1).toSet == Set("first_touch", "last_touch"))
+  }
+
   test("d6CdcApply keeps only the latest non-delete change per entity, no window sort") {
     val (dir, rows) = fixture
     val expected = rows.groupBy(_.event_id / 3).toSeq.flatMap { case (ent, evs) =>

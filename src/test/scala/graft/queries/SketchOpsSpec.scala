@@ -249,6 +249,25 @@ class SketchOpsSpec extends SparkSuite {
     assert(plan.contains("kmin_k"), plan)
   }
 
+  test("bigramLm scores add-one-smoothed bigram NLL exactly; <2-token docs excluded") {
+    val rows = Seq(
+      (1L, "a b a b", "en", "s"),  // bigrams: (a b)x2, (b a)x1
+      (2L, "a b", "en", "s"),
+      (3L, "solo", "en", "s"))     // 1 token → excluded
+    val d = writeDocs(rows)
+    val out = SketchOps.bigramLm(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: c(a b)=3, c(b a)=1; unigrams: a=4(3+1... doc3 'solo' counts too)
+    // tokens: doc1 a,b,a,b doc2 a,b doc3 solo → c(a)=3, c(b)=3, c(solo)=1, V=3
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val nllAB = q6(math.log((3 + 3) * 1.0 / (3 + 1))) // w1=a: c1=3, c12=3
+    val nllBA = q6(math.log((3 + 3) * 1.0 / (1 + 1))) // w1=b: c1=3, c12=1
+    def dec(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = math.floor((dec(q6(2 * nllAB)) + dec(q6(1 * nllBA))).toDouble / 3 * 1e4 + 0.5) / 1e4
+    val d2 = math.floor(q6(1 * nllAB) / 1 * 1e4 + 0.5) / 1e4
+    assert(out == Map(1L -> ((3L, d1)), 2L -> ((1L, d2))), s"$out")
+  }
+
   test("KMinK aggregate: K smallest distinct longs, map-side-combinable, null-safe") {
     import spark.implicits._
     val vals = Seq(9L, 3L, 3L, 7L, 1L, 5L, 5L, 8L, 2L, 6L, 4L, 1L)

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live JDBC events log on embedded Derby + the ClickHouse SQL-text twin
+  * (eventslog/events_log.go GetEvents semantics). */
+class ActorEventsLogSpec extends AnyFunSuite {
+
+  private def log(db: String) =
+    new JdbcEventsLog(s"jdbc:derby:memory:evlog_$db;create=true", flushEvery = 3)
+
+  test("post buffers until flushEvery, then a batched flush lands every row") {
+    val l = log("buf")
+    l.post(ActorEvent("bulker_batch", "destA", "info", 1000L, """{"rows":10}"""))
+    l.post(ActorEvent("bulker_batch", "destA", "info", 2000L, """{"rows":20}"""))
+    // third post crosses flushEvery=3 → auto-flush
+    l.post(ActorEvent("bulker_batch", "destA", "error", 3000L, """{"err":"x"}"""))
+    val all = l.getEvents("bulker_batch", "destA")
+    assert(all.length == 3)
+    assert(all.map(_.timestampMs) == Seq(3000L, 2000L, 1000L)) // newest first
+  }
+
+  test("getEvents filters by type, actor, level, and time range; limit caps") {
+    val l = log("filt")
+    for (i <- 1 to 10)
+      l.post(ActorEvent("bulker_batch", "destA",
+        if (i % 3 == 0) "error" else "info", i * 1000L, s"""{"n":$i}"""))
+    l.post(ActorEvent("incoming", "destA", "info", 99000L, "{}"))
+    l.post(ActorEvent("bulker_batch", "destB", "info", 98000L, "{}"))
+    assert(l.getEvents("bulker_batch", "destA").length == 10) // type+actor scoped
+    assert(l.getEvents("bulker_batch", "destA", level = Some("error"))
+      .map(_.timestampMs) == Seq(9000L, 6000L, 3000L))
+    assert(l.getEvents("bulker_batch", "destA",
+      startMs = Some(4000L), endMs = Some(7000L)).map(_.timestampMs) ==
+      Seq(7000L, 6000L, 5000L, 4000L))
+    assert(l.getEvents("bulker_batch", "destA", limit = 2)
+      .map(_.timestampMs) == Seq(10000L, 9000L))
+    assert(l.getEvents("incoming", "destB").isEmpty)
+  }
+
+  test("explicit flush is idempotent and read-your-writes holds") {
+    val l = log("flush")
+    l.post(ActorEvent("bulker_stream", "d", "info", 1L, "{}"))
+    l.flush(); l.flush()
+    assert(l.getEvents("bulker_stream", "d").length == 1)
+  }
+
+  test("ClickHouse twin: async-insert settings, filter-aligned ORDER BY, TTL") {
+    assert(ChEventsLogSql.insert.contains("async_insert=1") &&
+      ChEventsLogSql.insert.contains("wait_for_async_insert=0"))
+    assert(ChEventsLogSql.ddl.contains("ORDER BY (event_type, actor_id, timestamp)"))
+    assert(ChEventsLogSql.ddl.contains("TTL"))
+    val s = ChEventsLogSql.select(withLevel = true, withStart = true,
+      withEnd = false, limit = 50)
+    assert(s.contains("level = ?") && s.contains("timestamp >= ?") &&
+      !s.contains("timestamp <= ?") && s.contains("LIMIT 50"))
+    assert(s.contains("ORDER BY timestamp DESC"))
+  }
+}
