@@ -96,6 +96,60 @@ object SketchOps {
            count(*) AS k
     FROM r WHERE rn <= $KmvK"""
 
+  /** KMV set-operation estimates between two corpus halves (Beyer et al.
+    * 2007 "On Synopses for Distinct-Value Estimation"): from each side's
+    * bounded K-minimum sketch alone, estimate |A∪B| (the merged sketch's
+    * K-th minimum — exact merge law) and |A∩B| via the Jaccard estimator
+    * `|sketch(A) ∩ sketch(B) ∩ unionTopK| / K`. The corpus is scanned once
+    * per side with O(K) state; the set algebra runs on 2·K longs.
+    *
+    * Output is one row: union/intersection estimates plus the sketch-level
+    * Jaccard numerator (the oracle recomputes all three from scratch). */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select((col("doc_id") % 2).as("side"),
+        explode(TextOps.shingles(col("__toks"), 3)).as("g"))
+    val sketches = sh.select(col("side"), TextOps.hash60(col("g")).as("h"))
+      .groupBy("side").agg(TextOps.kminK(col("h"), KmvK).as("hs"))
+    // set algebra over 2·K longs: array functions on a 2-row frame — the
+    // "distributed" part ended at the bounded per-side aggregation
+    val a = sketches.filter(col("side") === 0).select(col("hs").as("ha"))
+    val b = sketches.filter(col("side") === 1).select(col("hs").as("hb"))
+    a.crossJoin(b)
+      .withColumn("hu", slice(array_sort(array_union(col("ha"), col("hb"))), 1, KmvK))
+      .withColumn("ku", element_at(col("hu"), KmvK))
+      .withColumn("inter_k",
+        size(array_intersect(array_intersect(col("ha"), col("hb")), col("hu"))).cast(LongType))
+      .select(
+        floor(lit((KmvK - 1).toDouble * Max60) / col("ku")).cast(LongType)
+          .as("est_union"),
+        col("inter_k"),
+        floor(col("inter_k") * lit((KmvK - 1).toDouble * Max60)
+          / lit(KmvK.toDouble) / col("ku")).cast(LongType).as("est_intersect"))
+  }
+
+  private val kmvSetOpsOracle = s"""
+    WITH sh AS (
+      SELECT doc_id % 2 AS side, unnest(${shinglesSql(toksSql, 3)}) AS g FROM (
+        SELECT doc_id, $toksSql AS sp, text FROM documents) t),
+    h AS (SELECT DISTINCT side, ${hashSql("g")} AS h FROM sh),
+    r AS (SELECT side, h,
+            row_number() OVER (PARTITION BY side ORDER BY h) AS rn FROM h),
+    sk AS (SELECT side, list(h ORDER BY h) AS hs FROM r WHERE rn <= $KmvK GROUP BY side),
+    ab AS (SELECT
+        (SELECT hs FROM sk WHERE side = 0) AS ha,
+        (SELECT hs FROM sk WHERE side = 1) AS hb),
+    u AS (SELECT ha, hb,
+        list_sort(list_distinct(list_concat(ha, hb)))[1:$KmvK] AS hu FROM ab)
+    SELECT
+      CAST(floor(${(KmvK - 1).toDouble * Max60} / hu[$KmvK]) AS BIGINT) AS est_union,
+      CAST(len(list_intersect(list_intersect(ha, hb), hu)) AS BIGINT) AS inter_k,
+      CAST(floor(len(list_intersect(list_intersect(ha, hb), hu))
+        * ${(KmvK - 1).toDouble * Max60} / ${KmvK.toDouble} / hu[$KmvK]) AS BIGINT)
+        AS est_intersect
+    FROM u"""
+
   // ---- unigram-LM perplexity scoring -----------------------------------
 
   /** Per-document negative log-likelihood under the corpus's own unigram
@@ -562,6 +616,7 @@ object SketchOps {
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
     "llm_bigram_lm"    -> Q(bigramLm, Some(bigramLmOracle)),
+    "llm_kmv_setops"   -> Q(kmvSetOps, Some(kmvSetOpsOracle)),
     "llm_dsir"         -> Q(dsir, Some(dsirOracle)),
     "llm_curriculum"   -> Q(curriculum, Some(curriculumOracle)),
     "llm_bm25"         -> Q(bm25, Some(bm25Oracle)),

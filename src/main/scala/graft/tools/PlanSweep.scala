@@ -30,6 +30,7 @@ object PlanSweep {
     "llm_kmeans"      -> Set("BroadcastNestedLoop"),
     "llm_perplexity"  -> Set("BroadcastNestedLoop"),
     "llm_bigram_lm"   -> Set("BroadcastNestedLoop"), // 1-row V-size cross, as perplexity
+    "llm_kmv_setops"  -> Set("BroadcastNestedLoop"), // 1-row × 1-row sketch cross
     "llm_pmi"         -> Set("BroadcastNestedLoop"),
     "llm_rank_fusion" -> Set("BroadcastNestedLoop"),
     "llm_resample"    -> Set("BroadcastNestedLoop"),

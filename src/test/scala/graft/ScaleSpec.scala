@@ -188,6 +188,47 @@ class ScaleSpec extends SparkSuite {
       .forall { case (_, seqs) => seqs.map(_._2).min == 0L })
   }
 
+  test("round-7 operators keep scale-safe plans: BPE encode, PQ encode, KMV set ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r7scale_").toString
+    val rnd = new scala.util.Random(11L)
+    (0 until 400).map { i =>
+      (i.toLong, (0 until 30).map(_ => s"w${rnd.nextInt(40)}").mkString(" "),
+        "en", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until 100).map(i => (i.toLong,
+        Seq.tabulate(64)(k => ((i * 31 + k * 7) % 100) / 50.0f - 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // BPE encode: after the train collect, the encode itself is ONE narrow
+    // projection (the kernel carries the merges — no join, no shuffle)
+    val enc = graft.queries.BpeOps.qs("llm_bpe_encode").fn(spark, dir)
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Join"), encPlan)
+    assert(!encPlan.contains("rangepartitioning"), encPlan)
+    assert(enc.count() == 400)
+
+    // PQ encode: broadcast codebook join + map-side argmin — hash exchanges
+    // only, never a nested-loop pair product over the corpus
+    val pq = graft.queries.PqOps.qs("llm_pq_encode").fn(spark, dir)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(!pqPlan.contains("rangepartitioning"), pqPlan)
+    assert(!pqPlan.contains("CartesianProduct"), pqPlan)
+    assert(!pqPlan.contains("BroadcastNestedLoop"), pqPlan)
+    assert(pq.count() == 100 * 8)
+
+    // KMV set ops: bounded kmin_k partials, no rank window, no global sort
+    val so = graft.queries.SketchOps.qs("llm_kmv_setops").fn(spark, dir)
+    val soPlan = so.queryExecution.executedPlan.toString
+    assert(!soPlan.contains("rangepartitioning"), soPlan)
+    assert(!soPlan.toLowerCase.contains("window"), soPlan)
+    assert(soPlan.contains("kmin_k"), soPlan)
+    assert(so.count() == 1)
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
