@@ -318,6 +318,57 @@ object EventOps {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2"""
 
+  // ---- session path mining ---------------------------------------------
+
+  private val PathGapMs = 30L * 60 * 1000
+  private val PathTopK = 10
+
+  /** Top-K session paths (the "what do users actually do" query): sessions
+    * are 30-minute-inactivity islands per user, a session's path is its
+    * event types in (ts, event_id) order joined with `>`, and the output is
+    * the K most frequent paths.
+    *
+    * Scale shape: one user-keyed window pass assigns sessions (gaps-and-
+    * islands, same as SCD2), the per-session path is an in-group sorted
+    * collect (bounded by a session's own length — inactivity caps it), the
+    * path count is map-side-combined, and the final K is TakeOrdered with a
+    * deterministic (count DESC, path ASC) tie-break — never a global sort. */
+  def qPathTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    val sessions = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("new_s",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > PathGapMs, 1L).otherwise(0L))
+      .withColumn("session",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions
+      .groupBy("user_id", "session")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+        e => e.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc).limit(PathTopK)
+  }
+
+  private val pathOracle = s"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    m AS (
+      SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > $PathGapMs THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        ORDER BY ts_ms ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+      FROM m),
+    paths AS (
+      SELECT user_id, session,
+        string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+      FROM sess GROUP BY 1, 2)
+    SELECT path, count(*) AS n_sessions FROM paths
+    GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT $PathTopK"""
+
   // ---- marketing attribution -------------------------------------------
 
   /** First/last-touch conversion attribution: every purchase credits (a)
@@ -424,6 +475,7 @@ object EventOps {
 
   def qs: Map[String, Q] = Map(
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
+    "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),
     "t_dq_rules"         -> Q(tDqRules, Some(dqOracle)),
     "d7_incremental_agg" -> Q(d7IncrementalAgg, Some(incAggOracle)),
     "q_cube"      -> Q(qCube, Some(cubeOracle)),
