@@ -870,6 +870,48 @@ object LlmOps {
         (col("node") === col("cluster_id")).as("kept"))
   }
 
+  private val NegsPerAnchor = 3
+
+  /** Contrastive training pairs for embedding models: every document with a
+    * semantic near-duplicate becomes an ANCHOR, its smallest-id near-dup is
+    * the POSITIVE, and `NegsPerAnchor` deterministic hash-drawn corpus
+    * vectors are the NEGATIVES (a draw colliding with the anchor or the
+    * positive is dropped, not re-drawn — the emitted set stays a pure
+    * function of the corpus). In-batch/random negatives are the standard
+    * recipe (SimCLR/DPR); hard-negative mining composes by swapping the
+    * hash draw for an [[Similarity.lshTopK]] candidate set.
+    *
+    * Scale shape: positives ride the bucketed near-dup pair pipeline (never
+    * all-pairs); negatives are a narrow per-anchor explode of `k` hash
+    * draws — no join against the corpus at all; the corpus size is one
+    * control-plane count. */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count() // control-plane: the id space
+    val anchors = embedNearDup(s, d)
+      .filter(col("i") < lit(SeedIdOffset)) // anchors are REAL corpus vectors
+      .groupBy(col("i").as("anchor_id"))
+      .agg(min(col("j")).as("pos_id"))
+    anchors.select(col("anchor_id"), col("pos_id"),
+        explode(array((1 to NegsPerAnchor).map(lit(_)): _*)).as("neg_rank"))
+      .withColumn("neg_id",
+        TextOps.hash60(concat(col("anchor_id").cast(StringType), lit(":neg:"),
+          col("neg_rank").cast(StringType))) % lit(n))
+      .filter(col("neg_id") =!= col("anchor_id") && col("neg_id") =!= col("pos_id"))
+  }
+
+  private val contrastiveOracle = s"""
+    WITH pairs AS (SELECT i, j FROM ($embedNearDupOracle) q),
+    anchors AS (
+      SELECT i AS anchor_id, min(j) AS pos_id FROM pairs
+      WHERE i < $SeedIdOffset GROUP BY 1),
+    drawn AS (
+      SELECT anchor_id, pos_id, n AS neg_rank,
+        ${hashSql("anchor_id::VARCHAR || ':neg:' || n::VARCHAR")}
+          % (SELECT count(*) FROM embeddings) AS neg_id
+      FROM anchors, unnest([${(1 to NegsPerAnchor).mkString(", ")}]) AS u(n))
+    SELECT anchor_id, pos_id, neg_rank, neg_id FROM drawn
+    WHERE neg_id <> anchor_id AND neg_id <> pos_id"""
+
   private val semDedupOracle = s"""
     WITH RECURSIVE
     pairs AS (SELECT i, j FROM ($embedNearDupOracle) q),
@@ -1546,6 +1588,7 @@ object LlmOps {
     "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
+    "llm_contrastive"   -> Q(contrastivePairs, Some(contrastiveOracle)),
     "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),

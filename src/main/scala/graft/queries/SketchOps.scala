@@ -205,18 +205,19 @@ object SketchOps {
     * and decimal-summed. Documents under 2 tokens have no bigrams and are
     * excluded on both sides. */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val bf = Tables.documents(s, d)
+    // ONE tokenization pass feeds both model sides (bigram + unigram counts)
+    val toked = Tables.documents(s, d)
       .filter(length(trim(col("text"))) > 0)
-      .withColumn("__toks", toks).filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .persist()
+    val bf = toked.filter(size(col("__toks")) >= 2)
       .select(col("doc_id"), explode(TextOps.ngrams(col("__toks"), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cbg"))
-      .persist() // model aggregates + the scoring join both consume it
+      .persist() // model aggregate + the scoring join both consume it
     val bigrams = bf.groupBy("bg").agg(sum("cbg").as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val unigrams = Tables.documents(s, d)
-      .filter(length(trim(col("text"))) > 0)
-      .select(explode(toks).as("t")).filter(length(col("t")) > 0)
+    val unigrams = toked
+      .select(explode(col("__toks")).as("t")).filter(length(col("t")) > 0)
       .groupBy("t").agg(count(lit(1)).as("c1"))
     val v = unigrams.agg(count(lit(1)).as("vsize"))
     val scores = bigrams
