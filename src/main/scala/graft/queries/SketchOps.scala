@@ -60,6 +60,78 @@ object SketchOps {
            CAST(floor(${(KmvK - 1).toDouble * Max60} / h) AS BIGINT) AS est_distinct
     FROM r WHERE rn = $KmvK"""
 
+  // ---- HyperLogLog distinct-count sketch -------------------------------
+
+  private val HllM = 64 // registers (b = 6 index bits off the 60-bit hash)
+  private val HllAlphaM2 = 0.709 * HllM * HllM // α_64 per Flajolet et al. 2007
+  // estimator numerator, ONE driver-computed double shared bit-identically
+  // with the oracle literal: α·m² · 2^55 (the 2^55 un-scales the exact
+  // integer register sum below)
+  private val HllNum = HllAlphaM2 * math.pow(2, 55)
+
+  /** Per-source distinct-shingle estimate via HyperLogLog (Flajolet,
+    * Fusy, Gandouet, Meunier 2007) — the complement of [[kmvDistinct]]:
+    * where KMV keeps the K smallest hash VALUES, HLL keeps only the max
+    * leading-zero RANK per register (m=64 registers, 6 index bits), so the
+    * per-group state is 64 bytes no matter how many distinct values flow
+    * through. Includes the paper's small-range linear-counting correction
+    * (E ≤ 2.5m with empty registers); the 32-bit large-range correction
+    * does not apply to a 60-bit hash space.
+    *
+    * Determinism: the harmonic sum Σ 2^−M_j is kept as the EXACT integer
+    * Σ 2^(55−M_j) (every term ≤ 2^54, the sum ≤ 2^60 — order-free long
+    * arithmetic; a double sum would round differently per partition
+    * order), with one double division at the very end. The rank is integer
+    * too: ρ = 55 − bitlength(h >> 6) via `bin()`, identical in both
+    * engines — no log2 float edge.
+    *
+    * Scale shape: ONE shuffle keyed (source, register) with a map-side max
+    * partial, then a 64-rows-per-source aggregate — mergeable bounded
+    * sketch state, the canonical 100 TB distinct-count shape. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("source"), explode(TextOps.shingles(col("__toks"), 3)).as("g"))
+    val regs = sh.select(col("source"), TextOps.hash60(col("g")).as("h"))
+      .select(col("source"), (col("h") % lit(HllM.toLong)).as("j"),
+        shiftright(col("h"), 6).as("w"))
+      .withColumn("rho",
+        lit(55) - when(col("w") === 0L, lit(0)).otherwise(length(bin(col("w")))))
+      .groupBy("source", "j").agg(max(col("rho")).as("mj"))
+    val agg = regs.groupBy("source").agg(
+        count(lit(1)).as("present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - mj as int))")).as("s_present"))
+      .select(col("source"), (lit(HllM.toLong) - col("present")).as("v_zero"),
+        (col("s_present") +
+          (lit(HllM.toLong) - col("present")) * lit(1L << 55)).as("s_int"))
+    val raw = lit(HllNum) / col("s_int").cast(DoubleType)
+    agg.select(col("source"), col("v_zero"),
+      TextOps.quant(
+        when(col("v_zero") > 0L && raw <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
+          .otherwise(raw), 4).as("hll_est"))
+  }
+
+  private val hllOracle = s"""
+    WITH sh AS (
+      SELECT source, unnest(${shinglesSql(toksSql, 3)}) AS g FROM (
+        SELECT source, $toksSql AS sp, text FROM documents) t),
+    h AS (SELECT source, ${hashSql("g")} AS h FROM sh),
+    r AS (SELECT source, h % $HllM AS j,
+            55 - (CASE WHEN h // $HllM = 0 THEN 0
+                       ELSE length(bin(h // $HllM)) END) AS rho FROM h),
+    m AS (SELECT source, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS present,
+              CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS s_present
+            FROM m GROUP BY 1),
+    fin AS (SELECT source, $HllM - present AS v_zero,
+              s_present + ($HllM - present) * (1::BIGINT << 55) AS s_int FROM agg)
+    SELECT source, v_zero,
+      ${qSql(s"""CASE WHEN v_zero > 0 AND $HllNum / s_int <= ${2.5 * HllM}
+                 THEN $HllM * ln($HllM.0 / v_zero)
+                 ELSE $HllNum / s_int END""", 4)} AS hll_est
+    FROM fin"""
+
   /** Hierarchical KMV rollup — the MERGEABILITY of the sketch, which is the
     * whole reason sketches exist at 100 TB: each shard keeps its own K
     * minimum distinct hash values (map-side, bounded state), and merging is
@@ -568,6 +640,88 @@ object SketchOps {
     JOIN uni uy ON uy.w = pc.y
     CROSS JOIN tot CROSS JOIN tk"""
 
+  // ---- skip-gram training pairs ----------------------------------------
+
+  private val SkipgramWindow = 2
+  private val SkipgramVocabK = 100
+  private val SkipgramNegs = 2
+
+  /** Word2vec-SGNS training data (Mikolov et al. 2013): directional
+    * (center, context) pair counts within a ±[[SkipgramWindow]] token
+    * window, restricted to the corpus's own top-K vocabulary, plus
+    * [[SkipgramNegs]] deterministic hash-drawn negative vocabulary ids per
+    * positive pair (a draw colliding with the center or the true context is
+    * dropped, not re-drawn — the emitted set stays a pure function of the
+    * corpus, like [[LlmOps.contrastivePairs]]).
+    *
+    * Scale shape: pair generation is NARROW — each offset is a zip of two
+    * slices of the materialized token array, in both directions (no
+    * positional self-join); the vocabulary is a control-plane TakeOrdered
+    * collect broadcast back; the only shuffle keys on the (center, context)
+    * pair. Negatives are a per-pair explode of hash draws — no join against
+    * anything. */
+  def skipgram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toksd = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .persist() // two consumers: vocabulary pass + pair pass
+    val top = toksd.select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(SkipgramVocabK)
+      .collect().map(_.getString(0))
+    val vocab = top.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+      .toSeq.toDF("token", "vid")
+    val n = size(col("tk"))
+    // (center, context) at offset k, both directions: two slice zips
+    def pairsAt(k: Int): Column = concat(
+      zip_with(slice(col("tk"), lit(1), greatest(n - k, lit(0))),
+        slice(col("tk"), lit(1 + k), greatest(n - k, lit(0))),
+        (a, b) => struct(a.as("c"), b.as("x"))),
+      zip_with(slice(col("tk"), lit(1 + k), greatest(n - k, lit(0))),
+        slice(col("tk"), lit(1), greatest(n - k, lit(0))),
+        (a, b) => struct(a.as("c"), b.as("x"))))
+    val pairs = toksd
+      .select(explode(concat((1 to SkipgramWindow).map(pairsAt): _*)).as("p"))
+      .select(col("p.c").as("center"), col("p.x").as("context"))
+    val pos = pairs
+      .join(broadcast(vocab.select(col("token").as("center"), col("vid").as("center_id"))), "center")
+      .join(broadcast(vocab.select(col("token").as("context"), col("vid").as("context_id"))), "context")
+      .groupBy("center_id", "context_id").agg(count(lit(1)).as("n_pos"))
+    pos.select(col("center_id"), col("context_id"), col("n_pos"),
+        explode(array((1 to SkipgramNegs).map(lit(_)): _*)).as("neg_rank"))
+      .withColumn("neg_id",
+        TextOps.hash60(concat(col("center_id").cast(StringType), lit(":"),
+          col("context_id").cast(StringType), lit(":neg:"),
+          col("neg_rank").cast(StringType))) % lit(top.length.toLong) + lit(1L))
+      .filter(col("neg_id") =!= col("center_id") && col("neg_id") =!= col("context_id"))
+  }
+
+  private val skipgramOracle = s"""
+    WITH t AS (SELECT doc_id, $toksSql AS sp FROM documents),
+    tok AS (SELECT doc_id, unnest(sp) AS w, generate_subscripts(sp, 1) AS pos FROM t),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) AS vid
+      FROM (SELECT w AS token, count(*) AS freq FROM tok GROUP BY 1
+            ORDER BY freq DESC, token ASC LIMIT $SkipgramVocabK) v),
+    vsize AS (SELECT count(*) AS vn FROM vocab),
+    pairs AS (
+      SELECT a.w AS center, b.w AS context
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+        AND abs(b.pos - a.pos) BETWEEN 1 AND $SkipgramWindow),
+    pos AS (
+      SELECT vc.vid AS center_id, vx.vid AS context_id, count(*) AS n_pos
+      FROM pairs
+      JOIN vocab vc ON vc.token = pairs.center
+      JOIN vocab vx ON vx.token = pairs.context
+      GROUP BY 1, 2),
+    drawn AS (
+      SELECT center_id, context_id, n_pos, r AS neg_rank,
+        ${hashSql("center_id::VARCHAR || ':' || context_id::VARCHAR || ':neg:' || r::VARCHAR")}
+          % vn + 1 AS neg_id
+      FROM pos, vsize, unnest([${(1 to SkipgramNegs).mkString(", ")}]) AS u(r))
+    SELECT center_id, context_id, n_pos, neg_rank, neg_id FROM drawn
+    WHERE neg_id <> center_id AND neg_id <> context_id"""
+
   // ---- mixture resampling ----------------------------------------------
 
   /** Mixture weight → clamped per-mille keep rate — THE resampling scale,
@@ -614,7 +768,9 @@ object SketchOps {
     "llm_rank_fusion"  -> Q(rankFusion, Some(rankFusionOracle)),
     "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
+    "llm_skipgram"     -> Q(skipgram, Some(skipgramOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
+    "llm_hll_distinct" -> Q(hllDistinct, Some(hllOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
     "llm_bigram_lm"    -> Q(bigramLm, Some(bigramLmOracle)),
     "llm_kmv_setops"   -> Q(kmvSetOps, Some(kmvSetOpsOracle)),

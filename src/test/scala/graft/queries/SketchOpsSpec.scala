@@ -68,6 +68,38 @@ class SketchOpsSpec extends SparkSuite {
     }
   }
 
+  // ---- HyperLogLog ------------------------------------------------------
+
+  test("hllDistinct equals the exact HLL reference and lands near truth") {
+    val rows = corpus(60, 2, 400, 40, seed = 9L)
+    val d = writeDocs(rows)
+    val out = SketchOps.hllDistinct(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    rows.groupBy(_._4).foreach { case (src, docs) =>
+      val hs = docs.flatMap(r => shingles(toks(r._2), 3))
+        .map(TextOps.hash60Str).distinct
+      // register replay: j = h % 64, rho = 55 - bitlength(h >> 6)
+      val regs = hs.groupBy(h => (h % 64).toInt).map { case (j, vs) =>
+        j -> vs.map { h =>
+          val w = h >> 6
+          55 - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max
+      }
+      val vZero = 64 - regs.size
+      val sInt = regs.values.map(mj => 1L << (55 - mj)).sum + vZero.toLong * (1L << 55)
+      val raw = 0.709 * 64 * 64 * math.pow(2, 55) / sInt.toDouble
+      val est = quant(
+        if (vZero > 0 && raw <= 160.0) 64.0 * math.log(64.0 / vZero) else raw, 4)
+      assert(out(src) == ((vZero.toLong, est)), s"$src: ${out(src)} vs ($vZero, $est)")
+      // estimator sanity: 64 registers ⇒ ~13% standard error; stay within 40%
+      assert(math.abs(est / hs.length - 1.0) < 0.4, s"$src: est $est vs ${hs.length}")
+    }
+    // bounded-state plan: register agg + per-source agg, no sort anywhere
+    val plan = SketchOps.hllDistinct(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
+  }
+
   // ---- unigram perplexity ----------------------------------------------
 
   test("perplexity matches an exact unigram-NLL reference, junk scores above fluent") {
@@ -335,6 +367,38 @@ class SketchOpsSpec extends SparkSuite {
     assert(got.sorted == expected.sorted)
     // narrow pair generation: no positional self-join, no pair product
     val plan = SketchOps.pmi(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
+  }
+
+  // ---- skip-gram --------------------------------------------------------
+
+  test("skipgram equals the exact SGNS reference (pairs, vocab ids, negative draws)") {
+    val rows = corpus(40, 2, 10, 25, seed = 7L)
+    val d = writeDocs(rows)
+    val docsToks = rows.map(r => toks(r._2))
+    val freq = docsToks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+    val vn = vocab.size.toLong
+    def pairsOf(ts: Seq[String]): Seq[(String, String)] =
+      (1 to 2).flatMap { k =>
+        ts.dropRight(k).zip(ts.drop(k)) ++ ts.drop(k).zip(ts.dropRight(k))
+      }
+    val pos = docsToks.flatMap(pairsOf)
+      .collect { case (c, x) if vocab.contains(c) && vocab.contains(x) =>
+        (vocab(c), vocab(x)) }
+      .groupBy(identity).map { case ((c, x), ps) => (c, x, ps.size.toLong) }
+    val expected = pos.flatMap { case (c, x, n) =>
+      (1 to 2).map { r =>
+        (c, x, n, r, TextOps.hash60Str(s"$c:$x:neg:$r") % vn + 1)
+      }.filter { case (_, _, _, _, neg) => neg != c && neg != x }
+    }.toSeq
+    assert(expected.nonEmpty)
+    val got = SketchOps.skipgram(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSeq
+    assert(got.sorted == expected.sorted)
+    // narrow pair generation + broadcast vocab: no pair product, no global sort
+    val plan = SketchOps.skipgram(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
   }
 
