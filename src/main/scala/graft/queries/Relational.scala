@@ -331,7 +331,74 @@ object Relational {
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')"""
 
+  // ---- fuzzy entity-resolution join ------------------------------------
+
+  private val FuzzyLevMax = 3
+  private val FuzzyBlockCap = 100
+
+  /** Entity resolution over part names: blocked fuzzy self-match with a
+    * Levenshtein verify — the record-linkage primitive (Fellegi-Sunter
+    * blocking + string-distance comparison). Candidates are pairs of
+    * DISTINCT names sharing a blocking key (first token OR last token,
+    * union-deduped); each candidate is verified with the codegen'd built-in
+    * `levenshtein` ≤ [[FuzzyLevMax]]; support counts ride along so a
+    * survivorship step can pick the canonical spelling.
+    *
+    * Scale shape: ER runs over the DISTINCT-VALUE table (|names| ≪ rows at
+    * 100 TB), so the self-join sides are value tables, not the corpus; every
+    * candidate comes from an equi-join on a blocking key — never all-pairs;
+    * keys whose block exceeds [[FuzzyBlockCap]] are dropped before the join
+    * (the same over-cap discipline as the n-gram inverted index), bounding
+    * the worst block at cap² pairs. The value table is persisted because
+    * self-join sides re-evaluate their subtree. */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .select(col("p_name"), col("cnt"),
+        element_at(split(col("p_name"), " "), 1).as("w1"),
+        element_at(split(col("p_name"), " "), -1).as("w2"))
+      .persist() // two blocking passes × two self-join sides + count lookups
+    def candidates(k: String): DataFrame = {
+      val blocks = keyed.select(col("p_name"), col(k).as("bk"))
+      val ok = blocks.groupBy("bk").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= FuzzyBlockCap).select("bk")
+      val side = blocks.join(broadcast(ok), "bk")
+      side.alias("a").join(side.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("a_name"), col("b.p_name").as("b_name"))
+    }
+    candidates("w1").union(candidates("w2")).distinct()
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("lev") <= FuzzyLevMax)
+      .join(broadcast(keyed.select(col("p_name").as("a_name"), col("cnt").as("a_cnt"))), "a_name")
+      .join(broadcast(keyed.select(col("p_name").as("b_name"), col("cnt").as("b_cnt"))), "b_name")
+      .select("a_name", "b_name", "lev", "a_cnt", "b_cnt")
+  }
+
+  private val qFuzzyJoinOracle = s"""
+    WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1),
+    k AS (SELECT p_name, cnt,
+            string_split(p_name, ' ')[1] AS w1,
+            string_split(p_name, ' ')[-1] AS w2 FROM n),
+    b1 AS (SELECT w1 FROM k GROUP BY 1 HAVING count(*) <= $FuzzyBlockCap),
+    b2 AS (SELECT w2 FROM k GROUP BY 1 HAVING count(*) <= $FuzzyBlockCap),
+    cand AS (
+      SELECT a.p_name AS a_name, b.p_name AS b_name
+      FROM k a JOIN k b ON a.w1 = b.w1 AND a.p_name < b.p_name
+      JOIN b1 ON a.w1 = b1.w1
+      UNION
+      SELECT a.p_name, b.p_name
+      FROM k a JOIN k b ON a.w2 = b.w2 AND a.p_name < b.p_name
+      JOIN b2 ON a.w2 = b2.w2)
+    SELECT a_name, b_name, levenshtein(a_name, b_name) AS lev,
+           ka.cnt AS a_cnt, kb.cnt AS b_cnt
+    FROM cand
+    JOIN k ka ON ka.p_name = a_name
+    JOIN k kb ON kb.p_name = b_name
+    WHERE levenshtein(a_name, b_name) <= $FuzzyLevMax"""
+
   def qs: Map[String, Q] = Map(
+    "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_semi_anti"  -> Q(qSemiAnti, Some(qSemiAntiOracle)),
     "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),

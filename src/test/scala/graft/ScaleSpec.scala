@@ -229,6 +229,31 @@ class ScaleSpec extends SparkSuite {
     assert(so.count() == 1)
   }
 
+  test("fuzzy ER join: exact pairs, over-cap block dropped, equi-join plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_").toString
+    val base = Seq("red widget", "red widget", "red widget", "red wodget",
+      "blue bolt", "blue bolt", "blue bent", "green gear")
+    // an over-cap first-token block: 101 distinct names that WOULD pair on
+    // Levenshtein (mega n1 ~ mega n2) but must be dropped by the block cap
+    val mega = (0 to 100).map(i => s"mega n$i")
+    (base ++ mega).zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = graft.queries.Relational.qFuzzyJoin(spark, dir)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("blue bent", "blue bolt", 2, 1L, 2L),
+      ("red widget", "red wodget", 1, 3L, 1L)), got.toString)
+    // blocked ER: candidates come from equi-joins on blocking keys only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
