@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Graph analytics over the event stream: PageRank on the session
+  * page-transition graph (Brin & Page 1998) — "which screens actually hold
+  * the product together", the graph twin of [[EventOps.qPathTopK]]'s path
+  * mining.
+  *
+  * Arithmetic is FIXED-POINT: ranks live in integer units of 10^-12
+  * ([[PrUnit]]), every division is integer division, every sum is exact
+  * long arithmetic — so the answer is a pure function of the graph,
+  * independent of partition order, summation order, and engine (a float
+  * power iteration would drift between Spark's and DuckDB's summation
+  * orders and libm; the oracle replays all ten iterations bit-for-bit).
+  * Truncation loses ≤1 unit (10^-12) per division — PageRank's fixpoint is
+  * insensitive to it, and determinism is what the correctness gate needs.
+  *
+  * Scale shape: events are scanned ONCE through the same user-keyed window
+  * as path mining to build the (src, dst, weight) edge aggregate — the
+  * graph lives in PAGE space, not event space, so each of the ten
+  * iterations joins and aggregates the edge table only. Like
+  * [[graft.llm.Corpus.clusterPairs]], a ONE-probe limit-guarded collect
+  * takes the driver fast path when the edge table is tiny (page graphs
+  * usually are); beyond the cap the distributed loop runs the identical
+  * integer arithmetic with `localCheckpoint(true)` per round to truncate
+  * iterative lineage ([[GraphOpsSpec]] proves the two paths bit-identical).
+  */
+object GraphOps {
+
+  private[queries] val PrUnit = 1000000000000L // rank fixed-point: 10^12 = 1.0
+  private[queries] val PrIters = 10
+  private val PrGapMs = 30L * 60 * 1000 // session gap, same as qPathTopK
+  private[queries] val PrDriverEdgeCap = 4096
+
+  /** Driver fast path: exact fixed-point power iteration with damping
+    * d = 85/100 and dangling-mass redistribution. */
+  private[queries] def pageRankDriver(edges: Seq[(String, String, Long)],
+                                      iters: Int): Map[String, Long] = {
+    val outw = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toLong
+    val base = 15L * PrUnit / (100L * n)
+    var r = nodes.map(v => v -> PrUnit / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(outw.contains).map(r).sum / n
+      val inflow = edges.groupBy(_._2).map { case (dstN, es) =>
+        dstN -> es.map { case (s0, _, w) => r(s0) * w / outw(s0) }.sum
+      }
+      r = nodes.map(v => v -> (base + 85L * (inflow.getOrElse(v, 0L) + dang) / 100L)).toMap
+    }
+    r
+  }
+
+  /** Distributed twin: per iteration, ONE equi-join of the checkpointed
+    * rank frame against the edge table (keyed on src) + ONE map-side-
+    * combinable aggregate on dst; the dangling mass is a 1-row
+    * control-plane scalar read off the already-materialized checkpoint. */
+  private[queries] def pageRankDistributed(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outw.select(col("src").as("node"), col("outw")), Seq("node"), "left")
+      .na.fill(0L, Seq("outw"))
+      .persist() // joined every round (rank rebuild) + dangling filter
+    val n = nodes.count() // control-plane: the page-space size
+    val base = 15L * PrUnit / (100L * n)
+    val ew = e.join(outw, "src").persist() // (src, dst, w, outw): the loop operand
+    var ranks = nodes.select(col("node"), col("outw"),
+      lit(PrUnit / n).as("r"))
+    for (_ <- 1 to iters) {
+      val cp = ranks.localCheckpoint(true) // truncate iterative lineage
+      val dang = cp.filter(col("outw") === 0L)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("s")).first().getLong(0) / n
+      val inflow = cp.select(col("node"), col("r"))
+        .join(ew, col("node") === col("src"))
+        .select(col("dst"), expr("(r * w) div outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("outw"),
+          (lit(base) + expr(s"(85 * (coalesce(inflow, 0L) + ${dang}L)) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  /** PageRank over session page transitions: an edge src→dst for every
+    * consecutive same-session event pair (the [[EventOps.qPathTopK]]
+    * windowing), weighted by transition count. */
+  def qPageRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    val trans = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("src").isNotNull && col("gap") <= PrGapMs)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    // ONE limit-guarded probe decides the path (the llm_dedup_cluster rule:
+    // no eager checkpoint, no extra count pass)
+    val probe = trans.limit(PrDriverEdgeCap + 1).collect()
+    if (probe.length <= PrDriverEdgeCap) {
+      import s.implicits._
+      pageRankDriver(probe.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+          PrIters)
+        .toSeq.toDF("node", "rank_e12")
+    } else {
+      pageRankDistributed(trans, PrIters).select(col("node"), col("r").as("rank_e12"))
+    }
+  }
+
+  /** One oracle iteration: dangling mass off r{k-1}, then the damped
+    * update. Every multiply-referenced CTE is MATERIALIZED (DuckDB inlines
+    * per reference — a 10-deep chain would otherwise expand exponentially,
+    * the BPE-train lesson). */
+  private def prIterSql(k: Int): String = s"""
+    dang$k AS MATERIALIZED (
+      SELECT COALESCE(CAST(sum(r) AS BIGINT), 0) // (SELECT nn FROM nc) AS dg
+      FROM r${k - 1} WHERE outw = 0),
+    r$k AS MATERIALIZED (
+      SELECT n.node, n.outw,
+        (SELECT (15 * $PrUnit) // (100 * nn) FROM nc)
+        + (85 * (COALESCE(inf.s, 0) + (SELECT dg FROM dang$k))) // 100 AS r
+      FROM n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum((p.r * e.w) // p.outw) AS BIGINT) AS s
+        FROM r${k - 1} p JOIN e ON e.src = p.node GROUP BY 1) inf
+      ON inf.node = n.node)"""
+
+  private val pageRankOracle = {
+    val iters = (1 to PrIters).map(prIterSql).mkString(",")
+    s"""
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    tr AS (
+      SELECT lag(event_type) OVER w AS src, event_type AS dst,
+             ts_ms - lag(ts_ms) OVER w AS gap
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
+    e AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+      WHERE src IS NOT NULL AND gap <= $PrGapMs GROUP BY 1, 2),
+    ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+    n AS MATERIALIZED (
+      SELECT u.node, COALESCE(ow.outw, 0) AS outw
+      FROM (SELECT src AS node FROM e UNION SELECT dst AS node FROM e) u
+      LEFT JOIN ow ON ow.src = u.node),
+    nc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nn FROM n),
+    r0 AS MATERIALIZED (
+      SELECT node, outw, (SELECT $PrUnit // nn FROM nc) AS r FROM n),
+    $iters
+    SELECT node, r AS rank_e12 FROM r$PrIters"""
+  }
+
+  def qs: Map[String, Q] = Map(
+    "q_pagerank" -> Q(qPageRank, Some(pageRankOracle)))
+}

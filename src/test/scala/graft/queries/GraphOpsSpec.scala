@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Fixed-point PageRank: the driver fast path and the distributed loop must
+  * be BIT-IDENTICAL (integer arithmetic makes that a hard equality, not a
+  * tolerance), and the rank order must reflect the link structure. */
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Seeded random multigraph over `n` string nodes. */
+  private def randomEdges(n: Int, m: Int, seed: Long): Seq[(String, String, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until m).map { _ =>
+      (s"p${rnd.nextInt(n)}", s"p${rnd.nextInt(n)}", 1L + rnd.nextInt(5))
+    }.groupBy(e => (e._1, e._2))
+      .map { case ((s0, d0), es) => (s0, d0, es.map(_._3).sum) }.toSeq
+  }
+
+  test("distributed loop is bit-identical to the driver fast path (incl. dangling nodes)") {
+    // p0..p19 with edges, plus a SINK node that only receives (dangling)
+    val edges = randomEdges(20, 60, seed = 5L) ++ Seq(("p0", "sink", 3L), ("p1", "sink", 2L))
+    val driver = GraphOps.pageRankDriver(edges, GraphOps.PrIters)
+    val dist = GraphOps.pageRankDistributed(
+        edges.toDF("src", "dst", "w"), GraphOps.PrIters)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dist == driver)
+    // dangling sanity: the sink exists, got rank, and mass was redistributed
+    assert(driver.contains("sink") && driver("sink") > 0L)
+  }
+
+  test("rank follows link structure: a hub every node points to outranks leaves") {
+    val leaves = (1 to 9).map(i => (s"leaf$i", "hub", 1L))
+    val back = Seq(("hub", "leaf1", 1L)) // hub links out so it isn't dangling
+    val r = GraphOps.pageRankDriver(leaves ++ back, GraphOps.PrIters)
+    assert((2 to 9).forall(i => r("hub") > r(s"leaf$i")), r.toString)
+    // total mass stays near 1.0 (truncation can only lose units, never add)
+    val total = r.values.sum
+    assert(total <= GraphOps.PrUnit && total > (GraphOps.PrUnit * 9) / 10, total.toString)
+  }
+
+  test("distributed plan: edge-table equi-joins only, no pair product, no global sort") {
+    val edges = randomEdges(10, 30, seed = 7L)
+    val out = GraphOps.pageRankDistributed(edges.toDF("src", "dst", "w"), 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+}
