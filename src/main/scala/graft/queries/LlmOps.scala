@@ -559,6 +559,58 @@ object LlmOps {
       FROM (SELECT doc_id, text, $toksSql AS sp FROM documents) t) tt"""
   }
 
+  // ---- weighted sampling without replacement ----------------------------
+
+  private val WeightedSampleK = 50
+  private val Pow2_60 = 1152921504606846976.0 // 2^60: the hash60 value space
+
+  /** Quality-weighted sampling WITHOUT replacement via the one-pass
+    * Efraimidis–Spirakis A-ES scheme (2006): each document draws a
+    * deterministic uniform u = hash60(doc_id:ws)/2^60 and ranks by
+    * key = ln(u)/w (the log form of u^(1/w); ln u < 0, so larger weight
+    * pulls the key toward 0) with w = the shared [[TextOps.qualityScore]] —
+    * the principled "sample k docs proportional to quality" selection,
+    * where [[Corpus]]-style hash gates give only per-group RATES. The key
+    * is quantized to 6 decimals with a doc_id tiebreak so the boundary is
+    * engine-independent; no `rand()` anywhere.
+    *
+    * Scale shape: one narrow projection (tokens/punct/stopwords in-row)
+    * then a TakeOrdered of the top [[WeightedSampleK]] keys — per-partition
+    * heads + driver merge, never a global sort. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val n = size(col("__toks"))
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n
+    val u = TextOps.hash60(concat(col("doc_id").cast(StringType), lit(":ws")))
+      .cast(DoubleType) / lit(Pow2_60)
+    Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .select(col("doc_id"),
+        greatest(TextOps.qualityScore(n, punct, stop), lit(0.0001)).as("w"))
+      .withColumn("key_q", TextOps.quant(log(u) / col("w"), 6))
+      .orderBy(col("key_q").desc, col("doc_id").asc).limit(WeightedSampleK)
+  }
+
+  private val weightedSampleOracle = {
+    val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""
+    WITH q AS (
+      SELECT doc_id,
+        len(sp)::BIGINT AS n_tokens,
+        len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
+        len(list_filter(sp, t2 -> list_contains($en, t2)))::DOUBLE / len(sp) AS stop
+      FROM (SELECT doc_id, text, $toksSql AS sp FROM documents) t),
+    w AS (
+      SELECT doc_id,
+        greatest(${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)}, 0.0001) AS w
+      FROM q)
+    SELECT doc_id, w,
+      ${qSql(s"ln(${hashSql("doc_id::VARCHAR || ':ws'")} / $Pow2_60) / w", 6)} AS key_q
+    FROM w
+    ORDER BY key_q DESC, doc_id ASC LIMIT $WeightedSampleK"""
+  }
+
   /** Repetition quality filters (published MassiveText/Gopher-style rules):
     * duplicate-2/3-gram fractions and top-2-gram coverage per document —
     * the standard "is this document degenerate repetition" signals. All
@@ -1576,6 +1628,7 @@ object LlmOps {
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
     "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
+    "llm_weighted_sample" -> Q(weightedSample, Some(weightedSampleOracle)),
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_vocab"         -> Q(vocab, Some(vocabOracle)),

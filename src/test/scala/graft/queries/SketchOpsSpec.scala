@@ -100,6 +100,32 @@ class SketchOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
   }
 
+  // ---- weighted sampling (A-ES) ----------------------------------------
+
+  test("weightedSample equals the exact Efraimidis-Spirakis selection") {
+    // two length strata → two distinct quality weights (punct = stop = 0
+    // for the synthetic vocab, so quality = quant(0.4·min(n/100,1)+0.3, 4))
+    val rows = corpus(60, 2, 50, 25, seed = 3L) ++
+      corpus(40, 2, 50, 90, seed = 4L).map { case (i, t, l, s0) => (i + 1000L, t, l, s0) }
+    val d = writeDocs(rows)
+    val expected = rows.map { r =>
+      val n = toks(r._2).length
+      val w = quant(0.4 * math.min(n / 100.0, 1.0) + 0.3, 4)
+      val u = TextOps.hash60Str(s"${r._1}:ws").toDouble / 1152921504606846976.0
+      (r._1, w, quant(math.log(u) / w, 6))
+    }.sortBy { case (id, _, k) => (-k, id) }.take(50)
+    val got = LlmOps.weightedSample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the heavier stratum must be over-represented vs its 40% share
+    val heavy = got.count(_._1 >= 1000L)
+    assert(heavy > 20, s"heavy stratum got $heavy of 50")
+    // TakeOrdered, never a global sort
+    val plan = LlmOps.weightedSample(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   // ---- unigram perplexity ----------------------------------------------
 
   test("perplexity matches an exact unigram-NLL reference, junk scores above fluent") {
