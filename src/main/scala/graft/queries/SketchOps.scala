@@ -640,6 +640,60 @@ object SketchOps {
     JOIN uni uy ON uy.w = pc.y
     CROSS JOIN tot CROSS JOIN tk"""
 
+  // ---- Count-Min heavy hitters -----------------------------------------
+
+  private val CmDepth = 4
+  private val CmWidth = 256L
+  private val CmTopK = 10
+
+  private def cmBucket(key: Column, i: Column): Column =
+    TextOps.hash60(concat(key.cast(StringType), lit(":cm:"), i.cast(StringType))) %
+      lit(CmWidth)
+
+  /** Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan 2005) —
+    * the frequency complement of [[kmvDistinct]]/[[hllDistinct]]: the whole
+    * stream folds into a d×w counter matrix ([[CmDepth]]×[[CmWidth]] cells,
+    * map-side combinable), and a key's frequency estimate is the MIN of its
+    * d counters (always ≥ truth — one-sided error, proven in the spec).
+    * Top-K by (estimate, key) gives the deterministic heavy-hitter report
+    * without ever materializing the exact per-key counts.
+    *
+    * Scale shape: the build is a narrow ×d explode into ONE bounded
+    * aggregate (≤ d·w rows of state regardless of stream size); the probe
+    * side joins the broadcast sketch on (row, bucket); the final top-K is a
+    * TakeOrdered. Nothing keyed on the raw stream ever shuffles except the
+    * distinct-key pass — which at 100 TB is the keyspace, not the stream. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val rows = (0 until CmDepth).map(lit(_))
+    val keys = Tables.events(s, d).select(col("user_id"))
+    val sketch = keys
+      .select(col("user_id"), explode(array(rows: _*)).as("i"))
+      .withColumn("bucket", cmBucket(col("user_id"), col("i")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c")) // ≤ d·w cells
+    keys.distinct()
+      .select(col("user_id"), explode(array(rows: _*)).as("i"))
+      .withColumn("bucket", cmBucket(col("user_id"), col("i")))
+      .join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy("user_id").agg(min(col("c")).as("est"))
+      .orderBy(col("est").desc, col("user_id").asc).limit(CmTopK)
+  }
+
+  private val heavyHittersOracle = s"""
+    WITH cells AS (
+      SELECT user_id, i,
+        ${hashSql("user_id::VARCHAR || ':cm:' || i::VARCHAR")} % $CmWidth AS bucket
+      FROM events, unnest([${(0 until CmDepth).mkString(", ")}]) AS u(i)),
+    sketch AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+               FROM cells GROUP BY 1, 2),
+    probes AS (
+      SELECT user_id, i,
+        ${hashSql("user_id::VARCHAR || ':cm:' || i::VARCHAR")} % $CmWidth AS bucket
+      FROM (SELECT DISTINCT user_id FROM events) dk,
+           unnest([${(0 until CmDepth).mkString(", ")}]) AS u(i))
+    SELECT p.user_id, min(s.c) AS est
+    FROM probes p JOIN sketch s USING (i, bucket)
+    GROUP BY 1 ORDER BY est DESC, user_id ASC LIMIT $CmTopK"""
+
   // ---- skip-gram training pairs ----------------------------------------
 
   private val SkipgramWindow = 2
@@ -771,6 +825,7 @@ object SketchOps {
     "llm_skipgram"     -> Q(skipgram, Some(skipgramOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_hll_distinct" -> Q(hllDistinct, Some(hllOracle)),
+    "q_heavy_hitters"  -> Q(heavyHitters, Some(heavyHittersOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
     "llm_bigram_lm"    -> Q(bigramLm, Some(bigramLmOracle)),
     "llm_kmv_setops"   -> Q(kmvSetOps, Some(kmvSetOpsOracle)),

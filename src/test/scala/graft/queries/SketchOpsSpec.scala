@@ -396,6 +396,32 @@ class SketchOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
   }
 
+  // ---- Count-Min heavy hitters ------------------------------------------
+
+  test("Count-Min estimate is one-sided (est >= truth) and exact absent collisions") {
+    // skewed stream over a tiny keyspace: heavy keys must surface exactly
+    val events = (1 to 300).map(i => (i.toLong, 7L)) ++ // user 7: 300 events
+      (1 to 80).map(i => (300L + i, 11L)) ++           // user 11: 80
+      (1 to 500).map(i => (400L + i, (100 + i % 50).toLong)) // 50 users × 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm_").toString
+    events.toDF("event_id", "user_id")
+      .withColumn("ts", col("event_id") * 1000000000L) // epoch nanos (Tables.events contract)
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SketchOps.heavyHitters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = events.groupBy(_._2).map { case (u, es) => u -> es.size.toLong }
+    // one-sided error: every estimate >= the true count
+    got.foreach { case (u, est) => assert(est >= truth(u), s"user $u: $est < ${truth(u)}") }
+    // 52 keys in 4×256 cells: the two heavy keys lead, in order
+    assert(got.take(2).map(_._1).toSeq == Seq(7L, 11L), got.mkString(","))
+    // bounded sketch + TakeOrdered: no global sort of the stream
+    val plan = SketchOps.heavyHitters(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   // ---- skip-gram --------------------------------------------------------
 
   test("skipgram equals the exact SGNS reference (pairs, vocab ids, negative draws)") {
