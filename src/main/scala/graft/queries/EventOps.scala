@@ -473,7 +473,39 @@ object EventOps {
     }.mkString("\nUNION ALL\n")
   }
 
+  // ---- RANGE-frame moving aggregates -----------------------------------
+
+  private val MovingRangeMs = 7L * 24 * 3600 * 1000 // trailing 7 days
+
+  /** Per-user trailing-7-day moving aggregates evaluated AT each event — a
+    * time-RANGE window frame (peers by timestamp, not row position), the
+    * frame kind [[Relational.qWindow]]'s running total doesn't exercise.
+    * The frame sum is DECIMAL so its value is independent of the order the
+    * engine folds the frame in (Spark slides, DuckDB segment-trees — a
+    * double sum would diverge).
+    *
+    * Scale shape: one hash shuffle on user_id; each frame is bounded by a
+    * user's own 7-day history, and no global sort exists anywhere. */
+  def qMovingAgg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc)
+      .rangeBetween(-MovingRangeMs, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_sum",
+        graft.llm.TextOps.quant(sum(dec(col("value"))).over(w).cast(DoubleType), 4))
+      .select("event_id", "user_id", "ts_ms", "w_cnt", "w_sum")
+  }
+
+  private val movingAggOracle = s"""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      count(*) OVER w AS w_cnt,
+      floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) * 1e4 + 0.5) / 1e4 AS w_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC
+      RANGE BETWEEN $MovingRangeMs PRECEDING AND CURRENT ROW)"""
+
   def qs: Map[String, Q] = Map(
+    "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),
     "t_dq_rules"         -> Q(tDqRules, Some(dqOracle)),

@@ -279,6 +279,25 @@ class EventOpsSpec extends SparkSuite {
 
   // ---- plan shapes ------------------------------------------------------
 
+  test("qMovingAgg equals an exact trailing-range replay (RANGE frame, decimal sum)") {
+    val (dir, rows) = fixture
+    val got = EventOps.qMovingAgg(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getDouble(4)))).toMap
+    rows.foreach { ev =>
+      val t = ev.ts / 1000000L
+      val peers = rows.filter(o => o.user_id == ev.user_id &&
+        o.ts / 1000000L >= t - WeekMs && o.ts / 1000000L <= t)
+      val cnt = peers.size.toLong
+      val sumD = peers.map(o => BigDecimal(o.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val expected = (cnt, math.floor(sumD * 1e4 + 0.5) / 1e4)
+      assert(got(ev.event_id) == expected,
+        s"event ${ev.event_id}: ${got(ev.event_id)} vs $expected")
+    }
+    val plan = EventOps.qMovingAgg(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan) // user-hash window only
+  }
+
   test("new event operators: no cartesian, no nested-loop, no global sort") {
     val (dir, _) = fixture
     Seq("q_cube" -> EventOps.qCube _, "q_pivot" -> EventOps.qPivot _,
