@@ -1108,6 +1108,82 @@ object LlmOps {
     SELECT doc_id, pos, COALESCE(vid, 0) AS token_id
     FROM tok LEFT JOIN vocab USING (token)"""
 
+  // ---- span corruption (denoising objectives) ---------------------------
+
+  private val ScBlock = 20 // block size: one masked span per block
+  private val ScSpan = 3   // span length → 3/20 = 15% masked, T5's rate
+  private val ScStartMod = 18 // span start offset ∈ [0, 18): span fits the block
+
+  /** T5-style span corruption (Raffel et al. 2020): turn each document into
+    * a (input, target) denoising pair — contiguous token spans replaced by
+    * per-span sentinels in the input, and the target listing each sentinel
+    * with its original tokens. Spans are DETERMINISTIC: positions partition
+    * into fixed [[ScBlock]]-token blocks and each block masks the
+    * [[ScSpan]]-token span starting at hash60(doc:block:sc) mod
+    * [[ScStartMod]] — non-overlapping by construction, exactly 15% of full
+    * blocks, no rand(), reproducible under any partitioning (the i.i.d.
+    * masking of the paper, derandomized the same way the split/sample
+    * gates are).
+    *
+    * Scale shape: one narrow posexplode + in-row mask arithmetic, then ONE
+    * doc-keyed aggregate whose per-group state is the document's own
+    * tokens; both output strings derive from a single materialized sorted
+    * array (two lambda traversals of a MATERIALIZED column — the
+    * interpreted-lambda rule). */
+  def spanCorrupt(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("block", expr(s"pos div $ScBlock"))
+      .withColumn("soff",
+        TextOps.hash60(concat(col("doc_id").cast(StringType), lit(":"),
+          col("block").cast(StringType), lit(":sc"))) % lit(ScStartMod.toLong))
+      .withColumn("rel", col("pos") % lit(ScBlock))
+      .withColumn("masked",
+        col("rel") >= col("soff") && col("rel") < col("soff") + lit(ScSpan))
+      .withColumn("start", col("rel") === col("soff"))
+    tk.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(
+        col("pos"), col("token"), col("masked"), col("start"), col("block"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(transform(col("arr"), e =>
+          when(e.getField("start"),
+            concat(lit("<X_"), e.getField("block").cast(StringType), lit(">")))
+            .when(e.getField("masked"), lit(null))
+            .otherwise(e.getField("token"))), x => x.isNotNull)).as("input_text"),
+        concat_ws(" ", filter(transform(col("arr"), e =>
+          when(e.getField("start"),
+            concat(lit("<X_"), e.getField("block").cast(StringType), lit("> "),
+              e.getField("token")))
+            .when(e.getField("masked"), e.getField("token"))
+            .otherwise(lit(null))), x => x.isNotNull)).as("target_text"))
+  }
+
+  private val spanCorruptOracle = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(sp) AS token,
+             generate_subscripts(sp, 1)::BIGINT - 1 AS pos
+      FROM (SELECT doc_id, $toksSql AS sp FROM documents) t),
+    f AS (
+      SELECT doc_id, pos, token, block,
+        (rel >= soff AND rel < soff + $ScSpan) AS masked,
+        (rel = soff) AS start
+      FROM (
+        SELECT doc_id, pos, token, pos // $ScBlock AS block,
+          ${hashSql(s"doc_id::VARCHAR || ':' || (pos // $ScBlock)::VARCHAR || ':sc'")}
+            % $ScStartMod AS soff,
+          pos % $ScBlock AS rel
+        FROM tok) m)
+    SELECT doc_id,
+      COALESCE(string_agg(CASE WHEN start THEN '<X_' || block || '>'
+                               WHEN masked THEN NULL ELSE token END,
+                          ' ' ORDER BY pos), '') AS input_text,
+      COALESCE(string_agg(CASE WHEN start THEN '<X_' || block || '> ' || token
+                               WHEN masked THEN token ELSE NULL END,
+                          ' ' ORDER BY pos), '') AS target_text
+    FROM f GROUP BY doc_id"""
+
   /** THE shared quality/language enrichment — single source of truth for
     * every query that gates or ranks on document quality (clean_corpus,
     * build, curriculum, rank_fusion). Adds `n_tokens`, `quality`, and
@@ -1629,6 +1705,7 @@ object LlmOps {
     "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
     "llm_weighted_sample" -> Q(weightedSample, Some(weightedSampleOracle)),
+    "llm_span_corrupt"  -> Q(spanCorrupt, Some(spanCorruptOracle)),
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_vocab"         -> Q(vocab, Some(vocabOracle)),

@@ -100,6 +100,42 @@ class SketchOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
   }
 
+  // ---- span corruption --------------------------------------------------
+
+  test("spanCorrupt is invertible and masks 15% of full blocks deterministically") {
+    val rows = corpus(30, 2, 40, 45, seed = 21L) // 46 tokens → 3 blocks
+    val d = writeDocs(rows)
+    val byId = rows.map(r => r._1 -> toks(r._2)).toMap
+    val out = LlmOps.spanCorrupt(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == rows.length)
+    out.foreach { case (id, input, target) =>
+      // parse target: <X_k> tok tok tok <X_k'> ... → sentinel -> span
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      target.split(" ").foreach { t =>
+        if (t.startsWith("<X_")) { cur = t; spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      }
+      // substitute each sentinel back: must reproduce the original exactly
+      val rebuilt = input.split(" ").flatMap { t =>
+        if (t.startsWith("<X_")) spans(t) else Vector(t)
+      }.toSeq
+      assert(rebuilt == byId(id), s"doc $id failed to reconstruct")
+      // every FULL block masks exactly ScSpan tokens (15% corruption rate)
+      val fullBlocks = byId(id).length / 20
+      val masked = spans.values.map(_.length).sum
+      assert(masked >= fullBlocks * 3, s"doc $id masked only $masked")
+      // determinism: sentinel offsets replay from the hash
+      spans.keys.foreach { s0 =>
+        val b = s0.stripPrefix("<X_").stripSuffix(">").toLong
+        val soff = TextOps.hash60Str(s"$id:$b:sc") % 18
+        val spanStart = (b * 20 + soff).toInt
+        assert(byId(id).slice(spanStart, spanStart + spans(s0).length) == spans(s0))
+      }
+    }
+  }
+
   // ---- weighted sampling (A-ES) ----------------------------------------
 
   test("weightedSample equals the exact Efraimidis-Spirakis selection") {
