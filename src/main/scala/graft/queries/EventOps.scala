@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
+import LlmOps.qSql
 
 /** Event-analytics operators over the append stream a warehouse load feeds:
   * multidimensional aggregation (CUBE / pivot), behavioral analytics
@@ -473,6 +474,81 @@ object EventOps {
     }.mkString("\nUNION ALL\n")
   }
 
+  // ---- histogram quantile sketch ---------------------------------------
+
+  private val HqBins = 100L
+
+  /** Mergeable histogram quantiles — the sketch twin of `t_profile`'s exact
+    * percentiles: per event type, fold `value` into a [[HqBins]]-cell
+    * equi-width histogram (bounded, map-side-combinable, and mergeable by
+    * cell-wise SUM — the property exact sort-based percentiles lack), then
+    * read p50/p95 off the cumulative histogram with linear interpolation
+    * inside the landing bin. The count target is exact integer
+    * ceil(n·p/100); only the final interpolation divides as float (one
+    * deterministic op, quantized).
+    *
+    * Scale shape: one bounds pass collapsing to a |types|-row broadcast,
+    * one narrow binning scan into a ≤ types·bins aggregate, and windows
+    * that only ever order ≤ [[HqBins]] rows per type. The raw stream is
+    * never sorted — at 100 TB that is the whole point. */
+  def tHistQuantile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val hist = ev.join(broadcast(bounds), "event_type")
+      .withColumn("bin", least(
+        floor(when(col("hi") === col("lo"), lit(0.0))
+          .otherwise((col("value") - col("lo")) / (col("hi") - col("lo")) * HqBins))
+          .cast(LongType),
+        lit(HqBins - 1)))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      .persist() // cumulative pass + totals pass
+    val w = Window.partitionBy("event_type").orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val n = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+    cum.join(broadcast(n), "event_type")
+      .withColumn("p", explode(array(lit(50), lit(95))))
+      .withColumn("t", expr(s"(n * p + 99) div 100"))
+      .filter(col("cum") >= col("t"))
+      .groupBy("event_type", "p", "t")
+      .agg(min(col("bin")).as("bin"),
+        min_by(col("c"), col("bin")).as("c"),
+        min_by(col("cum"), col("bin")).as("cum"))
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("p"),
+        graft.llm.TextOps.quant(
+          col("lo") + (col("hi") - col("lo")) / HqBins *
+            (col("bin") + (col("t") - (col("cum") - col("c"))) * 1.0 / col("c")),
+          4).as("est_q"))
+  }
+
+  private val histQuantileOracle = s"""
+    WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+               FROM events GROUP BY 1),
+    hist AS (
+      SELECT e.event_type,
+        least(CAST(floor(CASE WHEN hi = lo THEN 0.0
+                   ELSE (value - lo) / (hi - lo) * $HqBins END) AS BIGINT),
+              ${HqBins - 1}) AS bin,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events e JOIN b USING (event_type) GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin, c,
+              CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM hist),
+    n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    tgt AS (SELECT event_type, n, p, (n * p + 99) // 100 AS t
+            FROM n, unnest([50, 95]) AS u(p)),
+    sel AS (
+      SELECT t.event_type, t.p, t.t, min(bin) AS bin,
+             min_by(c, bin) AS c, min_by(cum, bin) AS cum
+      FROM tgt t JOIN cum ON cum.event_type = t.event_type AND cum.cum >= t.t
+      GROUP BY 1, 2, 3)
+    SELECT s.event_type, s.p,
+      ${qSql(s"lo + (hi - lo) / $HqBins * (bin + (t - (cum - c)) * 1.0 / c)", 4)} AS est_q
+    FROM sel s JOIN b ON b.event_type = s.event_type"""
+
   // ---- RANGE-frame moving aggregates -----------------------------------
 
   private val MovingRangeMs = 7L * 24 * 3600 * 1000 // trailing 7 days
@@ -505,6 +581,7 @@ object EventOps {
       RANGE BETWEEN $MovingRangeMs PRECEDING AND CURRENT ROW)"""
 
   def qs: Map[String, Q] = Map(
+    "t_hist_quantile"    -> Q(tHistQuantile, Some(histQuantileOracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),

@@ -132,6 +132,61 @@ object SketchOps {
                  ELSE $HllNum / s_int END""", 4)} AS hll_est
     FROM fin"""
 
+  /** Hierarchical HLL rollup — HLL's merge law, the twin of [[kmvRollup]]:
+    * each shard keeps its own m=64 max-rank registers (64 bytes of state),
+    * and merging shards is a register-wise MAX — which by max-associativity
+    * equals the direct single-pass sketch exactly, so the rolled-up
+    * estimate is BIT-IDENTICAL to sketching the whole corpus at once (the
+    * oracle computes the direct form; equality IS the merge law). The merge
+    * input is ≤ shards·m rows. This is why HLL is the 100 TB distinct-count
+    * workhorse: per-partition state is constant and union is lossless. */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(pmod(col("doc_id"), lit(8L)).as("shard"),
+        explode(TextOps.shingles(col("__toks"), 3)).as("g"))
+    val shardRegs = sh.select(col("shard"), TextOps.hash60(col("g")).as("h"))
+      .select(col("shard"), (col("h") % lit(HllM.toLong)).as("j"),
+        shiftright(col("h"), 6).as("w"))
+      .withColumn("rho",
+        lit(55) - when(col("w") === 0L, lit(0)).otherwise(length(bin(col("w")))))
+      .groupBy("shard", "j").agg(max(col("rho")).as("mj")) // ≤ 8·64 rows
+    val merged = shardRegs.groupBy("j").agg(max(col("mj")).as("mj"))
+    val agg = merged.agg(
+        count(lit(1)).as("present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - mj as int))")).as("s_present"))
+      .select((lit(HllM.toLong) - col("present")).as("v_zero"),
+        (col("s_present") +
+          (lit(HllM.toLong) - col("present")) * lit(1L << 55)).as("s_int"))
+    val raw = lit(HllNum) / col("s_int").cast(DoubleType)
+    agg.select(col("v_zero"),
+      TextOps.quant(
+        when(col("v_zero") > 0L && raw <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
+          .otherwise(raw), 4).as("hll_est"))
+  }
+
+  /** The oracle is the DIRECT un-sharded sketch: passing means the shard
+    * rollup reproduced it exactly. */
+  private val hllRollupOracle = s"""
+    WITH sh AS (
+      SELECT unnest(${shinglesSql(toksSql, 3)}) AS g FROM (
+        SELECT $toksSql AS sp, text FROM documents) t),
+    h AS (SELECT ${hashSql("g")} AS h FROM sh),
+    r AS (SELECT h % $HllM AS j,
+            55 - (CASE WHEN h // $HllM = 0 THEN 0
+                       ELSE length(bin(h // $HllM)) END) AS rho FROM h),
+    m AS (SELECT j, max(rho) AS mj FROM r GROUP BY 1),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS present,
+              CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS s_present FROM m),
+    fin AS (SELECT $HllM - present AS v_zero,
+              s_present + ($HllM - present) * (1::BIGINT << 55) AS s_int FROM agg)
+    SELECT v_zero,
+      ${qSql(s"""CASE WHEN v_zero > 0 AND $HllNum / s_int <= ${2.5 * HllM}
+                 THEN $HllM * ln($HllM.0 / v_zero)
+                 ELSE $HllNum / s_int END""", 4)} AS hll_est
+    FROM fin"""
+
   /** Hierarchical KMV rollup — the MERGEABILITY of the sketch, which is the
     * whole reason sketches exist at 100 TB: each shard keeps its own K
     * minimum distinct hash values (map-side, bounded state), and merging is
@@ -826,6 +881,7 @@ object SketchOps {
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_hll_distinct" -> Q(hllDistinct, Some(hllOracle)),
     "q_heavy_hitters"  -> Q(heavyHitters, Some(heavyHittersOracle)),
+    "llm_hll_rollup"   -> Q(hllRollup, Some(hllRollupOracle)),
     "llm_perplexity"   -> Q(perplexity, Some(perplexityOracle)),
     "llm_bigram_lm"    -> Q(bigramLm, Some(bigramLmOracle)),
     "llm_kmv_setops"   -> Q(kmvSetOps, Some(kmvSetOpsOracle)),

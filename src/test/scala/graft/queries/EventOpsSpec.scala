@@ -279,6 +279,26 @@ class EventOpsSpec extends SparkSuite {
 
   // ---- plan shapes ------------------------------------------------------
 
+  test("tHistQuantile lands within one bin width of the exact quantile") {
+    val (dir, rows) = fixture
+    val got = EventOps.tHistQuantile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_.event_type).foreach { case (tp, evs) =>
+      val vs = evs.map(_.value).sorted
+      val width = (vs.last - vs.head) / 100.0
+      Seq(50, 95).foreach { p =>
+        val exact = vs(math.min(math.ceil(vs.size * p / 100.0).toInt - 1, vs.size - 1))
+        val est = got((tp, p))
+        assert(math.abs(est - exact) <= width + 1e-9,
+          s"$tp p$p: est $est vs exact $exact (bin width $width)")
+      }
+    }
+    // the stream is never sorted: windows order only the <=100-bin histogram
+    val plan = EventOps.tHistQuantile(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("qMovingAgg equals an exact trailing-range replay (RANGE frame, decimal sum)") {
     val (dir, rows) = fixture
     val got = EventOps.qMovingAgg(spark, dir).collect()
