@@ -11,6 +11,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
     import graft.llm.TextOps
+    extensions.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
     extensions.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

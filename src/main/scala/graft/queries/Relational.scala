@@ -352,6 +352,7 @@ object Relational {
     * the worst block at cap² pairs. The value table is persisted because
     * self-join sides re-evaluate their subtree. */
   def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    graft.plans.LevenshteinLengthBound.install(s) // free length-diff pre-filter
     val keyed = Tables.part(s, d)
       .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
       .select(col("p_name"), col("cnt"),
@@ -368,8 +369,11 @@ object Relational {
         .select(col("a.p_name").as("a_name"), col("b.p_name").as("b_name"))
     }
     candidates("w1").union(candidates("w2")).distinct()
+      // filter on the INLINE expression so [[graft.plans.LevenshteinLengthBound]]
+      // can plant its free length-diff pre-filter; survivors (tiny) recompute
+      // the distance once more for the output column
+      .filter(levenshtein(col("a_name"), col("b_name")) <= FuzzyLevMax)
       .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("lev") <= FuzzyLevMax)
       .join(broadcast(keyed.select(col("p_name").as("a_name"), col("cnt").as("a_cnt"))), "a_name")
       .join(broadcast(keyed.select(col("p_name").as("b_name"), col("cnt").as("b_cnt"))), "b_name")
       .select("a_name", "b_name", "lev", "a_cnt", "b_cnt")
