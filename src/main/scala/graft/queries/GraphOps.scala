@@ -31,14 +31,14 @@ import graft.core.Tables
   */
 object GraphOps {
 
-  private[queries] val PrUnit = 1000000000000L // rank fixed-point: 10^12 = 1.0
+  private[graft] val PrUnit = 1000000000000L // rank fixed-point: 10^12 = 1.0
   private[queries] val PrIters = 10
   private val PrGapMs = 30L * 60 * 1000 // session gap, same as qPathTopK
   private[queries] val PrDriverEdgeCap = 4096
 
   /** Driver fast path: exact fixed-point power iteration with damping
     * d = 85/100 and dangling-mass redistribution. */
-  private[queries] def pageRankDriver(edges: Seq[(String, String, Long)],
+  private[graft] def pageRankDriver(edges: Seq[(String, String, Long)],
                                       iters: Int): Map[String, Long] = {
     val outw = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
@@ -59,7 +59,7 @@ object GraphOps {
     * rank frame against the edge table (keyed on src) + ONE map-side-
     * combinable aggregate on dst; the dangling mass is a 1-row
     * control-plane scalar read off the already-materialized checkpoint. */
-  private[queries] def pageRankDistributed(edges: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pageRankDistributed(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).persist()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))

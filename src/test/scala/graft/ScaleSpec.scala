@@ -254,6 +254,30 @@ class ScaleSpec extends SparkSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("distributed PageRank at 200k edges: bit-identical to the driver replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    // 50k-node power-law-ish multigraph, far above the driver edge cap
+    val raw = (0 until 200000).map { _ =>
+      val src = rnd.nextInt(50000)
+      val dst = if (rnd.nextInt(4) == 0) rnd.nextInt(100) else rnd.nextInt(50000)
+      (s"n$src", s"n$dst")
+    }
+    val edges = raw.groupBy(identity).map { case ((s0, d0), es) =>
+      (s0, d0, es.size.toLong) }.toSeq
+    val iters = 5 // arithmetic identical per round; 5 bounds test runtime
+    val driver = graft.queries.GraphOps.pageRankDriver(edges, iters)
+    val dist = graft.queries.GraphOps.pageRankDistributed(
+        edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dist.size == driver.size)
+    assert(dist == driver)
+    // fixed-point truncation only ever LOSES mass
+    val total = dist.values.map(BigInt(_)).sum
+    assert(total <= BigInt(graft.queries.GraphOps.PrUnit) &&
+      total > BigInt(graft.queries.GraphOps.PrUnit) * 9 / 10, total.toString)
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
