@@ -874,6 +874,57 @@ object LlmOps {
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
 
+  /** Semantic decontamination — the embedding-space twin of the n-gram
+    * [[decontaminate]]: corpus vectors cosine-close (≥ [[NearDupCos]]) to
+    * ANY benchmark vector are flagged as eval leakage. The benchmark here
+    * is the [[NearDupSeeds]] perturbed clones (cos→1 with their corpus
+    * sources — exactly the "benchmark item leaked into the crawl" shape);
+    * in production it is the eval suite's embeddings.
+    *
+    * Scale shape: benchmarks are SMALL (thousands of rows at 100 TB), so
+    * the bench bucket table BROADCASTS and the corpus joins it on the LSH
+    * bucket key without ever shuffling; the verdict join is another
+    * broadcast (hit ids ≤ corpus). The corpus is scanned once, narrow,
+    * exactly like the n-gram decontaminate — no pair shuffle anywhere. */
+  def semDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+    val bench = base.filter(col("vec_id") < NearDupSeeds).select(
+      col("vec_id").as("bench_id"),
+      transform(col("embedding"),
+        (x, k) => x * (lit(1d) + lit(0.0005) * (k % 5 - lit(2)).cast(DoubleType)))
+        .as("b_embedding"))
+      .withColumn("bucket", Similarity.lshBucket(col("b_embedding"), NearDupPlanes))
+    val hits = base
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), NearDupPlanes))
+      .join(broadcast(bench), "bucket")
+      .filter(TextOps.quant(
+        Similarity.cosine(col("embedding"), col("b_embedding")), 4) >= NearDupCos)
+      .select(col("vec_id")).distinct()
+    base.select(col("vec_id"))
+      .join(broadcast(hits.withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("hit").isNull.as("kept"))
+  }
+
+  private val semDecontaminateOracle = s"""
+    WITH base AS (
+      SELECT vec_id, list_transform(range(1, 65), k -> embedding[k]::DOUBLE) AS embedding
+      FROM embeddings),
+    bench AS (
+      SELECT vec_id AS bench_id,
+        list_transform(range(1, 65), k -> embedding[k]::DOUBLE * (1.0 + 0.0005 * ((k - 1) % 5 - 2))) AS b_embedding
+      FROM embeddings WHERE vec_id < $NearDupSeeds),
+    bb AS (SELECT bench_id, b_embedding,
+             ${bucketSql("b_embedding", NearDupPlanes)} AS bucket FROM bench),
+    cb AS (SELECT vec_id, embedding,
+             ${bucketSql("embedding", NearDupPlanes)} AS bucket FROM base),
+    hits AS (
+      SELECT DISTINCT cb.vec_id
+      FROM cb JOIN bb ON cb.bucket = bb.bucket
+      WHERE ${qSql(cosineSql("cb.embedding", "bb.b_embedding"), 4)} >= $NearDupCos)
+    SELECT base.vec_id, (hits.vec_id IS NULL) AS kept
+    FROM base LEFT JOIN hits ON hits.vec_id = base.vec_id"""
+
   private val KmeansCentroids = 32
 
   /** One k-means Lloyd step over the corpus embeddings (deterministic
@@ -1718,6 +1769,7 @@ object LlmOps {
     "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
+    "llm_sem_decontaminate" -> Q(semDecontaminate, Some(semDecontaminateOracle)),
     "llm_contrastive"   -> Q(contrastivePairs, Some(contrastiveOracle)),
     "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),

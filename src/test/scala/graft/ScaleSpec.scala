@@ -220,6 +220,15 @@ class ScaleSpec extends SparkSuite {
     assert(!pqPlan.contains("BroadcastNestedLoop"), pqPlan)
     assert(pq.count() == 100 * 8)
 
+    // semantic decontamination: bench buckets BROADCAST onto the corpus —
+    // the corpus side never pair-shuffles for the probe
+    val sd = graft.queries.LlmOps.qs("llm_sem_decontaminate").fn(spark, dir)
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(sdPlan.contains("BroadcastHashJoin"), sdPlan)
+    assert(!sdPlan.contains("CartesianProduct"), sdPlan)
+    assert(!sdPlan.contains("BroadcastNestedLoop"), sdPlan)
+    assert(sd.count() == 100)
+
     // KMV set ops: bounded kmin_k partials, no rank window, no global sort
     val so = graft.queries.SketchOps.qs("llm_kmv_setops").fn(spark, dir)
     val soPlan = so.queryExecution.executedPlan.toString
