@@ -62,12 +62,12 @@ object SketchOps {
 
   // ---- HyperLogLog distinct-count sketch -------------------------------
 
-  private val HllM = 64 // registers (b = 6 index bits off the 60-bit hash)
+  private[queries] val HllM = 64 // registers (b = 6 index bits off the 60-bit hash)
   private val HllAlphaM2 = 0.709 * HllM * HllM // α_64 per Flajolet et al. 2007
   // estimator numerator, ONE driver-computed double shared bit-identically
   // with the oracle literal: α·m² · 2^55 (the 2^55 un-scales the exact
   // integer register sum below)
-  private val HllNum = HllAlphaM2 * math.pow(2, 55)
+  private[queries] val HllNum = HllAlphaM2 * math.pow(2, 55)
 
   /** Per-source distinct-shingle estimate via HyperLogLog (Flajolet,
     * Fusy, Gandouet, Meunier 2007) — the complement of [[kmvDistinct]]:
@@ -87,29 +87,45 @@ object SketchOps {
     *
     * Scale shape: ONE shuffle keyed (source, register) with a map-side max
     * partial, then a 64-rows-per-source aggregate — mergeable bounded
-    * sketch state, the canonical 100 TB distinct-count shape. */
+    * sketch state, the canonical 100 TB distinct-count shape.
+    *
+    * The two halves below are shared with [[StreamOps.qStreamHll]], where
+    * the register table IS the streaming aggregation state.
+    */
+  /** (key..., h) → (key..., j, rho): HLL register index + leading-zero
+    * rank, all integer (`bin()` bitlength — no float log2 edge). */
+  private[queries] def hllRegisterCols(keyed: DataFrame, keys: Seq[String]): DataFrame =
+    keyed
+      .select(keys.map(col) :+ (col("h") % lit(HllM.toLong)).as("j") :+
+        shiftright(col("h"), 6).as("w"): _*)
+      .withColumn("rho",
+        lit(55) - when(col("w") === 0L, lit(0)).otherwise(length(bin(col("w")))))
+      .groupBy((keys :+ "j").map(col): _*).agg(max(col("rho")).as("mj"))
+
+  /** (key..., j, mj) registers → (key..., v_zero, hll_est) with the exact
+    * integer harmonic sum + small-range correction. */
+  private[queries] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val agg = regs.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - mj as int))")).as("s_present"))
+      .select(keys.map(col) :+ (lit(HllM.toLong) - col("present")).as("v_zero") :+
+        (col("s_present") +
+          (lit(HllM.toLong) - col("present")) * lit(1L << 55)).as("s_int"): _*)
+    val raw = lit(HllNum) / col("s_int").cast(DoubleType)
+    agg.select(keys.map(col) :+ col("v_zero") :+
+      TextOps.quant(
+        when(col("v_zero") > 0L && raw <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
+          .otherwise(raw), 4).as("hll_est"): _*)
+  }
+
   def hllDistinct(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .withColumn("__toks", TextOps.tokens(col("text")))
       .select(col("source"), explode(TextOps.shingles(col("__toks"), 3)).as("g"))
-    val regs = sh.select(col("source"), TextOps.hash60(col("g")).as("h"))
-      .select(col("source"), (col("h") % lit(HllM.toLong)).as("j"),
-        shiftright(col("h"), 6).as("w"))
-      .withColumn("rho",
-        lit(55) - when(col("w") === 0L, lit(0)).otherwise(length(bin(col("w")))))
-      .groupBy("source", "j").agg(max(col("rho")).as("mj"))
-    val agg = regs.groupBy("source").agg(
-        count(lit(1)).as("present"),
-        sum(expr("shiftleft(cast(1 as bigint), cast(55 - mj as int))")).as("s_present"))
-      .select(col("source"), (lit(HllM.toLong) - col("present")).as("v_zero"),
-        (col("s_present") +
-          (lit(HllM.toLong) - col("present")) * lit(1L << 55)).as("s_int"))
-    val raw = lit(HllNum) / col("s_int").cast(DoubleType)
-    agg.select(col("source"), col("v_zero"),
-      TextOps.quant(
-        when(col("v_zero") > 0L && raw <= lit(2.5 * HllM),
-          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
-          .otherwise(raw), 4).as("hll_est"))
+    val regs = hllRegisterCols(
+      sh.select(col("source"), TextOps.hash60(col("g")).as("h")), Seq("source"))
+    hllEstimate(regs, Seq("source"))
   }
 
   private val hllOracle = s"""
@@ -145,25 +161,10 @@ object SketchOps {
       .withColumn("__toks", TextOps.tokens(col("text")))
       .select(pmod(col("doc_id"), lit(8L)).as("shard"),
         explode(TextOps.shingles(col("__toks"), 3)).as("g"))
-    val shardRegs = sh.select(col("shard"), TextOps.hash60(col("g")).as("h"))
-      .select(col("shard"), (col("h") % lit(HllM.toLong)).as("j"),
-        shiftright(col("h"), 6).as("w"))
-      .withColumn("rho",
-        lit(55) - when(col("w") === 0L, lit(0)).otherwise(length(bin(col("w")))))
-      .groupBy("shard", "j").agg(max(col("rho")).as("mj")) // ≤ 8·64 rows
+    val shardRegs = hllRegisterCols( // ≤ 8·64 rows
+      sh.select(col("shard"), TextOps.hash60(col("g")).as("h")), Seq("shard"))
     val merged = shardRegs.groupBy("j").agg(max(col("mj")).as("mj"))
-    val agg = merged.agg(
-        count(lit(1)).as("present"),
-        sum(expr("shiftleft(cast(1 as bigint), cast(55 - mj as int))")).as("s_present"))
-      .select((lit(HllM.toLong) - col("present")).as("v_zero"),
-        (col("s_present") +
-          (lit(HllM.toLong) - col("present")) * lit(1L << 55)).as("s_int"))
-    val raw = lit(HllNum) / col("s_int").cast(DoubleType)
-    agg.select(col("v_zero"),
-      TextOps.quant(
-        when(col("v_zero") > 0L && raw <= lit(2.5 * HllM),
-          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")))
-          .otherwise(raw), 4).as("hll_est"))
+    hllEstimate(merged, Seq.empty)
   }
 
   /** The oracle is the DIRECT un-sharded sketch: passing means the shard

@@ -402,7 +402,64 @@ object StreamOps {
     SELECT event_id, user_id, event_type, value, c_mktsegment
     FROM events LEFT JOIN customer ON c_custkey = user_id + 1"""
 
+  /** Streaming HyperLogLog: a continuous per-event-type distinct-user
+    * count maintained ACROSS micro-batches — the "sketches in streaming"
+    * intersection that makes bounded state possible where exact streaming
+    * COUNT(DISTINCT) would grow without bound. The streaming aggregation's
+    * whole state is the register table (types × 64 rows, the HLL promise);
+    * complete-mode output snapshots it each trigger, and the estimate is
+    * read off the final snapshot with the same exact-integer arithmetic as
+    * the batch sketch — so the result is IDENTICAL to a batch HLL over the
+    * same events, which is what the oracle replays. */
+  def qStreamHll(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_shll"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 3 === 0, "001")
+          .when(col("event_id") % 3 === 1, "002").otherwise("003")),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val keyed = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .select(col("event_type"),
+        graft.llm.TextOps.hash60(
+          concat(col("user_id").cast(StringType), lit(":shll"))).as("h"))
+    s.catalog.dropTempView("graft_shll_regs")
+    val q = SketchOps.hllRegisterCols(keyed, Seq("event_type"))
+      .writeStream.format("memory").queryName("graft_shll_regs")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SketchOps.hllEstimate(s.table("graft_shll_regs"), Seq("event_type"))
+  }
+
+  private val streamHllOracle = s"""
+    WITH h AS (
+      SELECT event_type,
+        ${LlmOps.hashSql("user_id::VARCHAR || ':shll'")} AS h
+      FROM events),
+    r AS (SELECT event_type, h % 64 AS j,
+            55 - (CASE WHEN h // 64 = 0 THEN 0
+                       ELSE length(bin(h // 64)) END) AS rho FROM h),
+    m AS (SELECT event_type, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+    agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS present,
+              CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS s_present
+            FROM m GROUP BY 1),
+    fin AS (SELECT event_type, 64 - present AS v_zero,
+              s_present + (64 - present) * (1::BIGINT << 55) AS s_int FROM agg)
+    SELECT event_type, v_zero,
+      ${LlmOps.qSql(s"""CASE WHEN v_zero > 0 AND ${SketchOps.HllNum} / s_int <= 160.0
+                 THEN 64 * ln(64.0 / v_zero)
+                 ELSE ${SketchOps.HllNum} / s_int END""", 4)} AS hll_est
+    FROM fin"""
+
   def qs: Map[String, Q] = Map(
+    "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
