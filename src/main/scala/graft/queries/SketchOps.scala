@@ -873,7 +873,113 @@ object SketchOps {
     FROM documents JOIN rates USING (source)
     WHERE ${hashSql("doc_id::VARCHAR || ':resample'")} % 1000 < per_mille"""
 
+  // ---- Bloom-filter membership sketch ----------------------------------
+
+  private val BloomWords = 1024      // filter = 1024 longs (8 KiB), fixed
+  // 63 data bits per word: DuckDB raises on `1::BIGINT << 63`, so the
+  // highest (sign) bit stays unused on BOTH engines and every shift is
+  // signed-safe
+  private val BloomBitsPerWord = 63
+  private val BloomM = BloomWords.toLong * BloomBitsPerWord // 64512 bit positions
+  private val BloomK = 4             // probes per key (Kirsch–Mitzenmacher)
+  private val BloomGramN = 5         // same gram size as llm_decontaminate
+  private val BloomBenchMod = 97L    // same benchmark slice as llm_decontaminate
+
+  /** The k probe positions for one gram hash pair: Kirsch & Mitzenmacher
+    * 2006 double hashing — `(h1 + i·h2) mod m` simulates k independent
+    * hash functions from two, so each probe costs arithmetic, not md5. */
+  private def bloomPositions(g: Column): Seq[Column] = {
+    val h1 = TextOps.hash60(concat(g, lit(":bf1"))) % BloomM
+    val h2 = TextOps.hash60(concat(g, lit(":bf2"))) % BloomM
+    (0 until BloomK).map(i => (h1 + lit(i.toLong) * h2) % BloomM)
+  }
+
+  /** Bloom-filter benchmark decontamination (Bloom 1970) — the
+    * constant-memory twin of `llm_decontaminate`, the shape of AI2's `bff`
+    * dedup tool for Dolma: the benchmark's n-grams are folded into ONE
+    * fixed 8 KiB bit array, and every training document probes that array
+    * with pure column arithmetic. Where the exact form broadcasts the
+    * benchmark's distinct-gram SET (size ∝ benchmark), the Bloom form ships
+    * `BloomWords` longs NO MATTER how large the benchmark grows — the
+    * trade is a deterministic false-positive rate (≈ (1−e^(−kn/m))^k,
+    * ~0.4% at sf0.01), i.e. a few extra docs dropped, never leakage kept.
+    *
+    * Scale shape: the filter build aggregates the (tiny) benchmark side to
+    * ≤1024 `(word, bits)` rows — a bounded control-plane collect, like the
+    * vocab/centroid collects — and the corpus side is a NARROW pass:
+    * explode grams, 4 probes of a literal array per gram, then one
+    * map-side-combined max per doc. No join anywhere; the corpus never
+    * shuffles row data, only the per-doc 0/1 partials.
+    *
+    * Determinism: bit positions are integer arithmetic off the portable
+    * 60-bit hash on both engines, so the oracle rebuilds the identical
+    * filter and flags the identical docs — false positives included. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % BloomBenchMod === 0
+
+    val benchWords = docs.filter(isBench)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .select(explode(TextOps.shingles(col("__toks"), BloomGramN)).as("g"))
+      .select(explode(array(bloomPositions(col("g")): _*)).as("b"))
+      // duplicate grams just re-set the same bits: bit_or is idempotent,
+      // so no distinct() shuffle is needed ahead of the 1024-group agg
+      .groupBy((col("b") / BloomBitsPerWord).cast(IntegerType).as("j"))
+      .agg(expr(s"bit_or(shiftleft(1L, int(b % $BloomBitsPerWord)))").as("w"))
+    val words = Array.ofDim[Long](BloomWords)
+    benchWords.collect().foreach(r => words(r.getInt(0)) = r.getLong(1)) // ≤1024 rows
+    val filt = typedlit(words.toSeq)
+
+    var probed = docs.filter(!isBench)
+      // explode_outer: a doc shorter than the gram size has no probes and
+      // must be KEPT (null gram → null hit → counts as 0 below)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        explode_outer(
+          TextOps.shingles(TextOps.tokens(col("text")), BloomGramN)).as("g"))
+    bloomPositions(col("g")).zipWithIndex.foreach { case (b, i) =>
+      probed = probed.withColumn(s"__b$i", b)
+    }
+    val gramHit = (0 until BloomK).map { i =>
+      element_at(filt, (col(s"__b$i") / BloomBitsPerWord).cast(IntegerType) + 1)
+        .bitwiseAND(expr(s"shiftleft(1L, int(__b$i % $BloomBitsPerWord))")) =!= 0
+    }.reduce(_ && _)
+    probed
+      .groupBy("doc_id", "lang", "source", "n_chars")
+      .agg(max(when(gramHit, 1L).otherwise(0L)).as("__hit"))
+      .filter(col("__hit") === 0L)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  private val bloomDecontaminateOracle = s"""
+    WITH bg AS (
+      SELECT unnest(${shinglesSql(toksSql, BloomGramN)}) AS g
+      FROM documents WHERE doc_id % $BloomBenchMod = 0),
+    bh AS (SELECT ${hashSql("g || ':bf1'")} % $BloomM AS h1,
+                  ${hashSql("g || ':bf2'")} % $BloomM AS h2 FROM bg),
+    pos AS (SELECT (h1 + i * h2) % $BloomM AS b
+            FROM bh CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) ii),
+    words AS (SELECT b // $BloomBitsPerWord AS j,
+                     bit_or(1::BIGINT << CAST(b % $BloomBitsPerWord AS INT)) AS w
+              FROM pos GROUP BY 1),
+    tg AS (SELECT doc_id, unnest(${shinglesSql(toksSql, BloomGramN)}) AS g
+           FROM documents WHERE doc_id % $BloomBenchMod <> 0),
+    th AS (SELECT doc_id, g, ${hashSql("g || ':bf1'")} % $BloomM AS h1,
+                  ${hashSql("g || ':bf2'")} % $BloomM AS h2 FROM tg),
+    tp AS (SELECT doc_id, g, (h1 + i * h2) % $BloomM AS b
+           FROM th CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) ii),
+    tb AS (SELECT doc_id, g,
+             CASE WHEN w IS NOT NULL
+                   AND (w & (1::BIGINT << CAST(b % $BloomBitsPerWord AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS bitset
+           FROM tp LEFT JOIN words ON words.j = tp.b // $BloomBitsPerWord),
+    gh AS (SELECT doc_id, g, min(bitset) AS allset FROM tb GROUP BY 1, 2),
+    dh AS (SELECT doc_id, max(allset) AS hit FROM gh GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN dh USING (doc_id)
+    WHERE d.doc_id % $BloomBenchMod <> 0 AND COALESCE(dh.hit, 0) = 0"""
+
   def qs: Map[String, Q] = Map(
+    "llm_bloom_decontaminate" -> Q(bloomDecontaminate, Some(bloomDecontaminateOracle)),
     "llm_resample"     -> Q(resample, Some(resampleOracle)),
     "llm_rank_fusion"  -> Q(rankFusion, Some(rankFusionOracle)),
     "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),

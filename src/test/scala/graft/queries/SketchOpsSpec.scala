@@ -512,4 +512,48 @@ class SketchOpsSpec extends SparkSuite {
       assert(df0.count() > 0)
     }
   }
+
+  // ---- Bloom-filter decontamination -------------------------------------
+
+  test("bloomDecontaminate replays the driver filter exactly; errors are FP-only; no join in the plan") {
+    val base = corpus(120, 2, 300, 30, seed = 31L)
+    // plant contamination: train doc 5 embeds the first 5-gram of bench doc 0
+    val bench0 = toks(base(0)._2).take(5).mkString(" ")
+    val rows = base.map { case r @ (id, text, l, src) =>
+      if (id == 5L) (id, s"$text $bench0", l, src) else r
+    }
+    val d = writeDocs(rows)
+    val kept = SketchOps.bloomDecontaminate(spark, d)
+      .collect().map(_.getLong(0)).toSet
+
+    // driver twin of the filter arithmetic (same constants as the operator)
+    val M = 1024L * 63
+    def pos(g: String): Seq[Long] = {
+      val h1 = TextOps.hash60Str(g + ":bf1") % M
+      val h2 = TextOps.hash60Str(g + ":bf2") % M
+      (0 until 4).map(i => (h1 + i * h2) % M)
+    }
+    val (bench, train) = rows.partition(_._1 % 97 == 0)
+    val words = Array.ofDim[Long](1024)
+    bench.flatMap(r => shingles(toks(r._2), 5)).flatMap(pos)
+      .foreach(b => words((b / 63).toInt) |= 1L << (b % 63))
+    def hits(text: String): Boolean =
+      shingles(toks(text), 5).exists(g =>
+        pos(g).forall(b => (words((b / 63).toInt) & (1L << (b % 63))) != 0))
+    val expectKept = train.filter(r => !hits(r._2)).map(_._1).toSet
+    assert(kept == expectKept)
+    assert(!kept.contains(5L), "planted contamination must be dropped")
+
+    // Bloom errs in ONE direction: every exactly-contaminated doc is dropped
+    // (no false negatives), extra drops are the documented FP rate
+    val benchGrams = bench.flatMap(r => shingles(toks(r._2), 5)).toSet
+    val exactBad = train.filter(r =>
+      shingles(toks(r._2), 5).exists(benchGrams)).map(_._1).toSet
+    assert(exactBad.intersect(kept).isEmpty, "a contaminated doc leaked through")
+
+    // the filter rides as a literal array: the corpus plan has NO join
+    val plan = SketchOps.bloomDecontaminate(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+  }
 }
