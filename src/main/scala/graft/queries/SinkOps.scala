@@ -248,6 +248,31 @@ object SinkOps {
     WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') <> '2024-01-02'
        OR (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-02' AND event_id % 3 = 0)"""
 
+  /** K8's Avro leg LIVE (types/marshaller.go:309-325): the batch marshals
+    * to deflate-coded Avro container objects — one per partition, real
+    * binary encoding via the avro core library Spark itself ships — and
+    * reads back through the container's embedded schema. A column that is
+    * null for most rows exercises the `["null", T]` union path end-to-end.
+    * The oracle replays the projection; equality proves the format carried
+    * every value (longs, doubles, strings, nulls) losslessly. */
+  def k8AvroSink(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import graft.sink.{AvroSink, FileSink}
+    val dir = "/tmp/graft_k8_avro/events"
+    val data = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"),
+        when(col("event_id") % 7 === 0, col("event_type")).as("tag"))
+    FileSink.write(data, dir, SaveMode.Overwrite,
+      FileSink.Config(format = "avro", gzip = true))
+    AvroSink.read(s, dir, data.schema)
+  }
+
+  private val k8AvroOracle = """
+    SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms,
+           CASE WHEN event_id % 7 = 0 THEN event_type END AS tag
+    FROM events"""
+
   /** K8 LIVE: S3-style file sink — in-file pk dedup, gzip NDJSON objects
     * partitioned by event_type, read back through the schema-on-read path
     * (file_storage/abstract.go:27-120). The local dir stands in for the
@@ -308,6 +333,7 @@ object SinkOps {
   def qs: Map[String, Q] = Map(
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
     "k8_file_sink"      -> Q(k8FileSink, Some(k8Oracle)),
+    "k8_avro_sink"      -> Q(k8AvroSink, Some(k8AvroOracle)),
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),

@@ -23,7 +23,8 @@ object FileSink {
   /** Batch-file format negotiation (types/marshaller.go:37-50): the
     * reference picks NDJSON or CSV (+gzip) per destination. */
   final case class Config(
-      format: String = "ndjson", // ndjson | csv
+      format: String = "ndjson", // ndjson | csv | avro | parquet | orc
+      /** for avro this selects the spec's deflate codec (RFC 1951) */
       gzip: Boolean = true,
       /** folder partitioning (the object-key layout knob) */
       partitionBy: Seq[String] = Nil,
@@ -56,6 +57,17 @@ object FileSink {
       // carry their own codecs)
       case "parquet" => w.option("compression", "snappy").parquet(dir)
       case "orc"     => w.orc(dir)
+      // the reference marshaller's fourth format (marshaller.go:309-325):
+      // Avro container objects, one per partition, via [[AvroSink]]
+      case "avro" =>
+        require(cfg.partitionBy.isEmpty, "avro sink: no folder partitioning")
+        if (mode == SaveMode.Overwrite) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+            deduped.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        }
+        AvroSink.write(deduped, dir, if (cfg.gzip) "deflate" else "null",
+          runTag = java.util.UUID.randomUUID.toString.take(8))
       case other     => throw new IllegalArgumentException(s"unknown file format: $other")
     }
   }
@@ -120,6 +132,7 @@ object FileSink {
     case "csv"     => spark.read.schema(schema).option("header", "true").csv(dir)
     case "parquet" => spark.read.schema(schema).parquet(dir)
     case "orc"     => spark.read.schema(schema).orc(dir)
+    case "avro"    => AvroSink.read(spark, dir, schema)
     case other     => throw new IllegalArgumentException(s"unknown file format: $other")
   }
 }
