@@ -23,7 +23,7 @@ object FileSink {
   /** Batch-file format negotiation (types/marshaller.go:37-50): the
     * reference picks NDJSON or CSV (+gzip) per destination. */
   final case class Config(
-      format: String = "ndjson", // ndjson | csv | avro | parquet | orc
+      format: String = "ndjson", // ndjson | csv | json_array | avro | parquet | orc
       /** for avro this selects the spec's deflate codec (RFC 1951) */
       gzip: Boolean = true,
       /** folder partitioning (the object-key layout knob) */
@@ -57,6 +57,18 @@ object FileSink {
       // carry their own codecs)
       case "parquet" => w.option("compression", "snappy").parquet(dir)
       case "orc"     => w.orc(dir)
+      // the reference marshaller's JSON-ARRAY format (marshaller.go:37-50):
+      // one `[obj,…]` document per partition — the wire shape api_based
+      // destinations take; Spark's multiLine JSON reader reads it back
+      case "json_array" =>
+        require(cfg.partitionBy.isEmpty, "json_array sink: no folder partitioning")
+        if (mode == SaveMode.Overwrite) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+            deduped.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        }
+        writeJsonArray(deduped, dir, cfg.gzip,
+          runTag = java.util.UUID.randomUUID.toString.take(8))
       // the reference marshaller's fourth format (marshaller.go:309-325):
       // Avro container objects, one per partition, via [[AvroSink]]
       case "avro" =>
@@ -70,6 +82,39 @@ object FileSink {
           runTag = java.util.UUID.randomUUID.toString.take(8))
       case other     => throw new IllegalArgumentException(s"unknown file format: $other")
     }
+  }
+
+  /** JSON-array writer: rows marshal to JSON on the executors (distributed
+    * `to_json`, like the webhook leg); each non-empty partition assembles
+    * ONE `[obj,…]` document, optionally gzipped. */
+  private def writeJsonArray(df: DataFrame, dir: String, gzip: Boolean,
+                             runTag: String): Unit = {
+    import org.apache.spark.sql.functions.{col => c, struct, to_json}
+    val jdf = df.select(to_json(struct(df.columns.map(n => c(s"`$n`")): _*)).as("j"))
+    jdf.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+          new org.apache.hadoop.conf.Configuration())
+        val ext = if (gzip) ".json.gz" else ".json"
+        val raw = fs.create(new org.apache.hadoop.fs.Path(dir,
+          f"part-$runTag-$pid%05d$ext"), true)
+        val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+        var n = 0L
+        try {
+          w.write("[")
+          rows.foreach { r =>
+            if (n > 0) w.write(",\n")
+            w.write(r.getString(0)); n += 1
+          }
+          w.write("]")
+        } finally w.close()
+        Iterator.single(n)
+      }
+    }.count()
+    ()
   }
 
   /** ReplacePartition on a lake folder (P1): DYNAMIC partition overwrite —
@@ -129,6 +174,8 @@ object FileSink {
   def read(spark: SparkSession, dir: String, schema: StructType,
            cfg: Config = Config()): DataFrame = cfg.format match {
     case "ndjson"  => spark.read.schema(schema).json(dir)
+    case "json_array" =>
+      spark.read.schema(schema).option("multiLine", "true").json(dir)
     case "csv"     => spark.read.schema(schema).option("header", "true").csv(dir)
     case "parquet" => spark.read.schema(schema).parquet(dir)
     case "orc"     => spark.read.schema(schema).orc(dir)

@@ -102,4 +102,26 @@ class FileSinkSpec extends SparkSuite {
       dir, SaveMode.Append, FileSink.Config())
     assert(FileSink.read(spark, dir, schema).count() == 4)
   }
+
+  test("json_array objects are single [obj,…] documents; gzip + append round-trip") {
+    val dir = tmp()
+    val cfg = FileSink.Config(format = "json_array", gzip = true,
+      pk = Seq("id"), discriminators = Seq("v"))
+    FileSink.write(data.repartition(2), dir, SaveMode.Overwrite, cfg)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+    assert(names.nonEmpty && names.forall(_.endsWith(".json.gz")), names.toSeq)
+    // each object is ONE well-formed JSON array (the api_based wire shape)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(new java.io.File(dir, names.head)))
+    val text = new String(in.readAllBytes(), "UTF-8")
+    assert(text.startsWith("[") && text.endsWith("]"), text.take(80))
+    // in-file pk dedup ran: id=2 keeps the max-discriminator row
+    val back = FileSink.read(spark, dir, schema, cfg)
+    assertSameRows(back, df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 1.5, "x"), Row(2L, 3.5, "y2"))))
+    FileSink.write(df("id BIGINT, v DOUBLE, s STRING", Seq(Row(9L, 9.5, "z"))),
+      dir, SaveMode.Append, cfg)
+    assert(FileSink.read(spark, dir, schema, cfg).count() == 3)
+  }
 }
