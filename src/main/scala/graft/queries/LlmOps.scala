@@ -442,6 +442,53 @@ object LlmOps {
       SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
     SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
 
+  /** Quality-aware dedup survivorship: near-dup clustering keeps ONE
+    * representative per component — and real pipelines keep the BEST
+    * member (longest / highest-quality), not the smallest id. Survivor =
+    * argmax over (n_chars, −doc_id): a total order, so the pick is
+    * deterministic under any partitioning; docs with no near-dup are their
+    * own singleton cluster and survive unchanged.
+    *
+    * Scale shape: the cluster assignment is [[dedupCluster]]'s (banded
+    * pair join + min-label components); membership attaches by ONE
+    * left join on doc_id (the cluster table is |clustered-nodes|-sized,
+    * far smaller than the corpus), and survivorship is one
+    * map-side-combinable min(struct) aggregate — no window, no sort. */
+  def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+    val pairs = simhashNearDup(s, d).select("i", "j").persist()
+    val clusters = graft.llm.Corpus.clusterPairs(pairs)
+    docs.join(clusters, docs("doc_id") === clusters("node"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("best"))
+      .select(col("cid").as("cluster_id"), col("best.doc_id").as("survivor_id"),
+        col("n_members"), (-col("best.neg")).as("survivor_chars"))
+  }
+
+  private val dedupSurvivorOracle = s"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
+    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
+    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m),
+    cl AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node),
+    mem AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(cl.cluster_id, d.doc_id) AS cid
+      FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+    SELECT cid AS cluster_id,
+           -- (max chars, then min id) packed into one orderable BIGINT:
+           -- doc_id < 2^40 for any conceivable slice of this corpus
+           min_by(doc_id, -n_chars * (1::BIGINT << 40) + doc_id) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(n_chars) AS survivor_chars
+    FROM mem GROUP BY cid"""
+
   /** PII redaction over the corpus. The synthetic documents carry no PII,
     * so (like [[embedNearDup]]'s seeded vectors) every 7th doc gets a
     * deterministic email + phone appended and the oracle reproduces the
@@ -1751,6 +1798,7 @@ object LlmOps {
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
+    "llm_dedup_survivor" -> Q(dedupSurvivor, Some(dedupSurvivorOracle)),
     "llm_redact"        -> Q(redactPii, Some(redactOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
     "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
