@@ -221,7 +221,7 @@ object LlmOps {
       TextOps.hash60Array(
         TextOps.shingles(TextOps.tokens(col("text")), 3)).as("hs"))
 
-  private def bandFrame(docs: DataFrame): DataFrame =
+  private[queries] def bandFrame(docs: DataFrame): DataFrame =
     bandFrameFromHashes(hashedShingles(docs))
 
   private def bandFrameFromHashes(withHs: DataFrame): DataFrame = {
@@ -256,7 +256,7 @@ object LlmOps {
   /** Shared oracle CTE block (shingle-hash source -> 16-value signatures ->
     * (doc_id, band, key) rows), interpolated by every MinHash oracle so the
     * band-key SQL shape can never desynchronize between them. */
-  private lazy val bandsCteSql: String = {
+  private[queries] lazy val bandsCteSql: String = {
     val sigDefs = (0 until NumHashes).map(i => s"${minhashSql("hs", i)} AS s$i").mkString(",\n        ")
     val bandRows = (0 until NumBands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")

@@ -458,7 +458,72 @@ object StreamOps {
                  ELSE ${SketchOps.HllNum} / s_int END""", 4)} AS hll_est
     FROM fin"""
 
+  /** Streaming INCREMENTAL near-dup: the LSH band index maintained across
+    * micro-batches — the streaming twin of `llm_incremental`'s daily-slice
+    * shape. Each batch (1) computes its own MinHash band rows, (2) joins
+    * the STORED parquet index for candidates against everything already
+    * ingested, (3) self-joins for in-batch candidates, and (4) appends its
+    * bands to the index — so history is never re-signatured, per-batch work
+    * is |batch|-sized, and the only growing state lives in storage, not in
+    * the stream. For ANY segmentation every colliding pair lands exactly
+    * once (same batch, or the later batch against the index), so the
+    * streamed union must equal the one-shot batch candidate set — which is
+    * what the oracle computes. */
+  def qStreamNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_sneardup"
+    rmrf(s, base)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // mod-3 segments: heterogeneous ids per batch, so cross-batch pairs
+    // arrive in BOTH id orders and the canonicalization below is exercised
+    writeSegments(docs.withColumn("__seg",
+        format_string("%03d", col("doc_id") % 3)),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (idxDir, outDir) = (s"$base/index", s"$base/pairs")
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = FileSystem.get(new java.net.URI(idxDir),
+          s.sparkContext.hadoopConfiguration)
+        // bands feed THREE consumers (self-join two sides + index append
+        // [+ cross join]) — persist, or the signature pipeline re-runs per
+        // consumer (self-join sides don't reuse exchanges)
+        val bands = LlmOps.bandFrame(batch).persist()
+        val inBatch = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        val cross =
+          if (!fs.exists(new Path(idxDir))) inBatch
+          else {
+            val idx = s.read.parquet(idxDir)
+            val c = bands.as("a").join(idx.as("b"),
+                col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+              .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+            inBatch.unionByName(c)
+          }
+        cross.distinct().write.mode("append").parquet(outDir)
+        bands.write.mode("append").parquet(idxDir)
+        bands.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).distinct()
+  }
+
+  private val streamNearDupOracle = s"""
+    WITH ${LlmOps.bandsCteSql}
+    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
   def qs: Map[String, Q] = Map(
+    "q_stream_neardup"  -> Q(qStreamNearDup, Some(streamNearDupOracle)),
     "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
