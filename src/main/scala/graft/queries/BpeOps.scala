@@ -130,7 +130,121 @@ object BpeOps {
            md5(string_agg(array_to_string(f.syms, chr(31)), chr(31) ORDER BY dw.pos)) AS checksum
     FROM dw JOIN final f USING (word) GROUP BY 1"""
 
+  // ---- unigram-LM (SentencePiece-style) Viterbi segmentation -----------
+
+  private val UniK = 512 // piece vocab caps: top-K unigram…
+  private val BigK = 256 // …and top-K bigram pieces (freq desc, text asc)
+
+  /** SentencePiece-style Viterbi segmentation (Kudo 2018,
+    * arXiv:1804.10959), word-level: the piece vocabulary is the top-`UniK`
+    * unigrams plus top-`BigK` adjacent bigrams, and each document is
+    * segmented by the optimal dynamic program — minimize piece count, on
+    * ties maximize total covered piece frequency (a total integer order, so
+    * the optimum is unique and engine-independent; the float-logprob
+    * objective of the paper would tie-break on ulps). With max piece length
+    * 2 the DP lookback is 2: `dp[i] = best(dp[i−1]+uni(w_i),
+    * dp[i−2]+big(w_{i−1}w_i))`.
+    *
+    * Scale shape: model tables are bounded (UniK+BigK rows) and BROADCAST —
+    * the corpus explodes to (doc, pos) once, picks up per-position piece
+    * frequencies by broadcast join (no map-literal lookups in the fold),
+    * regroups to per-doc cost arrays (one doc_id-keyed shuffle with small
+    * per-group sort_array), and runs the DP as ONE `aggregate` fold per
+    * document — bounded accumulator, single traversal, no pair join, no
+    * global sort. The oracle replays the identical DP with a recursive CTE
+    * stepping one token per iteration. */
+  def viterbiSegment(s: SparkSession, d: String): DataFrame = {
+    val toked = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    val uni = toked.select(explode(col("tk")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("uf"))
+      .orderBy(col("uf").desc, col("w").asc).limit(UniK)
+    val big = toked.filter(size(col("tk")) >= 2)
+      .select(explode(TextOps.ngrams(col("tk"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("bf"))
+      .orderBy(col("bf").desc, col("bg").asc).limit(BigK)
+
+    val pos = toked
+      .select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), col("w"),
+        when(col("pos") > 0,
+          concat(element_at(col("tk"), col("pos")), lit(" "), col("w"))).as("bg"))
+      .join(broadcast(uni), Seq("w"), "left")
+      .join(broadcast(big), Seq("bg"), "left")
+    val costs = pos.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("uf"), col("bf")))).as("cs"))
+    // the DP fold: acc = (dp[i-1], dp[i]) as (n1,f1,n,f); candidate A
+    // extends dp[i] with the unigram (OOV => freq 0), candidate B extends
+    // dp[i-1] with the bigram piece when it exists; lexicographic best
+    val fold = aggregate(
+      col("cs"),
+      struct(lit(0L).as("n1"), lit(0L).as("f1"),
+        lit(0L).as("n"), lit(0L).as("f")),
+      (acc, x) => {
+        val an = acc("n") + lit(1L)
+        val af = acc("f") + coalesce(x("uf"), lit(0L))
+        val bn = acc("n1") + lit(1L)
+        val bf = acc("f1") + x("bf")
+        val aWins = x("bf").isNull || (an < bn) || (an === bn && af >= bf)
+        struct(acc("n").as("n1"), acc("f").as("f1"),
+          when(aWins, an).otherwise(bn).as("n"),
+          when(aWins, af).otherwise(bf).as("f"))
+      })
+    costs.select(col("doc_id"), col("n_tokens"),
+      fold.getField("n").as("n_pieces"), fold.getField("f").as("tot_freq"))
+  }
+
+  private val viterbiOracle = {
+    val ngrams2 = s"""CASE WHEN len(tk) >= 2
+          THEN [array_to_string(tk[i:i+1],' ') for i in range(1, len(tk))]
+          ELSE [array_to_string(tk,' ')] END"""
+    s"""
+    WITH RECURSIVE
+    toks AS MATERIALIZED (
+      SELECT doc_id, $toksSql AS tk FROM documents
+      WHERE length(trim(text)) > 0),
+    uni AS MATERIALIZED (
+      SELECT w, uf FROM (
+        SELECT w, uf, row_number() OVER (ORDER BY uf DESC, w ASC) AS rn FROM (
+          SELECT t AS w, CAST(count(*) AS BIGINT) AS uf FROM (
+            SELECT unnest(tk) AS t FROM toks) u
+          WHERE length(t) > 0 GROUP BY 1) c) r
+      WHERE rn <= $UniK),
+    big AS MATERIALIZED (
+      SELECT bg, bf FROM (
+        SELECT bg, bf, row_number() OVER (ORDER BY bf DESC, bg ASC) AS rn FROM (
+          SELECT bg, CAST(count(*) AS BIGINT) AS bf FROM (
+            SELECT unnest($ngrams2) AS bg FROM toks WHERE len(tk) >= 2) x
+          GROUP BY 1) c) r
+      WHERE rn <= $BigK),
+    step(doc_id, i, pn1, pf1, pn, pf) AS (
+      SELECT t.doc_id, 1, 0::BIGINT, 0::BIGINT,
+             1::BIGINT, COALESCE(u.uf, 0)::BIGINT
+      FROM toks t LEFT JOIN uni u ON u.w = t.tk[1]
+      UNION ALL
+      SELECT s.doc_id, s.i + 1, s.pn, s.pf,
+        CASE WHEN b.bf IS NULL OR s.pn + 1 < s.pn1 + 1
+               OR (s.pn + 1 = s.pn1 + 1
+                   AND s.pf + COALESCE(u.uf, 0) >= s.pf1 + b.bf)
+             THEN s.pn + 1 ELSE s.pn1 + 1 END,
+        CASE WHEN b.bf IS NULL OR s.pn + 1 < s.pn1 + 1
+               OR (s.pn + 1 = s.pn1 + 1
+                   AND s.pf + COALESCE(u.uf, 0) >= s.pf1 + b.bf)
+             THEN s.pf + COALESCE(u.uf, 0) ELSE s.pf1 + b.bf END
+      FROM step s
+      JOIN toks t ON t.doc_id = s.doc_id AND s.i < len(t.tk)
+      LEFT JOIN uni u ON u.w = t.tk[s.i + 1]
+      LEFT JOIN big b ON b.bg = t.tk[s.i] || ' ' || t.tk[s.i + 1])
+    SELECT s.doc_id, len(t.tk)::BIGINT AS n_tokens,
+           s.pn AS n_pieces, s.pf AS tot_freq
+    FROM step s JOIN toks t ON t.doc_id = s.doc_id AND s.i = len(t.tk)"""
+  }
+
   def qs: Map[String, Q] = Map(
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
-    "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)))
+    "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)),
+    "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
 }

@@ -123,4 +123,54 @@ class BpeSpec extends SparkSuite {
     }.toMap
     assert(got == exp, s"$got vs $exp")
   }
+
+  test("viterbiSegment equals an exact driver DP and never beats it") {
+    // seeded corpus with heavy repeated bigrams so the bigram path matters
+    val rnd = new scala.util.Random(17L)
+    val phrases = Seq("big data", "fast scan", "hash join")
+    val rows = (0L until 40L).map { i =>
+      val words = Seq.fill(12)(
+        if (rnd.nextBoolean()) phrases(rnd.nextInt(3))
+        else s"w${rnd.nextInt(30)}").mkString(" ")
+      (i, words, "en", "s0")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_vit_").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // driver twin: same capped vocab, same lexicographic objective
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val allToks = rows.flatMap(r => toks(r._2))
+    val uni = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(512).toMap
+    val bigAll = rows.flatMap(r => toks(r._2).sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")))
+    val big = bigAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(256).toMap
+    def dp(ws: Seq[String]): (Long, Long) = {
+      var (n1, f1, n, f) = (0L, 0L, 0L, 0L)
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val (an, af) = (n + 1, f + uni.getOrElse(w, 0L))
+        val bOpt = if (i > 0) big.get(s"${ws(i - 1)} $w") else None
+        val (cn, cf) = bOpt match {
+          case Some(bf0) =>
+            val (bn, bf) = (n1 + 1, f1 + bf0)
+            if (an < bn || (an == bn && af >= bf)) (an, af) else (bn, bf)
+          case None => (an, af)
+        }
+        n1 = n; f1 = f; n = cn; f = cf
+      }
+      (n, f)
+    }
+    val exp = rows.map(r => r._1 -> dp(toks(r._2))).toMap
+    val got = graft.queries.BpeOps.viterbiSegment(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp, s"${got.toSeq.sortBy(_._1).take(3)} vs ${exp.toSeq.sortBy(_._1).take(3)}")
+    // optimality sanity: DP never needs more pieces than tokens, and uses
+    // strictly fewer somewhere (the phrases guarantee winning bigrams)
+    val nt = rows.map(r => r._1 -> toks(r._2).size).toMap
+    assert(exp.forall { case (id, (n, _)) => n <= nt(id) })
+    assert(exp.exists { case (id, (n, _)) => n < nt(id) })
+  }
 }
