@@ -253,6 +253,64 @@ object LlmOps {
     verifyCandidates(sh, cands, JaccardThreshold)
   }
 
+  /** Signature-only near-dup ESTIMATION: the verify-free MinHash variant —
+    * when shingle sets are too large to intersect (or discarded after
+    * signaturing, as a real index does), Jaccard is estimated as the
+    * fraction of AGREEING signature positions (the MinHash estimator
+    * itself, Broder 1997: P[min-hash agrees] = J). Candidates still come
+    * from the band join; the estimate touches only the 16-long signatures,
+    * so verification state is CONSTANT per pair no matter how long the
+    * documents are — the trade is ±1/16 estimate granularity instead of
+    * exact Jaccard.
+    *
+    * Scale shape: signatures computed once (persisted), bands derived from
+    * them, candidate pairs join the signature table twice by doc_id; the
+    * 16 position-agreements are a codegen'd sum of element_at compares —
+    * no shingle explode ever happens. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sigs = hashedShingles(Tables.documents(s, d))
+      .withColumn("sigv", TextOps.minhashSignature(col("hs"), NumHashes))
+      .select(col("doc_id"), col("sigv")).persist()
+    val sig = (0 until NumHashes).map(i => element_at(col("sigv"), i + 1))
+    // persist: the self-join would re-run the signature pipeline per side
+    val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until NumBands).map(b => struct(lit(b).as("band"),
+          TextOps.bandKey(sig, b, RowsPerBand).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key")).persist()
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val joined = cands
+      .join(sigs.select(col("doc_id").as("i"), col("sigv").as("sa")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("sigv").as("sb")), "j")
+    val matches = (0 until NumHashes).map(k =>
+      when(element_at(col("sa"), k + 1) === element_at(col("sb"), k + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    joined
+      .select(col("i"), col("j"),
+        TextOps.quant(matches * lit(1.0) / NumHashes, 3).as("est_jac"))
+      .filter(col("est_jac") >= JaccardThreshold)
+  }
+
+  private lazy val minhashEstimateOracle = {
+    val agree = (0 until NumHashes).map(k =>
+      s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""
+    WITH $bandsCteSql,
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.i, c.j, ($agree) AS m
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.i
+      JOIN sigs sb ON sb.doc_id = c.j)
+    SELECT i, j, ${qSql(s"m * 1.0 / $NumHashes", 3)} AS est_jac
+    FROM est WHERE ${qSql(s"m * 1.0 / $NumHashes", 3)} >= $JaccardThreshold"""
+  }
+
   /** Shared oracle CTE block (shingle-hash source -> 16-value signatures ->
     * (doc_id, band, key) rows), interpolated by every MinHash oracle so the
     * band-key SQL shape can never desynchronize between them. */
@@ -1795,6 +1853,7 @@ object LlmOps {
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_containment"   -> Q(containment, Some(containmentOracle)),
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
+    "llm_minhash_estimate" -> Q(minhashEstimate, Some(minhashEstimateOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
