@@ -492,21 +492,19 @@ object StreamOps {
         // [+ cross join]) — persist, or the signature pipeline re-runs per
         // consumer (self-join sides don't reuse exchanges)
         val bands = LlmOps.bandFrame(batch).persist()
-        val inBatch = bands.as("a").join(bands.as("b"),
+        // ONE join per batch: new bands probe (own bands ∪ stored index) —
+        // in-batch pairs surface in both orders and canonicalize away in
+        // the distinct; cross-batch pairs surface once (new ⋈ stored only,
+        // old×old pairs were already emitted by their own batches)
+        val probe =
+          if (!fs.exists(new Path(idxDir))) bands
+          else bands.unionByName(s.read.parquet(idxDir))
+        bands.as("a").join(probe.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        val cross =
-          if (!fs.exists(new Path(idxDir))) inBatch
-          else {
-            val idx = s.read.parquet(idxDir)
-            val c = bands.as("a").join(idx.as("b"),
-                col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-              .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
-                greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-            inBatch.unionByName(c)
-          }
-        cross.distinct().write.mode("append").parquet(outDir)
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+          .distinct().write.mode("append").parquet(outDir)
         bands.write.mode("append").parquet(idxDir)
         bands.unpersist()
         ()
