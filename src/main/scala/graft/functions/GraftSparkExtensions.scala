@@ -41,6 +41,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         LangHits(args.head)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
+      { args =>
+        val k = args match {
+          case Seq(_, _, Literal(v: Int, _))  => v
+          case Seq(_, _, Literal(v: Long, _)) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k_by(score double, id bigint, k) — got ${other.length} args")
+        }
+        TopKByScore(args.head, args(1), k).toAggregateExpression()
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       { args =>

@@ -56,6 +56,17 @@ object TextOps {
         org.apache.spark.sql.GraftExpressions.expression(c), k)
         .toAggregateExpression())
 
+  /** Bounded per-group top-K by (score DESC, id ASC) — ≤K heap entries of
+    * map-side state per group instead of a rank-window sort (see
+    * [[graft.functions.TopKByScore]]). Returns rank-ordered
+    * `array<struct<score,id>>`. */
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.TopKByScore(
+        org.apache.spark.sql.GraftExpressions.expression(score),
+        org.apache.spark.sql.GraftExpressions.expression(id), k)
+        .toAggregateExpression())
+
   /** Distinct word n-gram shingles. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -305,6 +305,21 @@ object Relational {
       FROM events) t
     WHERE rk <= 5"""
 
+  /** Per-group top-k with BOUNDED state — the 100 TB form of
+    * [[qGroupTopK]]: the native [[graft.functions.TopKByScore]] aggregate
+    * keeps a ≤5-entry heap per group map-side, so the shuffle moves
+    * `groups × 5` entries instead of ranking every row of every group
+    * inside a window sort. Same answer as the window form (the (value
+    * DESC, event_id ASC) order is total), proven by sharing its oracle. */
+  def qGroupTopKBounded(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.llm.TextOps.topKBy(col("value"), col("event_id"), 5).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("e.id").as("event_id"), col("event_type"),
+        col("e.score").as("value"), (col("p") + 1).cast(LongType).as("rk"))
+  }
+
   /** Semi/anti-join breadth (EXISTS / NOT EXISTS): customers with at least
     * one 1996 order vs customers with none — `left_semi` and `left_anti`
     * keep only the probe side's columns, so the build side never widens the
@@ -405,6 +420,7 @@ object Relational {
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_semi_anti"  -> Q(qSemiAnti, Some(qSemiAntiOracle)),
     "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
+    "q_group_topk_bounded" -> Q(qGroupTopKBounded, Some(qGroupTopKOracle)),
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
     "q_rollup"  -> Q(qRollup, Some(qRollupOracle)),
     "t_anomaly" -> Q(tAnomaly, Some(tAnomalyOracle)),

@@ -66,6 +66,17 @@ object GraftExpressions {
         }
         graft.functions.KMinK(args.head, k).toAggregateExpression()
       })
+    registry.registerFunction(FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by"),
+      { args =>
+        val k = args match {
+          case Seq(_, _, Literal(v: Int, _))  => v
+          case Seq(_, _, Literal(v: Long, _)) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k_by(score double, id bigint, k) — got ${other.length} args")
+        }
+        graft.functions.TopKByScore(args.head, args(1), k).toAggregateExpression()
+      })
     registry.registerFunction(FunctionIdentifier("bpe_pieces"),
       new ExpressionInfo(classOf[graft.functions.BpePieces].getName, "bpe_pieces"),
       { args =>

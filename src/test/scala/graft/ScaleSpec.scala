@@ -236,6 +236,20 @@ class ScaleSpec extends SparkSuite {
     assert(!soPlan.toLowerCase.contains("window"), soPlan)
     assert(soPlan.contains("kmin_k"), soPlan)
     assert(so.count() == 1)
+
+    // bounded grouped top-k: the top_k_by heap aggregate replaces the rank
+    // window — groups × K entries shuffle, nothing sorts the input; answer
+    // equals the window form on the same data
+    (0 until 200).map(i => (i.toLong, i.toLong * 1000000L, i.toLong % 7,
+        s"t${i % 4}", (i * 37 % 50).toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val gt = graft.queries.Relational.qs("q_group_topk_bounded").fn(spark, dir)
+    val gtPlan = gt.queryExecution.executedPlan.toString
+    assert(!gtPlan.contains("rangepartitioning"), gtPlan)
+    assert(!gtPlan.toLowerCase.contains("window"), gtPlan)
+    assert(gtPlan.contains("top_k_by"), gtPlan)
+    assertSameRows(gt, graft.queries.Relational.qs("q_group_topk").fn(spark, dir))
   }
 
   test("fuzzy ER join: exact pairs, over-cap block dropped, equi-join plan") {

@@ -164,6 +164,16 @@ class TextOpsSpec extends SparkSuite {
     assert(viaSql == Seq(1L, 3L, 7L)) // distinct, ascending, bounded
   }
 
+  test("top_k_by is callable from SQL after registration") {
+    org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
+    Seq((5.0, 1L), (9.0, 2L), (7.0, 3L), (9.0, 9L)).toDF("v", "id")
+      .createOrReplaceTempView("topk_t")
+    val viaSql = spark.sql("SELECT top_k_by(v, id, 2) FROM topk_t")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getDouble(0), e.getLong(1)))
+    assert(viaSql == Seq((9.0, 2L), (9.0, 9L))) // score desc, id asc
+  }
+
   test("bpe_pieces is callable from SQL after registration") {
     org.apache.spark.sql.GraftExpressions.registerFunctions(spark)
     val viaSql = spark.sql(

@@ -378,6 +378,25 @@ class SketchOpsSpec extends SparkSuite {
     assert(small == Seq(2L, 5L))
   }
 
+  test("TopKByScore aggregate: K best by (score desc, id asc), bounded, merge-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g", 5.0, 10L), ("g", 9.0, 3L), ("g", 9.0, 1L), ("g", 2.0, 7L),
+      ("g", 9.0, 5L), ("g", 7.0, 2L), ("h", 1.0, 4L))
+    val df = rows.toDF("g", "v", "id")
+      .union(Seq(("g", null.asInstanceOf[java.lang.Double], 99L))
+        .toDF("g", "v", "id").select(col("g"), col("v").cast("double"), col("id")))
+      .repartition(5) // forces partial heaps + a real merge path
+    val out = df.groupBy("g")
+      .agg(TextOps.topKBy(col("v"), col("id"), 3).as("tk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1)))).toMap
+    // ties on score break by id ASC; null score skipped; bounded at K
+    assert(out("g") == Seq((9.0, 1L), (9.0, 3L), (9.0, 5L)))
+    // fewer than K rows → all of them, still rank-ordered
+    assert(out("h") == Seq((1.0, 4L)))
+  }
+
   test("resample: per-source keep rates derive from mixture weights; the hash gate is reproducible") {
     val rows = Seq(
       (1L, "a b c d e f g h", "en", "big"), (2L, "a b c d e f g h", "en", "big"),
