@@ -136,6 +136,40 @@ object Corpus {
     parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("node", "cluster_id")
   }
 
+  /** RAG/context-window chunking: split every document into fixed
+    * `windowTokens`-token chunks starting every `stride` tokens (stride <
+    * window ⇒ overlapping context, the standard retrieval-index prep), with
+    * a STABLE per-chunk id — `hash60(doc_id:chunk_idx:rag)` survives
+    * re-runs and corpus growth, so a vector index built on `chunk_id` can
+    * be maintained incrementally instead of rebuilt.
+    *
+    * Scale shape: entirely narrow — tokens materialize once per doc (the
+    * repo-wide interpreted-lambda discipline), the chunk explode is
+    * per-row, and no shuffle, join, or sort appears anywhere; output size
+    * is `≈ n_tokens/stride` rows per doc. Returns
+    * `(id, chunk_idx, chunk_id, chunk_text, n_tokens)`. */
+  def ragChunk(docs: DataFrame, windowTokens: Int, stride: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (w, st) = (windowTokens, stride)
+    require(w > 0 && st > 0 && st <= w, s"need 0 < stride <= window, got ($w, $st)")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // last chunk start: smallest i*st covering the tail — ceil((n-w)/st),
+      // floored at 0 so short docs still emit their single chunk
+      .select(col(idCol), col("__n"), posexplode(transform(
+        sequence(lit(0L), greatest(lit(0L),
+          ceil((col("__n") - lit(w)) / lit(st.toDouble)))),
+        i => concat_ws(" ", slice(col("__toks"), (i * st + 1).cast(IntegerType), lit(w)))))
+        .as(Seq("__pos", "chunk_text")))
+      .select(col(idCol), col("__pos").cast(LongType).as("chunk_idx"),
+        TextOps.hash60(concat(col(idCol).cast(StringType), lit(":"),
+          col("__pos").cast(StringType), lit(":rag"))).as("chunk_id"),
+        col("chunk_text"),
+        least(lit(w), col("__n") - col("__pos") * st).cast(LongType).as("n_tokens"))
+  }
+
   /** Exact substring-level dedup over fixed token windows (the published
     * exact pass runs on ~50-token spans; window size is a knob here):
     * each document splits into consecutive `windowTokens`-token chunks, and

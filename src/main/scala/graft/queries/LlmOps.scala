@@ -1668,6 +1668,32 @@ object LlmOps {
     FROM r GROUP BY doc_id"""
   }
 
+  private val RagWindow = 32
+  private val RagStride = 24
+
+  /** RAG/context-window chunking (see [[graft.llm.Corpus.ragChunk]]):
+    * 32-token windows every 24 tokens with stable hash chunk ids — the
+    * retrieval-index prep stage. Zero shuffles: the plan is scan → narrow
+    * explode → project. */
+  def ragChunk(s: SparkSession, d: String): DataFrame =
+    graft.llm.Corpus.ragChunk(Tables.documents(s, d), RagWindow, RagStride)
+
+  private val ragChunkOracle = {
+    val (w, st) = (RagWindow, RagStride)
+    s"""
+    WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE length(trim(text)) > 0),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    g AS (SELECT doc_id, toks, n, i
+          FROM n, LATERAL UNNEST(generate_series(0,
+            GREATEST(0, CAST(ceil((n - $w)/$st.0) AS BIGINT)))) AS u(i))
+    SELECT doc_id, i AS chunk_idx,
+      ${hashSql(s"doc_id::VARCHAR || ':' || i::VARCHAR || ':rag'")} AS chunk_id,
+      array_to_string(toks[(i*$st+1):(i*$st+$w)], ' ') AS chunk_text,
+      CAST(LEAST($w, n - i*$st) AS BIGINT) AS n_tokens
+    FROM g"""
+  }
+
   private val ChunkStride = 10
 
   /** Overlapping-window exact dedup (stride < window): catches duplicated
@@ -1841,6 +1867,7 @@ object LlmOps {
     "llm_shard"         -> Q(shard, Some(shardOracle)),
     "llm_token_budget"  -> Q(tokenBudget, Some(tokenBudgetOracle)),
     "llm_chunk_dedup"   -> Q(chunkDedup, Some(chunkDedupOracle)),
+    "llm_rag_chunk"     -> Q(ragChunk, Some(ragChunkOracle)),
     "llm_chunk_dedup_overlap" -> Q(chunkDedupOverlap, Some(chunkDedupOverlapOracle)),
     "llm_split"         -> Q(splitCounts, Some(splitOracle)),
     "llm_tfidf"         -> Q(tfidfTop, Some(tfidfOracle)),

@@ -222,6 +222,35 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("ragChunk: exact windows vs a driver reference; stable ids; short docs emit one chunk") {
+    val rnd = new scala.util.Random(42)
+    val (w, st) = (6, 4)
+    val rows = (1 to 30).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(20))(s"t${rnd.nextInt(9)}").mkString(" "), "s")
+    }
+    val expect = rows.flatMap { case (id, text, _) =>
+      val toks = text.trim.split("\\s+").toVector
+      val last = math.max(0L, math.ceil((toks.size - w) / st.toDouble).toLong)
+      (0L to last).map { i =>
+        val s0 = (i * st).toInt
+        (id, i, TextOps.hash60Str(s"$id:$i:rag"),
+          toks.slice(s0, s0 + w).mkString(" "),
+          math.min(w.toLong, toks.size - s0))
+      }
+    }.toSet
+    val got = Corpus.ragChunk(rows.toDF("doc_id", "text", "source"), w, st)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == expect)
+    // a doc shorter than one window still emits exactly its whole text
+    val one = Corpus.ragChunk(docs((9L, "a b", "en")), w, st)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(one == Seq((9L, 0L, TextOps.hash60Str("9:0:rag"), "a b", 2L)))
+    // narrow plan: no exchange anywhere
+    val plan = Corpus.ragChunk(rows.toDF("doc_id", "text", "source"), w, st)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenBudget is prefix-monotone: a larger budget only ever ADDS docs") {
     val rnd = new scala.util.Random(5)
     val d = (0 until 80).map(i =>
