@@ -313,7 +313,47 @@ object Similarity {
     * [[pqEncode]] output. Returns top-k by approximate distance. */
   def pqSearchADC(queryVecs: Seq[(Long, Array[Double])], codes: DataFrame,
                   codebook: Seq[(Int, Long, Array[Double])],
-                  m: Int, k: Int): DataFrame = {
+                  m: Int, k: Int): DataFrame =
+    pqSearchADCCore(queryVecs, codes, codebook, m, k, None)
+
+  /** IVF-PQ (IVFADC search layout, Jégou et al. 2011 §V; direct encoding,
+    * FAISS `by_residual=false`): the ADC scan touches ONLY vectors whose
+    * coarse cell is in the query's probe list, so compressed-domain search
+    * reads `nprobe/|cells|` of the codes instead of all of them — the
+    * composition that makes billion-vector search both memory-bound (PQ)
+    * and sublinear (IVF).
+    *
+    * `cells`: (vec_id, cell) coarse assignment (see [[coarseCells]]);
+    * `probes`: per-query allowed cell ids (driver-computed against the
+    * control-plane centroid table — kilobytes). The restriction is one
+    * vec_id equi-join (a production build stores the cell WITH the codes
+    * and skips even that) plus a literal array-membership filter; the scan
+    * itself stays narrow. */
+  def pqSearchADCIvf(queryVecs: Seq[(Long, Array[Double])], codes: DataFrame,
+                     cells: DataFrame, probes: Map[Long, Seq[Long]],
+                     codebook: Seq[(Int, Long, Array[Double])],
+                     m: Int, k: Int): DataFrame =
+    pqSearchADCCore(queryVecs, codes, codebook, m, k, Some((cells, probes)))
+
+  /** Coarse quantizer: nearest centroid per corpus vector by squared L2
+    * (deterministic min-centroid tie-break) — the IVF cell assignment.
+    * Broadcast centroid cross collapsed by a map-side-combinable argmin;
+    * the corpus never shuffles. */
+  def coarseCells(corpus: DataFrame, centroids: DataFrame,
+                  id: String = "vec_id", centroidId: String = "vec_id"): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
+    corpus.select(col(id).as("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("__d", TextOps.quant(l2sq(col("embedding"), col("__cent")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("__cent_id"), struct(-col("__d"), -col("__cent_id"))).as("cell"))
+  }
+
+  private def pqSearchADCCore(queryVecs: Seq[(Long, Array[Double])], codes: DataFrame,
+                              codebook: Seq[(Int, Long, Array[Double])],
+                              m: Int, k: Int,
+                              restrict: Option[(DataFrame, Map[Long, Seq[Long]])]): DataFrame = {
     // dtab(query)(sub) = sorted-by-code array of quant6 subdistances; code
     // ids are the seed vec_ids — map them to dense positions for indexing
     val codeIds = codebook.map(_._2).distinct.sorted
@@ -321,10 +361,14 @@ object Similarity {
     // consolidate flat encode rows to one wide row per vector ONCE and cache
     // it: every query branch scans this frame (a production build persists
     // codes wide to storage and skips the consolidation entirely)
-    val wide = codes.groupBy("vec_id")
+    val flat = codes.groupBy("vec_id")
       .agg(map_from_arrays(collect_list(col("sub")), collect_list(col("code")))
         .as("__cm"))
-      .persist()
+    // IVF restriction: attach each vector's coarse cell (one vec_id
+    // equi-join; a production layout stores the cell with the codes)
+    val wide = restrict.fold(flat) { case (cells, _) =>
+      flat.join(cells.select(col("vec_id"), col("cell")), "vec_id")
+    }.persist()
     // ALL queries ride one exploded projection (not a union of per-query
     // branches: each branch's distinct literals would compile its own
     // whole-stage codegen unit — Q compilations for one logical scan)
@@ -349,10 +393,17 @@ object Similarity {
           element_at(col("__cm"), lit(s))).cast("int"))
           .cast(DecimalType(28, 8))
       }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), TextOps.quant(adist.cast(DoubleType), 6).as("adist"))
+      // per-query probe gate: a literal cell-id membership test — no join
+      val ok = restrict.fold(lit(true)) { case (_, probes) =>
+        array_contains(lit(probes.getOrElse(qid, Seq.empty[Long]).toArray),
+          col("cell"))
+      }
+      struct(lit(qid).as("query_id"), TextOps.quant(adist.cast(DoubleType), 6).as("adist"),
+        ok.as("ok"))
     }
     val perQuery = wide
       .select(col("vec_id").as("neighbor_id"), explode(array(queryStructs: _*)).as("__q"))
+      .filter(col("__q.ok"))
       .select(col("__q.query_id").as("query_id"), col("neighbor_id"), col("__q.adist").as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)

@@ -41,6 +41,40 @@ object PqOps {
     Similarity.pqEncode(emb, cb, M, Dim)
   }
 
+  private val NProbe = 2
+
+  /** IVF-PQ: coarse cells restrict the ADC scan to `NProbe/16` of the codes
+    * (see [[graft.llm.Similarity.pqSearchADCIvf]]) — the FAISS `IVFx,PQy`
+    * composition. Probe lists are driver-computed against the control-plane
+    * centroid table; the per-vector cell attaches by one vec_id equi-join. */
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val seedRows = seeds(s, d).select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cbRows = for {
+      (vid, e) <- seedRows.toSeq; j <- 0 until M
+    } yield (j, vid, e.slice(j * Sub, j * Sub + Sub).map(_.toDouble))
+    val qs = seedRows.filter(_._1 < NQueries)
+      .map { case (vid, e) => (vid, e.map(_.toDouble)) }.toSeq
+    import s.implicits._
+    val cbDf = cbRows.map { case (j, vid, sv) => (j, vid, sv.map(_.toFloat).toSeq) }
+      .toDF("sub", "code_id", "subvec")
+    val codes = Similarity.pqEncode(emb, cbDf, M, Dim)
+    val cells = Similarity.coarseCells(emb, seeds(s, d))
+    // nprobe nearest centroids per query: driver twin of the corpus-side
+    // quant6 L2 argmin (same accumulation order, same tie-break)
+    val probes: Map[Long, Seq[Long]] = qs.map { case (qid, qv) =>
+      val ds = seedRows.map { case (cid, cv) =>
+        var acc = 0d
+        var i = 0
+        while (i < qv.length) { val dd = qv(i) - cv(i); acc += dd * dd; i += 1 }
+        (math.floor(acc * 1e6 + 0.5) / 1e6, cid)
+      }
+      qid -> ds.sortBy(identity).take(NProbe).map(_._2).toSeq
+    }.toMap
+    Similarity.pqSearchADCIvf(qs, codes, cells, probes, cbRows, M, TopK)
+  }
+
   def pqSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -107,7 +141,50 @@ object PqOps {
           ORDER BY adist ASC, neighbor_id ASC) AS rank
       FROM approx) t WHERE rank <= $TopK"""
 
+  private def l2FullSql(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}),
+        k -> ($a[k]::DOUBLE - $b[k]::DOUBLE) * ($a[k]::DOUBLE - $b[k]::DOUBLE)))"""
+
+  private val ivfPqSearchOracle = s"""WITH $encodeCtes,
+    cd AS MATERIALIZED (
+      SELECT e.vec_id, c.vec_id AS cent_id,
+             ${qSql(l2FullSql("e.embedding", "c.embedding"), 6)} AS d
+      FROM embeddings e, embeddings c WHERE c.vec_id < $KCodes),
+    cells AS MATERIALIZED (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cent_id ASC) AS rn
+        FROM cd) t WHERE rn = 1),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cent_id ASC) AS rn
+        FROM cd WHERE vec_id < $NQueries) t WHERE rn <= $NProbe),
+    qd AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, q.sub, cb.code_id,
+             ${qSql(l2Sql("svec", "subvec"), 6)} AS d
+      FROM (SELECT vec_id, sub, svec FROM sv WHERE vec_id < $NQueries) q
+      JOIN cb USING (sub)),
+    approx AS (
+      SELECT qd.query_id, e.vec_id AS neighbor_id,
+             ${qSql("CAST(SUM(CAST(qd.d AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS adist
+      FROM enc e
+      JOIN cells ce ON ce.vec_id = e.vec_id
+      JOIN probes p ON p.cell = ce.cell
+      JOIN qd ON qd.sub = e.sub AND qd.code_id = e.code
+             AND qd.query_id = p.query_id
+      WHERE qd.query_id <> e.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, rank, neighbor_id, adist FROM (
+      SELECT query_id, neighbor_id, adist,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM approx) t WHERE rank <= $TopK"""
+
   def qs: Map[String, Q] = Map(
     "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
-    "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)))
+    "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)),
+    "llm_ann_ivfpq" -> Q(ivfPqSearch, Some(ivfPqSearchOracle)))
 }

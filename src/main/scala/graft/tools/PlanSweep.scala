@@ -23,6 +23,7 @@ object PlanSweep {
   val Allow: Map[String, Set[String]] = Map(
     "llm_ann_brute"   -> Set("BroadcastNestedLoop"),
     "llm_ann_ivf"     -> Set("BroadcastNestedLoop"),
+    "llm_ann_ivfpq"   -> Set("BroadcastNestedLoop"), // ≤16-row centroid cross (coarse cells)
     "llm_bm25"        -> Set("BroadcastNestedLoop"),
     "llm_build"       -> Set("BroadcastNestedLoop"),
     "llm_domain_mix"  -> Set("BroadcastNestedLoop"),

@@ -220,6 +220,24 @@ class ScaleSpec extends SparkSuite {
     assert(!pqPlan.contains("BroadcastNestedLoop"), pqPlan)
     assert(pq.count() == 100 * 8)
 
+    // IVF-PQ: cell restriction must stay an equi-join + literal probe
+    // filter — no pair product; results are a subset of the full ADC scan
+    // with IDENTICAL approximate distances
+    // (the coarse-cell centroid cross is an INTENDED ≤16-row broadcast
+    // nested loop — allowlisted in PlanSweep like ivf/kmeans; what must
+    // never appear is an unbounded pair product)
+    val ivfpq = graft.queries.PqOps.qs("llm_ann_ivfpq").fn(spark, dir)
+    val ivfpqPlan = ivfpq.queryExecution.executedPlan.toString
+    assert(!ivfpqPlan.contains("CartesianProduct"), ivfpqPlan)
+    val full = graft.queries.PqOps.qs("llm_pq_search").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val restricted = ivfpq.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(restricted.nonEmpty)
+    restricted.foreach { case (key, d) =>
+      assert(full.get(key).forall(_ == d), s"adist mismatch at $key")
+    }
+
     // semantic decontamination: bench buckets BROADCAST onto the corpus —
     // the corpus side never pair-shuffles for the probe
     val sd = graft.queries.LlmOps.qs("llm_sem_decontaminate").fn(spark, dir)
