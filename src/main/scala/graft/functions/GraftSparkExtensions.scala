@@ -12,6 +12,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
     import graft.llm.TextOps
     extensions.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     extensions.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -70,6 +70,38 @@ object AsOf {
         valueCols.map(c => col(s"__snap.$c").as(s"$prefix$c")): _*)
   }
 
+  /** The custom-physical-operator rendering (see
+    * [[graft.plans.BroadcastAsOfJoinExec]]): per-key ts-sorted snapshot
+    * index broadcast once, O(log n) binary-search probe per left row, ZERO
+    * exchanges — the fact side keeps its partitioning AND ordering, which
+    * neither [[join]] (shuffles both sides) nor [[joinViaRange]] (linear
+    * per-key scan under a nested loop) can offer. Use when the right side
+    * is a broadcastable dimension; semantics identical to [[join]]. */
+  def joinBroadcast(left: DataFrame, right: DataFrame, key: String, ts: String,
+                    valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.GraftExpressions
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinStrategy.install(spark)
+    val lp = left.queryExecution.analyzed
+    // re-alias the right subtree unconditionally: left and right often
+    // derive from the same scan (self-as-of), and a manually-built binary
+    // node must not carry duplicate attribute ids across children
+    val rp0 = right.queryExecution.analyzed
+    val rp: LogicalPlan = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"AsOf.joinBroadcast: no column '$n'"))
+    val outAttrs = valueCols.map { c =>
+      val a = attr(rp, c)
+      AttributeReference(s"$prefix$c", a.dataType, nullable = true)()
+    }
+    GraftExpressions.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lp, rp, attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, ts),
+      valueCols.map(attr(rp, _)), outAttrs))
+  }
+
   /** The range-join rendering of the same semantics — kept as the
     * executable spec the window form is tested against, and as the fallback
     * when the right side is tiny enough to broadcast. DO NOT use at scale

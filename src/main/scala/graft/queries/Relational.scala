@@ -195,6 +195,23 @@ object Relational {
       key = "user_id", ts = "ts_ms", valueCols = Seq("dim_id", "dim_value"))
   }
 
+  /** The same as-of enrichment through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.BroadcastAsOfJoinExec]]): per-key time index broadcast,
+    * binary-search probe, zero exchanges on the fact side — the plan for a
+    * broadcastable dimension. Shares [[qAsof]]'s oracle: same answer, two
+    * physical strategies. */
+  def qAsofBcast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+    val upd = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("dim_id"),
+        max_by(col("value"), col("event_id")).as("dim_value"))
+    graft.ops.AsOf.joinBroadcast(
+      ev.select("event_id", "user_id", "ts_ms"), upd,
+      key = "user_id", ts = "ts_ms", valueCols = Seq("dim_id", "dim_value"))
+  }
+
   private val qAsofOracle = """
     WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
     upd AS (
@@ -422,6 +439,7 @@ object Relational {
     "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
     "q_group_topk_bounded" -> Q(qGroupTopKBounded, Some(qGroupTopKOracle)),
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
+    "q_asof_bcast" -> Q(qAsofBcast, Some(qAsofOracle)),
     "q_rollup"  -> Q(qRollup, Some(qRollupOracle)),
     "t_anomaly" -> Q(tAnomaly, Some(tAnomalyOracle)),
     "q1_agg"    -> Q(q1, Some(q1Oracle)),

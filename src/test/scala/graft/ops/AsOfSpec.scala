@@ -86,6 +86,44 @@ class AsOfSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("broadcast exec operator equals the window form on seeded data with nulls, ties, and absent keys") {
+    val rnd = new scala.util.Random(29)
+    def maybe[T](v: T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
+    val l = (1 to 150).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", maybe(rnd.nextInt(40).toLong))) // k4/k5 absent on the right
+      .toDF("id", "k", "ts")
+    val r = (1 to 20).map { i =>
+      (s"k${i % 4}", maybe((i * 2).toLong), maybe(i.toDouble))
+    }.toDF("k", "ts", "v")
+    val win = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    val exec = AsOf.joinBroadcast(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(exec == win)
+  }
+
+  test("broadcast exec operator: self-as-of (right derived from left's scan) resolves and agrees") {
+    val l = leftDf((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 20L), (4L, "b", 7L))
+    val r = l.filter(col("id") % 2 === 0)
+      .select(col("k"), col("ts"), (col("id") * 10).cast("double").as("v"))
+    val win = AsOf.join(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    val exec = AsOf.joinBroadcast(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(exec == win)
+  }
+
+  test("broadcast exec plan: custom operator, ZERO exchanges, no join operator") {
+    val l = leftDf((1L, "a", 5L), (2L, "b", 6L))
+    val r = rightDf(("a", 1L, 1.0), ("b", 2L, 2.0))
+    val plan = AsOf.joinBroadcast(l, r, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("the plan shuffles once on the key — no nested-loop, no cartesian") {
     val l = leftDf((1L, "a", 5L), (2L, "b", 6L))
     val r = rightDf(("a", 1L, 1.0), ("b", 2L, 2.0))
