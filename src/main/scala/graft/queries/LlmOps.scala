@@ -1751,6 +1751,49 @@ object LlmOps {
     GROUP BY 1, 2"""
   }
 
+  /** LEAKAGE-FREE split: assignment hashes the near-dup CLUSTER id, not the
+    * doc id — two near-duplicate documents can never straddle train/test
+    * (the classic eval-leak a doc-hash split permits: the test doc's twin
+    * sits in train). Unclustered docs are their own singleton cluster, so
+    * outside near-dup components this IS [[splitCounts]]'s assignment
+    * discipline with the same fences.
+    *
+    * Scale shape: the pair pipeline and connected components are exactly
+    * [[dedupCluster]]'s; the extra work is ONE left join of the corpus
+    * against the |clustered-nodes|-sized cluster table plus the narrow
+    * hash-fence projection. */
+  def splitLeakfree(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashNearDup(s, d).select("i", "j").persist()
+    val clusters = graft.llm.Corpus.clusterPairs(pairs)
+      .withColumnRenamed("node", "doc_id")
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        graft.llm.Corpus.splitAssign(SplitFences, idCol = "cluster_id"))
+  }
+
+  private lazy val splitLeakfreeOracle = {
+    val sorted = SplitFences.sortBy(_._2)
+    val arms = sorted.init.map { case (n, f) => s"WHEN b < $f THEN '$n'" }.mkString(" ")
+    s"""
+    WITH RECURSIVE
+    pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
+    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
+    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m),
+    cc AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+    j AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc USING (doc_id))
+    SELECT doc_id, cluster_id,
+      CASE $arms ELSE '${sorted.last._1}' END AS split
+    FROM (SELECT doc_id, cluster_id,
+            ${hashSql("cluster_id::VARCHAR || ':split'")} % 1000 AS b FROM j) t"""
+  }
+
   // ---- TF-IDF -----------------------------------------------------------
 
   /** Top TF-IDF term per document (ln-idf, quantized score, term-asc tie
@@ -1870,6 +1913,7 @@ object LlmOps {
     "llm_rag_chunk"     -> Q(ragChunk, Some(ragChunkOracle)),
     "llm_chunk_dedup_overlap" -> Q(chunkDedupOverlap, Some(chunkDedupOverlapOracle)),
     "llm_split"         -> Q(splitCounts, Some(splitOracle)),
+    "llm_split_leakfree" -> Q(splitLeakfree, Some(splitLeakfreeOracle)),
     "llm_tfidf"         -> Q(tfidfTop, Some(tfidfOracle)),
     "llm_entropy"       -> Q(entropy, Some(entropyOracle)),
     "llm_quota"         -> Q(quota, Some(quotaOracle)),
