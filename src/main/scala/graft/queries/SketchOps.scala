@@ -631,6 +631,57 @@ object SketchOps {
            ${qSql("total * 1.0 / (n_sources * n_tokens)", 6)} AS weight
     FROM per, tot"""
 
+  /** Temperature-scaled source mixing (XLM-R-style: sample share
+    * q_s ∝ p_s^α with α = 1/T) at T = 2, i.e. q_s ∝ √n_s — the standard
+    * knob that upweights tail sources less aggressively than uniform
+    * [[domainMix]] rebalancing. α = 0.5 is the oracle-stable choice on
+    * purpose: IEEE-754 `sqrt` is correctly rounded on every engine where
+    * generic `pow` is not. Each source's per-mille keep rate targets HALF
+    * the corpus tokens redistributed by q (clamped to [1, 1000]); shares
+    * and rates quantize through DECIMAL sums so no float fold order can
+    * move them. Same scale shape as [[resample]]: a |sources|-row broadcast
+    * onto a narrow hash-gate filter — the corpus scans once, shuffles
+    * never. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast(LongType).as("dl"))
+      .groupBy("source").agg(sum("dl").as("n_tokens"))
+      .withColumn("sq", TextOps.quant(sqrt(col("n_tokens").cast(DoubleType)), 6)
+        .cast(DecimalType(28, 8)))
+    val tot = per.agg(sum(col("n_tokens")).as("total"), sum(col("sq")).as("ssum"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("q_share",
+        TextOps.quant(col("sq").cast(DoubleType) / col("ssum").cast(DoubleType), 6))
+      .select(col("source"),
+        least(greatest(
+          floor(TextOps.quant(col("total").cast(DoubleType) * col("q_share") /
+            (lit(2.0) * col("n_tokens").cast(DoubleType)), 6) * 1000).cast(LongType),
+          lit(1L)), lit(1000L)).as("per_mille"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(pmod(TextOps.hash60(concat(col("doc_id").cast(StringType), lit(":tmix"))),
+        lit(1000L)) < col("per_mille"))
+      .select("doc_id", "source", "per_mille")
+  }
+
+  private val temperatureMixOracle = s"""
+    WITH per AS (
+      SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    sq AS (SELECT source, n_tokens,
+             CAST(${qSql("sqrt(n_tokens::DOUBLE)", 6)} AS DECIMAL(28,8)) AS sq
+           FROM per),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, sum(sq) AS ssum FROM sq),
+    rates AS (
+      SELECT source,
+        least(greatest(CAST(floor(${qSql(
+          s"total::DOUBLE * ${qSql("sq::DOUBLE / ssum::DOUBLE", 6)} / (2.0 * n_tokens::DOUBLE)",
+          6)} * 1000) AS BIGINT), 1), 1000) AS per_mille
+      FROM sq, tot)
+    SELECT doc_id, source, per_mille
+    FROM documents JOIN rates USING (source)
+    WHERE ${hashSql("doc_id::VARCHAR || ':tmix'")} % 1000 < per_mille"""
+
   // ---- PMI co-occurrence mining ----------------------------------------
 
   private val PmiMinCount = 5L
@@ -981,6 +1032,7 @@ object SketchOps {
   def qs: Map[String, Q] = Map(
     "llm_bloom_decontaminate" -> Q(bloomDecontaminate, Some(bloomDecontaminateOracle)),
     "llm_resample"     -> Q(resample, Some(resampleOracle)),
+    "llm_temperature_mix" -> Q(temperatureMix, Some(temperatureMixOracle)),
     "llm_rank_fusion"  -> Q(rankFusion, Some(rankFusionOracle)),
     "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
