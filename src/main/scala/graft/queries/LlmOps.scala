@@ -979,6 +979,84 @@ object LlmOps {
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
 
+  /** Hard-negative mining (the DPR/contrastive-retrieval recipe): for each
+    * anchor that has a semantic positive, the HARDEST non-positive — the
+    * highest-cosine bucket-cohabitant BELOW the near-dup threshold (so it
+    * is confusable but genuinely different; random-hash negatives in
+    * [[contrastivePairs]] are the easy-negative baseline). Negatives are
+    * restricted to real corpus vectors; anchors whose bucket holds nothing
+    * but their positive drop out (no candidate ⇒ no row).
+    *
+    * Scale shape: the SAME single bucket-key shuffle as [[embedNearDup]]
+    * (the candidate frame is shared/persisted, computed once); the
+    * per-anchor pick is a map-side-combinable `max_by` argmax — no window,
+    * no sort, nothing quadratic beyond the bucketed pair set. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+    val seeded = base.filter(col("vec_id") < NearDupSeeds).select(
+      (col("vec_id") + SeedIdOffset).as("vec_id"),
+      transform(col("embedding"),
+        (x, k) => x * (lit(1d) + lit(0.0005) * (k % 5 - lit(2)).cast(DoubleType)))
+        .as("embedding"))
+    val corpus = base.unionByName(seeded)
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), NearDupPlanes).as("bucket"))
+      .persist()
+    // ALL bucket-cohabiting pairs with cosine — persisted because the
+    // anchor (≥ threshold) and negative (< threshold) slices both read it
+    val cand = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        TextOps.quant(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .persist()
+    val anchors = cand
+      .filter(col("cos") >= NearDupCos && col("i") < SeedIdOffset)
+      .groupBy(col("i").as("anchor_id")).agg(min(col("j")).as("pos_id"))
+    val negCand = cand.filter(col("cos") < NearDupCos)
+    val bothDirs = negCand.select(col("i").as("a"), col("j").as("b"), col("cos"))
+      .unionByName(negCand.select(col("j").as("a"), col("i").as("b"), col("cos")))
+      .filter(col("b") < SeedIdOffset) // negatives are real corpus vectors
+    anchors.join(bothDirs, col("anchor_id") === col("a"))
+      .groupBy("anchor_id")
+      .agg(min(col("pos_id")).as("pos_id"),
+        max_by(col("b"), struct(col("cos"), -col("b"))).as("hard_neg_id"),
+        max(col("cos")).as("neg_cos"))
+  }
+
+  private val hardNegativesOracle = s"""
+    WITH base AS (
+      SELECT vec_id, list_transform(range(1, 65), k -> embedding[k]::DOUBLE) AS embedding
+      FROM embeddings),
+    seeded AS (
+      SELECT vec_id + $SeedIdOffset AS vec_id,
+        list_transform(range(1, 65), k -> embedding[k]::DOUBLE * (1.0 + 0.0005 * ((k - 1) % 5 - 2))) AS embedding
+      FROM embeddings WHERE vec_id < $NearDupSeeds),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM seeded),
+    b AS (
+      SELECT vec_id, embedding,
+        ${bucketSql("embedding", NearDupPlanes)} AS bucket
+      FROM corpus),
+    cand AS MATERIALIZED (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+        ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} AS cos
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    anchors AS (
+      SELECT i AS anchor_id, min(j) AS pos_id FROM cand
+      WHERE cos >= $NearDupCos AND i < $SeedIdOffset GROUP BY 1),
+    negc AS (
+      SELECT i AS a, j AS b, cos FROM cand WHERE cos < $NearDupCos
+      UNION ALL
+      SELECT j AS a, i AS b, cos FROM cand WHERE cos < $NearDupCos),
+    sel AS (
+      SELECT an.anchor_id, an.pos_id, n.b, n.cos,
+        row_number() OVER (PARTITION BY an.anchor_id
+          ORDER BY n.cos DESC, n.b ASC) AS rn
+      FROM anchors an JOIN negc n ON n.a = an.anchor_id
+      WHERE n.b < $SeedIdOffset)
+    SELECT anchor_id, pos_id, b AS hard_neg_id, cos AS neg_cos
+    FROM sel WHERE rn = 1"""
+
   /** Semantic decontamination — the embedding-space twin of the n-gram
     * [[decontaminate]]: corpus vectors cosine-close (≥ [[NearDupCos]]) to
     * ANY benchmark vector are flagged as eval leakage. The benchmark here
@@ -1949,6 +2027,7 @@ object LlmOps {
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
     "llm_sem_decontaminate" -> Q(semDecontaminate, Some(semDecontaminateOracle)),
     "llm_contrastive"   -> Q(contrastivePairs, Some(contrastiveOracle)),
+    "llm_hard_negatives" -> Q(hardNegatives, Some(hardNegativesOracle)),
     "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
