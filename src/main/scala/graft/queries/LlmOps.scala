@@ -894,6 +894,48 @@ object LlmOps {
     * file scale path beside the LSH one (cells from data regions instead of
     * random hyperplanes). Centroids are the first 16 corpus vectors so the
     * oracle reproduces the assignment exactly. */
+  /** ANN evaluation: per-query recall@K of every approximate searcher
+    * against the brute-force ground truth — the measurement an ANN
+    * deployment runs before trusting its index (PERF.md's recall table is
+    * this op's offline ancestor). Truth is computed ONCE and persisted
+    * (three method joins read it); each hit count is a (query, neighbor)
+    * equi-join + map-side-combinable sum. The brute baseline's broadcast
+    * nested loop is the documented intended plan (allowlisted), and the
+    * query set is tiny by contract — nothing here touches corpus scale
+    * beyond what the searchers themselves do. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = annBrute(s, d).select(col("query_id"), col("neighbor_id")).persist()
+    def one(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(lit(name).as("method"), col("query_id"), col("n_hit"),
+          TextOps.quant(col("n_hit") / lit(AnnK.toDouble), 4).as("recall"))
+    one("lsh", annLsh(s, d))
+      .unionByName(one("multiprobe", annMultiProbe(s, d)))
+      .unionByName(one("ivf", annIvf(s, d)))
+  }
+
+  private lazy val annRecallOracle = {
+    def one(name: String, sql: String) = s"""
+      SELECT '$name' AS method, query_id, n_hit,
+        ${qSql(s"n_hit / $AnnK.0", 4)} AS recall
+      FROM (
+        SELECT t.query_id,
+          CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM truth t LEFT JOIN ($sql) a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY 1) x"""
+    s"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM ($annBruteOracle) t)
+    ${one("lsh", annLshOracle)}
+    UNION ALL ${one("multiprobe", annMultiProbeOracle)}
+    UNION ALL ${one("ivf", annIvfOracle)}"""
+  }
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
@@ -2023,6 +2065,7 @@ object LlmOps {
     "llm_ann_lsh"       -> Q(annLsh, Some(annLshOracle)),
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
     "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
+    "llm_ann_recall"    -> Q(annRecall, Some(annRecallOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
     "llm_sem_decontaminate" -> Q(semDecontaminate, Some(semDecontaminateOracle)),
