@@ -22,6 +22,7 @@ object PlanSweep {
   /** query → flags that are the documented intended plan for that query. */
   val Allow: Map[String, Set[String]] = Map(
     "llm_ann_brute"   -> Set("BroadcastNestedLoop"),
+    "llm_ann_recall"  -> Set("BroadcastNestedLoop"), // embeds the brute truth baseline
     "llm_ann_ivf"     -> Set("BroadcastNestedLoop"),
     "llm_ann_ivfpq"   -> Set("BroadcastNestedLoop"), // ≤16-row centroid cross (coarse cells)
     "llm_bm25"        -> Set("BroadcastNestedLoop"),
@@ -35,6 +36,7 @@ object PlanSweep {
     "llm_pmi"         -> Set("BroadcastNestedLoop"),
     "llm_rank_fusion" -> Set("BroadcastNestedLoop"),
     "llm_resample"    -> Set("BroadcastNestedLoop"),
+    "llm_temperature_mix" -> Set("BroadcastNestedLoop"), // 1-row totals cross, as domain_mix
     "s7_select"       -> Set("rangepartitioning"))
 
   def main(args: Array[String]): Unit = {
