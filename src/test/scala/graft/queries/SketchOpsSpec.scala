@@ -397,6 +397,27 @@ class SketchOpsSpec extends SparkSuite {
     assert(out("h") == Seq((1.0, 4L)))
   }
 
+  test("TopKByScore randomized parity: 50 seeded datasets equal a driver sort-take reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    (1 to 50).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val rows = (1 to (1 + rnd.nextInt(60))).map { i =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(8).toDouble, i.toLong) // many score ties
+      }
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3))
+          .sortBy { case (s, id) => (-s, id) }.take(k)
+      }
+      val got = rows.toDF("g", "v", "id").repartition(1 + rnd.nextInt(6))
+        .groupBy("g").agg(TextOps.topKBy(col("v"), col("id"), k).as("tk"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1)))).toMap
+      assert(got.view.mapValues(_.toList).toMap == expect.view.mapValues(_.toList).toMap,
+        s"k=$k rows=${rows.take(8)}…")
+    }
+  }
+
   test("resample: per-source keep rates derive from mixture weights; the hash gate is reproducible") {
     val rows = Seq(
       (1L, "a b c d e f g h", "en", "big"), (2L, "a b c d e f g h", "en", "big"),
