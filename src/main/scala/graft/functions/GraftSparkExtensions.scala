@@ -45,12 +45,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_by"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
       { args =>
-        val k = args match {
-          case Seq(_, _, Literal(v: Int, _))  => v
-          case Seq(_, _, Literal(v: Long, _)) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"top_k_by(score double, id bigint, k) — got ${other.length} args")
-        }
+        val k = FunctionArgs.literalK(args, 3, "top_k_by(score double, id bigint, k)")
         TopKByScore(args.head, args(1), k).toAggregateExpression()
       }))
     extensions.injectFunction((

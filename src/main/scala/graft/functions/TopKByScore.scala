@@ -127,6 +127,25 @@ final case class TopKByScore(
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared SQL-registration argument handling for the bounded aggregates —
+  * ONE copy of the "trailing literal k" extraction that kmin_k and
+  * top_k_by need at both registration sites (imperative
+  * `GraftExpressions.registerFunctions` and the cluster-wide
+  * `GraftSparkExtensions` injector). */
+object FunctionArgs {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  def literalK(args: Seq[Expression], arity: Int, usage: String): Int = {
+    require(args.length == arity, s"$usage — got ${args.length} args")
+    args.last match {
+      case Literal(v: Int, _)  => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$usage — k must be an integer literal, got $other")
+    }
+  }
+}
+
 object TopKByScore {
   final case class Entry(score: Double, id: Long)
 

@@ -76,9 +76,23 @@ object AsOf {
     * exchanges — the fact side keeps its partitioning AND ordering, which
     * neither [[join]] (shuffles both sides) nor [[joinViaRange]] (linear
     * per-key scan under a nested loop) can offer. Use when the right side
-    * is a broadcastable dimension; semantics identical to [[join]]. */
+    * is a broadcastable dimension.
+    *
+    * Semantics match [[join]] except NULL KEYS, where this form follows
+    * SQL join equality (null = null is not a match, so null-key left rows
+    * see nulls and null-key right rows are dropped) while the union-window
+    * form groups null keys into one timeline. Key and ts types must match
+    * between the sides exactly — name-resolved attributes get no implicit
+    * coercion here (the checks below fail fast instead of silently
+    * mismatching boxed types in the broadcast hash index). */
   def joinBroadcast(left: DataFrame, right: DataFrame, key: String, ts: String,
                     valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      s"AsOf.joinBroadcast: key '$key' types differ — " +
+        s"${left.schema(key).dataType.catalogString} vs ${right.schema(key).dataType.catalogString}")
+    require(left.schema(ts).dataType == right.schema(ts).dataType,
+      s"AsOf.joinBroadcast: ts '$ts' types differ — " +
+        s"${left.schema(ts).dataType.catalogString} vs ${right.schema(ts).dataType.catalogString}")
     import org.apache.spark.sql.GraftExpressions
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}

@@ -24,9 +24,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * left.outputPartitioning`), which is exactly what no composition of
   * built-in operators expresses.
   *
-  * Semantics match [[graft.ops.AsOf.join]] (proven in AsOfSpec): `<=`
-  * visibility, atomic snapshot rows, null-ts left rows and null/absent
-  * keys see nulls; right rows must be unique per (key, ts).
+  * Semantics match [[graft.ops.AsOf.join]] (proven in AsOfSpec) — `<=`
+  * visibility, atomic snapshot rows, null-ts left rows and absent keys see
+  * nulls; right rows must be unique per (key, ts) — with ONE documented
+  * divergence: null keys follow SQL join equality here (no match, see
+  * nulls), where the union-window form shares one timeline among null-key
+  * rows.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,

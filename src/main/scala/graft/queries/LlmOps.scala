@@ -489,15 +489,22 @@ object LlmOps {
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
-  private val dedupClusterOracle = s"""
-    WITH RECURSIVE
+  /** Shared recursive connected-components chain over the simhash near-dup
+    * pair set (`pairs`→`nodes`→`edges`→`reach`) — consumers append their
+    * own `min(m) GROUP BY node` aggregate. ONE copy on purpose: three
+    * oracles (cluster, survivor, leak-free split) walk the same
+    * reachability, and a fix to the walk must reach all of them at once. */
+  private val ccReachCtesSql = s"""
     pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
     nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
     edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
     reach(node, m) AS (
       SELECT n, n FROM nodes
       UNION
-      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)"""
+
+  private val dedupClusterOracle = s"""
+    WITH RECURSIVE $ccReachCtesSql
     SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
 
   /** Quality-aware dedup survivorship: near-dup clustering keeps ONE
@@ -512,13 +519,22 @@ object LlmOps {
     * left join on doc_id (the cluster table is |clustered-nodes|-sized,
     * far smaller than the corpus), and survivorship is one
     * map-side-combinable min(struct) aggregate — no window, no sort. */
-  def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+  /** Every doc's near-dup cluster label (+ requested doc columns): CC over
+    * the simhash pair set, singletons labeled with their own id — the ONE
+    * Spark-side copy of the pairs→clusterPairs→coalesce pattern its three
+    * oracle twins share via `ccReachCtesSql`. */
+  private def clusterAssign(s: SparkSession, d: String,
+                            extraCols: Seq[String] = Nil): DataFrame = {
     val pairs = simhashNearDup(s, d).select("i", "j").persist()
-    val clusters = graft.llm.Corpus.clusterPairs(pairs)
-    docs.join(clusters, docs("doc_id") === clusters("node"), "left")
-      .select(col("doc_id"), col("n_chars"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+    Tables.documents(s, d).select("doc_id", extraCols: _*)
+      .join(graft.llm.Corpus.clusterPairs(pairs)
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  }
+
+  def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
+    clusterAssign(s, d, Seq("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("cluster_id").as("cid"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
         min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("best"))
@@ -527,14 +543,7 @@ object LlmOps {
   }
 
   private val dedupSurvivorOracle = s"""
-    WITH RECURSIVE
-    pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
-    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
-    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-    reach(node, m) AS (
-      SELECT n, n FROM nodes
-      UNION
-      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m),
+    WITH RECURSIVE $ccReachCtesSql,
     cl AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node),
     mem AS (
       SELECT d.doc_id, d.n_chars, COALESCE(cl.cluster_id, d.doc_id) AS cid
@@ -1882,29 +1891,15 @@ object LlmOps {
     * [[dedupCluster]]'s; the extra work is ONE left join of the corpus
     * against the |clustered-nodes|-sized cluster table plus the narrow
     * hash-fence projection. */
-  def splitLeakfree(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashNearDup(s, d).select("i", "j").persist()
-    val clusters = graft.llm.Corpus.clusterPairs(pairs)
-      .withColumnRenamed("node", "doc_id")
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("split",
-        graft.llm.Corpus.splitAssign(SplitFences, idCol = "cluster_id"))
-  }
+  def splitLeakfree(s: SparkSession, d: String): DataFrame =
+    clusterAssign(s, d).withColumn("split",
+      graft.llm.Corpus.splitAssign(SplitFences, idCol = "cluster_id"))
 
   private lazy val splitLeakfreeOracle = {
     val sorted = SplitFences.sortBy(_._2)
     val arms = sorted.init.map { case (n, f) => s"WHEN b < $f THEN '$n'" }.mkString(" ")
     s"""
-    WITH RECURSIVE
-    pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
-    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
-    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-    reach(node, m) AS (
-      SELECT n, n FROM nodes
-      UNION
-      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m),
+    WITH RECURSIVE $ccReachCtesSql,
     cc AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
     j AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
           FROM documents d LEFT JOIN cc USING (doc_id))

@@ -326,8 +326,11 @@ object Relational {
     * [[qGroupTopK]]: the native [[graft.functions.TopKByScore]] aggregate
     * keeps a ≤5-entry heap per group map-side, so the shuffle moves
     * `groups × 5` entries instead of ranking every row of every group
-    * inside a window sort. Same answer as the window form (the (value
-    * DESC, event_id ASC) order is total), proven by sharing its oracle. */
+    * inside a window sort. Same answer as the window form on non-null
+    * scores (the (value DESC, event_id ASC) order is total); its own
+    * oracle below ranks only non-null values, mirroring the aggregate's
+    * null-skip — the window form instead ranks nulls last, so the two
+    * diverge exactly when a group has < 5 non-null values. */
   def qGroupTopKBounded(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -336,6 +339,14 @@ object Relational {
       .select(col("e.id").as("event_id"), col("event_type"),
         col("e.score").as("value"), (col("p") + 1).cast(LongType).as("rk"))
   }
+
+  private val qGroupTopKBoundedOracle = """
+    SELECT event_id, event_type, value, rk FROM (
+      SELECT event_id, event_type, value,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL) t
+    WHERE rk <= 5"""
 
   /** Semi/anti-join breadth (EXISTS / NOT EXISTS): customers with at least
     * one 1996 order vs customers with none — `left_semi` and `left_anti`
@@ -437,7 +448,7 @@ object Relational {
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_semi_anti"  -> Q(qSemiAnti, Some(qSemiAntiOracle)),
     "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
-    "q_group_topk_bounded" -> Q(qGroupTopKBounded, Some(qGroupTopKOracle)),
+    "q_group_topk_bounded" -> Q(qGroupTopKBounded, Some(qGroupTopKBoundedOracle)),
     "q_asof"    -> Q(qAsof, Some(qAsofOracle)),
     "q_asof_bcast" -> Q(qAsofBcast, Some(qAsofOracle)),
     "q_rollup"  -> Q(qRollup, Some(qRollupOracle)),

@@ -74,23 +74,14 @@ object GraftExpressions {
     registry.registerFunction(FunctionIdentifier("kmin_k"),
       new ExpressionInfo(classOf[graft.functions.KMinK].getName, "kmin_k"),
       { args =>
-        val k = args match {
-          case Seq(_, Literal(v: Int, _))  => v
-          case Seq(_, Literal(v: Long, _)) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"kmin_k(bigint, k) — got ${other.length} args")
-        }
+        val k = graft.functions.FunctionArgs.literalK(args, 2, "kmin_k(bigint, k)")
         graft.functions.KMinK(args.head, k).toAggregateExpression()
       })
     registry.registerFunction(FunctionIdentifier("top_k_by"),
       new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by"),
       { args =>
-        val k = args match {
-          case Seq(_, _, Literal(v: Int, _))  => v
-          case Seq(_, _, Literal(v: Long, _)) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"top_k_by(score double, id bigint, k) — got ${other.length} args")
-        }
+        val k = graft.functions.FunctionArgs.literalK(args, 3,
+          "top_k_by(score double, id bigint, k)")
         graft.functions.TopKByScore(args.head, args(1), k).toAggregateExpression()
       })
     registry.registerFunction(FunctionIdentifier("bpe_pieces"),

@@ -234,8 +234,35 @@ class ScaleSpec extends SparkSuite {
     val restricted = ivfpq.collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
     assert(restricted.nonEmpty)
+    // shared pairs carry identical adist (same dtab/decimal-sum path)...
     restricted.foreach { case (key, d) =>
       assert(full.get(key).forall(_ == d), s"adist mismatch at $key")
+    }
+    // ...and the gate is verified INDEPENDENTLY: every restricted neighbor
+    // must sit in one of its query's nprobe=2 nearest cells, with cells and
+    // probe lists recomputed here from the public pieces (an always-true
+    // gate admitting out-of-cell neighbors fails this; an always-false one
+    // fails nonEmpty above). restricted == full is the legitimate
+    // high-recall outcome on this fixture, not a failure.
+    val embRows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cellOf = graft.llm.Similarity.coarseCells(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 16))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def probesOf(qid: Long): Set[Long] = {
+      val qv = embRows(qid)
+      (0L until 16L).map { cid =>
+        val cv = embRows(cid)
+        val acc = qv.indices.foldLeft(0d) { (a, i) =>
+          val dd = qv(i).toDouble - cv(i).toDouble; a + dd * dd
+        }
+        (math.floor(acc * 1e6 + 0.5) / 1e6, cid)
+      }.sorted.take(2).map(_._2).toSet
+    }
+    restricted.foreach { case ((q, n), _) =>
+      assert(probesOf(q).contains(cellOf(n)),
+        s"neighbor $n of query $q is outside the probed cells")
     }
 
     // semantic decontamination: bench buckets BROADCAST onto the corpus —

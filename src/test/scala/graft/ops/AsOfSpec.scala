@@ -113,6 +113,21 @@ class AsOfSpec extends SparkSuite {
     assert(exec == win)
   }
 
+  test("broadcast exec: null keys follow join equality (see nulls); mismatched key types fail fast") {
+    val l = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("id", "k", "ts")
+    val r = Seq((Option("a"), 5L, 1.0), (Option.empty[String], 5L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = AsOf.joinBroadcast(l, r, "k", "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).isEmpty) // null key ≠ null key — the documented divergence
+    val wrong = Seq((1, 3L, 1.0)).toDF("k", "ts", "v") // int key vs string key
+    intercept[IllegalArgumentException] {
+      AsOf.joinBroadcast(l, wrong, "k", "ts", Seq("v"))
+    }
+  }
+
   test("broadcast exec plan: custom operator, ZERO exchanges, no join operator") {
     val l = leftDf((1L, "a", 5L), (2L, "b", 6L))
     val r = rightDf(("a", 1L, 1.0), ("b", 2L, 2.0))
