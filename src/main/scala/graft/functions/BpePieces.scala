@@ -61,7 +61,8 @@ object BpePieces {
     * no pieces); the output array never contains nulls. */
   def encode(arr: ArrayData, lhs: Array[String], rhs: Array[String],
              perWord: Boolean): GenericArrayData = {
-    val rules = lhs.indices.map(i => (lhs(i), rhs(i)))
+    // hot path: only the two long-lived parallel arrays are touched — no
+    // per-row tuple Seq (this kernel exists to keep the scan allocation-lean)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     if (perWord) {
       var j = 0
@@ -69,7 +70,7 @@ object BpePieces {
         if (!arr.isNullAt(j)) {
           val w = arr.getUTF8String(j).toString
           if (w.nonEmpty) {
-            val pieces = Bpe.encodeWord(w, rules)
+            val pieces = Bpe.encodeWord(w, lhs, rhs)
             var k = 0
             while (k < pieces.length) {
               out += UTF8String.fromString(pieces(k)); k += 1
@@ -87,7 +88,11 @@ object BpePieces {
         j += 1
       }
       if (n < syms.length) syms = java.util.Arrays.copyOf(syms, n)
-      rules.foreach { case (l, r) => if (syms.length > 1) syms = Bpe.applyRule(syms, l, r) }
+      var i = 0
+      while (i < lhs.length) {
+        if (syms.length > 1) syms = Bpe.applyRule(syms, lhs(i), rhs(i))
+        i += 1
+      }
       var k = 0
       while (k < syms.length) { out += UTF8String.fromString(syms(k)); k += 1 }
     }

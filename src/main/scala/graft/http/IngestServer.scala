@@ -104,10 +104,21 @@ final class IngestServer(
             case Some((streamId, keyType)) =>
               // stamp type + ingestType WITHOUT parsing the payload (the
               // reference also wraps raw bytes; parsing is the consumer's)
-              val stamped = s"""{"type":"$tp","ingestType":"${
-                if (s2s) "s2s" else keyType}","event":$body}"""
-              spool(streamId, query(ex).getOrElse("tableName", "events"), stamped)
-              respond(ex, 200, """{"ok":true}""")
+              // — but the URL-decoded type segment must be JSON-escaped
+              // (a crafted %22 would otherwise inject envelope fields) and
+              // the body must at least LOOK like a JSON value, or the
+              // spooled record is unparseable yet was acked with 200
+              val trimmed = body.trim
+              if (trimmed.isEmpty ||
+                  !(trimmed.head == '{' || trimmed.head == '[')) {
+                respond(ex, 400,
+                  """{"ok":false,"error":"body must be a JSON object or array"}""")
+              } else {
+                val stamped = s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"${
+                  if (s2s) "s2s" else keyType}","event":$trimmed}"""
+                spool(streamId, query(ex).getOrElse("tableName", "events"), stamped)
+                respond(ex, 200, """{"ok":true}""")
+              }
           }
         } catch { case e: Exception =>
           respond(ex, 500, s"""{"ok":false,"error":"${e.getMessage}"}""")

@@ -73,7 +73,13 @@ object Bpe {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        val ((l, r), w) = pc.minBy { case ((l, r), w) => (-w, l, r) }
+        val ((l, r), w) = pc.reduceLeft[((String, String), Long)] {
+          case (best @ ((bl, br), bw), cand @ ((cl, cr), cw)) =>
+            val better = cw > bw || (cw == bw && {
+              val c = cpCompare(cl, bl); c < 0 || (c == 0 && cpCompare(cr, br) < 0)
+            })
+            if (better) cand else best
+        }
         merges += Merge(rank, l, r, l + r, w)
         state = state.map { case (syms, f) => (applyRule(syms, l, r), f) }
         rank += 1
@@ -82,10 +88,41 @@ object Bpe {
     merges.result()
   }
 
+  /** CODE-POINT string order — what Spark's UTF8String asc and DuckDB's
+    * ORDER BY both compare (UTF-8 byte order preserves code points), and
+    * what `java.lang.String.compareTo` does NOT: UTF-16 ranks surrogates
+    * (U+D800+) below U+E000..U+FFFF, so a supplementary-vs-BMP tie-break
+    * would pick different merge winners on the driver than on the engines.
+    * The driver trainer breaks ties through this instead. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Encode one word: chars → merges in rank order. */
   def encodeWord(word: String, rules: Seq[(String, String)]): Array[String] = {
     var syms = chars(word)
     rules.foreach { case (l, r) => if (syms.length > 1) syms = applyRule(syms, l, r) }
+    syms
+  }
+
+  /** Parallel-array twin of [[encodeWord]] for the codegen'd kernel's hot
+    * path ([[graft.functions.BpePieces]]) — no per-row tuple Seq. */
+  def encodeWord(word: String, lhs: Array[String], rhs: Array[String]): Array[String] = {
+    var syms = chars(word)
+    var i = 0
+    while (i < lhs.length) {
+      if (syms.length > 1) syms = applyRule(syms, lhs(i), rhs(i))
+      i += 1
+    }
     syms
   }
 

@@ -301,16 +301,24 @@ object EventOps {
 
   // fresh scratch dir per invocation (a shared per-JVM path would race
   // concurrent builds of this query: overwrite-vs-read corruption); the
-  // returned frame reads it lazily, so cleanup is deferred to JVM exit
-  private def newIncAggStateDir(): String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_incagg_")
+  // returned frame reads it lazily, so cleanup is deferred to JVM exit —
+  // through ONE hook sweeping a registry, not one hook thread per call
+  private val incAggDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val incAggHookOnce: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      catch { case _: Exception => () }
+      incAggDirs.forEach { p =>
+        try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Exception => () }
+      }
     }))
+  private def newIncAggStateDir(): String = {
+    incAggHookOnce
+    val p = java.nio.file.Files.createTempDirectory("graft_incagg_")
+    incAggDirs.add(p)
     p.toString
   }
 

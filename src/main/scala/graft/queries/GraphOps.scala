@@ -40,6 +40,7 @@ object GraphOps {
     * d = 85/100 and dangling-mass redistribution. */
   private[graft] def pageRankDriver(edges: Seq[(String, String, Long)],
                                       iters: Int): Map[String, Long] = {
+    if (edges.isEmpty) return Map.empty // no transitions → no pages (n=0 would divide)
     val outw = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.length.toLong

@@ -74,7 +74,10 @@ object AvroSink {
   private def toAvro(v: Any): AnyRef = v match {
     case null                     => null
     case ts: java.sql.Timestamp   => // → micros since epoch (timestamp-micros)
-      Long.box(math.multiplyExact(ts.getTime / 1000, 1000000L) + ts.getNanos / 1000L)
+      // floorDiv, not /: getTime truncates toward zero but getNanos is
+      // always non-negative, so pre-epoch values need the floored second
+      Long.box(math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+        ts.getNanos / 1000L)
     case i: java.time.Instant     =>
       Long.box(math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L)
     case d: java.sql.Date         => Int.box(d.toLocalDate.toEpochDay.toInt)

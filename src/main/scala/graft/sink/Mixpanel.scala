@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *     `https://api[-eu].mixpanel.com/import?strict=1&project_id=P`
   *     (mixpanel.go:103-112), Basic-authed with the service account;
   *   - the retry ladder is the fixed [100,200,200,500,0] ms sequence, taken
-  *     on network errors and 5xx only (mixpanel.go:25,113-174);
+  *     on network errors, every 5xx, and 429 rate limits
+  *     (mixpanel.go:25,113-174);
   *   - a 400 "failed validation" response is SOFT when some records
   *     imported: the failure report is extracted, not thrown
   *     (mixpanel.go:134-165);
@@ -90,7 +91,9 @@ object Mixpanel {
             case 400 if r.body.contains("some data points in the request failed validation") =>
               // soft when records imported; the report is the caller's to log
               last = r.copy(softFailure = true)
-            case s if s == 500 || s == 502 || s == 503 =>
+            case s if (s >= 500 && s <= 599) || s == 429 =>
+              // every 5xx (504 gateway timeouts included) plus the 429
+              // rate limit is transient — the ladder exists for exactly these
               lastErr = new RuntimeException(s"mixpanel HTTP $s")
               Thread.sleep(delayMs.toLong)
             case s =>

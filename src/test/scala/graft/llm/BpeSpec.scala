@@ -31,6 +31,18 @@ class BpeSpec extends SparkSuite {
     assert(t(0).lhs == "a" && t(0).rhs == "b")
   }
 
+  test("train tie-break is CODE-POINT order, not UTF-16 (supplementary vs U+E000 plane)") {
+    // round 1 merges U+1F600's surrogate pair into ONE symbol; round 2 then
+    // ties (smiley,a) against (priv,b) at weight 3 -- UTF-16 code units rank
+    // the smiley (0xD83D...) below U+E000, code points rank it above, and
+    // Spark/DuckDB compare code points, so the round-2 winner must be priv
+    val smiley = new String(Character.toChars(0x1F600))
+    val priv = "\uE000"
+    val merges = Bpe.train(Seq(s"${smiley}a" -> 3L, s"${priv}b" -> 3L), 2)
+    assert(merges.head.lhs == "\uD83D" && merges.head.rhs == "\uDE00") // pair fuses first
+    assert(merges(1).lhs == priv, s"round-2 winner lhs = ${merges(1).lhs}")
+  }
+
   test("train stops when the vocabulary is fully merged") {
     val m = Bpe.train(Seq("ab" -> 5L), 10)
     assert(m.length == 1 && m(0).merged == "ab")

@@ -31,6 +31,12 @@ class AvroSinkSpec extends SparkSuite {
         Row(null, null, null, null, null, null, null, null, null),
         Row(-9L, -1, -0.5, 0f, false, "", Array.empty[Byte],
           java.sql.Timestamp.from(java.time.Instant.EPOCH),
+          java.sql.Date.valueOf("1969-12-31")),
+        // PRE-epoch with a sub-second part: getTime truncates toward zero
+        // while getNanos stays non-negative — the writer must floorDiv or
+        // this round-trips one second late with a flipped fraction
+        Row(3L, 3, 3.0, 3f, true, "pre", Array[Byte](9),
+          java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:59.5Z")),
           java.sql.Date.valueOf("1969-12-31"))),
       allTypes)
   }
@@ -49,7 +55,7 @@ class AvroSinkSpec extends SparkSuite {
   test("objects are spec-conformant containers: magic, deflate codec, null-union schema") {
     val dir = tmp()
     val n = AvroSink.write(allTypesData.coalesce(1), dir, codec = "deflate")
-    assert(n == 3)
+    assert(n == 4)
     val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
     val bytes = Files.readAllBytes(Paths.get(f.getPath))
     // Avro 1.11 spec §Object Container Files: magic = 'O','b','j',1
