@@ -485,7 +485,7 @@ object StreamOps {
       .parquet(s"$base/input")
       .writeStream.option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val fs = FileSystem.get(new java.net.URI(idxDir),
           s.sparkContext.hadoopConfiguration)
         // bands feed THREE consumers (self-join two sides + index append
@@ -495,23 +495,30 @@ object StreamOps {
         // ONE join per batch: new bands probe (own bands ∪ stored index) —
         // in-batch pairs surface in both orders and canonicalize away in
         // the distinct; cross-batch pairs surface once (new ⋈ stored only,
-        // old×old pairs were already emitted by their own batches)
+        // old×old pairs were already emitted by their own batches).
+        // The index excludes THIS batch's partition so a replayed batch
+        // (at-least-once foreachBatch) never pairs a doc with its own
+        // stale index rows.
         val probe =
           if (!fs.exists(new Path(idxDir))) bands
-          else bands.unionByName(s.read.parquet(idxDir))
+          else bands.unionByName(
+            s.read.parquet(idxDir).filter(col("batch") =!= bid).drop("batch"))
         bands.as("a").join(probe.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-          .distinct().write.mode("append").parquet(outDir)
-        bands.write.mode("append").parquet(idxDir)
+          .distinct().write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+        // per-batchId OVERWRITE, not blind append: replaying a failed batch
+        // replaces its own index/pairs partitions instead of duplicating
+        // them — the storage-side idempotence at-least-once delivery needs
+        bands.write.mode("overwrite").parquet(s"$idxDir/batch=$bid")
         bands.unpersist()
         ()
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir).distinct()
+    s.read.parquet(outDir).drop("batch").distinct()
   }
 
   private val streamNearDupOracle = s"""
