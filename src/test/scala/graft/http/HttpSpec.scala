@@ -84,6 +84,27 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("/api/s envelope: URL-decoded type is JSON-escaped; non-JSON body gets 400, not a 200 ack") {
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val srv = new IngestServer(
+      spool = (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
+      bulkLoad = (_, _, _, _) => 0L, auth = Some(testRegistry)).start()
+    try {
+      // %22%2C%22x%22%3A%22y decodes to `a","x":"y` — without escaping this
+      // would inject a top-level "x" field into the envelope
+      val (code, _) = postAuth(
+        s"http://127.0.0.1:${srv.port}/api/s/s2s/a%22%2C%22x%22%3A%22y",
+        """{"u":1}""", Map("X-Write-Key" -> "k1:sec1"))
+      assert(code == 200)
+      assert(spooled.head._3 ==
+        """{"type":"a\",\"x\":\"y","ingestType":"s2s","event":{"u":1}}""")
+      // a body that is not a JSON object/array must not be acked and spooled
+      val (code2, _) = postAuth(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        "not json at all", Map("X-Write-Key" -> "k1:sec1"))
+      assert(code2 == 400 && spooled.length == 1)
+    } finally srv.stop()
+  }
+
   test("/api/s/s2s rejects: no key, wrong secret, unknown id, browser key on s2s") {
     val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
       auth = Some(testRegistry)).start()
