@@ -61,7 +61,7 @@ final class IngestServer(
           respond(ex, 400, """{"ok":false,"error":"POST /post/:dest with a JSON body"}""")
         else { spool(dest, table, body); respond(ex, 200, """{"ok":true}""") }
       } catch { case e: Exception =>
-        respond(ex, 500, s"""{"ok":false,"error":"${e.getMessage}"}""")
+        respond(ex, 500, s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse("error"))}}""")
       })
     server.createContext("/bulk/", (ex: HttpExchange) =>
       try {
@@ -78,7 +78,7 @@ final class IngestServer(
           respond(ex, 200, s"""{"ok":true,"rows":$rows}""")
         }
       } catch { case e: Exception =>
-        respond(ex, 500, s"""{"ok":false,"error":"${Option(e.getMessage).getOrElse("load failed")}"}""")
+        respond(ex, 500, s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse("load failed"))}}""")
       })
     // Segment-compatible authenticated edge (ingest/router.go:174-176
     // `/api/s/:tp` + `/api/s/s2s/:tp`, auth per router.go:369-397): resolve
@@ -121,7 +121,7 @@ final class IngestServer(
               }
           }
         } catch { case e: Exception =>
-          respond(ex, 500, s"""{"ok":false,"error":"${e.getMessage}"}""")
+          respond(ex, 500, s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse("error"))}}""")
         })
     }
     server.start()

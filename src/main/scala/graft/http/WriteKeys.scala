@@ -41,7 +41,12 @@ object WriteKeys {
     def checkHash(hash: String, secret: String): Boolean = {
       hash.split("\\.", 2) match {
         case Array(salt, hex) =>
-          globalSecrets.exists(gs => hex == hashApiKey(secret, salt, gs))
+          // constant-time digest compare — String == short-circuits on the
+          // first differing byte, a timing side channel on secret verification
+          globalSecrets.exists { gs =>
+            java.security.MessageDigest.isEqual(
+              hex.getBytes(UTF_8), hashApiKey(secret, salt, gs).getBytes(UTF_8))
+          }
         case _ => false
       }
     }

@@ -46,10 +46,23 @@ object Bpe {
     if (n == syms.length) syms else java.util.Arrays.copyOf(out, n)
   }
 
+  /** Split a word into CODE POINTS, one String each — supplementary chars
+    * (emoji, rare CJK) stay whole. Matches Spark `split(word, "")` (code-point
+    * aware) and the oracle's `regexp_extract_all(word, '.')`; a UTF-16
+    * `charAt` split would feed lone surrogates to the trainer and diverge
+    * from both engines on any non-BMP text. */
   private def chars(word: String): Array[String] = {
-    val out = new Array[String](word.length)
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n)
     var i = 0
-    while (i < word.length) { out(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      out(k) = word.substring(i, i + w)
+      i += w
+      k += 1
+    }
     out
   }
 

@@ -49,7 +49,10 @@ object GraphOps {
     for (_ <- 1 to iters) {
       val dang = nodes.filterNot(outw.contains).map(r).sum / n
       val inflow = edges.groupBy(_._2).map { case (dstN, es) =>
-        dstN -> es.map { case (s0, _, w) => r(s0) * w / outw(s0) }.sum
+        // r·w can exceed Long (r ≲ PrUnit=1e12, w unbounded) — widen the
+        // product exactly, as the distributed twin (DECIMAL) and the oracle
+        // (HUGEINT) do; the quotient is ≤ r so it fits back in Long.
+        dstN -> es.map { case (s0, _, w) => (BigInt(r(s0)) * w / outw(s0)).toLong }.sum
       }
       r = nodes.map(v => v -> (base + 85L * (inflow.getOrElse(v, 0L) + dang) / 100L)).toMap
     }
@@ -79,7 +82,11 @@ object GraphOps {
         .agg(coalesce(sum(col("r")), lit(0L)).as("s")).first().getLong(0) / n
       val inflow = cp.select(col("node"), col("r"))
         .join(ew, col("node") === col("src"))
-        .select(col("dst"), expr("(r * w) div outw").as("c"))
+        .select(col("dst"),
+          // widen r·w to DECIMAL(38,0) before the integral divide — a Long
+          // product wraps once w ≳ 1e7 on a high-rank node; `div` on
+          // decimals still returns BIGINT (truncating, operands nonneg)
+          expr("(CAST(r AS DECIMAL(38,0)) * w) div outw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       ranks = nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), col("outw"),
@@ -126,7 +133,7 @@ object GraphOps {
         (SELECT (15 * $PrUnit) // (100 * nn) FROM nc)
         + (85 * (COALESCE(inf.s, 0) + (SELECT dg FROM dang$k))) // 100 AS r
       FROM n LEFT JOIN (
-        SELECT e.dst AS node, CAST(sum((p.r * e.w) // p.outw) AS BIGINT) AS s
+        SELECT e.dst AS node, CAST(sum((CAST(p.r AS HUGEINT) * e.w) // p.outw) AS BIGINT) AS s
         FROM r${k - 1} p JOIN e ON e.src = p.node GROUP BY 1) inf
       ON inf.node = n.node)"""
 

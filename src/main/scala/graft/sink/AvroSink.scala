@@ -152,8 +152,14 @@ object AvroSink {
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new Path(dir, "*.avro")).map(_.getPath.toString).sorted
+    // globStatus returns NULL (not empty) for a nonexistent dir; an empty
+    // frame write legitimately produces zero objects — both read back empty
+    val files = Option(fs.globStatus(new Path(dir, "*.avro")))
+      .getOrElse(Array.empty).map(_.getPath.toString).sorted
     val st = schema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, math.max(1, files.length))
       .flatMap { f =>

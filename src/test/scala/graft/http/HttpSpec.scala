@@ -175,6 +175,19 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("error bodies stay valid JSON when the exception message carries quotes") {
+    val srv = new IngestServer(
+      (_, _, _) => throw new RuntimeException("""boom "quoted" \ path"""),
+      (_, _, _, _) => throw new RuntimeException(null: String)).start()
+    try {
+      val (c1, r1) = post(s"http://127.0.0.1:${srv.port}/post/x", """{"a":1}""")
+      assert(c1 == 500 && r1.contains("""boom \"quoted\" \\ path"""), r1)
+      // a null message renders as the fallback, not the string "null"
+      val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/bulk/x", """{"a":1}""")
+      assert(c2 == 500 && r2.contains("load failed") && !r2.contains("\"null\""), r2)
+    } finally srv.stop()
+  }
+
   test("webhook sink posts NDJSON chunks from the executors — K9") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val receiver = com.sun.net.httpserver.HttpServer.create(

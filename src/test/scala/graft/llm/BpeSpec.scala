@@ -31,16 +31,39 @@ class BpeSpec extends SparkSuite {
     assert(t(0).lhs == "a" && t(0).rhs == "b")
   }
 
-  test("train tie-break is CODE-POINT order, not UTF-16 (supplementary vs U+E000 plane)") {
-    // round 1 merges U+1F600's surrogate pair into ONE symbol; round 2 then
-    // ties (smiley,a) against (priv,b) at weight 3 -- UTF-16 code units rank
-    // the smiley (0xD83D...) below U+E000, code points rank it above, and
-    // Spark/DuckDB compare code points, so the round-2 winner must be priv
+  test("chars() splits by CODE POINT and tie-break is code-point order") {
+    // U+1F600 is ONE symbol from round 1 (code-point split \u2014 a charAt split
+    // would feed its two surrogates as separate symbols, diverging from
+    // Spark split(w,"") and the oracle's regexp_extract_all(w,'.')). Round 1
+    // then ties (smiley,a) vs (priv,b) at weight 3: UTF-16 units rank the
+    // smiley (0xD83D\u2026) below U+E000, code points rank it above \u2014 the engines
+    // compare code points, so the winner must be priv.
     val smiley = new String(Character.toChars(0x1F600))
     val priv = "\uE000"
     val merges = Bpe.train(Seq(s"${smiley}a" -> 3L, s"${priv}b" -> 3L), 2)
-    assert(merges.head.lhs == "\uD83D" && merges.head.rhs == "\uDE00") // pair fuses first
-    assert(merges(1).lhs == priv, s"round-2 winner lhs = ${merges(1).lhs}")
+    assert(merges.head.lhs == priv && merges.head.rhs == "b", merges.head)
+    assert(merges(1).lhs == smiley && merges(1).rhs == "a", merges(1))
+    // encode keeps supplementary chars whole and restores the word
+    val rules = merges.map(m => (m.lhs, m.rhs))
+    assert(Bpe.encodeWord(s"${smiley}a", rules).toSeq == Seq(s"${smiley}a"))
+    assert(Bpe.encodeWord(smiley, rules).toSeq == Seq(smiley))
+  }
+
+  test("driver and distributed trainers agree on supplementary-char words") {
+    val smiley = new String(Character.toChars(0x1F600))
+    val rocket = new String(Character.toChars(0x1F680))
+    val words = Seq(s"${smiley}${rocket}ab" -> 9L, s"${rocket}ab" -> 6L,
+      s"ab${smiley}" -> 4L, "ab" -> 3L)
+    val dist = Bpe.trainDistributed(words.toDF("word", "freq"), 6)
+    val drv = Bpe.train(words, 6)
+    assert(dist == drv, s"$dist vs $drv")
+    // and no merge-table entry starts or ends mid-code-point
+    drv.foreach { m =>
+      Seq(m.lhs, m.rhs).foreach { s =>
+        assert(!Character.isHighSurrogate(s.last), s"dangling surrogate in $s")
+        assert(!Character.isLowSurrogate(s.head), s"leading low surrogate in $s")
+      }
+    }
   }
 
   test("train stops when the vocabulary is fully merged") {

@@ -40,6 +40,22 @@ class GraphOpsSpec extends SparkSuite {
     assert(total <= GraphOps.PrUnit && total > (GraphOps.PrUnit * 9) / 10, total.toString)
   }
 
+  test("r·w beyond Long range stays exact (widened product, no silent wrap)") {
+    // two nodes, weight 5e7: r ≈ PrUnit/2 = 5e11, so r·w ≈ 2.5e19 > Long.Max
+    // — a bare Long product wraps negative and corrupts every rank. The
+    // driver (BigInt), distributed (DECIMAL 38) and oracle (HUGEINT) all
+    // widen; this pins the first two agreeing and staying in range.
+    val w = 50000000L
+    val edges = Seq(("a", "b", w), ("b", "a", 1L), ("a", "c", 1L))
+    val driver = GraphOps.pageRankDriver(edges, GraphOps.PrIters)
+    assert(driver.values.forall(r => r > 0L && r <= GraphOps.PrUnit), driver)
+    assert(driver.values.sum <= GraphOps.PrUnit) // truncation only loses mass
+    val dist = GraphOps.pageRankDistributed(
+        edges.toDF("src", "dst", "w"), GraphOps.PrIters)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dist == driver, s"$dist vs $driver")
+  }
+
   test("distributed plan: edge-table equi-joins only, no pair product, no global sort") {
     val edges = randomEdges(10, 30, seed = 7L)
     val out = GraphOps.pageRankDistributed(edges.toDF("src", "dst", "w"), 2)

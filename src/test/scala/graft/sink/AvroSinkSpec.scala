@@ -108,6 +108,17 @@ class AvroSinkSpec extends SparkSuite {
     assertSameRows(back, df("b STRING, a BIGINT", Seq(Row("x", 1L), Row("y", 2L))))
   }
 
+  test("reading a missing or empty dir returns an empty frame, not NPE") {
+    // Hadoop globStatus returns NULL for a nonexistent dir; the write path
+    // legitimately produces zero objects for an empty frame
+    val schema = StructType(Seq(StructField("a", LongType)))
+    val missing = AvroSink.read(spark, s"${tmp()}/never_written", schema)
+    assert(missing.count() == 0L && missing.schema == schema)
+    val emptyDir = tmp()
+    val back = AvroSink.read(spark, emptyDir, schema)
+    assert(back.count() == 0L)
+  }
+
   test("unsupported types and partitioned layout are rejected loudly") {
     intercept[IllegalArgumentException] {
       AvroSink.avroSchema(StructType(Seq(
