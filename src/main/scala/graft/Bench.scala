@@ -172,9 +172,30 @@ object Bench {
     // durable copy at the repo root: survives any stdout truncation
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     catch { case _: Throwable => () }
+    // The driver keeps only the LAST ~2000 chars of stdout, and sbt appends
+    // a "[success] Total time…" trailer after us — a 136-query line (~4.5 KB)
+    // can never survive that window whole. So: print the FULL line first
+    // (for logs + the BENCH.json twin), then end with a summary line sized
+    // to fit the bounded tail — total + the slowest queries (the ones worth
+    // grading), query/error counts, and a pointer to the full artifact.
     spark.stop()
-    // the summary is the LAST line of output so a tail capture can't cut it
     println(line)
+    val tailBudget = 1700 // 2000-char window minus sbt trailer + slack
+    val slowest = results.sortBy(r => -math.abs(r._2))
+    val base = s""","errors":$errJson,"n_queries":${results.size},"full":"BENCH.json","sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"""
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = head.length + base.length + 1 // +1 closes the queries object
+    var omitted = 0
+    slowest.foreach { case (k, v) =>
+      val ent = jstr(k) + ":" + ms(v)
+      if (used + ent.length + 1 + 24 <= tailBudget) { // +24 for "queries_omitted":NNN
+        picked += ent; used += ent.length + 1
+      } else omitted += 1
+    }
+    val summary = head + picked.mkString(",") + "}" +
+      s""","queries_omitted":$omitted""" + base
+    println(summary)
     System.out.flush()
   }
 }
