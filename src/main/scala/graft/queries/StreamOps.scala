@@ -21,6 +21,16 @@ object StreamOps {
   private def fs(s: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), s.sparkContext.hadoopConfiguration)
 
+  /** Phase timing to stderr when SPARK_GRAFT_PROFILE is set — zero cost
+    * otherwise; kept for the recurring "which segment grew" question on the
+    * streaming simulations. */
+  private def timed[T](name: String)(f: => T): T =
+    if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    } else f
+
   private def rmrf(s: SparkSession, path: String): Unit =
     fs(s, path).delete(new Path(path), true)
 
@@ -77,13 +87,13 @@ object StreamOps {
     val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
     // data-relative segment bounds: the poisoned tail is the top 1% of ids
     // at ANY scale factor (the oracle mirrors the same subqueries)
-    val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val maxId = timed("b4.maxIdProbe")(ev.agg(max(col("event_id"))).collect()(0).getLong(0))
     val mid = maxId / 2
     val poisonFrom = maxId - maxId / 100
-    writeSegments(ev.withColumn("__seg",
+    timed("b4.writeSegments")(writeSegments(ev.withColumn("__seg",
         when(col("event_id") < mid, "001")
           .when(col("event_id") < poisonFrom, "002").otherwise("003")),
-      "__seg", s, s"$base/stage", s"$base/input")
+      "__seg", s, s"$base/stage", s"$base/input"))
 
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -97,22 +107,27 @@ object StreamOps {
     // "constraint" permanently; the first batch carrying the middle range
     // hits a transient failure once (the retry must then succeed)
     val transientTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def load(df: DataFrame): Unit = {
-      // ONE probe job decides both fault injections (max id + mid-range hit)
-      val probe = df.agg(max(col("event_id")).as("mx"),
-        max(when(col("event_id").between(mid, poisonFrom - 1), col("event_id"))).as("midmx"))
-        .collect()(0)
-      if (!probe.isNullAt(0) && probe.getLong(0) >= poisonFrom)
-        throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
-      if (!probe.isNullAt(1) && transientTripped.compareAndSet(false, true))
-        throw new RuntimeException("transient connection reset")
-      sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
+    def load(df0: DataFrame): Unit = {
+      // the batch is read twice (probe + merge write) — cache it so the
+      // JSON parse isn't paid per pass (50k-row batches cost ~0.2s/parse)
+      val df = df0.persist()
+      try {
+        // ONE probe job decides both fault injections (max id + mid-range hit)
+        val probe = df.agg(max(col("event_id")).as("mx"),
+          max(when(col("event_id").between(mid, poisonFrom - 1), col("event_id"))).as("midmx"))
+          .collect()(0)
+        if (!probe.isNullAt(0) && probe.getLong(0) >= poisonFrom)
+          throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
+        if (!probe.isNullAt(1) && transientTripped.compareAndSet(false, true))
+          throw new RuntimeException("transient connection reset")
+        sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
+      } finally df.unpersist()
     }
 
     val retry = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())
-    MicroBatch.runFileStream(s, s"$base/input", schema, s"$base/ckpt",
-      retry, clock = () => T0)(load)
-    MicroBatch.drainAll(s, retry, T0)(load)
+    timed("b4.stream")(MicroBatch.runFileStream(s, s"$base/input", schema, s"$base/ckpt",
+      retry, clock = () => T0)(load))
+    timed("b4.drainAll")(MicroBatch.drainAll(s, retry, T0)(load))
 
     val table = s.read.jdbc(sink.url, "\"STREAM_SINK\"", new java.util.Properties())
       .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),

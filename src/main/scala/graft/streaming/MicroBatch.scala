@@ -110,7 +110,10 @@ object MicroBatch {
     var t = startMs
     (1 to retry.policy.maxRetries).foreach { attempt =>
       t += retry.policy.backoffMs(attempt) + 1000L
+      val t0 = System.nanoTime()
       retry.drain(spark, t)(load)
+      if (sys.env.contains("SPARK_GRAFT_PROFILE")) System.err.println(
+        f"[profile] drain.round$attempt: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     t
   }

@@ -90,7 +90,9 @@ final case class RetryQueue(dir: String, dlqDir: String,
         .withColumn("__retry_time",
           lit(nowMs) + expr(s"least(pow(${policy.baseMin}, __retries), ${policy.capMin})").cast("long") * 60000L)
       val notDue = q.filter(col("__retry_time") > nowMs)
-      val next = notDue.unionByName(requeued)
+      // the queue holds failures (micro-batch sized): keep the rewrite at
+      // enqueue's file fan-out instead of one file per upstream partition
+      val next = notDue.unionByName(requeued).coalesce(8)
       // staged swap: materialize the new queue fully before dropping the old
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
