@@ -276,6 +276,67 @@ object Similarity {
       .select(col("s.sub").as("sub"), col("code_id"), col("s.subvec"))
   }
 
+  /** Train per-subspace PQ codebooks with Lloyd iterations (the production
+    * path [[pqCodebook]]'s Scaladoc promises — Jégou et al. 2011 §II.C train
+    * one k-means per subspace): seeds give the initial codewords, then each
+    * round reassigns every (vector, subspace) slice to its nearest codeword
+    * (squared L2, min-code tie-break — [[pqEncode]]'s exact argmin) and
+    * recomputes each codeword as the per-dimension member mean. All `m`
+    * subspaces train in ONE corpus-scale job per round: the broadcast
+    * codebook cross collapses through a map-side argmin, the mean is a
+    * decimal-exact (sub, code, dim) hash aggregate, and only m·k·(dim/m)
+    * control-plane rows come back to the driver. A codeword with no members
+    * keeps its previous position (standard Lloyd; same convention as
+    * [[kmeansIterate]]). Means are quant6 so the DuckDB oracle replays the
+    * trained codebook bit-for-bit.
+    *
+    * Returns driver-side rows `(sub, code_id, subvec)` — control-plane
+    * sized, ready for [[pqEncode]] (via a literal frame) and the ADC search
+    * distance tables. */
+  def pqTrainCodebook(corpus: DataFrame, seeds: DataFrame, m: Int, dim: Int,
+                      iters: Int, id: String = "vec_id"): Seq[(Int, Long, Array[Double])] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(iters >= 0, s"negative iteration count $iters")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // initial codebook: seed slices widened to double (kilobytes)
+    var cb: Map[(Int, Long), Array[Double]] = seeds
+      .select(col(id), col("embedding")).collect().flatMap { r =>
+        val vid = r.getLong(0)
+        val e = r.getSeq[Float](1).toArray
+        (0 until m).map(j => (j, vid) -> e.slice(j * sub, j * sub + sub).map(_.toDouble))
+      }.toMap
+    // the per-round job scans this sliced frame — materialize it once
+    val sv = corpus.select(col(id).as("vec_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("embedding"), j * sub + 1, sub).as("svec"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.svec").as("svec"))
+      .persist()
+    try {
+      (0 until iters).foreach { _ =>
+        val cbDf = broadcast(cb.toSeq.map { case ((j, c), v) => (j, c, v.toSeq) }
+          .toDF("sub", "code_id", "subvec"))
+        val rows = sv.join(cbDf, "sub")
+          .withColumn("__d", TextOps.quant(l2sq(col("svec"), col("subvec")), 6))
+          .groupBy("vec_id", "sub")
+          .agg(max_by(col("code_id"), struct(-col("__d"), -col("code_id"))).as("code"),
+            first(col("svec")).as("svec"))
+          .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("dim", "__v")))
+          .groupBy("sub", "code", "dim")
+          .agg(TextOps.quant(
+            sum(TextOps.quant(col("__v").cast(DoubleType), 6).cast(DecimalType(28, 8)))
+              .cast(DoubleType) / count(lit(1)), 6).as("mean_q"))
+          .collect()
+        val means = rows.groupBy(r => (r.getInt(0), r.getLong(1))).map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+        }
+        cb = cb ++ means
+      }
+    } finally { sv.unpersist(); () }
+    cb.toSeq.map { case ((j, c), v) => (j, c, v) }.sortBy(t => (t._1, t._2))
+  }
+
   /** PQ encode: each vector's `m` subvectors → the id of the nearest
     * codeword (squared L2, deterministic min-code tie-break). Output
     * `(vec_id, sub, code, dist_q)` — the 1-byte-per-subspace compressed

@@ -19,9 +19,11 @@ import LlmOps.qSql
   *    the codes table, no join, no shuffle; memory-bound by design, which
   *    is the entire point of PQ at 100 TB.
   *
-  * Codebooks are designated seed vectors (deterministic — the oracle
-  * replays them exactly); a production build trains them with per-subspace
-  * [[graft.llm.Similarity.kmeansIterate]] and nothing downstream changes.
+  * `llm_pq_encode`/`llm_pq_search` run TRAINED per-subspace codebooks
+  * ([[graft.llm.Similarity.pqTrainCodebook]]: seed init + `Iters` Lloyd
+  * rounds, all subspaces in one corpus-scale job per round) — the oracle
+  * replays the training rounds as materialized CTEs. `llm_ann_ivfpq` keeps
+  * designated seed codewords to pin the coarse+fine composition itself.
   */
 object PqOps {
 
@@ -35,10 +37,20 @@ object PqOps {
   private def seeds(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < KCodes)
 
+  private val Iters = 2 // Lloyd rounds per subspace (oracle replays each)
+
+  /** Trained per-subspace codebooks ([[Similarity.pqTrainCodebook]]) — the
+    * real FAISS `PQy` shape: seeds initialize, `Iters` Lloyd rounds refine.
+    * Control-plane sized (m·k rows), deterministic, oracle-replayable. */
+  private def trainedCb(s: SparkSession, d: String): Seq[(Int, Long, Array[Double])] =
+    Similarity.pqTrainCodebook(Tables.embeddings(s, d), seeds(s, d), M, Dim, Iters)
+
   def pqEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val cb = Similarity.pqCodebook(seeds(s, d), M, Dim)
-    Similarity.pqEncode(emb, cb, M, Dim)
+    val cbDf = trainedCb(s, d).map { case (j, c, v) => (j, c, v.toSeq) }
+      .toDF("sub", "code_id", "subvec")
+    Similarity.pqEncode(emb, cbDf, M, Dim)
   }
 
   private val NProbe = 2
@@ -78,17 +90,14 @@ object PqOps {
   def pqSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    // ONE control-plane collect: the seed vectors yield the codebook (sliced
-    // on the driver — it is kilobytes) AND the query vectors (queries ⊂
-    // seeds by construction here); the only corpus-scale work is the encode
-    val seedRows = seeds(s, d).select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val cbRows = for {
-      (vid, e) <- seedRows.toSeq; j <- 0 until M
-    } yield (j, vid, e.slice(j * Sub, j * Sub + Sub).map(_.toDouble))
-    val qs = seedRows.filter(_._1 < NQueries)
-      .map { case (vid, e) => (vid, e.map(_.toDouble)) }.toSeq
-    val cbDf = cbRows.map { case (j, vid, sv) => (j, vid, sv.map(_.toFloat).toSeq) }
+    // trained codebook (control-plane, Iters Lloyd rounds); queries are the
+    // ORIGINAL embeddings of vec_id < NQueries — one bounded collect
+    val cbRows = trainedCb(s, d)
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1).toSeq
+    val cbDf = cbRows.map { case (j, vid, sv) => (j, vid, sv.toSeq) }
       .toDF("sub", "code_id", "subvec")
     val codes = Similarity.pqEncode(emb, cbDf, M, Dim)
     Similarity.pqSearchADC(qs, codes, cbRows, M, TopK)
@@ -100,7 +109,8 @@ object PqOps {
     s"""list_sum(list_transform(range(1, ${Sub + 1}),
         k -> ($a[k]::DOUBLE - $b[k]::DOUBLE) * ($a[k]::DOUBLE - $b[k]::DOUBLE)))"""
 
-  // codebook + per-(vector,subspace) nearest codeword, shared by both oracles
+  // codebook + per-(vector,subspace) nearest codeword from SEED codewords
+  // (the ivfpq oracle keeps this shape; encode/search train theirs below)
   private def encodeCtes = s"""cb AS MATERIALIZED (
       SELECT CAST(j AS INTEGER) AS sub, vec_id AS code_id,
              embedding[(j*$Sub+1):(j*$Sub+$Sub)] AS subvec
@@ -120,15 +130,69 @@ object PqOps {
             ORDER BY d ASC, code_id ASC) AS rn
         FROM dists) t WHERE rn = 1)"""
 
-  private val pqEncodeOracle =
-    s"WITH $encodeCtes\n    SELECT vec_id, sub, code, dist_q FROM enc"
+  /** Codebook TRAINING replay: cb0 = seed slices, then `Iters` Lloyd rounds —
+    * per round the (vector, subspace) argmin assignment (quant6 L2, min-code
+    * tie-break) and the decimal-exact per-dimension member mean, a codeword
+    * with no members keeping its previous position. Bit-for-bit the
+    * computation [[graft.llm.Similarity.pqTrainCodebook]] runs. Every
+    * multiply-referenced CTE is MATERIALIZED (DuckDB inlines per reference
+    * otherwise — the chain would expand exponentially). */
+  private def trainCtes: String = {
+    val head = s"""sv AS MATERIALIZED (
+      SELECT vec_id, CAST(j AS INTEGER) AS sub,
+             embedding[(j*$Sub+1):(j*$Sub+$Sub)] AS svec
+      FROM embeddings, unnest(range(0, $M)) AS u(j)),
+    svd AS MATERIALIZED (
+      SELECT vec_id, sub, CAST(generate_subscripts(svec, 1) AS INTEGER) AS dim,
+             unnest(svec)::DOUBLE AS v
+      FROM sv),
+    cb0 AS MATERIALIZED (
+      SELECT sub, vec_id AS code_id, list_transform(svec, x -> x::DOUBLE) AS subvec
+      FROM sv WHERE vec_id < $KCodes)"""
+    val rounds = (1 to Iters).map { r =>
+      s"""asg$r AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code_id AS code,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY ${qSql(l2Sql("s.svec", "c.subvec"), 6)} ASC, c.code_id ASC) AS rn
+        FROM sv s JOIN cb${r - 1} c USING (sub)) t WHERE rn = 1),
+    upd$r AS (
+      SELECT x.sub, a.code AS code_id, x.dim,
+             ${qSql(s"SUM(CAST(${qSql("x.v", 6)} AS DECIMAL(28,8)))::DOUBLE / count(*)", 6)} AS mq
+      FROM svd x JOIN asg$r a ON a.vec_id = x.vec_id AND a.sub = x.sub
+      GROUP BY 1, 2, 3),
+    cb$r AS MATERIALIZED (
+      SELECT p.sub, p.code_id, COALESCE(n.subvec, p.subvec) AS subvec
+      FROM cb${r - 1} p LEFT JOIN (
+        SELECT sub, code_id, list(mq ORDER BY dim) AS subvec
+        FROM upd$r GROUP BY 1, 2) n
+      ON n.sub = p.sub AND n.code_id = p.code_id)"""
+    }
+    (head +: rounds).mkString(",\n    ")
+  }
 
-  private val pqSearchOracle = s"""WITH $encodeCtes,
+  /** Trained-codebook encode: the same argmin as `enc`, against `cb$Iters`. */
+  private def encodeCtesTrained = s"""$trainCtes,
+    dists AS MATERIALIZED (
+      SELECT sv.vec_id, sv.sub, cb.code_id,
+             ${qSql(l2Sql("svec", "subvec"), 6)} AS d
+      FROM sv JOIN cb$Iters cb USING (sub)),
+    enc AS MATERIALIZED (
+      SELECT vec_id, sub, code_id AS code, d AS dist_q FROM (
+        SELECT vec_id, sub, code_id, d,
+          row_number() OVER (PARTITION BY vec_id, sub
+            ORDER BY d ASC, code_id ASC) AS rn
+        FROM dists) t WHERE rn = 1)"""
+
+  private val pqEncodeOracle =
+    s"WITH $encodeCtesTrained\n    SELECT vec_id, sub, code, dist_q FROM enc"
+
+  private val pqSearchOracle = s"""WITH $encodeCtesTrained,
     qd AS MATERIALIZED (
       SELECT q.vec_id AS query_id, q.sub, cb.code_id,
              ${qSql(l2Sql("svec", "subvec"), 6)} AS d
       FROM (SELECT vec_id, sub, svec FROM sv WHERE vec_id < $NQueries) q
-      JOIN cb USING (sub)),
+      JOIN cb$Iters cb USING (sub)),
     approx AS (
       SELECT qd.query_id, e.vec_id AS neighbor_id,
              ${qSql("CAST(SUM(CAST(qd.d AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS adist

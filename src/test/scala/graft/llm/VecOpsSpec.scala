@@ -262,4 +262,51 @@ class VecOpsSpec extends SparkSuite {
     }.sortBy { case (v, a) => (a, v) }.take(3)
     assert(out.map(r => (r._3, r._4)).toSeq == exp, s"${out.toSeq} vs $exp")
   }
+
+  test("pqTrainCodebook: Lloyd rounds cut quantization error and recall@5 >= seed codebook") {
+    import spark.implicits._
+    val (dim, m, kCodes, n) = (16, 4, 4, 48)
+    // 4 well-separated cluster centers + deterministic per-vector noise;
+    // seeds are vectors 0..3 (one per cluster, but noise-offset from the
+    // center) — training should pull each codeword toward the member mean
+    def center(c: Int) = Seq.tabulate(dim)(k => ((c * 31 + k * 7) % 11 - 5).toFloat * 2f)
+    def noise(i: Int, k: Int) = (((i * 1103515245 + k * 12345) % 100) / 200.0f)
+    val rows = (0L until n.toLong).map { i =>
+      val c = (i % 4).toInt
+      (i, center(c).zipWithIndex.map { case (v, k) => v + noise(i.toInt, k) })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = emb.filter(col("vec_id") < kCodes)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def quantErr(cb: Seq[(Int, Long, Array[Double])]): Double = {
+      val cbDf = cb.map { case (j, c, v) => (j, c, v.toSeq) }.toDF("sub", "code_id", "subvec")
+      Similarity.pqEncode(emb, cbDf, m, dim)
+        .agg(sum(col("dist_q"))).collect()(0).getDouble(0)
+    }
+    val seedCb = Similarity.pqTrainCodebook(emb, seeds, m, dim, iters = 0)
+    val trained = Similarity.pqTrainCodebook(emb, seeds, m, dim, iters = 2)
+    assert(trained != seedCb, "training moved no codeword")
+    val (e0, e2) = (quantErr(seedCb), quantErr(trained))
+    assert(e2 < e0, s"quantization error did not improve: $e0 -> $e2")
+    // recall@5 against exact L2 ground truth, driver-computed
+    val all = rows.map { case (i, e) => i -> e.map(_.toDouble).toArray }
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = all.take(4)
+    def recall(cb: Seq[(Int, Long, Array[Double])]): Double = {
+      val cbDf = cb.map { case (j, c, v) => (j, c, v.toSeq) }.toDF("sub", "code_id", "subvec")
+      val codes = Similarity.pqEncode(emb, cbDf, m, dim)
+      val got = Similarity.pqSearchADC(queries, codes, cb, m, k = 5)
+        .as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+      queries.map { case (qid, qv) =>
+        val truth = all.filter(_._1 != qid)
+          .map { case (v, e) => (q6(l2(qv, e)), v) }.sortBy(identity)
+          .take(5).map(_._2).toSet
+        (truth intersect got.getOrElse(qid, Set.empty)).size / 5.0
+      }.sum / queries.size
+    }
+    val (r0, r2) = (recall(seedCb), recall(trained))
+    assert(r2 >= r0, s"trained recall $r2 < seed recall $r0")
+  }
 }
