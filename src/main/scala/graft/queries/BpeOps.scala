@@ -56,6 +56,21 @@ object BpeOps {
     trainedMerges(s, d).toDF("rank", "lhs", "rhs", "merged", "weight")
   }
 
+  /** Executor-per-round trainer on the SAME capped model — the form a
+    * cluster runs when the word model is too large to collect: per round one
+    * map-side-combined pair-count aggregate + a 1-row TakeOrdered feedback,
+    * the merge applied executor-side by the codegen'd BpePieces kernel
+    * ([[Bpe.trainDistributed]]). The model cap itself stays distributed
+    * (TakeOrdered — the frame never hits the driver). Gated by the same
+    * oracle as the driver form: both paths must emit the identical table. */
+  def bpeTrainDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = wordCounts(s, d)
+      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
+    Bpe.trainDistributed(model, NMerges)
+      .toDF("rank", "lhs", "rhs", "merged", "weight")
+  }
+
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val rules = trainedMerges(s, d).map(m => (m.lhs, m.rhs))
     Tables.documents(s, d)
@@ -245,6 +260,7 @@ object BpeOps {
 
   def qs: Map[String, Q] = Map(
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
+    "llm_bpe_train_dist" -> Q(bpeTrainDist, Some(bpeTrainOracle)),
     "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)),
     "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
 }
