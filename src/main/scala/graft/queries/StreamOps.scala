@@ -484,6 +484,75 @@ object StreamOps {
     * once (same batch, or the later batch against the index), so the
     * streamed union must equal the one-shot batch candidate set — which is
     * what the oracle computes. */
+  /** Closed-partition count that triggers band-index compaction. */
+  private[queries] val CompactAt = 2
+
+  /** Compact CLOSED band-index partitions — every `batch=` partition except
+    * the open batch's — into ONE consolidated generation partition
+    * `batch=-(openBatch)`. Rows keep their original batch id in `src_batch`,
+    * so the open-batch replay exclusion is untouched whether a row lives in
+    * its own partition or a consolidated one. Ordering is write-then-delete:
+    * the new generation materializes fully before any old partition drops,
+    * so a crash mid-compaction can only leave DUPLICATE index rows (candidate
+    * pairs are distinct'd downstream), never lose any; a stale generation is
+    * swept by the next compaction (its name differs from the open batch). A
+    * replayed open batch never compacts its own stale partition — the name
+    * filter excludes it. At real cadence the coalesce target would be a
+    * file-size budget rather than 1. */
+  private[queries] def compactBandIndex(s: SparkSession, idxDir: String,
+                                        openBatch: Long): Unit = {
+    if (openBatch <= 0) return
+    val f = fs(s, idxDir)
+    if (!f.exists(new Path(idxDir))) return
+    val parts = Option(f.globStatus(new Path(s"$idxDir/batch=*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    val closed = parts.filter(
+      _.getPath.getName.stripPrefix("batch=").toLong != openBatch)
+    if (closed.length < CompactAt) return
+    s.read.parquet(closed.map(_.getPath.toString): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/batch=-$openBatch")
+    closed.foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** One micro-batch of the incremental near-dup pipeline (the foreachBatch
+    * body, extracted so specs can drive batches, replays, and compaction
+    * directly). Compacts first (only batches strictly before `bid` — the
+    * open batch may still replay and must keep its own partition), then:
+    * bands feed THREE consumers (self-join two sides + index append) —
+    * persist, or the signature pipeline re-runs per consumer (self-join
+    * sides don't reuse exchanges). ONE join per batch: new bands probe
+    * (own bands ∪ stored index) — in-batch pairs surface in both orders and
+    * canonicalize away in the distinct; cross-batch pairs surface once
+    * (new ⋈ stored only; old×old pairs were already emitted by their own
+    * batches). The probe excludes THIS batch's `src_batch` rows so a
+    * replayed batch (at-least-once foreachBatch) never pairs a doc with its
+    * own stale index rows, wherever compaction moved them. */
+  private[queries] def nearDupBatchStep(s: SparkSession, batch: DataFrame,
+                                        bid: Long, idxDir: String,
+                                        outDir: String): Unit = {
+    compactBandIndex(s, idxDir, bid)
+    val f = fs(s, idxDir)
+    val bands = LlmOps.bandFrame(batch).persist()
+    val probe =
+      if (!f.exists(new Path(idxDir))) bands
+      else bands.unionByName(
+        s.read.parquet(idxDir).filter(col("src_batch") =!= bid)
+          .drop("batch", "src_batch"))
+    bands.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct().write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+    // per-batchId OVERWRITE, not blind append: replaying a failed batch
+    // replaces its own index/pairs partitions instead of duplicating
+    // them — the storage-side idempotence at-least-once delivery needs
+    bands.withColumn("src_batch", lit(bid))
+      .write.mode("overwrite").parquet(s"$idxDir/batch=$bid")
+    bands.unpersist()
+    ()
+  }
+
   def qStreamNearDup(s: SparkSession, d: String): DataFrame = {
     val base = "/tmp/graft_sneardup"
     rmrf(s, base)
@@ -501,35 +570,7 @@ object StreamOps {
       .writeStream.option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val fs = FileSystem.get(new java.net.URI(idxDir),
-          s.sparkContext.hadoopConfiguration)
-        // bands feed THREE consumers (self-join two sides + index append
-        // [+ cross join]) — persist, or the signature pipeline re-runs per
-        // consumer (self-join sides don't reuse exchanges)
-        val bands = LlmOps.bandFrame(batch).persist()
-        // ONE join per batch: new bands probe (own bands ∪ stored index) —
-        // in-batch pairs surface in both orders and canonicalize away in
-        // the distinct; cross-batch pairs surface once (new ⋈ stored only,
-        // old×old pairs were already emitted by their own batches).
-        // The index excludes THIS batch's partition so a replayed batch
-        // (at-least-once foreachBatch) never pairs a doc with its own
-        // stale index rows.
-        val probe =
-          if (!fs.exists(new Path(idxDir))) bands
-          else bands.unionByName(
-            s.read.parquet(idxDir).filter(col("batch") =!= bid).drop("batch"))
-        bands.as("a").join(probe.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-          .distinct().write.mode("overwrite").parquet(s"$outDir/batch=$bid")
-        // per-batchId OVERWRITE, not blind append: replaying a failed batch
-        // replaces its own index/pairs partitions instead of duplicating
-        // them — the storage-side idempotence at-least-once delivery needs
-        bands.write.mode("overwrite").parquet(s"$idxDir/batch=$bid")
-        bands.unpersist()
-        ()
+        nearDupBatchStep(s, batch, bid, idxDir, outDir)
       }
       .start()
     q.awaitTermination()

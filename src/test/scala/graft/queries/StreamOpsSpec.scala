@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The incremental near-dup band index under at-least-once delivery and
+  * compaction: whatever the segmentation, replay, or compaction history, the
+  * emitted candidate pair set must equal the one-shot batch computation. */
+class StreamOpsSpec extends SparkSuite {
+
+  // small corpus with planted near-dups: three families of shared shingle
+  // runs, ids interleaved so cross-batch pairs arrive in both id orders
+  private def docs: DataFrame = {
+    import spark.implicits._
+    (0L until 24L).map { i =>
+      val fam = i % 3
+      val noise = s"tail$i unique$i"
+      (i, s"family $fam shares a long run of tokens alpha bravo charlie " +
+        s"delta echo foxtrot golf hotel $fam $noise")
+    }.toDF("doc_id", "text")
+  }
+
+  /** One-shot reference pair set: every band collision once, canonical. */
+  private def oneShotPairs: Set[(Long, Long)] = {
+    val b = LlmOps.bandFrame(docs).persist()
+    val out = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    b.unpersist()
+    out
+  }
+
+  private def streamedPairs(outDir: String): Set[(Long, Long)] =
+    spark.read.parquet(outDir).drop("batch").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def freshDirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sndspec_").toString
+    (s"$base/index", s"$base/pairs")
+  }
+
+  private def slices: Seq[DataFrame] =
+    (0 until 4).map(k => docs.filter(col("doc_id") % 4 === k))
+
+  test("streamed pair set equals one-shot batch, with compaction firing mid-stream") {
+    val (idx, out) = freshDirs()
+    slices.zipWithIndex.foreach { case (sl, bid) =>
+      StreamOps.nearDupBatchStep(spark, sl, bid.toLong, idx, out)
+    }
+    // compaction fired (CompactAt=2): by batch 3 the closed partitions have
+    // consolidated into a negative generation dir
+    val parts = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts.exists(_.startsWith("batch=-")), s"no consolidated gen in $parts")
+    assert(parts.size < 4, s"compaction left all per-batch partitions: $parts")
+    assert(streamedPairs(out) == oneShotPairs)
+  }
+
+  test("pair set is invariant under at-least-once replay of the open batch") {
+    val (idx, out) = freshDirs()
+    val sl = slices
+    sl.zipWithIndex.foreach { case (s0, bid) =>
+      StreamOps.nearDupBatchStep(spark, s0, bid.toLong, idx, out)
+    }
+    // replay the LAST batch (its checkpoint commit "failed"): the step must
+    // not pair docs with their own stale index rows nor duplicate pairs
+    StreamOps.nearDupBatchStep(spark, sl.last, (sl.size - 1).toLong, idx, out)
+    assert(streamedPairs(out) == oneShotPairs)
+    // and a replay AFTER its rows were consolidated is equally idempotent:
+    // force-compact everything below a fictitious later batch, then replay
+    StreamOps.compactBandIndex(spark, idx, sl.size.toLong)
+    StreamOps.nearDupBatchStep(spark, sl.last, (sl.size - 1).toLong, idx, out)
+    assert(streamedPairs(out) == oneShotPairs)
+  }
+
+  test("compaction preserves the index content (src_batch rows, no loss, no dupes)") {
+    val (idx, out) = freshDirs()
+    slices.take(3).zipWithIndex.foreach { case (s0, bid) =>
+      StreamOps.nearDupBatchStep(spark, s0, bid.toLong, idx, out)
+    }
+    val before = spark.read.parquet(idx).drop("batch")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    StreamOps.compactBandIndex(spark, idx, openBatch = 3L)
+    val after = spark.read.parquet(idx).drop("batch")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(after == before)
+  }
+}
