@@ -126,26 +126,47 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int,
               queryId: String = "vec_id", corpusId: String = "vec_id",
-              centroidId: String = "vec_id"): DataFrame = {
+              centroidId: String = "vec_id"): DataFrame =
+    ivfTopKFromCells(queries, ivfCells(corpus, centroids, corpusId, centroidId),
+      centroids, k, nprobe, queryId, centroidId)
+
+  private def withCentCos(df: DataFrame, centroids: DataFrame,
+                          centroidId: String): DataFrame = {
     val cents = broadcast(centroids.select(
       col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
-    def withCos(df: DataFrame): DataFrame = df.crossJoin(cents)
+    df.crossJoin(cents)
       .withColumn("__ccos", TextOps.quant(cosine(col("embedding"), col("__cent")), 6))
-    // nearest cell per corpus vector: an ARGMAX, so a map-side-combinable
-    // hash aggregate (max_by on the strictly-unique (ccos, -cent_id) key —
-    // same tie order as the oracle's cent_id ASC), NOT a sort window: the
-    // cross-product never shuffles, only one pre-combined row per vector does
-    val corpusCells = withCos(
-      corpus.select(col(corpusId).as("neighbor_id"), col("embedding")))
+  }
+
+  /** Cosine cell assignment `(neighbor_id, __cell, __ce)` — the index-build
+    * half of [[ivfTopK]], exposed so an incrementally-maintained (streaming)
+    * index runs the identical computation per batch. Nearest cell per corpus
+    * vector is an ARGMAX, so a map-side-combinable hash aggregate (max_by on
+    * the strictly-unique (ccos, -cent_id) key — same tie order as the
+    * oracle's cent_id ASC), NOT a sort window: the cross-product never
+    * shuffles, only one pre-combined row per vector does. */
+  def ivfCells(corpus: DataFrame, centroids: DataFrame,
+               corpusId: String = "vec_id",
+               centroidId: String = "vec_id"): DataFrame =
+    withCentCos(corpus.select(col(corpusId).as("neighbor_id"), col("embedding")),
+        centroids, centroidId)
       .groupBy(col("neighbor_id"))
       .agg(max_by(col("__cent_id"), struct(col("__ccos"), -col("__cent_id"))).as("__cell"),
         first(col("embedding")).as("__ce"))
-    // query side: top-nprobe cells per query needs a rank — the query set is
-    // tiny by contract, so this window is control-plane sized
+
+  /** The probe half of [[ivfTopK]]: queries pick their nprobe nearest cells,
+    * the prebuilt cell index supplies candidates, cosine top-k ranks. The
+    * query-side rank is a window, but the query set is tiny by contract —
+    * control-plane sized. */
+  def ivfTopKFromCells(queries: DataFrame, corpusCells: DataFrame,
+                       centroids: DataFrame, k: Int, nprobe: Int,
+                       queryId: String = "vec_id",
+                       centroidId: String = "vec_id"): DataFrame = {
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("__ccos").desc, col("__cent_id").asc)
-    val queryCells = withCos(
-      queries.select(col(queryId).as("query_id"), col("embedding")))
+    val queryCells = withCentCos(
+        queries.select(col(queryId).as("query_id"), col("embedding")),
+        centroids, centroidId)
       .withColumn("__cr", row_number().over(qw))
       .filter(col("__cr") <= nprobe) // probe the nprobe nearest cells
       .select(col("query_id"), col("embedding").as("__qe"), col("__cent_id").as("__cell"))

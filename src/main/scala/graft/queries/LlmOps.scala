@@ -809,7 +809,7 @@ object LlmOps {
 
   // ---- similarity search ------------------------------------------------
 
-  private val AnnK = 5
+  private[queries] val AnnK = 5
   private val AnnPlanes = Similarity.planes(6, 64) // 64 buckets
   private val NearDupPlanes = Similarity.planes(8, 64) // 256 buckets, pinned for the oracle
   private val NearDupCos = 0.995
@@ -896,8 +896,8 @@ object LlmOps {
       FROM cand) t
     WHERE rank <= $AnnK"""
 
-  private val IvfCentroids = 16
-  private val IvfNprobe = 2
+  private[queries] val IvfCentroids = 16
+  private[queries] val IvfNprobe = 2
 
   /** IVF ANN: designated-centroid cells + nprobe probing — the inverted-
     * file scale path beside the LSH one (cells from data regions instead of
@@ -952,7 +952,7 @@ object LlmOps {
       emb.filter(col("vec_id") < IvfCentroids), AnnK, IvfNprobe)
   }
 
-  private val annIvfOracle = {
+  private[queries] val annIvfOracle = {
     def cellsSql(filter: String, keep: String) = s"""
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,

@@ -499,7 +499,7 @@ object StreamOps {
     * replayed open batch never compacts its own stale partition — the name
     * filter excludes it. At real cadence the coalesce target would be a
     * file-size budget rather than 1. */
-  private[queries] def compactBandIndex(s: SparkSession, idxDir: String,
+  private[queries] def compactBatchIndex(s: SparkSession, idxDir: String,
                                         openBatch: Long): Unit = {
     if (openBatch <= 0) return
     val f = fs(s, idxDir)
@@ -530,7 +530,7 @@ object StreamOps {
   private[queries] def nearDupBatchStep(s: SparkSession, batch: DataFrame,
                                         bid: Long, idxDir: String,
                                         outDir: String): Unit = {
-    compactBandIndex(s, idxDir, bid)
+    compactBatchIndex(s, idxDir, bid)
     val f = fs(s, idxDir)
     val bands = LlmOps.bandFrame(batch).persist()
     val probe =
@@ -583,7 +583,56 @@ object StreamOps {
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  /** One micro-batch of streaming IVF index maintenance: assign the batch's
+    * vectors to coarse cells against the BROADCAST centroid table (the
+    * identical argmax `llm_ann_ivf` runs — [[graft.llm.Similarity.ivfCells]])
+    * and write them to a per-batchId OVERWRITE partition with `src_batch`
+    * rows, compacting closed partitions first ([[compactBatchIndex]]). A
+    * replayed batch overwrites its own partition — never duplicates. */
+  private[queries] def annIndexBatchStep(s: SparkSession, batch: DataFrame,
+                                         centroids: DataFrame, bid: Long,
+                                         idxDir: String): Unit = {
+    compactBatchIndex(s, idxDir, bid)
+    graft.llm.Similarity.ivfCells(batch, centroids)
+      .withColumn("src_batch", lit(bid))
+      .write.mode("overwrite").parquet(s"$idxDir/batch=$bid")
+  }
+
+  /** Streaming IVF maintenance — the ANN twin of [[qStreamNearDup]]: the
+    * coarse-cell index accumulates across micro-batches in storage (history
+    * is never re-assigned; per-batch work is |batch|-sized), and the final
+    * probe runs [[graft.llm.Similarity.ivfTopKFromCells]] against the
+    * ACCUMULATED index. Cell assignment is batch-independent (fixed
+    * broadcast centroids), so the result must equal the batch-built
+    * `llm_ann_ivf` exactly — the oracle is the same SQL. */
+  def qStreamAnn(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_sann"
+    rmrf(s, base)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    writeSegments(emb.withColumn("__seg",
+        format_string("%03d", col("vec_id") % 3)),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val idxDir = s"$base/index"
+    val cents = emb.filter(col("vec_id") < LlmOps.IvfCentroids)
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        annIndexBatchStep(s, batch, cents, bid, idxDir)
+      }
+      .start()
+    q.awaitTermination()
+    val cells = s.read.parquet(idxDir).select("neighbor_id", "__cell", "__ce")
+    graft.llm.Similarity.ivfTopKFromCells(emb.filter(col("vec_id") < 10),
+      cells, cents, LlmOps.AnnK, LlmOps.IvfNprobe)
+  }
+
   def qs: Map[String, Q] = Map(
+    "q_stream_ann"      -> Q(qStreamAnn, Some(LlmOps.annIvfOracle)),
     "q_stream_neardup"  -> Q(qStreamNearDup, Some(streamNearDupOracle)),
     "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),

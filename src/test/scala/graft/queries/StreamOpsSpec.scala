@@ -71,9 +71,33 @@ class StreamOpsSpec extends SparkSuite {
     assert(streamedPairs(out) == oneShotPairs)
     // and a replay AFTER its rows were consolidated is equally idempotent:
     // force-compact everything below a fictitious later batch, then replay
-    StreamOps.compactBandIndex(spark, idx, sl.size.toLong)
+    StreamOps.compactBatchIndex(spark, idx, sl.size.toLong)
     StreamOps.nearDupBatchStep(spark, sl.last, (sl.size - 1).toLong, idx, out)
     assert(streamedPairs(out) == oneShotPairs)
+  }
+
+  test("streaming IVF index accumulates to the batch-built cells; probe matches ivfTopK") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(k =>
+        (((i * 31 + k * 7) % 13).toFloat - 6f) + (i % 5).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 4)
+    val base = java.nio.file.Files.createTempDirectory("graft_sannspec_").toString
+    val idx = s"$base/index"
+    val sl = (0 until 3).map(k => emb.filter(col("vec_id") % 3 === k))
+    sl.zipWithIndex.foreach { case (b, bid) =>
+      StreamOps.annIndexBatchStep(spark, b, cents, bid.toLong, idx)
+    }
+    // replay the open batch after compaction has fired — idempotent overwrite
+    StreamOps.annIndexBatchStep(spark, sl.last, cents, 2L, idx)
+    val accumulated = spark.read.parquet(idx).select("neighbor_id", "__cell", "__ce")
+    assertSameRows(accumulated, Similarity.ivfCells(emb, cents))
+    val queries = emb.filter(col("vec_id") < 3)
+    assertSameRows(
+      Similarity.ivfTopKFromCells(queries, accumulated, cents, k = 4, nprobe = 2),
+      Similarity.ivfTopK(queries, emb, cents, k = 4, nprobe = 2))
   }
 
   test("compaction preserves the index content (src_batch rows, no loss, no dupes)") {
@@ -83,7 +107,7 @@ class StreamOpsSpec extends SparkSuite {
     }
     val before = spark.read.parquet(idx).drop("batch")
       .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
-    StreamOps.compactBandIndex(spark, idx, openBatch = 3L)
+    StreamOps.compactBatchIndex(spark, idx, openBatch = 3L)
     val after = spark.read.parquet(idx).drop("batch")
       .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
     assert(after == before)
