@@ -422,9 +422,11 @@ object Relational {
       .select("a_name", "b_name", "lev", "a_cnt", "b_cnt")
   }
 
-  private val qFuzzyJoinOracle = s"""
-    WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1),
-    k AS (SELECT p_name, cnt,
+  // blocking + candidate CTEs shared by the fuzzy join and the golden-record
+  // oracle (one copy: a fix to the blocking reaches both at once)
+  private val fuzzyCtes = s"""n AS MATERIALIZED (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1),
+    k AS MATERIALIZED (SELECT p_name, cnt,
             string_split(p_name, ' ')[1] AS w1,
             string_split(p_name, ' ')[-1] AS w2 FROM n),
     b1 AS (SELECT w1 FROM k GROUP BY 1 HAVING count(*) <= $FuzzyBlockCap),
@@ -436,7 +438,10 @@ object Relational {
       UNION
       SELECT a.p_name, b.p_name
       FROM k a JOIN k b ON a.w2 = b.w2 AND a.p_name < b.p_name
-      JOIN b2 ON a.w2 = b2.w2)
+      JOIN b2 ON a.w2 = b2.w2)"""
+
+  private val qFuzzyJoinOracle = s"""
+    WITH $fuzzyCtes
     SELECT a_name, b_name, levenshtein(a_name, b_name) AS lev,
            ka.cnt AS a_cnt, kb.cnt AS b_cnt
     FROM cand
@@ -444,8 +449,63 @@ object Relational {
     JOIN k kb ON kb.p_name = b_name
     WHERE levenshtein(a_name, b_name) <= $FuzzyLevMax"""
 
+  /** Fuzzy-ER survivorship (golden record): the merge step downstream of
+    * [[qFuzzyJoin]] — verified match pairs cluster into entities (connected
+    * components over the name-pair edges, [[graft.llm.Corpus.clusterPairs]];
+    * min-label over strings is UTF-8 order on both engines), and each
+    * cluster elects its canonical spelling by support count
+    * (cnt DESC, name ASC — a total order, deterministic anywhere). Output =
+    * one row per MATCHED name with its cluster and the canonical pick;
+    * unmatched names are already golden and stay out.
+    *
+    * Scale shape: pairs come from the blocked fuzzy join (never all-pairs);
+    * clustering runs over the pair table — the uniqueness FAILURES, a
+    * sliver of the value table; the election is one map-side-combinable
+    * min_by aggregate per cluster, no window over the corpus. */
+  def qErGolden(s: SparkSession, d: String): DataFrame = {
+    val pairs = qFuzzyJoin(s, d).select("a_name", "b_name").persist()
+    val clusters = graft.llm.Corpus.clusterPairs(pairs, "a_name", "b_name")
+      .select(col("node").as("p_name"), col("cluster_id"))
+    val cnts = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+    val members = clusters.join(cnts, "p_name")
+    val canon = members.groupBy("cluster_id")
+      .agg(min_by(struct(col("p_name"), col("cnt")),
+        struct(-col("cnt"), col("p_name"))).as("c"))
+      .select(col("cluster_id"), col("c.p_name").as("canonical"),
+        col("c.cnt").as("canonical_cnt"))
+    members.join(broadcast(canon), "cluster_id")
+      .select("p_name", "cnt", "cluster_id", "canonical", "canonical_cnt")
+  }
+
+  private val qErGoldenOracle = s"""
+    WITH RECURSIVE $fuzzyCtes,
+    matched AS MATERIALIZED (
+      SELECT a_name, b_name FROM cand
+      WHERE levenshtein(a_name, b_name) <= $FuzzyLevMax),
+    nodes AS (SELECT a_name AS nm FROM matched UNION SELECT b_name FROM matched),
+    edges AS (SELECT a_name AS i, b_name AS j FROM matched
+              UNION SELECT b_name, a_name FROM matched),
+    reach(node, m) AS (
+      SELECT nm, nm FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m),
+    cl AS MATERIALIZED (
+      SELECT node AS p_name, min(m) AS cluster_id FROM reach GROUP BY 1),
+    mem AS MATERIALIZED (
+      SELECT cl.p_name, cl.cluster_id, n.cnt FROM cl JOIN n USING (p_name)),
+    canon AS (
+      SELECT cluster_id, p_name AS canonical, cnt AS canonical_cnt FROM (
+        SELECT cluster_id, p_name, cnt,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY cnt DESC, p_name ASC) AS rn
+        FROM mem) t WHERE rn = 1)
+    SELECT m.p_name, m.cnt, m.cluster_id, c.canonical, c.canonical_cnt
+    FROM mem m JOIN canon c USING (cluster_id)"""
+
   def qs: Map[String, Q] = Map(
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
+    "q_er_golden"  -> Q(qErGolden, Some(qErGoldenOracle)),
     "q_semi_anti"  -> Q(qSemiAnti, Some(qSemiAntiOracle)),
     "q_group_topk" -> Q(qGroupTopK, Some(qGroupTopKOracle)),
     "q_group_topk_bounded" -> Q(qGroupTopKBounded, Some(qGroupTopKBoundedOracle)),
