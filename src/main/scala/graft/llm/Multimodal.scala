@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * equivalent of `mapInPandas`: batch-shaped, off the codegen path, the slot
   * where a real decoder library would sit).
   *
-  * The decode step itself is STUBBED (no media libs in this container) with a
-  * deterministic fake keyed on the payload bytes; everything around it —
-  * schema, encoders, partition batching, feature schema — is real and
-  * oracle-checked.
+  * Decoding goes through the [[Multimodal.MediaDecoder]] seam: production
+  * codecs (none in this container) implement the same trait as the default
+  * [[Multimodal.StubDecoder]] (deterministic fake keyed on the payload
+  * bytes — what the oracle-gated queries run) and the
+  * [[Multimodal.SyntheticCodec]] (a REAL parsing codec over a trivial
+  * format, proving the decode→features→dedup path executes end to end).
+  * Everything around the seam — schema, encoders, partition batching,
+  * feature schema — is real and oracle-checked.
   */
 object Multimodal {
 
@@ -25,23 +29,97 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
                                  height: Long, n_frames: Long, checksum: String)
 
-  /** STUB decoder — replace with a real codec call. Deterministic in the
-    * payload so the DuckDB oracle can mirror it. */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
-    val n = r.media.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sum = md.digest(r.media).map("%02x".format(_)).mkString
-    MediaFeatures(r.doc_id, n, n % 640, n % 480, 1 + n % 10, sum)
+  /** The decoder seam: one serializable instance ships to executors, one
+    * logical init per partition. A production build plugs a codec library
+    * (JPEG/PNG/ffmpeg) in here; this container has none, so the two
+    * implementations are the metadata-free [[StubDecoder]] (what the
+    * oracle-gated registry queries run — deterministic in the raw payload)
+    * and the [[SyntheticCodec]], a real parsing codec over a trivial
+    * format, which lets the full decode→features→dedup path EXECUTE rather
+    * than stay a stub. */
+  trait MediaDecoder extends Serializable {
+    /** Parse one payload into typed features. */
+    def decode(docId: Long, payload: Array[Byte], mime: String): MediaFeatures
+    /** The decoded raster (frame-major bytes) — what content-identity
+      * features (blockhash, checksum) should see: container bytes differ
+      * across re-encodes of the same content, pixels don't. */
+    def pixels(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** Payload-level stand-in decoder (no codec libs in this container):
+    * geometry derived deterministically from the byte length, "pixels" are
+    * the payload itself. The DuckDB oracle mirrors it exactly. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(docId: Long, payload: Array[Byte], mime: String): MediaFeatures = {
+      val n = payload.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sum = md.digest(payload).map("%02x".format(_)).mkString
+      MediaFeatures(docId, n, n % 640, n % 480, 1 + n % 10, sum)
+    }
+    override def pixels(payload: Array[Byte]): Array[Byte] = payload
+  }
+
+  /** GPM1 — a deterministic synthetic raster codec that REALLY parses:
+    * `"GPM1" | width:int32 | height:int32 | nFrames:int32 | commentLen:int32
+    * | comment | pixels(width·height·nFrames bytes, frame-major)`, all ints
+    * big-endian. The comment field exists so two encodes of the SAME raster
+    * can differ at the container level — exactly the re-encode case
+    * perceptual dedup must collapse. Malformed payloads fail decode loudly
+    * (bad magic / length mismatch), like a real codec. */
+  object SyntheticCodec extends MediaDecoder {
+    val Mime = "image/x-gpm"
+    private val Magic = Array[Byte]('G', 'P', 'M', '1')
+    private val HeaderLen = 20
+
+    def encode(width: Int, height: Int, frames: Seq[Array[Byte]],
+               comment: Array[Byte] = Array.empty): Array[Byte] = {
+      require(width > 0 && height > 0 && frames.nonEmpty, "empty raster")
+      require(frames.forall(_.length == width * height), "frame size mismatch")
+      val bb = java.nio.ByteBuffer.allocate(
+        HeaderLen + comment.length + width * height * frames.size)
+      bb.put(Magic).putInt(width).putInt(height).putInt(frames.size)
+        .putInt(comment.length).put(comment)
+      frames.foreach(bb.put)
+      bb.array()
+    }
+
+    private def header(payload: Array[Byte]): (Int, Int, Int, Int) = {
+      require(payload != null && payload.length >= HeaderLen &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(payload, 4), Magic),
+        "bad magic: not a GPM1 payload")
+      val bb = java.nio.ByteBuffer.wrap(payload, 4, 16)
+      val (w, h, f, cl) = (bb.getInt, bb.getInt, bb.getInt, bb.getInt)
+      require(w > 0 && h > 0 && f > 0 && cl >= 0 &&
+        payload.length.toLong == HeaderLen.toLong + cl + w.toLong * h * f,
+        s"corrupt GPM1 payload: declared ${w}x${h}x$f+$cl vs ${payload.length} bytes")
+      (w, h, f, cl)
+    }
+
+    override def pixels(payload: Array[Byte]): Array[Byte] = {
+      val (_, _, _, cl) = header(payload)
+      java.util.Arrays.copyOfRange(payload, HeaderLen + cl, payload.length)
+    }
+
+    override def decode(docId: Long, payload: Array[Byte], mime: String): MediaFeatures = {
+      val (w, h, f, _) = header(payload)
+      val px = pixels(payload)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // checksum over the RASTER, not the container: content identity
+      // survives re-encoding (different comment, same pixels)
+      val sum = md.digest(px).map("%02x".format(_)).mkString
+      MediaFeatures(docId, payload.length.toLong, w.toLong, h.toLong, f.toLong, sum)
+    }
   }
 
   /** Feature extraction over a typed media Dataset: per-partition iteration
     * (one decoder init per partition, streaming through rows — the batch
     * shape a Pandas-UDF equivalent needs). */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: initialize the decoder once per partition here
-      rows.map(decodeStub)
+      // the decoder instance is the per-partition init point
+      rows.map(r => decoder.decode(r.doc_id, r.media, r.mime))
     }
   }
 
@@ -91,27 +169,31 @@ object Multimodal {
     * SimHash pipeline runs. A real image phash replaces the byte spans with
     * DCT coefficients; the Spark shape — one narrow per-partition pass,
     * 8 bytes of output per payload — does not change. */
-  def blockHash(media: Dataset[MediaRow], blocks: Int = 8): Dataset[BlockHashRow] = {
+  def blockHash(media: Dataset[MediaRow], blocks: Int = 8,
+                decoder: MediaDecoder = StubDecoder): Dataset[BlockHashRow] = {
     import media.sparkSession.implicits._
     require(blocks > 0 && blocks <= 62)
     media.mapPartitions { rows =>
       rows.map { r =>
         // defensive: a null/empty payload fingerprints to 0 rather than NPE
         if (r.media == null || r.media.isEmpty) BlockHashRow(r.doc_id, 0L, 0L)
-        else blockHashOne(r, blocks)
+        // fingerprint the decoded raster, not the container bytes — with the
+        // StubDecoder the two coincide (payload identity), with a parsing
+        // codec re-encodes of the same content hash identically
+        else blockHashOne(r.doc_id, decoder.pixels(r.media), blocks)
       }
     }
   }
 
-  private def blockHashOne(r: MediaRow, blocks: Int): BlockHashRow = {
-    val n = r.media.length
+  private def blockHashOne(docId: Long, media: Array[Byte], blocks: Int): BlockHashRow = {
+    val n = media.length
     val sums = new Array[Long](blocks)
     val cnts = new Array[Long](blocks)
     var j = 0
     while (j < n) {
       // j*blocks can exceed Int for payloads >= ~268 MB: index in Long space
       val k = (j.toLong * blocks / n).toInt // 0-based byte j → block (equal spans)
-      sums(k) += r.media(j) & 0xffL
+      sums(k) += media(j) & 0xffL
       cnts(k) += 1
       j += 1
     }
@@ -124,7 +206,7 @@ object Multimodal {
       if (cnts(k) > 0 && BigInt(sums(k)) * n > BigInt(total) * cnts(k)) hash |= 1L << k
       k += 1
     }
-    BlockHashRow(r.doc_id, hash, n.toLong)
+    BlockHashRow(docId, hash, n.toLong)
   }
 
   /** Resized media record: same payload identity, new declared geometry. */
