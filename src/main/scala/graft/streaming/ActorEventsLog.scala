@@ -107,6 +107,100 @@ final class JdbcEventsLog(url: String, flushEvery: Int = 100) {
   }
 }
 
+/** In-memory sorted-stream twin of the reference's Redis events log
+  * (redis_events_log.go) — same interface and semantics against a local
+  * store, the backend this environment can't reach a Redis for:
+  *
+  *   - one stream per `(eventType, level, actorId)` key; an `error`-level
+  *     event fans out to BOTH the `error` and `all` streams, everything
+  *     else only to `all` (mapLevel, redis_events_log.go:150-155);
+  *   - [[postAsync]] buffers per stream key and DROPS once the buffer holds
+  *     `maxSize` (PostAsync:106-126 — back-pressure by shedding, not
+  *     blocking); [[flush]] appends everything buffered and trims each
+  *     stream to its newest `maxSize` entries (the `XADD MAXLEN ~` cap);
+  *   - [[postEvent]] writes through immediately and returns the entry id —
+  *     Redis stream id shape `<epochMs>-<seq>`, seq disambiguating entries
+  *     in the same millisecond;
+  *   - [[getEvents]] is XREVRANGE: newest first, optional id/time bounds
+  *     INCLUSIVE on both ends, `limit` caps the page.
+  *
+  * The injected clock keeps ids reproducible in tests (the same frozen-
+  * clock treatment the retry ladder gets). */
+final class StreamEventsLog(maxSize: Int = 1000,
+                            clock: () => Long = () => System.currentTimeMillis()) {
+  require(maxSize > 0, "maxSize must be positive")
+
+  private val streams =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[(String, ActorEvent)]]
+  private val buffer =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[ActorEvent]]
+  private var lastMs = -1L
+  private var lastSeq = -1L
+
+  private def levelsOf(level: String): Seq[String] =
+    if (level == "error") Seq("error", "all") else Seq("all")
+
+  private def key(eventType: String, level: String, actorId: String): String =
+    s"eventsLog:$eventType#$level#$actorId"
+
+  private def nextId(): String = synchronized {
+    val now = clock()
+    if (now == lastMs) lastSeq += 1 else { lastMs = now; lastSeq = 0 }
+    s"$lastMs-$lastSeq"
+  }
+
+  private def append(k: String, e: ActorEvent): String = {
+    val id = nextId()
+    val st = streams.getOrElseUpdate(k,
+      scala.collection.mutable.ArrayBuffer.empty[(String, ActorEvent)])
+    st += (id -> e)
+    if (st.length > maxSize) st.remove(0, st.length - maxSize) // MAXLEN trim
+    id
+  }
+
+  /** Buffered post; a full per-key buffer SHEDS the event (reference
+    * PostAsync semantics — the log is best-effort telemetry, not a queue). */
+  def postAsync(e: ActorEvent): Unit = synchronized {
+    levelsOf(e.level).foreach { lv =>
+      val k = key(e.eventType, lv, e.actorId)
+      val buf = buffer.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty[ActorEvent])
+      if (buf.length < maxSize) buf += e
+    }
+  }
+
+  /** Append everything buffered, trimming each stream to `maxSize`. */
+  def flush(): Unit = synchronized {
+    buffer.foreach { case (k, events) => events.foreach(append(k, _)) }
+    buffer.clear()
+  }
+
+  /** Write-through post; returns the new entry's stream id. An error-level
+    * event lands in both its streams — the id of the `error` stream entry
+    * is returned (the reference returns its single XADD's id). */
+  def postEvent(e: ActorEvent): String = synchronized {
+    levelsOf(e.level).map(lv => append(key(e.eventType, lv, e.actorId), e)).head
+  }
+
+  /** Newest-first filtered read (XREVRANGE shape): `level` picks the stream
+    * (error → the error stream, anything else → all), bounds are inclusive
+    * epoch-ms, `limit` caps the page. */
+  def getEvents(eventType: String, actorId: String, level: String = "",
+                startMs: Option[Long] = None, endMs: Option[Long] = None,
+                limit: Int = 100): Seq[(String, ActorEvent)] = synchronized {
+    flush()
+    val lv = if (level == "error") "error" else "all"
+    val ts = (id: String) => id.takeWhile(_ != '-').toLong
+    streams.getOrElse(key(eventType, lv, actorId),
+        scala.collection.mutable.ArrayBuffer.empty[(String, ActorEvent)])
+      .reverseIterator
+      .filter { case (id, _) =>
+        startMs.forall(ts(id) >= _) && endMs.forall(ts(id) <= _) }
+      .take(math.max(0, limit))
+      .toSeq
+  }
+}
+
 /** ClickHouse statement set for the same log — the backend the reference
   * runs in production (ch_events_log.go); executes verbatim on a CH cluster,
   * spec-proven as text here (no CH in this environment, same treatment as

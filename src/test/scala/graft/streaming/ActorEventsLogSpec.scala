@@ -45,6 +45,56 @@ class ActorEventsLogSpec extends AnyFunSuite {
     assert(l.getEvents("bulker_stream", "d").length == 1)
   }
 
+  test("StreamEventsLog: error events fan out to error+all; others only to all") {
+    var t = 1000L
+    val l = new StreamEventsLog(maxSize = 10, clock = () => t)
+    l.postEvent(ActorEvent("bulker_stream", "a1", "info", t, "{\"n\":1}"))
+    t = 1001L
+    l.postEvent(ActorEvent("bulker_stream", "a1", "error", t, "{\"n\":2}"))
+    assert(l.getEvents("bulker_stream", "a1").map(_._2.content) ==
+      Seq("{\"n\":2}", "{\"n\":1}")) // newest first in "all"
+    assert(l.getEvents("bulker_stream", "a1", level = "error")
+      .map(_._2.content) == Seq("{\"n\":2}")) // only the error in "error"
+  }
+
+  test("StreamEventsLog: ids are <ms>-<seq>, monotone within one millisecond") {
+    val l = new StreamEventsLog(maxSize = 10, clock = () => 5000L)
+    val ids = (1 to 3).map(i =>
+      l.postEvent(ActorEvent("t", "a", "info", 5000L, s"$i")))
+    assert(ids == Seq("5000-0", "5000-1", "5000-2"))
+  }
+
+  test("StreamEventsLog: MAXLEN trim keeps the newest maxSize entries") {
+    var t = 0L
+    val l = new StreamEventsLog(maxSize = 3, clock = () => t)
+    (1 to 5).foreach { i => t = i * 100L
+      l.postEvent(ActorEvent("t", "a", "info", t, s"e$i")) }
+    assert(l.getEvents("t", "a", limit = 100).map(_._2.content) ==
+      Seq("e5", "e4", "e3"))
+  }
+
+  test("StreamEventsLog: postAsync buffers, sheds past maxSize, flush appends once") {
+    var t = 0L
+    val l = new StreamEventsLog(maxSize = 3, clock = () => t)
+    (1 to 5).foreach { i => t = i * 100L
+      l.postAsync(ActorEvent("t", "a", "info", t, s"e$i")) }
+    assert(l.getEvents("t", "a").map(_._2.content) == Seq("e3", "e2", "e1"),
+      "buffer sheds e4/e5 (best-effort telemetry), keeps the first three")
+    l.flush() // second flush: nothing buffered, no duplicates
+    assert(l.getEvents("t", "a").length == 3)
+  }
+
+  test("StreamEventsLog: time bounds are inclusive and limit caps the page") {
+    var t = 0L
+    val l = new StreamEventsLog(maxSize = 10, clock = () => t)
+    (1 to 5).foreach { i => t = i * 100L
+      l.postEvent(ActorEvent("t", "a", "info", t, s"e$i")) }
+    assert(l.getEvents("t", "a", startMs = Some(200L), endMs = Some(400L))
+      .map(_._2.content) == Seq("e4", "e3", "e2"))
+    assert(l.getEvents("t", "a", limit = 2).map(_._2.content) == Seq("e5", "e4"))
+    assert(l.getEvents("t", "other").isEmpty)
+  }
+
   test("ClickHouse twin: async-insert settings, filter-aligned ORDER BY, TTL") {
     assert(ChEventsLogSql.insert.contains("async_insert=1") &&
       ChEventsLogSql.insert.contains("wait_for_async_insert=0"))
