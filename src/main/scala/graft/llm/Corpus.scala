@@ -67,12 +67,16 @@ object Corpus {
     // limit-guarded collect of the undirected pair rows (union-find needs no
     // direction doubling) — not a count + a second collect, and not an eager
     // edge checkpoint: each of those cost an extra pass of the pair pipeline.
-    val longIds = pairs.schema(iCol).dataType == org.apache.spark.sql.types.LongType &&
-      pairs.schema(jCol).dataType == org.apache.spark.sql.types.LongType
-    if (longIds) {
-      val guard = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
-      val probe = pairs.select(col(iCol), col(jCol)).limit(guard + 1).collect()
-      if (probe.length <= guard) return driverUnionFind(pairs.sparkSession, probe)
+    val typesOf = (pairs.schema(iCol).dataType, pairs.schema(jCol).dataType)
+    val guard = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
+    typesOf match {
+      case (org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType) =>
+        val probe = pairs.select(col(iCol), col(jCol)).limit(guard + 1).collect()
+        if (probe.length <= guard) return driverUnionFind(pairs.sparkSession, probe)
+      case (org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType) =>
+        val probe = pairs.select(col(iCol), col(jCol)).limit(guard + 1).collect()
+        if (probe.length <= guard) return driverUnionFindStr(pairs.sparkSession, probe)
+      case _ => ()
     }
     val edgesRaw = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
       .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
@@ -131,6 +135,34 @@ object Corpus {
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("node", "cluster_id")
+  }
+
+  /** String twin of [[driverUnionFind]]. "Smaller" MUST be UTF-8 binary
+    * (code-point) order — what Spark's UTF8String `min` and DuckDB's `min`
+    * over VARCHAR both compute; `java.lang.String.compareTo` is UTF-16 and
+    * ranks supplementary characters below U+E000..U+FFFF, so it would elect
+    * different cluster roots than the engines (the `Bpe.cpCompare` rule). */
+  private def driverUnionFindStr(spark: org.apache.spark.sql.SparkSession,
+                                 pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairRows.foreach { row =>
+      val (a, b) = (row.getString(0), row.getString(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
     import spark.implicits._
     parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("node", "cluster_id")

@@ -24,6 +24,7 @@ object PlanSweep {
     "llm_ann_brute"   -> Set("BroadcastNestedLoop"),
     "llm_ann_recall"  -> Set("BroadcastNestedLoop"), // embeds the brute truth baseline
     "llm_ann_ivf"     -> Set("BroadcastNestedLoop"),
+    "q_stream_ann"    -> Set("BroadcastNestedLoop"), // same ≤16-row centroid cross as ivf
     "llm_ann_ivfpq"   -> Set("BroadcastNestedLoop"), // ≤16-row centroid cross (coarse cells)
     "llm_bm25"        -> Set("BroadcastNestedLoop"),
     "llm_build"       -> Set("BroadcastNestedLoop"),

@@ -229,7 +229,21 @@ class ScaleSpec extends SparkSuite {
     val ivfpq = graft.queries.PqOps.qs("llm_ann_ivfpq").fn(spark, dir)
     val ivfpqPlan = ivfpq.queryExecution.executedPlan.toString
     assert(!ivfpqPlan.contains("CartesianProduct"), ivfpqPlan)
-    val full = graft.queries.PqOps.qs("llm_pq_search").fn(spark, dir)
+    // the full ADC scan with the SAME seed codebook ivfpq uses (the
+    // registry llm_pq_search runs a TRAINED codebook since round 8, so the
+    // shared-pair invariant is pinned against an inline seed-codebook scan)
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+    val seedRows = embDf.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cbRows = for { (vid, e) <- seedRows.toSeq; j <- 0 until 8 }
+      yield (j, vid, e.slice(j * 8, j * 8 + 8).map(_.toDouble))
+    val qsv = seedRows.filter(_._1 < 4)
+      .map { case (v, e) => (v, e.map(_.toDouble)) }.toSeq
+    val cbDf = cbRows.map { case (j, v, sv) => (j, v, sv.map(_.toFloat).toSeq) }
+      .toDF("sub", "code_id", "subvec")
+    val seedCodes = graft.llm.Similarity.pqEncode(embDf, cbDf, 8, 64)
+    val full = graft.llm.Similarity.pqSearchADC(qsv, seedCodes, cbRows, 8, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val restricted = ivfpq.collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))

@@ -281,4 +281,25 @@ class CorpusSpec extends SparkSuite {
       assert(dist.forall { case (node, lab) => lab <= node && dist(lab) == lab })
     }
   }
+
+  test("clusterPairs over strings: driver fast path == distributed, UTF-8 (code-point) minima") {
+    import spark.implicits._
+    // U+1F600 (😀, surrogate pair) vs U+FFFD: java.lang.String.compareTo
+    // ranks the surrogate LOWER (UTF-16), but Spark/DuckDB min rank it
+    // HIGHER (code-point order) — the cluster root must be U+FFFD
+    val pairs = Seq(
+      ("alpha", "beta"), ("beta", "gamma"),     // chain → root "alpha"
+      ("😀", "�"),               // supplementary tie-break
+      ("zeta", "zeta2")).toDF("i", "j").persist()
+    val drv = Corpus.clusterPairs(pairs).as[(String, String)].collect().toMap
+    val dist = Corpus.clusterPairs(pairs, driverMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(drv == dist)
+    assert(drv("gamma") == "alpha" && drv("beta") == "alpha")
+    assert(drv("😀") == "�" && drv("�") == "�",
+      "cluster root must follow code-point order, not UTF-16")
+    assert(java.lang.String.CASE_INSENSITIVE_ORDER != null &&
+      "😀".compareTo("�") < 0, // the trap this test pins
+      "fixture no longer exercises the UTF-16 divergence")
+  }
 }
