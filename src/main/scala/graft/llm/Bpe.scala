@@ -154,6 +154,7 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
+    var sinceCheckpoint = 0
     while (rank < nMerges && !exhausted) {
       val st = state.withColumn("n", size(col("syms"))).filter(col("n") >= 2)
       val best = st
@@ -167,13 +168,23 @@ object Bpe {
       else {
         val (l, r, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(rank, l, r, l + r, w)
-        state = state
-          .withColumn("syms",
-            TextOps.bpePieces(col("syms"), Seq((l, r)), perWord = false))
-          .localCheckpoint(true)
+        state = state.withColumn("syms",
+          TextOps.bpePieces(col("syms"), Seq((l, r)), perWord = false))
+        // truncate lineage every few rounds, not every round: a handful of
+        // stacked BpePieces projections stays cheap to analyze/execute, and
+        // each eager materialization is a whole job of fixed cost (the pair
+        // count above re-runs the un-checkpointed tail at most Every times)
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointEvery) {
+          state = state.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
         rank += 1
       }
     }
     merges.result()
   }
+
+  /** Rounds between lineage truncations in [[trainDistributed]]. */
+  private val CheckpointEvery = 8
 }
