@@ -103,6 +103,53 @@ object PqOps {
     Similarity.pqSearchADC(qs, codes, cbRows, M, TopK)
   }
 
+  /** PQ recall evaluation — the compressed-domain twin of `llm_ann_recall`:
+    * per-query recall@K of the SEED-codebook ADC search vs the TRAINED one,
+    * both against exact squared-L2 ground truth (the metric PQ approximates;
+    * cosine truth would conflate metric mismatch with quantization loss).
+    * Makes the training win an oracle-gated artifact, not just a spec claim.
+    *
+    * Scale shape: truth is the brute baseline over a tiny broadcast query
+    * set (the allowlisted BNL, as `llm_ann_brute`); each hit count is a
+    * (query, neighbor) equi-join + map-side sum; both searchers are the
+    * documented compressed-domain scans. */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qe")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    val truth = q.crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", graft.llm.TextOps.quant(
+        Similarity.l2sq(col("__qe"), col("__ce")), 6))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= TopK)
+      .select("query_id", "neighbor_id").persist()
+    def one(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(lit(name).as("method"), col("query_id"), col("n_hit"),
+          graft.llm.TextOps.quant(col("n_hit") / lit(TopK.toDouble), 4).as("recall"))
+    // seed-codebook search: slice codebook from the seed vectors (float
+    // subvecs — the llm_ann_ivfpq codebook), encode, ADC scan
+    val seedRows = seeds(s, d).select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val seedCb = (for { (vid, e) <- seedRows.toSeq; j <- 0 until M }
+      yield (j, vid, e.slice(j * Sub, j * Sub + Sub).map(_.toDouble)))
+    val qsv = seedRows.filter(_._1 < NQueries)
+      .map { case (vid, e) => (vid, e.map(_.toDouble)) }.toSeq
+    val seedCbDf = seedCb.map { case (j, vid, sv) => (j, vid, sv.map(_.toFloat).toSeq) }
+      .toDF("sub", "code_id", "subvec")
+    val seedSearch = Similarity.pqSearchADC(qsv,
+      Similarity.pqEncode(emb, seedCbDf, M, Dim), seedCb, M, TopK)
+    one("pq_seed", seedSearch).unionByName(one("pq_trained", pqSearch(s, d)))
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   private def l2Sql(a: String, b: String) =
@@ -187,12 +234,14 @@ object PqOps {
   private val pqEncodeOracle =
     s"WITH $encodeCtesTrained\n    SELECT vec_id, sub, code, dist_q FROM enc"
 
-  private val pqSearchOracle = s"""WITH $encodeCtesTrained,
+  /** ADC search tail over a given codebook CTE set — shared by the trained
+    * search oracle, the seed search embedded in the recall oracle. */
+  private def searchSql(ctes: String, cbName: String) = s"""WITH $ctes,
     qd AS MATERIALIZED (
       SELECT q.vec_id AS query_id, q.sub, cb.code_id,
              ${qSql(l2Sql("svec", "subvec"), 6)} AS d
       FROM (SELECT vec_id, sub, svec FROM sv WHERE vec_id < $NQueries) q
-      JOIN cb$Iters cb USING (sub)),
+      JOIN $cbName cb USING (sub)),
     approx AS (
       SELECT qd.query_id, e.vec_id AS neighbor_id,
              ${qSql("CAST(SUM(CAST(qd.d AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS adist
@@ -204,6 +253,8 @@ object PqOps {
         row_number() OVER (PARTITION BY query_id
           ORDER BY adist ASC, neighbor_id ASC) AS rank
       FROM approx) t WHERE rank <= $TopK"""
+
+  private val pqSearchOracle = searchSql(encodeCtesTrained, s"cb$Iters")
 
   private def l2FullSql(a: String, b: String) =
     s"""list_sum(list_transform(range(1, ${Dim + 1}),
@@ -247,8 +298,33 @@ object PqOps {
           ORDER BY adist ASC, neighbor_id ASC) AS rank
       FROM approx) t WHERE rank <= $TopK"""
 
+  private val pqRecallOracle = {
+    def one(name: String, sql: String) = s"""
+    SELECT '$name' AS method, query_id, n_hit,
+      ${qSql(s"n_hit / $TopK.0", 4)} AS recall
+    FROM (
+      SELECT t.query_id,
+        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM truth t LEFT JOIN ($sql) a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1) x"""
+    s"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${qSql(l2FullSql("q.embedding", "e.embedding"), 6)} ASC,
+                     e.vec_id ASC) AS rk
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id) t
+      WHERE rk <= $TopK)
+    ${one("pq_seed", searchSql(encodeCtes, "cb"))}
+    UNION ALL ${one("pq_trained", pqSearchOracle)}"""
+  }
+
   def qs: Map[String, Q] = Map(
     "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
     "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)),
+    "llm_pq_recall" -> Q(pqRecall, Some(pqRecallOracle)),
     "llm_ann_ivfpq" -> Q(ivfPqSearch, Some(ivfPqSearchOracle)))
 }

@@ -26,6 +26,7 @@ object PlanSweep {
     "llm_ann_ivf"     -> Set("BroadcastNestedLoop"),
     "q_stream_ann"    -> Set("BroadcastNestedLoop"), // same ≤16-row centroid cross as ivf
     "llm_ann_ivfpq"   -> Set("BroadcastNestedLoop"), // ≤16-row centroid cross (coarse cells)
+    "llm_pq_recall"   -> Set("BroadcastNestedLoop"), // brute L2 truth baseline, as ann_recall
     "llm_bm25"        -> Set("BroadcastNestedLoop"),
     "llm_build"       -> Set("BroadcastNestedLoop"),
     "llm_domain_mix"  -> Set("BroadcastNestedLoop"),
