@@ -41,9 +41,15 @@ object PqOps {
 
   /** Trained per-subspace codebooks ([[Similarity.pqTrainCodebook]]) — the
     * real FAISS `PQy` shape: seeds initialize, `Iters` Lloyd rounds refine.
-    * Control-plane sized (m·k rows), deterministic, oracle-replayable. */
+    * Control-plane sized (m·k rows), deterministic, oracle-replayable.
+    * Memoized per data dir: three registry queries (encode, search, recall)
+    * consume the same deterministic training output, and a production build
+    * would persist the codebook rather than retrain per consumer. */
+  private val cbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Array[Double])]]()
   private def trainedCb(s: SparkSession, d: String): Seq[(Int, Long, Array[Double])] =
-    Similarity.pqTrainCodebook(Tables.embeddings(s, d), seeds(s, d), M, Dim, Iters)
+    cbCache.computeIfAbsent(d, _ =>
+      Similarity.pqTrainCodebook(Tables.embeddings(s, d), seeds(s, d), M, Dim, Iters))
 
   def pqEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
