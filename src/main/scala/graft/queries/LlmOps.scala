@@ -706,10 +706,11 @@ object LlmOps {
       .orderBy(col("key_q").desc, col("doc_id").asc).limit(WeightedSampleK)
   }
 
-  private val weightedSampleOracle = {
+  /** A-ES key replay CTEs (`q`→`w`→`keys`), shared by the global and the
+    * per-stratum sampling oracles — one copy of the weight/key arithmetic. */
+  private def aesKeyCtes = {
     val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""
-    WITH q AS (
+    s"""q AS (
       SELECT doc_id,
         len(sp)::BIGINT AS n_tokens,
         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE / length(text) AS punct,
@@ -718,12 +719,57 @@ object LlmOps {
     w AS (
       SELECT doc_id,
         greatest(${qSql("least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - least(punct * 5, 1.0)) * 0.3 + least(stop * 3, 1.0) * 0.3", 4)}, 0.0001) AS w
-      FROM q)
-    SELECT doc_id, w,
-      ${qSql(s"ln(${hashSql("doc_id::VARCHAR || ':ws'")} / $Pow2_60) / w", 6)} AS key_q
-    FROM w
-    ORDER BY key_q DESC, doc_id ASC LIMIT $WeightedSampleK"""
+      FROM q),
+    keys AS (
+      SELECT doc_id, w,
+        ${qSql(s"ln(${hashSql("doc_id::VARCHAR || ':ws'")} / $Pow2_60) / w", 6)} AS key_q
+      FROM w)"""
   }
+
+  private val weightedSampleOracle = s"""
+    WITH $aesKeyCtes
+    SELECT doc_id, w, key_q FROM keys
+    ORDER BY key_q DESC, doc_id ASC LIMIT $WeightedSampleK"""
+
+  private val GroupSampleK = 10
+
+  /** Per-stratum weighted sampling without replacement: the A-ES selection
+    * of [[weightedSample]] run INDEPENDENTLY inside every source — "the k
+    * best-quality-weighted docs per domain", the stratified form a corpus
+    * mix actually needs (the global form can starve a small domain).
+    *
+    * Scale shape: the same narrow in-row key projection, then ONE hash
+    * aggregate with the bounded [[graft.functions.TopKByScore]] heap — the
+    * shuffle moves |sources|×K entries, never a per-group sort and never
+    * the corpus; contrast with a rank window, which would sort every
+    * group's full row set. */
+  def groupWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val n = size(col("__toks"))
+    val punct = TextOps.punctRatio(col("text"))
+    val stop = element_at(col("__hits"), 1).cast(DoubleType) / n
+    val u = TextOps.hash60(concat(col("doc_id").cast(StringType), lit(":ws")))
+      .cast(DoubleType) / lit(Pow2_60)
+    Tables.documents(s, d)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__hits", TextOps.langHits(col("__toks")))
+      .select(col("source"), col("doc_id"),
+        greatest(TextOps.qualityScore(n, punct, stop), lit(0.0001)).as("w"))
+      .withColumn("key_q", TextOps.quant(log(u) / col("w"), 6))
+      .groupBy(col("source"))
+      .agg(TextOps.topKBy(col("key_q"), col("doc_id"), GroupSampleK).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("source"), col("e.id").as("doc_id"),
+        col("e.score").as("key_q"), (col("p") + 1).cast(LongType).as("rk"))
+  }
+
+  private val groupWeightedSampleOracle = s"""
+    WITH $aesKeyCtes
+    SELECT source, doc_id, key_q, rk FROM (
+      SELECT d.source, k.doc_id, k.key_q,
+        CAST(row_number() OVER (PARTITION BY d.source
+          ORDER BY k.key_q DESC, k.doc_id ASC) AS BIGINT) AS rk
+      FROM keys k JOIN documents d USING (doc_id)) t
+    WHERE rk <= $GroupSampleK"""
 
   /** Repetition quality filters (published MassiveText/Gopher-style rules):
     * duplicate-2/3-gram fractions and top-2-gram coverage per document —
@@ -2049,6 +2095,7 @@ object LlmOps {
     "llm_winnow"        -> Q(winnow, Some(winnowOracle)),
     "llm_textstats"     -> Q(textStats, Some(textStatsOracle)),
     "llm_weighted_sample" -> Q(weightedSample, Some(weightedSampleOracle)),
+    "llm_group_weighted_sample" -> Q(groupWeightedSample, Some(groupWeightedSampleOracle)),
     "llm_span_corrupt"  -> Q(spanCorrupt, Some(spanCorruptOracle)),
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
