@@ -770,22 +770,33 @@ object SketchOps {
     * side joins the broadcast sketch on (row, bucket); the final top-K is a
     * TakeOrdered. Nothing keyed on the raw stream ever shuffles except the
     * distinct-key pass — which at 100 TB is the keyspace, not the stream. */
-  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+  /** The d×w cell build — exposed so the streaming twin folds micro-batches
+    * into the SAME bounded aggregate (complete-mode state = these cells). */
+  private[queries] def cmCells(keyed: DataFrame, keyCol: String): DataFrame = {
     val rows = (0 until CmDepth).map(lit(_))
-    val keys = Tables.events(s, d).select(col("user_id"))
-    val sketch = keys
-      .select(col("user_id"), explode(array(rows: _*)).as("i"))
-      .withColumn("bucket", cmBucket(col("user_id"), col("i")))
+    keyed.select(col(keyCol), explode(array(rows: _*)).as("i"))
+      .withColumn("bucket", cmBucket(col(keyCol), col("i")))
       .groupBy("i", "bucket").agg(count(lit(1)).as("c")) // ≤ d·w cells
-    keys.distinct()
-      .select(col("user_id"), explode(array(rows: _*)).as("i"))
-      .withColumn("bucket", cmBucket(col("user_id"), col("i")))
-      .join(broadcast(sketch), Seq("i", "bucket"))
-      .groupBy("user_id").agg(min(col("c")).as("est"))
-      .orderBy(col("est").desc, col("user_id").asc).limit(CmTopK)
   }
 
-  private val heavyHittersOracle = s"""
+  /** The probe + top-K tail over a built sketch. */
+  private[queries] def cmProbe(sketch: DataFrame, keys: DataFrame,
+                               keyCol: String): DataFrame = {
+    val rows = (0 until CmDepth).map(lit(_))
+    keys.distinct()
+      .select(col(keyCol), explode(array(rows: _*)).as("i"))
+      .withColumn("bucket", cmBucket(col(keyCol), col("i")))
+      .join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy(keyCol).agg(min(col("c")).as("est"))
+      .orderBy(col("est").desc, col(keyCol).asc).limit(CmTopK)
+  }
+
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.events(s, d).select(col("user_id"))
+    cmProbe(cmCells(keys, "user_id"), keys, "user_id")
+  }
+
+  private[queries] val heavyHittersOracle = s"""
     WITH cells AS (
       SELECT user_id, i,
         ${hashSql("user_id::VARCHAR || ':cm:' || i::VARCHAR")} % $CmWidth AS bucket

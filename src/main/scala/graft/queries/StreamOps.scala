@@ -473,6 +473,38 @@ object StreamOps {
                  ELSE ${SketchOps.HllNum} / s_int END""", 4)} AS hll_est
     FROM fin"""
 
+  /** Streaming Count-Min heavy hitters: the frequency complement of
+    * [[qStreamHll]] — the continuous per-key frequency sketch maintained
+    * ACROSS micro-batches where exact streaming per-key counts would keep
+    * keyspace-sized state. The streaming aggregation's whole state is the
+    * d×w cell matrix ([[SketchOps.cmCells]] — bounded by construction);
+    * complete-mode output snapshots it each trigger, and the final snapshot
+    * probes exactly like the batch sketch. Cell counts are order-independent
+    * sums, so streaming == batch == the oracle. */
+  def qStreamCms(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_scms"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select("event_id", "user_id")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 3 === 0, "001")
+          .when(col("event_id") % 3 === 1, "002").otherwise("003")),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType)))
+    s.catalog.dropTempView("graft_scms_cells")
+    val keyed = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input").select(col("user_id"))
+    val q = SketchOps.cmCells(keyed, "user_id")
+      .writeStream.format("memory").queryName("graft_scms_cells")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SketchOps.cmProbe(s.table("graft_scms_cells"),
+      Tables.events(s, d).select("user_id"), "user_id")
+  }
+
   /** Streaming INCREMENTAL near-dup: the LSH band index maintained across
     * micro-batches — the streaming twin of `llm_incremental`'s daily-slice
     * shape. Each batch (1) computes its own MinHash band rows, (2) joins
@@ -635,6 +667,7 @@ object StreamOps {
     "q_stream_ann"      -> Q(qStreamAnn, Some(LlmOps.annIvfOracle)),
     "q_stream_neardup"  -> Q(qStreamNearDup, Some(streamNearDupOracle)),
     "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),
+    "q_stream_cms"      -> Q(qStreamCms, Some(SketchOps.heavyHittersOracle)),
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
