@@ -360,6 +360,83 @@ class ScaleSpec extends SparkSuite {
       total > BigInt(graft.queries.GraphOps.PrUnit) * 9 / 10, total.toString)
   }
 
+  test("round-8 operators keep scale-safe plans: golden record, stratified A-ES, streaming CMS") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8scale_").toString
+
+    // --- q_er_golden: exact election on the fuzzy-ER fixture ------------
+    // clusters are min-label over UTF-8 order; the canonical spelling wins
+    // by (cnt DESC, name ASC); unmatched names never appear
+    val base = Seq("red widget", "red widget", "red widget", "red wodget",
+      "blue bolt", "blue bolt", "blue bent", "green gear")
+    val mega = (0 to 100).map(i => s"mega n$i") // over-cap block: must drop
+    (base ++ mega).zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val g = graft.queries.Relational.qs("q_er_golden").fn(spark, dir)
+    val got = g.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("red widget", 3L, "red widget", "red widget", 3L),
+      ("red wodget", 1L, "red widget", "red widget", 3L),
+      ("blue bolt", 2L, "blue bent", "blue bolt", 2L),
+      ("blue bent", 1L, "blue bent", "blue bolt", 2L)), got.toString)
+    // candidates come from blocked equi-joins; the election is a min_by
+    // aggregate + broadcast join — never a pair product or a global sort
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("CartesianProduct"), gPlan)
+    assert(!gPlan.contains("BroadcastNestedLoop"), gPlan)
+    assert(!gPlan.contains("rangepartitioning"), gPlan)
+
+    // --- llm_group_weighted_sample: bounded heap, never a rank window ---
+    val rnd = new scala.util.Random(17L)
+    val en = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+    (0 until 60).map { i =>
+      val words = Seq.fill(30)(if (rnd.nextBoolean()) en(rnd.nextInt(en.length))
+                               else s"w${rnd.nextInt(40)}")
+      (i.toLong, words.mkString(" "), "en", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gw = graft.queries.LlmOps.qs("llm_group_weighted_sample").fn(spark, dir)
+    val gwPlan = gw.queryExecution.executedPlan.toString
+    assert(gwPlan.contains("top_k_by"), gwPlan)
+    assert(!gwPlan.toLowerCase.contains("window"), gwPlan)
+    assert(!gwPlan.contains("rangepartitioning"), gwPlan)
+    val gwRows = gw.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(gwRows.length == 30) // 3 sources × K=10, 20 candidates each
+    assert(gwRows.map(r => (r._1, r._2)).distinct.length == 30)
+    gwRows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to 10L), s"ranks in $src")
+      // rank order is (key_q DESC, doc_id ASC) — a total order
+      val byRank = rs.sortBy(_._4)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"order in $src")
+      }
+      // stratum isolation: every pick belongs to its own source
+      rs.foreach(r => assert(r._2 % 3 == src.stripPrefix("src").toLong))
+    }
+
+    // --- q_stream_cms: streamed cells == batch sketch, bounded state ----
+    // cell counts are order-independent sums, so the micro-batched fold
+    // must reproduce the one-shot batch heavy hitters EXACTLY
+    val t0 = 1704067200000L
+    spark.range(500L).select(
+      col("id").as("event_id"),
+      ((col("id") * 1000 + t0) * 1000000L).as("ts"),
+      ((col("id") * col("id")) % 37L).as("user_id"), // skewed keyspace
+      lit("t0").as("event_type"),
+      col("id").cast("double").as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sc = graft.queries.StreamOps.qs("q_stream_cms").fn(spark, dir)
+    assertSameRows(sc, graft.queries.SketchOps.qs("q_heavy_hitters").fn(spark, dir))
+    // the ENTIRE streaming state is the d×w counter matrix — bounded by
+    // construction no matter how long the stream runs
+    assert(spark.table("graft_scms_cells").count() <= 4L * 256L)
+  }
+
   test("packSequences never globally sorts: the only exchange is the shard hash partition") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, "a b c d e", s"shard${i % 4}"))
