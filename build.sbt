@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only a bounded tail of stdout and parses the LAST
+// line as JSON. Forked run output must reach stdout raw (no "[info] "
+// prefix) and sbt must not append a "[success] Total time…" trailer after
+// our artifact line — otherwise the tail's last line is never valid JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

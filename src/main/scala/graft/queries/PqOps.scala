@@ -132,7 +132,7 @@ object PqOps {
       .withColumn("__d", graft.llm.TextOps.quant(
         Similarity.l2sq(col("__qe"), col("__ce")), 6))
       .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= TopK)
-      .select("query_id", "neighbor_id").persist()
+      .select("query_id", "neighbor_id").persist() // released before return
     def one(name: String, approx: DataFrame): DataFrame =
       truth.join(
           approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
@@ -153,7 +153,13 @@ object PqOps {
       .toDF("sub", "code_id", "subvec")
     val seedSearch = Similarity.pqSearchADC(qsv,
       Similarity.pqEncode(emb, seedCbDf, M, Dim), seedCb, M, TopK)
-    one("pq_seed", seedSearch).unionByName(one("pq_trained", pqSearch(s, d)))
+    // materialize the tiny result (2·NQueries rows) so the truth cache can
+    // be released NOW — otherwise its blocks leak into every later query of
+    // a full Verify/Bench run (the harness action happens after we return)
+    val out = one("pq_seed", seedSearch)
+      .unionByName(one("pq_trained", pqSearch(s, d))).localCheckpoint(true)
+    truth.unpersist()
+    out
   }
 
   // ---- oracles ----------------------------------------------------------

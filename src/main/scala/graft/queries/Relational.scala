@@ -395,6 +395,19 @@ object Relational {
     * the worst block at cap² pairs. The value table is persisted because
     * self-join sides re-evaluate their subtree. */
   def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val (plan, keyed) = fuzzyJoinPlan(s, d)
+    // materialize the (tiny) verified-pair result so keyed's cache can be
+    // released before we return — persisted blocks otherwise leak into
+    // the rest of a 142-query run
+    val out = plan.localCheckpoint(true)
+    keyed.unpersist()
+    out
+  }
+
+  /** The fuzzy-join PLAN plus its persisted blocking table — split out so
+    * plan-inspection specs can see the optimizer's planted bound before
+    * [[qFuzzyJoin]] checkpoints it away. Caller owns `keyed.unpersist()`. */
+  private[graft] def fuzzyJoinPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.plans.LevenshteinLengthBound.install(s) // free length-diff pre-filter
     val keyed = Tables.part(s, d)
       .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
@@ -411,7 +424,7 @@ object Relational {
           col("a.bk") === col("b.bk") && col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("a_name"), col("b.p_name").as("b_name"))
     }
-    candidates("w1").union(candidates("w2")).distinct()
+    val plan = candidates("w1").union(candidates("w2")).distinct()
       // filter on the INLINE expression so [[graft.plans.LevenshteinLengthBound]]
       // can plant its free length-diff pre-filter; survivors (tiny) recompute
       // the distance once more for the output column
@@ -420,6 +433,7 @@ object Relational {
       .join(broadcast(keyed.select(col("p_name").as("a_name"), col("cnt").as("a_cnt"))), "a_name")
       .join(broadcast(keyed.select(col("p_name").as("b_name"), col("cnt").as("b_cnt"))), "b_name")
       .select("a_name", "b_name", "lev", "a_cnt", "b_cnt")
+    (plan, keyed)
   }
 
   // blocking + candidate CTEs shared by the fuzzy join and the golden-record
@@ -463,7 +477,9 @@ object Relational {
     * sliver of the value table; the election is one map-side-combinable
     * min_by aggregate per cluster, no window over the corpus. */
   def qErGolden(s: SparkSession, d: String): DataFrame = {
-    val pairs = qFuzzyJoin(s, d).select("a_name", "b_name").persist()
+    // qFuzzyJoin returns a checkpointed (materialized) frame — re-reading it
+    // per clustering pass is a block read, no persist (and no leak) needed
+    val pairs = qFuzzyJoin(s, d).select("a_name", "b_name")
     val clusters = graft.llm.Corpus.clusterPairs(pairs, "a_name", "b_name")
       .select(col("node").as("p_name"), col("cluster_id"))
     val cnts = Tables.part(s, d)

@@ -526,23 +526,38 @@ object StreamOps {
     * its own partition or a consolidated one. Ordering is write-then-delete:
     * the new generation materializes fully before any old partition drops,
     * so a crash mid-compaction can only leave DUPLICATE index rows (candidate
-    * pairs are distinct'd downstream), never lose any; a stale generation is
-    * swept by the next compaction (its name differs from the open batch). A
-    * replayed open batch never compacts its own stale partition — the name
-    * filter excludes it. At real cadence the coalesce target would be a
-    * file-size budget rather than 1. */
+    * pairs are distinct'd downstream), never lose any. A replayed open batch
+    * never compacts its own stale partition — the name filter excludes it.
+    *
+    * Crash recovery on replay is keyed off the generation's `_SUCCESS`
+    * marker (written at job commit, strictly after every data file lands):
+    *   - `batch=-(openBatch)` exists WITH `_SUCCESS` → the crashed attempt's
+    *     write completed, only its deletes are unfinished. Every currently
+    *     closed partition was an input to it (no new batch closes while the
+    *     open batch replays), so finishing = deleting them — the generation
+    *     is never both read and overwritten.
+    *   - exists WITHOUT `_SUCCESS` → a torn write with no reader-visible
+    *     rows; discard it and compact from the (still intact) originals.
+    * At real cadence the coalesce target would be a file-size budget rather
+    * than 1. */
   private[queries] def compactBatchIndex(s: SparkSession, idxDir: String,
                                         openBatch: Long): Unit = {
     if (openBatch <= 0) return
     val f = fs(s, idxDir)
     if (!f.exists(new Path(idxDir))) return
-    val parts = Option(f.globStatus(new Path(s"$idxDir/batch=*")))
+    val gen = new Path(s"$idxDir/batch=-$openBatch")
+    val genDone = f.exists(new Path(gen, "_SUCCESS"))
+    if (f.exists(gen) && !genDone) f.delete(gen, true)
+    val closed = Option(f.globStatus(new Path(s"$idxDir/batch=*")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-    val closed = parts.filter(
-      _.getPath.getName.stripPrefix("batch=").toLong != openBatch)
+      .filter { st =>
+        val n = st.getPath.getName.stripPrefix("batch=").toLong
+        n != openBatch && n != -openBatch
+      }
+    if (genDone) { closed.foreach(st => f.delete(st.getPath, true)); return }
     if (closed.length < CompactAt) return
     s.read.parquet(closed.map(_.getPath.toString): _*)
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/batch=-$openBatch")
+      .coalesce(1).write.mode("overwrite").parquet(gen.toString)
     closed.foreach(st => f.delete(st.getPath, true))
   }
 
@@ -658,7 +673,13 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    // an interrupted compaction can leave a row in both its original and
+    // consolidated partition; near-dup pairs distinct downstream but IVF
+    // probing needs each corpus vector exactly once — dedup the index-sized
+    // cell frame (one row per vector; assignment is deterministic, so any
+    // surviving duplicate is an identical row)
     val cells = s.read.parquet(idxDir).select("neighbor_id", "__cell", "__ce")
+      .dropDuplicates("neighbor_id")
     graft.llm.Similarity.ivfTopKFromCells(emb.filter(col("vec_id") < 10),
       cells, cents, LlmOps.AnnK, LlmOps.IvfNprobe)
   }

@@ -175,11 +175,12 @@ final class StreamEventsLog(maxSize: Int = 1000,
     buffer.clear()
   }
 
-  /** Write-through post; returns the new entry's stream id. An error-level
-    * event lands in both its streams — the id of the `error` stream entry
-    * is returned (the reference returns its single XADD's id). */
+  /** Write-through post; returns the new entry's stream id. ONE XADD to the
+    * first mapped stream only (redis_events_log.go:126-132 —
+    * `mapLevel(level)[0]`): an error-level event lands in the `error` stream
+    * and NOT in `all`; only [[postAsync]] fans out. */
   def postEvent(e: ActorEvent): String = synchronized {
-    levelsOf(e.level).map(lv => append(key(e.eventType, lv, e.actorId), e)).head
+    append(key(e.eventType, levelsOf(e.level).head, e.actorId), e)
   }
 
   /** Newest-first filtered read (XREVRANGE shape): `level` picks the stream

@@ -47,9 +47,12 @@ class LevenshteinLengthBoundSpec extends SparkSuite {
     Seq((1L, "red widget"), (2L, "red wodget"), (3L, "blue bolt"))
       .toDF("p_partkey", "p_name")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // inspect the PLAN form (qFuzzyJoin itself checkpoints the result away)
+    val (plan, keyed) = graft.queries.Relational.fuzzyJoinPlan(spark, dir)
+    assert(plan.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("abs((length("), plan.queryExecution.optimizedPlan.toString)
+    keyed.unpersist()
     val out = graft.queries.Relational.qFuzzyJoin(spark, dir)
-    assert(out.queryExecution.optimizedPlan.toString.toLowerCase
-      .contains("abs((length("), out.queryExecution.optimizedPlan.toString)
     val got = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("red widget", "red wodget")))
   }

@@ -105,11 +105,75 @@ class StreamOpsSpec extends SparkSuite {
     slices.take(3).zipWithIndex.foreach { case (s0, bid) =>
       StreamOps.nearDupBatchStep(spark, s0, bid.toLong, idx, out)
     }
-    val before = spark.read.parquet(idx).drop("batch")
-      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val before = indexRows(idx)
     StreamOps.compactBatchIndex(spark, idx, openBatch = 3L)
-    val after = spark.read.parquet(idx).drop("batch")
+    assert(indexRows(idx) == before)
+  }
+
+  private def indexRows(idx: String): Seq[Seq[Any]] =
+    spark.read.parquet(idx).drop("batch")
       .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
-    assert(after == before)
+
+  test("crash after generation write but before deletes: replay only finishes the deletes") {
+    val (idx, out) = freshDirs()
+    slices.take(2).zipWithIndex.foreach { case (s0, bid) =>
+      StreamOps.nearDupBatchStep(spark, s0, bid.toLong, idx, out)
+    }
+    val before = indexRows(idx)
+    // snapshot the soon-closed partitions, compact (write gen + delete them),
+    // then restore the originals — the on-disk state a crash between the
+    // generation's job commit and the partition deletes leaves behind
+    val p0 = spark.read.parquet(s"$idx/batch=0").localCheckpoint(true)
+    val p1 = spark.read.parquet(s"$idx/batch=1").localCheckpoint(true)
+    StreamOps.compactBatchIndex(spark, idx, openBatch = 2L)
+    p0.write.parquet(s"$idx/batch=0")
+    p1.write.parquet(s"$idx/batch=1")
+    // replayed batch 2 re-runs compaction: the completed generation must be
+    // kept as-is (never read-and-overwritten) and the stale originals dropped
+    StreamOps.compactBatchIndex(spark, idx, openBatch = 2L)
+    val parts = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=-2"), s"unexpected partitions after recovery: $parts")
+    assert(indexRows(idx) == before)
+  }
+
+  test("torn generation write (no _SUCCESS): replay discards it and compacts the intact originals") {
+    val (idx, out) = freshDirs()
+    slices.take(2).zipWithIndex.foreach { case (s0, bid) =>
+      StreamOps.nearDupBatchStep(spark, s0, bid.toLong, idx, out)
+    }
+    val before = indexRows(idx)
+    // a torn write: data files landed but the job never committed (_SUCCESS
+    // absent) — simulate with a stray copy of batch=0's files
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(idx), conf)
+    val gen = new org.apache.hadoop.fs.Path(s"$idx/batch=-2")
+    f.mkdirs(gen)
+    f.globStatus(new org.apache.hadoop.fs.Path(s"$idx/batch=0/part-*")).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f,
+        new org.apache.hadoop.fs.Path(gen, st.getPath.getName), false, conf)
+    }
+    StreamOps.compactBatchIndex(spark, idx, openBatch = 2L)
+    val parts = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=-2"), s"unexpected partitions after recovery: $parts")
+    assert(indexRows(idx) == before)
+  }
+
+  test("IVF probe is immune to duplicate index rows left by an interrupted compaction") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val emb = (0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(k =>
+        (((i * 17 + k * 5) % 11).toFloat - 5f) + (i % 4).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 4)
+    val cells = Similarity.ivfCells(emb, cents)
+    // duplicate every row — the worst interrupted-compaction outcome
+    val dup = cells.unionByName(cells).dropDuplicates("neighbor_id")
+    val queries = emb.filter(col("vec_id") < 3)
+    assertSameRows(
+      Similarity.ivfTopKFromCells(queries, dup, cents, k = 4, nprobe = 2),
+      Similarity.ivfTopKFromCells(queries, cells, cents, k = 4, nprobe = 2))
   }
 }

@@ -45,16 +45,25 @@ class ActorEventsLogSpec extends AnyFunSuite {
     assert(l.getEvents("bulker_stream", "d").length == 1)
   }
 
-  test("StreamEventsLog: error events fan out to error+all; others only to all") {
+  test("StreamEventsLog: postEvent is ONE XADD to mapLevel[0]; only postAsync fans out") {
     var t = 1000L
     val l = new StreamEventsLog(maxSize = 10, clock = () => t)
     l.postEvent(ActorEvent("bulker_stream", "a1", "info", t, "{\"n\":1}"))
     t = 1001L
+    // redis_events_log.go:132 — PostEvent XADDs to mapLevel(level)[0] only,
+    // so an error posted synchronously never appears in the "all" stream
     l.postEvent(ActorEvent("bulker_stream", "a1", "error", t, "{\"n\":2}"))
     assert(l.getEvents("bulker_stream", "a1").map(_._2.content) ==
-      Seq("{\"n\":2}", "{\"n\":1}")) // newest first in "all"
+      Seq("{\"n\":1}"))
     assert(l.getEvents("bulker_stream", "a1", level = "error")
-      .map(_._2.content) == Seq("{\"n\":2}")) // only the error in "error"
+      .map(_._2.content) == Seq("{\"n\":2}"))
+    // PostAsync (redis_events_log.go:112) is the fan-out path: error → both
+    t = 1002L
+    l.postAsync(ActorEvent("bulker_stream", "a1", "error", t, "{\"n\":3}"))
+    assert(l.getEvents("bulker_stream", "a1").map(_._2.content) ==
+      Seq("{\"n\":3}", "{\"n\":1}"))
+    assert(l.getEvents("bulker_stream", "a1", level = "error")
+      .map(_._2.content) == Seq("{\"n\":3}", "{\"n\":2}"))
   }
 
   test("StreamEventsLog: ids are <ms>-<seq>, monotone within one millisecond") {
