@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -14,7 +15,9 @@ object Bench {
     // window/broadcast/cross-join/JSON executor machinery) so the first
     // timed query hitting each engine path isn't charged JVM first-use cost.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
+    // warm the events read through the PRODUCTION loader so the warm path
+    // can never diverge from what the queries actually execute
+    try graft.core.Tables.events(spark, sfDir).limit(10).collect()
     catch { case _: Throwable => () }
     try {
       import org.apache.spark.sql.expressions.Window

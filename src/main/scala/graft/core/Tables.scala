@@ -30,18 +30,40 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = spread(s, apply(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = spread(s, apply(s, d, "embeddings"))
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
-    * TimestampType (µs) cannot hold; we read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
-    *   - `ts_ns`  — raw epoch nanoseconds (long)
+  /** The driver has regenerated `events.parquet` with different physical
+    * encodings for `ts` across rounds — TIMESTAMP(NANOS) (unrepresentable in
+    * Spark's µs TimestampType, read as raw long via
+    * `spark.sql.legacy.parquet.nanosAsLong`), then TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (Spark TIMESTAMP_NTZ). The loader is therefore
+    * encoding-agnostic: it branches on the dtype Spark actually loaded and
+    * always exposes the same three columns:
+    *   - `ts_ns`  — epoch nanoseconds (long)
     *   - `ts_ms`  — epoch milliseconds (long, floor)
     *   - `ts`     — TimestampType truncated to milliseconds
-    * Oracle side uses DuckDB `epoch_ms(ts)` which floors identically. */
+    * Oracle side uses DuckDB `epoch_ms(ts)` which floors identically.
+    * NTZ wall-times are interpreted as UTC instants via a timestampdiff
+    * against the NTZ epoch literal — session-timezone-independent, so the
+    * result is the same whether or not the caller set session.timeZone=UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    val raw = apply(s, d, "events")
+    val tsNanos = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // parquet TIMESTAMP(NANOS) → raw nanos
+        col("ts")
+      case org.apache.spark.sql.types.TimestampNTZType => // parquet TIMESTAMP(MICROS, NTZ)
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L)
+      case _: org.apache.spark.sql.types.TimestampType => // parquet TIMESTAMP(MICROS, UTC-adjusted)
+        unix_micros(col("ts")) * lit(1000L)
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported dtype $other")
+    }
+    raw
+      .withColumn("ts", tsNanos) // replace in place: keeps column position stable
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
+      // exact integer FLOOR division (Spark `div` truncates toward zero;
+      // DuckDB epoch_ms floors — identical for the driver's post-epoch data,
+      // but keep the loader oracle-exact for any instant)
+      .withColumn("ts_ms", expr("(ts_ns - pmod(ts_ns, 1000000)) div 1000000"))
       .withColumn("ts", timestamp_millis(col("ts_ms")))
   }
 }
