@@ -168,10 +168,35 @@ object Bench {
     // ms-rounded timings keep the artifact compact enough that a bounded
     // tail capture always holds every query; full precision adds nothing
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+    // a failed query is BROKEN, not slow: it appears only in `errors`, never
+    // in `queries`, and contributes nothing to the total
+    val good = results.filter(_._2 >= 0)
+    val qs = good.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(r => math.abs(r._2)).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val total = good.map(_._2).sum
+    // self-contained drift report: compare against the committed previous
+    // round's BENCH.json (same path we are about to overwrite) so a >1.5×
+    // per-query regression is visible in the artifact itself
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH.json")), java.nio.charset.StandardCharsets.UTF_8)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val q = root.get("queries")
+      if (q == null) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val prevTotal: Option[Double] = prev.filter(_._2 >= 0).values
+      .reduceOption(_ + _).filter(_ => prev.nonEmpty)
+    val regressions = good.flatMap { case (k, v) =>
+      prev.get(k).filter(p => p > 0 && v > 1.5 * p && v > 0.5)
+        .map(p => jstr(k) + s""":{"prev":${ms(p)},"now":${ms(v)}}""")
+    }
+    val regJson = regressions.mkString("{", ",", "}")
+    val prevJson = prevTotal.map(t => s""","prev_total":${ms(t)}""").getOrElse("")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec"$prevJson,"queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     // durable copy at the repo root: survives any stdout truncation
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     catch { case _: Throwable => () }
@@ -184,8 +209,8 @@ object Bench {
     spark.stop()
     println(line)
     val tailBudget = 1700 // 2000-char window minus sbt trailer + slack
-    val slowest = results.sortBy(r => -math.abs(r._2))
-    val base = s""","errors":$errJson,"n_queries":${results.size},"full":"BENCH.json","sf":"$sfDir"}"""
+    val slowest = good.sortBy(-_._2)
+    val base = s""","errors":$errJson,"n_queries":${results.size},"n_regressions":${regressions.size},"full":"BENCH.json","sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"""
     val picked = scala.collection.mutable.ListBuffer.empty[String]
     var used = head.length + base.length + 1 // +1 closes the queries object
