@@ -207,6 +207,35 @@ class EngineSpec extends SparkSuite {
     assert(got4 == Seq("test10D", "test7B", "test7C", "test8B", "test8C", "test9D"), s"$got4")
   }
 
+  test("merge window: µs-precision timestamps around the cutoff (micros testdata era)") {
+    // the driver testdata now carries µs-precision timestamps; prove the
+    // window cutoff (built at ms precision) compares correctly against
+    // sub-millisecond _timestamp values on the target side. Frozen clock
+    // 2023-02-07, window 5 days → cutoff 2023-02-02T00:00:00.000 exactly.
+    val now = java.time.Instant.parse("2023-02-07T00:00:00Z").toEpochMilli
+    val cfg = StreamConfig(mode = Engine.Batch, pk = Seq("id"), deduplicate = true,
+      timestampColumn = Some("_timestamp"), mergeWindowDays = 5, nowMs = () => now)
+    val e = engine("mwus")
+    val s1 = e.createStream("mw", cfg)
+    // 1µs BEFORE the cutoff → predates the window → old row must SURVIVE
+    s1.consume("""{"id":1,"_timestamp":"2023-02-01T23:59:59.999999Z","name":"before-us"}""")
+    // 1µs AFTER the cutoff → inside the window → old row must be REPLACED
+    s1.consume("""{"id":2,"_timestamp":"2023-02-02T00:00:00.000001Z","name":"after-us"}""")
+    assert(s1.complete().status == "ok")
+    // both µs fractions must land in the warehouse intact (not ms-truncated),
+    // otherwise id=1 sits exactly AT the cutoff and merges, masking the test
+    val stored = readTable("mwus", "mw").select("_TIMESTAMP").collect()
+      .map(_.getTimestamp(0).getNanos).sorted.toSeq
+    assert(stored == Seq(1000, 999999000), s"µs lost in ingest: $stored")
+    val s2 = e.createStream("mw", cfg)
+    s2.consume("""{"id":1,"_timestamp":"2023-02-06T00:00:00.000000Z","name":"new1"}""")
+    s2.consume("""{"id":2,"_timestamp":"2023-02-06T00:00:00.000000Z","name":"new2"}""")
+    assert(s2.complete().status == "ok")
+    val got = readTable("mwus", "mw").select("NAME").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("before-us", "new1", "new2"), s"$got")
+  }
+
   test("merge window: a null-timestamp target row is never replaced (kept, not dropped)") {
     val now = java.time.Instant.parse("2023-02-07T00:00:00Z").toEpochMilli
     val cfg = StreamConfig(mode = Engine.Batch, pk = Seq("id"), deduplicate = true,
