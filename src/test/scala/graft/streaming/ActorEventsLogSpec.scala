@@ -104,6 +104,73 @@ class ActorEventsLogSpec extends AnyFunSuite {
     assert(l.getEvents("t", "other").isEmpty)
   }
 
+  /** Execute the CH statement set LIVE: a mechanical dialect substitution
+    * (CH types → Derby types, LIMIT → FETCH FIRST, async-insert settings and
+    * MergeTree clauses dropped) leaves the statement SHAPE — column order,
+    * filter predicates, bind slots, ORDER BY timestamp DESC, page cap —
+    * untouched, and that shape must read back exactly what the native
+    * JdbcEventsLog read returns on the same event set, across the whole
+    * (level × start × end × limit) filter matrix. */
+  test("ClickHouse twin executes live (Derby-ized) and agrees with the JDBC read matrix") {
+    def derbyize(sql: String): String = sql
+      .replace("IF NOT EXISTS ", "")
+      .replace("DateTime64(3)", "TIMESTAMP")
+      .replace("LowCardinality(String)", "VARCHAR(64)")
+      .replace("String", "VARCHAR(4096)")
+      .replaceAll("(?s)\\) ENGINE = MergeTree\\(\\).*", ")")
+      .replaceAll(" SETTINGS [^ ]*=[0-9]+(, [^ ]*=[0-9]+)*", "")
+      .replaceAll("LIMIT (\\d+)", "FETCH FIRST $1 ROWS ONLY")
+    val url = "jdbc:derby:memory:evlog_chtwin;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    // distinct timestamps: ORDER BY ts DESC must be a total order so the
+    // two backends can be compared as SEQUENCES, not sets
+    val events = (1 to 12).map(i => ActorEvent("bulker_batch", "destA",
+      if (i % 3 == 0) "error" else "info", i * 1000L, s"""{"n":$i}"""))
+    try {
+      val st = c.createStatement()
+      st.execute(derbyize(ChEventsLogSql.ddl)); st.close()
+      val ins = c.prepareStatement(derbyize(ChEventsLogSql.insert))
+      events.foreach { e =>
+        ins.setTimestamp(1, new java.sql.Timestamp(e.timestampMs))
+        ins.setString(2, e.actorId); ins.setString(3, e.eventType)
+        ins.setString(4, e.level); ins.setString(5, e.content); ins.addBatch()
+      }
+      ins.executeBatch(); ins.close()
+
+      def chRead(level: Option[String], startMs: Option[Long],
+                 endMs: Option[Long], limit: Int): Seq[ActorEvent] = {
+        val ps = c.prepareStatement(derbyize(ChEventsLogSql.select(
+          level.isDefined, startMs.isDefined, endMs.isDefined, limit)))
+        var i = 0
+        def next = { i += 1; i }
+        ps.setString(next, "bulker_batch"); ps.setString(next, "destA")
+        level.foreach(ps.setString(next, _))
+        startMs.foreach(m => ps.setTimestamp(next, new java.sql.Timestamp(m)))
+        endMs.foreach(m => ps.setTimestamp(next, new java.sql.Timestamp(m)))
+        val rs = ps.executeQuery()
+        val out = Seq.newBuilder[ActorEvent]
+        while (rs.next()) out += ActorEvent(rs.getString(3), rs.getString(2),
+          rs.getString(4), rs.getTimestamp(1).getTime, rs.getString(5))
+        ps.close(); out.result()
+      }
+
+      val native = log("chtwin_native")
+      events.foreach(native.post); native.flush()
+      for {
+        level <- Seq(None, Some("error"), Some("info"))
+        start <- Seq(None, Some(4000L))
+        end <- Seq(None, Some(9000L))
+        limit <- Seq(100, 2)
+      } {
+        val ch = chRead(level, start, end, limit)
+        val jd = native.getEvents("bulker_batch", "destA", level, start, end, limit)
+        assert(ch == jd, s"filter matrix diverged at level=$level start=$start end=$end limit=$limit")
+      }
+      assert(chRead(None, None, None, 100).map(_.timestampMs) ==
+        events.map(_.timestampMs).sorted.reverse, "newest-first total order")
+    } finally c.close()
+  }
+
   test("ClickHouse twin: async-insert settings, filter-aligned ORDER BY, TTL") {
     assert(ChEventsLogSql.insert.contains("async_insert=1") &&
       ChEventsLogSql.insert.contains("wait_for_async_insert=0"))
