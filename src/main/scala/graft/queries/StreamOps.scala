@@ -556,10 +556,31 @@ object StreamOps {
       }
     if (genDone) { closed.foreach(st => f.delete(st.getPath, true)); return }
     if (closed.length < CompactAt) return
-    s.read.parquet(closed.map(_.getPath.toString): _*)
-      .coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    // layout-preserving: a band index carries the `pb=` bucket sublayout
+    // (one file per bucket from the single task) so probe-side partition
+    // pruning works identically on consolidated and per-batch partitions;
+    // the ANN cell index has no buckets and compacts flat. basePath anchors
+    // partition discovery when the closed dirs have nested partitions, and
+    // the discovered `batch` column is dropped — the generation's own
+    // partition name carries it on read.
+    val df = s.read.option("basePath", idxDir)
+      .parquet(closed.map(_.getPath.toString): _*).drop("batch")
+    val w = df.coalesce(1).write.mode("overwrite")
+    (if (df.columns.contains("pb")) w.partitionBy("pb") else w).parquet(gen.toString)
     closed.foreach(st => f.delete(st.getPath, true))
   }
+
+  /** Band-bucket count for the stored index layout. Index rows live under
+    * `batch=N/pb=K` where `pb = pmod(xxhash64(band, key), PbBuckets)` — any
+    * index row that can collide with a probe row shares its (band, key) and
+    * therefore its bucket, so a micro-batch only READS the buckets its own
+    * bands hash into. At trickle cadence (the streaming regime: batches of
+    * tens-to-hundreds of events against a corpus-sized index) that prunes
+    * most of the accumulated index per batch; a corpus-sized batch touches
+    * every bucket and degrades gracefully to the full read. */
+  private[queries] val PbBuckets = 16
+  private[queries] def pbCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band"), col("key")), lit(PbBuckets.toLong))
 
   /** One micro-batch of the incremental near-dup pipeline (the foreachBatch
     * body, extracted so specs can drive batches, replays, and compaction
@@ -573,18 +594,26 @@ object StreamOps {
     * (new ⋈ stored only; old×old pairs were already emitted by their own
     * batches). The probe excludes THIS batch's `src_batch` rows so a
     * replayed batch (at-least-once foreachBatch) never pairs a doc with its
-    * own stale index rows, wherever compaction moved them. */
+    * own stale index rows, wherever compaction moved them — and it reads
+    * ONLY the `pb=` buckets the batch's own bands hash into (the ≤PbBuckets
+    * distinct-pb probe is the one limit-guarded driver collect here). */
   private[queries] def nearDupBatchStep(s: SparkSession, batch: DataFrame,
                                         bid: Long, idxDir: String,
                                         outDir: String): Unit = {
     compactBatchIndex(s, idxDir, bid)
     val f = fs(s, idxDir)
-    val bands = LlmOps.bandFrame(batch).persist()
+    val bands = LlmOps.bandFrame(batch).withColumn("pb", pbCol).persist()
     val probe =
-      if (!f.exists(new Path(idxDir))) bands
-      else bands.unionByName(
-        s.read.parquet(idxDir).filter(col("src_batch") =!= bid)
-          .drop("batch", "src_batch"))
+      if (!f.exists(new Path(idxDir))) bands.drop("pb")
+      else {
+        val pbs = bands.select("pb").distinct().limit(PbBuckets)
+          .collect().map(_.getLong(0)).toSeq
+        bands.drop("pb").unionByName(
+          s.read.parquet(idxDir)
+            .filter(col("pb").isin(pbs: _*)) // partition-prunes the index scan
+            .filter(col("src_batch") =!= bid)
+            .drop("batch", "src_batch", "pb"))
+      }
     bands.as("a").join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -594,8 +623,10 @@ object StreamOps {
     // per-batchId OVERWRITE, not blind append: replaying a failed batch
     // replaces its own index/pairs partitions instead of duplicating
     // them — the storage-side idempotence at-least-once delivery needs
-    bands.withColumn("src_batch", lit(bid))
-      .write.mode("overwrite").parquet(s"$idxDir/batch=$bid")
+    // keyed repartition → ONE file per pb bucket (partitionBy alone writes a
+    // file per task per bucket: task-count × bucket-count tiny files)
+    bands.withColumn("src_batch", lit(bid)).repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$idxDir/batch=$bid")
     bands.unpersist()
     ()
   }

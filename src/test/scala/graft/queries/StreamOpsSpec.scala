@@ -76,6 +76,43 @@ class StreamOpsSpec extends SparkSuite {
     assert(streamedPairs(out) == oneShotPairs)
   }
 
+  test("trickle batch probes only its own pb buckets, and the pair set stays exact") {
+    import spark.implicits._
+    val (idx, out) = freshDirs()
+    slices.zipWithIndex.foreach { case (sl, bid) =>
+      StreamOps.nearDupBatchStep(spark, sl, bid.toLong, idx, out)
+    }
+    // a 1-doc trickle batch: 4 band rows → ≤4 of the PbBuckets buckets
+    val tiny = Seq((100L, "family 1 shares a long run of tokens alpha bravo " +
+      "charlie delta echo foxtrot golf hotel 1 tailX uniqueX")).toDF("doc_id", "text")
+    val pbs = LlmOps.bandFrame(tiny).withColumn("pb", StreamOps.pbCol)
+      .select("pb").distinct().collect().map(_.getLong(0)).toSet
+    assert(pbs.size <= 4)
+    // input_file_name() reports what EXECUTION actually read — file-level
+    // proof the isin() filter partition-prunes the index scan
+    val pruned = spark.read.parquet(idx)
+      .filter(col("pb").isin(pbs.toSeq: _*))
+    val prunedFiles = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val prunedDirs = prunedFiles.flatMap(
+      _.split("/").find(_.startsWith("pb="))).map(_.stripPrefix("pb=").toLong)
+    assert(prunedDirs.subsetOf(pbs), s"pruned read touched foreign buckets: $prunedDirs vs $pbs")
+    val allFiles = spark.read.parquet(idx).select(input_file_name()).distinct().count()
+    assert(prunedFiles.size < allFiles,
+      s"no pruning: ${prunedFiles.size} of $allFiles files read")
+    // and the step itself (which uses the pruned probe) emits exactly the
+    // one-shot pair set of the 25-doc corpus
+    StreamOps.nearDupBatchStep(spark, tiny, 4L, idx, out)
+    val b = LlmOps.bandFrame(docs.unionByName(tiny)).persist()
+    val expect = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    b.unpersist()
+    assert(streamedPairs(out) == expect)
+  }
+
   test("streaming IVF index accumulates to the batch-built cells; probe matches ivfTopK") {
     import spark.implicits._
     import graft.llm.Similarity
@@ -126,8 +163,8 @@ class StreamOpsSpec extends SparkSuite {
     val p0 = spark.read.parquet(s"$idx/batch=0").localCheckpoint(true)
     val p1 = spark.read.parquet(s"$idx/batch=1").localCheckpoint(true)
     StreamOps.compactBatchIndex(spark, idx, openBatch = 2L)
-    p0.write.parquet(s"$idx/batch=0")
-    p1.write.parquet(s"$idx/batch=1")
+    p0.write.partitionBy("pb").parquet(s"$idx/batch=0")
+    p1.write.partitionBy("pb").parquet(s"$idx/batch=1")
     // replayed batch 2 re-runs compaction: the completed generation must be
     // kept as-is (never read-and-overwritten) and the stale originals dropped
     StreamOps.compactBatchIndex(spark, idx, openBatch = 2L)
@@ -149,9 +186,10 @@ class StreamOpsSpec extends SparkSuite {
     val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(idx), conf)
     val gen = new org.apache.hadoop.fs.Path(s"$idx/batch=-2")
     f.mkdirs(gen)
-    f.globStatus(new org.apache.hadoop.fs.Path(s"$idx/batch=0/part-*")).foreach { st =>
+    f.globStatus(new org.apache.hadoop.fs.Path(s"$idx/batch=0/pb=*/part-*")).foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f,
-        new org.apache.hadoop.fs.Path(gen, st.getPath.getName), false, conf)
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(gen,
+          st.getPath.getParent.getName), st.getPath.getName), false, conf)
     }
     StreamOps.compactBatchIndex(spark, idx, openBatch = 2L)
     val parts = new java.io.File(idx).listFiles().map(_.getName)
