@@ -332,8 +332,26 @@ object StreamOps {
     * state is evicted as the watermark passes, which is what makes the
     * operator viable on an unbounded stream. Output must equal the original
     * event set exactly. */
-  def qStreamDedup(s: SparkSession, d: String): DataFrame = {
-    val base = "/tmp/graft_sdedup"
+  def qStreamDedup(s: SparkSession, d: String): DataFrame =
+    streamDedup(s, d, "/tmp/graft_sdedup", rocksDb = false)
+
+  /** [[qStreamDedup]] on the RocksDB state store — the bounded-MEMORY state
+    * backend for corpus-scale streaming state. The default (HDFS-backed)
+    * provider keeps every in-flight key in executor heap, which caps how
+    * much dedup state one executor can hold; RocksDB spills state to local
+    * disk with an in-heap block cache, so watermark-bounded state can grow
+    * to disk size instead of heap size — the difference between "dedup the
+    * last 2 hours" and "dedup the last 2 days" at 100 TB/day. Same query,
+    * same watermark, same oracle: the backend must be invisible in the
+    * result. */
+  def qStreamDedupRocks(s: SparkSession, d: String): DataFrame =
+    streamDedup(s, d, "/tmp/graft_sdedup_rocks", rocksDb = true)
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def streamDedup(s: SparkSession, d: String, base: String,
+                          rocksDb: Boolean): DataFrame = {
     rmrf(s, base)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -364,16 +382,26 @@ object StreamOps {
       StructField("event_type", StringType), StructField("value", DoubleType),
       StructField("ts_ms", LongType)))
     val out = s"$base/out"
-    val query = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .parquet(s"$base/input")
-      .withColumn("ts", timestamp_millis(col("ts_ms")))
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // the provider is a session conf read at query START (baked into the
+    // checkpoint thereafter) — set, start, restore
+    val prevProvider =
+      if (rocksDb) Some(s.conf.get("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
+      else None
+    if (rocksDb) s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    try {
+      val query = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/input")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally prevProvider.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     s.read.parquet(out).select("event_id", "user_id", "event_type", "value")
   }
 
@@ -723,6 +751,7 @@ object StreamOps {
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
+    "q_stream_dedup_rocks" -> Q(qStreamDedupRocks, Some(streamDedupOracle)),
     "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
     "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),
