@@ -519,7 +519,57 @@ object Relational {
     SELECT m.p_name, m.cnt, m.cluster_id, c.canonical, c.canonical_cnt
     FROM mem m JOIN canon c USING (cluster_id)"""
 
+  /** Per-JVM warehouse dir for bucketed tables (same lifetime discipline as
+    * LlmOps.IncrementalIdxDir: one dir per session, not per call). */
+  private lazy val BucketDir: String =
+    java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+
+  /** Bucketed co-located join: both join sides pre-bucketed on the join key
+    * (`bucketBy(8, key)`, one file per bucket), so the sort-merge join reads
+    * each bucket pair directly — the executed plan contains ZERO shuffle
+    * exchanges: not for the join, and not for the following per-key
+    * aggregate either (the join output is already clustered on the key).
+    * This is THE lever for repeated big-big joins at 100 TB: the shuffle is
+    * paid once at ingest (the bucketed write), not once per query — exactly
+    * how a warehouse lays out fact tables that join every day. The tables
+    * are (re)built per (sfDir, session) and reused across calls in the same
+    * session; BucketedJoinSpec asserts the exchange-free plan. */
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = math.abs(d.hashCode).toString // tables are per-sfDir
+    def ensure(name: String, df: => DataFrame, key: String): String = {
+      val t = s"${name}_$tag"
+      if (!s.catalog.tableExists(t))
+        // repartition on the key: Spark's bucket hash IS HashPartitioning's
+        // Murmur3(key) pmod n, so each task holds exactly one bucket's rows
+        // → one file per bucket (also what keeps sorted-bucket metadata
+        // usable on read)
+        df.repartition(8, col(key)).write
+          .option("path", s"$BucketDir/$t")
+          .bucketBy(8, key).sortBy(key)
+          .mode("overwrite").format("parquet").saveAsTable(t)
+      t
+    }
+    val li = s.table(ensure("graft_li_bkt",
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey"))
+    val o = s.table(ensure("graft_o_bkt",
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate"), "o_orderkey"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val qBucketedJoinOracle = """
+    SELECT o.o_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey"""
+
   def qs: Map[String, Q] = Map(
+    "q_bucketed_join" -> Q(qBucketedJoin, Some(qBucketedJoinOracle)),
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_er_golden"  -> Q(qErGolden, Some(qErGoldenOracle)),
     "q_semi_anti"  -> Q(qSemiAnti, Some(qSemiAntiOracle)),
