@@ -1736,6 +1736,151 @@ object LlmOps {
       md5(substr(text, 1, 20)) AS checksum
     FROM documents"""
 
+  // ---- multimodal near-dup ---------------------------------------------
+
+  private val MmBits = 48
+  private val MmBands = 4
+  private val MmBandBits = MmBits / MmBands // 12-bit band keys
+  private val MmHamming = 6
+  private val MmBandCap = 100
+
+  /** Multimodal near-dup: the SimHash band shape over the 48-bit perceptual
+    * blockhash — band collision proposes, full-hash Hamming distance (≤ 6)
+    * verifies. Same 100 TB discipline as the text family: pair discovery is
+    * a capped band-key equi-join (over-hot keys dropped via a broadcast
+    * anti-join — a degenerate key can't go quadratic), the Hamming verify
+    * touches only candidate pairs and constant state (two longs). With a
+    * real image codec the fingerprint becomes a DCT phash; every plan shape
+    * downstream of the hash is unchanged. */
+  def mmDedup(s: SparkSession, d: String): DataFrame = {
+    val bh = Multimodal.blockHash(
+        Multimodal.fromText(
+          Tables.documents(s, d).filter(length(col("text")) > 0),
+          "doc_id", "text"),
+        blocks = MmBits).toDF()
+      .select("doc_id", "blockhash").persist()
+    val bands0 = bh.select(col("doc_id"), explode(array((0 until MmBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("blockhash"), b * MmBandBits)
+            .bitwiseAND(lit((1L << MmBandBits) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val hot = bands0.groupBy("band", "key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MmBandCap).select("band", "key")
+    // capped bands feed BOTH self-join sides — persist, same reason as
+    // cappedShingleIndex (self-join sides don't reuse exchanges)
+    val bands = bands0.join(broadcast(hot), Seq("band", "key"), "left_anti").persist()
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    cands
+      .join(bh.select(col("doc_id").as("i"), col("blockhash").as("ha")), "i")
+      .join(bh.select(col("doc_id").as("j"), col("blockhash").as("hb")), "j")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
+      .filter(col("hamming") <= MmHamming)
+      .select("i", "j", "hamming")
+  }
+
+  private val mmDedupOracle = {
+    val bandArms = (0 until MmBands).map(b =>
+      s"SELECT doc_id, $b AS band, (h // ${1L << (b * MmBandBits)}) % ${1L << MmBandBits} AS key FROM bh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    by AS (SELECT doc_id, n, ((i - 1) * $MmBits) // n AS k, ord(substr(text, i, 1)) AS v
+           FROM b, LATERAL UNNEST(generate_series(1, n)) AS u(i)),
+    blk AS (SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
+            FROM by GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, CAST(sum(s_k) AS BIGINT) AS s FROM blk GROUP BY 1),
+    bh AS (SELECT blk.doc_id,
+        CAST(SUM(CASE WHEN s_k * n > s * c_k THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS h
+      FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+    bands0 AS (
+      $bandArms),
+    bands AS (SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS df
+        FROM bands0) t
+      WHERE df <= $MmBandCap),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT i, j, CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+    FROM cands JOIN bh ha ON ha.doc_id = i JOIN bh hb ON hb.doc_id = j
+    WHERE bit_count(xor(ha.h, hb.h)) <= $MmHamming"""
+  }
+
+  // ---- corpus-version diff ----------------------------------------------
+
+  /** Corpus diff between two snapshot versions — the "what changed since the
+    * last training run" report every recurring pipeline needs before it
+    * decides what to re-process. v1/v2 are deterministic snapshots derived
+    * from the same table (v1 lacks the %10==9 docs and predates the %7==0
+    * revisions; v2 lacks the %13==3 docs): a FULL OUTER join on the pk
+    * compares content hashes — one shuffle per side, 16-byte rows, no text
+    * ever moves. At 100 TB both sides read straight from storage and the
+    * added/removed/changed sets drive incremental re-processing. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  private val corpusDiffOracle = """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 != 9),
+    v2 AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h2
+      FROM documents WHERE doc_id % 13 != 3)
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      CASE WHEN h1 IS NULL THEN 'added'
+           WHEN h2 IS NULL THEN 'removed'
+           WHEN h1 != h2 THEN 'changed'
+           ELSE 'unchanged' END AS status
+    FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id"""
+
+  // ---- epoch-weighted oversampling --------------------------------------
+
+  /** Epoch-weighted replication — the data-mixing knob where a source runs
+    * MORE than one epoch (repeat code 3×, web 1.2×): every doc gets its
+    * source's integer epoch count, and the fractional remainder becomes one
+    * extra copy for a deterministic per-mille hash gate of the docs. Purely
+    * row-local arithmetic + a narrow explode — no join, no shuffle; the
+    * output feeds packing/sharding exactly like the base corpus. */
+  def oversample(s: SparkSession, d: String): DataFrame = {
+    val base = TextOps.hash60(concat(col("source"), lit(":epbase"))) % 3 + 1 // 1..3 epochs
+    val pm = TextOps.hash60(concat(col("source"), lit(":epfrac"))) % 1000 // frac epoch as ‰
+    val extra = when(
+      TextOps.hash60(concat(col("doc_id").cast(StringType), lit(":ep"))) % 1000 < pm,
+      1L).otherwise(0L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), (base + extra).as("copies"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+  }
+
+  private val oversampleOracle = s"""
+    WITH c AS (
+      SELECT doc_id, source,
+        1 + ${hashSql("source || ':epbase'")} % 3 +
+        CASE WHEN ${hashSql("doc_id::VARCHAR || ':ep'")} % 1000
+               < ${hashSql("source || ':epfrac'")} % 1000
+             THEN 1 ELSE 0 END AS copies
+      FROM documents)
+    SELECT doc_id, source, unnest(range(0, copies)) AS copy FROM c"""
+
   // ---- decontamination / sampling / packing ----------------------------
 
   private val DecontamN = 5
@@ -2115,6 +2260,9 @@ object LlmOps {
     "llm_hard_negatives" -> Q(hardNegatives, Some(hardNegativesOracle)),
     "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
+    "llm_corpus_diff"   -> Q(corpusDiff, Some(corpusDiffOracle)),
+    "llm_oversample"    -> Q(oversample, Some(oversampleOracle)),
+    "mm_dedup"          -> Q(mmDedup, Some(mmDedupOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
     "mm_blockhash"      -> Q(mmBlockhash, Some(mmBlockhashOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Planted-fixture specs for the round-10 pipeline operators: corpus-version
+  * diff, epoch-weighted oversampling, multimodal blockhash near-dup. Each
+  * runs the registry fn against a synthetic documents table with known
+  * structure, so the assertions are independent of the driver corpus. */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pops_").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("corpus_diff statuses: added/removed/changed/unchanged land exactly by construction") {
+    // ids picked to hit each arm: 9→added (absent v1), 3→removed (absent
+    // v2, 3%13==3), 7→changed (revised in v2), 1→unchanged
+    val d = docsDir(Seq(
+      (1L, "steady text", "s0"), (3L, "dropped in v2", "s0"),
+      (7L, "gets revised", "s0"), (9L, "new in v2", "s0"),
+      (0L, "also revised (0%7==0)", "s0")))
+    val got = graft.queries.Registry.all("llm_corpus_diff").fn(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 3L -> "removed", 7L -> "changed",
+      9L -> "added", 0L -> "changed"))
+  }
+
+  test("oversample: per-source base epochs agree across docs; copies ∈ [base, base+1]; deterministic") {
+    val d = docsDir((0L until 40L).map(i => (i, s"doc $i", s"s${i % 3}")))
+    val out = graft.queries.Registry.all("llm_oversample").fn(spark, d)
+    val perDoc = out.groupBy("doc_id", "source").agg(count(lit(1)).as("n"),
+        countDistinct("copy").as("nd"), min("copy").as("mn"), max("copy").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // copies form a dense 0..n-1 range per doc
+    perDoc.foreach { case (id, _, n, nd, mn, mx) =>
+      assert(n == nd && mn == 0L && mx == n - 1, s"doc $id copies not dense: $n/$nd/$mn/$mx")
+      assert(n >= 1 && n <= 4, s"doc $id has $n copies (epochs are 1..3 + ≤1 frac)")
+    }
+    // within one source every doc's copy count differs by at most the ±1 gate
+    perDoc.groupBy(_._2).foreach { case (src, ds) =>
+      val ns = ds.map(_._3).toSet
+      assert(ns.size <= 2 && (ns.max - ns.min) <= 1,
+        s"source $src spreads beyond the frac gate: $ns")
+    }
+    // deterministic: a second run replays the same multiset
+    assertSameRows(out, graft.queries.Registry.all("llm_oversample").fn(spark, d))
+  }
+
+  test("mm_dedup: re-encoded near-identical payloads pair; unrelated payloads don't") {
+    // two payloads differing by one byte (Hamming-close blockhashes), one
+    // structurally different payload (ascending vs flat byte mass)
+    val flat = "m" * 96
+    val flatTweak = "m" * 95 + "n"
+    val ramp = (0 until 96).map(i => ('a' + (i * 25 / 95)).toChar).mkString
+    val d = docsDir(Seq((1L, flat, "s0"), (2L, flatTweak, "s0"), (3L, ramp, "s0")))
+    val pairs = graft.queries.Registry.all("mm_dedup").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"structurally different payload paired: $pairs")
+  }
+}
