@@ -588,7 +588,42 @@ object EventOps {
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC
       RANGE BETWEEN $MovingRangeMs PRECEDING AND CURRENT ROW)"""
 
+  // ---- salted skew join -------------------------------------------------
+
+  private val SkewSalt = 8
+
+  /** Skew-mitigated dimension join: HALF the event stream collapses onto one
+    * synthetic hot key (the one-tenant-owns-half-the-traffic shape AQE's
+    * skew-join can't fix when the hot side must still meet a dimension row),
+    * and the join runs through [[graft.ops.Skew.saltedJoin]] — the hot key's
+    * rows spread over `salt` reducers, the dimension replicates `salt`×.
+    * The salt is random per row, but the RESULT is salt-invariant by
+    * construction, which is exactly what the oracle (a plain unsalted join)
+    * certifies. SkewSpec proves the distributional claim; this query gates
+    * the correctness claim through the driver. */
+  def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val k = when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))
+    val big = Tables.events(s, d).select(k.as("k"), col("value"))
+    val dim = Tables.events(s, d).select(k.as("k")).distinct()
+      .withColumn("grp", col("k") % 7)
+    graft.ops.Skew.saltedJoin(big, dim, "k", SkewSalt)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+  }
+
+  private val skewJoinOracle = """
+    WITH big AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k, value
+      FROM events),
+    dim AS (SELECT DISTINCT k, k % 7 AS grp FROM big)
+    SELECT grp, count(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM big JOIN dim USING (k)
+    GROUP BY grp"""
+
   def qs: Map[String, Q] = Map(
+    "q_skew_join"        -> Q(qSkewJoin, Some(skewJoinOracle)),
     "t_hist_quantile"    -> Q(tHistQuantile, Some(histQuantileOracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),

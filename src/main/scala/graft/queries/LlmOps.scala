@@ -821,6 +821,46 @@ object LlmOps {
     FROM (SELECT unnest($toksSql) AS token FROM documents) t
     GROUP BY token ORDER BY freq DESC, token ASC LIMIT $VocabTopK"""
 
+  private val CoverageK = 16
+
+  /** Vocabulary-coverage QA: per source, what fraction of running tokens the
+    * top-K vocabulary covers — the report run before committing to a
+    * tokenizer (low coverage → the vocab underserves that source and its
+    * texts will shatter into fallback pieces). The vocab is a corpus-wide
+    * TakeOrdered (control-plane sized) broadcast against a narrow token
+    * explode: one shuffle for the per-source aggregate, nothing corpus-sized
+    * ever moves. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(CoverageK)
+      .select(col("token"), lit(1L).as("__in"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .join(broadcast(top), Seq("token"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("coverage",
+        TextOps.quant(lit(1.0) - col("n_oov") / col("n_tokens"), 4))
+  }
+
+  private val vocabCoverageOracle = s"""
+    WITH v AS (
+      SELECT token FROM (
+        SELECT unnest($toksSql) AS token FROM documents) t
+      GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT $CoverageK),
+    toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
+    agg AS (
+      SELECT source, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      FROM toks GROUP BY source)
+    SELECT source, n_tokens, n_oov,
+      ${qSql("1.0 - n_oov * 1.0 / n_tokens", 4)} AS coverage
+    FROM agg"""
+
   def langId(s: SparkSession, d: String): DataFrame = {
     // all four language scores from ONE LangHits traversal
     val scores = TextOps.LangStopwords.zipWithIndex.map { case ((l, _), i) =>
@@ -2245,6 +2285,7 @@ object LlmOps {
     "llm_repetition"    -> Q(repetition, Some(repetitionOracle)),
     "llm_langid"        -> Q(langId, Some(langIdOracle)),
     "llm_vocab"         -> Q(vocab, Some(vocabOracle)),
+    "llm_vocab_coverage" -> Q(vocabCoverage, Some(vocabCoverageOracle)),
     "llm_clean_corpus"  -> Q(cleanCorpus, Some(cleanCorpusOracle)),
     "llm_build"         -> Q(build, Some(buildOracle)),
     "llm_encode"        -> Q(encode, Some(encodeOracle)),

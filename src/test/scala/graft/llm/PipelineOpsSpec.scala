@@ -53,6 +53,26 @@ class PipelineOpsSpec extends SparkSuite {
     assertSameRows(out, graft.queries.Registry.all("llm_oversample").fn(spark, d))
   }
 
+  test("vocab_coverage: planted OOV tokens produce the exact per-source rate") {
+    // w0..w15 fill the top-16 exactly (freq ≥ 8 each); s1's unique tokens
+    // (freq 1) can never make the cut, so half of s1's running tokens are OOV
+    val common = (0 until 16).map(i => s"w$i").mkString(" ")
+    val d = docsDir(
+      (0L until 8L).map(i => (i, common, "s0")) ++
+      (8L until 12L).map(i => (i, s"w0 u${i}a w0 u${i}b", "s1")))
+    val got = graft.queries.Registry.all("llm_vocab_coverage").fn(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("s0") == ((128L, 0L, 1.0)), s"s0: ${got("s0")}")
+    assert(got("s1") == ((16L, 8L, 0.5)), s"s1: ${got("s1")}")
+  }
+
+  test("skew join: result is salt-invariant (two runs with different random salts agree)") {
+    val fn = graft.queries.Registry.all("q_skew_join").fn
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/events.parquet").exists())
+    assertSameRows(fn(spark, d), fn(spark, d))
+  }
+
   test("mm_dedup: re-encoded near-identical payloads pair; unrelated payloads don't") {
     // two payloads differing by one byte (Hamming-close blockhashes), one
     // structurally different payload (ascending vs flat byte mass)
