@@ -176,6 +176,42 @@ object Similarity {
     rank(broadcast(queryCells).join(corpusCells, "__cell"), k)
   }
 
+  /** Corpus-scale k-NN JOIN — [[ivfTopKFromCells]] for a query side too big
+    * to broadcast (building contrastive/retrieval training pairs means every
+    * document is a query). Three structural changes from the probe form:
+    * the query-side nprobe rank is a window keyed by query_id (a real
+    * shuffle — the query set is corpus-sized by assumption), the cell join
+    * is a plain shuffled equi-join on the cell key (both sides hash-
+    * partition by cell; no broadcast anywhere), and ranking uses the
+    * bounded [[graft.functions.TopKByScore]] heap aggregate — ≤k entries of
+    * map-side state per query — instead of a window sort over every
+    * candidate. Per-query candidate count is bounded by its nprobe cells'
+    * sizes, so nothing is quadratic in the corpus; a hot cell is the skew
+    * knob (AQE splits it, or pre-split cells by training finer centroids). */
+  def knnJoinIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 k: Int, nprobe: Int,
+                 queryId: String = "vec_id", corpusId: String = "vec_id",
+                 centroidId: String = "vec_id"): DataFrame = {
+    val cells = ivfCells(corpus, centroids, corpusId, centroidId)
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cent_id").asc)
+    val queryCells = withCentCos(
+        queries.select(col(queryId).as("query_id"), col("embedding")),
+        centroids, centroidId)
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("embedding").as("__qe"),
+        col("__cent_id").as("__cell"))
+    val cands = queryCells.join(cells, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", TextOps.quant(cosine(col("__qe"), col("__ce")), 4))
+    cands.groupBy("query_id")
+      .agg(TextOps.topKBy(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("query_id"), (col("p") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos"))
+  }
+
   /** Multi-probe LSH top-k — the recall knob: each query probes its own
     * bucket PLUS every bucket at Hamming distance 1 (one sign bit flipped),
     * catching neighbors that straddle a single hyperplane. Probes explode on

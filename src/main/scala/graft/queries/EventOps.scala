@@ -503,14 +503,29 @@ object EventOps {
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val bounds = ev.groupBy("event_type")
       .agg(min("value").as("lo"), max("value").as("hi"))
-    val hist = ev.join(broadcast(bounds), "event_type")
+    histQuantileTail(
+      histCells(ev, bounds).persist(), // cumulative pass + totals pass
+      bounds)
+  }
+
+  /** The mergeable half of [[tHistQuantile]]: fold values into per-type
+    * equi-width bin counts under FIXED per-type bounds. Cell counts are
+    * order-independent sums — a streaming aggregation can maintain them
+    * across micro-batches and snapshot identically ([[StreamOps
+    * .qStreamQuantile]] does). */
+  private[queries] def histCells(ev: DataFrame, bounds: DataFrame): DataFrame =
+    ev.join(broadcast(bounds), "event_type")
       .withColumn("bin", least(
         floor(when(col("hi") === col("lo"), lit(0.0))
           .otherwise((col("value") - col("lo")) / (col("hi") - col("lo")) * HqBins))
           .cast(LongType),
         lit(HqBins - 1)))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
-      .persist() // cumulative pass + totals pass
+
+  /** The read-off half of [[tHistQuantile]]: p50/p95 from a (type, bin, c)
+    * cell frame — windows only ever order ≤ [[HqBins]] rows per type. */
+  private[queries] def histQuantileTail(hist: DataFrame,
+                                        bounds: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("c")).over(w))
@@ -531,7 +546,7 @@ object EventOps {
           4).as("est_q"))
   }
 
-  private val histQuantileOracle = s"""
+  private[queries] val histQuantileOracle = s"""
     WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
                FROM events GROUP BY 1),
     hist AS (

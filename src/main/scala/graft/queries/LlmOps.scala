@@ -191,6 +191,94 @@ object LlmOps {
     FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
     WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
 
+  // ---- exact substring (repeated-span) dedup ---------------------------
+
+  private val SubstrK = 8 // minimum duplicated run, in tokens
+
+  /** Exact substring dedup (the repeated-span complement of document-level
+    * near-dup, after Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better"): find every run of ≥ [[SubstrK]] tokens that
+    * occurs MORE THAN ONCE anywhere in the corpus and report, per document,
+    * how many tokens sit inside such runs and how many maximal duplicated
+    * spans they merge into.
+    *
+    * The published implementation builds a corpus-wide suffix array — a
+    * global sort no cluster wants to pay. The Spark-first shape instead
+    * keys on POSITIONAL k-gram hashes: a token run of length ≥ k is
+    * duplicated iff each of its k-grams is duplicated, so (1) one narrow
+    * scan emits (doc, pos, gram-hash) rows, (2) one map-side-combinable
+    * count finds hashes with global multiplicity ≥ 2, (3) an equi-join
+    * marks duplicated positions (never a pair join — membership only, so a
+    * million-fold duplicated boilerplate line costs its row count, not its
+    * pair count), and (4) a per-document window merges covered positions
+    * into maximal spans (per-doc work, bounded by document length). No
+    * stage touches pairs or global order — the whole pipeline is two keyed
+    * shuffles regardless of how duplicated the corpus is. */
+  def substrDedup(s: SparkSession, d: String): DataFrame = {
+    val k = SubstrK
+    val grams = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"),
+        when(size(col("tk")) >= k,
+          TextOps.hash60Array(transform(
+            sequence(lit(0), size(col("tk")) - k),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(k))))))
+          .otherwise(array().cast(ArrayType(LongType))).as("gs"))
+      .persist() // gram pass feeds the position explode AND the final left join
+    val pg = grams.select(col("doc_id"),
+        posexplode(col("gs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    // global multiplicity ≥ 2 ⇒ the k-gram text occurs at least twice
+    // (within one doc or across docs — both are training-set repetition)
+    val dup = pg.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    // membership join (not broadcast: the duplicated-gram set scales with
+    // corpus duplication); each duplicated k-gram start covers positions
+    // [pos, pos+k-1] — distinct covered positions then merge into maximal
+    // spans with a per-doc lag window (|doc|-bounded per partition)
+    val covered = pg.join(dup, "h")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .distinct()
+    val isl = covered.withColumn("brk",
+      when(col("cp") - lag("cp", 1).over(
+        Window.partitionBy("doc_id").orderBy("cp")) === 1, 0L).otherwise(1L))
+    val agg = isl.groupBy("doc_id").agg(
+      count(lit(1)).as("dup_tokens"), sum(col("brk")).as("n_spans"))
+    grams.select("doc_id", "n_tokens")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  private val substrDedupOracle = s"""
+    WITH toks AS (
+      SELECT doc_id, $toksSql AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CASE WHEN len(tk) >= $SubstrK
+          THEN [${hashSql(s"array_to_string(tk[i:i+${SubstrK - 1}],' ')")}
+                for i in range(1, len(tk)-${SubstrK}+2)]
+          ELSE [] END AS gs
+      FROM toks),
+    pg AS (
+      SELECT doc_id, unnest(gs) AS h, generate_subscripts(gs, 1) AS pos FROM grams),
+    duph AS (SELECT h FROM pg GROUP BY h HAVING count(*) >= 2),
+    dpos AS (SELECT pg.doc_id, pg.pos FROM pg JOIN duph USING (h)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS cp
+      FROM dpos CROSS JOIN range(0, $SubstrK) r(j)),
+    isl AS (
+      SELECT doc_id, cp,
+        CASE WHEN cp - lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) = 1
+             THEN 0 ELSE 1 END AS brk
+      FROM covered)
+    SELECT g.doc_id, any_value(g.n_tokens) AS n_tokens,
+           CAST(count(i.cp) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(sum(i.brk), 0) AS BIGINT) AS n_spans
+    FROM grams g LEFT JOIN isl i USING (doc_id)
+    GROUP BY g.doc_id"""
+
   // ---- MinHash + LSH near-dup ------------------------------------------
 
   private val NumHashes = 16
@@ -1038,7 +1126,26 @@ object LlmOps {
       emb.filter(col("vec_id") < IvfCentroids), AnnK, IvfNprobe)
   }
 
-  private[queries] val annIvfOracle = {
+  /** Corpus-scale k-NN join: every 16th embedding is a "query" (standing in
+    * for the every-document-is-a-query retrieval/contrastive build) and finds
+    * its [[AnnK]] nearest neighbors through the SAME IVF cell structure as
+    * `llm_ann_ivf` — but with the query side shuffled, the cell join
+    * broadcast-free, and the per-query rank a bounded heap aggregate instead
+    * of a window sort ([[Similarity.knnJoinIvf]]). Cell assignment and
+    * cosine arithmetic are identical to the probe form, so the oracle is the
+    * same SQL with a wider query filter. */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnJoinIvf(
+      emb.filter(col("vec_id") % 16 === 3), emb,
+      emb.filter(col("vec_id") < IvfCentroids), AnnK, IvfNprobe)
+  }
+
+  private[queries] lazy val knnJoinOracle = ivfOracleFor("e.vec_id % 16 = 3")
+
+  private[queries] lazy val annIvfOracle = ivfOracleFor("e.vec_id < 10")
+
+  private def ivfOracleFor(queryFilter: String) = {
     def cellsSql(filter: String, keep: String) = s"""
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -1051,7 +1158,7 @@ object LlmOps {
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < $IvfCentroids),
     corpus_cells AS (${cellsSql("TRUE", "1")}),
-    query_cells AS (${cellsSql("e.vec_id < 10", IvfNprobe.toString)}),
+    query_cells AS (${cellsSql(queryFilter, IvfNprobe.toString)}),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              q.embedding AS qe, c.embedding AS ce
@@ -2269,6 +2376,7 @@ object LlmOps {
     "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_containment"   -> Q(containment, Some(containmentOracle)),
+    "llm_substr_dedup"  -> Q(substrDedup, Some(substrDedupOracle)),
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
     "llm_minhash_estimate" -> Q(minhashEstimate, Some(minhashEstimateOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
@@ -2294,6 +2402,7 @@ object LlmOps {
     "llm_ann_multiprobe" -> Q(annMultiProbe, Some(annMultiProbeOracle)),
     "llm_ann_ivf"       -> Q(annIvf, Some(annIvfOracle)),
     "llm_ann_recall"    -> Q(annRecall, Some(annRecallOracle)),
+    "llm_knn_join"      -> Q(knnJoin, Some(knnJoinOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
     "llm_sem_decontaminate" -> Q(semDecontaminate, Some(semDecontaminateOracle)),

@@ -533,6 +533,48 @@ object StreamOps {
       Tables.events(s, d).select("user_id"), "user_id")
   }
 
+  /** Streaming histogram quantiles: per-type p50/p95 maintained ACROSS
+    * micro-batches — the quantile member of the bounded-state streaming
+    * sketch family beside [[qStreamHll]] (distincts) and [[qStreamCms]]
+    * (frequencies). Bin bounds are fixed up front (in production: config or
+    * yesterday's bounds — here the batch table's min/max, making the result
+    * comparable to the batch sketch), so the streaming aggregation's whole
+    * state is the per-type bin-count matrix ([[EventOps.histCells]] —
+    * ≤ types × [[EventOps.HqBins]] rows, mergeable by cell-wise sum and
+    * therefore order-independent across batches). Complete-mode output
+    * snapshots the cells each trigger; the final snapshot reads off
+    * quantiles exactly like the batch path, so streaming == batch == the
+    * oracle. */
+  def qStreamQuantile(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_squant"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 3 === 0, "001")
+          .when(col("event_id") % 3 === 1, "002").otherwise("003")),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.catalog.dropTempView("graft_squant_cells")
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input").select("event_type", "value")
+    val q = EventOps.histCells(src, bounds)
+      .writeStream.format("memory").queryName("graft_squant_cells")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the quantile tail reads the snapshot twice (cum + totals) and the
+    // memory-sink MemoryPlan can't self-join (attribute dedup); the cells
+    // frame is ≤ types × HqBins rows — checkpoint it into a fresh plan
+    EventOps.histQuantileTail(
+      s.table("graft_squant_cells").localCheckpoint(true), bounds)
+  }
+
   /** Streaming INCREMENTAL near-dup: the LSH band index maintained across
     * micro-batches — the streaming twin of `llm_incremental`'s daily-slice
     * shape. Each batch (1) computes its own MinHash band rows, (2) joins
@@ -748,6 +790,7 @@ object StreamOps {
     "q_stream_neardup"  -> Q(qStreamNearDup, Some(streamNearDupOracle)),
     "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),
     "q_stream_cms"      -> Q(qStreamCms, Some(SketchOps.heavyHittersOracle)),
+    "q_stream_quantile" -> Q(qStreamQuantile, Some(EventOps.histQuantileOracle)),
     "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),

@@ -73,6 +73,40 @@ class PipelineOpsSpec extends SparkSuite {
     assertSameRows(fn(spark, d), fn(spark, d))
   }
 
+  test("substr_dedup: planted 8-token runs produce exact span counts and coverage") {
+    def toks(pfx: String, n: Int): String = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val w8 = toks("w", 8); val y8 = toks("y", 8); val x8 = toks("x", 8)
+    val d = docsDir(Seq(
+      (1L, toks("a", 20), "s0"),                    // clean: no dup
+      (2L, s"$w8 ${toks("u", 12)}", "s0"),          // w-run at pos 1
+      (3L, s"v1 v2 $w8 ${toks("v", 8).replace("v1", "vv1").replace("v2", "vv2")}", "s0"), // w-run at pos 3
+      (4L, s"$x8 $x8", "s0"),                       // self-repeat: contiguous cover
+      (5L, "s1 s2 s3", "s0"),                       // under K tokens: no grams
+      (6L, s"$w8 z1 z2 z3 z4 $y8", "s0"),           // two separated spans
+      (7L, s"$y8 ${toks("q", 12)}", "s0")))         // y-run at pos 1
+    val got = graft.queries.Registry.all("llm_substr_dedup").fn(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((20L, 0L, 0L)), s"clean doc: ${got(1L)}")
+    assert(got(2L) == ((20L, 8L, 1L)), s"prefix run: ${got(2L)}")
+    assert(got(3L)._2 == 8L && got(3L)._3 == 1L, s"mid run: ${got(3L)}")
+    assert(got(4L) == ((16L, 16L, 1L)), s"self-repeat: ${got(4L)}")
+    assert(got(5L) == ((3L, 0L, 0L)), s"short doc: ${got(5L)}")
+    assert(got(6L) == ((20L, 16L, 2L)), s"two spans: ${got(6L)}")
+    assert(got(7L) == ((20L, 8L, 1L)), s"y run: ${got(7L)}")
+  }
+
+  test("knnJoinIvf (shuffled join + bounded heap) equals the broadcast probe form") {
+    import graft.llm.Similarity
+    val emb = (0L until 40L).map(i =>
+        (i, (0 until 8).map(j => (((i * 31 + j * 7) % 13) - 6).toFloat / 6f)))
+      .toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 4)
+    val joined = Similarity.knnJoinIvf(emb, emb, cents, k = 3, nprobe = 2)
+    val probed = Similarity.ivfTopK(emb, emb, cents, k = 3, nprobe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+    assertSameRows(joined, probed)
+  }
+
   test("mm_dedup: re-encoded near-identical payloads pair; unrelated payloads don't") {
     // two payloads differing by one byte (Hamming-close blockhashes), one
     // structurally different payload (ascending vs flat byte mass)

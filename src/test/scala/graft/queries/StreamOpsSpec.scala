@@ -198,6 +198,23 @@ class StreamOpsSpec extends SparkSuite {
     assert(indexRows(idx) == before)
   }
 
+  test("streaming histogram quantiles equal the batch sketch on the same events") {
+    import spark.implicits._
+    // gappy per-type value distributions; ts as epoch-nanos long (one of the
+    // three encodings Tables.events accepts)
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 400).map { i =>
+      Ev(i.toLong, (1704067200000L + i * 1000L) * 1000000L, (i % 5).toLong,
+        if (i % 3 == 0) "view" else "click",
+        math.floor(rnd.nextDouble() * 900) / 10.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_squant_spec_").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assertSameRows(
+      graft.queries.Registry.all("q_stream_quantile").fn(spark, dir),
+      graft.queries.Registry.all("t_hist_quantile").fn(spark, dir))
+  }
+
   test("IVF probe is immune to duplicate index rows left by an interrupted compaction") {
     import spark.implicits._
     import graft.llm.Similarity
