@@ -214,17 +214,18 @@ object LlmOps {
     * into maximal spans (per-doc work, bounded by document length). No
     * stage touches pairs or global order — the whole pipeline is two keyed
     * shuffles regardless of how duplicated the corpus is. */
-  def substrDedup(s: SparkSession, d: String): DataFrame = {
+  private def substrCovered(docs: DataFrame): (DataFrame, DataFrame) = {
     val k = SubstrK
-    val grams = Tables.documents(s, d).select(col("doc_id"),
+    val grams = docs.select(col("doc_id"),
         TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"),
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
         when(size(col("tk")) >= k,
           TextOps.hash60Array(transform(
             sequence(lit(0), size(col("tk")) - k),
             i => concat_ws(" ", slice(col("tk"), i + 1, lit(k))))))
           .otherwise(array().cast(ArrayType(LongType))).as("gs"))
-      .persist() // gram pass feeds the position explode AND the final left join
+      .persist() // gram pass feeds the position explode AND the final join
     val pg = grams.select(col("doc_id"),
         posexplode(col("gs")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
@@ -234,11 +235,19 @@ object LlmOps {
       .filter(col("c") >= 2).select("h")
     // membership join (not broadcast: the duplicated-gram set scales with
     // corpus duplication); each duplicated k-gram start covers positions
-    // [pos, pos+k-1] — distinct covered positions then merge into maximal
-    // spans with a per-doc lag window (|doc|-bounded per partition)
+    // [pos, pos+k-1] — distinct covered positions, |doc|-bounded per doc
     val covered = pg.join(dup, "h")
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
       .distinct()
+    (grams, covered)
+  }
+
+  /** The REPORT half: per-doc duplicated-token coverage and maximal span
+    * count, read off [[substrCovered]] with a per-doc lag window (gaps-and-
+    * islands — |doc|-bounded per partition). */
+  def substrDedup(s: SparkSession, d: String): DataFrame = {
+    val (grams, covered) = substrCovered(Tables.documents(s, d))
     val isl = covered.withColumn("brk",
       when(col("cp") - lag("cp", 1).over(
         Window.partitionBy("doc_id").orderBy("cp")) === 1, 0L).otherwise(1L))
@@ -278,6 +287,52 @@ object LlmOps {
            CAST(coalesce(sum(i.brk), 0) AS BIGINT) AS n_spans
     FROM grams g LEFT JOIN isl i USING (doc_id)
     GROUP BY g.doc_id"""
+
+  /** The REMOVAL half of [[substrDedup]]: re-emit each document with every
+    * token inside a duplicated ≥[[SubstrK]]-run dropped — the transform an
+    * exact-substring dedup actually applies before training. Covered
+    * positions gather into a per-doc set (|doc|-bounded) and the rebuild is
+    * one in-row pass over the token array; the membership probe is linear
+    * in the doc's own covered count, never corpus-sized. */
+  def substrClean(s: SparkSession, d: String): DataFrame = {
+    val (grams, covered) = substrCovered(Tables.documents(s, d))
+    val covSets = covered.groupBy("doc_id").agg(collect_set(col("cp")).as("cov"))
+    grams.select("doc_id", "tk", "n_tokens")
+      .join(covSets, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), array().cast(ArrayType(IntegerType))))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(
+          transform(sequence(lit(1), size(col("tk"))),
+            i => when(!array_contains(col("cov"), i), element_at(col("tk"), i))),
+          t => t.isNotNull)).as("clean_text"),
+        (col("n_tokens") - size(col("cov"))).as("n_kept"))
+  }
+
+  private val substrCleanOracle = s"""
+    WITH toks AS (
+      SELECT doc_id, $toksSql AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, tk,
+        CASE WHEN len(tk) >= $SubstrK
+          THEN [${hashSql(s"array_to_string(tk[i:i+${SubstrK - 1}],' ')")}
+                for i in range(1, len(tk)-${SubstrK}+2)]
+          ELSE [] END AS gs
+      FROM toks),
+    pg AS (
+      SELECT doc_id, unnest(gs) AS h, generate_subscripts(gs, 1) AS pos FROM grams),
+    duph AS (SELECT h FROM pg GROUP BY h HAVING count(*) >= 2),
+    dpos AS (SELECT pg.doc_id, pg.pos FROM pg JOIN duph USING (h)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS cp
+      FROM dpos CROSS JOIN range(0, $SubstrK) r(j)),
+    covsets AS (SELECT doc_id, list(cp) AS cov FROM covered GROUP BY 1)
+    SELECT g.doc_id,
+      coalesce(array_to_string([g.tk[i] for i in range(1, len(g.tk)+1)
+                                if NOT list_contains(coalesce(c.cov, []), i)], ' '),
+               '') AS clean_text,
+      CAST(len(g.tk) - len(coalesce(c.cov, [])) AS BIGINT) AS n_kept
+    FROM grams g LEFT JOIN covsets c USING (doc_id)"""
 
   // ---- MinHash + LSH near-dup ------------------------------------------
 
@@ -2377,6 +2432,7 @@ object LlmOps {
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_containment"   -> Q(containment, Some(containmentOracle)),
     "llm_substr_dedup"  -> Q(substrDedup, Some(substrDedupOracle)),
+    "llm_substr_clean"  -> Q(substrClean, Some(substrCleanOracle)),
     "llm_minhash_lsh"   -> Q(minhashLsh, Some(minhashOracle)),
     "llm_minhash_estimate" -> Q(minhashEstimate, Some(minhashEstimateOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),

@@ -303,6 +303,29 @@ object SinkOps {
       FROM events) t
     WHERE rn = 1"""
 
+  /** K8 columnar leg: the ORC file sink round-trips the same in-file
+    * pk-dedup + folder-partitioned layout as the NDJSON object sink —
+    * completing the marshaller matrix (NDJSON/CSV/JSON-array/Avro/Parquet/
+    * ORC) with the lake format where typed columns survive natively, so the
+    * read-back needs no schema-on-read cast pass and scans prune both by
+    * partition dir and by column. */
+  def k8OrcSink(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_k8_orc/events"
+    val data = Tables.events(s, d)
+      .select("user_id", "event_type", "event_id", "ts_ms", "value")
+    val cfg = FileSink.Config(format = "orc", gzip = false,
+      partitionBy = Seq("event_type"), pk = Seq("user_id", "event_type"),
+      discriminators = Seq("ts_ms"))
+    FileSink.write(data, dir, SaveMode.Overwrite, cfg, arrival = Some(col("event_id")))
+    FileSink.read(s, dir, StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_ms", LongType), StructField("value", DoubleType),
+      StructField("event_type", StringType))), cfg)
+      .select("user_id", "event_type", "event_id", "ts_ms", "value")
+  }
+
   /** P1 on the LAKE path: dynamic partition overwrite — only the touched
     * day rewrites, never the table (the 100 TB ReplacePartition; the pure-
     * DataFrame p1 query models the same final state for comparison). */
@@ -334,6 +357,7 @@ object SinkOps {
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
     "k8_file_sink"      -> Q(k8FileSink, Some(k8Oracle)),
     "k8_avro_sink"      -> Q(k8AvroSink, Some(k8AvroOracle)),
+    "k8_orc_sink"       -> Q(k8OrcSink, Some(k8Oracle)),
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),

@@ -95,6 +95,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(7L) == ((20L, 8L, 1L)), s"y run: ${got(7L)}")
   }
 
+  test("substr_clean: planted runs vanish, unique tokens survive in order, full-dup doc empties") {
+    def toks(pfx: String, n: Int): String = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val w8 = toks("w", 8)
+    val d = docsDir(Seq(
+      (1L, toks("a", 20), "s0"),             // untouched
+      (2L, s"$w8 ${toks("u", 12)}", "s0"),   // prefix run removed
+      (3L, s"$w8 ${toks("r", 4)} $w8", "s0"), // both w-runs removed, middle kept
+      (4L, w8, "s0"),                        // 8 tokens, entirely duplicated → empty
+      (5L, w8, "s1")))                       // its duplicate, also empty
+    val got = graft.queries.Registry.all("llm_substr_clean").fn(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((toks("a", 20), 20L)))
+    assert(got(2L) == ((toks("u", 12), 12L)))
+    assert(got(3L) == ((toks("r", 4), 4L)))
+    assert(got(4L) == (("", 0L)))
+    assert(got(5L) == (("", 0L)))
+  }
+
   test("knnJoinIvf (shuffled join + bounded heap) equals the broadcast probe form") {
     import graft.llm.Similarity
     val emb = (0L until 40L).map(i =>
