@@ -24,6 +24,8 @@ object PlanSweep {
     "llm_ann_brute"   -> Set("BroadcastNestedLoop"),
     "llm_ann_recall"  -> Set("BroadcastNestedLoop"), // embeds the brute truth baseline
     "llm_ann_ivf"     -> Set("BroadcastNestedLoop"),
+    "llm_knn_join"    -> Set("BroadcastNestedLoop"), // same ≤16-row centroid cross; the CELL join is shuffled
+
     "q_stream_ann"    -> Set("BroadcastNestedLoop"), // same ≤16-row centroid cross as ivf
     "llm_ann_ivfpq"   -> Set("BroadcastNestedLoop"), // ≤16-row centroid cross (coarse cells)
     "llm_pq_recall"   -> Set("BroadcastNestedLoop"), // brute L2 truth baseline, as ann_recall
