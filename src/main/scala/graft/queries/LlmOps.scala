@@ -1407,6 +1407,106 @@ object LlmOps {
     SELECT base.vec_id, (hits.vec_id IS NULL) AS kept
     FROM base LEFT JOIN hits ON hits.vec_id = base.vec_id"""
 
+  private val PcaDim = 64       // driver corpus embedding dimension
+  private val PcaIters = 6      // power-iteration rounds (fixed, replayed by the oracle)
+
+  /** Top-principal-component projection by POWER ITERATION — the spectral
+    * member of the embedding-analysis family (beside Lloyd k-means and the
+    * PQ codebooks): scores every vector by its coordinate along the
+    * corpus's dominant variance direction (the axis outlier filters and
+    * whitening passes use first).
+    *
+    * Scale shape: one narrow scan builds the dim² second-moment matrix
+    * (per-row outer products folded by a map-side-combinable sum — the
+    * input is never joined to itself row-by-row and never leaves its
+    * partition before partial aggregation); the 64×64 matrix is a bounded
+    * model pull to the driver (like the k-means centroid and PQ codebook
+    * pulls), the iterations run on the driver in microseconds, and the
+    * projection is one more narrow pass with the learned vector broadcast
+    * as a literal. At a larger dim the outer-product fold becomes a native
+    * codegen'd expression; the plan shape is unchanged.
+    *
+    * Cross-engine determinism (the oracle replays ALL of it): inputs
+    * quantize to 1e-6 integers, second moments and every matrix-vector
+    * product are EXACT int64 sums (order-free — no float accumulation
+    * anywhere), and the two unavoidable float steps (covariance combine,
+    * L∞ normalization) are single expressions evaluated in the same
+    * operation order on identical inputs, then re-quantized to integers.
+    * Sign is pinned by the fixed all-ones start vector. */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1e6 + 0.5)).as("xq"))
+      .persist() // moment pass + mean pass + projection pass
+    val prods = emb.select(col("vec_id"),
+      flatten(transform(col("xq"), a => transform(col("xq"), b => a * b))).as("pp"))
+    val sxy = prods.select(posexplode(col("pp")).as(Seq("jk", "v")))
+      .groupBy("jk").agg(sum(col("v")).as("sxy"))
+    val sx = emb.select(posexplode(col("xq")).as(Seq("j", "x")))
+      .groupBy("j").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // bounded model pull: exactly dim² + dim rows, like the kmeans pull
+    val sxyM = sxy.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sxA = new Array[Long](PcaDim); var n = 0L
+    sx.collect().foreach { r => sxA(r.getInt(0)) = r.getLong(1); n = r.getLong(2) }
+    val ci = Array.tabulate(PcaDim, PcaDim) { (j, k) =>
+      // c is in quantized-input units (×1e12 of the real covariance);
+      // ×1e-4 keeps |ci|·|vi|·dim safely inside int64 while retaining
+      // 1e-8-of-real resolution — the iteration only needs the direction
+      val c = sxyM(j * PcaDim + k).toDouble / n -
+        (sxA(j).toDouble / n) * (sxA(k).toDouble / n)
+      math.floor(c * 1e-4 + 0.5).toLong
+    }
+    var v = Array.fill(PcaDim)(1000000L)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(PcaDim)(j =>
+        (0 until PcaDim).map(k => ci(j)(k) * v(k)).sum) // exact int64
+      val m = w.map(math.abs).max
+      v = w.map(wj => math.floor((wj.toDouble / m.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val mvnum = (0 until PcaDim).map(j => sxA(j) * v(j)).sum
+    val vLit = array(v.map(lit(_)): _*)
+    emb.select(col("vec_id"),
+      TextOps.quant(
+        (aggregate(zip_with(col("xq"), vLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast(DoubleType)
+          - lit(mvnum.toDouble / n)) / lit(1e12), 6).as("pc1"))
+  }
+
+  private lazy val pcaOracle = {
+    def iter(t: Int) = s"""
+    w$t AS (SELECT c.j, CAST(SUM(c.ci * v.vi) AS BIGINT) AS w
+            FROM covi c JOIN v${t - 1} v ON v.k = c.k GROUP BY 1),
+    m$t AS (SELECT MAX(ABS(w)) AS m FROM w$t),
+    v$t AS (SELECT w$t.j AS k,
+              CAST(floor((w::DOUBLE / m::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi
+            FROM w$t, m$t)"""
+    s"""
+    WITH xq AS MATERIALIZED (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x
+      FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sx AS MATERIALIZED (
+      SELECT j, CAST(SUM(x) AS BIGINT) AS sx FROM xq GROUP BY j),
+    sxy AS (
+      SELECT a.j AS j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+      FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2),
+    covi AS MATERIALIZED (
+      SELECT sxy.j, sxy.k,
+        CAST(floor(((sxy::DOUBLE / n) - (sa.sx::DOUBLE / n) * (sb.sx::DOUBLE / n))
+                   * 0.0001 + 0.5) AS BIGINT) AS ci
+      FROM sxy JOIN sx sa ON sa.j = sxy.j JOIN sx sb ON sb.j = sxy.k, nn),
+    v0 AS (SELECT j AS k, CAST(1000000 AS BIGINT) AS vi FROM range(0, $PcaDim) t(j)),
+    ${(1 to PcaIters).map(iter).mkString(",")},
+    mv AS (SELECT CAST(SUM(sx.sx * v.vi) AS BIGINT) AS mvnum
+           FROM sx JOIN v$PcaIters v ON v.k = sx.j),
+    p AS (SELECT xq.vec_id, CAST(SUM(xq.x * v.vi) AS BIGINT) AS pq
+          FROM xq JOIN v$PcaIters v ON v.k = xq.j GROUP BY 1)
+    SELECT p.vec_id,
+      ${qSql("(pq::DOUBLE - mvnum::DOUBLE / n) / 1000000000000.0", 6)} AS pc1
+    FROM p, mv, nn"""
+  }
+
   private val KmeansCentroids = 32
 
   /** One k-means Lloyd step over the corpus embeddings (deterministic
@@ -2465,6 +2565,7 @@ object LlmOps {
     "llm_contrastive"   -> Q(contrastivePairs, Some(contrastiveOracle)),
     "llm_hard_negatives" -> Q(hardNegatives, Some(hardNegativesOracle)),
     "llm_kmeans"        -> Q(kmeans, Some(kmeansOracle)),
+    "llm_pca_project"   -> Q(pcaProject, Some(pcaOracle)),
     "llm_incremental"   -> Q(incrementalNearDup, Some(incrementalOracle)),
     "llm_corpus_diff"   -> Q(corpusDiff, Some(corpusDiffOracle)),
     "llm_oversample"    -> Q(oversample, Some(oversampleOracle)),

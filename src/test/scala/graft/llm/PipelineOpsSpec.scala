@@ -113,6 +113,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(5L) == (("", 0L)))
   }
 
+  test("pca_project: rank-1 corpus scores order by the planted coefficient (up to global sign)") {
+    // x_i = a_i * u + tiny per-dim jitter; the dominant variance direction
+    // is u, so pc1 scores must be monotone in a_i (modulo one global sign)
+    val u = Array.tabulate(64)(j => math.sin(j + 1.0).toFloat)
+    val as = (0 until 30).map(i => (i - 15) * 0.3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_").toString
+    as.zipWithIndex.map { case (a, i) =>
+      (i.toLong, u.zipWithIndex.map { case (uj, j) =>
+        (a * uj + 0.001 * ((i * 7 + j) % 5 - 2)).toFloat }.toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Registry.all("llm_pca_project").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scores = as.indices.map(i => got(i.toLong))
+    val diffs = scores.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0),
+      s"pc1 not monotone in the planted coefficient: $scores")
+    // determinism: a second run is bit-identical
+    val again = graft.queries.Registry.all("llm_pca_project").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("knnJoinIvf (shuffled join + bounded heap) equals the broadcast probe form") {
     import graft.llm.Similarity
     val emb = (0L until 40L).map(i =>
