@@ -323,6 +323,59 @@ object StreamOps {
       ON r.user_id = l.user_id AND r.event_id % 10 = 0
      AND r.ts_ms >= l.ts_ms - $IntervalBoundMs AND r.ts_ms <= l.ts_ms"""
 
+  /** The SAME interval join as [[qIntervalJoin]] run as a TRUE stream-stream
+    * join: two independent file streams (events; every-10th profile
+    * updates), each watermarked, joined with the time bound that lets Spark
+    * EVICT buffered state — the property that makes a stream-stream join
+    * viable on unbounded input. Both inputs arrive as ascending time
+    * quartiles; the 10-minute watermark delay exceeds the 5-minute join
+    * bound, so no state a future left row needs is ever evicted (the global
+    * watermark is the MIN over both sides), and the append-mode inner join
+    * emits exactly the batch join's rows — the oracle is the identical
+    * time-bounded SQL join. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_sjoin"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"),
+      col("value"))
+    val bounds = ev.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val q = least(lit(3L), floor((col("ts_ms") - lo) * 4 / span).cast(LongType))
+    def stage(df: DataFrame, dir: String): Unit = {
+      writeSegments(df.withColumn("__seg", format_string("%03d", q)),
+        "__seg", s, s"$base/stage", dir, format = "parquet")
+      val f = fs(s, dir)
+      f.globStatus(new Path(s"$dir/*.parquet")).map(_.getPath)
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (p, i) => f.setTimes(p, T0 + i * 1000L, -1) }
+    }
+    stage(ev.select("event_id", "user_id", "ts_ms"), s"$base/left")
+    stage(ev.filter(col("event_id") % 10 === 0), s"$base/right")
+    val lSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_ms", LongType)))
+    val rSchema = lSchema.add(StructField("value", DoubleType))
+    def src(dir: String, schema: StructType): DataFrame =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val joined = graft.streaming.Windowed.intervalJoin(
+      src(s"$base/left", lSchema),
+      src(s"$base/right", rSchema).select("event_id", "user_id", "ts", "value"),
+      keyCol = "user_id", tsCol = "ts",
+      boundMs = IntervalBoundMs, watermarkDelay = "10 minutes")
+    val out = s"$base/out"
+    val query = joined
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("upd_id"), col("r_value").as("upd_value"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** Watermarked streaming dedup — the at-least-once absorber for sinks with
     * no primary key to merge on (the pk-MERGE path absorbs redelivery for
     * keyed tables; THIS is the stateful-streaming equivalent for append-only
@@ -796,6 +849,7 @@ object StreamOps {
     "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
     "q_stream_dedup_rocks" -> Q(qStreamDedupRocks, Some(streamDedupOracle)),
     "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
+    "q_stream_join"     -> Q(qStreamJoin, Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
     "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),

@@ -198,6 +198,22 @@ class StreamOpsSpec extends SparkSuite {
     assert(indexRows(idx) == before)
   }
 
+  test("true stream-stream interval join equals the batch form on the same events") {
+    import spark.implicits._
+    // dense same-user bursts so the 5-minute bound matches within AND
+    // across the quartile segment boundaries the query stages
+    val rows = (0 until 300).map { i =>
+      Ev(i.toLong, (1704067200000L + i * 90000L) * 1000000L, (i % 4).toLong,
+        "view", i.toDouble, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjoin_spec_").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assertSameRows(
+      graft.queries.Registry.all("q_stream_join").fn(spark, dir),
+      graft.queries.Registry.all("q_interval_join").fn(spark, dir)
+        .select("event_id", "user_id", "upd_id", "upd_value"))
+  }
+
   test("streaming histogram quantiles equal the batch sketch on the same events") {
     import spark.implicits._
     // gappy per-type value distributions; ts as epoch-nanos long (one of the
