@@ -191,6 +191,72 @@ object LlmOps {
     FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
     WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
 
+  // ---- exact all-pairs similarity join (prefix filtering) ---------------
+
+  /** EXACT all-pairs Jaccard join via prefix filtering (Bayardo et al. 2007
+    * "Scaling Up All Pairs Similarity Search"; Chaudhuri et al. 2006 SSJoin).
+    *
+    * [[ngramJaccard]] keeps the inverted index tractable by DROPPING shingles
+    * hotter than [[DfCap]] — approximate by design. This operator is exact
+    * with a still-bounded index: under ANY global total order on shingles, a
+    * pair with J ≥ τ must share a shingle within each side's first
+    * `|x| − ⌈τ·|x|⌉ + 1` shingles (if the intersection avoided both prefixes
+    * it would fit in the suffixes, which are too small to reach the required
+    * overlap ⌈τ·max(|x|,|y|)⌉). So only PREFIXES are indexed. The order used
+    * is (document frequency ASC, hash ASC) — rarest first — which makes the
+    * prefix index small AND low-fan-out: the hot shingles that blow up an
+    * uncapped index sort to the suffix and are never indexed at all.
+    *
+    * Pipeline: one df count (map-side combinable), one keyed join to attach
+    * df, one per-doc sort (|doc|-bounded), prefix-index equi-join with the
+    * τ·|x| ≤ |y| ≤ |x|/τ length filter, then exact in-row verification of
+    * the candidates against the FULL sets — no stage is quadratic in the
+    * corpus and no qualifying pair can be missed. */
+  def prefixJoin(s: SparkSession, d: String): DataFrame = {
+    val tau = JaccardThreshold
+    val sh = docShingles(Tables.documents(s, d)) // uncapped (doc_id, s); persisted
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val pref = sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"))
+      .select(col("doc_id"), size(col("sorted")).as("n"),
+        explode(slice(col("sorted"), lit(1),
+          (size(col("sorted")) - ceil(lit(tau) * size(col("sorted"))) + 1)
+            .cast(IntegerType))).as("e"))
+      .select(col("doc_id"), col("n"), col("e.s").as("s"))
+    // candidates: shared prefix shingle + the length filter (a qualifying
+    // pair has min ≥ τ·max — τ=0.5 and integer sizes keep the double
+    // arithmetic exact; the filter only prunes, the verify decides)
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >= lit(tau) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyCandidates(sh, cands, tau)
+  }
+
+  /** Uncapped distinct-shingle inverted index (doc_id, shingle-hash) —
+    * persisted: it feeds the df count, the prefix build, and the verify. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.hash60Array(
+        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s")).persist()
+
+  /** Oracle = the EXACT pair set (no df cap) — prefix filtering is lossless,
+    * so the full inverted-index join in DuckDB must agree bit-for-bit. */
+  private val prefixJoinOracle = s"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j, ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} AS jac
+    FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+    WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
+
   // ---- exact substring (repeated-span) dedup ---------------------------
 
   private val SubstrK = 8 // minimum duplicated run, in tokens
@@ -2530,6 +2596,7 @@ object LlmOps {
     "llm_pack"          -> Q(packSequences, Some(packOracle)),
     "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
+    "llm_prefix_join"   -> Q(prefixJoin, Some(prefixJoinOracle)),
     "llm_containment"   -> Q(containment, Some(containmentOracle)),
     "llm_substr_dedup"  -> Q(substrDedup, Some(substrDedupOracle)),
     "llm_substr_clean"  -> Q(substrClean, Some(substrCleanOracle)),

@@ -347,6 +347,50 @@ object SinkOps {
       .select("event_id", "user_id", "day")
   }
 
+  /** P5: copy-on-write lake MERGE. Builds a 30-day-partitioned parquet lake
+    * from events, applies a deterministic change set confined to the first
+    * week (pk-matched updates double `value`; inserts clone `%97` rows under
+    * shifted ids), and reads the merged table back. Only the 7 touched day
+    * partitions rewrite — [[graft.sink.FileSink.mergeCow]] proves the no-read
+    * guarantee for untouched partitions in `FileSinkSpec`. */
+  def p5LakeMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p5/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p5"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    val week = ev.filter(col("day") < "2024-01-08")
+    val upd = week.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 2) // double: *2 is exact on both engines
+    val ins = week.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    FileSink.mergeCow(upd.unionByName(ins), dir, Seq("event_id"), "day")
+    s.read.schema(StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))).parquet(dir)
+      .select("event_id", "user_id", "value", "day")
+  }
+
+  private val p5Oracle = """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    ch AS (
+      SELECT event_id, user_id, value * 2 AS value, day
+      FROM ev WHERE day < '2024-01-08' AND event_id % 7 = 0
+      UNION ALL
+      SELECT event_id + 10000000, user_id, value, day
+      FROM ev WHERE day < '2024-01-08' AND event_id % 97 = 0)
+    SELECT event_id, user_id, value, day FROM ev
+    WHERE event_id NOT IN (SELECT event_id FROM ch)
+    UNION ALL
+    SELECT event_id, user_id, value, day FROM ch"""
+
   private val p1FileOracle = """
     SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
     FROM events
@@ -359,6 +403,7 @@ object SinkOps {
     "k8_avro_sink"      -> Q(k8AvroSink, Some(k8AvroOracle)),
     "k8_orc_sink"       -> Q(k8OrcSink, Some(k8Oracle)),
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
+    "p5_lake_merge"     -> Q(p5LakeMerge, Some(p5Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),

@@ -1,6 +1,7 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import graft.ops.Dedup
 
@@ -141,6 +142,48 @@ object FileSink {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Copy-on-write MERGE into a partitioned lake folder — the lakehouse
+    * upsert (Delta/Iceberg `MERGE INTO` semantics without a table format;
+    * the file-store rendering of the JDBC `loadMerge` path,
+    * abstract_transactional.go:439-496). Matched pks replace, unmatched
+    * change rows insert. Only partitions PRESENT in `changes` are read or
+    * rewritten: the touched-partition list is the one driver-side collect
+    * (one row per touched partition — the same control-plane file planning
+    * every lakehouse MERGE does), the target read carries an explicit schema
+    * (no footer sniffing) plus a literal partition filter (static pruning),
+    * and the write is dynamic partition overwrite. Merge cost scales with
+    * the touched slice, never the table.
+    *
+    * Contract: a change row carries its CURRENT partition value — a pk that
+    * moves partitions must be handled as delete+insert by the caller (the
+    * same contract Hive dynamic-overwrite upserts have). */
+  def mergeCow(changes: DataFrame, dir: String, pk: Seq[String],
+               partitionCol: String, format: String = "parquet"): Unit = {
+    val spark = changes.sparkSession
+    val ch = changes.persist() // feeds the touched list, the anti-join, and the union
+    val touched = ch.select(partitionCol).distinct().collect().map(_.get(0))
+    if (touched.nonEmpty) {
+      // partition col last: Spark surfaces discovered partition columns after
+      // the data columns; the merge itself is name-based so order is cosmetic
+      val dataFields = ch.schema.fields.filterNot(_.name == partitionCol)
+      val schema = StructType(dataFields :+ ch.schema(partitionCol))
+      val reader = spark.read.schema(schema)
+      val target = (format match {
+        case "parquet" => reader.parquet(dir)
+        case "orc"     => reader.orc(dir)
+        case other     => throw new IllegalArgumentException(s"no merge for format: $other")
+      }).filter(col(partitionCol).isin(touched: _*))
+      // localCheckpoint materializes the merged slice before the overwrite —
+      // never read-and-overwrite the same files in one job; the held state is
+      // exactly the touched partitions, which IS the copy-on-write contract
+      val merged = target.join(ch, pk, "left_anti").unionByName(ch)
+        .localCheckpoint(true)
+      replacePartition(merged, dir, Seq(partitionCol), format)
+    }
+    ch.unpersist()
+    ()
   }
 
   /** Compact a columnar table folder: rewrite into ~`targetFileMB` objects.

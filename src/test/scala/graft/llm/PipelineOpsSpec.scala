@@ -148,6 +148,45 @@ class PipelineOpsSpec extends SparkSuite {
     assertSameRows(joined, probed)
   }
 
+  test("prefix_join: exact — finds the hot-shingle pair the capped index drops; equals brute force") {
+    // 120 filler docs make every shingle of the hot phrase df>100, so the
+    // DF-capped ngram index DROPS them; docs 1000/1001 consist of ONLY the
+    // hot phrase, so the capped path has no index rows for them and misses
+    // the J=1 pair. Prefix filtering is lossless: it must find it. 2000/2001
+    // are an ordinary near-dup pair both paths find.
+    val hot = "alpha beta gamma delta epsilon"
+    val fixture =
+      (0L until 120L).map(i => (i, s"$hot p${i}a p${i}b p${i}c p${i}d p${i}e", "s0")) ++
+      Seq((1000L, hot, "s0"), (1001L, hot, "s0"),
+          (2000L, "one two three four five six seven eight", "s0"),
+          (2001L, "one two three four five six seven nine", "s0"))
+    val d = docsDir(fixture)
+
+    def shingleSet(text: String): Set[String] = {
+      val tk = text.trim.split("\\s+").toSeq
+      if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    val brute = (for {
+      a <- fixture; b <- fixture if a._1 < b._1
+      sa = shingleSet(a._2); sb = shingleSet(b._2)
+      inter = (sa & sb).size
+      j = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 1000 + 0.5) / 1000
+      if j >= 0.5
+    } yield (a._1, b._1, j)).toSet
+
+    val got = graft.queries.Registry.all("llm_prefix_join").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"prefix_join != brute force:\n got=$got\n exp=$brute")
+    assert(got.contains((1000L, 1001L, 1.0)), "hot-shingle exact-dup pair missed")
+
+    val capped = graft.queries.Registry.all("llm_ngram_jaccard").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1000L, 1001L)),
+      "fixture no longer exercises the cap: the capped path found the hot pair")
+    assert(capped.contains((2000L, 2001L)), "ordinary near-dup pair missed by capped path")
+  }
+
   test("mm_dedup: re-encoded near-identical payloads pair; unrelated payloads don't") {
     // two payloads differing by one byte (Hamming-close blockhashes), one
     // structurally different payload (ascending vs flat byte mass)

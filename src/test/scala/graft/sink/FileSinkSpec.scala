@@ -80,6 +80,37 @@ class FileSinkSpec extends SparkSuite {
       Seq("1", "x"), Seq("2", "y2"), Seq("99", "y")))
   }
 
+  test("mergeCow: matched pks replace, unmatched insert, other partitions keep their rows") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    // update id=2 in s=y (value changes), insert id=7 into s=y; s=x/s=y2 untouched
+    val changes = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"), Row(7L, 7.0, "y")))
+    FileSink.mergeCow(changes, dir, Seq("id"), "s")
+    val back = spark.read.schema(schema).parquet(dir)
+    assert(canon(back) == canon(df("id BIGINT, v DOUBLE, s STRING", Seq(
+      Row(1L, 1.5, "x"), Row(2L, 9.0, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
+  }
+
+  test("mergeCow never reads untouched partitions (corrupt bystander file is survivable)") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    // replace the s=x partition's data with garbage: ANY read of it — footer
+    // sniffing included — would throw, so a passing merge proves the no-read
+    // guarantee, not just no-rewrite
+    val xDir = new java.io.File(dir, "s=x")
+    xDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(xDir, "part-corrupt.parquet").toPath,
+      "this is not a parquet file".getBytes)
+    val changes = df("id BIGINT, v DOUBLE, s STRING", Seq(Row(2L, 9.0, "y")))
+    FileSink.mergeCow(changes, dir, Seq("id"), "s") // must not touch s=x
+    val back = spark.read.schema(schema).parquet(dir)
+      .filter(col("s") =!= "x") // the corrupt partition is unreadable by design
+    assert(canon(back) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"), Row(2L, 3.5, "y2")))))
+  }
+
   test("compact rewrites many small objects into few, preserving rows") {
     val dir = tmp() + "/t"
     // 6 tiny appends → many small files
