@@ -499,6 +499,44 @@ object EventOps {
     * one narrow binning scan into a ≤ types·bins aggregate, and windows
     * that only ever order ≤ [[HqBins]] rows per type. The raw stream is
     * never sorted — at 100 TB that is the whole point. */
+  private val AnomalyZ = 2L // flag beyond z standard deviations
+
+  /** Volume-anomaly detection: per event type, flag days whose event count
+    * sits more than [[AnomalyZ]]σ from that type's daily mean — the ops
+    * monitor for ingest spikes/drops. The z-test is evaluated WITHOUT
+    * floats or sqrt: `(cnt − s/n)² > z²·(ss/n − (s/n)²)` is multiplied out
+    * to the integer-exact `(n·cnt − s)² > z²·(n·ss − s²)`, so Spark and the
+    * oracle agree bit-for-bit (a float σ would diverge in libm). Shape: one
+    * map-side-combinable daily rollup, a |types|-row broadcast of the
+    * moment table, a narrow filter — nothing scales with raw events past
+    * the first aggregate. */
+  def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // feeds the moment rollup AND the flag filter
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("cnt").as("s"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    val z2 = AnomalyZ * AnomalyZ
+    daily.join(broadcast(stats), "event_type")
+      .filter((col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s"))
+        > lit(z2) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"), col("day"), col("cnt"))
+  }
+
+  private val anomalyOracle = s"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS ss
+      FROM daily GROUP BY 1)
+    SELECT event_type, day, cnt FROM daily JOIN st USING (event_type)
+    WHERE (n*cnt - s)*(n*cnt - s) > ${AnomalyZ * AnomalyZ}*(n*ss - s*s)"""
+
   def tHistQuantile(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val bounds = ev.groupBy("event_type")
@@ -640,6 +678,7 @@ object EventOps {
   def qs: Map[String, Q] = Map(
     "q_skew_join"        -> Q(qSkewJoin, Some(skewJoinOracle)),
     "t_hist_quantile"    -> Q(tHistQuantile, Some(histQuantileOracle)),
+    "q_anomaly"          -> Q(qAnomaly, Some(anomalyOracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),

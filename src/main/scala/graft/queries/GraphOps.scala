@@ -160,6 +160,87 @@ object GraphOps {
     SELECT node, r AS rank_e12 FROM r$PrIters"""
   }
 
+  // ---- triangle counting -------------------------------------------------
+
+  /** Distributed triangle counting by DEGREE ORIENTATION (Cohen 2009; the
+    * MapReduce-classic "node-iterator++"), over the property-value
+    * co-navigation graph: nodes are `props.k` values, an undirected edge
+    * joins values a user visited consecutively.
+    *
+    * The naive wedge count explodes on hubs (a degree-d node yields d²
+    * wedges). Orienting every edge from its lower-(degree, id) endpoint to
+    * the higher caps out-degree at O(√m): each triangle then has EXACTLY ONE
+    * apex with two out-edges in it, so triangles = closed oriented wedges,
+    * counted once, no dedup pass. The plan is three keyed equi-joins (degree
+    * attach ×2, wedge self-join, closure semi-join) and map-side-combinable
+    * counts — no global sort, nothing quadratic in nodes. The oriented edge
+    * table feeds both sides of the wedge self-join → persisted (self-join
+    * sides don't share exchanges). */
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("node"))
+      .filter(col("node").isNotNull)
+    val edges = ev.withColumn("prev", lag(col("node"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("node"))
+      .select(least(col("prev"), col("node")).as("a"),
+        greatest(col("prev"), col("node")).as("b"))
+      .distinct()
+    triangleCount(edges)
+  }
+
+  /** The counting core of [[qTriangleCount]], over a distinct undirected
+    * edge table (a < b). Split out so the spec can drive planted graphs. */
+  private[queries] def triangleCount(edges0: DataFrame): DataFrame = {
+    val edges = edges0.persist()
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val oriented = edges
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .persist()
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(least(col("x.dst"), col("y.dst")).as("a"),
+        greatest(col("x.dst"), col("y.dst")).as("b"))
+    val closed = wedges.join(edges, Seq("a", "b"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("c"))
+    val nEdges = edges.agg(count(lit(1)).as("c"))
+    val nTris = closed.agg(count(lit(1)).as("c"))
+    nNodes.select(col("c").as("n_nodes"))
+      .crossJoin(nEdges.select(col("c").as("n_edges")))
+      .crossJoin(nTris.select(col("c").as("n_triangles")))
+  }
+
+  private val triangleOracle = """
+    WITH e0 AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             json_extract(props::JSON, '$.k')::INT AS node
+      FROM events WHERE json_extract(props::JSON, '$.k') IS NOT NULL),
+    steps AS (
+      SELECT node, lag(node) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+      FROM e0),
+    edges AS (
+      SELECT DISTINCT least(prev, node) AS a, greatest(prev, node) AS b
+      FROM steps WHERE prev IS NOT NULL AND prev <> node)
+    SELECT
+      (SELECT count(DISTINCT v) FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)) AS n_nodes,
+      (SELECT count(*) FROM edges) AS n_edges,
+      (SELECT count(*) FROM edges e1
+         JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+         JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""
+
   def qs: Map[String, Q] = Map(
-    "q_pagerank" -> Q(qPageRank, Some(pageRankOracle)))
+    "q_pagerank" -> Q(qPageRank, Some(pageRankOracle)),
+    "q_triangle_count" -> Q(qTriangleCount, Some(triangleOracle)))
 }

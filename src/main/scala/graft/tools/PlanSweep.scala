@@ -41,6 +41,7 @@ object PlanSweep {
     "llm_rank_fusion" -> Set("BroadcastNestedLoop"),
     "llm_resample"    -> Set("BroadcastNestedLoop"),
     "llm_temperature_mix" -> Set("BroadcastNestedLoop"), // 1-row totals cross, as domain_mix
+    "q_triangle_count" -> Set("BroadcastNestedLoop"), // 1-row × 1-row × 1-row summary cross
     "s7_select"       -> Set("rangepartitioning"))
 
   def main(args: Array[String]): Unit = {

@@ -33,6 +33,41 @@ class EventOpsSpec extends SparkSuite {
     (dir, rows)
   }
 
+  test("q_anomaly: planted spike flags; quiet days don't; equals the integer reference") {
+    // type "view": 5 events/day for 9 days + a 50-event spike day;
+    // type "click": flat 4/day — must never flag
+    val rows =
+      (for (day <- 0 until 9; i <- 0 until 5) yield
+        Ev((day * 100 + i).toLong, (T0 + day * DayMs + i * 1000L) * 1000000L,
+          i.toLong, "view", 1.0, "{}")) ++
+      (for (i <- 0 until 50) yield
+        Ev((5000 + i).toLong, (T0 + 9 * DayMs + i * 1000L) * 1000000L,
+          i.toLong, "view", 1.0, "{}")) ++
+      (for (day <- 0 until 10; i <- 0 until 4) yield
+        Ev((9000 + day * 10 + i).toLong, (T0 + day * DayMs + i * 1000L) * 1000000L,
+          i.toLong, "click", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_").toString
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    def dayStr(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString
+    val daily = rows.groupBy(e => (e.event_type, dayStr(e.ts / 1000000L)))
+      .map { case ((t, day), es) => (t, day, es.size.toLong) }.toSeq
+    val exp = (for {
+      (t, ds) <- daily.groupBy(_._1).toSeq
+      n = ds.size.toLong; s = ds.map(_._3).sum; ss = ds.map(x => x._3 * x._3).sum
+      (_, day, cnt) <- ds
+      if (n * cnt - s) * (n * cnt - s) > 4L * (n * ss - s * s)
+    } yield (t, day, cnt)).toSet
+
+    val got = Registry.all("q_anomaly").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exp, s"got=$got exp=$exp")
+    assert(got.contains(("view", "2024-01-10", 50L)), s"spike not flagged: $got")
+    assert(!got.exists(_._1 == "click"), s"flat series flagged: $got")
+  }
+
   private def tsMs(e: Ev): Long = e.ts / 1000000L
   /** DECIMAL(18,2) HALF_UP sum → double — the dec() aggregate twin. */
   private def decSum(vs: Seq[Double]): Double =

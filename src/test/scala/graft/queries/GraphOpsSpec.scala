@@ -30,6 +30,21 @@ class GraphOpsSpec extends SparkSuite {
     assert(driver.contains("sink") && driver("sink") > 0L)
   }
 
+  test("triangle count: K5 walk = 10; shared-edge bowtie = 2; star = 0") {
+    def count(edges: Seq[(Int, Int)]): Long =
+      GraphOps.triangleCount(
+          edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+            .distinct.toDF("a", "b"))
+        .collect().head.getLong(2)
+    // complete graph K5: C(5,3) = 10 triangles
+    val k5 = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)
+    assert(count(k5) == 10L)
+    // two triangles sharing edge (1,2)
+    assert(count(Seq((1, 2), (1, 3), (2, 3), (1, 4), (2, 4))) == 2L)
+    // star: wedges everywhere, no closures
+    assert(count((2 to 8).map(i => (1, i))) == 0L)
+  }
+
   test("rank follows link structure: a hub every node points to outranks leaves") {
     val leaves = (1 to 9).map(i => (s"leaf$i", "hub", 1L))
     val back = Seq(("hub", "leaf1", 1L)) // hub links out so it isn't dangling
