@@ -334,7 +334,56 @@ object PqOps {
     UNION ALL ${one("pq_trained", pqSearchOracle)}"""
   }
 
+  // ---- int8 scalar quantization ----------------------------------------
+
+  /** SQ8 scalar quantization (FAISS `SQ8`): each dimension maps to one byte
+    * against a per-dim global [min, max] — 4× smaller than float32 with a
+    * fixed, data-independent decode, the cheap sibling of PQ that most
+    * vector stores run first. One exploded pass builds the 64-row moment
+    * table (map-side-combinable min/max — only 64 rows per partition
+    * shuffle), which BROADCASTS back onto the same exploded frame for the
+    * encode; nothing corpus-sized shuffles. Codes are exact on both engines:
+    * (x−lo)/(hi−lo)·255 is pure IEEE double arithmetic on identical float
+    * inputs and the rounding is the engine-neutral floor(·+0.5). Global
+    * min/max bounds mean the ratio is already in [0,1] — no clamp branch to
+    * diverge. `err` is the per-coordinate reconstruction error (quantized
+    * 6dp), making the query double as the quantization-quality report. */
+  def sq8Encode(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("xd"))
+      .persist() // feeds the moment pass AND the encode pass
+    val mm = x.groupBy("dim").agg(min("xd").as("lo"), max("xd").as("hi"))
+    x.join(broadcast(mm), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(floor((col("xd") - col("lo")) / (col("hi") - col("lo")) * 255 + 0.5)
+            .cast("long")).as("code"),
+        col("xd"), col("lo"), col("hi"))
+      .select(col("vec_id"), col("dim"), col("code"),
+        graft.llm.TextOps.quant(
+          abs(col("lo") + col("code") / lit(255.0) * (col("hi") - col("lo")) - col("xd")),
+          6).as("err"))
+  }
+
+  private val sq8Oracle = s"""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS xd
+      FROM embeddings),
+    mm AS (SELECT dim, min(xd) AS lo, max(xd) AS hi FROM x GROUP BY 1),
+    enc AS (
+      SELECT vec_id, CAST(x.dim AS BIGINT) AS dim,
+             CASE WHEN hi = lo THEN 0
+                  ELSE CAST(floor((xd - lo) / (hi - lo) * 255 + 0.5) AS BIGINT)
+             END AS code, xd, lo, hi
+      FROM x JOIN mm USING (dim))
+    SELECT vec_id, dim, code,
+           ${qSql("abs(lo + code / 255.0 * (hi - lo) - xd)", 6)} AS err
+    FROM enc"""
+
   def qs: Map[String, Q] = Map(
+    "llm_sq8_encode" -> Q(sq8Encode, Some(sq8Oracle)),
     "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
     "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)),
     "llm_pq_recall" -> Q(pqRecall, Some(pqRecallOracle)),

@@ -187,6 +187,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(capped.contains((2000L, 2001L)), "ordinary near-dup pair missed by capped path")
   }
 
+  test("sq8: planted vectors land on exact grid codes; constant dims code 0 with zero error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_").toString
+    Seq(
+      (0L, Seq(0.0f, -1.0f, 5.0f)),
+      (1L, Seq(2.0f, 1.0f, 5.0f)),
+      (2L, Seq(1.0f, 0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Registry.all("llm_sq8_encode").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // dim0 ∈ [0,2], dim1 ∈ [-1,1]: endpoints code 0/255 exactly, midpoint
+    // floor(127.5+0.5)=128 with error |128/255·span − half-span|
+    val midErr = math.floor(math.abs(128.0 / 255.0 * 2 - 1) * 1e6 + 0.5) / 1e6
+    assert(got((0L, 0L)) == ((0L, 0.0)) && got((1L, 0L)) == ((255L, 0.0)))
+    assert(got((0L, 1L)) == ((0L, 0.0)) && got((1L, 1L)) == ((255L, 0.0)))
+    assert(got((2L, 0L)) == ((128L, midErr)) && got((2L, 1L)) == ((128L, midErr)))
+    // constant dim: degenerate span → code 0, perfect reconstruction
+    assert(Seq(0L, 1L, 2L).forall(v => got((v, 2L)) == ((0L, 0.0))))
+  }
+
   test("mm_dedup: re-encoded near-identical payloads pair; unrelated payloads don't") {
     // two payloads differing by one byte (Hamming-close blockhashes), one
     // structurally different payload (ascending vs flat byte mass)
