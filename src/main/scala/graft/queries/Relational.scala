@@ -568,7 +568,126 @@ object Relational {
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey"""
 
+  // ---- Bloom semi-join reduction ---------------------------------------
+
+  private val BjWords = 1024
+  private val BjBits = 63 // signed-safe bits per word (same layout as the decontaminate filter)
+  private val BjM = BjWords * BjBits
+  private val BjK = 4
+
+  /** Semi-join reduction via a Bloom filter (Bernstein & Goodman's classic
+    * distributed-join reducer; Spark's AQE injects the same idea as a
+    * runtime bloom when statistics allow — here it is explicit and
+    * deterministic). The dim key set folds into an 8 KiB bit array riding
+    * the plan as a LITERAL, so the fact side is pruned by a narrow codegen
+    * filter BEFORE its shuffle — at 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the matching slice.
+    * False positives only: the exact join downstream removes them, so any
+    * composed query stays oracle-exact with no bloom modeling in the
+    * oracle. */
+  private[queries] def bloomSemiReduce(fact: DataFrame, key: String,
+                                       dimKeys: DataFrame): DataFrame = {
+    def pos(c: Column, i: Int): Column = pmod(xxhash64(lit(i), c), lit(BjM.toLong))
+    val words = Array.ofDim[Long](BjWords)
+    dimKeys.select(col(dimKeys.columns.head).as("k"))
+      .select(explode(array((0 until BjK).map(i => pos(col("k"), i)): _*)).as("b"))
+      .groupBy((col("b") / BjBits).cast(IntegerType).as("j"))
+      .agg(expr(s"bit_or(shiftleft(1L, int(b % $BjBits)))").as("w"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1)) // ≤1024 rows
+    val filt = typedlit(words.toSeq)
+    val hit = (0 until BjK).map { i =>
+      val b = pos(col(key), i)
+      element_at(filt, (b / BjBits).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (b % BjBits).cast(IntegerType))) =!= 0
+    }.reduce(_ && _)
+    fact.filter(col(key).isNotNull && hit)
+  }
+
+  /** Q-shaped proof of [[bloomSemiReduce]]: revenue by priority for one
+    * order month, with the lineitem side bloom-reduced before the join.
+    * The oracle is the PLAIN join — the reduction must be invisible in the
+    * answer. */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority").persist() // bloom build + join probe
+    val fact = bloomSemiReduce(Tables.lineitem(s, d), "l_orderkey",
+      dim.select("o_orderkey"))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+  }
+
+  private val qBloomJoinOracle = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY 1"""
+
+  /** Referential-integrity audit (the FK half of the data-quality family —
+    * [[EventOps.tDqRules]] covers row rules): for every declared FK
+    * relation, how many child rows, how many null keys (legal — a null FK
+    * is "unknown", not a violation), how many ORPHANS (non-null key with no
+    * parent). Scale shape: each child first collapses to its DISTINCT key
+    * multiplicity (map-side combinable — the join and shuffle see |keys|
+    * rows, never |rows|), then ONE left join against the parent key set and
+    * ONE aggregate produce the relation's row; no cross joins, the 6
+    * relation rows union. */
+  /** One FK relation's audit row — split out for the planted-orphan spec. */
+  private[queries] def fkRelation(nm: String, child: DataFrame, key: String,
+                                  parent: DataFrame, pkey: String): DataFrame = {
+    val ck = child.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+    val pk = parent.select(col(pkey).as("k")).distinct().withColumn("hit", lit(1))
+    ck.join(pk, Seq("k"), "left")
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("k").isNull, col("n")).otherwise(0L)), lit(0L)).as("n_nulls"),
+        coalesce(sum(when(col("k").isNotNull && col("hit").isNull, col("n"))
+          .otherwise(0L)), lit(0L)).as("n_orphans"))
+      .select(lit(nm).as("relation"), col("n_child"), col("n_nulls"), col("n_orphans"))
+  }
+
+  def tFkCheck(s: SparkSession, d: String): DataFrame = {
+    def rel(nm: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame =
+      fkRelation(nm, child, key, parent, pkey)
+    rel("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionByName(rel("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(rel("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+      .unionByName(rel("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+      .unionByName(rel("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"))
+      .unionByName(rel("events.user_id->customer", Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey"))
+  }
+
+  private val tFkCheckOracle = {
+    def rel(nm: String, child: String, key: String, parent: String, pkey: String) = s"""
+      SELECT '$nm' AS relation,
+        CAST(count(*) AS BIGINT) AS n_child,
+        CAST(count(*) FILTER (WHERE c.$key IS NULL) AS BIGINT) AS n_nulls,
+        CAST(count(*) FILTER (WHERE c.$key IS NOT NULL AND p.$pkey IS NULL) AS BIGINT) AS n_orphans
+      FROM $child c LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p ON c.$key = p.$pkey"""
+    Seq(
+      rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      rel("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      rel("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      rel("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+      .mkString("\n      UNION ALL\n")
+  }
+
   def qs: Map[String, Q] = Map(
+    "t_fk_check" -> Q(tFkCheck, Some(tFkCheckOracle)),
+    "q_bloom_join" -> Q(qBloomJoin, Some(qBloomJoinOracle)),
     "q_bucketed_join" -> Q(qBucketedJoin, Some(qBucketedJoinOracle)),
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_er_golden"  -> Q(qErGolden, Some(qErGoldenOracle)),

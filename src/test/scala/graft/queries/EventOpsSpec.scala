@@ -68,6 +68,23 @@ class EventOpsSpec extends SparkSuite {
     assert(!got.exists(_._1 == "click"), s"flat series flagged: $got")
   }
 
+  test("bloomSemiReduce: keeps every true match, prunes the disjoint bulk") {
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val fact = (1L to 1000L).toDF("fk")
+    val red = Relational.bloomSemiReduce(fact, "fk", dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(red), s"true matches dropped: $red")
+    assert(red.size < 100, s"no pruning happened: ${red.size} of 1000 kept")
+  }
+
+  test("fkRelation: planted orphans and null keys count exactly") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L), Some(9L)).toDF("fk")
+    val row = Relational.fkRelation("c.fk->p", child, "fk", parent, "pk").collect().head
+    assert((row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      (("c.fk->p", 6L, 1L, 2L)))
+  }
+
   private def tsMs(e: Ev): Long = e.ts / 1000000L
   /** DECIMAL(18,2) HALF_UP sum → double — the dec() aggregate twin. */
   private def decSum(vs: Seq[Double]): Double =
