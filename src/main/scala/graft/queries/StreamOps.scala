@@ -838,7 +838,64 @@ object StreamOps {
       cells, cents, LlmOps.AnnK, LlmOps.IvfNprobe)
   }
 
+  /** Streaming copy-on-write lake upsert: a CDC-shaped change stream (pk
+    * updates + inserts) lands on the partitioned parquet lake through
+    * [[graft.sink.FileSink.mergeCow]] per micro-batch — the file-store twin
+    * of the JDBC stream-upsert path (D4), i.e. a Delta-style `MERGE INTO`
+    * maintained BY the stream. Exactly-once table semantics come from
+    * at-least-once replay + an idempotent merge: re-applying a batch
+    * anti-joins its own previous rows out and writes the identical rows
+    * back (FileSinkSpec proves the fixpoint), and Structured Streaming only
+    * ever replays the last uncommitted batch, so no later batch's update
+    * can be regressed. Each pk rides in exactly one micro-batch here, so
+    * batch order is immaterial to the final state — which is what the
+    * one-shot oracle computes. */
+  def qStreamLakeMerge(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_slake"
+    rmrf(s, base)
+    val dir = s"$base/table"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir) // seed the lake
+    val upd = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") * 2)
+    val ins = ev.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    writeSegments(
+      upd.unionByName(ins)
+        .withColumn("__seg", format_string("%03d", pmod(col("event_id"), lit(3)))),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.sink.FileSink.mergeCow(b, dir, Seq("event_id"), "day")
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(schema).parquet(dir)
+      .select("event_id", "user_id", "value", "day")
+  }
+
+  private val streamLakeMergeOracle = """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events)
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value, day
+    FROM ev
+    UNION ALL
+    SELECT event_id + 10000000, user_id, value, day FROM ev WHERE event_id % 97 = 0"""
+
   def qs: Map[String, Q] = Map(
+    "q_stream_lake_merge" -> Q(qStreamLakeMerge, Some(streamLakeMergeOracle)),
     "q_stream_ann"      -> Q(qStreamAnn, Some(LlmOps.annIvfOracle)),
     "q_stream_neardup"  -> Q(qStreamNearDup, Some(streamNearDupOracle)),
     "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),

@@ -111,6 +111,17 @@ class FileSinkSpec extends SparkSuite {
       Seq(Row(2L, 9.0, "y"), Row(2L, 3.5, "y2")))))
   }
 
+  test("mergeCow is idempotent: re-applying the same batch is a fixpoint (stream replay safety)") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    val changes = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"), Row(7L, 7.0, "y")))
+    FileSink.mergeCow(changes, dir, Seq("id"), "s")
+    val once = canon(spark.read.schema(schema).parquet(dir))
+    FileSink.mergeCow(changes, dir, Seq("id"), "s") // at-least-once replay
+    assert(canon(spark.read.schema(schema).parquet(dir)) == once)
+  }
+
   test("compact rewrites many small objects into few, preserving rows") {
     val dir = tmp() + "/t"
     // 6 tiny appends → many small files
