@@ -225,6 +225,58 @@ object EventOps {
            n_events
     FROM g"""
 
+  /** Temporal enrichment against the SCD2 dimension: every purchase picks
+    * up the state row that was CURRENT at its event time — [[qScd2]]'s
+    * history joined through the custom broadcast as-of physical operator
+    * ([[graft.plans.BroadcastAsOfJoinExec]]: per-user time index broadcast,
+    * binary-search probe, ZERO exchanges on the fact side). This is the
+    * standard composition a warehouse runs as `dim.valid_from <= f.ts <
+    * dim.valid_to` — expressed as an as-of join so the fact side never
+    * range-joins. Version boundaries inside one millisecond dedupe to the
+    * LATEST version per (user, ts) first — the uniqueness contract the
+    * as-of index requires, and the semantics "at t, the newest state
+    * wins". */
+  def qScd2Join(s: SparkSession, d: String): DataFrame = {
+    val dim = qScd2(s, d)
+      .groupBy(col("user_id"), col("valid_from").as("ts_ms"))
+      .agg(max(col("version")).as("dim_version"),
+        max_by(col("state"), col("version")).as("dim_state"))
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms")
+    graft.ops.AsOf.joinBroadcast(purchases, dim,
+        key = "user_id", ts = "ts_ms", valueCols = Seq("dim_version", "dim_state"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_dim_version").as("version"), col("asof_dim_state").as("state"))
+  }
+
+  private val scd2JoinOracle = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    m AS (
+      SELECT user_id, event_type, ts_ms, event_id,
+        CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
+    v AS (
+      SELECT user_id, event_type, ts_ms,
+        sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+          ROWS UNBOUNDED PRECEDING) AS version
+      FROM m),
+    g AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             max(event_type) AS state, min(ts_ms) AS valid_from
+      FROM v GROUP BY 1, 2),
+    dim AS (
+      SELECT user_id, valid_from AS ts_ms, max(version) AS version,
+             max_by(state, version) AS state
+      FROM g GROUP BY 1, 2),
+    p AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase')
+    SELECT event_id, user_id, ts_ms, version, state FROM (
+      SELECT p.event_id, p.user_id, p.ts_ms, d.version, d.state,
+        row_number() OVER (PARTITION BY p.event_id ORDER BY d.ts_ms DESC) AS rn
+      FROM p JOIN dim d ON d.user_id = p.user_id AND d.ts_ms <= p.ts_ms) t
+    WHERE rn = 1"""
+
   // ---- Z-order layout key ----------------------------------------------
 
   /** Interleave the low 16 bits of `x` (Morton/Z-order spread): after the
@@ -679,6 +731,7 @@ object EventOps {
     "q_skew_join"        -> Q(qSkewJoin, Some(skewJoinOracle)),
     "t_hist_quantile"    -> Q(tHistQuantile, Some(histQuantileOracle)),
     "q_anomaly"          -> Q(qAnomaly, Some(anomalyOracle)),
+    "q_scd2_join"        -> Q(qScd2Join, Some(scd2JoinOracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),
