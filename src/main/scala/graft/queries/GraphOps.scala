@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -137,17 +137,13 @@ object GraphOps {
         FROM r${k - 1} p JOIN e ON e.src = p.node GROUP BY 1) inf
       ON inf.node = n.node)"""
 
-  private val pageRankOracle = {
+  /** The engine-independent oracle tail: out-weights, node set, initial
+    * ranks, and [[PrIters]] replayed iterations — everything downstream of
+    * an `e(src, dst, w)` edge CTE, shared by every PageRank-family query
+    * (session transitions, TextRank co-occurrence). */
+  private def pageRankOracleTail: String = {
     val iters = (1 to PrIters).map(prIterSql).mkString(",")
     s"""
-    WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-    tr AS (
-      SELECT lag(event_type) OVER w AS src, event_type AS dst,
-             ts_ms - lag(ts_ms) OVER w AS gap
-      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
-    e AS MATERIALIZED (
-      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
-      WHERE src IS NOT NULL AND gap <= $PrGapMs GROUP BY 1, 2),
     ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
     n AS MATERIALIZED (
       SELECT u.node, COALESCE(ow.outw, 0) AS outw
@@ -159,6 +155,68 @@ object GraphOps {
     $iters
     SELECT node, r AS rank_e12 FROM r$PrIters"""
   }
+
+  private val pageRankOracle = s"""
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    tr AS (
+      SELECT lag(event_type) OVER w AS src, event_type AS dst,
+             ts_ms - lag(ts_ms) OVER w AS gap
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)),
+    e AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+      WHERE src IS NOT NULL AND gap <= $PrGapMs GROUP BY 1, 2),
+    $pageRankOracleTail"""
+
+  // ---- TextRank keyword ranking ----------------------------------------
+
+  private val TextRankWindow = 2
+
+  /** TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    * CO-OCCURRENCE graph — an edge per ordered word pair within ±
+    * [[TextRankWindow]] positions, weighted by corpus-wide count; rank =
+    * corpus keywordness. Pair generation is the narrow slice-zip of
+    * [[SketchOps.skipgram]] (no positional self-join), self-loops dropped,
+    * and the iterations are the SAME fixed-point integer machinery as
+    * [[qPageRank]] — word graphs exceed [[PrDriverEdgeCap]] so this query
+    * exercises the checkpointed DISTRIBUTED loop in production, with the
+    * oracle replaying every iteration off the shared tail. */
+  def llmTextrank(s: SparkSession, d: String): DataFrame = {
+    val toksd = Tables.documents(s, d)
+      .select(graft.llm.TextOps.tokens(col("text")).as("tk"))
+    val n = size(col("tk"))
+    def pairsAt(k: Int): Column = concat(
+      zip_with(slice(col("tk"), lit(1), greatest(n - k, lit(0))),
+        slice(col("tk"), lit(1 + k), greatest(n - k, lit(0))),
+        (a, b) => struct(a.as("s"), b.as("t"))),
+      zip_with(slice(col("tk"), lit(1 + k), greatest(n - k, lit(0))),
+        slice(col("tk"), lit(1), greatest(n - k, lit(0))),
+        (a, b) => struct(a.as("s"), b.as("t"))))
+    val edges = toksd
+      .select(explode(concat((1 to TextRankWindow).map(pairsAt): _*)).as("p"))
+      .select(col("p.s").as("src"), col("p.t").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val probe = edges.limit(PrDriverEdgeCap + 1).collect()
+    if (probe.length <= PrDriverEdgeCap) {
+      import s.implicits._
+      pageRankDriver(probe.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+          PrIters)
+        .toSeq.toDF("node", "rank_e12")
+    } else {
+      pageRankDistributed(edges, PrIters).select(col("node"), col("r").as("rank_e12"))
+    }
+  }
+
+  private val textrankOracle = s"""
+    WITH t AS (SELECT doc_id, ${LlmOps.toksSql} AS sp FROM documents),
+    tok AS (SELECT doc_id, unnest(sp) AS w, generate_subscripts(sp, 1) AS pos FROM t),
+    e AS MATERIALIZED (
+      SELECT a.w AS src, b.w AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+        AND abs(b.pos - a.pos) BETWEEN 1 AND $TextRankWindow
+        AND a.w <> b.w
+      GROUP BY 1, 2),
+    $pageRankOracleTail"""
 
   // ---- triangle counting -------------------------------------------------
 
@@ -242,5 +300,6 @@ object GraphOps {
 
   def qs: Map[String, Q] = Map(
     "q_pagerank" -> Q(qPageRank, Some(pageRankOracle)),
+    "llm_textrank" -> Q(llmTextrank, Some(textrankOracle)),
     "q_triangle_count" -> Q(qTriangleCount, Some(triangleOracle)))
 }

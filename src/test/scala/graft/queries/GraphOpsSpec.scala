@@ -45,6 +45,20 @@ class GraphOpsSpec extends SparkSuite {
     assert(count((2 to 8).map(i => (1, i))) == 0L)
   }
 
+  test("textrank: a word co-occurring with every other word outranks the periphery") {
+    // "hub" neighbors every rare word; rare words only ever see "hub"
+    val docs = (0 until 12).map(i => (i.toLong, s"hub rare$i", "en", "s0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trank_").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ranks = GraphOps.llmTextrank(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("hub") > ranks.filter(_._1 != "hub").values.max,
+      s"hub not top-ranked: $ranks")
+    assert(ranks.size == 13)
+  }
+
   test("rank follows link structure: a hub every node points to outranks leaves") {
     val leaves = (1 to 9).map(i => (s"leaf$i", "hub", 1L))
     val back = Seq(("hub", "leaf1", 1L)) // hub links out so it isn't dangling
