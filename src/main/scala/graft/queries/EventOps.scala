@@ -551,6 +551,52 @@ object EventOps {
     * one narrow binning scan into a ≤ types·bins aggregate, and windows
     * that only ever order ≤ [[HqBins]] rows per type. The raw stream is
     * never sorted — at 100 TB that is the whole point. */
+  private val IncTopK = 5
+
+  /** Incremental top-K materialized-view maintenance (the selection twin of
+    * [[d7IncrementalAgg]]): the stored state is each type's top-K rows from
+    * the history slice — bounded at K·|types| no matter how much history
+    * accrued — and the refresh merges it with ONLY the increment through
+    * the same bounded-heap aggregate. Exactness is the selection property:
+    * top-K BY ROW SCORE is a mergeable operation (any row outside a slice's
+    * top-K can't be in the union's top-K), unlike top-K by aggregated count
+    * — which is why the view stores scored ROWS, not counters. The stored
+    * state genuinely round-trips through parquet. */
+  def d8IncrementalTopk(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ms"))
+      .persist() // bounds probe + history/increment split
+    val cut = ev.agg((min("ts_ms") +
+      ((max("ts_ms") - min("ts_ms")) * 2) / 3).cast(LongType)).first().getLong(0)
+    def topk(rows: DataFrame): DataFrame = rows
+      .groupBy(col("event_type"))
+      .agg(graft.llm.TextOps.topKBy(col("value"), col("event_id"), IncTopK).as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("e"))
+      .select(col("event_type"), col("e.id").as("event_id"), col("e.score").as("value"))
+    val stateDir = s"/tmp/graft_d8_topk_${java.util.UUID.randomUUID().toString.take(8)}"
+    topk(ev.filter(col("ts_ms") < cut)).write.mode("overwrite").parquet(stateDir)
+    val stored = s.read.parquet(stateDir) // the persisted view state
+    topk(stored.unionByName(
+        ev.filter(col("ts_ms") >= cut).select("event_type", "event_id", "value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_rows"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("topk_sum"),
+        min(col("value")).as("kth_value"))
+  }
+
+  /** Oracle = FULL recompute: the merged incremental state must be
+    * indistinguishable from running top-K over all history at once. */
+  private val d8Oracle = s"""
+    WITH ranked AS (
+      SELECT event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY value DESC, event_id ASC) AS rk
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS k_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS topk_sum,
+           min(value) AS kth_value
+    FROM ranked WHERE rk <= $IncTopK GROUP BY 1"""
+
   private val AnomalyZ = 2L // flag beyond z standard deviations
 
   /** Volume-anomaly detection: per event type, flag days whose event count
@@ -732,6 +778,7 @@ object EventOps {
     "t_hist_quantile"    -> Q(tHistQuantile, Some(histQuantileOracle)),
     "q_anomaly"          -> Q(qAnomaly, Some(anomalyOracle)),
     "q_scd2_join"        -> Q(qScd2Join, Some(scd2JoinOracle)),
+    "d8_incremental_topk" -> Q(d8IncrementalTopk, Some(d8Oracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),

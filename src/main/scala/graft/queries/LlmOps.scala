@@ -212,9 +212,12 @@ object LlmOps {
     * τ·|x| ≤ |y| ≤ |x|/τ length filter, then exact in-row verification of
     * the candidates against the FULL sets — no stage is quadratic in the
     * corpus and no qualifying pair can be missed. */
-  def prefixJoin(s: SparkSession, d: String): DataFrame = {
+  def prefixJoin(s: SparkSession, d: String): DataFrame =
+    prefixJoinPairs(Tables.documents(s, d))
+
+  private[queries] def prefixJoinPairs(docs: DataFrame): DataFrame = {
     val tau = JaccardThreshold
-    val sh = docShingles(Tables.documents(s, d)) // uncapped (doc_id, s); persisted
+    val sh = docShingles(docs) // uncapped (doc_id, s); persisted
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val pref = sh.join(df, "s")
       .groupBy("doc_id")
@@ -560,6 +563,65 @@ object LlmOps {
     FROM pairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
     WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold"""
   }
+
+  // ---- LSH recall evaluation vs the exact join --------------------------
+
+  /** Recall measurement of the MinHash-LSH dedup pipeline against the EXACT
+    * similarity join — the index-trust number for the TEXT side, the twin
+    * of [[annRecall]] on the embedding side, made possible by
+    * [[prefixJoinPairs]] being exact. LSH's verified pairs are a SUBSET of
+    * the exact set by construction (verification computes true Jaccard), so
+    * `n_hit == n_lsh` here is itself an invariant under test: a violation
+    * means one of the two pipelines broke. recall_permille is integer-exact
+    * (`·1000 div`), so the measurement hash-compares. One extra aggregate
+    * over the union of tagged pair sets — no cross joins, no second scan
+    * beyond the two pipelines themselves. */
+  def lshEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = prefixJoinPairs(docs).select("i", "j").persist()
+    val lsh = minhashPairs(docs).select("i", "j")
+    val hit = exact.join(lsh, Seq("i", "j"), "left_semi")
+    exact.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"))
+      .unionAll(lsh.select(lit(0L).as("ex"), lit(1L).as("ls"), lit(0L).as("ht")))
+      .unionAll(hit.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht")))
+      .agg(sum("ex").as("n_exact"), sum("ls").as("n_lsh"), sum("ht").as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_hit * 1000) div n_exact END")
+          .as("recall_permille"))
+  }
+
+  private lazy val lshEvalOracle = s"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
+      FROM documents),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    epairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS MATERIALIZED (
+      SELECT i, j FROM epairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold),
+    $bandsCteSql,
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    vpairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN cands c ON c.i = a.doc_id AND c.j = b.doc_id
+      GROUP BY 1, 2),
+    lsh AS MATERIALIZED (
+      SELECT i, j FROM vpairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+      (SELECT CAST(count(*) AS BIGINT) FROM exact e JOIN lsh l ON e.i = l.i AND e.j = l.j) AS n_hit,
+      CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+           ELSE ((SELECT count(*) FROM exact e JOIN lsh l ON e.i = l.i AND e.j = l.j) * 1000)
+                // (SELECT count(*) FROM exact) END AS recall_permille"""
 
   // ---- incremental near-dup against a stored band index ----------------
 
@@ -2597,6 +2659,7 @@ object LlmOps {
     "llm_exact_dedup"   -> Q(exactDedup, Some(exactOracle)),
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_prefix_join"   -> Q(prefixJoin, Some(prefixJoinOracle)),
+    "llm_lsh_eval"      -> Q(lshEval, Some(lshEvalOracle)),
     "llm_containment"   -> Q(containment, Some(containmentOracle)),
     "llm_substr_dedup"  -> Q(substrDedup, Some(substrDedupOracle)),
     "llm_substr_clean"  -> Q(substrClean, Some(substrCleanOracle)),
