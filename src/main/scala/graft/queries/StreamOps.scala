@@ -894,21 +894,40 @@ object StreamOps {
     UNION ALL
     SELECT event_id + 10000000, user_id, value, day FROM ev WHERE event_id % 97 = 0"""
 
+  /** Run a registry query under a reduced shuffle-partition count, restoring
+    * the session's value after. Streaming state (a stream-stream join keeps
+    * FOUR stores per partition; dedup/aggregates one or two) and per-micro-
+    * batch task fan-out both scale with `spark.sql.shuffle.partitions` — at
+    * bench scale the micro-batches are small enough that 32 partitions make
+    * state-store commits ~85% of the runtime (q_stream_join: 30→7 s at 8).
+    * On a real cluster the SAME knob is sized to the stream's key
+    * cardinality, not the CPU count — which is exactly what this models.
+    * The conf is read at query start and baked into the fresh checkpoint,
+    * so restoring after the call cannot affect the stream. */
+  private def fewerShuffles(fn: (SparkSession, String) => DataFrame)
+                           (s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try fn(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def qs: Map[String, Q] = Map(
-    "q_stream_lake_merge" -> Q(qStreamLakeMerge, Some(streamLakeMergeOracle)),
+    "q_stream_lake_merge" -> Q(fewerShuffles(qStreamLakeMerge), Some(streamLakeMergeOracle)),
+    // neardup/ann stay at full width: their micro-batches are CPU-heavy
+    // (signatures / cell assignment), so task fan-out IS the work there
     "q_stream_ann"      -> Q(qStreamAnn, Some(LlmOps.annIvfOracle)),
     "q_stream_neardup"  -> Q(qStreamNearDup, Some(streamNearDupOracle)),
-    "q_stream_hll"      -> Q(qStreamHll, Some(streamHllOracle)),
-    "q_stream_cms"      -> Q(qStreamCms, Some(SketchOps.heavyHittersOracle)),
-    "q_stream_quantile" -> Q(qStreamQuantile, Some(EventOps.histQuantileOracle)),
-    "q_stream_enrich"   -> Q(qStreamEnrich, Some(streamEnrichOracle)),
+    "q_stream_hll"      -> Q(fewerShuffles(qStreamHll), Some(streamHllOracle)),
+    "q_stream_cms"      -> Q(fewerShuffles(qStreamCms), Some(SketchOps.heavyHittersOracle)),
+    "q_stream_quantile" -> Q(fewerShuffles(qStreamQuantile), Some(EventOps.histQuantileOracle)),
+    "q_stream_enrich"   -> Q(fewerShuffles(qStreamEnrich), Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
-    "q_stream_dedup"    -> Q(qStreamDedup, Some(streamDedupOracle)),
-    "q_stream_dedup_rocks" -> Q(qStreamDedupRocks, Some(streamDedupOracle)),
+    "q_stream_dedup"    -> Q(fewerShuffles(qStreamDedup), Some(streamDedupOracle)),
+    "q_stream_dedup_rocks" -> Q(fewerShuffles(qStreamDedupRocks), Some(streamDedupOracle)),
     "q_interval_join"   -> Q(qIntervalJoin, Some(intervalJoinOracle)),
-    "q_stream_join"     -> Q(qStreamJoin, Some(intervalJoinOracle)),
+    "q_stream_join"     -> Q(fewerShuffles(qStreamJoin), Some(intervalJoinOracle)),
     "q_sessionize"      -> Q(qSessionize, Some(sessionizeOracle)),
-    "b1_stream_window"  -> Q(b1StreamWindow, Some(b1Oracle)),
+    "b1_stream_window"  -> Q(fewerShuffles(b1StreamWindow), Some(b1Oracle)),
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
     "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),
   )
