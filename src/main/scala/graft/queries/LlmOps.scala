@@ -215,9 +215,14 @@ object LlmOps {
   def prefixJoin(s: SparkSession, d: String): DataFrame =
     prefixJoinPairs(Tables.documents(s, d))
 
-  private[queries] def prefixJoinPairs(docs: DataFrame): DataFrame = {
+  private[queries] def prefixJoinPairs(docs: DataFrame): DataFrame =
+    prefixJoinFromIndex(docShingles(docs))
+
+  /** [[prefixJoinPairs]] over an ALREADY-BUILT (and persisted) uncapped
+    * (doc_id, s) shingle index — lets [[lshEval]] share one tokenize+
+    * shingle+hash pass between the exact and LSH pipelines. */
+  private def prefixJoinFromIndex(sh: DataFrame): DataFrame = {
     val tau = JaccardThreshold
-    val sh = docShingles(docs) // uncapped (doc_id, s); persisted
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val pref = sh.join(df, "s")
       .groupBy("doc_id")
@@ -446,13 +451,15 @@ object LlmOps {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
-  private def minhashPairs(docs: DataFrame): DataFrame = {
+  private def minhashPairs(docs: DataFrame): DataFrame =
     // shingle+hash ONCE: the signature branch and the verify branch both
     // consume the (doc_id, hashes) frame — persist it so the text is
     // tokenized, shingled, and hashed a single time, not once per branch
     // (at cluster scale: the hash frame is materialized to storage once per
     // dedup run)
-    val withHs = hashedShingles(docs).persist()
+    minhashPairsFromHashes(hashedShingles(docs).persist())
+
+  private def minhashPairsFromHashes(withHs: DataFrame): DataFrame = {
     // narrow rows (doc_id, band, key) — persist so the SELF-join below does
     // not run the whole shingle→hash→signature pipeline once per side
     // (broadcast build sides don't reuse exchanges)
@@ -577,9 +584,15 @@ object LlmOps {
     * over the union of tagged pair sets — no cross joins, no second scan
     * beyond the two pipelines themselves. */
   def lshEval(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val exact = prefixJoinPairs(docs).select("i", "j").persist()
-    val lsh = minhashPairs(docs).select("i", "j")
+    // ONE tokenize+shingle+hash pass feeds BOTH pipelines (each would
+    // otherwise scan and hash the corpus independently)
+    val withHs = hashedShingles(Tables.documents(s, d)).persist()
+    val exact = prefixJoinFromIndex(
+      withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist())
+      .select("i", "j").persist()
+    // lsh feeds the union AND the semi-join — persist or the whole minhash
+    // pipeline runs twice
+    val lsh = minhashPairsFromHashes(withHs).select("i", "j").persist()
     val hit = exact.join(lsh, Seq("i", "j"), "left_semi")
     exact.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"))
       .unionAll(lsh.select(lit(0L).as("ex"), lit(1L).as("ls"), lit(0L).as("ht")))
