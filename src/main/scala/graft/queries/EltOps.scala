@@ -252,7 +252,83 @@ object EltOps {
       FROM ch GROUP BY 1)
     SELECT entity_id, seq, value, ts_ms FROM latest WHERE op <> 'D'"""
 
+  /** Partition-level change detection between two table snapshots — the
+    * incremental-ELT trigger that decides WHICH partitions feed a
+    * reprocessing run ([[SinkOps.p5LakeMerge]]'s planning half, and the
+    * partition-granular sibling of [[LlmOps.corpusDiff]]). Each snapshot
+    * collapses to one (count, content-XOR) signature row per day: the XOR
+    * of per-row 60-bit content hashes is ORDER-INDEPENDENT and cannot
+    * overflow, so the signature is a pure function of the partition's row
+    * SET on any engine and any partitioning. A changed/added/removed
+    * verdict then costs one |days|-sized full-outer join — the table's
+    * data never crosses the network twice. Doubles enter the row hash as
+    * `floor(value·100 + 0.5)` (exact IEEE, engine-neutral) — never as
+    * formatted strings, which render differently across engines. */
+  def tPartitionDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    // v2 = deterministic mutations: first-week %7 updates, day-29 dropped,
+    // a cloned day 2024-02-01 appended
+    val v2 = ev
+      .filter(col("day") =!= "2024-01-29")
+      .withColumn("value",
+        when(col("day") < "2024-01-08" && col("event_id") % 7 === 0,
+          col("value") * 2).otherwise(col("value")))
+      .unionByName(ev.filter(col("day") === "2024-01-01")
+        .withColumn("event_id", col("event_id") + 20000000L)
+        .withColumn("day", lit("2024-02-01")))
+    def sig(df: DataFrame): DataFrame = df
+      .withColumn("h", graft.llm.TextOps.hash60(concat_ws(":",
+        col("event_id"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast(LongType))))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+    sig(ev).select(col("day"), col("n").as("n_v1"), col("x").as("x1"))
+      .join(sig(v2).select(col("day"), col("n").as("n_v2"), col("x").as("x2")),
+        Seq("day"), "full_outer")
+      .select(col("day"),
+        when(col("n_v1").isNull, "added")
+          .when(col("n_v2").isNull, "removed")
+          .when(col("n_v1") === col("n_v2") && col("x1") === col("x2"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+  }
+
+  private val partitionDiffOracle = s"""
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    v2 AS (
+      SELECT event_id, user_id,
+             CASE WHEN day < '2024-01-08' AND event_id % 7 = 0
+                  THEN value * 2 ELSE value END AS value, day
+      FROM ev WHERE day <> '2024-01-29'
+      UNION ALL
+      SELECT event_id + 20000000, user_id, value, '2024-02-01'
+      FROM ev WHERE day = '2024-01-01'),
+    s1 AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_v1,
+        bit_xor(${LlmOps.hashSql(
+          "event_id::VARCHAR || ':' || user_id::VARCHAR || ':' || CAST(floor(value*100 + 0.5) AS BIGINT)::VARCHAR")}) AS x1
+      FROM ev GROUP BY 1),
+    s2 AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_v2,
+        bit_xor(${LlmOps.hashSql(
+          "event_id::VARCHAR || ':' || user_id::VARCHAR || ':' || CAST(floor(value*100 + 0.5) AS BIGINT)::VARCHAR")}) AS x2
+      FROM v2 GROUP BY 1)
+    SELECT COALESCE(s1.day, s2.day) AS day,
+      CASE WHEN s1.day IS NULL THEN 'added'
+           WHEN s2.day IS NULL THEN 'removed'
+           WHEN n_v1 = n_v2 AND x1 = x2 THEN 'unchanged'
+           ELSE 'changed' END AS status,
+      COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2
+    FROM s1 FULL OUTER JOIN s2 ON s1.day = s2.day"""
+
   def qs: Map[String, Q] = Map(
+    "t_partition_diff"     -> Q(tPartitionDiff, Some(partitionDiffOracle)),
     "d6_cdc_apply"         -> Q(d6CdcApply, Some(d6Oracle)),
     "t1_flatten"           -> Q(t1Flatten, Some(t1Oracle)),
     "t4_infer"             -> Q(t4Infer, Some(t4Oracle)),

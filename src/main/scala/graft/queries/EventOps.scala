@@ -608,11 +608,16 @@ object EventOps {
     * map-side-combinable daily rollup, a |types|-row broadcast of the
     * moment table, a narrow filter — nothing scales with raw events past
     * the first aggregate. */
-  def qAnomaly(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def qAnomaly(s: SparkSession, d: String): DataFrame =
+    anomalyTail(Tables.events(s, d)
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("cnt"))
-      .persist() // feeds the moment rollup AND the flag filter
+      .persist()) // feeds the moment rollup AND the flag filter
+
+  /** The z-test tail of [[qAnomaly]] over an already-built (event_type,
+    * day, cnt) frame — shared with the streaming twin, whose daily counts
+    * come out of complete-mode aggregation state instead of a batch scan. */
+  private[queries] def anomalyTail(daily: DataFrame): DataFrame = {
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum("cnt").as("s"),
       sum(col("cnt") * col("cnt")).as("ss"))
@@ -623,7 +628,7 @@ object EventOps {
       .select(col("event_type"), col("day"), col("cnt"))
   }
 
-  private val anomalyOracle = s"""
+  private[queries] val anomalyOracle = s"""
     WITH daily AS (
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(count(*) AS BIGINT) AS cnt

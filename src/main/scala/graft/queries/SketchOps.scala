@@ -894,6 +894,48 @@ object SketchOps {
     SELECT center_id, context_id, n_pos, neg_rank, neg_id FROM drawn
     WHERE neg_id <> center_id AND neg_id <> context_id"""
 
+  // ---- source-pair similarity matrix -----------------------------------
+
+  /** Pairwise Jaccard between SOURCES over their distinct 3-shingle sets —
+    * the corpus-level overlap matrix a mixture designer reads before
+    * weighting (two sources that are 40% the same text should not both get
+    * full weight, and a crawl that substantially overlaps a benchmark
+    * source is a contamination signal at the SOURCE level, before any
+    * per-document check). Scale shape: one distinct pass to (source,
+    * shingle), then a self-join on the shingle hash whose per-key fan-out
+    * is bounded by |sources| (≤ a few hundred in any real build), never by
+    * corpus size — output ≤ |shingles|·C(|sources|, 2) rows collapsing in a
+    * map-side count. */
+  def sourceSim(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(col("source"),
+        explode(TextOps.hash60Array(
+          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("h"))
+      .distinct().persist() // feeds sizes + both self-join sides
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+      .select(col("sa"), col("sb"), col("inter"),
+        TextOps.quant(col("inter") / (col("na") + col("nb") - col("inter")), 3).as("jac"))
+  }
+
+  private val sourceSimOracle = s"""
+    WITH sh AS (
+      SELECT DISTINCT source, h FROM (
+        SELECT source, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS h
+        FROM documents) t),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+    i AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT sa, sb, inter,
+           ${qSql("inter * 1.0 / (za.n + zb.n - inter)", 3)} AS jac
+    FROM i JOIN sizes za ON za.source = sa JOIN sizes zb ON zb.source = sb"""
+
   // ---- mixture resampling ----------------------------------------------
 
   /** Mixture weight → clamped per-mille keep rate — THE resampling scale,
@@ -1046,6 +1088,7 @@ object SketchOps {
     "llm_temperature_mix" -> Q(temperatureMix, Some(temperatureMixOracle)),
     "llm_rank_fusion"  -> Q(rankFusion, Some(rankFusionOracle)),
     "llm_kmv_rollup"   -> Q(kmvRollup, Some(kmvRollupOracle)),
+    "llm_source_sim"   -> Q(sourceSim, Some(sourceSimOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_skipgram"     -> Q(skipgram, Some(skipgramOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),

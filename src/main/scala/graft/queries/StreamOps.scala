@@ -894,6 +894,43 @@ object StreamOps {
     UNION ALL
     SELECT event_id + 10000000, user_id, value, day FROM ev WHERE event_id % 97 = 0"""
 
+  /** Streaming volume-anomaly detection: the per-(type, day) daily counts
+    * accumulate as complete-mode aggregation STATE across micro-batches —
+    * bounded at |types|·|days| cells, the same bounded-mergeable-state
+    * family as the streaming HLL/CMS/quantile — and the identical
+    * integer-exact z-test tail as the batch [[EventOps.qAnomaly]] reads the
+    * snapshot off, so streaming == batch == oracle. The monitor shape this
+    * models: an ingest-volume alarm maintained BY the stream instead of a
+    * nightly scan. */
+  def qStreamAnomaly(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_sanom"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select("event_id", "event_type", "ts_ms")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 3 === 0, "001")
+          .when(col("event_id") % 3 === 1, "002").otherwise("003")),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("ts_ms", LongType)))
+    s.catalog.dropTempView("graft_sanom_daily")
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .groupBy(col("event_type"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("graft_sanom_daily")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the z-test tail self-joins the snapshot (moments ⋈ counts) and the
+    // memory-sink view cannot deduplicate its attributes across a self-join
+    // — checkpoint the (|types|·|days|-row) snapshot into a joinable plan
+    EventOps.anomalyTail(s.table("graft_sanom_daily").localCheckpoint(true))
+  }
+
   /** Run a registry query under a reduced shuffle-partition count, restoring
     * the session's value after. Streaming state (a stream-stream join keeps
     * FOUR stores per partition; dedup/aggregates one or two) and per-micro-
@@ -920,6 +957,7 @@ object StreamOps {
     "q_stream_hll"      -> Q(fewerShuffles(qStreamHll), Some(streamHllOracle)),
     "q_stream_cms"      -> Q(fewerShuffles(qStreamCms), Some(SketchOps.heavyHittersOracle)),
     "q_stream_quantile" -> Q(fewerShuffles(qStreamQuantile), Some(EventOps.histQuantileOracle)),
+    "q_stream_anomaly"  -> Q(fewerShuffles(qStreamAnomaly), Some(EventOps.anomalyOracle)),
     "q_stream_enrich"   -> Q(fewerShuffles(qStreamEnrich), Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(fewerShuffles(qStreamDedup), Some(streamDedupOracle)),
