@@ -264,27 +264,40 @@ object EltOps {
     * data never crosses the network twice. Doubles enter the row hash as
     * `floor(value·100 + 0.5)` (exact IEEE, engine-neutral) — never as
     * formatted strings, which render differently across engines. */
-  def tPartitionDiff(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  /** The v1 snapshot (events by day) and its deterministically mutated v2
+    * (first-week %7 updates, day-29 dropped, a cloned day 2024-02-01
+    * appended) — shared by [[tPartitionDiff]] and [[SinkOps.p6Backfill]] so
+    * diff and backfill can never disagree about what changed. */
+  private[queries] def snapshotV1(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    // v2 = deterministic mutations: first-week %7 updates, day-29 dropped,
-    // a cloned day 2024-02-01 appended
-    val v2 = ev
-      .filter(col("day") =!= "2024-01-29")
-      .withColumn("value",
-        when(col("day") < "2024-01-08" && col("event_id") % 7 === 0,
-          col("value") * 2).otherwise(col("value")))
-      .unionByName(ev.filter(col("day") === "2024-01-01")
-        .withColumn("event_id", col("event_id") + 20000000L)
-        .withColumn("day", lit("2024-02-01")))
+
+  private[queries] def snapshotV2(ev: DataFrame): DataFrame = ev
+    .filter(col("day") =!= "2024-01-29")
+    .withColumn("value",
+      when(col("day") < "2024-01-08" && col("event_id") % 7 === 0,
+        col("value") * 2).otherwise(col("value")))
+    .unionByName(ev.filter(col("day") === "2024-01-01")
+      .withColumn("event_id", col("event_id") + 20000000L)
+      .withColumn("day", lit("2024-02-01")))
+
+  def tPartitionDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = snapshotV1(s, d)
+    val v2 = snapshotV2(ev)
+    partitionDiff(ev, v2)
+  }
+
+  /** (day, status, n_v1, n_v2) between any two snapshots with a `day`
+    * column — one signature aggregate per side + one |days|-row join. */
+  private[queries] def partitionDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
     def sig(df: DataFrame): DataFrame = df
       .withColumn("h", graft.llm.TextOps.hash60(concat_ws(":",
         col("event_id"), col("user_id"),
         floor(col("value") * 100 + 0.5).cast(LongType))))
       .groupBy("day")
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
-    sig(ev).select(col("day"), col("n").as("n_v1"), col("x").as("x1"))
+    sig(v1).select(col("day"), col("n").as("n_v1"), col("x").as("x1"))
       .join(sig(v2).select(col("day"), col("n").as("n_v2"), col("x").as("x2")),
         Seq("day"), "full_outer")
       .select(col("day"),

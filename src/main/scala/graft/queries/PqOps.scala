@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.core.Tables
 import graft.llm.Similarity
 import LlmOps.qSql
@@ -348,22 +349,86 @@ object PqOps {
     * min/max bounds mean the ratio is already in [0,1] — no clamp branch to
     * diverge. `err` is the per-coordinate reconstruction error (quantized
     * 6dp), making the query double as the quantization-quality report. */
-  def sq8Encode(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, dim, xd, lo, hi, code) — the shared long-format SQ8 code
+    * frame behind encode and search. */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame = {
     val x = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("xd"))
       .persist() // feeds the moment pass AND the encode pass
     val mm = x.groupBy("dim").agg(min("xd").as("lo"), max("xd").as("hi"))
     x.join(broadcast(mm), "dim")
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("xd"),
+        col("lo"), col("hi"),
         when(col("hi") === col("lo"), 0L)
           .otherwise(floor((col("xd") - col("lo")) / (col("hi") - col("lo")) * 255 + 0.5)
-            .cast("long")).as("code"),
-        col("xd"), col("lo"), col("hi"))
+            .cast("long")).as("code"))
+  }
+
+  def sq8Encode(s: SparkSession, d: String): DataFrame =
+    sq8Codes(s, d)
       .select(col("vec_id"), col("dim"), col("code"),
         graft.llm.TextOps.quant(
           abs(col("lo") + col("code") / lit(255.0) * (col("hi") - col("lo")) - col("xd")),
           6).as("err"))
+
+  /** SQ8 asymmetric-distance search: queries keep their EXACT coordinates,
+    * the corpus is read as dequantized codes (the SQ analog of PQ's ADC).
+    * The per-dim squared error is decimal-quantized before the DECIMAL sum
+    * so ranking is engine-exact; the per-query top-K is the bounded
+    * [[graft.functions.TopKByScore]] heap (≤K map-side state), never a
+    * window sort over all candidates. The 256-row (query, dim) table
+    * broadcasts; the codes table never shuffles for scoring — only the
+    * (query, vec) partial sums move, map-side combined. */
+  def sq8Search(s: SparkSession, d: String): DataFrame = {
+    val codes = sq8Codes(s, d).persist() // query slice + corpus scan
+    val qd = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("dim"), col("xd").as("qv"))
+    val e = col("lo") + col("code") / lit(255.0) * (col("hi") - col("lo")) - col("qv")
+    val dists = codes.join(broadcast(qd), Seq("dim"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.llm.TextOps.quant(e * e, 6).as("dd"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(graft.llm.TextOps.quant(
+        sum(col("dd").cast(DecimalType(28, 8))).cast(DoubleType), 6).as("adist"))
+    dists.groupBy("query_id")
+      .agg(graft.llm.TextOps.topKBy(-col("adist"), col("neighbor_id"), TopK).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("query_id"), (col("p") + 1).cast(LongType).as("rank"),
+        col("t.id").as("neighbor_id"),
+        (-col("t.score")).as("adist"))
+  }
+
+  private val sq8SearchOracle = {
+    val deq = "(lo + code / 255.0 * (hi - lo) - qv)"
+    s"""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS xd
+      FROM embeddings),
+    mm AS (SELECT dim, min(xd) AS lo, max(xd) AS hi FROM x GROUP BY 1),
+    enc AS (
+      SELECT vec_id, x.dim, lo, hi,
+             CASE WHEN hi = lo THEN 0
+                  ELSE CAST(floor((xd - lo) / (hi - lo) * 255 + 0.5) AS BIGINT)
+             END AS code
+      FROM x JOIN mm USING (dim)),
+    qd AS (SELECT vec_id AS query_id, dim, xd AS qv FROM x WHERE vec_id < $NQueries),
+    dd AS (
+      SELECT qd.query_id, e.vec_id AS neighbor_id,
+             ${qSql(s"$deq * $deq", 6)} AS d
+      FROM enc e JOIN qd ON qd.dim = e.dim AND qd.query_id <> e.vec_id),
+    approx AS (
+      SELECT query_id, neighbor_id,
+             ${qSql("CAST(SUM(CAST(d AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS adist
+      FROM dd GROUP BY 1, 2)
+    SELECT query_id, rank, neighbor_id, adist FROM (
+      SELECT query_id, neighbor_id, adist,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM approx) t
+    WHERE rank <= $TopK"""
   }
 
   private val sq8Oracle = s"""
@@ -384,6 +449,7 @@ object PqOps {
 
   def qs: Map[String, Q] = Map(
     "llm_sq8_encode" -> Q(sq8Encode, Some(sq8Oracle)),
+    "llm_sq8_search" -> Q(sq8Search, Some(sq8SearchOracle)),
     "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
     "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)),
     "llm_pq_recall" -> Q(pqRecall, Some(pqRecallOracle)),

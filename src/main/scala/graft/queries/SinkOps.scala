@@ -391,6 +391,54 @@ object SinkOps {
     UNION ALL
     SELECT event_id, user_id, value, day FROM ch"""
 
+  /** P6: end-to-end incremental backfill — the composed ELT loop that
+    * [[EltOps.tPartitionDiff]] plans and partition replacement executes.
+    * The stale lake (v1) is reconciled to the new snapshot (v2) by (1)
+    * diffing per-day signatures, (2) REWRITING only `changed`/`added`
+    * days via dynamic partition overwrite, (3) deleting `removed` days'
+    * folders — `unchanged` partitions are never read or written (their
+    * files are untouched, FileSinkSpec-style). At 100 TB this is the
+    * difference between a full-table rebuild and touching the 3 days that
+    * actually moved. Oracle = v2 itself: after backfill the lake must BE
+    * the new snapshot. */
+  def p6Backfill(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p6/events"
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path("/tmp/graft_p6"), true)
+    val v1 = EltOps.snapshotV1(s, d)
+    val v2 = EltOps.snapshotV2(v1).persist() // diff side + rebuild side
+    v1.write.partitionBy("day").parquet(dir) // the stale lake
+    val plan = EltOps.partitionDiff(v1, v2)
+      .filter(col("status") =!= "unchanged")
+      .select("day", "status").collect() // control-plane: one row per moved day
+    val rebuild = plan.filter(r => r.getString(1) != "removed").map(_.getString(0))
+    if (rebuild.nonEmpty)
+      FileSink.replacePartition(
+        v2.filter(col("day").isin(rebuild.toSeq: _*)), dir, Seq("day"))
+    plan.filter(_.getString(1) == "removed").foreach { r =>
+      f.delete(new org.apache.hadoop.fs.Path(dir, s"day=${r.getString(0)}"), true)
+    }
+    s.read.schema(StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))).parquet(dir)
+      .select("event_id", "user_id", "value", "day")
+  }
+
+  private val p6Oracle = """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events)
+    SELECT event_id, user_id,
+           CASE WHEN day < '2024-01-08' AND event_id % 7 = 0
+                THEN value * 2 ELSE value END AS value, day
+    FROM ev WHERE day <> '2024-01-29'
+    UNION ALL
+    SELECT event_id + 20000000, user_id, value, '2024-02-01' AS day
+    FROM ev WHERE day = '2024-01-01'"""
+
   private val p1FileOracle = """
     SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
     FROM events
@@ -404,6 +452,7 @@ object SinkOps {
     "k8_orc_sink"       -> Q(k8OrcSink, Some(k8Oracle)),
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "p5_lake_merge"     -> Q(p5LakeMerge, Some(p5Oracle)),
+    "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),
