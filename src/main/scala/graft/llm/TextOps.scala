@@ -38,6 +38,17 @@ object TextOps {
       graft.functions.Hash60Array(
         org.apache.spark.sql.GraftExpressions.expression(c)))
 
+  /** Fused `hash60Array(shingles(toks, n))` — the whole
+    * window→concat→distinct→hash composition in one codegen'd pass (see
+    * [[graft.functions.ShingleHash60]]; bit-parity proved in TextOpsSpec).
+    * This is stage one of every text-dedup pipeline, so the interpreted
+    * `transform`+`array_distinct` it replaces was the widest remaining
+    * interpreted span in the engine. */
+  def shingleHash60(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.ShingleHash60(
+        org.apache.spark.sql.GraftExpressions.expression(toks), n))
+
   /** BPE piece kernel: apply a learned merge list in one codegen'd pass
     * (see [[graft.functions.BpePieces]]). `perWord = true` treats the array
     * as a word list and flattens per-word pieces; `false` applies the rules

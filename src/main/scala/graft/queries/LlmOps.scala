@@ -78,8 +78,7 @@ object LlmOps {
     // comparison stays exact — a collision would fold the same pair of
     // shingles on both engines)
     val sh0 = docs.select(col("doc_id"),
-      explode(TextOps.hash60Array(
-        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s"))
+      explode(TextOps.shingleHash60(TextOps.tokens(col("text")), 3)).as("s"))
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")
     // the capped index feeds THREE consumers downstream (both sides of the
@@ -247,8 +246,7 @@ object LlmOps {
     * persisted: it feeds the df count, the prefix build, and the verify. */
   private def docShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(TextOps.hash60Array(
-        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s")).persist()
+      explode(TextOps.shingleHash60(TextOps.tokens(col("text")), 3)).as("s")).persist()
 
   /** Oracle = the EXACT pair set (no df cap) — prefix filtering is lossless,
     * so the full inverted-index join in DuckDB must agree bit-for-bit. */
@@ -435,8 +433,7 @@ object LlmOps {
     * (the oracle hashes identically), smaller state everywhere downstream. */
   private def hashedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      TextOps.hash60Array(
-        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("hs"))
+      TextOps.shingleHash60(TextOps.tokens(col("text")), 3).as("hs"))
 
   private[queries] def bandFrame(docs: DataFrame): DataFrame =
     bandFrameFromHashes(hashedShingles(docs))
@@ -873,7 +870,7 @@ object LlmOps {
   /** Rolling word-5-gram fingerprint (min-hash; the k=1 winnowing signature). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
-      array_min(TextOps.hash60Array(TextOps.shingles(TextOps.tokens(col("text")), 5)))
+      array_min(TextOps.shingleHash60(TextOps.tokens(col("text")), 5))
         .as("fingerprint"))
 
   private val fingerprintOracle = s"""

@@ -908,8 +908,7 @@ object SketchOps {
     * map-side count. */
   def sourceSim(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d).select(col("source"),
-        explode(TextOps.hash60Array(
-          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("h"))
+        explode(TextOps.shingleHash60(TextOps.tokens(col("text")), 3)).as("h"))
       .distinct().persist() // feeds sizes + both self-join sides
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),

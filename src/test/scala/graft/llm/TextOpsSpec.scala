@@ -108,6 +108,43 @@ class TextOpsSpec extends SparkSuite {
     assert(gen(1).forall(_ == TextOps.MinHashP))
   }
 
+  test("ShingleHash60 (codegen) equals hash60Array(shingles(...)) bit-for-bit") {
+    val docs = Seq(
+      "alpha beta gamma delta epsilon",      // ordinary 3-windows
+      "a b a b a b a b",                     // duplicate shingles → distinct
+      "one two",                             // fewer than n → whole-array shingle
+      "one", "",                             // single token / empty text
+      "naïve café 日本語 text 北京 test"       // unicode
+    ).toDF("text")
+    for (n <- Seq(3, 5)) {
+      val toks = TextOps.tokens(col("text"))
+      val unfused = docs.select(TextOps.hash60Array(TextOps.shingles(toks, n)))
+        .collect().toSeq.map(_.getSeq[Long](0))
+      val fused = docs.select(TextOps.shingleHash60(toks, n))
+        .collect().toSeq.map(_.getSeq[Long](0))
+      assert(fused == unfused, s"n=$n")
+    }
+  }
+
+  test("ShingleHash60 interpreted eval matches the codegen result") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toksSeq = Seq("w1", "w2", "w1", "w2", "w3")
+    val gen = Seq(toksSeq.mkString(" ")).toDF("text")
+      .select(TextOps.shingleHash60(TextOps.tokens(col("text")), 2))
+      .collect().head.getSeq[Long](0)
+    val expr = graft.functions.ShingleHash60(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType), true), 2)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(toksSeq.map(UTF8String.fromString).toArray[Any]))
+    val interp = expr.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    assert(gen == interp)
+    // distinct kept: "w1 w2" appears twice in window space but once here
+    assert(interp.length == 3)
+  }
+
   test("Hash60Array (codegen) equals transform+hash60 element-for-element") {
     val docs = Seq("alpha beta gamma delta", "one", "", "naïve café 日本語 text")
       .toDF("text")
