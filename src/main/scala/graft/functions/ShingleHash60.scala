@@ -27,8 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * hashing) would. Null tokens are skipped by the join, matching
   * `concat_ws`. Fewer than n tokens → the single whole-array shingle,
   * matching [[graft.llm.TextOps.shingles]]. */
-final case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
+final case class ShingleHash60(child: Expression, n: Int,
+                               mode: String = ShingleHash60.Distinct)
+  extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
+  require(ShingleHash60.Modes.contains(mode), s"unknown mode: $mode")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -44,7 +47,7 @@ final case class ShingleHash60(child: Expression, n: Int) extends UnaryExpressio
       () => java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHash60.compute(evalMd.get(), input.asInstanceOf[ArrayData], n)
+    ShingleHash60.compute(evalMd.get(), input.asInstanceOf[ArrayData], n, mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mdCls = "java.security.MessageDigest"
@@ -53,7 +56,7 @@ final case class ShingleHash60(child: Expression, n: Int) extends UnaryExpressio
               |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
               |""".stripMargin)
     nullSafeCodeGen(ctx, ev, arr => s"""
-       |${ev.value} = graft.functions.ShingleHash60.compute($md, $arr, $n);
+       |${ev.value} = graft.functions.ShingleHash60.compute($md, $arr, $n, "$mode");
      """.stripMargin)
   }
 
@@ -62,17 +65,35 @@ final case class ShingleHash60(child: Expression, n: Int) extends UnaryExpressio
 }
 
 object ShingleHash60 {
+  /** `array_distinct` window semantics with whole-array fallback under n —
+    * the [[graft.llm.TextOps.shingles]] composition. */
+  val Distinct = "distinct"
+  /** Non-distinct windows with whole-array fallback — the
+    * [[graft.llm.TextOps.ngrams]] composition (multiset consumers:
+    * winnowing, repetition). */
+  val Multi = "multi"
+  /** Non-distinct windows, EMPTY result under n tokens — the positional
+    * k-gram shape of the substring-dedup pipeline. */
+  val Positional = "positional"
+  private[functions] val Modes = Set(Distinct, Multi, Positional)
+
   private val Sep = UTF8String.fromString(" ")
 
-  /** Shared eval/codegen body: windows of `n` tokens (or the whole array if
-    * shorter) joined with a single space, string-deduped in first-occurrence
-    * order, each hashed to the portable 60-bit value. */
-  def compute(md: java.security.MessageDigest, toks: ArrayData, n: Int): ArrayData = {
+  /** Shared eval/codegen body: windows of `n` tokens joined with a single
+    * space, hashed to the portable 60-bit value; window set and dedup per
+    * `mode` above. */
+  def compute(md: java.security.MessageDigest, toks: ArrayData, n: Int,
+              mode: String): ArrayData = {
     val len = toks.numElements()
-    val nWindows = if (len >= n) len - n + 1 else 1
-    val width = if (len >= n) math.min(n, len) else len
-    val seen = new java.util.LinkedHashMap[UTF8String, java.lang.Long](nWindows * 2)
+    val short = len < n
+    if (short && mode == Positional) return new GenericArrayData(Array.empty[Any])
+    val nWindows = if (short) 1 else len - n + 1
+    val width = if (short) len else n
     val parts = new Array[UTF8String](width)
+    val distinct = mode == Distinct
+    val seen = if (distinct)
+      new java.util.LinkedHashMap[UTF8String, java.lang.Long](nWindows * 2) else null
+    val direct = if (distinct) null else new Array[Any](nWindows)
     var i = 0
     while (i < nWindows) {
       var j = 0
@@ -83,9 +104,11 @@ object ShingleHash60 {
         j += 1
       }
       val s = UTF8String.concatWs(Sep, parts: _*)
-      if (!seen.containsKey(s)) seen.put(s, Hash60Array.hash60(md, s))
+      if (distinct) { if (!seen.containsKey(s)) seen.put(s, Hash60Array.hash60(md, s)) }
+      else direct(i) = Hash60Array.hash60(md, s)
       i += 1
     }
+    if (!distinct) return new GenericArrayData(direct)
     val out = new Array[Any](seen.size())
     val it = seen.values().iterator()
     var k = 0

@@ -49,6 +49,23 @@ object TextOps {
       graft.functions.ShingleHash60(
         org.apache.spark.sql.GraftExpressions.expression(toks), n))
 
+  /** Fused `hash60Array(ngrams(toks, n))` — non-distinct multiset windows
+    * (winnowing, repetition), same kernel in [[graft.functions.ShingleHash60]]
+    * `Multi` mode. */
+  def ngramHash60(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.ShingleHash60(
+        org.apache.spark.sql.GraftExpressions.expression(toks), n,
+        graft.functions.ShingleHash60.Multi))
+
+  /** Fused positional k-gram hashes: window starts in order, EMPTY under n
+    * tokens — the substring-dedup shape (`Positional` mode). */
+  def positionalGramHash60(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.ShingleHash60(
+        org.apache.spark.sql.GraftExpressions.expression(toks), n,
+        graft.functions.ShingleHash60.Positional))
+
   /** BPE piece kernel: apply a learned merge list in one codegen'd pass
     * (see [[graft.functions.BpePieces]]). `perWord = true` treats the array
     * as a word list and flattens per-word pieces; `false` applies the rules

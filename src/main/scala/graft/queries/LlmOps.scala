@@ -292,11 +292,7 @@ object LlmOps {
         TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"),
         size(col("tk")).cast(LongType).as("n_tokens"),
-        when(size(col("tk")) >= k,
-          TextOps.hash60Array(transform(
-            sequence(lit(0), size(col("tk")) - k),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(k))))))
-          .otherwise(array().cast(ArrayType(LongType))).as("gs"))
+        TextOps.positionalGramHash60(col("tk"), k).as("gs"))
       .persist() // gram pass feeds the position explode AND the final join
     val pg = grams.select(col("doc_id"),
         posexplode(col("gs")).as(Seq("p0", "h")))
@@ -891,7 +887,7 @@ object LlmOps {
     // subexpression inside a higher-order lambda re-evaluates per element
     // (interpreted), which would recompute every md5 once per window
     val withHs = Tables.documents(s, d).select(col("doc_id"),
-      TextOps.hash60Array(TextOps.ngrams(TextOps.tokens(col("text")), WinnowK)).as("hs"))
+      TextOps.ngramHash60(TextOps.tokens(col("text")), WinnowK).as("hs"))
     val hs = col("hs")
     val fps = when(size(hs) >= WinnowW,
       array_distinct(transform(sequence(lit(0), size(hs) - WinnowW),

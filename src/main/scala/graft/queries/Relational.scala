@@ -568,6 +568,41 @@ object Relational {
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey"""
 
+  private val Q18Threshold = 200
+
+  /** TPC-H Q18 shape ("large volume customers"): orders whose line-item
+    * quantities sum past a threshold, with customer attribution. The scale
+    * lesson is baked into plan ORDER: aggregate the fact table FIRST (one
+    * map-side-combinable sum keyed on l_orderkey, then a HAVING that
+    * shrinks it to the qualifying slice), and only join that small result
+    * to orders and customer — never join-then-aggregate, which would carry
+    * every lineitem row through two joins before reducing. The final
+    * ordering is a TakeOrdered top-100, not a global sort. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("total_qty"))
+      .filter(col("total_qty") > Q18Threshold)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        col("o_totalprice"), col("total_qty").cast(DoubleType).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100)
+  }
+
+  private val q18Oracle = s"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $Q18Threshold)
+    SELECT c_name, o_orderkey,
+           strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS o_day,
+           o_totalprice, total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
+
   // ---- Bloom semi-join reduction ---------------------------------------
 
   private val BjWords = 1024
@@ -688,6 +723,7 @@ object Relational {
   def qs: Map[String, Q] = Map(
     "t_fk_check" -> Q(tFkCheck, Some(tFkCheckOracle)),
     "q_bloom_join" -> Q(qBloomJoin, Some(qBloomJoinOracle)),
+    "q18_top_orders" -> Q(q18, Some(q18Oracle)),
     "q_bucketed_join" -> Q(qBucketedJoin, Some(qBucketedJoinOracle)),
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_er_golden"  -> Q(qErGolden, Some(qErGoldenOracle)),

@@ -126,6 +126,29 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("ShingleHash60 Multi/Positional modes equal their unfused compositions") {
+    val docs = Seq(
+      "alpha beta gamma delta", "a b a b a b", "one two", "one", "",
+      "naïve café 日本語 text").toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    for (n <- Seq(2, 8)) {
+      val multiU = docs.select(TextOps.hash60Array(TextOps.ngrams(toks, n)))
+        .collect().toSeq.map(_.getSeq[Long](0))
+      val multiF = docs.select(TextOps.ngramHash60(toks, n))
+        .collect().toSeq.map(_.getSeq[Long](0))
+      assert(multiF == multiU, s"multi n=$n")
+      val posU = docs.select(
+        when(size(toks) >= n, TextOps.hash60Array(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>")))
+        .collect().toSeq.map(_.getSeq[Long](0))
+      val posF = docs.select(TextOps.positionalGramHash60(toks, n))
+        .collect().toSeq.map(_.getSeq[Long](0))
+      assert(posF == posU, s"positional n=$n")
+    }
+  }
+
   test("ShingleHash60 interpreted eval matches the codegen result") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
