@@ -391,6 +391,57 @@ object SinkOps {
     UNION ALL
     SELECT event_id, user_id, value, day FROM ch"""
 
+  /** P7: snapshot isolation + time travel on the lake
+    * ([[graft.sink.FileSink.mergeCowVersioned]]): v1 commits, a CDC merge
+    * commits v2 WITHOUT touching v1's files, and the query reads BOTH
+    * versions AFTER the merge — the v1 leg proving a pinned manifest is
+    * undisturbed by later writes (the table-format property that makes
+    * concurrent readers and reproducible training runs possible on one
+    * lake). Oracle: v1 = the snapshot, v2 = the merged state. */
+  def p7TimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p7/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p7"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    val v1 = FileSink.commitVersion(s, dir)
+    val week = ev.filter(col("day") < "2024-01-08")
+    val upd = week.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 2)
+    val ins = week.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val v2 = FileSink.mergeCowVersioned(upd.unionByName(ins), dir, Seq("event_id"), "day")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))
+    FileSink.readVersion(s, dir, v1, schema).withColumn("snap", lit("v1"))
+      .unionByName(FileSink.readVersion(s, dir, v2, schema).withColumn("snap", lit("v2")))
+      .select("snap", "event_id", "user_id", "value", "day")
+  }
+
+  private val p7Oracle = """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    ch AS (
+      SELECT event_id, user_id, value * 2 AS value, day
+      FROM ev WHERE day < '2024-01-08' AND event_id % 7 = 0
+      UNION ALL
+      SELECT event_id + 10000000, user_id, value, day
+      FROM ev WHERE day < '2024-01-08' AND event_id % 97 = 0)
+    SELECT 'v1' AS snap, event_id, user_id, value, day FROM ev
+    UNION ALL
+    SELECT 'v2' AS snap, event_id, user_id, value, day FROM (
+      SELECT event_id, user_id, value, day FROM ev
+      WHERE event_id NOT IN (SELECT event_id FROM ch)
+      UNION ALL
+      SELECT event_id, user_id, value, day FROM ch) m"""
+
   /** P6: end-to-end incremental backfill — the composed ELT loop that
     * [[EltOps.tPartitionDiff]] plans and partition replacement executes.
     * The stale lake (v1) is reconciled to the new snapshot (v2) by (1)
@@ -453,6 +504,7 @@ object SinkOps {
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "p5_lake_merge"     -> Q(p5LakeMerge, Some(p5Oracle)),
     "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
+    "p7_time_travel"    -> Q(p7TimeTravel, Some(p7Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),

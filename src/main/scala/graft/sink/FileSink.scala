@@ -186,6 +186,138 @@ object FileSink {
     ()
   }
 
+  // ---- versioned snapshots (manifest-pinned time travel) ----------------
+
+  /** Snapshot isolation for the partitioned lake, the table-format idea
+    * (Iceberg/Delta) reduced to its load-bearing core: a snapshot is a
+    * MANIFEST — a text file listing the data files visible at version N —
+    * and writers never mutate files in place, so any pinned manifest stays
+    * readable forever. [[mergeCowVersioned]] writes the merged slice as NEW
+    * files beside the old ones and commits a manifest that swaps only the
+    * touched partitions' entries; readers at version N list N's manifest
+    * and read exactly those files. Old versions cost only the storage of
+    * their superseded files until [[vacuum]] drops the ones no retained
+    * manifest references. */
+  private def manifestPath(dir: String, v: Int) = s"$dir/_graft_manifest_v$v.txt"
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, 0 if none. */
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, dir)
+    val st = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "_graft_manifest_v*.txt"))
+    if (st == null || st.isEmpty) 0
+    else st.map(_.getPath.getName.stripPrefix("_graft_manifest_v").stripSuffix(".txt").toInt).max
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val it = fs.listFiles(base, true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val baseUri = base.toUri.getPath
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        out += p.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+    }
+    out.toSeq.sorted
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val fs = fsFor(spark, dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(manifestPath(dir, v)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, v: Int,
+                            files: Seq[String]): Unit = {
+    val fs = fsFor(spark, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(manifestPath(dir, v)), false)
+    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Commit the CURRENTLY VISIBLE data files as the next version (used once
+    * after the initial table write; merges commit their own). Returns the
+    * new version number. */
+  def commitVersion(spark: SparkSession, dir: String): Int = {
+    val v = currentVersion(spark, dir) + 1
+    writeManifest(spark, dir, v, listDataFiles(fsFor(spark, dir), dir))
+    v
+  }
+
+  /** Read the table AS OF version `v`: exactly the manifest's files, with
+    * partition columns recovered via basePath. */
+  def readVersion(spark: SparkSession, dir: String, v: Int,
+                  schema: StructType): DataFrame = {
+    val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
+    spark.read.option("basePath", dir).schema(schema).parquet(files: _*)
+  }
+
+  /** [[mergeCow]] with snapshot isolation: the merged slice lands in NEW
+    * uniquely-named files (old files untouched — concurrent readers of any
+    * pinned version are never disturbed), and the commit is one manifest
+    * write swapping the touched partitions' entries. Returns the committed
+    * version. */
+  def mergeCowVersioned(changes: DataFrame, dir: String, pk: Seq[String],
+                        partitionCol: String): Int = {
+    val spark = changes.sparkSession
+    val fs = fsFor(spark, dir)
+    val prevV = currentVersion(spark, dir)
+    require(prevV >= 1, s"mergeCowVersioned: no committed version under $dir")
+    val prevFiles = readManifest(spark, dir, prevV)
+    val ch = changes.persist()
+    val touched = ch.select(partitionCol).distinct().collect()
+      .map(_.get(0).toString).toSet
+    val touchedFiles = prevFiles.filter(f => touched.exists(t => f.startsWith(s"$partitionCol=$t/")))
+    val keptFiles = prevFiles.filterNot(touchedFiles.contains)
+    val dataFields = ch.schema.fields.filterNot(_.name == partitionCol)
+    val schema = StructType(dataFields :+ ch.schema(partitionCol))
+    val target =
+      if (touchedFiles.isEmpty) ch.limit(0)
+      else spark.read.option("basePath", dir).schema(schema)
+        .parquet(touchedFiles.map(f => s"$dir/$f"): _*)
+    val merged = target.join(ch, pk, "left_anti").unionByName(ch)
+    // stage partitioned, then move each part-file under its partition dir
+    // with a fresh unique name — never overwriting, never deleting
+    val stage = s"$dir/__stage_v${prevV + 1}"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage)
+    val moved = scala.collection.mutable.ArrayBuffer[String]()
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/$partitionCol=*")).foreach { pd =>
+      val pname = pd.getPath.getName
+      val destDir = new org.apache.hadoop.fs.Path(dir, pname)
+      fs.mkdirs(destDir)
+      fs.globStatus(new org.apache.hadoop.fs.Path(pd.getPath, "part-*.parquet")).foreach { f =>
+        val unique = s"part-v${prevV + 1}-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, unique))
+        moved += s"$pname/$unique"
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    ch.unpersist()
+    val v = prevV + 1
+    writeManifest(spark, dir, v, keptFiles ++ moved)
+    v
+  }
+
+  /** Drop data files referenced by NO manifest ≥ `keepFrom` — the storage
+    * reclaim half of snapshot isolation. Returns the deleted count. */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Long = {
+    val fs = fsFor(spark, dir)
+    val cur = currentVersion(spark, dir)
+    val live = (keepFrom to cur).flatMap(v => readManifest(spark, dir, v)).toSet
+    val all = listDataFiles(fs, dir)
+    var n = 0L
+    all.filterNot(live.contains).foreach { f =>
+      if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false)) n += 1
+    }
+    n
+  }
+
   /** Compact a columnar table folder: rewrite into ~`targetFileMB` objects.
     * Micro-batch sinks accrete small files (one-per-partition-per-batch);
     * scan cost at 100 TB is dominated by object count, so periodic

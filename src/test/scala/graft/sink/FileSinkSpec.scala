@@ -122,6 +122,35 @@ class FileSinkSpec extends SparkSuite {
     assert(canon(spark.read.schema(schema).parquet(dir)) == once)
   }
 
+  test("versioned merge: a pinned v1 manifest reads the pre-merge state after v2 commits") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    val v1 = FileSink.commitVersion(spark, dir)
+    val v1Before = canon(FileSink.readVersion(spark, dir, v1, schema))
+    val changes = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"), Row(7L, 7.0, "y")))
+    val v2 = FileSink.mergeCowVersioned(changes, dir, Seq("id"), "s")
+    assert(v1 == 1 && v2 == 2)
+    // time travel: v1 is byte-stable across the merge
+    assert(canon(FileSink.readVersion(spark, dir, v1, schema)) == v1Before)
+    // v2 sees the merge
+    assert(canon(FileSink.readVersion(spark, dir, v2, schema)) ==
+      canon(df("id BIGINT, v DOUBLE, s STRING", Seq(
+        Row(1L, 1.5, "x"), Row(2L, 9.0, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
+  }
+
+  test("vacuum drops only files no retained manifest references; v2 survives") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    val v2 = FileSink.mergeCowVersioned(
+      df("id BIGINT, v DOUBLE, s STRING", Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    val v2Rows = canon(FileSink.readVersion(spark, dir, v2, schema))
+    val deleted = FileSink.vacuum(spark, dir, keepFrom = v2)
+    assert(deleted >= 1, "superseded v1 file should have been reclaimed")
+    assert(canon(FileSink.readVersion(spark, dir, v2, schema)) == v2Rows)
+  }
+
   test("compact rewrites many small objects into few, preserving rows") {
     val dir = tmp() + "/t"
     // 6 tiny appends → many small files
