@@ -139,6 +139,25 @@ class FileSinkSpec extends SparkSuite {
         Row(1L, 1.5, "x"), Row(2L, 9.0, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
   }
 
+  test("versioned merge evolves schema: old files surface null for a column added later") {
+    // v1 writes (id, v, s); v2's changes carry a NEW column w — the merge
+    // rewrites only touched partitions, so v2 mixes old-schema and
+    // new-schema files; reading v2 under the WIDENED schema must fill null
+    // for w in untouched partitions (the lake half of T7 schema evolution)
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    val widened = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("w", StringType), StructField("s", StringType)))
+    val changes = df("id BIGINT, v DOUBLE, w STRING, s STRING",
+      Seq(Row(2L, 9.0, "new", "y")))
+    val v2 = FileSink.mergeCowVersioned(changes, dir, Seq("id"), "s")
+    val back = FileSink.readVersion(spark, dir, v2, widened)
+    assert(canon(back) == canon(df("id BIGINT, v DOUBLE, w STRING, s STRING", Seq(
+      Row(1L, 1.5, null, "x"), Row(2L, 9.0, "new", "y"), Row(2L, 3.5, null, "y2")))))
+  }
+
   test("vacuum drops only files no retained manifest references; v2 survives") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
