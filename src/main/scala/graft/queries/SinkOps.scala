@@ -442,6 +442,38 @@ object SinkOps {
       UNION ALL
       SELECT event_id, user_id, value, day FROM ch) m"""
 
+  /** P8: GDPR-erasure on the versioned lake
+    * ([[graft.sink.FileSink.deleteWhereVersioned]]): every event of the
+    * erasure user set (`user_id % 37 = 0`) is removed by rewriting ONLY the
+    * files a pushed-predicate planning scan proves affected, as a new
+    * snapshot — v1 remains pinned-readable (audit trail until `vacuum`),
+    * and the output reads the post-delete version. FileSinkSpec proves the
+    * file-level pruning on a layout where victims are clustered. */
+  def p8GdprDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p8/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p8"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    FileSink.commitVersion(s, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))
+    val v2 = FileSink.deleteWhereVersioned(s, dir, schema,
+      col("user_id") % 37 === 0, "day")
+    FileSink.readVersion(s, dir, v2, schema)
+      .select("event_id", "user_id", "value", "day")
+  }
+
+  private val p8Oracle = """
+    SELECT event_id, user_id, value,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events WHERE user_id % 37 <> 0"""
+
   /** P6: end-to-end incremental backfill — the composed ELT loop that
     * [[EltOps.tPartitionDiff]] plans and partition replacement executes.
     * The stale lake (v1) is reconciled to the new snapshot (v2) by (1)
@@ -505,6 +537,7 @@ object SinkOps {
     "p5_lake_merge"     -> Q(p5LakeMerge, Some(p5Oracle)),
     "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
     "p7_time_travel"    -> Q(p7TimeTravel, Some(p7Oracle)),
+    "p8_gdpr_delete"    -> Q(p8GdprDelete, Some(p8Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
     "t8_evolution_live" -> Q(t8EvolutionLive, Some(t8Oracle)),
     "d4_stream_upsert"  -> Q(d4StreamUpsert, Some(d4Oracle)),

@@ -282,25 +282,74 @@ object FileSink {
       else spark.read.option("basePath", dir).schema(schema)
         .parquet(touchedFiles.map(f => s"$dir/$f"): _*)
     val merged = target.join(ch, pk, "left_anti").unionByName(ch)
-    // stage partitioned, then move each part-file under its partition dir
-    // with a fresh unique name — never overwriting, never deleting
-    val stage = s"$dir/__stage_v${prevV + 1}"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage)
+    val moved = stageAndMove(merged, dir, partitionCol, prevV + 1)
+    ch.unpersist()
+    val v = prevV + 1
+    writeManifest(spark, dir, v, keptFiles ++ moved)
+    v
+  }
+
+  /** Write `rows` partitioned into a staging dir, then move each part-file
+    * under its partition dir with a fresh unique name — never overwriting,
+    * never deleting existing data files. Returns the moved relative paths. */
+  private def stageAndMove(rows: DataFrame, dir: String, partitionCol: String,
+                           v: Int): Seq[String] = {
+    val spark = rows.sparkSession
+    val fs = fsFor(spark, dir)
+    val stage = s"$dir/__stage_v$v"
+    rows.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage)
     val moved = scala.collection.mutable.ArrayBuffer[String]()
     fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/$partitionCol=*")).foreach { pd =>
       val pname = pd.getPath.getName
       val destDir = new org.apache.hadoop.fs.Path(dir, pname)
       fs.mkdirs(destDir)
       fs.globStatus(new org.apache.hadoop.fs.Path(pd.getPath, "part-*.parquet")).foreach { f =>
-        val unique = s"part-v${prevV + 1}-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        val unique = s"part-v$v-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, unique))
         moved += s"$pname/$unique"
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    ch.unpersist()
+    moved.toSeq
+  }
+
+  /** Row-level DELETE WHERE on the versioned lake — the GDPR-erasure /
+    * retention-enforcement primitive. Two passes: (1) a PLANNING scan with
+    * the predicate pushed to parquet (row-group stats skip non-matching
+    * groups) collects `input_file_name()`s — one row per AFFECTED file, the
+    * same file-level planning a deletion-vector table format does with its
+    * stats; (2) only affected files rewrite (predicate inverted), everything
+    * else keeps its manifest entry byte-identical. How few files are
+    * affected is a LAYOUT property: victims clustered by the layout key
+    * (see t_zorder) rewrite a handful of files; victims spread everywhere
+    * rewrite the table — which is the honest physics of row deletion.
+    * Commits and returns the new version. */
+  def deleteWhereVersioned(spark: SparkSession, dir: String, schema: StructType,
+                           predicate: org.apache.spark.sql.Column,
+                           partitionCol: String): Int = {
+    val fs = fsFor(spark, dir)
+    val prevV = currentVersion(spark, dir)
+    require(prevV >= 1, s"deleteWhereVersioned: no committed version under $dir")
+    val prevFiles = readManifest(spark, dir, prevV)
+    val paths = prevFiles.map(f => s"$dir/$f")
+    val baseLen = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val affected = spark.read.option("basePath", dir).schema(schema)
+      .parquet(paths: _*).filter(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+        .toUri.getPath.stripPrefix(baseLen).stripPrefix("/"))
+      .toSet // control-plane: one row per affected file
     val v = prevV + 1
-    writeManifest(spark, dir, v, keptFiles ++ moved)
+    if (affected.isEmpty) { writeManifest(spark, dir, v, prevFiles); return v }
+    val kept = prevFiles.filterNot(affected.contains)
+    val survivors = spark.read.option("basePath", dir).schema(schema)
+      .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
+      // DELETE WHERE p removes rows where p is TRUE; null-p rows SURVIVE
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
+    val moved = stageAndMove(survivors, dir, partitionCol, v)
+    writeManifest(spark, dir, v, kept ++ moved)
     v
   }
 

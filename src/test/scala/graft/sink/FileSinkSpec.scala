@@ -158,6 +158,33 @@ class FileSinkSpec extends SparkSuite {
       Row(1L, 1.5, null, "x"), Row(2L, 9.0, "new", "y"), Row(2L, 3.5, null, "y2")))))
   }
 
+  test("deleteWhereVersioned rewrites only affected files; null predicate rows survive") {
+    val dir = tmp() + "/t"
+    // victim id=2 lives only in partitions y and y2; x must keep its file
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    val v2 = FileSink.deleteWhereVersioned(spark, dir, schema,
+      col("id") === 2L, "s")
+    val back = FileSink.readVersion(spark, dir, v2, schema)
+    assert(canon(back) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 1.5, "x")))))
+    // file-level pruning: x's manifest entry is identical across versions
+    def manifest(v: Int): Set[String] = {
+      val src = scala.io.Source.fromFile(s"$dir/_graft_manifest_v$v.txt")
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+    val xBefore = manifest(1).filter(_.startsWith("s=x/"))
+    assert(xBefore.nonEmpty && manifest(2).filter(_.startsWith("s=x/")) == xBefore,
+      "unaffected partition's file was rewritten")
+    // null-predicate rows survive the delete (SQL DELETE semantics)
+    val d2 = tmp() + "/t2"
+    df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(null, 1.0, "x"), Row(2L, 2.0, "x"))).write.partitionBy("s").parquet(d2)
+    FileSink.commitVersion(spark, d2)
+    val dv = FileSink.deleteWhereVersioned(spark, d2, schema, col("id") === 2L, "s")
+    assert(FileSink.readVersion(spark, d2, dv, schema).count() == 1L)
+  }
+
   test("vacuum drops only files no retained manifest references; v2 survives") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
