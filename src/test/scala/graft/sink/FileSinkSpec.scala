@@ -185,6 +185,32 @@ class FileSinkSpec extends SparkSuite {
     assert(FileSink.readVersion(spark, d2, dv, schema).count() == 1L)
   }
 
+  test("versioned commits: manifest create is the commit lock; a later commit never rewrites an earlier manifest") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    val v2 = FileSink.mergeCowVersioned(
+      df("id BIGINT, v DOUBLE, s STRING", Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    val v2Manifest = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$dir/_graft_manifest_v2.txt"))
+    val v3 = FileSink.mergeCowVersioned(
+      df("id BIGINT, v DOUBLE, s STRING", Seq(Row(7L, 7.0, "y"))), dir, Seq("id"), "s")
+    assert(v2 == 2 && v3 == 3)
+    // earlier manifests are immutable across later commits
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$dir/_graft_manifest_v2.txt")) == v2Manifest)
+    // and the commit LOCK: creating an already-committed manifest path
+    // throws (a racing writer that computed the same next-version loses)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException] {
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest_v3.txt"), false).close()
+    }
+    // both snapshots stay readable
+    assert(canon(FileSink.readVersion(spark, dir, v2, schema)) !=
+      canon(FileSink.readVersion(spark, dir, v3, schema)))
+  }
+
   test("vacuum drops only files no retained manifest references; v2 survives") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
