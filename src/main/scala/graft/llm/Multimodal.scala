@@ -185,6 +185,71 @@ object Multimodal {
     }
   }
 
+  final case class PhashRow(doc_id: Long, phash: Long, n_bytes: Long)
+
+  val PhashBlocks = 16
+
+  /** Quantized DCT-II basis, shared verbatim between the Scala compute and
+    * the oracle SQL literal table — `cos(π·j·(2k+1)/(2B))` snapped to 9
+    * decimals so no engine's libm can move a coefficient. */
+  lazy val dctCosQ: Array[Array[Double]] = Array.tabulate(PhashBlocks, PhashBlocks) {
+    (j, k) => math.floor(
+      StrictMath.cos(math.Pi * j * (2 * k + 1) / (2.0 * PhashBlocks)) * 1e9 + 0.5) / 1e9
+  }
+
+  /** DCT perceptual hash (the pHash construction): the payload's
+    * [[PhashBlocks]] equal-span byte means put through a 1-D DCT-II; bit
+    * j−1 is the SIGN of AC coefficient j. Versus [[blockHash]]'s
+    * mean-threshold bits, the DCT bits capture the SHAPE of the byte-mass
+    * profile (low-frequency structure), so they survive local perturbation
+    * much better — the actual construction image pipelines run, over the
+    * same decode seam. Engine-exactness: basis quantized to 9dp, every
+    * product quantized to 9dp, and the coefficient accumulated as an EXACT
+    * decimal sum — partition/engine order cannot flip a sign bit. */
+  def phash(media: Dataset[MediaRow],
+            decoder: MediaDecoder = StubDecoder): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.media == null || r.media.isEmpty) PhashRow(r.doc_id, 0L, 0L)
+        else phashOne(r.doc_id, decoder.pixels(r.media))
+      }
+    }
+  }
+
+  private def phashOne(docId: Long, media: Array[Byte]): PhashRow = {
+    val b = PhashBlocks
+    val n = media.length
+    val sums = new Array[Long](b)
+    val cnts = new Array[Long](b)
+    var j = 0
+    while (j < n) {
+      val k = (j.toLong * b / n).toInt
+      sums(k) += media(j) & 0xffL
+      cnts(k) += 1
+      j += 1
+    }
+    var hash = 0L
+    var f = 1
+    while (f < b) {
+      var acc = BigDecimal(0)
+      var k = 0
+      while (k < b) {
+        if (cnts(k) > 0) {
+          // quantized-coef × exact mean, the product snapped to 9dp and
+          // recovered as the exact decimal the oracle's DECIMAL(28,9) cast
+          // yields (the double sits within 1e-25 of that decimal)
+          val t = math.floor(dctCosQ(f)(k) * (sums(k).toDouble / cnts(k)) * 1e9 + 0.5) / 1e9
+          acc += BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        k += 1
+      }
+      if (acc > 0) hash |= 1L << (f - 1)
+      f += 1
+    }
+    PhashRow(docId, hash, n.toLong)
+  }
+
   private def blockHashOne(docId: Long, media: Array[Byte], blocks: Int): BlockHashRow = {
     val n = media.length
     val sums = new Array[Long](blocks)

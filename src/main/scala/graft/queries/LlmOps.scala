@@ -2130,6 +2130,48 @@ object LlmOps {
       CAST(max(n) AS BIGINT) AS n_bytes
     FROM blk JOIN tot USING (doc_id) GROUP BY 1"""
 
+  /** DCT perceptual hash over the media seam — see
+    * [[graft.llm.Multimodal.phash]]. Oracle replays byte→block means via
+    * `ord(substr(...))` (docs are ASCII so char codes are byte values), the
+    * quantized DCT basis rides as a 240-row VALUES literal generated from
+    * the SAME Scala constants, per-term products quantize to 9dp, and the
+    * coefficient is an exact DECIMAL sum — the sign bits cannot drift. */
+  def mmPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.phash(
+      Multimodal.fromText(
+        Tables.documents(s, d).filter(length(col("text")) > 0),
+        "doc_id", "text")).toDF()
+
+  private lazy val mmPhashOracle = {
+    val b = Multimodal.PhashBlocks
+    val cosRows = (for {
+      j <- 1 until b; k <- 0 until b
+    } yield s"($j, $k, ${BigDecimal(Multimodal.dctCosQ(j)(k))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString})")
+      .mkString(",\n        ")
+    s"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    by AS (SELECT doc_id, n, ((i - 1) * $b) // n AS k, ord(substr(text, i, 1)) AS v
+           FROM b, LATERAL UNNEST(generate_series(1, n)) AS u(i)),
+    blk AS (SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
+            FROM by GROUP BY 1, 2, 3),
+    cosq(j, k, coef) AS (VALUES
+        $cosRows),
+    terms AS (
+      SELECT blk.doc_id, cosq.j,
+             ${qSql("cosq.coef * (s_k * 1.0 / c_k)", 9)} AS t
+      FROM blk JOIN cosq ON cosq.k = blk.k),
+    coefs AS (
+      SELECT doc_id, j, SUM(CAST(t AS DECIMAL(28,9))) AS c
+      FROM terms GROUP BY 1, 2)
+    SELECT coefs.doc_id,
+      CAST(SUM(CASE WHEN c > 0 THEN 1::BIGINT << (j - 1) ELSE 0 END) AS BIGINT) AS phash,
+      CAST(any_value(n2.n) AS BIGINT) AS n_bytes
+    FROM coefs JOIN (SELECT doc_id, n FROM b) n2 USING (doc_id)
+    GROUP BY 1"""
+  }
+
   /** Frame sampling: every 3rd fixed-size frame record per payload —
     * fan-out plumbing with content-exact verification (the docs are ASCII,
     * so byte slices mirror to substr in the oracle). */
@@ -2708,6 +2750,7 @@ object LlmOps {
     "mm_dedup"          -> Q(mmDedup, Some(mmDedupOracle)),
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
     "mm_blockhash"      -> Q(mmBlockhash, Some(mmBlockhashOracle)),
+    "mm_phash"          -> Q(mmPhash, Some(mmPhashOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

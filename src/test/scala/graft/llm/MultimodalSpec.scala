@@ -48,6 +48,27 @@ class MultimodalSpec extends SparkSuite {
     assert(out(3L) == 0xF0L)
   }
 
+  test("phash: one-byte edits stay Hamming-close; a reversed profile flips the odd-frequency bits") {
+    val ramp = (0 until 256).map(i => ('a' + (i * 25 / 255)).toChar).mkString
+    val rampTweak = ramp.updated(100, 'z')
+    val rev = ramp.reverse
+    val got = Multimodal.phash(
+        media(1L -> ramp, 2L -> rampTweak, 3L -> rev, 4L -> ramp))
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical payloads hash identically (the dedup contract)
+    assert(got(1L) == got(4L))
+    // the STRONG coefficient is robust where near-zero ones are not: a
+    // ramp's C1 (half-cosine) is large and negative; reversal negates every
+    // odd coefficient, so bit 0 MUST flip — while the one-byte edit cannot
+    // touch it
+    assert((got(1L) & 1L) == (got(2L) & 1L), "edit flipped the dominant DCT bit")
+    assert((got(1L) & 1L) != (got(3L) & 1L), "reversal kept the dominant DCT bit")
+    // and overall a local edit moves fewer sign bits than structural change
+    assert(ham(got(1L), got(2L)) < ham(got(1L), got(3L)),
+      s"edit=${ham(got(1L), got(2L))} !< reverse=${ham(got(1L), got(3L))}")
+  }
+
   test("blockHash: empty and null payloads fingerprint to 0 instead of diverging or throwing") {
     import spark.implicits._
     val rows = Seq(
