@@ -120,20 +120,27 @@ object PqOps {
     * set (the allowlisted BNL, as `llm_ann_brute`); each hit count is a
     * (query, neighbor) equi-join + map-side sum; both searchers are the
     * documented compressed-domain scans. */
-  def pqRecall(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Exact L2 top-K truth per query — the persisted ground-truth frame
+    * behind every quantized-recall measurement; the CALLER unpersists. */
+  private def l2TruthTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = broadcast(emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("__qe")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("__d").asc, col("neighbor_id").asc)
-    val truth = q.crossJoin(
+    q.crossJoin(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__ce")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__d", graft.llm.TextOps.quant(
         Similarity.l2sq(col("__qe"), col("__ce")), 6))
       .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= TopK)
-      .select("query_id", "neighbor_id").persist() // released before return
+      .select("query_id", "neighbor_id").persist()
+  }
+
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val truth = l2TruthTopK(s, d) // released before return
     def one(name: String, approx: DataFrame): DataFrame =
       truth.join(
           approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
@@ -400,6 +407,25 @@ object PqOps {
         (-col("t.score")).as("adist"))
   }
 
+  /** Recall@[[TopK]] of [[sq8Search]] against the exact L2 truth — the
+    * SQ-family member of the live index-trust measurements (pq_recall /
+    * ann_recall / lsh_eval). SQ8's per-dim half-step error is tiny next to
+    * the 64-dim distances, so recall here should sit near 1000‰ — which is
+    * the point: the measurement, not the assumption, is what ships. */
+  def sq8Recall(s: SparkSession, d: String): DataFrame = {
+    val truth = l2TruthTopK(s, d) // released before return
+    val out = truth.join(
+        sq8Search(s, d).select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(lit("sq8").as("method"), col("query_id"), col("n_hit"),
+        graft.llm.TextOps.quant(col("n_hit") / lit(TopK.toDouble), 4).as("recall"))
+      .localCheckpoint(true) // tiny; lets the truth cache release NOW
+    truth.unpersist()
+    out
+  }
+
   private val sq8SearchOracle = {
     val deq = "(lo + code / 255.0 * (hi - lo) - qv)"
     s"""
@@ -431,6 +457,25 @@ object PqOps {
     WHERE rank <= $TopK"""
   }
 
+  private lazy val sq8RecallOracle = s"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${qSql(l2FullSql("q.embedding", "e.embedding"), 6)} ASC,
+                     e.vec_id ASC) AS rk
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id) t
+      WHERE rk <= $TopK)
+    SELECT 'sq8' AS method, query_id, n_hit,
+      ${qSql(s"n_hit / $TopK.0", 4)} AS recall
+    FROM (
+      SELECT t.query_id,
+        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM truth t LEFT JOIN ($sq8SearchOracle) a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1) x"""
+
   private val sq8Oracle = s"""
     WITH x AS (
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -450,6 +495,7 @@ object PqOps {
   def qs: Map[String, Q] = Map(
     "llm_sq8_encode" -> Q(sq8Encode, Some(sq8Oracle)),
     "llm_sq8_search" -> Q(sq8Search, Some(sq8SearchOracle)),
+    "llm_sq8_recall" -> Q(sq8Recall, Some(sq8RecallOracle)),
     "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
     "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)),
     "llm_pq_recall" -> Q(pqRecall, Some(pqRecallOracle)),
