@@ -597,6 +597,49 @@ object EventOps {
            min(value) AS kth_value
     FROM ranked WHERE rk <= $IncTopK GROUP BY 1"""
 
+  /** Mutual information between event type and weekday — the categorical-
+    * dependence profiler (is traffic composition day-of-week-dependent?).
+    * MI decomposes into pure count-entropy sums: `Σc_xy·ln c_xy − Σc_x·ln
+    * c_x − Σc_y·ln c_y` over the (|types|·7)-cell contingency table, then
+    * `s/N + ln N`. Each term is quantized to 6dp and summed as EXACT
+    * decimals (the entropy-family discipline: partition order cannot move
+    * the answer), the three term families union into ONE aggregate — no
+    * 1-row cross joins — and nothing after the first count touches event
+    * rows. */
+  def tMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) =>
+      graft.llm.TextOps.quant(c * log(c), 6).cast(DecimalType(28, 8))
+    val cells = Tables.events(s, d)
+      .select(col("event_type").as("x"), dayofweek(col("ts")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .persist() // feeds both marginals + the cell terms
+    val cx = cells.groupBy("x").agg(sum("c").as("c"))
+    val cy = cells.groupBy("y").agg(sum("c").as("c"))
+    cells.select(dec(col("c")).as("t"), col("c").as("nc"))
+      .unionAll(cx.select((-dec(col("c"))).as("t"), lit(0L).as("nc")))
+      .unionAll(cy.select((-dec(col("c"))).as("t"), lit(0L).as("nc")))
+      .agg(sum("nc").as("n_events"), sum("t").as("s"))
+      .select(col("n_events"),
+        graft.llm.TextOps.quant(
+          col("s").cast(DoubleType) / col("n_events") + log(col("n_events")), 4)
+          .as("mi_nats"))
+  }
+
+  private val mutualInfoOracle = s"""
+    WITH e AS (SELECT event_type AS x, dayofweek(ts) + 1 AS y FROM events),
+    cells AS (SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2),
+    cx AS (SELECT x, sum(c) AS c FROM cells GROUP BY 1),
+    cy AS (SELECT y, sum(c) AS c FROM cells GROUP BY 1),
+    u AS (
+      SELECT CAST(${LlmOps.qSql("c * ln(c)", 6)} AS DECIMAL(28,8)) AS t, c AS nc FROM cells
+      UNION ALL
+      SELECT -CAST(${LlmOps.qSql("c * ln(c)", 6)} AS DECIMAL(28,8)), 0 FROM cx
+      UNION ALL
+      SELECT -CAST(${LlmOps.qSql("c * ln(c)", 6)} AS DECIMAL(28,8)), 0 FROM cy)
+    SELECT CAST(sum(nc) AS BIGINT) AS n_events,
+      ${LlmOps.qSql("CAST(sum(t) AS DOUBLE) / sum(nc) + ln(sum(nc))", 4)} AS mi_nats
+    FROM u"""
+
   private val AnomalyZ = 2L // flag beyond z standard deviations
 
   /** Volume-anomaly detection: per event type, flag days whose event count
@@ -784,6 +827,7 @@ object EventOps {
     "q_anomaly"          -> Q(qAnomaly, Some(anomalyOracle)),
     "q_scd2_join"        -> Q(qScd2Join, Some(scd2JoinOracle)),
     "d8_incremental_topk" -> Q(d8IncrementalTopk, Some(d8Oracle)),
+    "t_mutual_info"      -> Q(tMutualInfo, Some(mutualInfoOracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),

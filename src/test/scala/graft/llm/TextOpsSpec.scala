@@ -126,6 +126,26 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("ShingleHash60: 200 random docs (unicode, dups, degenerate) match unfused in all modes") {
+    val rnd = new scala.util.Random(77L)
+    val alphabet = Vector("a", "bb", "ccc", "naïve", "日本", "x1", "", " ")
+    val docs = (0 until 200).map { _ =>
+      val len = rnd.nextInt(12) // includes 0- and 1-token docs
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString(" ")
+    }.toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    for (n <- Seq(2, 3, 5)) {
+      assert(
+        docs.select(TextOps.shingleHash60(toks, n)).collect().toSeq.map(_.getSeq[Long](0)) ==
+        docs.select(TextOps.hash60Array(TextOps.shingles(toks, n))).collect().toSeq.map(_.getSeq[Long](0)),
+        s"distinct n=$n")
+      assert(
+        docs.select(TextOps.ngramHash60(toks, n)).collect().toSeq.map(_.getSeq[Long](0)) ==
+        docs.select(TextOps.hash60Array(TextOps.ngrams(toks, n))).collect().toSeq.map(_.getSeq[Long](0)),
+        s"multi n=$n")
+    }
+  }
+
   test("ShingleHash60 Multi/Positional modes equal their unfused compositions") {
     val docs = Seq(
       "alpha beta gamma delta", "a b a b a b", "one two", "one", "",
