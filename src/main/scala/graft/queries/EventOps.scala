@@ -597,6 +597,39 @@ object EventOps {
            min(value) AS kth_value
     FROM ranked WHERE rk <= $IncTopK GROUP BY 1"""
 
+  /** EWMA smoothing of per-type daily volumes (α = 1/4) — the classic ops
+    * baseline ("is today off-trend?") as a DETERMINISTIC fold: the daily
+    * series materializes per type (|days|-bounded), and each step of
+    * `s' = s + (x − s)/4` is quantized to 6dp before the next, so the fold
+    * is a pure function of the series — the same recurrence `list_reduce`
+    * replays in the oracle, with no float-order or libm surface at all
+    * (α = 1/4 divides exactly in binary). Nothing past the daily rollup
+    * touches event rows. */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"))
+      .select(col("event_type"), col("n_days"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("cnt"),
+          (acc, e) => graft.llm.TextOps.quant(
+            acc + (e.getField("cnt") - acc) / lit(4.0), 6)).as("ewma"))
+  }
+
+  private val ewmaOracle = s"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      list_reduce(list(cnt ORDER BY day),
+        (acc, x) -> floor((acc + (x - acc) / 4.0) * 1e6 + 0.5) / 1e6) AS ewma
+    FROM daily GROUP BY 1"""
+
   /** Mutual information between event type and weekday — the categorical-
     * dependence profiler (is traffic composition day-of-week-dependent?).
     * MI decomposes into pure count-entropy sums: `Σc_xy·ln c_xy − Σc_x·ln
@@ -828,6 +861,7 @@ object EventOps {
     "q_scd2_join"        -> Q(qScd2Join, Some(scd2JoinOracle)),
     "d8_incremental_topk" -> Q(d8IncrementalTopk, Some(d8Oracle)),
     "t_mutual_info"      -> Q(tMutualInfo, Some(mutualInfoOracle)),
+    "q_ewma"             -> Q(qEwma, Some(ewmaOracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),
