@@ -766,6 +766,73 @@ object LlmOps {
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
+  /** Cluster-quality evaluation: how faithfully do the SimHash near-dup
+    * COMPONENTS (what [[dedupCluster]] dedups by) reflect the exact
+    * Jaccard pair set? Components take a transitive closure — A~B~C links
+    * A to C without A and C ever matching — so precision against the exact
+    * set is the measured cost of clustering, and recall the benefit. The
+    * implied-pair count is NEVER materialized (a giant component would make
+    * that quadratic): it is Σ sz·(sz−1)/2 off the cluster-size table, and
+    * the hit count attaches cluster labels to the (small) exact pair set
+    * instead — both scale-safe. Permilles are integer-exact. */
+  def clusterEval(s: SparkSession, d: String): DataFrame = {
+    val cl = dedupCluster(s, d).persist() // label frame feeds sizes + both pair-label joins
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val exact = prefixJoinPairs(Tables.documents(s, d)).select("i", "j").persist()
+    val hits = exact
+      .join(cl.select(col("doc_id").as("i"), col("cluster_id").as("ci")), "i")
+      .join(cl.select(col("doc_id").as("j"), col("cluster_id").as("cj")), "j")
+      .filter(col("ci") === col("cj"))
+    sizes.select(expr("sz * (sz - 1) div 2").as("imp"), lit(1L).as("ncl"),
+        col("sz").as("nd"), lit(0L).as("ex"), lit(0L).as("ht"))
+      .unionAll(exact.select(lit(0L).as("imp"), lit(0L).as("ncl"),
+        lit(0L).as("nd"), lit(1L).as("ex"), lit(0L).as("ht")))
+      .unionAll(hits.select(lit(0L).as("imp"), lit(0L).as("ncl"),
+        lit(0L).as("nd"), lit(0L).as("ex"), lit(1L).as("ht")))
+      .agg(sum("ncl").as("n_clusters"), sum("nd").as("n_docs"),
+        sum("imp").as("implied_pairs"), sum("ex").as("exact_pairs"),
+        sum("ht").as("hits"))
+      .select(col("n_clusters"), col("n_docs"), col("implied_pairs"),
+        col("exact_pairs"), col("hits"),
+        expr("CASE WHEN implied_pairs = 0 THEN NULL ELSE (hits * 1000) div implied_pairs END")
+          .as("precision_permille"),
+        expr("CASE WHEN exact_pairs = 0 THEN NULL ELSE (hits * 1000) div exact_pairs END")
+          .as("recall_permille"))
+  }
+
+  private lazy val clusterEvalOracle = s"""
+    WITH RECURSIVE $ccReachCtesSql,
+    labels AS MATERIALIZED (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+    sizes AS MATERIALIZED (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1),
+    sh2 AS (
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
+      FROM documents),
+    sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+    ep AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exactp AS MATERIALIZED (
+      SELECT i, j FROM ep JOIN sizes2 sa ON sa.doc_id = i JOIN sizes2 sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold),
+    hits AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM exactp e JOIN labels a ON a.doc_id = e.i JOIN labels b ON b.doc_id = e.j
+      WHERE a.cluster_id = b.cluster_id)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_clusters,
+      (SELECT CAST(sum(sz) AS BIGINT) FROM sizes) AS n_docs,
+      (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) FROM sizes) AS implied_pairs,
+      (SELECT CAST(count(*) AS BIGINT) FROM exactp) AS exact_pairs,
+      (SELECT c FROM hits) AS hits,
+      CASE WHEN (SELECT sum(sz * (sz - 1) // 2) FROM sizes) = 0 THEN NULL
+           ELSE CAST(((SELECT c FROM hits) * 1000)
+                // (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) FROM sizes) AS BIGINT)
+      END AS precision_permille,
+      CASE WHEN (SELECT count(*) FROM exactp) = 0 THEN NULL
+           ELSE ((SELECT c FROM hits) * 1000) // (SELECT count(*) FROM exactp)
+      END AS recall_permille"""
+
   /** Shared recursive connected-components chain over the simhash near-dup
     * pair set (`pairs`→`nodes`→`edges`→`reach`) — consumers append their
     * own `min(m) GROUP BY node` aggregate. ONE copy on purpose: three
@@ -2716,6 +2783,7 @@ object LlmOps {
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
+    "llm_cluster_eval"  -> Q(clusterEval, Some(clusterEvalOracle)),
     "llm_dedup_survivor" -> Q(dedupSurvivor, Some(dedupSurvivorOracle)),
     "llm_redact"        -> Q(redactPii, Some(redactOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
