@@ -851,6 +851,40 @@ object LlmOps {
     WITH RECURSIVE $ccReachCtesSql
     SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
 
+  /** [[dedupCluster]] over the EXACT pair set instead of SimHash
+    * components — what [[clusterEval]]'s measurement argues for (47,618
+    * implied pairs from 25 true ones at sf0.01): components built on
+    * verified-Jaccard edges can only over-merge through genuine ≥τ CHAINS,
+    * not through fingerprint coincidence. Same clustering machinery
+    * (driver union-find ⇄ checkpointed label propagation), same oracle
+    * walk, different — exact — edge set. */
+  def dedupClusterExact(s: SparkSession, d: String): DataFrame = {
+    val pairs = prefixJoinPairs(Tables.documents(s, d)).select("i", "j").persist()
+    graft.llm.Corpus.clusterPairs(pairs)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  private lazy val dedupClusterExactOracle = s"""
+    WITH RECURSIVE
+    sh3 AS (
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
+      FROM documents),
+    sizes3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+    ep3 AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+      SELECT i, j FROM ep3 JOIN sizes3 sa ON sa.doc_id = i JOIN sizes3 sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold),
+    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
+    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
+    SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
+
   /** Quality-aware dedup survivorship: near-dup clustering keeps ONE
     * representative per component — and real pipelines keep the BEST
     * member (longest / highest-quality), not the smallest id. Survivor =
@@ -2784,6 +2818,7 @@ object LlmOps {
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
     "llm_cluster_eval"  -> Q(clusterEval, Some(clusterEvalOracle)),
+    "llm_dedup_cluster_exact" -> Q(dedupClusterExact, Some(dedupClusterExactOracle)),
     "llm_dedup_survivor" -> Q(dedupSurvivor, Some(dedupSurvivorOracle)),
     "llm_redact"        -> Q(redactPii, Some(redactOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
