@@ -605,10 +605,14 @@ object EventOps {
     * replays in the oracle, with no float-order or libm surface at all
     * (α = 1/4 divides exactly in binary). Nothing past the daily rollup
     * touches event rows. */
-  def qEwma(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def qEwma(s: SparkSession, d: String): DataFrame =
+    ewmaTail(Tables.events(s, d)
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      .agg(count(lit(1)).cast(DoubleType).as("cnt")))
+
+  /** The fold tail of [[qEwma]] over an already-built (event_type, day,
+    * cnt) frame — shared with the streaming twin. */
+  private[queries] def ewmaTail(daily: DataFrame): DataFrame =
     daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"))
@@ -618,9 +622,8 @@ object EventOps {
           element_at(col("xs"), 1).getField("cnt"),
           (acc, e) => graft.llm.TextOps.quant(
             acc + (e.getField("cnt") - acc) / lit(4.0), 6)).as("ewma"))
-  }
 
-  private val ewmaOracle = s"""
+  private[queries] val ewmaOracle = s"""
     WITH daily AS (
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(count(*) AS DOUBLE) AS cnt

@@ -931,6 +931,37 @@ object StreamOps {
     EventOps.anomalyTail(s.table("graft_sanom_daily").localCheckpoint(true))
   }
 
+  /** Streaming EWMA: the SAME per-(type, day) complete-mode count state as
+    * [[qStreamAnomaly]], read off by [[EventOps.ewmaTail]]'s deterministic
+    * quantized fold — a trend line maintained BY the stream, equal to the
+    * batch fold bit-for-bit because the state is order-independent counts
+    * and the fold is a pure function of the finished series. */
+  def qStreamEwma(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_sewma"
+    rmrf(s, base)
+    val ev = Tables.events(s, d).select("event_id", "event_type", "ts_ms")
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 3 === 0, "001")
+          .when(col("event_id") % 3 === 1, "002").otherwise("003")),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("ts_ms", LongType)))
+    s.catalog.dropTempView("graft_sewma_daily")
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .groupBy(col("event_type"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      .writeStream.format("memory").queryName("graft_sewma_daily")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    EventOps.ewmaTail(s.table("graft_sewma_daily").localCheckpoint(true))
+  }
+
   /** Run a registry query under a reduced shuffle-partition count, restoring
     * the session's value after. Streaming state (a stream-stream join keeps
     * FOUR stores per partition; dedup/aggregates one or two) and per-micro-
@@ -958,6 +989,7 @@ object StreamOps {
     "q_stream_cms"      -> Q(fewerShuffles(qStreamCms), Some(SketchOps.heavyHittersOracle)),
     "q_stream_quantile" -> Q(fewerShuffles(qStreamQuantile), Some(EventOps.histQuantileOracle)),
     "q_stream_anomaly"  -> Q(fewerShuffles(qStreamAnomaly), Some(EventOps.anomalyOracle)),
+    "q_stream_ewma"     -> Q(fewerShuffles(qStreamEwma), Some(EventOps.ewmaOracle)),
     "q_stream_enrich"   -> Q(fewerShuffles(qStreamEnrich), Some(streamEnrichOracle)),
     "q_session_window"  -> Q(qSessionWindow, Some(sessionWindowOracle)),
     "q_stream_dedup"    -> Q(fewerShuffles(qStreamDedup), Some(streamDedupOracle)),
