@@ -568,6 +568,58 @@ object Relational {
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey"""
 
+  /** 2-D skyline / Pareto frontier (Börzsönyi et al. 2001): orders not
+    * dominated on (price, recency) — "no other order is at least as
+    * expensive AND at least as recent, strictly better in one". The
+    * distributed shape is the textbook two-phase: each partition computes
+    * its LOCAL skyline with an in-partition sort-sweep (skylines compose —
+    * the global skyline is a subset of the union of local ones, and a
+    * local skyline of random points is tiny), then the union collapses on
+    * one partition with the same sweep. No global sort, no pair joins —
+    * the oracle's NOT EXISTS dominance scan is exactly what this avoids
+    * at scale. Duplicate (price, day) points co-survive (neither
+    * dominates); equal-price groups keep only their max-day rows. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"),
+        expr("datediff(o_orderdate, DATE'1970-01-01')").cast(LongType).as("o_day"))
+      .as[(Long, Double, Long)]
+    def sweep(it: Iterator[(Long, Double, Long)]): Iterator[(Long, Double, Long)] = {
+      val sorted = it.toArray.sortBy { case (id, x, y) => (-x, -y, id) }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+      var i = 0
+      var bestY = Long.MinValue
+      while (i < sorted.length) {
+        val x = sorted(i)._2
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == x) j += 1 // [i, j) = equal-price group
+        val groupMax = sorted(i)._3 // sorted y DESC within the group
+        if (groupMax > bestY) {
+          var k = i
+          while (k < j && sorted(k)._3 == groupMax) { out += sorted(k); k += 1 }
+          bestY = groupMax
+        }
+        i = j
+      }
+      out.iterator
+    }
+    pts.mapPartitions(sweep)         // local skylines: bounded output per partition
+      .repartition(1).mapPartitions(sweep) // exact skyline of the small union
+      .toDF("o_orderkey", "o_totalprice", "o_day")
+  }
+
+  private val qSkylineOracle = """
+    WITH p AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS o_day
+      FROM orders)
+    SELECT a.o_orderkey, a.o_totalprice, a.o_day FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.o_totalprice >= a.o_totalprice AND b.o_day >= a.o_day
+        AND (b.o_totalprice > a.o_totalprice OR b.o_day > a.o_day))"""
+
   private val Q18Threshold = 200
 
   /** TPC-H Q18 shape ("large volume customers"): orders whose line-item
@@ -724,6 +776,7 @@ object Relational {
     "t_fk_check" -> Q(tFkCheck, Some(tFkCheckOracle)),
     "q_bloom_join" -> Q(qBloomJoin, Some(qBloomJoinOracle)),
     "q18_top_orders" -> Q(q18, Some(q18Oracle)),
+    "q_skyline" -> Q(qSkyline, Some(qSkylineOracle)),
     "q_bucketed_join" -> Q(qBucketedJoin, Some(qBucketedJoinOracle)),
     "q_fuzzy_join" -> Q(qFuzzyJoin, Some(qFuzzyJoinOracle)),
     "q_er_golden"  -> Q(qErGolden, Some(qErGoldenOracle)),

@@ -77,6 +77,33 @@ class EventOpsSpec extends SparkSuite {
     assert(red.size < 100, s"no pruning happened: ${red.size} of 1000 kept")
   }
 
+  test("q_skyline: 300 random points equal the brute-force Pareto frontier; duplicates co-survive") {
+    val rnd = new scala.util.Random(11L)
+    val base = java.time.LocalDate.of(1995, 1, 1)
+    val pts = (1L to 298L).map(i =>
+      (i, math.floor(rnd.nextDouble() * 10000) / 100.0, rnd.nextInt(1000))) ++
+      Seq((900L, 20000.0, 500), (901L, 20000.0, 500)) // duplicate extreme point
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky_").toString
+    pts.map { case (id, price, day) =>
+      (id, price, java.sql.Timestamp.valueOf(base.plusDays(day).atStartOfDay)) }
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val dayOf = pts.map { case (id, p, dd) =>
+      id -> base.plusDays(dd).toEpochDay }.toMap
+    val brute = pts.filter { case (id, x, _) =>
+      val y = dayOf(id)
+      !pts.exists { case (id2, x2, _) =>
+        val y2 = dayOf(id2)
+        id2 != id && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+
+    val got = Registry.all("q_skyline").fn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"got=$got\nexp=$brute")
+    assert(got.contains(900L) && got.contains(901L), "duplicate frontier points must co-survive")
+  }
+
   test("fkRelation: planted orphans and null keys count exactly") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L), Some(9L)).toDF("fk")
