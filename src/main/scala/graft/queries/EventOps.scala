@@ -186,10 +186,15 @@ object EventOps {
     * [valid_from, valid_to) bounds — the dimension-table shape a warehouse
     * keeps for "what was this row at time T" joins. Gaps-and-islands with
     * per-user windows: one hash shuffle on user_id, every window shares it. */
-  def qScd2(s: SparkSession, d: String): DataFrame = {
+  def qScd2(s: SparkSession, d: String): DataFrame =
+    scd2Of(Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms")))
+
+  /** SCD2 history of any (event_id, user_id, event_type, ts_ms) frame —
+    * split out so the incremental maintainer can build its stored dim. */
+  private def scd2Of(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
-    val runs = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+    val runs = events
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(w).isNull ||
           lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
@@ -201,6 +206,54 @@ object EventOps {
     runs.withColumn("valid_to",
       lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy("version")))
       .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+  }
+
+  /** INCREMENTAL SCD2 maintenance (the D-family's dimension member, beside
+    * [[d7IncrementalAgg]]'s aggregates and [[d8IncrementalTopk]]'s
+    * selections): the stored dimension — a parquet round-trip, like a real
+    * warehouse table — absorbs a new event slice WITHOUT replaying
+    * history. Only users PRESENT in the increment rebuild, and their
+    * rebuild reads stored VERSIONS (runs), not historical events: a
+    * version is a maximal same-state run, so interleaving version rows
+    * with the (strictly later) new events and re-running gaps-and-islands
+    * reproduces the full recompute exactly — a continuing state extends
+    * its run (counts add), a changed state opens a new version. Untouched
+    * users pass through byte-identical. Oracle = the FULL recompute
+    * (shared with q_scd2): incremental must be indistinguishable. */
+  def d9Scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .persist()
+    val cut = ev.agg((min("ts_ms") +
+      ((max("ts_ms") - min("ts_ms")) * 2) / 3).cast(LongType)).first().getLong(0)
+    val storeDir = s"/tmp/graft_d9_${java.util.UUID.randomUUID().toString.take(8)}"
+    scd2Of(ev.filter(col("ts_ms") < cut)).write.mode("overwrite").parquet(storeDir)
+    val stored = s.read.parquet(storeDir) // the persisted dimension
+    val inc = ev.filter(col("ts_ms") >= cut).persist()
+    val affected = inc.select("user_id").distinct()
+    val untouched = stored.join(affected, Seq("user_id"), "left_anti")
+    // pseudo-rows: stored versions (ordered by version within their user —
+    // all strictly before the cut) then increment events (by ts, event_id)
+    val pseudo = stored.join(affected, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("version").as("ord2"), col("n_events"))
+      .unionByName(inc.select(col("user_id"), col("event_type").as("state"),
+        col("ts_ms").as("valid_from"), col("event_id").as("ord2"),
+        lit(1L).as("n_events")))
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("ord2").asc)
+    val rebuilt = pseudo
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(w).isNull ||
+          lag(col("state"), 1).over(w) =!= col("state"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "version")
+      .agg(max(col("state")).as("state"), min(col("valid_from")).as("valid_from"),
+        sum(col("n_events")).as("n_events"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy("version")))
+      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+    untouched.select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+      .unionByName(rebuilt)
   }
 
   private val scd2Oracle = """
@@ -865,6 +918,7 @@ object EventOps {
     "d8_incremental_topk" -> Q(d8IncrementalTopk, Some(d8Oracle)),
     "t_mutual_info"      -> Q(tMutualInfo, Some(mutualInfoOracle)),
     "q_ewma"             -> Q(qEwma, Some(ewmaOracle)),
+    "d9_scd2_merge"      -> Q(d9Scd2Merge, Some(scd2Oracle)),
     "q_moving_agg"       -> Q(qMovingAgg, Some(movingAggOracle)),
     "q_attribution"      -> Q(qAttribution, Some(attributionOracle)),
     "q_path_topk"        -> Q(qPathTopK, Some(pathOracle)),
