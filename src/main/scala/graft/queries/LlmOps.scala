@@ -864,8 +864,10 @@ object LlmOps {
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
-  private lazy val dedupClusterExactOracle = s"""
-    WITH RECURSIVE
+  /** Recursive reachability over the EXACT (prefix-join) pair set — the
+    * exact-edge twin of [[ccReachCtesSql]], shared by the exact cluster and
+    * exact survivor oracles. */
+  private lazy val exactReachCtesSql = s"""
     sh3 AS (
       SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
       FROM documents),
@@ -882,8 +884,41 @@ object LlmOps {
     reach(node, m) AS (
       SELECT n, n FROM nodes
       UNION
-      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)"""
+
+  private lazy val dedupClusterExactOracle = s"""
+    WITH RECURSIVE $exactReachCtesSql
     SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
+
+  /** Quality survivorship over the EXACT clusters — the production pick
+    * once [[clusterEval]] has shown what fingerprint components cost:
+    * every document lands in a cluster (singletons are their own), and
+    * each cluster keeps its argmax-(n_chars, −doc_id) member. Same one
+    * left-join + one map-side min(struct) aggregate as [[dedupSurvivor]],
+    * exact edge set. */
+  def dedupSurvivorExact(s: SparkSession, d: String): DataFrame = {
+    val cl = dedupClusterExact(s, d)
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("best"))
+      .select(col("cid").as("cluster_id"), col("best.doc_id").as("survivor_id"),
+        col("n_members"), (-col("best.neg")).as("survivor_chars"))
+  }
+
+  private lazy val dedupSurvivorExactOracle = s"""
+    WITH RECURSIVE $exactReachCtesSql,
+    cl AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node),
+    mem AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(cl.cluster_id, d.doc_id) AS cid
+      FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+    SELECT cid AS cluster_id,
+           min_by(doc_id, -n_chars * (1::BIGINT << 40) + doc_id) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(n_chars) AS survivor_chars
+    FROM mem GROUP BY cid"""
 
   /** Quality-aware dedup survivorship: near-dup clustering keeps ONE
     * representative per component — and real pipelines keep the BEST
@@ -2819,6 +2854,7 @@ object LlmOps {
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
     "llm_cluster_eval"  -> Q(clusterEval, Some(clusterEvalOracle)),
     "llm_dedup_cluster_exact" -> Q(dedupClusterExact, Some(dedupClusterExactOracle)),
+    "llm_dedup_survivor_exact" -> Q(dedupSurvivorExact, Some(dedupSurvivorExactOracle)),
     "llm_dedup_survivor" -> Q(dedupSurvivor, Some(dedupSurvivorOracle)),
     "llm_redact"        -> Q(redactPii, Some(redactOracle)),
     "llm_fingerprint"   -> Q(fingerprint, Some(fingerprintOracle)),
