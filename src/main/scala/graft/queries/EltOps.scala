@@ -291,10 +291,16 @@ object EltOps {
   /** (day, status, n_v1, n_v2) between any two snapshots with a `day`
     * column — one signature aggregate per side + one |days|-row join. */
   private[queries] def partitionDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    // Null components are coalesced to a NUL sentinel on BOTH sides —
+    // concat_ws would silently SKIP a null arg while the oracle's '||'
+    // nulls the whole row out of bit_xor, so the signatures would diverge
+    // the first time the driver regenerates data with a nullable column.
+    def nn(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast(org.apache.spark.sql.types.StringType), lit("\u0000"))
     def sig(df: DataFrame): DataFrame = df
-      .withColumn("h", graft.llm.TextOps.hash60(concat_ws(":",
-        col("event_id"), col("user_id"),
-        floor(col("value") * 100 + 0.5).cast(LongType))))
+      .withColumn("h", graft.llm.TextOps.hash60(concat(
+        nn(col("event_id")), lit(":"), nn(col("user_id")), lit(":"),
+        nn(floor(col("value") * 100 + 0.5).cast(LongType)))))
       .groupBy("day")
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
     sig(v1).select(col("day"), col("n").as("n_v1"), col("x").as("x1"))
@@ -325,12 +331,12 @@ object EltOps {
     s1 AS (
       SELECT day, CAST(count(*) AS BIGINT) AS n_v1,
         bit_xor(${LlmOps.hashSql(
-          "event_id::VARCHAR || ':' || user_id::VARCHAR || ':' || CAST(floor(value*100 + 0.5) AS BIGINT)::VARCHAR")}) AS x1
+          "COALESCE(event_id::VARCHAR, chr(0)) || ':' || COALESCE(user_id::VARCHAR, chr(0)) || ':' || COALESCE(CAST(floor(value*100 + 0.5) AS BIGINT)::VARCHAR, chr(0))")}) AS x1
       FROM ev GROUP BY 1),
     s2 AS (
       SELECT day, CAST(count(*) AS BIGINT) AS n_v2,
         bit_xor(${LlmOps.hashSql(
-          "event_id::VARCHAR || ':' || user_id::VARCHAR || ':' || CAST(floor(value*100 + 0.5) AS BIGINT)::VARCHAR")}) AS x2
+          "COALESCE(event_id::VARCHAR, chr(0)) || ':' || COALESCE(user_id::VARCHAR, chr(0)) || ':' || COALESCE(CAST(floor(value*100 + 0.5) AS BIGINT)::VARCHAR, chr(0))")}) AS x2
       FROM v2 GROUP BY 1)
     SELECT COALESCE(s1.day, s2.day) AS day,
       CASE WHEN s1.day IS NULL THEN 'added'

@@ -214,8 +214,12 @@ object LlmOps {
   def prefixJoin(s: SparkSession, d: String): DataFrame =
     prefixJoinPairs(Tables.documents(s, d))
 
-  private[queries] def prefixJoinPairs(docs: DataFrame): DataFrame =
-    prefixJoinFromIndex(docShingles(docs))
+  private[queries] def prefixJoinPairs(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+    val out = prefixJoinFromIndex(sh) // eager (checkpointed pair set)
+    sh.unpersist()
+    out
+  }
 
   /** [[prefixJoinPairs]] over an ALREADY-BUILT (and persisted) uncapped
     * (doc_id, s) shingle index — lets [[lshEval]] share one tokenize+
@@ -231,6 +235,7 @@ object LlmOps {
           (size(col("sorted")) - ceil(lit(tau) * size(col("sorted"))) + 1)
             .cast(IntegerType))).as("e"))
       .select(col("doc_id"), col("n"), col("e.s").as("s"))
+      .persist() // self-joined below: unpersisted, the groupBy+sort runs per side
     // candidates: shared prefix shingle + the length filter (a qualifying
     // pair has min ≥ τ·max — τ=0.5 and integer sizes keep the double
     // arithmetic exact; the filter only prunes, the verify decides)
@@ -239,7 +244,10 @@ object LlmOps {
           least(col("a.n"), col("b.n")) >= lit(tau) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyCandidates(sh, cands, tau)
+    // pair-set-sized; eager so pref (and callers' shingle caches) release NOW
+    val out = verifyCandidates(sh, cands, tau).localCheckpoint(true)
+    pref.unpersist()
+    out
   }
 
   /** Uncapped distinct-shingle inverted index (doc_id, shingle-hash) —
@@ -580,20 +588,22 @@ object LlmOps {
     // ONE tokenize+shingle+hash pass feeds BOTH pipelines (each would
     // otherwise scan and hash the corpus independently)
     val withHs = hashedShingles(Tables.documents(s, d)).persist()
-    val exact = prefixJoinFromIndex(
-      withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist())
-      .select("i", "j").persist()
+    val shIdx = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
+    val exact = prefixJoinFromIndex(shIdx).select("i", "j").persist()
     // lsh feeds the union AND the semi-join — persist or the whole minhash
     // pipeline runs twice
     val lsh = minhashPairsFromHashes(withHs).select("i", "j").persist()
     val hit = exact.join(lsh, Seq("i", "j"), "left_semi")
-    exact.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"))
+    val out = exact.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"))
       .unionAll(lsh.select(lit(0L).as("ex"), lit(1L).as("ls"), lit(0L).as("ht")))
       .unionAll(hit.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht")))
       .agg(sum("ex").as("n_exact"), sum("ls").as("n_lsh"), sum("ht").as("n_hit"))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
         expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_hit * 1000) div n_exact END")
           .as("recall_permille"))
+      .localCheckpoint(true) // 1 row; releases the caches below NOW
+    Seq(withHs, shIdx, exact, lsh).foreach(_.unpersist())
+    out
   }
 
   private lazy val lshEvalOracle = s"""
@@ -783,7 +793,7 @@ object LlmOps {
       .join(cl.select(col("doc_id").as("i"), col("cluster_id").as("ci")), "i")
       .join(cl.select(col("doc_id").as("j"), col("cluster_id").as("cj")), "j")
       .filter(col("ci") === col("cj"))
-    sizes.select(expr("sz * (sz - 1) div 2").as("imp"), lit(1L).as("ncl"),
+    val out = sizes.select(expr("sz * (sz - 1) div 2").as("imp"), lit(1L).as("ncl"),
         col("sz").as("nd"), lit(0L).as("ex"), lit(0L).as("ht"))
       .unionAll(exact.select(lit(0L).as("imp"), lit(0L).as("ncl"),
         lit(0L).as("nd"), lit(1L).as("ex"), lit(0L).as("ht")))
@@ -798,6 +808,9 @@ object LlmOps {
           .as("precision_permille"),
         expr("CASE WHEN exact_pairs = 0 THEN NULL ELSE (hits * 1000) div exact_pairs END")
           .as("recall_permille"))
+      .localCheckpoint(true) // 1 row; releases the caches below NOW
+    Seq(cl, exact).foreach(_.unpersist())
+    out
   }
 
   private lazy val clusterEvalOracle = s"""

@@ -364,12 +364,17 @@ object PqOps {
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("xd"))
       .persist() // feeds the moment pass AND the encode pass
     val mm = x.groupBy("dim").agg(min("xd").as("lo"), max("xd").as("hi"))
-    x.join(broadcast(mm), "dim")
+    // |vecs|·dim long-format codes; eager so the x cache releases NOW (and
+    // sq8Search's double consumption reads checkpoint blocks, not a re-run)
+    val out = x.join(broadcast(mm), "dim")
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("xd"),
         col("lo"), col("hi"),
         when(col("hi") === col("lo"), 0L)
           .otherwise(floor((col("xd") - col("lo")) / (col("hi") - col("lo")) * 255 + 0.5)
             .cast("long")).as("code"))
+      .localCheckpoint(true)
+    x.unpersist()
+    out
   }
 
   def sq8Encode(s: SparkSession, d: String): DataFrame =
@@ -388,7 +393,7 @@ object PqOps {
     * broadcasts; the codes table never shuffles for scoring — only the
     * (query, vec) partial sums move, map-side combined. */
   def sq8Search(s: SparkSession, d: String): DataFrame = {
-    val codes = sq8Codes(s, d).persist() // query slice + corpus scan
+    val codes = sq8Codes(s, d) // already checkpointed: both consumers read blocks
     val qd = codes.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("dim"), col("xd").as("qv"))
     val e = col("lo") + col("code") / lit(255.0) * (col("hi") - col("lo")) - col("qv")

@@ -271,12 +271,34 @@ object FileSink {
     require(prevV >= 1, s"mergeCowVersioned: no committed version under $dir")
     val prevFiles = readManifest(spark, dir, prevV)
     val ch = changes.persist()
-    val touched = ch.select(partitionCol).distinct().collect()
-      .map(_.get(0).toString).toSet
-    val touchedFiles = prevFiles.filter(f => touched.exists(t => f.startsWith(s"$partitionCol=$t/")))
-    val keptFiles = prevFiles.filterNot(touchedFiles.contains)
     val dataFields = ch.schema.fields.filterNot(_.name == partitionCol)
     val schema = StructType(dataFields :+ ch.schema(partitionCol))
+    // Touched files come from a PLANNING scan (partition pruning keeps it to
+    // footer reads of touched dirs), not from string-prefix matching on
+    // manifest paths — Hive path escaping (spaces, ':', '/', null →
+    // __HIVE_DEFAULT_PARTITION__) and date/timestamp rendering would break a
+    // raw `toString` prefix match and silently leave stale rows unsuperseded.
+    val touchedVals = ch.select(partitionCol).distinct().collect().map(_.get(0))
+    val baseUriPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val touchedFiles: Seq[String] =
+      if (touchedVals.isEmpty || prevFiles.isEmpty) Seq.empty
+      else {
+        val pc = org.apache.spark.sql.functions.col(partitionCol)
+        val nonNull = touchedVals.filter(_ != null)
+        val pred0 =
+          if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+          else pc.isin(nonNull.toSeq: _*)
+        val pred = if (touchedVals.contains(null)) pred0 || pc.isNull else pred0
+        spark.read.option("basePath", dir).schema(schema)
+          .parquet(prevFiles.map(f => s"$dir/$f"): _*)
+          .filter(pred)
+          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+            .toUri.getPath.stripPrefix(baseUriPath).stripPrefix("/"))
+          .toSeq // control-plane: one row per touched file
+      }
+    val keptFiles = prevFiles.filterNot(touchedFiles.contains)
     val target =
       if (touchedFiles.isEmpty) ch.limit(0)
       else spark.read.option("basePath", dir).schema(schema)
