@@ -772,7 +772,102 @@ object Relational {
       .mkString("\n      UNION ALL\n")
   }
 
+  // ---- correlated subqueries (the Catalyst decorrelation surface) --------
+  //
+  // These four shapes are deliberately expressed as SQL text with correlated
+  // scalar / EXISTS / NOT-EXISTS subqueries — not hand-decorrelated
+  // DataFrame joins — so Catalyst's RewriteCorrelatedScalarSubquery /
+  // RewritePredicateSubquery paths are what plans them. The SAME text is the
+  // DuckDB oracle, and PlanSweep keeps the decorrelated plans honest: a
+  // rewrite that planted a nested loop or cartesian would fail the sweep.
+  // Float discipline: scalar-min compares stored values (no arithmetic);
+  // the avg-threshold is cross-multiplied into exact DECIMAL/BIGINT terms
+  // (qty·5·cnt < sum) so row membership can't flip on a summation-order ULP.
+
+  private def tpchViews(s: SparkSession, d: String): Unit = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+  }
+
+  /** TPC-H Q2 shape: correlated SCALAR MIN — cheapest lineitem per small
+    * part. Decorrelates to a partkey-grouped MIN aggregate hash-joined back;
+    * equality on the stored double is engine-exact (no arithmetic). */
+  private val q2CorrSql = """
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey, l.l_extendedprice AS min_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+
+  def q2CorrMin(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q2CorrSql)
+  }
+
+  /** TPC-H Q4 shape: EXISTS semi-join — priority counts of orders with a
+    * returned line. Decorrelates to a left-semi hash join on o_orderkey. */
+  private val q4ExistsSql = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority"""
+
+  def q4Exists(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q4ExistsSql)
+  }
+
+  /** TPC-H Q17 shape: per-part AVG threshold — revenue of small-lot orders
+    * for small parts. The correlated avg is cross-multiplied into exact
+    * terms (qty·5·cnt < sum in DECIMAL) so no float division decides
+    * membership; two correlated scalars each decorrelate to one partkey
+    * aggregate. */
+  private val q17AvgSql = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 3
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+          (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+
+  def q17AvgThreshold(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q17AvgSql)
+  }
+
+  /** TPC-H Q21 shape: EXISTS + NOT EXISTS with a non-equality correlated
+    * predicate — suppliers solely responsible for the returned line of a
+    * finished multi-supplier order. The hardest decorrelation of the four:
+    * both subqueries join on l_orderkey with an l_suppkey <> filter
+    * (left-semi then left-anti hash joins). */
+  private val q21AntiSemiSql = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name"""
+
+  def q21AntiSemi(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q21AntiSemiSql)
+  }
+
   def qs: Map[String, Q] = Map(
+    "q2_corr_min" -> Q(q2CorrMin, Some(q2CorrSql)),
+    "q4_exists" -> Q(q4Exists, Some(q4ExistsSql)),
+    "q17_avg_threshold" -> Q(q17AvgThreshold, Some(q17AvgSql)),
+    "q21_anti_semi" -> Q(q21AntiSemi, Some(q21AntiSemiSql)),
     "t_fk_check" -> Q(tFkCheck, Some(tFkCheckOracle)),
     "q_bloom_join" -> Q(qBloomJoin, Some(qBloomJoinOracle)),
     "q18_top_orders" -> Q(q18, Some(q18Oracle)),
