@@ -585,6 +585,9 @@ object LlmOps {
     * over the union of tagged pair sets — no cross joins, no second scan
     * beyond the two pipelines themselves. */
   def lshEval(s: SparkSession, d: String): DataFrame = {
+    // EVAL-ONLY at bench scale: this form materializes the full exact pair
+    // set. The 100 TB path is [[lshEvalSampled]], which estimates the same
+    // permille on a deterministic doc sample at O(|sample|·df) cost.
     // ONE tokenize+shingle+hash pass feeds BOTH pipelines (each would
     // otherwise scan and hash the corpus independently)
     val withHs = hashedShingles(Tables.documents(s, d)).persist()
@@ -638,6 +641,203 @@ object LlmOps {
       CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
            ELSE ((SELECT count(*) FROM exact e JOIN lsh l ON e.i = l.i AND e.j = l.j) * 1000)
                 // (SELECT count(*) FROM exact) END AS recall_permille"""
+
+  // ---- sampled recall eval (the 100 TB shape) ---------------------------
+
+  private[queries] val EvalSampleMod = 20
+
+  private[queries] def evalSampled(c: Column): Column =
+    pmod(TextOps.hash60(c.cast(StringType)), lit(EvalSampleMod)) === 0
+
+  /** The two pair sets of [[lshEvalSampled]], exposed for the agreement
+    * spec: (exact pairs touching the sample, LSH-verified pairs touching
+    * the sample). Both are normalized (i < j) and persisted; the caller
+    * unpersists. */
+  /** Exact pairs with ≥1 sampled endpoint — ONE-SIDED prefix filter: only
+    * sampled docs build (df-ASC) prefixes; candidates come from joining
+    * those prefixes against the FULL shingle index. Lossless by the prefix
+    * lemma (J ≥ τ ⇒ inter ≥ ⌈τ|x|⌉ ⇒ x's (|x|−⌈τ|x|⌉+1)-prefix hits y),
+    * and the work scales with |sample|·df, never the corpus pair count. */
+  private def sampledExactPairs(shFull: DataFrame): DataFrame = {
+    val tau = JaccardThreshold
+    val dfc = shFull.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = shFull.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val prefS = shFull.filter(evalSampled(col("doc_id"))).join(dfc, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"))
+      .select(col("doc_id").as("sd"), size(col("sorted")).as("sn"),
+        explode(slice(col("sorted"), lit(1),
+          (size(col("sorted")) - ceil(lit(tau) * size(col("sorted"))) + 1)
+            .cast(IntegerType))).as("e"))
+      .select(col("sd"), col("sn"), col("e.s").as("s"))
+    val idx = shFull.join(sizes, "doc_id")
+      .select(col("doc_id").as("od"), col("n").as("onn"), col("s"))
+    val cands = prefS.join(idx, "s")
+      .filter(col("sd") =!= col("od") &&
+        least(col("sn"), col("onn")) >= lit(tau) * greatest(col("sn"), col("onn")))
+      .select(least(col("sd"), col("od")).as("i"),
+        greatest(col("sd"), col("od")).as("j"))
+      .distinct()
+    verifyCandidates(shFull, cands, tau).select("i", "j")
+  }
+
+  private[queries] def sampledPairSets(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val withHs = hashedShingles(Tables.documents(s, d)).persist()
+    val shFull = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
+    val exactS = sampledExactPairs(shFull).persist()
+    // LSH pairs with ≥1 sampled endpoint — sampled docs' bands join the
+    // FULL band index (never full×full): identical to restricting the full
+    // band self-join, since cohabitation and the exact verify are symmetric.
+    val bands = bandFrameFromHashes(withHs).persist()
+    val lshCands = bands.filter(evalSampled(col("doc_id"))).as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+    val lshS = verifyCandidates(shFull, lshCands, JaccardThreshold)
+      .select("i", "j").persist()
+    (exactS, lshS, Seq(withHs, shFull, bands, exactS, lshS))
+  }
+
+  /** [[lshEval]]'s 100 TB form: recall is ESTIMATED on a deterministic
+    * 1/[[EvalSampleMod]] hash-sample of documents instead of materializing
+    * the full exact pair set — the exact side runs a one-sided prefix join
+    * (sampled prefixes ⋈ full index) and the LSH side joins sampled bands
+    * against the full band index, so both legs cost O(|sample|·df). The
+    * oracle replays the FULL pipelines and restricts them to the sample,
+    * so a green hash-compare IS the proof that the sampled estimator
+    * agrees with the exact-form restriction. */
+  def lshEvalSampled(s: SparkSession, d: String): DataFrame = {
+    val (exactS, lshS, cached) = sampledPairSets(s, d)
+    val nSampled = Tables.documents(s, d)
+      .filter(evalSampled(col("doc_id"))).select(col("doc_id"))
+    val hit = exactS.join(lshS, Seq("i", "j"), "left_semi")
+    val out = exactS.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"), lit(0L).as("sd"))
+      .unionAll(lshS.select(lit(0L).as("ex"), lit(1L).as("ls"), lit(0L).as("ht"), lit(0L).as("sd")))
+      .unionAll(hit.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht"), lit(0L).as("sd")))
+      .unionAll(nSampled.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"), lit(1L).as("sd")))
+      .agg(sum("sd").as("n_docs_sampled"), sum("ex").as("n_exact"),
+        sum("ls").as("n_lsh"), sum("ht").as("n_hit"))
+      .select(col("n_docs_sampled"), col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_hit * 1000) div n_exact END")
+          .as("recall_permille"))
+      .localCheckpoint(true) // 1 row; releases the caches below NOW
+    cached.foreach(_.unpersist())
+    out
+  }
+
+  private lazy val lshEvalSampledOracle = s"""
+    WITH samp AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE (${hashSql("doc_id::VARCHAR")}) % $EvalSampleMod = 0),
+    sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
+      FROM documents),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    epairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS MATERIALIZED (
+      SELECT i, j FROM epairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold
+        AND (i IN (SELECT doc_id FROM samp) OR j IN (SELECT doc_id FROM samp))),
+    $bandsCteSql,
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    vpairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN cands c ON c.i = a.doc_id AND c.j = b.doc_id
+      GROUP BY 1, 2),
+    lsh AS MATERIALIZED (
+      SELECT i, j FROM vpairs JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold
+        AND (i IN (SELECT doc_id FROM samp) OR j IN (SELECT doc_id FROM samp)))
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_docs_sampled,
+      (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+      (SELECT CAST(count(*) AS BIGINT) FROM exact e JOIN lsh l ON e.i = l.i AND e.j = l.j) AS n_hit,
+      CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+           ELSE ((SELECT count(*) FROM exact e JOIN lsh l ON e.i = l.i AND e.j = l.j) * 1000)
+                // (SELECT count(*) FROM exact) END AS recall_permille"""
+
+  /** [[clusterEval]]'s 100 TB form: precision/recall of the SimHash
+    * components, estimated on the same deterministic doc sample. The
+    * implied-pair count restricted to the sample is exact integer
+    * arithmetic off the per-cluster (size k, sampled-members m) table —
+    * m(k−1) − m(m−1)/2 per cluster — so neither the implied nor the exact
+    * pair set is ever materialized beyond the sample's pairs. */
+  def clusterEvalSampled(s: SparkSession, d: String): DataFrame = {
+    val withHs = hashedShingles(Tables.documents(s, d)).persist()
+    val shFull = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
+    val exactS = sampledExactPairs(shFull).persist()
+    val cl = dedupCluster(s, d).persist()
+    val perCluster = cl.groupBy("cluster_id").agg(
+      count(lit(1)).as("k"),
+      sum(when(evalSampled(col("doc_id")), 1L).otherwise(0L)).as("m"))
+    val hits = exactS
+      .join(cl.select(col("doc_id").as("i"), col("cluster_id").as("ci")), "i")
+      .join(cl.select(col("doc_id").as("j"), col("cluster_id").as("cj")), "j")
+      .filter(col("ci") === col("cj"))
+    val out = perCluster.select(
+        (col("m") * (col("k") - 1) - expr("m * (m - 1) div 2")).as("imp"),
+        lit(0L).as("ex"), lit(0L).as("ht"))
+      .unionAll(exactS.select(lit(0L).as("imp"), lit(1L).as("ex"), lit(0L).as("ht")))
+      .unionAll(hits.select(lit(0L).as("imp"), lit(0L).as("ex"), lit(1L).as("ht")))
+      .agg(sum("imp").as("implied_pairs_sampled"),
+        sum("ex").as("exact_pairs_sampled"), sum("ht").as("hits_sampled"))
+      .select(col("implied_pairs_sampled"), col("exact_pairs_sampled"),
+        col("hits_sampled"),
+        expr("CASE WHEN implied_pairs_sampled = 0 THEN NULL ELSE (hits_sampled * 1000) div implied_pairs_sampled END")
+          .as("precision_permille"),
+        expr("CASE WHEN exact_pairs_sampled = 0 THEN NULL ELSE (hits_sampled * 1000) div exact_pairs_sampled END")
+          .as("recall_permille"))
+      .localCheckpoint(true) // 1 row; releases the caches below NOW
+    Seq(withHs, shFull, exactS, cl).foreach(_.unpersist())
+    out
+  }
+
+  private lazy val clusterEvalSampledOracle = s"""
+    WITH RECURSIVE $ccReachCtesSql,
+    labels AS MATERIALIZED (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+    samp AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE (${hashSql("doc_id::VARCHAR")}) % $EvalSampleMod = 0),
+    percl AS MATERIALIZED (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS k,
+        CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM samp)) AS BIGINT) AS sm
+      FROM labels GROUP BY 1),
+    sh2 AS (
+      SELECT doc_id, unnest(list_transform(${shinglesSql(toksSql, 3)}, x -> ${hashSql("x")})) AS s
+      FROM documents),
+    sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+    ep AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exactp AS MATERIALIZED (
+      SELECT i, j FROM ep JOIN sizes2 sa ON sa.doc_id = i JOIN sizes2 sb ON sb.doc_id = j
+      WHERE ${qSql("inter * 1.0 / (sa.n + sb.n - inter)", 3)} >= $JaccardThreshold
+        AND (i IN (SELECT doc_id FROM samp) OR j IN (SELECT doc_id FROM samp))),
+    hits AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM exactp e JOIN labels a ON a.doc_id = e.i JOIN labels b ON b.doc_id = e.j
+      WHERE a.cluster_id = b.cluster_id)
+    SELECT
+      (SELECT CAST(SUM(sm * (k - 1) - sm * (sm - 1) // 2) AS BIGINT) FROM percl) AS implied_pairs_sampled,
+      (SELECT CAST(count(*) AS BIGINT) FROM exactp) AS exact_pairs_sampled,
+      (SELECT c FROM hits) AS hits_sampled,
+      CAST(CASE WHEN (SELECT SUM(sm * (k - 1) - sm * (sm - 1) // 2) FROM percl) = 0 THEN NULL
+           ELSE ((SELECT c FROM hits) * 1000) // (SELECT SUM(sm * (k - 1) - sm * (sm - 1) // 2) FROM percl) END
+        AS BIGINT) AS precision_permille,
+      CAST(CASE WHEN (SELECT count(*) FROM exactp) = 0 THEN NULL
+           ELSE ((SELECT c FROM hits) * 1000) // (SELECT count(*) FROM exactp) END
+        AS BIGINT) AS recall_permille"""
 
   // ---- incremental near-dup against a stored band index ----------------
 
@@ -786,6 +986,8 @@ object LlmOps {
     * the hit count attaches cluster labels to the (small) exact pair set
     * instead — both scale-safe. Permilles are integer-exact. */
   def clusterEval(s: SparkSession, d: String): DataFrame = {
+    // EVAL-ONLY at bench scale (full exact pair set); the 100 TB path is
+    // [[clusterEvalSampled]].
     val cl = dedupCluster(s, d).persist() // label frame feeds sizes + both pair-label joins
     val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
     val exact = prefixJoinPairs(Tables.documents(s, d)).select("i", "j").persist()
@@ -2857,6 +3059,8 @@ object LlmOps {
     "llm_ngram_jaccard" -> Q(ngramJaccard, Some(ngramOracle)),
     "llm_prefix_join"   -> Q(prefixJoin, Some(prefixJoinOracle)),
     "llm_lsh_eval"      -> Q(lshEval, Some(lshEvalOracle)),
+    "llm_lsh_eval_sampled" -> Q(lshEvalSampled, Some(lshEvalSampledOracle)),
+    "llm_cluster_eval_sampled" -> Q(clusterEvalSampled, Some(clusterEvalSampledOracle)),
     "llm_containment"   -> Q(containment, Some(containmentOracle)),
     "llm_substr_dedup"  -> Q(substrDedup, Some(substrDedupOracle)),
     "llm_substr_clean"  -> Q(substrClean, Some(substrCleanOracle)),
