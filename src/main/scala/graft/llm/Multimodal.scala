@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * equivalent of `mapInPandas`: batch-shaped, off the codegen path, the slot
   * where a real decoder library would sit).
   *
-  * Decoding goes through the [[Multimodal.MediaDecoder]] seam: production
-  * codecs (none in this container) implement the same trait as the default
-  * [[Multimodal.StubDecoder]] (deterministic fake keyed on the payload
-  * bytes — what the oracle-gated queries run) and the
-  * [[Multimodal.SyntheticCodec]] (a REAL parsing codec over a trivial
-  * format, proving the decode→features→dedup path executes end to end).
-  * Everything around the seam — schema, encoders, partition batching,
-  * feature schema — is real and oracle-checked.
+  * Decoding goes through the [[Multimodal.MediaDecoder]] seam. Three
+  * implementations: [[Multimodal.ImageIoDecoder]] — a REAL image codec over
+  * JDK `javax.imageio` (PNG/BMP/JPEG/GIF, zero external deps) driving the
+  * oracle-gated `mm_*_real` queries; [[Multimodal.SyntheticCodec]] — a real
+  * parsing codec over a trivial format; and [[Multimodal.StubDecoder]] —
+  * the payload-identity fake the original `mm_*` oracles mirror. Only
+  * AUDIO/VIDEO decode remains a documented stub (no ffmpeg-class library in
+  * the JDK). Everything around the seam — schema, encoders, partition
+  * batching, feature schema — is real and oracle-checked.
   */
 object Multimodal {
 
@@ -109,6 +110,78 @@ object Multimodal {
       val sum = md.digest(px).map("%02x".format(_)).mkString
       MediaFeatures(docId, payload.length.toLong, w.toLong, h.toLong, f.toLong, sum)
     }
+  }
+
+  /** REAL image decoder over JDK [[javax.imageio.ImageIO]] — no external
+    * deps: OpenJDK ships PNG/BMP/JPEG/GIF readers. `pixels` returns the
+    * row-major 8-bit GRAYSCALE raster, so content identity survives
+    * re-encoding across containers (the same raster written as PNG and as
+    * BMP decodes to identical bytes). Grayscale conversion is integer
+    * ITU-R 601 luma ((299·r + 587·g + 114·b) / 1000, truncating) — no
+    * float, no ColorSpace.toGray (whose float path could differ across
+    * JVMs); single-band images pass their samples through untouched, so a
+    * gray PNG round-trips bit-exactly. Malformed payloads fail loudly like
+    * a real codec (ImageIO returns null → IllegalArgumentException). */
+  object ImageIoDecoder extends MediaDecoder {
+    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload (no ImageIO reader matched)")
+      img
+    }
+
+    /** Row-major 8-bit grayscale raster of the decoded image. */
+    override def pixels(payload: Array[Byte]): Array[Byte] = {
+      val img = readImage(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val out = new Array[Byte](w * h)
+      val bands = raster.getNumBands
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g =
+            if (bands == 1) raster.getSample(x, y, 0)
+            else {
+              val r = raster.getSample(x, y, 0)
+              val gg = raster.getSample(x, y, 1)
+              val b = raster.getSample(x, y, 2)
+              (299 * r + 587 * gg + 114 * b) / 1000
+            }
+          out(y * w + x) = g.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    override def decode(docId: Long, payload: Array[Byte], mime: String): MediaFeatures = {
+      val img = readImage(payload)
+      val px = pixels(payload)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // checksum over the RASTER: content identity survives re-encoding
+      val sum = md.digest(px).map("%02x".format(_)).mkString
+      MediaFeatures(docId, payload.length.toLong, img.getWidth.toLong,
+        img.getHeight.toLong, 1L, sum)
+    }
+  }
+
+  /** Encode an 8-bit grayscale raster as a real image container via
+    * ImageIO (`format` = "png", "bmp", ...). Lossless for gray rasters in
+    * both PNG and BMP, so encode→[[ImageIoDecoder.pixels]] round-trips
+    * bit-exactly — the property the real-decode queries and the re-encode
+    * dedup collapse rest on. */
+  def encodeImage(width: Int, height: Int, gray: Array[Byte],
+                  format: String = "png"): Array[Byte] = {
+    require(gray.length == width * height, "raster size mismatch")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format $format")
+    bos.toByteArray
   }
 
   /** Feature extraction over a typed media Dataset: per-partition iteration

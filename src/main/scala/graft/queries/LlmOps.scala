@@ -2581,13 +2581,17 @@ object LlmOps {
     * touches only candidate pairs and constant state (two longs). With a
     * real image codec the fingerprint becomes a DCT phash; every plan shape
     * downstream of the hash is unchanged. */
-  def mmDedup(s: SparkSession, d: String): DataFrame = {
-    val bh = Multimodal.blockHash(
+  def mmDedup(s: SparkSession, d: String): DataFrame =
+    mmDedupFromHashes(Multimodal.blockHash(
         Multimodal.fromText(
           Tables.documents(s, d).filter(length(col("text")) > 0),
           "doc_id", "text"),
-        blocks = MmBits).toDF()
-      .select("doc_id", "blockhash").persist()
+        blocks = MmBits).toDF())
+
+  /** The band+Hamming pipeline over an already-computed (doc_id, blockhash)
+    * frame — shared by the stub-decoder and real-ImageIO dedup queries. */
+  private def mmDedupFromHashes(bh0: DataFrame): DataFrame = {
+    val bh = bh0.select("doc_id", "blockhash").persist()
     val bands0 = bh.select(col("doc_id"), explode(array((0 until MmBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("blockhash"), b * MmBandBits)
@@ -2619,6 +2623,122 @@ object LlmOps {
                WHERE length(text) > 0),
     by AS (SELECT doc_id, n, ((i - 1) * $MmBits) // n AS k, ord(substr(text, i, 1)) AS v
            FROM b, LATERAL UNNEST(generate_series(1, n)) AS u(i)),
+    blk AS (SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
+            FROM by GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, CAST(sum(s_k) AS BIGINT) AS s FROM blk GROUP BY 1),
+    bh AS (SELECT blk.doc_id,
+        CAST(SUM(CASE WHEN s_k * n > s * c_k THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS h
+      FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+    bands0 AS (
+      $bandArms),
+    bands AS (SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS df
+        FROM bands0) t
+      WHERE df <= $MmBandCap),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT i, j, CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+    FROM cands JOIN bh ha ON ha.doc_id = i JOIN bh hb ON hb.doc_id = j
+    WHERE bit_count(xor(ha.h, hb.h)) <= $MmHamming"""
+  }
+
+  // ---- multimodal REAL decode (JDK ImageIO) -----------------------------
+
+  private val MmRealW = 16
+  private val MmRealH = 16
+
+  /** Deterministic 16×16 grayscale raster from a doc's ASCII text — pixel i
+    * is text byte (i mod n) — PNG-encoded via ImageIO into a REAL binary
+    * payload. The raster rule is SQL-expressible, which is what lets the
+    * oracle rebuild the exact pixels the PNG decode must recover. */
+  private def mmRealMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val n = MmRealW * MmRealH
+    Tables.documents(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8") // docs are ASCII by data contract
+          val px = Array.tabulate(n)(i => bytes(i % bytes.length))
+          Multimodal.MediaRow(id,
+            Multimodal.encodeImage(MmRealW, MmRealH, px), "image/png")
+        }
+      }
+  }
+
+  /** Raster rebuild CTEs shared by the three real-decode oracles: `by` is
+    * (doc_id, pixel index i in 0..255, byte value v) — exactly the
+    * grayscale raster [[graft.llm.Multimodal.ImageIoDecoder]] recovers from
+    * the PNG (gray PNG round-trips bit-exactly). */
+  private def mmRealByCte(blocks: Int): String = s"""
+    b AS (SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) > 0),
+    by AS (SELECT doc_id, ${MmRealW * MmRealH} AS n,
+                  (i * $blocks) // ${MmRealW * MmRealH} AS k,
+                  ord(substr(text, ((i % b.n) + 1)::INT, 1)) AS v,
+                  i
+           FROM b, LATERAL UNNEST(generate_series(0, ${MmRealW * MmRealH} - 1)) AS u(i))"""
+
+  /** REAL image features: render→PNG→ImageIO decode on executors; geometry
+    * comes from the decoded header, the checksum from the decoded raster. */
+  def mmFeaturesReal(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(mmRealMedia(s, d), Multimodal.ImageIoDecoder)
+      .toDF().select("doc_id", "width", "height", "n_frames", "checksum")
+
+  private val mmFeaturesRealOracle = s"""
+    WITH ${mmRealByCte(1)}
+    SELECT doc_id, ${MmRealW}::BIGINT AS width, ${MmRealH}::BIGINT AS height,
+      1::BIGINT AS n_frames,
+      md5(string_agg(chr(v), '' ORDER BY i)) AS checksum
+    FROM by GROUP BY 1"""
+
+  /** REAL decode perceptual hash: the same quantized-DCT [[mmPhash]] runs
+    * over pixels a genuine PNG parse produced — the "documented stub"
+    * caveat now covers only audio/video. */
+  def mmPhashReal(s: SparkSession, d: String): DataFrame =
+    Multimodal.phash(mmRealMedia(s, d), Multimodal.ImageIoDecoder).toDF()
+
+  private lazy val mmPhashRealOracle = {
+    val b = Multimodal.PhashBlocks
+    val cosRows = (for {
+      j <- 1 until b; k <- 0 until b
+    } yield s"($j, $k, ${BigDecimal(Multimodal.dctCosQ(j)(k))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString})")
+      .mkString(",\n        ")
+    s"""
+    WITH ${mmRealByCte(b)},
+    blk AS (SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
+            FROM by GROUP BY 1, 2, 3),
+    cosq(j, k, coef) AS (VALUES
+        $cosRows),
+    terms AS (
+      SELECT blk.doc_id, cosq.j,
+             ${qSql("cosq.coef * (s_k * 1.0 / c_k)", 9)} AS t
+      FROM blk JOIN cosq ON cosq.k = blk.k),
+    coefs AS (
+      SELECT doc_id, j, SUM(CAST(t AS DECIMAL(28,9))) AS c
+      FROM terms GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN c > 0 THEN 1::BIGINT << (j - 1) ELSE 0 END) AS BIGINT) AS phash,
+      ${MmRealW * MmRealH}::BIGINT AS n_bytes
+    FROM coefs GROUP BY 1"""
+  }
+
+  /** REAL decode near-dup: the [[mmDedup]] band+Hamming pipeline over
+    * 48-bit blockhashes of ImageIO-decoded rasters. */
+  def mmDedupReal(s: SparkSession, d: String): DataFrame =
+    mmDedupFromHashes(Multimodal.blockHash(mmRealMedia(s, d),
+      blocks = MmBits, decoder = Multimodal.ImageIoDecoder).toDF())
+
+  private lazy val mmDedupRealOracle = {
+    val bandArms = (0 until MmBands).map(b =>
+      s"SELECT doc_id, $b AS band, (h // ${1L << (b * MmBandBits)}) % ${1L << MmBandBits} AS key FROM bh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH ${mmRealByCte(MmBits)},
     blk AS (SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
             FROM by GROUP BY 1, 2, 3),
     tot AS (SELECT doc_id, CAST(sum(s_k) AS BIGINT) AS s FROM blk GROUP BY 1),
@@ -3107,6 +3227,9 @@ object LlmOps {
     "mm_features"       -> Q(mmFeatures, Some(mmOracle)),
     "mm_blockhash"      -> Q(mmBlockhash, Some(mmBlockhashOracle)),
     "mm_phash"          -> Q(mmPhash, Some(mmPhashOracle)),
+    "mm_features_real"  -> Q(mmFeaturesReal, Some(mmFeaturesRealOracle)),
+    "mm_phash_real"     -> Q(mmPhashReal, Some(mmPhashRealOracle)),
+    "mm_dedup_real"     -> Q(mmDedupReal, Some(mmDedupRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

@@ -130,6 +130,58 @@ class MultimodalSpec extends SparkSuite {
     assert(stub(1L) != stub(2L), "container checksums must differ across re-encodes")
   }
 
+  test("ImageIO: gray PNG encode→decode round-trips the raster bit-exactly") {
+    val px = Array.tabulate(16 * 16)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.encodeImage(16, 16, px)
+    // a real PNG container: magic bytes present, parsed by a real reader
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(Multimodal.ImageIoDecoder.pixels(png).toSeq == px.toSeq)
+    val f = Multimodal.ImageIoDecoder.decode(1L, png, "image/png")
+    assert(f.width == 16 && f.height == 16 && f.n_frames == 1)
+  }
+
+  test("ImageIO: re-encodes of the same raster collapse (PNG vs BMP), container bytes differ") {
+    val px = Array.tabulate(16 * 16)(i => ((i * 13 + 5) % 128).toByte)
+    val png = Multimodal.encodeImage(16, 16, px, "png")
+    val bmp = Multimodal.encodeImage(16, 16, px, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp), "containers must differ")
+    // content identity: decoded rasters — and so checksum, blockhash, and
+    // phash — are identical across the two containers
+    assert(Multimodal.ImageIoDecoder.pixels(png).toSeq ==
+      Multimodal.ImageIoDecoder.pixels(bmp).toSeq)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, bmp, "image/bmp")).toDS()
+    val feats = Multimodal.extractFeatures(ds, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.doc_id -> r.checksum).toMap
+    assert(feats(1L) == feats(2L), "raster checksums must collapse")
+    val ph = Multimodal.phash(ds, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(ph(1L) == ph(2L), "perceptual hashes must collapse")
+    // the near-dup pipeline pairs them: identical hash → Hamming 0
+    val bh = Multimodal.blockHash(ds, blocks = 48, decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => r.doc_id -> r.blockhash).toMap
+    assert(bh(1L) == bh(2L))
+  }
+
+  test("ImageIO: RGB decodes through the integer luma path deterministically") {
+    // hand-build an RGB image, encode as PNG, expect 601 luma truncation
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red → 299*255/1000 = 76
+    img.setRGB(1, 0, 0x00ff00) // pure green → 587*255/1000 = 149
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val px = Multimodal.ImageIoDecoder.pixels(bos.toByteArray)
+    assert(px.map(_ & 0xff).toSeq == Seq(299 * 255 / 1000, 587 * 255 / 1000))
+  }
+
+  test("ImageIO: an undecodable payload fails loudly, like a real codec") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.pixels("not an image".getBytes)
+    }
+  }
+
   test("sampleFrames covers every stride-th frame with exact byte slices") {
     val t = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
     val frames = Multimodal.sampleFrames(media(7L -> t), stride = 2, frameBytes = 64)
