@@ -375,6 +375,42 @@ object SinkOps {
       .select("event_id", "user_id", "value", "day")
   }
 
+  /** P9: the same merge as [[p5LakeMerge]] through the MERGE-ON-READ leg
+    * ([[graft.sink.FileSink.mergeMorVersioned]]): the commit writes ONLY
+    * delta files (no base partition rewrites — the 100 TB property), a
+    * second delta commit supersedes part of the first (delta-vs-delta
+    * precedence by commit version), and the query reads the reconciled
+    * view. Oracle = p5's: merge-on-read must be indistinguishable from
+    * copy-on-write. */
+  def p9LakeMor(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p9/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p9"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    FileSink.commitVersion(s, dir)
+    val week = ev.filter(col("day") < "2024-01-08")
+    val upd = week.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 2)
+    val ins = week.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    // two delta commits: the second re-updates a subset of the first's pks
+    // (value * 4) then the first's value for those pks must LOSE — the
+    // highest delta version wins at read time
+    FileSink.mergeMorVersioned(upd.withColumn("value", col("value") * 2),
+      dir, Seq("event_id"), "day") // transient state: value * 4
+    val v = FileSink.mergeMorVersioned(upd.unionByName(ins), dir, Seq("event_id"), "day")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))
+    FileSink.readMorVersion(s, dir, v, schema, Seq("event_id"), "day")
+      .select("event_id", "user_id", "value", "day")
+  }
+
   private val p5Oracle = """
     WITH ev AS (
       SELECT event_id, user_id, value,
@@ -535,6 +571,7 @@ object SinkOps {
     "k8_orc_sink"       -> Q(k8OrcSink, Some(k8Oracle)),
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "p5_lake_merge"     -> Q(p5LakeMerge, Some(p5Oracle)),
+    "p9_lake_mor"       -> Q(p9LakeMor, Some(p5Oracle)),
     "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
     "p7_time_travel"    -> Q(p7TimeTravel, Some(p7Oracle)),
     "p8_gdpr_delete"    -> Q(p8GdprDelete, Some(p8Oracle)),

@@ -199,6 +199,14 @@ object FileSink {
     * their superseded files until [[vacuum]] drops the ones no retained
     * manifest references. */
   private def manifestPath(dir: String, v: Int) = s"$dir/_graft_manifest_v$v.txt"
+  private def deltaManifestPath(dir: String, v: Int) = s"$dir/_graft_delta_v$v.txt"
+
+  /** Full-listing checkpoint cadence: commits between checkpoints write only
+    * a ±delta manifest (O(changes) metadata per commit, the Delta-checkpoint
+    * shape), so at daily-commit scale neither the commit nor the read walks
+    * the whole chain — a read touches ≤ 1 checkpoint + [[CheckpointEvery]]−1
+    * delta files no matter how many commits the table has seen. */
+  val CheckpointEvery = 10
 
   private def fsFor(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
@@ -207,9 +215,13 @@ object FileSink {
   /** Highest committed version, 0 if none. */
   def currentVersion(spark: SparkSession, dir: String): Int = {
     val fs = fsFor(spark, dir)
-    val st = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "_graft_manifest_v*.txt"))
-    if (st == null || st.isEmpty) 0
-    else st.map(_.getPath.getName.stripPrefix("_graft_manifest_v").stripSuffix(".txt").toInt).max
+    def maxOf(glob: String, prefix: String): Int = {
+      val st = fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob))
+      if (st == null || st.isEmpty) 0
+      else st.map(_.getPath.getName.stripPrefix(prefix).stripSuffix(".txt").toInt).max
+    }
+    math.max(maxOf("_graft_manifest_v*.txt", "_graft_manifest_v"),
+      maxOf("_graft_delta_v*.txt", "_graft_delta_v"))
   }
 
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -226,19 +238,53 @@ object FileSink {
     out.toSeq.sorted
   }
 
-  private def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
-    val fs = fsFor(spark, dir)
-    val in = fs.open(new org.apache.hadoop.fs.Path(manifestPath(dir, v)))
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
 
+  /** Resolve version `v`'s full file list: the nearest checkpoint at or
+    * below `v` plus the (≤ [[CheckpointEvery]]−1) delta manifests after it.
+    * Bounded metadata I/O no matter how long the commit history is. */
+  private def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val fs = fsFor(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir, v))))
+      return readLines(fs, manifestPath(dir, v))
+    var ck = v - 1
+    while (ck >= 1 && !fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir, ck)))) ck -= 1
+    require(ck >= 1, s"readManifest: no checkpoint manifest at or below v$v under $dir")
+    val files = scala.collection.mutable.LinkedHashSet(readLines(fs, manifestPath(dir, ck)): _*)
+    ((ck + 1) to v).foreach { w =>
+      readLines(fs, deltaManifestPath(dir, w)).foreach { line =>
+        if (line.startsWith("+ ")) files += line.drop(2)
+        else if (line.startsWith("- ")) files -= line.drop(2)
+        else throw new IllegalStateException(s"corrupt delta manifest v$w: '$line'")
+      }
+    }
+    files.toSeq.sorted
+  }
+
+  /** Commit version `v` with file list `files`. Checkpoint versions (v1 and
+    * every [[CheckpointEvery]]-th) write the full listing; the rest write a
+    * ±delta vs v−1 — O(changes) bytes, not O(table files). The exclusive
+    * `create` is the commit lock either way. */
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
                             files: Seq[String]): Unit = {
     val fs = fsFor(spark, dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(manifestPath(dir, v)), false)
-    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    if (v == 1 || v % CheckpointEvery == 0) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(manifestPath(dir, v)), false)
+      try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    } else {
+      val prev = readManifest(spark, dir, v - 1).toSet
+      val cur = files.toSet
+      val lines = (cur -- prev).toSeq.sorted.map("+ " + _) ++
+        (prev -- cur).toSeq.sorted.map("- " + _)
+      val out = fs.create(new org.apache.hadoop.fs.Path(deltaManifestPath(dir, v)), false)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Commit the CURRENTLY VISIBLE data files as the next version (used once
@@ -270,6 +316,10 @@ object FileSink {
     val prevV = currentVersion(spark, dir)
     require(prevV >= 1, s"mergeCowVersioned: no committed version under $dir")
     val prevFiles = readManifest(spark, dir, prevV)
+    // a COW merge reads manifest files as plain rows — un-reconciled deltas
+    // would make the anti-join keep superseded base rows
+    require(!prevFiles.exists(isDelta),
+      s"mergeCowVersioned: $dir has MOR delta files — run compactMor first")
     val ch = changes.persist()
     val dataFields = ch.schema.fields.filterNot(_.name == partitionCol)
     val schema = StructType(dataFields :+ ch.schema(partitionCol))
@@ -313,9 +363,11 @@ object FileSink {
 
   /** Write `rows` partitioned into a staging dir, then move each part-file
     * under its partition dir with a fresh unique name — never overwriting,
-    * never deleting existing data files. Returns the moved relative paths. */
+    * never deleting existing data files. Returns the moved relative paths.
+    * `prefix` names the file class ("part" = base data, "delta-v..." = MOR
+    * delta — readers classify by name). */
   private def stageAndMove(rows: DataFrame, dir: String, partitionCol: String,
-                           v: Int): Seq[String] = {
+                           v: Int, prefix: String = "part"): Seq[String] = {
     val spark = rows.sparkSession
     val fs = fsFor(spark, dir)
     val stage = s"$dir/__stage_v$v"
@@ -326,13 +378,103 @@ object FileSink {
       val destDir = new org.apache.hadoop.fs.Path(dir, pname)
       fs.mkdirs(destDir)
       fs.globStatus(new org.apache.hadoop.fs.Path(pd.getPath, "part-*.parquet")).foreach { f =>
-        val unique = s"part-v$v-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        val unique = s"$prefix-v$v-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, unique))
         moved += s"$pname/$unique"
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     moved.toSeq
+  }
+
+  // ---- merge-on-read (delta files + read-time reconcile) ----------------
+
+  /** A manifest entry is a MOR delta if its filename says so. */
+  private def isDelta(relPath: String): Boolean =
+    relPath.split('/').last.startsWith("delta-v")
+
+  /** Merge-on-read MERGE: the change rows land as DELTA files committed
+    * into the manifest beside the untouched base files — the commit reads
+    * and rewrites NOTHING (cost = |changes|, vs [[mergeCowVersioned]]'s
+    * whole-touched-partition rewrite: at 100 TB a 1-row upsert must not
+    * rewrite a partition). Readers reconcile via [[readMorVersion]]
+    * (pk anti-join per partition); [[compactMor]] folds accumulated deltas
+    * back into base files. Same contract as mergeCow: change rows carry
+    * their current partition value, and a batch is pre-deduped on pk. */
+  def mergeMorVersioned(changes: DataFrame, dir: String, pk: Seq[String],
+                        partitionCol: String): Int = {
+    val spark = changes.sparkSession
+    val prevV = currentVersion(spark, dir)
+    require(prevV >= 1, s"mergeMorVersioned: no committed version under $dir")
+    val v = prevV + 1
+    val moved = stageAndMove(changes, dir, partitionCol, v, prefix = "delta")
+    writeManifest(spark, dir, v, readManifest(spark, dir, prevV) ++ moved)
+    v
+  }
+
+  /** Read version `v` of a MOR table: base rows superseded by a delta drop
+    * via an anti-join on (pk, partition) — the SAME per-partition match
+    * scope as [[mergeCow]] (a pk that moves partitions is delete+insert by
+    * contract) — and for a pk touched by several delta commits the HIGHEST
+    * delta version wins (the delta file name carries its commit version —
+    * no extra metadata read). Falls back to a plain manifest read when the
+    * version has no deltas. Reconcile cost is one |deltas|-row build side
+    * against the base scan. */
+  def readMorVersion(spark: SparkSession, dir: String, v: Int,
+                     schema: StructType, pk: Seq[String],
+                     partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = readManifest(spark, dir, v)
+    val (deltas, bases) = files.partition(isDelta)
+    def read(fs: Seq[String]): DataFrame =
+      spark.read.option("basePath", dir).schema(schema)
+        .parquet(fs.map(f => s"$dir/$f"): _*)
+    if (deltas.isEmpty) return read(bases)
+    val keys = pk :+ partitionCol
+    val dv = read(deltas)
+      .withColumn("__dv",
+        regexp_extract(input_file_name(), "delta-v(\\d+)-", 1).cast("int"))
+    val latest = Dedup.inBatch(dv, keys, discriminators = Seq("__dv")).drop("__dv")
+    val base = if (bases.isEmpty) latest.limit(0) else read(bases)
+    base.join(latest, keys, "left_anti").unionByName(latest)
+      // the multi-key join fronts the join keys — restore the declared order
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** Fold the current version's deltas into new base files: partitions
+    * holding deltas rewrite from the reconciled view (planning scan finds
+    * their base files, as [[mergeCowVersioned]] does); every other
+    * partition's base entries carry over byte-identical. Commits and
+    * returns the new version (a no-op commit if there are no deltas). */
+  def compactMor(spark: SparkSession, dir: String, schema: StructType,
+                 pk: Seq[String], partitionCol: String): Int = {
+    import org.apache.spark.sql.functions._
+    val prevV = currentVersion(spark, dir)
+    require(prevV >= 1, s"compactMor: no committed version under $dir")
+    val files = readManifest(spark, dir, prevV)
+    val (deltas, bases) = files.partition(isDelta)
+    val v = prevV + 1
+    if (deltas.isEmpty) { writeManifest(spark, dir, v, files); return v }
+    val baseUriPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    def fileNames(df: DataFrame): Seq[String] = df
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+        .toUri.getPath.stripPrefix(baseUriPath).stripPrefix("/")).toSeq
+    val touchedVals = spark.read.option("basePath", dir).schema(schema)
+      .parquet(deltas.map(f => s"$dir/$f"): _*)
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    // planning scan: base files in delta-touched partitions (control-plane)
+    val touchedBase =
+      if (bases.isEmpty) Seq.empty[String]
+      else fileNames(spark.read.option("basePath", dir).schema(schema)
+        .parquet(bases.map(f => s"$dir/$f"): _*)
+        .filter(col(partitionCol).isin(touchedVals.toSeq: _*)))
+    val keptBase = bases.filterNot(touchedBase.contains)
+    val reconciled = readMorVersion(spark, dir, prevV, schema, pk, partitionCol)
+      .filter(col(partitionCol).isin(touchedVals.toSeq: _*))
+    val moved = stageAndMove(reconciled, dir, partitionCol, v)
+    writeManifest(spark, dir, v, keptBase ++ moved)
+    v
   }
 
   /** Row-level DELETE WHERE on the versioned lake — the GDPR-erasure /
@@ -353,6 +495,8 @@ object FileSink {
     val prevV = currentVersion(spark, dir)
     require(prevV >= 1, s"deleteWhereVersioned: no committed version under $dir")
     val prevFiles = readManifest(spark, dir, prevV)
+    require(!prevFiles.exists(isDelta),
+      s"deleteWhereVersioned: $dir has MOR delta files — run compactMor first")
     val paths = prevFiles.map(f => s"$dir/$f")
     val baseLen = new org.apache.hadoop.fs.Path(dir).toUri.getPath
     val affected = spark.read.option("basePath", dir).schema(schema)

@@ -139,6 +139,83 @@ class FileSinkSpec extends SparkSuite {
         Row(1L, 1.5, "x"), Row(2L, 9.0, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
   }
 
+  test("MOR merge: base files stay byte-identical; the commit writes only |changes| delta rows") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    val v1 = FileSink.commitVersion(spark, dir)
+    def dataFiles(): Map[String, (Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        f.getAbsolutePath -> (bytes.length.toLong, md5)
+      }.toMap
+    }
+    val basesBefore = dataFiles()
+    val changes = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"), Row(7L, 7.0, "y")))
+    val v2 = FileSink.mergeMorVersioned(changes, dir, Seq("id"), "s")
+    val after = dataFiles()
+    // every pre-merge base file is still there, byte-identical (no partition
+    // rewrote — the property COW cannot give a 1-row upsert)
+    basesBefore.foreach { case (p, sig) => assert(after.get(p).contains(sig), p) }
+    // the only new files are deltas, and they hold exactly the change rows
+    val newFiles = after.keySet -- basesBefore.keySet
+    assert(newFiles.nonEmpty && newFiles.forall(_.matches(".*/delta-v2-[0-9a-f]+\\.parquet$")),
+      newFiles)
+    val deltaRows = spark.read.parquet(newFiles.toSeq: _*).count()
+    assert(deltaRows == 2, s"delta rows: $deltaRows")
+    // reconciled read: matched pk replaced, unmatched inserted, rest intact
+    assert(canon(FileSink.readMorVersion(spark, dir, v2, schema, Seq("id"), "s")) ==
+      canon(df("id BIGINT, v DOUBLE, s STRING", Seq(
+        Row(1L, 1.5, "x"), Row(2L, 9.0, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
+    // pinned v1 is undisturbed
+    assert(canon(FileSink.readMorVersion(spark, dir, v1, schema, Seq("id"), "s")) == canon(data))
+  }
+
+  test("MOR: later delta version supersedes earlier; compactMor folds deltas into base") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 8.0, "y"), Row(9L, 9.0, "x"))), dir, Seq("id"), "s")
+    val v3 = FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    val expect = df("id BIGINT, v DOUBLE, s STRING", Seq(
+      Row(1L, 1.5, "x"), Row(9L, 9.0, "x"), Row(2L, 9.0, "y"), Row(2L, 3.5, "y2")))
+    assert(canon(FileSink.readMorVersion(spark, dir, v3, schema, Seq("id"), "s")) == canon(expect))
+    // compact: deltas fold into base; the s=y2 partition (never touched by a
+    // delta) keeps its base file byte-identical
+    val y2Before = new java.io.File(dir, "s=y2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val v4 = FileSink.compactMor(spark, dir, schema, Seq("id"), "s")
+    val manifest4 = FileSink.readVersion(spark, dir, v4, schema)
+    assert(canon(manifest4) == canon(expect)) // plain read: no deltas left
+    val y2After = new java.io.File(dir, "s=y2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    y2Before.foreach { case (n, bytes) => assert(y2After.get(n).contains(bytes), n) }
+    // and a COW merge is legal again after compaction
+    FileSink.mergeCowVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 5.0, "x"))), dir, Seq("id"), "s")
+  }
+
+  test("MOR guard: COW merge on a table with pending deltas fails loudly") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    intercept[IllegalArgumentException] {
+      FileSink.mergeCowVersioned(df("id BIGINT, v DOUBLE, s STRING",
+        Seq(Row(1L, 5.0, "x"))), dir, Seq("id"), "s")
+    }
+  }
+
   test("versioned merge evolves schema: old files surface null for a column added later") {
     // v1 writes (id, v, s); v2's changes carry a NEW column w — the merge
     // rewrites only touched partitions, so v2 mixes old-schema and
@@ -168,14 +245,14 @@ class FileSinkSpec extends SparkSuite {
     val back = FileSink.readVersion(spark, dir, v2, schema)
     assert(canon(back) == canon(df("id BIGINT, v DOUBLE, s STRING",
       Seq(Row(1L, 1.5, "x")))))
-    // file-level pruning: x's manifest entry is identical across versions
-    def manifest(v: Int): Set[String] = {
-      val src = scala.io.Source.fromFile(s"$dir/_graft_manifest_v$v.txt")
+    // file-level pruning: v2's DELTA manifest never mentions s=x — the
+    // unaffected partition's entries carry over untouched
+    val delta2 = {
+      val src = scala.io.Source.fromFile(s"$dir/_graft_delta_v2.txt")
       try src.getLines().filter(_.nonEmpty).toSet finally src.close()
     }
-    val xBefore = manifest(1).filter(_.startsWith("s=x/"))
-    assert(xBefore.nonEmpty && manifest(2).filter(_.startsWith("s=x/")) == xBefore,
-      "unaffected partition's file was rewritten")
+    assert(delta2.nonEmpty && !delta2.exists(_.contains("s=x/")),
+      s"unaffected partition's file was rewritten: $delta2")
     // null-predicate rows survive the delete (SQL DELETE semantics)
     val d2 = tmp() + "/t2"
     df("id BIGINT, v DOUBLE, s STRING",
@@ -191,24 +268,58 @@ class FileSinkSpec extends SparkSuite {
     FileSink.commitVersion(spark, dir)
     val v2 = FileSink.mergeCowVersioned(
       df("id BIGINT, v DOUBLE, s STRING", Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    // v2 is a DELTA manifest (checkpoints land at v1 and every Nth commit)
     val v2Manifest = java.nio.file.Files.readString(
-      java.nio.file.Path.of(s"$dir/_graft_manifest_v2.txt"))
+      java.nio.file.Path.of(s"$dir/_graft_delta_v2.txt"))
     val v3 = FileSink.mergeCowVersioned(
       df("id BIGINT, v DOUBLE, s STRING", Seq(Row(7L, 7.0, "y"))), dir, Seq("id"), "s")
     assert(v2 == 2 && v3 == 3)
     // earlier manifests are immutable across later commits
     assert(java.nio.file.Files.readString(
-      java.nio.file.Path.of(s"$dir/_graft_manifest_v2.txt")) == v2Manifest)
+      java.nio.file.Path.of(s"$dir/_graft_delta_v2.txt")) == v2Manifest)
     // and the commit LOCK: creating an already-committed manifest path
     // throws (a racing writer that computed the same next-version loses)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     intercept[java.io.IOException] {
-      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest_v3.txt"), false).close()
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_graft_delta_v3.txt"), false).close()
     }
     // both snapshots stay readable
     assert(canon(FileSink.readVersion(spark, dir, v2, schema)) !=
       canon(FileSink.readVersion(spark, dir, v3, schema)))
+  }
+
+  test("manifest checkpoints: read I/O is bounded by the checkpoint window, not commit count") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir) // v1 = checkpoint
+    // 24 more commits → versions 2..25; checkpoints at 10 and 20, deltas
+    // elsewhere — each delta manifest carries O(changes) lines, never the
+    // whole table listing
+    (2 to 25).foreach { i =>
+      FileSink.mergeCowVersioned(df("id BIGINT, v DOUBLE, s STRING",
+        Seq(Row(100L + i, i.toDouble, "y"))), dir, Seq("id"), "s")
+    }
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("_graft_manifest_v20.txt"))
+    assert(names.contains("_graft_delta_v25.txt"))
+    assert(!names.contains("_graft_manifest_v25.txt"))
+    // commit cost: a delta manifest is a few ± lines, not a full listing
+    val deltaLines = java.nio.file.Files.readAllLines(
+      java.nio.file.Path.of(s"$dir/_graft_delta_v25.txt"))
+    assert(deltaLines.size < 10, deltaLines)
+    val v25 = canon(FileSink.readVersion(spark, dir, 25, schema))
+    // FILE-ACCESS PROOF: delete every metadata file OUTSIDE the resolve
+    // window (checkpoint 20 + deltas 21..25). If a read of v25 walked the
+    // chain it would now fail; bounded resolution must not notice.
+    (Seq("_graft_manifest_v1.txt", "_graft_manifest_v10.txt") ++
+      ((2 to 19).filter(_ != 10).map(i => s"_graft_delta_v$i.txt"))).foreach { n =>
+      val f = new java.io.File(dir, n)
+      assert(f.exists(), s"test setup: $n missing"); f.delete()
+    }
+    assert(canon(FileSink.readVersion(spark, dir, 25, schema)) == v25)
+    // mid-window versions resolve from the same bounded set
+    assert(canon(FileSink.readVersion(spark, dir, 22, schema)).nonEmpty)
   }
 
   test("vacuum drops only files no retained manifest references; v2 survives") {
