@@ -70,7 +70,7 @@ object LlmOps {
     * is the right trade at scale — scans are map-only and embarrassingly
     * parallel, while the window form moves AND sorts the whole index over
     * the network. */
-  private def cappedShingleIndex(docs: DataFrame): DataFrame = {
+  private[queries] def cappedShingleIndex(docs: DataFrame): DataFrame = {
     // index rows carry the 60-bit shingle HASH, not the shingle string: the
     // count pass, the blacklist join, and the pair self-join all shuffle and
     // compare 8-byte longs instead of ~30-byte strings (the hash is the
@@ -224,7 +224,11 @@ object LlmOps {
   /** [[prefixJoinPairs]] over an ALREADY-BUILT (and persisted) uncapped
     * (doc_id, s) shingle index — lets [[lshEval]] share one tokenize+
     * shingle+hash pass between the exact and LSH pipelines. */
-  private def prefixJoinFromIndex(sh: DataFrame): DataFrame = {
+  /** The AllPairs candidate set of the prefix join — exposed (with the
+    * persisted pref frame the caller must unpersist) so the skew-stress
+    * spec can assert the df-ASC prefix keeps candidates sub-quadratic
+    * under a boilerplate-heavy corpus. */
+  private[queries] def prefixCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
     val tau = JaccardThreshold
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val pref = sh.join(df, "s")
@@ -244,8 +248,13 @@ object LlmOps {
           least(col("a.n"), col("b.n")) >= lit(tau) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+    (cands, pref)
+  }
+
+  private def prefixJoinFromIndex(sh: DataFrame): DataFrame = {
+    val (cands, pref) = prefixCandidates(sh)
     // pair-set-sized; eager so pref (and callers' shingle caches) release NOW
-    val out = verifyCandidates(sh, cands, tau).localCheckpoint(true)
+    val out = verifyCandidates(sh, cands, JaccardThreshold).localCheckpoint(true)
     pref.unpersist()
     out
   }

@@ -74,6 +74,19 @@ object MicroBatch {
     * resolves at runtime from the spark-sql-kafka connector on the cluster
     * classpath (this container has no broker, so only the file form runs
     * here — the pipeline downstream of the source is the same code). */
+  /** The exact option map [[runKafkaStream]] hands the kafka source.
+    * Nothing in this environment can EXECUTE the kafka reader (no broker,
+    * no connector jar), so the names/semantics live here where
+    * `KafkaWiringSpec` pins them — a silent rename would fail the spec,
+    * not a production deploy. `startingOffsets` is deliberately absent:
+    * the streaming default (`latest` on first start, checkpoint offsets
+    * thereafter) is the reference consumer's behavior. */
+  private[streaming] def kafkaSourceOptions(bootstrapServers: String,
+      topic: String, maxOffsetsPerTrigger: Long): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
   def runKafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
                      checkpointDir: String, retry: RetryQueue, clock: () => Long,
                      maxOffsetsPerTrigger: Long = 10000,
@@ -81,9 +94,7 @@ object MicroBatch {
                     (load: DataFrame => Unit): Unit = {
     val source = spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .options(kafkaSourceOptions(bootstrapServers, topic, maxOffsetsPerTrigger))
       .load()
       .selectExpr("CAST(value AS STRING) AS value", "offset", "partition")
     val query = source.writeStream
