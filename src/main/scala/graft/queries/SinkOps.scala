@@ -411,6 +411,106 @@ object SinkOps {
       .select("event_id", "user_id", "value", "day")
   }
 
+  private val morSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType), StructField("day", StringType)))
+
+  /** P10: merge-on-read DELETE — after an MOR merge, `user_id % 37 == 0`
+    * rows are removed via TOMBSTONE files ([[graft.sink.FileSink
+    * .deleteMorVersioned]]): zero data files rewrite (the 100 TB GDPR
+    * shape — the erasure is logical until compaction), and the reconciled
+    * read drops the victims exactly like the COW delete would. */
+  def p10MorDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p10/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p10"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    FileSink.commitVersion(s, dir)
+    val upd = ev.filter(col("day") < "2024-01-08" && col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 2)
+    FileSink.mergeMorVersioned(upd, dir, Seq("event_id"), "day")
+    val v = FileSink.deleteMorVersioned(s, dir, morSchema,
+      col("user_id") % 37 === 0, "day", Seq("event_id"))
+    FileSink.readMorVersion(s, dir, v, morSchema, Seq("event_id"), "day")
+      .select("event_id", "user_id", "value", "day")
+  }
+
+  private val p10Oracle = """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    merged AS (
+      SELECT event_id, user_id,
+        CASE WHEN day < '2024-01-08' AND event_id % 7 = 0
+             THEN value * 2 ELSE value END AS value, day
+      FROM ev)
+    SELECT event_id, user_id, value, day FROM merged
+    WHERE user_id % 37 <> 0"""
+
+  /** P11: change data feed — the insert/update/delete rows between the
+    * initial commit and the current version of an MOR lake
+    * ([[graft.sink.FileSink.changeFeed]]): one MOR merge (updates +
+    * inserts) and one tombstone delete later, the feed must classify
+    * every row movement with null-safe payload comparison, and emit
+    * nothing for untouched rows. */
+  def p11ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_p11/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_p11"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir)
+    val v1 = FileSink.commitVersion(s, dir)
+    val week = ev.filter(col("day") < "2024-01-08")
+    val upd = week.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 2)
+    val ins = week.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    FileSink.mergeMorVersioned(upd.unionByName(ins), dir, Seq("event_id"), "day")
+    val v = FileSink.deleteMorVersioned(s, dir, morSchema,
+      col("user_id") % 41 === 0, "day", Seq("event_id"))
+    FileSink.changeFeed(s, dir, morSchema, Seq("event_id"), "day", v1, v)
+      .select("event_id", "day", "user_id", "value", "change_type")
+  }
+
+  // a %7==0 update whose value is 0.0 doubles to itself → unchanged, not an
+  // update: the oracle applies the same payload comparison the feed does
+  private val p11Oracle = """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    v2 AS (
+      SELECT event_id, user_id,
+        CASE WHEN day < '2024-01-08' AND event_id % 7 = 0
+             THEN value * 2 ELSE value END AS value, day
+      FROM ev
+      UNION ALL
+      SELECT event_id + 10000000, user_id, value, day
+      FROM ev WHERE day < '2024-01-08' AND event_id % 97 = 0),
+    v3 AS (SELECT * FROM v2 WHERE user_id % 41 <> 0)
+    SELECT v3.event_id, v3.day, v3.user_id, v3.value, 'insert' AS change_type
+    FROM v3 LEFT JOIN ev ON ev.event_id = v3.event_id AND ev.day = v3.day
+    WHERE ev.event_id IS NULL
+    UNION ALL
+    SELECT ev.event_id, ev.day, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'delete'
+    FROM ev LEFT JOIN v3 ON v3.event_id = ev.event_id AND v3.day = ev.day
+    WHERE v3.event_id IS NULL
+    UNION ALL
+    SELECT v3.event_id, v3.day, v3.user_id, v3.value, 'update'
+    FROM v3 JOIN ev ON ev.event_id = v3.event_id AND ev.day = v3.day
+    WHERE NOT (v3.value IS NOT DISTINCT FROM ev.value
+           AND v3.user_id IS NOT DISTINCT FROM ev.user_id)"""
+
   private val p5Oracle = """
     WITH ev AS (
       SELECT event_id, user_id, value,
@@ -572,6 +672,8 @@ object SinkOps {
     "p1_replace_partition_file" -> Q(p1ReplacePartitionFile, Some(p1FileOracle)),
     "p5_lake_merge"     -> Q(p5LakeMerge, Some(p5Oracle)),
     "p9_lake_mor"       -> Q(p9LakeMor, Some(p5Oracle)),
+    "p10_mor_delete"    -> Q(p10MorDelete, Some(p10Oracle)),
+    "p11_change_feed"   -> Q(p11ChangeFeed, Some(p11Oracle)),
     "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
     "p7_time_travel"    -> Q(p7TimeTravel, Some(p7Oracle)),
     "p8_gdpr_delete"    -> Q(p8GdprDelete, Some(p8Oracle)),

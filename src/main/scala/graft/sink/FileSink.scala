@@ -390,8 +390,13 @@ object FileSink {
   // ---- merge-on-read (delta files + read-time reconcile) ----------------
 
   /** A manifest entry is a MOR delta if its filename says so. */
-  private def isDelta(relPath: String): Boolean =
-    relPath.split('/').last.startsWith("delta-v")
+  private def isDelta(relPath: String): Boolean = {
+    val n = relPath.split('/').last
+    n.startsWith("delta-v") || n.startsWith("tomb-v")
+  }
+
+  private def isTombstone(relPath: String): Boolean =
+    relPath.split('/').last.startsWith("tomb-v")
 
   /** Merge-on-read MERGE: the change rows land as DELTA files committed
     * into the manifest beside the untouched base files — the commit reads
@@ -431,14 +436,79 @@ object FileSink {
         .parquet(fs.map(f => s"$dir/$f"): _*)
     if (deltas.isEmpty) return read(bases)
     val keys = pk :+ partitionCol
+    // one pass over every non-base file: upsert deltas carry full rows,
+    // tombstones only (pk, partition) — the file NAME carries both the
+    // commit version and the event kind, so no extra metadata read
     val dv = read(deltas)
       .withColumn("__dv",
-        regexp_extract(input_file_name(), "delta-v(\\d+)-", 1).cast("int"))
-    val latest = Dedup.inBatch(dv, keys, discriminators = Seq("__dv")).drop("__dv")
-    val base = if (bases.isEmpty) latest.limit(0) else read(bases)
-    base.join(latest, keys, "left_anti").unionByName(latest)
+        regexp_extract(input_file_name(), "(?:delta|tomb)-v(\\d+)-", 1).cast("int"))
+      .withColumn("__tomb", input_file_name().rlike("tomb-v\\d+-"))
+    // per (pk, partition) the HIGHEST-version event wins: a later delete
+    // kills an earlier upsert, a later upsert resurrects a deleted pk
+    val latest = Dedup.inBatch(dv, keys, discriminators = Seq("__dv"))
+    val live = latest.filter(!col("__tomb")).drop("__dv", "__tomb")
+    val base = if (bases.isEmpty) live.limit(0) else read(bases)
+    base.join(latest.select(keys.map(col).toSeq: _*), keys, "left_anti")
+      .unionByName(live)
       // the multi-key join fronts the join keys — restore the declared order
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** Merge-on-read DELETE WHERE: victims land as TOMBSTONE files — (pk,
+    * partition) rows only, no data rewrite at all (vs
+    * [[deleteWhereVersioned]]'s affected-file rewrite). Commit cost =
+    * one predicate scan of the reconciled view + |victims| narrow rows;
+    * readers drop tombstoned pks during reconcile; [[compactMor]] makes
+    * the deletion physical. SQL DELETE semantics: null-predicate rows
+    * survive. Limitation inherent to pk tombstones: a row whose pk IS null
+    * cannot be addressed (null never equi-matches) — use the COW
+    * [[deleteWhereVersioned]] for those. Returns the committed version. */
+  def deleteMorVersioned(spark: SparkSession, dir: String, schema: StructType,
+                         predicate: org.apache.spark.sql.Column,
+                         partitionCol: String, pk: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    val prevV = currentVersion(spark, dir)
+    require(prevV >= 1, s"deleteMorVersioned: no committed version under $dir")
+    val v = prevV + 1
+    val victims = readMorVersion(spark, dir, prevV, schema, pk, partitionCol)
+      .filter(coalesce(predicate, lit(false)))
+      .select((pk :+ partitionCol).map(col).toSeq: _*).distinct()
+    val moved = stageAndMove(victims, dir, partitionCol, v, prefix = "tomb")
+    writeManifest(spark, dir, v, readManifest(spark, dir, prevV) ++ moved)
+    v
+  }
+
+  /** Change data feed between two committed versions — the "what changed
+    * since my last read" contract downstream incremental consumers (CDC
+    * relays, cache invalidation, incremental training-set refresh) build
+    * on. Rows are classified insert/delete/update by a null-safe
+    * (pk, partition) full-outer join of the two reconciled views with
+    * null-safe payload comparison — engine-exact, no timestamps needed.
+    * Scale shape: two manifest-pinned scans + one co-partitioned shuffle
+    * join on the pk; nothing depends on how many commits lie between the
+    * versions. */
+  def changeFeed(spark: SparkSession, dir: String, schema: StructType,
+                 pk: Seq[String], partitionCol: String,
+                 fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = pk :+ partitionCol
+    val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
+    val a = readMorVersion(spark, dir, fromV, schema, pk, partitionCol)
+      .withColumn("__a", lit(1)).as("a")
+    val b = readMorVersion(spark, dir, toV, schema, pk, partitionCol)
+      .withColumn("__b", lit(1)).as("b")
+    val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val samePayload =
+      if (nonKey.isEmpty) lit(true)
+      else nonKey.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    a.join(b, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+        nonKey.map(c => col(s"b.$c").as(c)) :+ // post-image (null on delete)
+        when(col("a.__a").isNull, "insert")
+          .when(col("b.__b").isNull, "delete")
+          .when(!samePayload, "update")
+          .otherwise("unchanged").as("change_type"): _*)
+      .filter(col("change_type") =!= "unchanged")
   }
 
   /** Fold the current version's deltas into new base files: partitions

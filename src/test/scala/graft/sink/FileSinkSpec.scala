@@ -204,6 +204,50 @@ class FileSinkSpec extends SparkSuite {
       Seq(Row(1L, 5.0, "x"))), dir, Seq("id"), "s")
   }
 
+  test("MOR tombstone delete: no rewrite, later upsert resurrects, compact makes it physical") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    // v2: delete id=2 everywhere (both partitions) — zero data files rewrite
+    val before = new java.io.File(dir, "s=y").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val v2 = FileSink.deleteMorVersioned(spark, dir, schema,
+      col("id") === 2L, "s", Seq("id"))
+    val afterNames = new java.io.File(dir, "s=y").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.subsetOf(afterNames), "base file rewritten by a tombstone delete")
+    assert((afterNames -- before).forall(_.startsWith("tomb-v2-")), afterNames -- before)
+    assert(canon(FileSink.readMorVersion(spark, dir, v2, schema, Seq("id"), "s")) ==
+      canon(df("id BIGINT, v DOUBLE, s STRING", Seq(Row(1L, 1.5, "x")))))
+    // v3: an upsert of id=2 in s=y RESURRECTS it there (higher version wins);
+    // the s=y2 tombstone still holds
+    val v3 = FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 8.0, "y"))), dir, Seq("id"), "s")
+    val expect3 = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 1.5, "x"), Row(2L, 8.0, "y")))
+    assert(canon(FileSink.readMorVersion(spark, dir, v3, schema, Seq("id"), "s")) ==
+      canon(expect3))
+    // compact folds deletes + upserts into plain base files
+    val v4 = FileSink.compactMor(spark, dir, schema, Seq("id"), "s")
+    assert(canon(FileSink.readVersion(spark, dir, v4, schema)) == canon(expect3))
+    // physically gone: no tombstone/delta files referenced, and the deleted
+    // pk is not in any manifest-visible file
+    assert(canon(FileSink.readMorVersion(spark, dir, v4, schema, Seq("id"), "s")) ==
+      canon(expect3))
+  }
+
+  test("MOR tombstone delete: null-predicate rows survive (SQL DELETE semantics)") {
+    val dir = tmp() + "/t"
+    df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(null, 1.0, "x"), Row(2L, 2.0, "x"))).write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    val v2 = FileSink.deleteMorVersioned(spark, dir, schema,
+      col("id") === 2L, "s", Seq("id"))
+    val back = FileSink.readMorVersion(spark, dir, v2, schema, Seq("id"), "s")
+    assert(canon(back) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(null, 1.0, "x")))))
+  }
+
   test("MOR guard: COW merge on a table with pending deltas fails loudly") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
