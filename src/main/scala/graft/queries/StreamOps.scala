@@ -883,6 +883,50 @@ object StreamOps {
       .select("event_id", "user_id", "value", "day")
   }
 
+  /** [[qStreamLakeMerge]]'s merge-on-read twin: every micro-batch commits
+    * ONLY delta files ([[graft.sink.FileSink.mergeMorVersioned]] — no
+    * partition rewrites inside the stream, the property that keeps
+    * per-batch commit cost at |batch| as the lake grows), and the final
+    * read reconciles. foreachBatch is at-least-once; MOR replays are
+    * READ-level idempotent (a replayed batch commits the same rows again
+    * under a higher version — same pk, same payload — and reconcile's
+    * highest-version-wins collapses them), which `FileSinkSpec` pins. */
+  def qStreamMorMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val base = "/tmp/graft_smor"
+    rmrf(s, base)
+    val dir = s"$base/table"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.partitionBy("day").parquet(dir) // seed the lake
+    FileSink.commitVersion(s, dir)
+    val upd = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") * 2)
+    val ins = ev.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    writeSegments(
+      upd.unionByName(ins)
+        .withColumn("__seg", format_string("%03d", pmod(col("event_id"), lit(3)))),
+      "__seg", s, s"$base/stage", s"$base/input", format = "parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("day", StringType)))
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/input")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        FileSink.mergeMorVersioned(b, dir, Seq("event_id"), "day"); ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    FileSink.readMorVersion(s, dir, FileSink.currentVersion(s, dir), schema,
+        Seq("event_id"), "day")
+      .select("event_id", "user_id", "value", "day")
+  }
+
   private val streamLakeMergeOracle = """
     WITH ev AS (
       SELECT event_id, user_id, value,
@@ -981,6 +1025,7 @@ object StreamOps {
 
   def qs: Map[String, Q] = Map(
     "q_stream_lake_merge" -> Q(fewerShuffles(qStreamLakeMerge), Some(streamLakeMergeOracle)),
+    "q_stream_mor_merge"  -> Q(fewerShuffles(qStreamMorMerge), Some(streamLakeMergeOracle)),
     // neardup/ann stay at full width: their micro-batches are CPU-heavy
     // (signatures / cell assignment), so task fan-out IS the work there
     "q_stream_ann"      -> Q(qStreamAnn, Some(LlmOps.annIvfOracle)),

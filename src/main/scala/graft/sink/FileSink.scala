@@ -589,6 +589,28 @@ object FileSink {
     v
   }
 
+  /** Drop manifest metadata no longer needed to resolve any version ≥
+    * `keepFrom`: checkpoints and deltas strictly below the newest
+    * checkpoint ≤ `keepFrom`. The retained tail stays resolvable
+    * (checkpoint + deltas); versions below `keepFrom` become unreadable —
+    * call AFTER [[vacuum]] has reclaimed their data files. Returns the
+    * number of metadata files deleted. */
+  def vacuumManifests(spark: SparkSession, dir: String, keepFrom: Int): Long = {
+    val fs = fsFor(spark, dir)
+    // newest full checkpoint at or below keepFrom — everything older than it
+    // can never participate in resolving keepFrom..current
+    var ck = keepFrom
+    while (ck >= 1 && !fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir, ck)))) ck -= 1
+    require(ck >= 1, s"vacuumManifests: no checkpoint at or below v$keepFrom under $dir")
+    var n = 0L
+    (1 until ck).foreach { v =>
+      Seq(manifestPath(dir, v), deltaManifestPath(dir, v)).foreach { p =>
+        if (fs.delete(new org.apache.hadoop.fs.Path(p), false)) n += 1
+      }
+    }
+    n
+  }
+
   /** Drop data files referenced by NO manifest ≥ `keepFrom` — the storage
     * reclaim half of snapshot isolation. Returns the deleted count. */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Long = {

@@ -248,6 +248,41 @@ class FileSinkSpec extends SparkSuite {
       Seq(Row(null, 1.0, "x")))))
   }
 
+  test("MOR replay safety: re-committing the same batch leaves the reconciled read a fixpoint") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    val batch = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"), Row(7L, 7.0, "y")))
+    val v2 = FileSink.mergeMorVersioned(batch, dir, Seq("id"), "s")
+    val once = canon(FileSink.readMorVersion(spark, dir, v2, schema, Seq("id"), "s"))
+    // at-least-once foreachBatch replay: same rows, higher version —
+    // highest-version-wins reconcile collapses the duplicate commit
+    val v3 = FileSink.mergeMorVersioned(batch, dir, Seq("id"), "s")
+    assert(canon(FileSink.readMorVersion(spark, dir, v3, schema, Seq("id"), "s")) == once)
+  }
+
+  test("vacuumManifests drops metadata below the governing checkpoint; tail stays resolvable") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    (2 to 15).foreach { i =>
+      FileSink.mergeCowVersioned(df("id BIGINT, v DOUBLE, s STRING",
+        Seq(Row(200L + i, i.toDouble, "y"))), dir, Seq("id"), "s")
+    }
+    val v15 = canon(FileSink.readVersion(spark, dir, 15, schema))
+    val v12 = canon(FileSink.readVersion(spark, dir, 12, schema))
+    // keepFrom=12 → governing checkpoint is v10; v1 + deltas 2..9 drop
+    val n = FileSink.vacuumManifests(spark, dir, keepFrom = 12)
+    assert(n == 9L, s"deleted $n metadata files")
+    assert(!new java.io.File(dir, "_graft_manifest_v1.txt").exists())
+    assert(!new java.io.File(dir, "_graft_delta_v9.txt").exists())
+    assert(new java.io.File(dir, "_graft_manifest_v10.txt").exists())
+    // the retained window still resolves identically
+    assert(canon(FileSink.readVersion(spark, dir, 15, schema)) == v15)
+    assert(canon(FileSink.readVersion(spark, dir, 12, schema)) == v12)
+  }
+
   test("MOR guard: COW merge on a table with pending deltas fails loudly") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
