@@ -511,6 +511,35 @@ object SinkOps {
     WHERE NOT (v3.value IS NOT DISTINCT FROM ev.value
            AND v3.user_id IS NOT DISTINCT FROM ev.user_id)"""
 
+  /** Zone-map file skipping ([[graft.sink.FileSink.writeStats]] /
+    * `readVersionWhere`): the lake is laid out range-partitioned on
+    * event_id so per-file min/max stats are selective; a committed stats
+    * sidecar then lets a range read shortlist files BEFORE any footer is
+    * opened. The FileSinkSpec corrupt-bystander test is the proof files
+    * are skipped; this query is the correctness half — pruned read ≡
+    * plain filter. */
+  def tStatsPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.FileSink
+    val dir = "/tmp/graft_statsprune/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_statsprune"), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    // range layout = selective zone maps (the same reason tables z-order)
+    ev.repartitionByRange(8, col("event_id")).write.parquet(dir)
+    val v = FileSink.commitVersion(s, dir)
+    FileSink.writeStats(s, dir, v, morSchema, Seq("event_id"))
+    FileSink.readVersionWhere(s, dir, v, morSchema, "event_id", 2000, 4000)
+      .select("event_id", "user_id", "value", "day")
+  }
+
+  private val tStatsPruneOracle = """
+    SELECT event_id, user_id, value,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events WHERE event_id BETWEEN 2000 AND 4000"""
+
   private val p5Oracle = """
     WITH ev AS (
       SELECT event_id, user_id, value,
@@ -674,6 +703,7 @@ object SinkOps {
     "p9_lake_mor"       -> Q(p9LakeMor, Some(p5Oracle)),
     "p10_mor_delete"    -> Q(p10MorDelete, Some(p10Oracle)),
     "p11_change_feed"   -> Q(p11ChangeFeed, Some(p11Oracle)),
+    "t_stats_prune"     -> Q(tStatsPrune, Some(tStatsPruneOracle)),
     "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
     "p7_time_travel"    -> Q(p7TimeTravel, Some(p7Oracle)),
     "p8_gdpr_delete"    -> Q(p8GdprDelete, Some(p8Oracle)),

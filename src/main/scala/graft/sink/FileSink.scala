@@ -589,6 +589,114 @@ object FileSink {
     v
   }
 
+  // ---- manifest stats (zone maps → file skipping) -----------------------
+
+  private def statsPath(dir: String, v: Int) = s"$dir/_graft_stats_v$v.json"
+
+  /** Per-file min/max zone maps for `statCols` at version `v`, committed as
+    * a stats sidecar. INCREMENTAL: data files are immutable, so stats for
+    * files already covered by v−1's sidecar carry over and only NEW files
+    * scan — commit cost tracks the commit's own writes, not table size (the
+    * same contract a table format gets from write-time footer stats). Null
+    * or missing stats are always legal: pruning treats them as
+    * "could match". Numeric (integral/floating) stat columns only. */
+  def writeStats(spark: SparkSession, dir: String, v: Int, schema: StructType,
+                 statCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    statCols.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"writeStats: non-numeric stat column $c ($dt)")
+    }
+    val fs = fsFor(spark, dir)
+    val manifest = readManifest(spark, dir, v)
+    val prev: Map[String, Map[String, (Double, Double)]] =
+      if (v > 1 && fs.exists(new org.apache.hadoop.fs.Path(statsPath(dir, v - 1))))
+        readStats(spark, dir, v - 1)
+      else Map.empty
+    val known = prev.keySet
+    val fresh = manifest.filterNot(known)
+    val baseUriPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val scanned: Map[String, Map[String, (Double, Double)]] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__min_$c"),
+          max(col(c).cast("double")).as(s"__max_$c")))
+        spark.read.option("basePath", dir).schema(schema)
+          .parquet(fresh.map(f => s"$dir/$f"): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // control-plane: one row per NEW file
+          .map { r =>
+            val rel = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+              .toUri.getPath.stripPrefix(baseUriPath).stripPrefix("/")
+            rel -> statCols.flatMap { c =>
+              val lo = r.getAs[Any](s"__min_$c"); val hi = r.getAs[Any](s"__max_$c")
+              if (lo == null || hi == null) None
+              else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+            }.toMap
+          }.toMap
+      }
+    val stats = manifest.map(f =>
+      f -> prev.getOrElse(f, scanned.getOrElse(f, Map.empty))).toMap
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      val node = om.createObjectNode()
+      node.put("f", f)
+      cols.foreach { case (c, (lo, hi)) =>
+        val cn = om.createObjectNode(); cn.put("min", lo); cn.put("max", hi)
+        node.set[com.fasterxml.jackson.databind.JsonNode](c, cn); ()
+      }
+      om.writeValueAsString(node)
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(statsPath(dir, v)), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readStats(spark: SparkSession, dir: String,
+                        v: Int): Map[String, Map[String, (Double, Double)]] = {
+    val fs = fsFor(spark, dir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    readLines(fs, statsPath(dir, v)).map { line =>
+      val node = om.readTree(line)
+      val f = node.get("f").asText()
+      import scala.jdk.CollectionConverters._
+      val cols = node.properties().asScala.collect {
+        case e if e.getKey != "f" =>
+          e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
+      }.toMap
+      f -> cols
+    }.toMap
+  }
+
+  /** Read version `v` keeping only files whose `statCol` zone map can
+    * intersect [lower, upper] — file-level skipping BEFORE any footer is
+    * opened (at 100 TB the object-listing/footer round-trips are the cost,
+    * not the row decode; parquet row-group stats only help after the open).
+    * Files without stats are conservatively read. The residual predicate
+    * still applies, so the result equals a plain filtered read. */
+  def readVersionWhere(spark: SparkSession, dir: String, v: Int,
+                       schema: StructType, statCol: String,
+                       lowerBound: Double, upperBound: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = readStats(spark, dir, v)
+    val files = readManifest(spark, dir, v)
+    val kept = files.filter { f =>
+      stats.get(f).flatMap(_.get(statCol)) match {
+        case Some((lo, hi)) => hi >= lowerBound && lo <= upperBound
+        case None           => true // no stats → could match
+      }
+    }
+    val residual = col(statCol) >= lowerBound && col(statCol) <= upperBound
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", dir).schema(schema)
+      .parquet(kept.map(f => s"$dir/$f"): _*)
+      .filter(residual)
+  }
+
   /** Drop manifest metadata no longer needed to resolve any version ≥
     * `keepFrom`: checkpoints and deltas strictly below the newest
     * checkpoint ≤ `keepFrom`. The retained tail stays resolvable

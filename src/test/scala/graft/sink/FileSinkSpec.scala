@@ -283,6 +283,53 @@ class FileSinkSpec extends SparkSuite {
     assert(canon(FileSink.readVersion(spark, dir, 12, schema)) == v12)
   }
 
+  test("manifest stats pruning: out-of-range files are NEVER OPENED (corrupt bystander)") {
+    val dir = tmp() + "/t"
+    // three files with disjoint id ranges via partition dirs (pruning is
+    // file-level; the layout just makes ranges controllable)
+    df("id BIGINT, v DOUBLE, s STRING", Seq(
+      Row(1L, 1.0, "lo"), Row(5L, 2.0, "lo"),
+      Row(100L, 3.0, "mid"), Row(150L, 4.0, "mid"),
+      Row(900L, 5.0, "hi"))).write.partitionBy("s").parquet(dir)
+    val v = FileSink.commitVersion(spark, dir)
+    FileSink.writeStats(spark, dir, v, schema, Seq("id"))
+    // corrupt the hi-range file AFTER stats were written: any open throws
+    val hiDir = new java.io.File(dir, "s=hi")
+    hiDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+    }
+    // pruned read of the low range skips the corrupt file entirely
+    val pruned = FileSink.readVersionWhere(spark, dir, v, schema, "id", 0, 200)
+    assert(canon(pruned) == canon(df("id BIGINT, v DOUBLE, s STRING", Seq(
+      Row(1L, 1.0, "lo"), Row(5L, 2.0, "lo"),
+      Row(100L, 3.0, "mid"), Row(150L, 4.0, "mid")))))
+    // the unpruned read proves the corrupt file WOULD have been fatal
+    intercept[Throwable] {
+      FileSink.readVersion(spark, dir, v, schema).filter(col("id") <= 200).collect()
+    }
+  }
+
+  test("writeStats is incremental: a later commit scans only its NEW files") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    val v1 = FileSink.commitVersion(spark, dir)
+    FileSink.writeStats(spark, dir, v1, schema, Seq("id"))
+    val v2 = FileSink.mergeCowVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(7L, 7.0, "y"))), dir, Seq("id"), "s")
+    // corrupt an UNTOUCHED file (s=x) between the two stats passes: if
+    // writeStats(v2) re-scanned old files this would throw
+    new java.io.File(dir, "s=x").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+      }
+    FileSink.writeStats(spark, dir, v2, schema, Seq("id"))
+    // carried-over stats still prune correctly: id ≤ 1 lives only in s=x,
+    // so a disjoint range read never touches the corrupt file
+    val pruned = FileSink.readVersionWhere(spark, dir, v2, schema, "id", 2, 10)
+    assert(canon(pruned) == canon(df("id BIGINT, v DOUBLE, s STRING", Seq(
+      Row(2L, 2.5, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
+  }
+
   test("MOR guard: COW merge on a table with pending deltas fails loudly") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
