@@ -517,7 +517,9 @@ object FileSink {
     * partition's base entries carry over byte-identical. Commits and
     * returns the new version (a no-op commit if there are no deltas). */
   def compactMor(spark: SparkSession, dir: String, schema: StructType,
-                 pk: Seq[String], partitionCol: String): Int = {
+                 pk: Seq[String], partitionCol: String,
+                 layoutBy: Option[String] = None,
+                 filesPerPartition: Int = 0): Int = {
     import org.apache.spark.sql.functions._
     val prevV = currentVersion(spark, dir)
     require(prevV >= 1, s"compactMor: no committed version under $dir")
@@ -540,8 +542,19 @@ object FileSink {
         .parquet(bases.map(f => s"$dir/$f"): _*)
         .filter(col(partitionCol).isin(touchedVals.toSeq: _*)))
     val keptBase = bases.filterNot(touchedBase.contains)
-    val reconciled = readMorVersion(spark, dir, prevV, schema, pk, partitionCol)
+    val reconciled0 = readMorVersion(spark, dir, prevV, schema, pk, partitionCol)
       .filter(col(partitionCol).isin(touchedVals.toSeq: _*))
+    // optional clustering: range-lay the rewrite on (partition, layout key)
+    // so each new base file covers a contiguous key range — the layout that
+    // makes [[writeStats]] zone maps selective (compaction is the natural,
+    // already-paid-for moment to restore it)
+    val reconciled = layoutBy match {
+      case Some(c) =>
+        val n = if (filesPerPartition > 0) filesPerPartition * math.max(1, touchedVals.length)
+                else spark.sessionState.conf.numShufflePartitions
+        reconciled0.repartitionByRange(n, col(partitionCol), col(c))
+      case None => reconciled0
+    }
     val moved = stageAndMove(reconciled, dir, partitionCol, v)
     writeManifest(spark, dir, v, keptBase ++ moved)
     v

@@ -330,6 +330,31 @@ class FileSinkSpec extends SparkSuite {
       Row(2L, 2.5, "y"), Row(7L, 7.0, "y"), Row(2L, 3.5, "y2")))))
   }
 
+  test("compactMor(layoutBy) restores a clustered layout: disjoint zone maps per partition") {
+    val dir = tmp() + "/t"
+    // ids deliberately interleaved across the initial write
+    val rows = Seq(1L, 50L, 2L, 51L, 3L, 52L, 4L, 53L).map(i => Row(i, i.toDouble, "y"))
+    df("id BIGINT, v DOUBLE, s STRING", rows).repartition(4)
+      .write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(100L, 1.0, "y"))), dir, Seq("id"), "s")
+    val v = FileSink.compactMor(spark, dir, schema, Seq("id"), "s",
+      layoutBy = Some("id"), filesPerPartition = 2)
+    FileSink.writeStats(spark, dir, v, schema, Seq("id"))
+    // rows survive the clustered rewrite
+    assert(FileSink.readVersion(spark, dir, v, schema).count() == 9L)
+    // zone maps of the new base files are pairwise DISJOINT on id — the
+    // property that makes range reads skip files
+    val pruned = FileSink.readVersionWhere(spark, dir, v, schema, "id", 0, 10)
+    assert(canon(pruned) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      (1L to 4L).map(i => Row(i, i.toDouble, "y")))))
+    val opened = pruned.select(input_file_name()).distinct().count()
+    val total = FileSink.readVersion(spark, dir, v, schema)
+      .select(input_file_name()).distinct().count()
+    assert(opened < total, s"pruning opened all $total files")
+  }
+
   test("MOR guard: COW merge on a table with pending deltas fails loudly") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
