@@ -130,8 +130,10 @@ object Multimodal {
     }
 
     /** Row-major 8-bit grayscale raster of the decoded image. */
-    override def pixels(payload: Array[Byte]): Array[Byte] = {
-      val img = readImage(payload)
+    override def pixels(payload: Array[Byte]): Array[Byte] =
+      pixelsOf(readImage(payload))
+
+    private def pixelsOf(img: java.awt.image.BufferedImage): Array[Byte] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
       val out = new Array[Byte](w * h)
@@ -157,8 +159,8 @@ object Multimodal {
     }
 
     override def decode(docId: Long, payload: Array[Byte], mime: String): MediaFeatures = {
-      val img = readImage(payload)
-      val px = pixels(payload)
+      val img = readImage(payload) // ONE parse: geometry + raster off the same decode
+      val px = pixelsOf(img)
       val md = java.security.MessageDigest.getInstance("MD5")
       // checksum over the RASTER: content identity survives re-encoding
       val sum = md.digest(px).map("%02x".format(_)).mkString

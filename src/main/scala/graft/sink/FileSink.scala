@@ -270,14 +270,17 @@ object FileSink {
     * ±delta vs v−1 — O(changes) bytes, not O(table files). The exclusive
     * `create` is the commit lock either way. */
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            files: Seq[String]): Unit = {
+                            files: Seq[String],
+                            prevFiles: Option[Seq[String]] = None): Unit = {
     val fs = fsFor(spark, dir)
     if (v == 1 || v % CheckpointEvery == 0) {
       val out = fs.create(new org.apache.hadoop.fs.Path(manifestPath(dir, v)), false)
       try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     } else {
-      val prev = readManifest(spark, dir, v - 1).toSet
+      // callers that already resolved v-1 pass it in — a MOR commit must
+      // not pay the checkpoint-window metadata walk twice
+      val prev = prevFiles.getOrElse(readManifest(spark, dir, v - 1)).toSet
       val cur = files.toSet
       val lines = (cur -- prev).toSeq.sorted.map("+ " + _) ++
         (prev -- cur).toSeq.sorted.map("- " + _)
@@ -329,25 +332,10 @@ object FileSink {
     // __HIVE_DEFAULT_PARTITION__) and date/timestamp rendering would break a
     // raw `toString` prefix match and silently leave stale rows unsuperseded.
     val touchedVals = ch.select(partitionCol).distinct().collect().map(_.get(0))
-    val baseUriPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
     val touchedFiles: Seq[String] =
       if (touchedVals.isEmpty || prevFiles.isEmpty) Seq.empty
-      else {
-        val pc = org.apache.spark.sql.functions.col(partitionCol)
-        val nonNull = touchedVals.filter(_ != null)
-        val pred0 =
-          if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
-          else pc.isin(nonNull.toSeq: _*)
-        val pred = if (touchedVals.contains(null)) pred0 || pc.isNull else pred0
-        spark.read.option("basePath", dir).schema(schema)
-          .parquet(prevFiles.map(f => s"$dir/$f"): _*)
-          .filter(pred)
-          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
-          .distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
-            .toUri.getPath.stripPrefix(baseUriPath).stripPrefix("/"))
-          .toSeq // control-plane: one row per touched file
-      }
+      else planTouchedFiles(spark, dir, schema, prevFiles,
+        touchedPred(partitionCol, touchedVals.toSeq))
     val keptFiles = prevFiles.filterNot(touchedFiles.contains)
     val target =
       if (touchedFiles.isEmpty) ch.limit(0)
@@ -357,7 +345,7 @@ object FileSink {
     val moved = stageAndMove(merged, dir, partitionCol, prevV + 1)
     ch.unpersist()
     val v = prevV + 1
-    writeManifest(spark, dir, v, keptFiles ++ moved)
+    writeManifest(spark, dir, v, keptFiles ++ moved, Some(prevFiles))
     v
   }
 
@@ -387,6 +375,36 @@ object FileSink {
     moved.toSeq
   }
 
+  /** Null-safe membership predicate on the partition column — bare `isin`
+    * never matches null, which would silently drop null-partition rows
+    * (they live in `__HIVE_DEFAULT_PARTITION__` and their value collects
+    * as null). Shared by every touched-partition planning scan. */
+  private def touchedPred(partitionCol: String,
+                          vals: Seq[Any]): org.apache.spark.sql.Column = {
+    val pc = org.apache.spark.sql.functions.col(partitionCol)
+    val nonNull = vals.filter(_ != null)
+    val p0 = if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+             else pc.isin(nonNull: _*)
+    if (vals.contains(null)) p0 || pc.isNull else p0
+  }
+
+  /** PLANNING scan: the manifest-relative paths of `files` holding any row
+    * matching `pred` — partition pruning keeps it to footer reads of the
+    * matching dirs; one collected row per affected file (control-plane). */
+  private def planTouchedFiles(spark: SparkSession, dir: String,
+                               schema: StructType, files: Seq[String],
+                               pred: org.apache.spark.sql.Column): Seq[String] = {
+    val baseUriPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    spark.read.option("basePath", dir).schema(schema)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      .filter(pred)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+        .toUri.getPath.stripPrefix(baseUriPath).stripPrefix("/"))
+      .toSeq
+  }
+
   // ---- merge-on-read (delta files + read-time reconcile) ----------------
 
   /** A manifest entry is a MOR delta if its filename says so. */
@@ -412,8 +430,9 @@ object FileSink {
     val prevV = currentVersion(spark, dir)
     require(prevV >= 1, s"mergeMorVersioned: no committed version under $dir")
     val v = prevV + 1
+    val prevFiles = readManifest(spark, dir, prevV)
     val moved = stageAndMove(changes, dir, partitionCol, v, prefix = "delta")
-    writeManifest(spark, dir, v, readManifest(spark, dir, prevV) ++ moved)
+    writeManifest(spark, dir, v, prevFiles ++ moved, Some(prevFiles))
     v
   }
 
@@ -445,12 +464,22 @@ object FileSink {
       .withColumn("__tomb", input_file_name().rlike("tomb-v\\d+-"))
     // per (pk, partition) the HIGHEST-version event wins: a later delete
     // kills an earlier upsert, a later upsert resurrects a deleted pk
+    // |deltas|-bounded (compaction keeps it so) and consumed by BOTH the
+    // anti-join build side and the union arm — materialize once, or the
+    // delta scan + window dedup run per consumer (the documented #1 local
+    // perf bug), multiplied across every readMorVersion call
     val latest = Dedup.inBatch(dv, keys, discriminators = Seq("__dv"))
+      .localCheckpoint(true)
     val live = latest.filter(!col("__tomb")).drop("__dv", "__tomb")
     val base = if (bases.isEmpty) live.limit(0) else read(bases)
-    base.join(latest.select(keys.map(col).toSeq: _*), keys, "left_anti")
+    // NULL-SAFE anti-join: the partition key can legitimately be null
+    // (__HIVE_DEFAULT_PARTITION__) and a plain equi-anti-join would never
+    // match it — null-partition upserts would duplicate instead of
+    // superseding, and null-partition tombstones would not delete
+    val latKeys = latest.select(keys.map(k => col(k).as(s"__k_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    base.join(latKeys, cond, "left_anti")
       .unionByName(live)
-      // the multi-key join fronts the join keys — restore the declared order
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
@@ -473,8 +502,9 @@ object FileSink {
     val victims = readMorVersion(spark, dir, prevV, schema, pk, partitionCol)
       .filter(coalesce(predicate, lit(false)))
       .select((pk :+ partitionCol).map(col).toSeq: _*).distinct()
+    val prevFiles = readManifest(spark, dir, prevV)
     val moved = stageAndMove(victims, dir, partitionCol, v, prefix = "tomb")
-    writeManifest(spark, dir, v, readManifest(spark, dir, prevV) ++ moved)
+    writeManifest(spark, dir, v, prevFiles ++ moved, Some(prevFiles))
     v
   }
 
@@ -526,24 +556,21 @@ object FileSink {
     val files = readManifest(spark, dir, prevV)
     val (deltas, bases) = files.partition(isDelta)
     val v = prevV + 1
-    if (deltas.isEmpty) { writeManifest(spark, dir, v, files); return v }
-    val baseUriPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    def fileNames(df: DataFrame): Seq[String] = df
-      .select(input_file_name().as("f")).distinct().collect()
-      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
-        .toUri.getPath.stripPrefix(baseUriPath).stripPrefix("/")).toSeq
+    if (deltas.isEmpty) { writeManifest(spark, dir, v, files, Some(files)); return v }
     val touchedVals = spark.read.option("basePath", dir).schema(schema)
       .parquet(deltas.map(f => s"$dir/$f"): _*)
       .select(partitionCol).distinct().collect().map(_.get(0))
+    // null-safe throughout: a null-partition delta/tombstone must pull its
+    // base files into the rewrite and its rows into the reconcile, or the
+    // compaction would drop the upserts and resurrect the tombstoned rows
+    val pred = touchedPred(partitionCol, touchedVals.toSeq)
     // planning scan: base files in delta-touched partitions (control-plane)
     val touchedBase =
       if (bases.isEmpty) Seq.empty[String]
-      else fileNames(spark.read.option("basePath", dir).schema(schema)
-        .parquet(bases.map(f => s"$dir/$f"): _*)
-        .filter(col(partitionCol).isin(touchedVals.toSeq: _*)))
+      else planTouchedFiles(spark, dir, schema, bases, pred)
     val keptBase = bases.filterNot(touchedBase.contains)
     val reconciled0 = readMorVersion(spark, dir, prevV, schema, pk, partitionCol)
-      .filter(col(partitionCol).isin(touchedVals.toSeq: _*))
+      .filter(pred)
     // optional clustering: range-lay the rewrite on (partition, layout key)
     // so each new base file covers a contiguous key range — the layout that
     // makes [[writeStats]] zone maps selective (compaction is the natural,
@@ -556,7 +583,7 @@ object FileSink {
       case None => reconciled0
     }
     val moved = stageAndMove(reconciled, dir, partitionCol, v)
-    writeManifest(spark, dir, v, keptBase ++ moved)
+    writeManifest(spark, dir, v, keptBase ++ moved, Some(files))
     v
   }
 
@@ -590,7 +617,7 @@ object FileSink {
         .toUri.getPath.stripPrefix(baseLen).stripPrefix("/"))
       .toSet // control-plane: one row per affected file
     val v = prevV + 1
-    if (affected.isEmpty) { writeManifest(spark, dir, v, prevFiles); return v }
+    if (affected.isEmpty) { writeManifest(spark, dir, v, prevFiles, Some(prevFiles)); return v }
     val kept = prevFiles.filterNot(affected.contains)
     val survivors = spark.read.option("basePath", dir).schema(schema)
       .parquet(affected.map(f => s"$dir/$f").toSeq: _*)
@@ -598,7 +625,7 @@ object FileSink {
       .filter(!org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
     val moved = stageAndMove(survivors, dir, partitionCol, v)
-    writeManifest(spark, dir, v, kept ++ moved)
+    writeManifest(spark, dir, v, kept ++ moved, Some(prevFiles))
     v
   }
 
@@ -623,6 +650,9 @@ object FileSink {
     }
     val fs = fsFor(spark, dir)
     val manifest = readManifest(spark, dir, v)
+    require(!manifest.exists(isDelta),
+      s"writeStats: $dir@v$v has MOR delta files — run compactMor first " +
+        "(zone maps are a plain-row contract; tombstones/deltas have no stats meaning)")
     val prev: Map[String, Map[String, (Double, Double)]] =
       if (v > 1 && fs.exists(new org.apache.hadoop.fs.Path(statsPath(dir, v - 1))))
         readStats(spark, dir, v - 1)
@@ -694,12 +724,23 @@ object FileSink {
                        schema: StructType, statCol: String,
                        lowerBound: Double, upperBound: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    val stats = readStats(spark, dir, v)
     val files = readManifest(spark, dir, v)
+    require(!files.exists(isDelta),
+      s"readVersionWhere: $dir@v$v has MOR delta files — run compactMor first " +
+        "(a plain-row read would surface stale base rows and tombstone phantoms)")
+    // a version without a stats sidecar is legal: no zone maps → no pruning
+    val stats =
+      if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(statsPath(dir, v))))
+        readStats(spark, dir, v)
+      else Map.empty[String, Map[String, (Double, Double)]]
     val kept = files.filter { f =>
       stats.get(f).flatMap(_.get(statCol)) match {
-        case Some((lo, hi)) => hi >= lowerBound && lo <= upperBound
-        case None           => true // no stats → could match
+        // one-ULP widening: stats stored as doubles round BIGINTs past 2^53;
+        // widening the file's range outward keeps pruning conservative (a
+        // half-ULP rounding can then never skip a file with matching rows)
+        case Some((lo, hi)) =>
+          Math.nextUp(hi) >= lowerBound && Math.nextDown(lo) <= upperBound
+        case None => true // no stats → could match
       }
     }
     val residual = col(statCol) >= lowerBound && col(statCol) <= upperBound
@@ -725,9 +766,12 @@ object FileSink {
     require(ck >= 1, s"vacuumManifests: no checkpoint at or below v$keepFrom under $dir")
     var n = 0L
     (1 until ck).foreach { v =>
-      Seq(manifestPath(dir, v), deltaManifestPath(dir, v)).foreach { p =>
-        if (fs.delete(new org.apache.hadoop.fs.Path(p), false)) n += 1
-      }
+      // stats sidecars reclaim with their version, or zone-map metadata
+      // accretes forever on a daily-commit table
+      Seq(manifestPath(dir, v), deltaManifestPath(dir, v), statsPath(dir, v))
+        .foreach { p =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(p), false)) n += 1
+        }
     }
     n
   }

@@ -355,6 +355,40 @@ class FileSinkSpec extends SparkSuite {
     assert(opened < total, s"pruning opened all $total files")
   }
 
+  test("compactMor keeps null-partition deltas and tombstones (null-safe planning)") {
+    val dir = tmp() + "/t"
+    // a null partition value lands in __HIVE_DEFAULT_PARTITION__
+    df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 1.0, null), Row(2L, 2.0, null), Row(3L, 3.0, "y")))
+      .write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    // upsert id=1 and tombstone id=2 — both in the NULL partition
+    FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 9.0, null))), dir, Seq("id"), "s")
+    FileSink.deleteMorVersioned(spark, dir, schema, col("id") === 2L, "s", Seq("id"))
+    val expect = df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 9.0, null), Row(3L, 3.0, "y")))
+    val v = FileSink.compactMor(spark, dir, schema, Seq("id"), "s")
+    // a non-null-safe isin would have dropped the upsert and resurrected
+    // the tombstoned row here
+    assert(canon(FileSink.readVersion(spark, dir, v, schema)) == canon(expect))
+  }
+
+  test("readVersionWhere/writeStats refuse a table with pending MOR deltas") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    val v1 = FileSink.commitVersion(spark, dir)
+    FileSink.writeStats(spark, dir, v1, schema, Seq("id"))
+    val v2 = FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    intercept[IllegalArgumentException] {
+      FileSink.writeStats(spark, dir, v2, schema, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      FileSink.readVersionWhere(spark, dir, v2, schema, "id", 0, 10)
+    }
+  }
+
   test("MOR guard: COW merge on a table with pending deltas fails loudly") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
