@@ -101,4 +101,25 @@ class TablesSpec extends SparkSuite {
     assert(probe.getInt(2) >= 2000 && probe.getInt(3) <= 2100,
       s"implausible event years ${probe.getInt(2)}..${probe.getInt(3)} — encoding drift?")
   }
+
+  test("driver testdata: embeddings/documents physical types are what the operators assume") {
+    // The driver REGENERATES /root/testdata between rounds and physical
+    // encodings have drifted before (events.ts). The vector kernels
+    // (CosineSim, MinHashSig consumers, SQ8/PQ) and every oracle assume
+    // FLOAT[] embeddings and ASCII VARCHAR text — if a regeneration drifts
+    // these, fail HERE with a pointer instead of as 90 hash mismatches.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("embedding").dataType.simpleString == "array<float>",
+      s"embedding dtype drifted to ${emb.schema("embedding").dataType.simpleString} — " +
+        "add an encoding-agnostic branch in Tables.embeddings (see Tables.events)")
+    assert(emb.schema("vec_id").dataType.simpleString == "bigint")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("text").dataType.simpleString == "string")
+    // ASCII contract: mm/blockhash oracles use ord(substr(...)) as BYTE value
+    val nonAscii = docs.filter(not($"text".rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0L,
+      s"$nonAscii docs contain non-ASCII text — byte-level oracles (ord=byte) now diverge")
+  }
 }
