@@ -83,6 +83,27 @@ object BpeOps {
         md5(concat_ws(Sep, col("pieces"))).as("checksum"))
   }
 
+  /** Lossless-tokenization invariant: BPE merges never cross word
+    * boundaries and never drop or invent characters, so concatenating a
+    * doc's pieces reproduces its whitespace-stripped text exactly. The
+    * oracle computes the target straight from the text (NO BPE replay) —
+    * any encode defect (lost char, boundary-crossing merge, rule misorder)
+    * breaks the hash compare. This is the decode-side contract the encode
+    * queries alone cannot see. */
+  def bpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rules = trainedMerges(s, d).map(m => (m.lhs, m.rhs))
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        md5(concat_ws("",
+          TextOps.bpePieces(TextOps.tokens(col("text")), rules, perWord = true)))
+          .as("decoded_md5"))
+  }
+
+  private val bpeRoundtripOracle = """
+    SELECT doc_id, md5(regexp_replace(text, '\s', '', 'g')) AS decoded_md5
+    FROM documents WHERE length(trim(text)) > 0"""
+
   // ---- oracle: exact replay of the training loop in SQL -----------------
 
   // word-frequency model + initial per-word character state (w0/s0)
@@ -262,5 +283,6 @@ object BpeOps {
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
     "llm_bpe_train_dist" -> Q(bpeTrainDist, Some(bpeTrainOracle)),
     "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)),
+    "llm_bpe_roundtrip" -> Q(bpeRoundtrip, Some(bpeRoundtripOracle)),
     "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
 }
