@@ -349,6 +349,37 @@ object Multimodal {
     BlockHashRow(docId, hash, n.toLong)
   }
 
+  /** REAL image resize: decode via `decoder`, nearest-neighbor sample the
+    * grayscale raster to (outW, outH) with pure integer index arithmetic
+    * (`src[y·srcH/outH][x·srcW/outW]`) — deterministic across JVMs, unlike
+    * library scalers whose interpolation kernels may differ, and exactly
+    * replayable in SQL (which is what lets the oracle verify REAL resized
+    * pixels). Output geometry is declared; payload is the resized raster. */
+  def resizeNearest(media: Dataset[MediaRow], outW: Int, outH: Int,
+                    decoder: MediaDecoder): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    require(outW > 0 && outH > 0)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val f = decoder.decode(r.doc_id, r.media, r.mime)
+        val (srcW, srcH) = (f.width.toInt, f.height.toInt)
+        val px = decoder.pixels(r.media)
+        val out = new Array[Byte](outW * outH)
+        var y = 0
+        while (y < outH) {
+          val sy = y * srcH / outH
+          var x = 0
+          while (x < outW) {
+            out(y * outW + x) = px(sy * srcW + x * srcW / outW)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedRow(r.doc_id, outW.toLong, outH.toLong, out)
+      }
+    }
+  }
+
   /** Resized media record: same payload identity, new declared geometry. */
   final case class ResizedRow(doc_id: Long, width: Long, height: Long,
                               resized: Array[Byte])

@@ -2769,6 +2769,30 @@ object LlmOps {
     WHERE bit_count(xor(ha.h, hb.h)) <= $MmHamming"""
   }
 
+  /** REAL image resize: PNG decode → nearest-neighbor 16×16 → 8×8 on the
+    * grayscale raster; the oracle rebuilds the source raster from text and
+    * replays the integer sampling (`src[y·16/8][x·16/8]` = every other
+    * pixel), hashing the resized bytes — the resize leg of the multimodal
+    * family over REAL decoded pixels, replacing the byte-budget stub. */
+  def mmResizeReal(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeNearest(mmRealMedia(s, d), 8, 8, Multimodal.ImageIoDecoder)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(col("resized")).as("checksum"))
+
+  private val mmResizeRealOracle = s"""
+    WITH ${mmRealByCte(1)},
+    px AS (
+      SELECT doc_id, oy * 8 + ox AS oi, v
+      FROM by
+      JOIN (SELECT unnest(generate_series(0, 7)) AS oy) yy
+        ON (by.i // $MmRealW) = oy * $MmRealH // 8
+      JOIN (SELECT unnest(generate_series(0, 7)) AS ox)
+        ON (by.i % $MmRealW) = ox * $MmRealW // 8)
+    SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+      md5(string_agg(chr(v), '' ORDER BY oi)) AS checksum
+    FROM px GROUP BY 1"""
+
   // ---- corpus-version diff ----------------------------------------------
 
   /** Corpus diff between two snapshot versions — the "what changed since the
@@ -3239,6 +3263,7 @@ object LlmOps {
     "mm_features_real"  -> Q(mmFeaturesReal, Some(mmFeaturesRealOracle)),
     "mm_phash_real"     -> Q(mmPhashReal, Some(mmPhashRealOracle)),
     "mm_dedup_real"     -> Q(mmDedupReal, Some(mmDedupRealOracle)),
+    "mm_resize_real"    -> Q(mmResizeReal, Some(mmResizeRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )
