@@ -380,6 +380,68 @@ object Multimodal {
     }
   }
 
+  /** GFR1 — a length-prefixed keyframe container: `"GFR1" | count:int32 |
+    * (len:int32 | PNG bytes)*`, ints big-endian. The container framing is
+    * ours (the env has no video codec), but every FRAME is a genuine PNG
+    * that [[ImageIoDecoder]] parses — the closest honest approximation of
+    * "video = container + per-frame image codec" this environment allows:
+    * seek-to-frame is real offset arithmetic, decode is a real codec. */
+  object FrameContainer {
+    private val Magic = Array[Byte]('G', 'F', 'R', '1')
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty, "empty frame container")
+      val bb = java.nio.ByteBuffer.allocate(
+        8 + frames.map(_.length + 4).sum)
+      bb.put(Magic).putInt(frames.size)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    /** Frame offsets+lengths without touching frame bytes — the "seek". */
+    def index(payload: Array[Byte]): Seq[(Int, Int)] = {
+      require(payload.length >= 8 &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(payload, 4), Magic),
+        "bad magic: not a GFR1 container")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      bb.position(4)
+      val n = bb.getInt
+      require(n > 0, "empty GFR1 container")
+      (0 until n).map { _ =>
+        val len = bb.getInt
+        val off = bb.position()
+        require(len >= 0 && off + len <= payload.length, "corrupt GFR1 frame length")
+        bb.position(off + len)
+        (off, len)
+      }
+    }
+
+    def frame(payload: Array[Byte], off: Int, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, off, off + len)
+  }
+
+  /** One decoded sampled frame: parent doc, frame index, RASTER bytes. */
+  final case class DecodedFrameRow(doc_id: Long, frame_idx: Long,
+                                   raster: Array[Byte])
+
+  /** REAL frame sampling: seek every `stride`-th frame via the container
+    * index (offset arithmetic only — non-sampled frames' bytes are never
+    * parsed, the property a real video pipeline gets from keyframe seek),
+    * then decode JUST those frames through the real image codec. */
+  def sampleFramesReal(media: Dataset[MediaRow], stride: Int,
+                       decoder: MediaDecoder): Dataset[DecodedFrameRow] = {
+    import media.sparkSession.implicits._
+    require(stride > 0)
+    media.flatMap { r =>
+      val idx = FrameContainer.index(r.media)
+      idx.indices.by(stride).map { i =>
+        val (off, len) = idx(i)
+        DecodedFrameRow(r.doc_id, i.toLong,
+          decoder.pixels(FrameContainer.frame(r.media, off, len)))
+      }
+    }
+  }
+
   /** Resized media record: same payload identity, new declared geometry. */
   final case class ResizedRow(doc_id: Long, width: Long, height: Long,
                               resized: Array[Byte])

@@ -2793,6 +2793,56 @@ object LlmOps {
       md5(string_agg(chr(v), '' ORDER BY oi)) AS checksum
     FROM px GROUP BY 1"""
 
+  private val MmFrames = 3
+  private val MmFrameW = 8
+  private val MmFrameH = 8
+
+  /** 3-keyframe GFR1 container per doc: frame f's 8×8 raster is the text
+    * bytes cycled with offset f — SQL-expressible, each frame a genuine
+    * PNG. */
+  private def mmRealVideo(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val n = MmFrameW * MmFrameH
+    Tables.documents(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val frames = (0 until MmFrames).map { f =>
+            Multimodal.encodeImage(MmFrameW, MmFrameH,
+              Array.tabulate(n)(i => bytes((i + f) % bytes.length)))
+          }
+          Multimodal.MediaRow(id, Multimodal.FrameContainer.encode(frames),
+            "video/x-gfr")
+        }
+      }
+  }
+
+  /** REAL frame sampling: keyframe seek (offset arithmetic — skipped
+    * frames' bytes never parse) + real PNG decode of every 2nd frame; the
+    * oracle rebuilds each sampled frame's raster from text and hashes it.
+    * With this, the multimodal stub caveat narrows to audio only. */
+  def mmFrameSampleReal(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFramesReal(mmRealVideo(s, d), stride = 2,
+        Multimodal.ImageIoDecoder)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("raster")).as("frame_md5"))
+
+  private lazy val mmFrameSampleRealOracle = {
+    val n = MmFrameW * MmFrameH
+    val arms = (0 until MmFrames by 2).map { f =>
+      s"""SELECT doc_id, ${f}::BIGINT AS frame_idx,
+        md5(string_agg(chr(ord(substr(text, (((i + $f) % len) + 1)::INT, 1))), '' ORDER BY i)) AS frame_md5
+      FROM (SELECT doc_id, text, length(text) AS len,
+              unnest(generate_series(0, ${n - 1})) AS i
+            FROM documents WHERE length(text) > 0) t
+      GROUP BY doc_id"""
+    }
+    arms.mkString("\n    UNION ALL\n    ")
+  }
+
   // ---- corpus-version diff ----------------------------------------------
 
   /** Corpus diff between two snapshot versions — the "what changed since the
@@ -3264,6 +3314,7 @@ object LlmOps {
     "mm_phash_real"     -> Q(mmPhashReal, Some(mmPhashRealOracle)),
     "mm_dedup_real"     -> Q(mmDedupReal, Some(mmDedupRealOracle)),
     "mm_resize_real"    -> Q(mmResizeReal, Some(mmResizeRealOracle)),
+    "mm_framesample_real" -> Q(mmFrameSampleReal, Some(mmFrameSampleRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

@@ -182,6 +182,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("sampleFramesReal seeks: a corrupt SKIPPED frame is never parsed; sampled frames decode") {
+    val mk = (seed: Int) => Multimodal.encodeImage(4, 4,
+      Array.tabulate(16)(i => ((i * seed + 7) % 96).toByte))
+    val frames = Seq(mk(3), mk(5), mk(11))
+    val payload = Multimodal.FrameContainer.encode(frames)
+    // corrupt frame 1's PNG bytes IN PLACE (length prefix intact): any
+    // parse of it throws, so stride-2 sampling passing proves the seek
+    // math skips its bytes entirely
+    val idx = Multimodal.FrameContainer.index(payload)
+    val (off1, len1) = idx(1)
+    java.util.Arrays.fill(payload, off1, off1 + len1, 0x5a.toByte)
+    val ds = Seq(Multimodal.MediaRow(1L, payload, "video/x-gfr")).toDS()
+    val sampled = Multimodal.sampleFramesReal(ds, stride = 2,
+      Multimodal.ImageIoDecoder).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(sampled(0).raster.toSeq == Multimodal.ImageIoDecoder.pixels(frames(0)).toSeq)
+    assert(sampled(1).raster.toSeq == Multimodal.ImageIoDecoder.pixels(frames(2)).toSeq)
+    // stride 1 must hit the corrupt frame and fail loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFramesReal(ds, stride = 1, Multimodal.ImageIoDecoder).collect()
+    }
+  }
+
   test("sampleFrames covers every stride-th frame with exact byte slices") {
     val t = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
     val frames = Multimodal.sampleFrames(media(7L -> t), stride = 2, frameBytes = 64)
