@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * equivalent of `mapInPandas`: batch-shaped, off the codegen path, the slot
   * where a real decoder library would sit).
   *
-  * Decoding goes through the [[Multimodal.MediaDecoder]] seam. Three
-  * implementations: [[Multimodal.ImageIoDecoder]] — a REAL image codec over
-  * JDK `javax.imageio` (PNG/BMP/JPEG/GIF, zero external deps) driving the
-  * oracle-gated `mm_*_real` queries; [[Multimodal.SyntheticCodec]] — a real
-  * parsing codec over a trivial format; and [[Multimodal.StubDecoder]] —
-  * the payload-identity fake the original `mm_*` oracles mirror. Only
-  * AUDIO/VIDEO decode remains a documented stub (no ffmpeg-class library in
-  * the JDK). Everything around the seam — schema, encoders, partition
-  * batching, feature schema — is real and oracle-checked.
+  * Decoding goes through the [[Multimodal.MediaDecoder]] seam. Every
+  * modality now runs a REAL codec, all from the JDK (zero external deps):
+  * [[Multimodal.ImageIoDecoder]] — `javax.imageio` PNG/BMP/JPEG/GIF for
+  * image features, phash, dedup, and nearest-neighbor resize;
+  * [[Multimodal.FrameContainer]] — keyframe seek + per-frame real PNG
+  * decode (the container framing is ours; this env has no video container
+  * demuxer, but frame decode and offset seek are genuine);
+  * [[Multimodal.WavCodec]] — `javax.sound.sampled` RIFF/WAV parse for
+  * audio features. [[Multimodal.SyntheticCodec]] (a real parsing codec
+  * over a trivial format) and [[Multimodal.StubDecoder]] (the
+  * payload-identity fake the original `mm_*` oracles mirror) remain as
+  * the seam's test instruments. Everything around the seam — schema,
+  * encoders, partition batching, feature schema — is real and
+  * oracle-checked.
   */
 object Multimodal {
 
@@ -438,6 +443,75 @@ object Multimodal {
         val (off, len) = idx(i)
         DecodedFrameRow(r.doc_id, i.toLong,
           decoder.pixels(FrameContainer.frame(r.media, off, len)))
+      }
+    }
+  }
+
+  /** REAL audio codec over JDK `javax.sound.sampled` — no external deps:
+    * OpenJDK ships WAV/AIFF/AU readers. 8-bit mono PCM WAV round-trips the
+    * sample bytes exactly (RIFF framing around raw PCM), so decoded
+    * samples are SQL-replayable the same way gray PNG pixels are. */
+  object WavCodec {
+    val SampleRate = 8000f
+
+    def encode(samples: Array[Byte]): Array[Byte] = {
+      require(samples.nonEmpty, "empty PCM payload")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate, 8, 1, false /* 8-bit PCM is unsigned */, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decoded (sampleRate, channels, PCM sample bytes) — a genuine RIFF
+      * parse; malformed payloads fail loudly like a real codec. */
+    def decode(payload: Array[Byte]): (Float, Int, Array[Byte]) = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(s"undecodable audio payload: ${e.getMessage}")
+      }
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"expected 8-bit mono PCM, got $fmt")
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        (fmt.getSampleRate, fmt.getChannels, out.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  /** Audio features from decoded PCM: per-window integer energy — the
+    * audio twin of the image block features, windows = equal sample spans,
+    * energy = Σ|s − 128| (8-bit PCM midpoint), all integer arithmetic so
+    * the oracle replays it exactly. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Long,
+                                 n_samples: Long, checksum: String,
+                                 win_energy: Seq[Long])
+
+  def audioFeatures(media: Dataset[MediaRow], windows: Int): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    require(windows > 0)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, _, pcm) = WavCodec.decode(r.media)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sum = md.digest(pcm).map("%02x".format(_)).mkString
+        val n = pcm.length
+        val energy = new Array[Long](windows)
+        var i = 0
+        while (i < n) {
+          energy((i.toLong * windows / n).toInt) += math.abs((pcm(i) & 0xff) - 128).toLong
+          i += 1
+        }
+        AudioFeatures(r.doc_id, rate.toLong, n.toLong, sum, energy.toSeq)
       }
     }
   }

@@ -2843,6 +2843,47 @@ object LlmOps {
     arms.mkString("\n    UNION ALL\n    ")
   }
 
+  private val MmAudioSamples = 256
+  private val MmAudioWindows = 8
+
+  /** REAL audio decode: 256 PCM samples (text bytes cycled) wrapped in a
+    * genuine 8-bit mono WAV on executors, parsed back through the JDK's
+    * RIFF reader, features from the DECODED samples — per-window integer
+    * energy Σ|s−128| + raster checksum. The oracle rebuilds the samples
+    * from text. With image, resize, frame-sample, and audio all running
+    * real codecs, NOTHING in the multimodal family is a stub. */
+  def mmAudioReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val pcm = Array.tabulate(MmAudioSamples)(i => bytes(i % bytes.length))
+          Multimodal.MediaRow(id, Multimodal.WavCodec.encode(pcm), "audio/wav")
+        }
+      }
+    Multimodal.audioFeatures(media, MmAudioWindows).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("checksum"), posexplode(col("win_energy")).as(Seq("w", "energy")))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("checksum"), col("w").cast(LongType).as("w"), col("energy"))
+  }
+
+  private lazy val mmAudioRealOracle = s"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    pcm AS (SELECT doc_id, i, (i * $MmAudioWindows) // $MmAudioSamples AS w,
+                   ord(substr(text, ((i % b.n) + 1)::INT, 1)) AS v
+            FROM b, LATERAL UNNEST(generate_series(0, ${MmAudioSamples - 1})) AS u(i)),
+    sums AS (SELECT doc_id, md5(string_agg(chr(v), '' ORDER BY i)) AS checksum
+             FROM pcm GROUP BY 1)
+    SELECT pcm.doc_id, ${Multimodal.WavCodec.SampleRate.toLong}::BIGINT AS sample_rate,
+      ${MmAudioSamples}::BIGINT AS n_samples, sums.checksum,
+      w::BIGINT AS w, CAST(SUM(abs(v - 128)) AS BIGINT) AS energy
+    FROM pcm JOIN sums USING (doc_id)
+    GROUP BY 1, 2, 3, 4, 5"""
+
   // ---- corpus-version diff ----------------------------------------------
 
   /** Corpus diff between two snapshot versions — the "what changed since the
@@ -3315,6 +3356,7 @@ object LlmOps {
     "mm_dedup_real"     -> Q(mmDedupReal, Some(mmDedupRealOracle)),
     "mm_resize_real"    -> Q(mmResizeReal, Some(mmResizeRealOracle)),
     "mm_framesample_real" -> Q(mmFrameSampleReal, Some(mmFrameSampleRealOracle)),
+    "mm_audio_real"     -> Q(mmAudioReal, Some(mmAudioRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

@@ -205,6 +205,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("WavCodec: 8-bit PCM WAV encode→decode round-trips samples bit-exactly") {
+    val pcm = Array.tabulate(200)(i => ((i * 31 + 3) % 256).toByte)
+    val wav = Multimodal.WavCodec.encode(pcm)
+    // a real RIFF container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, ch, back) = Multimodal.WavCodec.decode(wav)
+    assert(rate == 8000f && ch == 1)
+    assert(back.toSeq == pcm.toSeq)
+    // malformed payloads fail loudly, like a real codec
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode("not a wav".getBytes)
+    }
+  }
+
+  test("audioFeatures: integer window energy over DECODED samples") {
+    val pcm = Array.tabulate(64)(i => (if (i < 32) 128 else 130).toByte)
+    val ds = Seq(Multimodal.MediaRow(5L,
+      Multimodal.WavCodec.encode(pcm), "audio/wav")).toDS()
+    val f = Multimodal.audioFeatures(ds, windows = 2).collect()(0)
+    assert(f.n_samples == 64 && f.sample_rate == 8000L)
+    assert(f.win_energy == Seq(0L, 64L)) // |130-128| * 32
+  }
+
   test("sampleFrames covers every stride-th frame with exact byte slices") {
     val t = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
     val frames = Multimodal.sampleFrames(media(7L -> t), stride = 2, frameBytes = 64)
