@@ -389,6 +389,39 @@ class FileSinkSpec extends SparkSuite {
     }
   }
 
+  test("changeFeed between identical versions is empty; delete post-images are null") {
+    val dir = tmp() + "/t"
+    data.write.partitionBy("s").parquet(dir)
+    val v1 = FileSink.commitVersion(spark, dir)
+    // v1 → v1: no movement at all
+    assert(FileSink.changeFeed(spark, dir, schema, Seq("id"), "s", v1, v1).count() == 0L)
+    FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(2L, 9.0, "y"))), dir, Seq("id"), "s")
+    val v3 = FileSink.deleteMorVersioned(spark, dir, schema,
+      col("id") === 1L, "s", Seq("id"))
+    val feed = FileSink.changeFeed(spark, dir, schema, Seq("id"), "s", v1, v3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    // (id, s, change_type): id=2@y updated, id=1@x deleted (null post-image)
+    assert(feed == Set((2L, "y", "update"), (1L, "x", "delete")), feed)
+    val del = FileSink.changeFeed(spark, dir, schema, Seq("id"), "s", v1, v3)
+      .filter(col("change_type") === "delete").collect()(0)
+    assert(del.isNullAt(del.fieldIndex("v")), "delete post-image must be null")
+  }
+
+  test("zone maps: an all-null stat column never prunes (conservative read)") {
+    val dir = tmp() + "/t"
+    df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(null, 1.0, "x"), Row(null, 2.0, "x"), Row(5L, 3.0, "y")))
+      .write.partitionBy("s").parquet(dir)
+    val v = FileSink.commitVersion(spark, dir)
+    FileSink.writeStats(spark, dir, v, schema, Seq("id"))
+    // the all-null file has no id stats → must still be read; null ids fail
+    // the residual range predicate, so only the matching row returns
+    val out = FileSink.readVersionWhere(spark, dir, v, schema, "id", 0, 10)
+    assert(canon(out) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(5L, 3.0, "y")))))
+  }
+
   test("MOR guard: COW merge on a table with pending deltas fails loudly") {
     val dir = tmp() + "/t"
     data.write.partitionBy("s").parquet(dir)
