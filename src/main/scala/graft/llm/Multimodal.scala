@@ -50,6 +50,13 @@ object Multimodal {
       * features (blockhash, checksum) should see: container bytes differ
       * across re-encodes of the same content, pixels don't. */
     def pixels(payload: Array[Byte]): Array[Byte]
+    /** (width, height, raster) in ONE parse where the codec supports it —
+      * geometry-consuming transforms (resize) use this so the payload is
+      * not decoded twice. Default composes the other two calls. */
+    def raster(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val f = decode(0L, payload, "")
+      (f.width.toInt, f.height.toInt, pixels(payload))
+    }
   }
 
   /** Payload-level stand-in decoder (no codec libs in this container):
@@ -161,6 +168,11 @@ object Multimodal {
         y += 1
       }
       out
+    }
+
+    override def raster(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = readImage(payload) // ONE parse
+      (img.getWidth, img.getHeight, pixelsOf(img))
     }
 
     override def decode(docId: Long, payload: Array[Byte], mime: String): MediaFeatures = {
@@ -366,9 +378,7 @@ object Multimodal {
     require(outW > 0 && outH > 0)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val f = decoder.decode(r.doc_id, r.media, r.mime)
-        val (srcW, srcH) = (f.width.toInt, f.height.toInt)
-        val px = decoder.pixels(r.media)
+        val (srcW, srcH, px) = decoder.raster(r.media) // one parse per payload
         val out = new Array[Byte](outW * outH)
         var y = 0
         while (y < outH) {
@@ -415,7 +425,9 @@ object Multimodal {
       (0 until n).map { _ =>
         val len = bb.getInt
         val off = bb.position()
-        require(len >= 0 && off + len <= payload.length, "corrupt GFR1 frame length")
+        // long arithmetic: a near-MaxValue length would wrap `off + len`
+        // negative and sneak past an int-typed bound check
+        require(len >= 0 && off.toLong + len <= payload.length, "corrupt GFR1 frame length")
         bb.position(off + len)
         (off, len)
       }

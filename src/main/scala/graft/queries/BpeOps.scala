@@ -87,9 +87,12 @@ object BpeOps {
     * boundaries and never drop or invent characters, so concatenating a
     * doc's pieces reproduces its whitespace-stripped text exactly. The
     * oracle computes the target straight from the text (NO BPE replay) —
-    * any encode defect (lost char, boundary-crossing merge, rule misorder)
-    * breaks the hash compare. This is the decode-side contract the encode
-    * queries alone cannot see. */
+    * any encode defect that loses, invents, or reorders CHARACTERS breaks
+    * the hash compare. (Merge-ORDER defects are invisible here by
+    * construction — any segmentation concatenates back to the word — and
+    * are what `llm_bpe_encode`'s full-replay oracle exists to catch.)
+    * This is the decode-side contract the encode queries alone cannot
+    * see. */
   def bpeRoundtrip(s: SparkSession, d: String): DataFrame = {
     val rules = trainedMerges(s, d).map(m => (m.lhs, m.rhs))
     Tables.documents(s, d)
@@ -100,8 +103,11 @@ object BpeOps {
           .as("decoded_md5"))
   }
 
+  // explicit class, not '\s': Java regex \s includes \x0B (vertical tab)
+  // while RE2's does not — a testdata doc containing 0x0B (ASCII, so it
+  // passes the TablesSpec guard) would silently diverge the engines
   private val bpeRoundtripOracle = """
-    SELECT doc_id, md5(regexp_replace(text, '\s', '', 'g')) AS decoded_md5
+    SELECT doc_id, md5(regexp_replace(text, '[\t\n\x0b\f\r ]', '', 'g')) AS decoded_md5
     FROM documents WHERE length(trim(text)) > 0"""
 
   // ---- oracle: exact replay of the training loop in SQL -----------------

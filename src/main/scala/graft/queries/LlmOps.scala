@@ -2662,21 +2662,33 @@ object LlmOps {
     * is text byte (i mod n) — PNG-encoded via ImageIO into a REAL binary
     * payload. The raster rule is SQL-expressible, which is what lets the
     * oracle rebuild the exact pixels the PNG decode must recover. */
-  private def mmRealMedia(s: SparkSession, d: String)
+  /** The ONE text→payload bridge for the real-codec queries: non-empty
+    * docs' UTF-8 bytes (ASCII by data contract, TablesSpec-guarded) handed
+    * to a per-row payload builder on executors. The image, video, and
+    * audio builders all go through here so the data-contract assumptions
+    * live in exactly one place. */
+  private def textBytesMedia(s: SparkSession, d: String, mime: String)(
+      build: Array[Byte] => Array[Byte])
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import s.implicits._
-    val n = MmRealW * MmRealH
     Tables.documents(s, d).filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8") // docs are ASCII by data contract
-          val px = Array.tabulate(n)(i => bytes(i % bytes.length))
-          Multimodal.MediaRow(id,
-            Multimodal.encodeImage(MmRealW, MmRealH, px), "image/png")
+          Multimodal.MediaRow(id, build(text.getBytes("UTF-8")), mime)
         }
       }
   }
+
+  /** Byte-cycled raster: pixel i = byte (i + offset) mod n. */
+  private def cycledRaster(bytes: Array[Byte], n: Int, offset: Int = 0): Array[Byte] =
+    Array.tabulate(n)(i => bytes((i + offset) % bytes.length))
+
+  private def mmRealMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    textBytesMedia(s, d, "image/png")(bytes =>
+      Multimodal.encodeImage(MmRealW, MmRealH,
+        cycledRaster(bytes, MmRealW * MmRealH)))
 
   /** Raster rebuild CTEs shared by the three real-decode oracles: `by` is
     * (doc_id, pixel index i in 0..255, byte value v) — exactly the
@@ -2801,23 +2813,12 @@ object LlmOps {
     * bytes cycled with offset f — SQL-expressible, each frame a genuine
     * PNG. */
   private def mmRealVideo(s: SparkSession, d: String)
-      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
-    import s.implicits._
-    val n = MmFrameW * MmFrameH
-    Tables.documents(s, d).filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
-          val frames = (0 until MmFrames).map { f =>
-            Multimodal.encodeImage(MmFrameW, MmFrameH,
-              Array.tabulate(n)(i => bytes((i + f) % bytes.length)))
-          }
-          Multimodal.MediaRow(id, Multimodal.FrameContainer.encode(frames),
-            "video/x-gfr")
-        }
-      }
-  }
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    textBytesMedia(s, d, "video/x-gfr") { bytes =>
+      Multimodal.FrameContainer.encode((0 until MmFrames).map(f =>
+        Multimodal.encodeImage(MmFrameW, MmFrameH,
+          cycledRaster(bytes, MmFrameW * MmFrameH, offset = f))))
+    }
 
   /** REAL frame sampling: keyframe seek (offset arithmetic — skipped
     * frames' bytes never parse) + real PNG decode of every 2nd frame; the
@@ -2853,16 +2854,8 @@ object LlmOps {
     * from text. With image, resize, frame-sample, and audio all running
     * real codecs, NOTHING in the multimodal family is a stub. */
   def mmAudioReal(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d).filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
-          val pcm = Array.tabulate(MmAudioSamples)(i => bytes(i % bytes.length))
-          Multimodal.MediaRow(id, Multimodal.WavCodec.encode(pcm), "audio/wav")
-        }
-      }
+    val media = textBytesMedia(s, d, "audio/wav")(bytes =>
+      Multimodal.WavCodec.encode(cycledRaster(bytes, MmAudioSamples)))
     Multimodal.audioFeatures(media, MmAudioWindows).toDF()
       .select(col("doc_id"), col("sample_rate"), col("n_samples"),
         col("checksum"), posexplode(col("win_energy")).as(Seq("w", "energy")))
