@@ -20,6 +20,12 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Collision-free per-sfDir tag for scratch dirs / table names: the
+    * sanitized path itself, not a 32-bit hash (hashCode collides, and
+    * math.abs(Int.MinValue) is negative). Valid in both file paths and SQL
+    * identifiers. */
+  def pathTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

@@ -33,7 +33,10 @@ object GraftFunctionSet {
 
   private def literalInt(e: Expression, usage: String): Int = e match {
     case Literal(v: Int, _)  => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$usage — $v out of int range")
+      v.toInt
     case other => throw new IllegalArgumentException(s"$usage — got $other")
   }
 

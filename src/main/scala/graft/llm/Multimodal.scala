@@ -150,12 +150,24 @@ object Multimodal {
       val raster = img.getRaster
       val out = new Array[Byte](w * h)
       val bands = raster.getNumBands
+      // palette-indexed (GIF, PNG-8): the single band holds a palette INDEX,
+      // not luma — resolve through the color model, or two visually identical
+      // images with permuted palettes would checksum differently
+      val palette = img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel => icm
+        case _ => null
+      }
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val g =
-            if (bands == 1) raster.getSample(x, y, 0)
+            if (palette != null) {
+              val i = raster.getSample(x, y, 0)
+              (299 * palette.getRed(i) + 587 * palette.getGreen(i) +
+                114 * palette.getBlue(i)) / 1000
+            }
+            else if (bands == 1) raster.getSample(x, y, 0)
             else {
               val r = raster.getSample(x, y, 0)
               val gg = raster.getSample(x, y, 1)

@@ -468,6 +468,67 @@ object Similarity {
       .agg(max_by(col("__cent_id"), struct(-col("__d"), -col("__cent_id"))).as("cell"))
   }
 
+  /** Compressed-domain k-NN JOIN — ADC with the distance tables as DATA, not
+    * plan literals. [[pqSearchADC]]/[[pqSearchADCIvf]] are the right shape
+    * for a probe SET (driver-computed m×k tables baked into one scan), but
+    * the plan grows linearly in |queries|: at corpus-scale query volume the
+    * literals themselves become the bottleneck (compilation + driver
+    * memory). Here the table is a DataFrame: queries explode into m
+    * subvectors, a broadcast codebook join scores every (query, sub, code)
+    * cell (|Q|·m·k rows — the same kilobytes per query, now distributed),
+    * and scoring is an equi-join of those rows to the flat code rows on
+    * (cell, sub, code) — both sides hash-partition on the composite key, no
+    * broadcast of anything query-sized, no per-query expression. Each
+    * (query, neighbor) pair meets in exactly m rows (a vector has one code
+    * per subspace, one coarse cell), so the decimal ADC sum is a map-side-
+    * combinable groupBy, and ranking is the bounded [[TopKByScore]] heap —
+    * [[knnJoinIvf]]'s shuffle shape with [[pqSearchADC]]'s compressed
+    * scoring. IVF restriction: queries pick nprobe cells by the same quant6
+    * squared-L2 argmin as [[coarseCells]] (window keyed by query_id — a real
+    * shuffle, the query set is corpus-sized by assumption). */
+  def pqKnnJoin(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                cells: DataFrame, centroids: DataFrame,
+                m: Int, dim: Int, k: Int, nprobe: Int,
+                queryId: String = "vec_id", centroidId: String = "vec_id"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val q = queries.select(col(queryId).as("query_id"), col("embedding"))
+    // the ADC distance table as a frame: |Q|·m·k quant6 subdistances
+    val qd = q.select(col("query_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("embedding"), j * sub + 1, sub).as("__sv"))): _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.__sv").as("__sv"))
+      .join(broadcast(codebook.select(col("sub"), col("code_id"), col("subvec"))), "sub")
+      .select(col("query_id"), col("sub"), col("code_id").as("code"),
+        TextOps.quant(l2sq(col("__sv"), col("subvec")), 6).as("__d"))
+    // nprobe coarse cells per query — the same quant6 L2 argmin as
+    // coarseCells, ranked per query (window shuffle on query_id)
+    val cents = broadcast(centroids.select(
+      col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("__cd").asc, col("__cent_id").asc)
+    val queryCells = q.crossJoin(cents)
+      .withColumn("__cd", TextOps.quant(l2sq(col("embedding"), col("__cent")), 6))
+      .withColumn("__cr", row_number().over(qw)).filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("__cent_id").as("cell"))
+    // distance-table rows fan out to their query's probe cells, then meet
+    // the (cell-annotated) code rows on the composite key — the ONE shuffled
+    // equi-join; candidates are bounded by probed-cell sizes, never all-pairs
+    val qdc = qd.join(queryCells, "query_id")
+    val codeCells = codes.select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")), "neighbor_id")
+    codeCells.join(qdc, Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(TextOps.quant(
+        sum(col("__d").cast(DecimalType(28, 8))).cast(DoubleType), 6).as("adist"))
+      .groupBy("query_id")
+      .agg(TextOps.topKBy(-col("adist"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("query_id"), (col("p") + 1).cast(LongType).as("rank"),
+        col("t.id").as("neighbor_id"), (-col("t.score")).as("adist"))
+  }
+
   private def pqSearchADCCore(queryVecs: Seq[(Long, Array[Double])], codes: DataFrame,
                               codebook: Seq[(Int, Long, Array[Double])],
                               m: Int, k: Int,

@@ -228,7 +228,7 @@ object EventOps {
       ((max("ts_ms") - min("ts_ms")) * 2) / 3).cast(LongType)).first().getLong(0)
     // per-SF fixed dir: overwrite (never accrete), and two processes
     // running different scale factors cannot clobber each other's state
-    val storeDir = s"/tmp/graft_d9_${math.abs(d.hashCode)}/store"
+    val storeDir = s"/tmp/graft_d9_${Tables.pathTag(d)}/store"
     scd2Of(ev.filter(col("ts_ms") < cut)).write.mode("overwrite").parquet(storeDir)
     val stored = s.read.parquet(storeDir) // the persisted dimension
     val inc = ev.filter(col("ts_ms") >= cut).persist()
@@ -628,7 +628,7 @@ object EventOps {
       .agg(graft.llm.TextOps.topKBy(col("value"), col("event_id"), IncTopK).as("tk"))
       .select(col("event_type"), explode(col("tk")).as("e"))
       .select(col("event_type"), col("e.id").as("event_id"), col("e.score").as("value"))
-    val stateDir = s"/tmp/graft_d8_topk_${math.abs(d.hashCode)}/state" // per-SF fixed dir
+    val stateDir = s"/tmp/graft_d8_topk_${Tables.pathTag(d)}/state" // per-SF fixed dir
     topk(ev.filter(col("ts_ms") < cut)).write.mode("overwrite").parquet(stateDir)
     val stored = s.read.parquet(stateDir) // the persisted view state
     topk(stored.unionByName(

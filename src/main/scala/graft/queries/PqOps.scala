@@ -94,6 +94,23 @@ object PqOps {
     Similarity.pqSearchADCIvf(qs, codes, cells, probes, cbRows, M, TopK)
   }
 
+  /** Compressed-domain k-NN JOIN: EVERY corpus vector is a query (the
+    * retrieval/contrastive-build shape) against the TRAINED codebook, IVF-
+    * restricted to [[NProbe]] seed cells — [[Similarity.pqKnnJoin]], where
+    * the ADC distance tables are a DataFrame joined by (cell, sub, code)
+    * instead of per-query plan literals. The plan is CONSTANT in |queries|
+    * (PqKnnJoinSpec asserts it), which is what retires the "driver-shaped at
+    * 100× query volume" caveat on the literal probe forms. */
+  def pqKnnJoinQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cbDf = trainedCb(s, d).map { case (j, c, v) => (j, c, v.toSeq) }
+      .toDF("sub", "code_id", "subvec")
+    val codes = Similarity.pqEncode(emb, cbDf, M, Dim)
+    val cells = Similarity.coarseCells(emb, seeds(s, d))
+    Similarity.pqKnnJoin(emb, codes, cbDf, cells, seeds(s, d), M, Dim, TopK, NProbe)
+  }
+
   def pqSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -318,6 +335,47 @@ object PqOps {
           ORDER BY adist ASC, neighbor_id ASC) AS rank
       FROM approx) t WHERE rank <= $TopK"""
 
+  /** Trained codebook + IVF cells/probes over seed centroids, every vector a
+    * query — the [[pqKnnJoinQ]] replay. Same building blocks as the pq_search
+    * and ivfpq oracles: trained-codebook encode, quant6 subdistances, decimal
+    * ADC sum, (adist, neighbor_id) rank. */
+  private val pqKnnJoinOracle = s"""WITH $encodeCtesTrained,
+    cd AS MATERIALIZED (
+      SELECT e.vec_id, c.vec_id AS cent_id,
+             ${qSql(l2FullSql("e.embedding", "c.embedding"), 6)} AS d
+      FROM embeddings e, embeddings c WHERE c.vec_id < $KCodes),
+    cells AS MATERIALIZED (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cent_id ASC) AS rn
+        FROM cd) t WHERE rn = 1),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cent_id ASC) AS rn
+        FROM cd) t WHERE rn <= $NProbe),
+    qd AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, q.sub, cb.code_id,
+             ${qSql(l2Sql("svec", "subvec"), 6)} AS d
+      FROM sv q JOIN cb$Iters cb USING (sub)),
+    approx AS (
+      SELECT qd.query_id, e.vec_id AS neighbor_id,
+             ${qSql("CAST(SUM(CAST(qd.d AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS adist
+      FROM enc e
+      JOIN cells ce ON ce.vec_id = e.vec_id
+      JOIN probes p ON p.cell = ce.cell
+      JOIN qd ON qd.sub = e.sub AND qd.code_id = e.code
+             AND qd.query_id = p.query_id
+      WHERE qd.query_id <> e.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, rank, neighbor_id, adist FROM (
+      SELECT query_id, neighbor_id, adist,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM approx) t WHERE rank <= $TopK"""
+
   private val pqRecallOracle = {
     def one(name: String, sql: String) = s"""
     SELECT '$name' AS method, query_id, n_hit,
@@ -504,5 +562,6 @@ object PqOps {
     "llm_pq_encode" -> Q(pqEncode, Some(pqEncodeOracle)),
     "llm_pq_search" -> Q(pqSearch, Some(pqSearchOracle)),
     "llm_pq_recall" -> Q(pqRecall, Some(pqRecallOracle)),
-    "llm_ann_ivfpq" -> Q(ivfPqSearch, Some(ivfPqSearchOracle)))
+    "llm_ann_ivfpq" -> Q(ivfPqSearch, Some(ivfPqSearchOracle)),
+    "llm_pq_knn_join" -> Q(pqKnnJoinQ, Some(pqKnnJoinOracle)))
 }

@@ -535,7 +535,7 @@ object Relational {
     * are (re)built per (sfDir, session) and reused across calls in the same
     * session; BucketedJoinSpec asserts the exchange-free plan. */
   def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = math.abs(d.hashCode).toString // tables are per-sfDir
+    val tag = Tables.pathTag(d) // tables are per-sfDir
     def ensure(name: String, df: => DataFrame, key: String): String = {
       val t = s"${name}_$tag"
       if (!s.catalog.tableExists(t))

@@ -431,7 +431,21 @@ object FileSink {
     require(prevV >= 1, s"mergeMorVersioned: no committed version under $dir")
     val v = prevV + 1
     val prevFiles = readManifest(spark, dir, prevV)
-    val moved = stageAndMove(changes, dir, partitionCol, v, prefix = "delta")
+    // the pre-deduped-on-pk contract is load-bearing: a duplicate (pk,
+    // partition) in one batch would reconcile nondeterministically (same-__dv
+    // ties broken by shuffle layout) — fail loudly instead of silently
+    val batch = changes.persist()
+    val keyCols = (pk :+ partitionCol).map(org.apache.spark.sql.functions.col)
+    val chk = batch.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.struct(keyCols: _*))).first()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"mergeMorVersioned: change batch violates the pre-deduped-on-pk " +
+        s"contract (${chk.getLong(0)} rows, ${chk.getLong(1)} distinct " +
+        s"(${(pk :+ partitionCol).mkString(",")}))")
+    val moved = try stageAndMove(batch, dir, partitionCol, v, prefix = "delta")
+                finally { batch.unpersist(); () }
     writeManifest(spark, dir, v, prevFiles ++ moved, Some(prevFiles))
     v
   }
