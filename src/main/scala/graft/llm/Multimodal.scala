@@ -215,6 +215,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode an 8-bit grayscale raster as a real baseline JPEG at explicit
+    * quality 1.0 (quantization tables all ones) — the MJPEG frame codec.
+    * Unlike [[encodeImage]]'s PNG/BMP this is LOSSY (DCT rounding only at
+    * q=1.0, but still not bit-exact): consumers that need a replayable
+    * oracle must gate on a bounded per-pixel error, not a raster hash —
+    * which is faithful to what a real video pipeline can promise. */
+  def encodeJpeg(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "raster size mismatch")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); w.dispose() }
+    bos.toByteArray
+  }
+
   /** Feature extraction over a typed media Dataset: per-partition iteration
     * (one decoder init per partition, streaming through rows — the batch
     * shape a Pandas-UDF equivalent needs). */
@@ -449,6 +473,123 @@ object Multimodal {
       java.util.Arrays.copyOfRange(payload, off, off + len)
   }
 
+  /** Real AVI (RIFF) MJPEG container, JDK-only — retires the GFR1 own-format
+    * stand-in: a standard `RIFF('AVI ')` file with a genuine `hdrl` header
+    * tree (`avih`, then `LIST('strl')` with a `vids`/`MJPG` `strh` and a
+    * BITMAPINFOHEADER `strf`), frame chunks (`00dc`, word-aligned) inside
+    * `LIST('movi')`, and the `idx1` index — the layout every MJPEG-AVI
+    * consumer (ffmpeg, VfW) reads. All integers little-endian per RIFF.
+    *
+    * Demux reads ONLY the header walk and `idx1` (entry offsets relative to
+    * the `movi` fourcc, the standard convention): keyframe seek is real
+    * offset arithmetic into `movi`, and a non-sampled frame's bytes are
+    * NEVER parsed — the same seek-honesty contract [[FrameContainer]]
+    * proved, now on the interchange format other tools actually write.
+    * Frames are genuine baseline JPEGs ([[encodeJpeg]]) that
+    * [[ImageIoDecoder]] parses. */
+  object AviMjpeg {
+    private val KeyframeFlag = 0x10 // AVIIF_KEYFRAME
+    private val HasIndexFlag = 0x10 // AVIF_HASINDEX
+
+    private def str4(payload: Array[Byte], pos: Int): String =
+      new String(payload, pos, 4, "US-ASCII")
+
+    def encode(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "empty AVI")
+      require(fps > 0, "fps must be positive")
+      val n = frames.size
+      val maxLen = frames.map(_.length).max
+      val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
+      val idxSize = 16 * n
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def put4(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+      put4("RIFF"); bb.putInt(riffSize); put4("AVI ")
+      put4("LIST"); bb.putInt(hdrlSize); put4("hdrl")
+      put4("avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps) // dwMicroSecPerFrame
+      bb.putInt(0); bb.putInt(0) // dwMaxBytesPerSec, dwPaddingGranularity
+      bb.putInt(HasIndexFlag)
+      bb.putInt(n); bb.putInt(0); bb.putInt(1) // total/initial frames, streams
+      bb.putInt(maxLen); bb.putInt(width); bb.putInt(height)
+      (0 until 4).foreach(_ => bb.putInt(0)) // dwReserved
+      put4("LIST"); bb.putInt(strlSize); put4("strl")
+      put4("strh"); bb.putInt(56)
+      put4("vids"); put4("MJPG")
+      bb.putInt(0); bb.putShort(0); bb.putShort(0) // flags, priority, language
+      bb.putInt(0) // initial frames
+      bb.putInt(1); bb.putInt(fps) // dwScale, dwRate → fps frames/sec
+      bb.putInt(0); bb.putInt(n) // dwStart, dwLength (frames)
+      bb.putInt(maxLen); bb.putInt(-1); bb.putInt(0) // bufsize, quality, samplesize
+      bb.putShort(0); bb.putShort(0) // rcFrame left, top
+      bb.putShort(width.toShort); bb.putShort(height.toShort)
+      put4("strf"); bb.putInt(40)
+      bb.putInt(40); bb.putInt(width); bb.putInt(height) // biSize, biWidth, biHeight
+      bb.putShort(1); bb.putShort(24) // biPlanes, biBitCount
+      put4("MJPG"); bb.putInt(width * height * 3) // biCompression, biSizeImage
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      put4("LIST"); bb.putInt(moviSize); put4("movi")
+      val moviFcc = bb.position() - 4 // file offset of the 'movi' fourcc
+      val offsets = new Array[Int](n) // idx1 offsets are movi-fourcc-relative
+      frames.zipWithIndex.foreach { case (f, i) =>
+        offsets(i) = bb.position() - moviFcc
+        put4("00dc"); bb.putInt(f.length); bb.put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
+      }
+      put4("idx1"); bb.putInt(idxSize)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        put4("00dc"); bb.putInt(KeyframeFlag)
+        bb.putInt(offsets(i)); bb.putInt(f.length)
+      }
+      bb.array()
+    }
+
+    /** (offset, length) of every frame's JPEG bytes, resolved from the
+      * header walk + `idx1` ONLY — `movi` payload bytes are never read.
+      * Malformed containers fail loudly like a real demuxer. */
+    def index(payload: Array[Byte]): Seq[(Int, Int)] = {
+      require(payload.length >= 12 && str4(payload, 0) == "RIFF" &&
+        str4(payload, 8) == "AVI ", "bad magic: not a RIFF/AVI payload")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var moviFcc = -1
+      var idxPos = -1
+      var idxLen = 0
+      while (pos + 8 <= payload.length && (moviFcc < 0 || idxPos < 0)) {
+        val id = str4(payload, pos)
+        val sz = bb.getInt(pos + 4)
+        require(sz >= 0 && pos + 8 + sz.toLong <= payload.length,
+          s"corrupt RIFF chunk $id")
+        if (id == "LIST" && sz >= 4 && str4(payload, pos + 8) == "movi")
+          moviFcc = pos + 8
+        else if (id == "idx1") { idxPos = pos + 8; idxLen = sz }
+        pos += 8 + sz + (sz & 1)
+      }
+      require(moviFcc >= 0, "no movi list")
+      require(idxPos >= 0, "no idx1 index (this demuxer requires AVIF_HASINDEX)")
+      require(idxLen > 0 && idxLen % 16 == 0, "corrupt idx1 size")
+      (0 until idxLen / 16).map { i =>
+        val e = idxPos + i * 16
+        val ck = str4(payload, e)
+        require(ck == "00dc" || ck == "00db", s"unsupported idx1 chunk id $ck")
+        val off = bb.getInt(e + 8)
+        val len = bb.getInt(e + 12)
+        val dataOff = moviFcc.toLong + off + 8 // past the chunk's own header
+        require(off >= 4 && len >= 0 && dataOff + len <= payload.length,
+          "corrupt idx1 entry")
+        (dataOff.toInt, len)
+      }
+    }
+
+    def frame(payload: Array[Byte], off: Int, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, off, off + len)
+  }
+
   /** One decoded sampled frame: parent doc, frame index, RASTER bytes. */
   final case class DecodedFrameRow(doc_id: Long, frame_idx: Long,
                                    raster: Array[Byte])
@@ -458,15 +599,28 @@ object Multimodal {
     * parsed, the property a real video pipeline gets from keyframe seek),
     * then decode JUST those frames through the real image codec. */
   def sampleFramesReal(media: Dataset[MediaRow], stride: Int,
-                       decoder: MediaDecoder): Dataset[DecodedFrameRow] = {
+                       decoder: MediaDecoder): Dataset[DecodedFrameRow] =
+    sampleFramesBy(media, stride, decoder, FrameContainer.index)
+
+  /** [[sampleFramesReal]] over real MJPEG-AVI payloads: the index comes from
+    * the RIFF header walk + `idx1` ([[AviMjpeg.index]]), frames decode
+    * through the real JPEG codec. */
+  def sampleFramesAvi(media: Dataset[MediaRow], stride: Int,
+                      decoder: MediaDecoder): Dataset[DecodedFrameRow] =
+    sampleFramesBy(media, stride, decoder, AviMjpeg.index)
+
+  private def sampleFramesBy(media: Dataset[MediaRow], stride: Int,
+                             decoder: MediaDecoder,
+                             containerIndex: Array[Byte] => Seq[(Int, Int)])
+      : Dataset[DecodedFrameRow] = {
     import media.sparkSession.implicits._
     require(stride > 0)
     media.flatMap { r =>
-      val idx = FrameContainer.index(r.media)
+      val idx = containerIndex(r.media)
       idx.indices.by(stride).map { i =>
         val (off, len) = idx(i)
         DecodedFrameRow(r.doc_id, i.toLong,
-          decoder.pixels(FrameContainer.frame(r.media, off, len)))
+          decoder.pixels(java.util.Arrays.copyOfRange(r.media, off, off + len)))
       }
     }
   }

@@ -2844,6 +2844,58 @@ object LlmOps {
     arms.mkString("\n    UNION ALL\n    ")
   }
 
+  /** Per-pixel error budget for the MJPEG gate: measured q=1.0 grayscale
+    * JPEG round-trip error is ≤1 (DCT rounding only — quant tables all
+    * ones); 2 leaves margin without admitting a wrong frame (a demux
+    * off-by-one decodes a DIFFERENT cycled raster — off by whole bytes of
+    * ASCII text, far outside 2). MultimodalSpec anchors the measurement. */
+  private val AviTol = 2
+
+  /** Real MJPEG-AVI per doc: the same three cycled-raster keyframes as the
+    * GFR1 fixture, each a genuine q=1.0 JPEG, muxed into a standard RIFF
+    * AVI with `movi`/`idx1` ([[graft.llm.Multimodal.AviMjpeg]]). */
+  private def mmAviVideo(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    textBytesMedia(s, d, "video/avi") { bytes =>
+      Multimodal.AviMjpeg.encode((0 until MmFrames).map(f =>
+        Multimodal.encodeJpeg(MmFrameW, MmFrameH,
+          cycledRaster(bytes, MmFrameW * MmFrameH, offset = f))),
+        MmFrameW, MmFrameH)
+    }
+
+  /** REAL video demux + decode: keyframe seek through a genuine AVI `idx1`
+    * index (skipped frames' bytes never parse) and real JPEG decode of
+    * every 2nd frame — the last multimodal stand-in (GFR1's own framing)
+    * retired. JPEG is LOSSY, so unlike the PNG queries the oracle cannot
+    * hash-replay pixels; it pins the (doc, frame) set, decoded geometry,
+    * and a per-pixel error bound of [[AviTol]] against the SQL-expressible
+    * source raster (recomputed Spark-side from the same text — a demuxer
+    * that returned the wrong frame or offset fails it by whole ASCII
+    * bytes). The container layer itself is verified BIT-exactly in
+    * MultimodalSpec (frame-bytes round-trip, corrupt-frame seek honesty). */
+  def mmFrameSampleAvi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = Multimodal.sampleFramesAvi(mmAviVideo(s, d), stride = 2,
+      Multimodal.ImageIoDecoder)
+    val src = Tables.documents(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    frames.toDF().join(src, "doc_id")
+      .as[(Long, Long, Array[Byte], String)]
+      .map { case (id, fi, raster, text) =>
+        val srcR = cycledRaster(text.getBytes("UTF-8"),
+          MmFrameW * MmFrameH, offset = fi.toInt)
+        val maxErr = raster.zip(srcR).map { case (a, b) =>
+          math.abs((a & 0xff) - (b & 0xff)) }.max
+        (id, fi, raster.length.toLong, maxErr <= AviTol)
+      }.toDF("doc_id", "frame_idx", "n_px", "within_tol")
+  }
+
+  private val mmFrameSampleAviOracle = s"""
+    SELECT doc_id, f AS frame_idx,
+      ${MmFrameW * MmFrameH}::BIGINT AS n_px, TRUE AS within_tol
+    FROM documents, (VALUES (0::BIGINT), (2::BIGINT)) AS fr(f)
+    WHERE length(text) > 0"""
+
   private val MmAudioSamples = 256
   private val MmAudioWindows = 8
 
@@ -3349,6 +3401,7 @@ object LlmOps {
     "mm_dedup_real"     -> Q(mmDedupReal, Some(mmDedupRealOracle)),
     "mm_resize_real"    -> Q(mmResizeReal, Some(mmResizeRealOracle)),
     "mm_framesample_real" -> Q(mmFrameSampleReal, Some(mmFrameSampleRealOracle)),
+    "mm_framesample_avi" -> Q(mmFrameSampleAvi, Some(mmFrameSampleAviOracle)),
     "mm_audio_real"     -> Q(mmAudioReal, Some(mmAudioRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),

@@ -205,6 +205,76 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("AviMjpeg: container round-trips frame BYTES bit-exactly; structure is real RIFF/AVI") {
+    val mk = (seed: Int) => Multimodal.encodeJpeg(8, 8,
+      Array.tabulate(64)(i => ((i * seed + 11) % 96 + 32).toByte))
+    val frames = Seq(mk(3), mk(5), mk(11))
+    val avi = Multimodal.AviMjpeg.encode(frames, 8, 8)
+    // a standard RIFF AVI other tools would accept: magic + hdrl + idx1
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(new String(avi.slice(20, 24), "US-ASCII") == "hdrl")
+    val idx = Multimodal.AviMjpeg.index(avi)
+    assert(idx.size == 3)
+    // the container is LOSSLESS on frame bytes (only the codec inside is
+    // lossy): every idx1-resolved slice equals the muxed JPEG exactly
+    idx.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(java.util.Arrays.equals(
+        Multimodal.AviMjpeg.frame(avi, off, len), frames(i)), s"frame $i")
+      // each JPEG is genuinely decodable through ImageIO
+      assert(Multimodal.ImageIoDecoder.pixels(frames(i)).length == 64)
+    }
+  }
+
+  test("AviMjpeg: malformed containers fail loudly (magic, truncation, missing idx1)") {
+    val avi = Multimodal.AviMjpeg.encode(
+      Seq(Multimodal.encodeJpeg(4, 4, Array.tabulate(16)(_.toByte))), 4, 4)
+    intercept[IllegalArgumentException] {
+      Multimodal.AviMjpeg.index("RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AviMjpeg.index(java.util.Arrays.copyOf(avi, avi.length - 20))
+    }
+    // blank out the idx1 fourcc: a demuxer that required no index would
+    // have to scan movi — ours refuses instead (AVIF_HASINDEX contract)
+    val noIdx = avi.clone()
+    val p = noIdx.length - 24 // 'idx1' + size + one 16-byte entry
+    assert(new String(noIdx, p, 4, "US-ASCII") == "idx1")
+    noIdx(p) = 'J'.toByte
+    intercept[IllegalArgumentException] { Multimodal.AviMjpeg.index(noIdx) }
+  }
+
+  test("sampleFramesAvi seeks via idx1: a corrupt SKIPPED frame is never parsed") {
+    val mk = (seed: Int) => Multimodal.encodeJpeg(8, 8,
+      Array.tabulate(64)(i => ((i * seed + 7) % 96 + 32).toByte))
+    val frames = Seq(mk(3), mk(5), mk(11))
+    val payload = Multimodal.AviMjpeg.encode(frames, 8, 8)
+    val idx = Multimodal.AviMjpeg.index(payload)
+    val (off1, len1) = idx(1)
+    java.util.Arrays.fill(payload, off1, off1 + len1, 0x5a.toByte)
+    val ds = Seq(Multimodal.MediaRow(1L, payload, "video/avi")).toDS()
+    val sampled = Multimodal.sampleFramesAvi(ds, stride = 2,
+      Multimodal.ImageIoDecoder).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(sampled(0).raster.toSeq == Multimodal.ImageIoDecoder.pixels(frames(0)).toSeq)
+    assert(sampled(1).raster.toSeq == Multimodal.ImageIoDecoder.pixels(frames(2)).toSeq)
+    // stride 1 must hit the corrupt frame and fail loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFramesAvi(ds, stride = 1, Multimodal.ImageIoDecoder).collect()
+    }
+  }
+
+  test("encodeJpeg at q=1.0: gray round-trip error ≤ 1 on noisy ASCII-range rasters") {
+    // anchors LlmOps.AviTol = 2: the measured bound is 1, the gate keeps
+    // margin without admitting a wrong frame (whole ASCII bytes apart)
+    val maxErr = (0 until 50).map { s =>
+      val gray = Array.tabulate(64)(i => ((s * 1103515245 + i * 12345) % 95 + 32).toByte)
+      val dec = Multimodal.ImageIoDecoder.pixels(Multimodal.encodeJpeg(8, 8, gray))
+      gray.zip(dec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    }.max
+    assert(maxErr <= 1, s"q=1.0 JPEG error grew: $maxErr")
+  }
+
   test("WavCodec: 8-bit PCM WAV encode→decode round-trips samples bit-exactly") {
     val pcm = Array.tabulate(200)(i => ((i * 31 + 3) % 256).toByte)
     val wav = Multimodal.WavCodec.encode(pcm)
