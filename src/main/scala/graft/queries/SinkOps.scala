@@ -687,6 +687,86 @@ object SinkOps {
     SELECT event_id + 20000000, user_id, value, '2024-02-01' AS day
     FROM ev WHERE day = '2024-01-01'"""
 
+  /** P12: raw-event archive → warehouse-loss → reprocessing replay — the
+    * disaster-recovery loop (`ingest/backup_logger.go:22`,
+    * `reprocessing-worker/main.go`). The edge spools every raw event as
+    * date-partitioned gzip NDJSON ([[graft.streaming.RawArchive]]) BEFORE
+    * anything parses it; the warehouse then loses its newest third of days
+    * (DELETE — the simulated disaster); `reprocess` reads the archive from
+    * one day BEFORE the loss boundary (deliberate overlap), re-parses, and
+    * re-drives the ordinary pk-merge batch path. The merge makes replay
+    * idempotent: overlap rows update in place (their `src` flips to
+    * 'replay' — proof the replay touched them without duplicating them),
+    * lost rows are reinserted, and the final table must BE the original.
+    * Scale shape: the archive read prunes to the replayed dates at the
+    * directory listing (hive `dt=` partitions), the replay is one
+    * distributed parse + one merge — a 100 TB archive recovers a lost week
+    * without listing, let alone reading, anything else. */
+  def p12Reprocess(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.RawArchive
+    val base = "/tmp/graft_p12"
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+      s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .persist() // archive write + initial load + day probe
+    // 1. the raw archive the edge accumulated all along (distributed write;
+    //    the per-event edge Writer is the same layout, ArchiveSpec-proven)
+    RawArchive.archive(
+      ev.select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))).as("raw"), col("dt")),
+      s"$base/archive/dest1")
+    // 2. initial warehouse load through the ordinary batch path
+    val sink = derby("graft_p12")
+    dropIfExists(sink, "REPROC_SINK")
+    val withSrc = ev.withColumn("src", lit("initial"))
+    val spec = sink.specFor(withSrc, "reproc_sink", pk = Seq("event_id"))
+    sink.ensureTable(spec)
+    sink.loadMerge(withSrc, spec)
+    // 3. the disaster: the newest third of days vanish from the warehouse
+    val days = ev.select("dt").distinct().orderBy("dt")
+      .collect().map(_.getString(0)) // control-plane: one row per day
+    val cutIdx = days.length * 2 / 3
+    val cut = days(cutIdx)
+    val overlap = days(math.max(cutIdx - 1, 0)) // replay from one day early
+    sink.withConnection(sink.exec(_,
+      s"DELETE FROM \"REPROC_SINK\" WHERE \"DT\" >= '$cut'"))
+    ev.unpersist()
+    // 4. reprocess: pruned archive read → parse → same pk-merge path
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val replay = RawArchive.readRange(s, s"$base/archive/dest1", overlap)
+      .select(from_json(col("value"), schema).as("e"), col("dt"))
+      .select(col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"), col("e.value").as("value"),
+        col("dt"), lit("replay").as("src"))
+    sink.loadMerge(replay, spec)
+    // 5. the recovered table must be the original, byte for byte
+    readBack(s, sink, "REPROC_SINK")
+      .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+        col("EVENT_TYPE").as("event_type"), col("VALUE").as("value"),
+        col("DT").as("dt"), col("SRC").as("src"))
+  }
+
+  private val p12Oracle = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt
+      FROM events),
+    days AS (
+      SELECT dt, row_number() OVER (ORDER BY dt) AS rn
+      FROM (SELECT DISTINCT dt FROM e) t),
+    marks AS (
+      SELECT max(CASE WHEN rn = greatest(((SELECT count(*) FROM days) * 2) // 3, 1)
+                      THEN dt END) AS overlap_dt
+      FROM days)
+    SELECT e.event_id, e.user_id, e.event_type, e.value, e.dt,
+      CASE WHEN e.dt >= m.overlap_dt THEN 'replay' ELSE 'initial' END AS src
+    FROM e, marks m"""
+
   private val p1FileOracle = """
     SELECT event_id, user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
     FROM events
@@ -705,6 +785,7 @@ object SinkOps {
     "p11_change_feed"   -> Q(p11ChangeFeed, Some(p11Oracle)),
     "t_stats_prune"     -> Q(tStatsPrune, Some(tStatsPruneOracle)),
     "p6_backfill"       -> Q(p6Backfill, Some(p6Oracle)),
+    "p12_reprocess"     -> Q(p12Reprocess, Some(p12Oracle)),
     "p7_time_travel"    -> Q(p7TimeTravel, Some(p7Oracle)),
     "p8_gdpr_delete"    -> Q(p8GdprDelete, Some(p8Oracle)),
     "t7_evolution"      -> Q(t7Evolution, Some(t7Oracle)),
