@@ -195,6 +195,86 @@ object StreamOps {
            'ROUTE_' || UPPER(event_type) AS routed_to
     FROM events"""
 
+  /** B5 extension — per-connection ingest filters (`ingest/filters.go:38–50`
+    * via [[graft.streaming.IngestFilters]]): three destination links over
+    * ONE stream, each admitting only what its config allows, evaluated in
+    * the router before anything spools. The matrix deliberately hits every
+    * reference subtlety: a missing option means `*`; the `events` list is
+    * newline-separated and matches TRIMMED + case-folded against the
+    * event's `type` OR its `event` name (" Click " admits type `click`,
+    * `evt_purchase` only ever matches the event-name subject); the `hosts`
+    * rule `*.example.com` admits `shop.example.com` but NOT the bare apex
+    * (non-eager), alongside an exact `app.io`. Filtered-out rows are
+    * provably absent: the oracle recomputes each link's admitted set. */
+  def b6Filters(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_b6"
+    rmrf(s, base)
+    graft.sink.TableCache.clear()
+    val sink = JdbcSink("jdbc:derby:memory:graft_b6;create=true", DerbyDialect,
+      maxWriteConnections = 4)
+    val links = Seq(
+      "all"    -> graft.streaming.IngestFilters.Opts(),
+      "clicks" -> graft.streaming.IngestFilters.Opts(
+        events = Some(" Click \nevt_purchase")),
+      "apex"   -> graft.streaming.IngestFilters.Opts(
+        hosts = Some("*.example.com\napp.io")))
+    links.foreach { case (dest, _) =>
+      try sink.withConnection(sink.exec(_, s"""DROP TABLE "FILT_${dest.toUpperCase}""""))
+      catch { case _: java.sql.SQLException => () }
+    }
+    // the ingest envelope: type = segment event class, event = custom name,
+    // host = context.page.host — all deterministic off the row
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("typ", col("event_type"))
+      .withColumn("evt", concat(lit("evt_"), col("event_type")))
+      .withColumn("host",
+        when(col("user_id") % 3 === 0, "shop.example.com")
+          .when(col("user_id") % 3 === 1, "example.com")
+          .otherwise("app.io"))
+    writeSegments(ev.withColumn("__seg",
+        when(col("event_id") % 2 === 0, "001").otherwise("002")),
+      "__seg", s, s"$base/stage", s"$base/input")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("typ", StringType), StructField("evt", StringType),
+      StructField("host", StringType)))
+    val retry = RetryQueue(s"$base/retry", s"$base/dlq")
+    MicroBatch.runFileStream(s, s"$base/input", schema, s"$base/ckpt",
+      retry, clock = () => T0) { batch =>
+      graft.streaming.Router.routeLinks(batch, links, "typ", "evt", "host") {
+        (dest, slice) =>
+          val rows = slice.select("event_id", "user_id", "value")
+          val spec = sink.specFor(rows, s"filt_$dest")
+          sink.append(rows, sink.ensureTableCached(spec).name)
+      }
+    }
+    links.map { case (dest, _) =>
+      s.read.jdbc(sink.url, s""""FILT_${dest.toUpperCase}"""", new java.util.Properties())
+        .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+          col("VALUE").as("value"))
+        .withColumn("dest", lit(dest))
+    }.reduce(_ unionByName _)
+  }
+
+  private val b6Oracle = """
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             event_type AS typ, 'evt_' || event_type AS evt,
+             CASE WHEN user_id % 3 = 0 THEN 'shop.example.com'
+                  WHEN user_id % 3 = 1 THEN 'example.com'
+                  ELSE 'app.io' END AS host
+      FROM events)
+    SELECT event_id, user_id, value, 'all' AS dest FROM e
+    UNION ALL
+    SELECT event_id, user_id, value, 'clicks' AS dest FROM e
+    WHERE lower(trim(typ)) IN ('click', 'evt_purchase')
+       OR lower(trim(evt)) IN ('click', 'evt_purchase')
+    UNION ALL
+    SELECT event_id, user_id, value, 'apex' AS dest FROM e
+    WHERE host LIKE '%.example.com' OR host = 'app.io'"""
+
   /** Event-time windowed aggregation through the REAL streaming machinery:
     * two file-source micro-batches flow into a watermarked tumbling-window
     * count (complete mode → memory sink), proving the aggregation state
@@ -1045,5 +1125,6 @@ object StreamOps {
     "b1_stream_window"  -> Q(fewerShuffles(b1StreamWindow), Some(b1Oracle)),
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
     "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),
+    "b6_filters"        -> Q(b6Filters, Some(b6Oracle)),
   )
 }

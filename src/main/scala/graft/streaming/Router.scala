@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{coalesce, col, lit, lower, trim}
 
 /** Event routing (B5): the reference maintains one Kafka topic per
   * (destination, mode, table) — `in.id.<dest>.m.<mode>.t.<table>` — and a
@@ -32,5 +32,69 @@ object Router {
         load(t, slice.drop(tableCol))
       }
     } finally { batch.unpersist(); () }
+  }
+
+  /** Fan one batch out to destination LINKS, each gated by its own ingest
+    * filter ([[IngestFilters]]): `load(dest, slice)` per link, slice =
+    * batch rows its filter admits. Every link's filter is a Column
+    * predicate over the SAME persisted batch — one scan feeds all links,
+    * no row-wise dispatch, codegen end to end. */
+  def routeLinks(df: DataFrame, links: Seq[(String, IngestFilters.Opts)],
+                 typeCol: String, eventCol: String, hostCol: String)
+                (load: (String, DataFrame) => Unit): Unit = {
+    val batch = df.persist()
+    try links.foreach { case (dest, opts) =>
+      load(dest, batch.filter(IngestFilters.predicate(opts,
+        col(typeCol), col(eventCol), col(hostCol))))
+    } finally { batch.unpersist(); () }
+  }
+}
+
+/** Per-connection ingest filters (`ingest/filters.go:9–50`): each
+  * destination link may carry an `events` filter (newline-separated names,
+  * matched case-insensitively after trimming against the event's `type` OR
+  * its `event` name) and a `hosts` filter (`*`, exact host, or
+  * `*.domain.com` suffix rules against `context.page.host`). A missing
+  * option means `"*"` (everything); an event passes a link when ANY host
+  * rule matches AND ANY event rule matches either subject.
+  *
+  * Spark-native: the rules are connection config — plan-time literals — so
+  * every rule compiles to a Column predicate (no UDF, whole-stage codegen);
+  * missing subjects coalesce to "" exactly like the reference's `GetS`. */
+object IngestFilters {
+
+  /** A link's filter options; `None` = option absent = match-all
+    * (`parseFilter` nil arm, filters.go:32–33). */
+  final case class Opts(events: Option[String] = None, hosts: Option[String] = None)
+
+  /** Newline-split rule list (filters.go:26–37 string arm). */
+  def parse(v: Option[String]): Seq[String] = v.fold(Seq("*"))(_.split("\n").toSeq)
+
+  /** `SatisfyFilter` (filters.go:9–11): literal `*`, else trimmed
+    * case-folded equality. */
+  private def satisfy(f: String, subject: Column): Column =
+    if (f == "*") lit(true)
+    else lower(trim(subject)) === f.trim.toLowerCase
+
+  /** `SatisfyDomainFilter` non-eager (filters.go:15–24): literal `*`,
+    * `*.domain.com` = suffix `.domain.com` (the bare apex does NOT match),
+    * else exact. */
+  private def satisfyDomain(f: String, subject: Column): Column =
+    if (f == "*") lit(true)
+    else if (f.startsWith("*.")) subject.endsWith(f.substring(1))
+    else subject === f
+
+  private def anyOf(fs: Seq[String], p: String => Column): Column =
+    if (fs.isEmpty) lit(false) else fs.map(p).reduce(_ || _)
+
+  /** `ApplyFilters` (filters.go:39–50): hosts AND (type OR event). */
+  def predicate(opts: Opts, typeCol: Column, eventCol: Column,
+                hostCol: Column): Column = {
+    val evs = parse(opts.events)
+    val hs = parse(opts.hosts)
+    val (t, e, h) = (coalesce(typeCol, lit("")), coalesce(eventCol, lit("")),
+      coalesce(hostCol, lit("")))
+    anyOf(hs, satisfyDomain(_, h)) &&
+      (anyOf(evs, satisfy(_, t)) || anyOf(evs, satisfy(_, e)))
   }
 }

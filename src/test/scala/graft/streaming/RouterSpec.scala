@@ -24,6 +24,68 @@ class RouterSpec extends SparkSuite {
     assert(cols == Seq("id"))
   }
 
+  /** Drives [[IngestFilters.predicate]] over one row and returns pass/fail —
+    * the matrix mirrors ApplyFilters (ingest/filters.go:38–50). */
+  private def admits(opts: IngestFilters.Opts, typ: String, evt: String,
+                     host: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    df("typ STRING, evt STRING, host STRING", Seq(Row(typ, evt, host)))
+      .filter(IngestFilters.predicate(opts, col("typ"), col("evt"), col("host")))
+      .count() == 1
+  }
+
+  test("IngestFilters matrix mirrors the reference: trim/case, *, newline lists, type-or-event") {
+    val none = IngestFilters.Opts()
+    // absent options mean match-all
+    assert(admits(none, "click", "evt", "anything.io"))
+    // events: newline list, trimmed + case-folded, against type OR event
+    val ev = IngestFilters.Opts(events = Some(" Click \nSIGNUP"))
+    assert(admits(ev, "click", "x", "h"))   // " Click " trims/folds to type
+    assert(admits(ev, "CLICK", "x", "h"))   // subject folds too
+    assert(admits(ev, "x", "signup", "h"))  // OR-arm: event name matches
+    assert(!admits(ev, "view", "evt_view", "h"))
+    // a literal-star entry anywhere in the list admits everything
+    assert(admits(IngestFilters.Opts(events = Some("nope\n*")), "view", "x", "h"))
+    // " * " is NOT the wildcard (the reference tests the raw filter for *)
+    assert(!admits(IngestFilters.Opts(events = Some(" * ")), "view", "x", "h"))
+    assert(admits(IngestFilters.Opts(events = Some(" * ")), "*", "x", "h"))
+  }
+
+  test("IngestFilters hosts: *.domain suffix is non-eager; exact hosts exact; AND with events") {
+    val hs = IngestFilters.Opts(hosts = Some("*.example.com\napp.io"))
+    assert(admits(hs, "t", "e", "shop.example.com"))
+    assert(admits(hs, "t", "e", "a.b.example.com"))
+    assert(!admits(hs, "t", "e", "example.com")) // bare apex: non-eager miss
+    assert(admits(hs, "t", "e", "app.io"))
+    assert(!admits(hs, "t", "e", "App.IO")) // domain rules are NOT case-folded
+    assert(!admits(hs, "t", "e", "evil-app.io"))
+    // hosts AND events must BOTH pass
+    val both = IngestFilters.Opts(events = Some("click"), hosts = Some("*.example.com"))
+    assert(admits(both, "click", "e", "shop.example.com"))
+    assert(!admits(both, "click", "e", "other.io"))
+    assert(!admits(both, "view", "e", "shop.example.com"))
+    // null subjects behave like the reference's empty-string GetS
+    assert(admits(IngestFilters.Opts(events = Some("\n")), null, null, "h") ==
+      admits(IngestFilters.Opts(events = Some("\n")), "", "", "h"))
+  }
+
+  test("routeLinks: one batch, every link gets exactly its filter's rows") {
+    val batch = df("typ STRING, evt STRING, host STRING, id BIGINT", Seq(
+      Row("click", "evt_click", "shop.example.com", 1L),
+      Row("view", "evt_view", "example.com", 2L),
+      Row("purchase", "evt_purchase", "app.io", 3L)))
+    val links = Seq(
+      "all" -> IngestFilters.Opts(),
+      "clicks" -> IngestFilters.Opts(events = Some("click\nevt_purchase")),
+      "apex" -> IngestFilters.Opts(hosts = Some("*.example.com")))
+    val got = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    Router.routeLinks(batch, links, "typ", "evt", "host") { (dest, slice) =>
+      got(dest) = slice.select("id").collect().toSeq.map(_.getLong(0)).sorted
+    }
+    assert(got.toMap == Map("all" -> Seq(1L, 2L, 3L),
+      "clicks" -> Seq(1L, 3L), "apex" -> Seq(1L)))
+  }
+
   test("events log records ok and failed batches with counts (B7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_el_").toString
     val log = EventsLog(s"$dir/log")
