@@ -1,0 +1,96 @@
+package graft.sink
+
+import graft.core.DataKind
+import graft.sql.{ColumnSpec, TableSpec}
+
+/** Cross-engine DDL lock (`table_helper.go:285–304`): the reference wraps
+  * warehouse DDL in a distributed lock from its coordination service; two
+  * engines sharing one warehouse must not interleave ALTERs. With Spark
+  * there is no external coordinator to assume, so the WAREHOUSE ITSELF is
+  * the coordination service: a lock is a ROW whose INSERT must succeed —
+  * the primary key on `LOCK_ID` makes the insert exclusive (a violation
+  * means another engine holds it), acquisition retries with backoff until
+  * `timeoutMs` (the reference's `tableLockTimeout` → "Table has been
+  * already locked: timeout" error), and a holder that crashed without
+  * releasing is evicted after `staleMs` (the TTL its coordination locks
+  * carry). This is the same exclusive-create pattern the file lake already
+  * proves for manifest commits ([[FileSink]]'s `writeManifest`), moved onto
+  * a JDBC primary key.
+  *
+  * Scale shape: pure control plane — one short-lived row per DDL episode on
+  * the driver connection; the data path never touches it. */
+object DdlLock {
+
+  val Table = "GRAFT_DDL_LOCKS"
+
+  private val lockSpec = TableSpec(Table, Seq(
+    ColumnSpec("LOCK_ID", DataKind.Str),
+    ColumnSpec("OWNER", DataKind.Str),
+    ColumnSpec("ACQUIRED_MS", DataKind.Int64)), pk = Seq("LOCK_ID"))
+
+  private def ensureLockTable(sink: JdbcSink): Unit =
+    try sink.withConnection(sink.exec(_,
+      sink.dialect.createTable(lockSpec, ifNotExists = false)))
+    catch { case _: java.sql.SQLException => () } // already there
+
+  /** The reference's `getTableIdentifier` (table_helper.go:303). */
+  def lockId(destinationId: String, table: String): String =
+    s"${destinationId}_$table"
+
+  /** Acquire `id` or throw after `timeoutMs` — INSERT-must-succeed with
+    * exponential backoff; stale rows (older than `staleMs` by `now`) are
+    * evicted between attempts so a crashed engine cannot wedge DDL. */
+  def acquire(sink: JdbcSink, id: String, owner: String,
+              timeoutMs: Long = 10000L, staleMs: Long = 60000L,
+              now: () => Long = () => System.currentTimeMillis()): Unit = {
+    ensureLockTable(sink)
+    val deadline = now() + timeoutMs
+    var backoff = 5L
+    while (true) {
+      val got =
+        try sink.withConnection { c =>
+          val ps = c.prepareStatement(s"""INSERT INTO "$Table" VALUES (?, ?, ?)""")
+          try {
+            ps.setString(1, id); ps.setString(2, owner); ps.setLong(3, now())
+            ps.executeUpdate()
+          } finally ps.close()
+          true
+        }
+        catch { case _: java.sql.SQLException => false } // pk violation: held
+      if (got) return
+      // evict a crashed holder, then retry (the insert stays the only way in)
+      sink.withConnection { c =>
+        val ps = c.prepareStatement(
+          s"""DELETE FROM "$Table" WHERE "LOCK_ID" = ? AND "ACQUIRED_MS" < ?""")
+        try { ps.setString(1, id); ps.setLong(2, now() - staleMs); ps.executeUpdate() }
+        finally ps.close()
+      }
+      if (now() >= deadline)
+        throw new IllegalStateException(
+          s"unable to lock table $id. Table has been already locked: timeout after ${timeoutMs}ms")
+      Thread.sleep(backoff)
+      backoff = math.min(backoff * 2, 200L)
+    }
+  }
+
+  /** Release `id` if `owner` still holds it (a stale-evicted owner's late
+    * release must not free the NEW holder's lock). */
+  def release(sink: JdbcSink, id: String, owner: String): Unit =
+    sink.withConnection { c =>
+      val ps = c.prepareStatement(
+        s"""DELETE FROM "$Table" WHERE "LOCK_ID" = ? AND "OWNER" = ?""")
+      try { ps.setString(1, id); ps.setString(2, owner); ps.executeUpdate() }
+      finally ps.close()
+    }
+
+  private val ownerSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run `f` under the warehouse lock for (destinationId, table). */
+  def withLock[T](sink: JdbcSink, destinationId: String, table: String,
+                  timeoutMs: Long = 10000L)(f: => T): T = {
+    val id = lockId(destinationId, table)
+    val owner = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-${ownerSeq.incrementAndGet()}"
+    acquire(sink, id, owner, timeoutMs)
+    try f finally release(sink, id, owner)
+  }
+}

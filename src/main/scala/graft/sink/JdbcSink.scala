@@ -101,10 +101,16 @@ final case class JdbcSink(url: String, dialect: Dialect,
       case Some(cached) if spec.columns.forall(c => cached.columns.exists(_.name == c.name)) =>
         cached.copy(pk = spec.pk)
       case _ =>
+        // in-JVM serialization first (free), then the WAREHOUSE lock row —
+        // two engines sharing this warehouse cannot interleave their ALTERs
+        // (DdlLock, table_helper.go:285-304; the JVM mutex alone only covers
+        // streams inside one driver)
         TableCache.lockFor(url, key).synchronized {
-          val live = ensureTable(spec)
-          TableCache.put(url, key, live)
-          live
+          DdlLock.withLock(this, url, key) {
+            val live = ensureTable(spec)
+            TableCache.put(url, key, live)
+            live
+          }
         }
     }
   }

@@ -7,12 +7,12 @@ import graft.sql.TableSpec
   *
   * Per-(url, table) cached live spec so the hot path skips the JDBC
   * metadata round-trip on every batch; a lock object per table serializes
-  * DDL from concurrent streams in the same driver (the reference's
-  * distributed locks collapse to JVM locks because Spark has ONE driver —
-  * multi-writer deployments coordinate through the warehouse itself, as the
-  * reference's non-Redis fallback does). Entries are invalidated on any
-  * load error so the next attempt re-reads reality
-  * (autocommit_stream.go:42-48,73-93).
+  * DDL from concurrent streams in the same driver, and [[DdlLock]] extends
+  * that across ENGINES — a lock row in the warehouse itself (INSERT-must-
+  * succeed on a primary key, stale takeover, timeout), matching the
+  * reference's coordination-service locks (table_helper.go:285-304).
+  * Entries are invalidated on any load error so the next attempt re-reads
+  * reality (autocommit_stream.go:42-48,73-93).
   */
 object TableCache {
   private val specs = TrieMap.empty[(String, String), TableSpec]

@@ -34,6 +34,73 @@ class JdbcSinkSpec extends SparkSuite {
     assert(sink.existingColumns("E1").get.map(_.name).toSet == Set("ID", "V"))
   }
 
+  test("cross-engine DDL lock: two sinks racing ALTERs on one Derby lose no column, no deadlock") {
+    // two ENGINE stand-ins: separate JdbcSink instances on the same
+    // warehouse, coordinating ONLY through the DdlLock row (the in-JVM
+    // TableCache mutex is deliberately bypassed — two real engines don't
+    // share a JVM)
+    val url = "jdbc:derby:memory:test_ddlrace;create=true"
+    val (a, b) = (JdbcSink(url, DerbyDialect), JdbcSink(url, DerbyDialect))
+    drop(a, "RACE_T"); drop(a, DdlLock.Table)
+    a.ensureTable(TableSpec("RACE_T", Seq(ColumnSpec("ID", DataKind.Int64))))
+    val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def engine(sink: JdbcSink, prefix: String) = new Thread(() =>
+      try (0 until 8).foreach { i =>
+        DdlLock.withLock(sink, url, "RACE_T", timeoutMs = 30000L) {
+          if (!inside.compareAndSet(false, true)) overlapped.set(true)
+          try {
+            // read-patch like ensureTable: live columns + my next one
+            val live = sink.existingColumns("RACE_T").get
+            val spec = TableSpec("RACE_T",
+              live :+ ColumnSpec(s"$prefix$i", DataKind.Int64))
+            sink.ensureTable(spec)
+          } finally inside.set(false)
+        }
+      } catch { case t: Throwable => failures.add(t); () })
+    val (ta, tb) = (engine(a, "A"), engine(b, "B"))
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    assert(failures.isEmpty, s"engine failed: ${failures.peek()}")
+    assert(!overlapped.get(), "two engines were inside the DDL lock at once")
+    val cols = a.existingColumns("RACE_T").get.map(_.name).toSet
+    val want = Set("ID") ++ (0 until 8).flatMap(i => Seq(s"A$i", s"B$i"))
+    assert(cols == want, s"dropped columns: ${(want -- cols).toSeq.sorted}")
+    // the lock table drains: every episode released its row
+    a.withConnection { c =>
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT COUNT(*) FROM "${DdlLock.Table}"""")
+      rs.next(); assert(rs.getInt(1) == 0)
+    }
+  }
+
+  test("DdlLock: held lock times out with the reference's error; stale holder is evicted") {
+    val url = "jdbc:derby:memory:test_ddlstale;create=true"
+    val sink = JdbcSink(url, DerbyDialect)
+    drop(sink, DdlLock.Table)
+    var clock = 1000000L
+    val now = () => clock
+    DdlLock.acquire(sink, "d_t", "owner1", timeoutMs = 60000L, now = now)
+    // a second engine times out while the lock is fresh (timeoutMs=0: the
+    // injected clock is frozen, so the deadline must already have passed)
+    val e = intercept[IllegalStateException] {
+      DdlLock.acquire(sink, "d_t", "owner2", timeoutMs = 0L, staleMs = 60000L, now = now)
+    }
+    assert(e.getMessage.contains("already locked: timeout"))
+    // ... but takes over once the holder is stale (crash recovery)
+    clock += 120000L
+    DdlLock.acquire(sink, "d_t", "owner2", timeoutMs = 1000L, staleMs = 60000L, now = now)
+    // the evicted owner's late release must NOT free owner2's lock
+    DdlLock.release(sink, "d_t", "owner1")
+    val e2 = intercept[IllegalStateException] {
+      DdlLock.acquire(sink, "d_t", "owner3", timeoutMs = 0L, staleMs = 60000L, now = now)
+    }
+    assert(e2.getMessage.contains("already locked"))
+    DdlLock.release(sink, "d_t", "owner2")
+    DdlLock.acquire(sink, "d_t", "owner3", timeoutMs = 1000L, staleMs = 60000L, now = now)
+    DdlLock.release(sink, "d_t", "owner3")
+  }
+
   test("existingColumns does not see phantom tables through _ wildcards") {
     val sink = freshSink("wild")
     drop(sink, "AXB"); drop(sink, "A_B")
