@@ -275,6 +275,83 @@ object StreamOps {
     SELECT event_id, user_id, value, 'apex' AS dest FROM e
     WHERE host LIKE '%.example.com' OR host = 'app.io'"""
 
+  /** B7 under the oracle gate: the LIVE JDBC events log — seeded through
+    * the real buffered post/flush path (batched transactional inserts into
+    * Derby), read back through [[graft.streaming.JdbcEventsLog.getEvents]]'s
+    * full filter matrix: (type, actor), +level, +time window, +limit page.
+    * Events seed deterministically off the events table with a UNIQUE
+    * logical timestamp (= event_id) so the newest-first LIMIT page is
+    * totally ordered and the oracle can replay every probe exactly. The
+    * seeding collect is bounded control-plane traffic — the events log IS
+    * ops telemetry (one row per batch/error in production), never the data
+    * plane. */
+  def b7EventsLog(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{ActorEvent, JdbcEventsLog}
+    val url = "jdbc:derby:memory:graft_b7;create=true"
+    locally { // fresh log table per run
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE events_log")
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      } finally c.close()
+    }
+    val log = new JdbcEventsLog(url, flushEvery = 500)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .collect()
+    rows.foreach { r =>
+      val (id, uid, et) = (r.getLong(0), r.getLong(1), r.getString(2))
+      log.post(ActorEvent(
+        eventType = if (id % 2 == 0) "bulker_batch" else "incoming",
+        actorId = s"conn_${uid % 4}",
+        level = if (id % 7 == 0) "error" else "info",
+        timestampMs = id, // unique logical clock: total newest-first order
+        content = s"$et:$id"))
+    }
+    log.flush()
+    val mx = rows.map(_.getLong(0)).max
+    val big = 1 << 30 // "no page cap" probes
+    val probes = Seq(
+      ("p_all",    "bulker_batch", "conn_0", None,          None,         None,             big),
+      ("p_level",  "incoming",     "conn_1", Some("error"), None,         None,             big),
+      ("p_window", "bulker_batch", "conn_2", None,          Some(mx / 3), Some(mx * 2 / 3), big),
+      ("p_page",   "incoming",     "conn_3", Some("info"),  None,         None,             50))
+    import s.implicits._
+    probes.flatMap { case (name, et, actor, lvl, from, to, lim) =>
+      log.getEvents(et, actor, lvl, from, to, lim).map(e =>
+        (name, e.timestampMs, e.actorId, e.eventType, e.level, e.content))
+    }.toDF("probe", "ts_ms", "actor_id", "event_type", "level", "content")
+  }
+
+  private val b7Oracle = """
+    WITH seed AS (
+      SELECT event_id AS ts, 'conn_' || (user_id % 4) AS actor_id,
+        CASE WHEN event_id % 2 = 0 THEN 'bulker_batch' ELSE 'incoming' END AS etype,
+        CASE WHEN event_id % 7 = 0 THEN 'error' ELSE 'info' END AS level,
+        event_type || ':' || event_id AS content
+      FROM events WHERE event_id % 5 = 0),
+    mx AS (SELECT max(ts) AS m FROM seed)
+    SELECT 'p_all' AS probe, ts AS ts_ms, actor_id, etype AS event_type, level, content
+    FROM seed WHERE etype = 'bulker_batch' AND actor_id = 'conn_0'
+    UNION ALL
+    SELECT 'p_level', ts, actor_id, etype, level, content
+    FROM seed WHERE etype = 'incoming' AND actor_id = 'conn_1' AND level = 'error'
+    UNION ALL
+    SELECT 'p_window', ts, actor_id, etype, level, content
+    FROM seed, mx
+    WHERE etype = 'bulker_batch' AND actor_id = 'conn_2'
+      AND ts >= m // 3 AND ts <= (m * 2) // 3
+    UNION ALL
+    SELECT 'p_page', ts, actor_id, etype, level, content FROM (
+      SELECT ts, actor_id, etype, level, content,
+        row_number() OVER (ORDER BY ts DESC) AS rn
+      FROM seed
+      WHERE etype = 'incoming' AND actor_id = 'conn_3' AND level = 'info') t
+    WHERE rn <= 50"""
+
   /** Event-time windowed aggregation through the REAL streaming machinery:
     * two file-source micro-batches flow into a watermarked tumbling-window
     * count (complete mode → memory sink), proving the aggregation state
@@ -1126,5 +1203,6 @@ object StreamOps {
     "b4_retry_pipeline" -> Q(b4RetryPipeline, Some(b4Oracle)),
     "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),
     "b6_filters"        -> Q(b6Filters, Some(b6Oracle)),
+    "b7_events_log"     -> Q(b7EventsLog, Some(b7Oracle)),
   )
 }
