@@ -1073,7 +1073,16 @@ object StreamOps {
       .parquet(s"$base/input")
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        FileSink.mergeMorVersioned(b, dir, Seq("event_id"), "day"); ()
+        FileSink.mergeMorVersioned(b, dir, Seq("event_id"), "day")
+        // auto-compaction policy ([[FileSink.maybeCompactMor]]): each batch
+        // here touches EVERY partition, so the delta/base ratio counts
+        // full-table delta waves — 2.5 lets two waves accumulate (cheap
+        // commits) and folds them on the third, bounding what every reader
+        // reconciles. The decision is manifest arithmetic only; the final
+        // read below is provably invariant (same oracle either way).
+        FileSink.maybeCompactMor(s, dir, schema, Seq("event_id"), "day",
+          maxDeltas = Int.MaxValue, maxRatio = 2.5)
+        ()
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -560,6 +560,32 @@ object FileSink {
     * their base files, as [[mergeCowVersioned]] does); every other
     * partition's base entries carry over byte-identical. Commits and
     * returns the new version (a no-op commit if there are no deltas). */
+  /** Auto-compaction policy for the MOR lake: compact when the pending
+    * delta/tombstone FILE count exceeds `maxDeltas`, or when deltas exceed
+    * `maxRatio` of the base file count (a small table drowning in deltas
+    * compacts early; a huge table tolerates an absolute trickle). The
+    * decision is pure manifest arithmetic — one metadata read, zero data
+    * I/O — so a streaming merge loop can afford it after EVERY commit; the
+    * compaction itself is [[compactMor]] (layout-preserving when `layoutBy`
+    * is given, so zone-map selectivity survives). Returns the new version
+    * when it compacted, None while within budget. This is the read/write
+    * amplification dial: deltas make commits O(|batch|), the trigger bounds
+    * how many of them every reader must reconcile. */
+  def maybeCompactMor(spark: SparkSession, dir: String, schema: StructType,
+                      pk: Seq[String], partitionCol: String,
+                      maxDeltas: Int = 8, maxRatio: Double = 0.5,
+                      layoutBy: Option[String] = None,
+                      filesPerPartition: Int = 0): Option[Int] = {
+    val v = currentVersion(spark, dir)
+    require(v >= 1, s"maybeCompactMor: no committed version under $dir")
+    val (deltas, bases) = readManifest(spark, dir, v).partition(isDelta)
+    val over = deltas.size > maxDeltas ||
+      (bases.nonEmpty && deltas.size.toDouble / bases.size > maxRatio)
+    if (over && deltas.nonEmpty)
+      Some(compactMor(spark, dir, schema, pk, partitionCol, layoutBy, filesPerPartition))
+    else None
+  }
+
   def compactMor(spark: SparkSession, dir: String, schema: StructType,
                  pk: Seq[String], partitionCol: String,
                  layoutBy: Option[String] = None,

@@ -355,6 +355,54 @@ class FileSinkSpec extends SparkSuite {
     assert(opened < total, s"pruning opened all $total files")
   }
 
+  test("maybeCompactMor: no-ops within the delta budget, fires past it, reconcile invariant") {
+    val dir = tmp() + "/t"
+    df("id BIGINT, v DOUBLE, s STRING", Seq(Row(1L, 1.0, "y"), Row(2L, 2.0, "y")))
+      .write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    def merge(id: Long, v: Double) = FileSink.mergeMorVersioned(
+      df("id BIGINT, v DOUBLE, s STRING", Seq(Row(id, v, "y"))), dir, Seq("id"), "s")
+    merge(1L, 10.0); merge(2L, 20.0) // 2 delta files: within budget
+    assert(FileSink.maybeCompactMor(spark, dir, schema, Seq("id"), "s",
+      maxDeltas = 2, maxRatio = 1e9).isEmpty)
+    val before = canon(FileSink.readMorVersion(spark, dir,
+      FileSink.currentVersion(spark, dir), schema, Seq("id"), "s"))
+    merge(3L, 30.0) // third delta trips the absolute budget
+    val compacted = FileSink.maybeCompactMor(spark, dir, schema, Seq("id"), "s",
+      maxDeltas = 2, maxRatio = 1e9)
+    assert(compacted.nonEmpty, "trigger did not fire past maxDeltas")
+    // the compacted manifest holds NO deltas and reconciles identically
+    val after = FileSink.readMorVersion(spark, dir, compacted.get, schema, Seq("id"), "s")
+    assert(canon(after) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(1L, 10.0, "y"), Row(2L, 20.0, "y"), Row(3L, 30.0, "y")))))
+    assert(before != canon(after)) // sanity: the third merge was part of it
+    assert(FileSink.maybeCompactMor(spark, dir, schema, Seq("id"), "s",
+      maxDeltas = 0, maxRatio = 0.0).isEmpty, "no deltas left to compact")
+  }
+
+  test("maybeCompactMor(ratio) with layoutBy: zone-map selectivity survives auto-compaction") {
+    val dir = tmp() + "/t"
+    val rows = Seq(1L, 50L, 2L, 51L, 3L, 52L, 4L, 53L).map(i => Row(i, i.toDouble, "y"))
+    df("id BIGINT, v DOUBLE, s STRING", rows).repartition(4)
+      .write.partitionBy("s").parquet(dir)
+    FileSink.commitVersion(spark, dir)
+    FileSink.mergeMorVersioned(df("id BIGINT, v DOUBLE, s STRING",
+      Seq(Row(100L, 1.0, "y"))), dir, Seq("id"), "s")
+    // 1 delta / 4 bases = 0.25 — a 0.2 ratio policy fires
+    val v = FileSink.maybeCompactMor(spark, dir, schema, Seq("id"), "s",
+      maxDeltas = Int.MaxValue, maxRatio = 0.2,
+      layoutBy = Some("id"), filesPerPartition = 2)
+    assert(v.nonEmpty, "ratio trigger did not fire")
+    FileSink.writeStats(spark, dir, v.get, schema, Seq("id"))
+    val pruned = FileSink.readVersionWhere(spark, dir, v.get, schema, "id", 0, 10)
+    assert(canon(pruned) == canon(df("id BIGINT, v DOUBLE, s STRING",
+      (1L to 4L).map(i => Row(i, i.toDouble, "y")))))
+    val opened = pruned.select(input_file_name()).distinct().count()
+    val total = FileSink.readVersion(spark, dir, v.get, schema)
+      .select(input_file_name()).distinct().count()
+    assert(opened < total, s"auto-compaction lost the clustered layout ($total files all opened)")
+  }
+
   test("compactMor keeps null-partition deltas and tombstones (null-safe planning)") {
     val dir = tmp() + "/t"
     // a null partition value lands in __HIVE_DEFAULT_PARTITION__
