@@ -28,6 +28,7 @@ object PlanSweep {
 
     "q_stream_ann"    -> Set("BroadcastNestedLoop"), // same ≤16-row centroid cross as ivf
     "llm_ann_ivfpq"   -> Set("BroadcastNestedLoop"), // ≤16-row centroid cross (coarse cells)
+    "llm_pq_knn_join" -> Set("BroadcastNestedLoop"), // same ≤16-row centroid cross (coarse cells + query probes); the (cell, sub, code) join is shuffled
     "llm_pq_recall"   -> Set("BroadcastNestedLoop"), // brute L2 truth baseline, as ann_recall
     "llm_bm25"        -> Set("BroadcastNestedLoop"),
     "llm_build"       -> Set("BroadcastNestedLoop"),
