@@ -21,10 +21,15 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Collision-free per-sfDir tag for scratch dirs / table names: the
-    * sanitized path itself, not a 32-bit hash (hashCode collides, and
-    * math.abs(Int.MinValue) is negative). Valid in both file paths and SQL
-    * identifiers. */
-  def pathTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+    * sanitized path (readable) plus a 64-bit content hash (injective in
+    * practice — sanitization alone maps '/a/b' and '/a_b' to the same tag,
+    * and a 32-bit hashCode both collides and goes negative at Int.MinValue).
+    * Valid in both file paths and SQL identifiers. */
+  def pathTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(d.getBytes("UTF-8"))
+    val h = md.take(8).map("%02x".format(_)).mkString
+    s"${d.replaceAll("[^A-Za-z0-9]", "_")}_$h"
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")

@@ -31,7 +31,18 @@ object DdlLock {
   private def ensureLockTable(sink: JdbcSink): Unit =
     try sink.withConnection(sink.exec(_,
       sink.dialect.createTable(lockSpec, ifNotExists = false)))
-    catch { case _: java.sql.SQLException => () } // already there
+    catch {
+      case e: java.sql.SQLException =>
+        // only "already exists" is benign — a real failure (connection,
+        // disk) must surface, not be misread as a held lock downstream
+        if (sink.existingColumns(Table).isEmpty) throw e
+    }
+
+  /** Is this the exclusivity signal (integrity-constraint violation,
+    * SQLState 23xxx — Derby 23505 duplicate key), as opposed to a real
+    * warehouse error that must propagate? */
+  private def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(_.startsWith("23"))
 
   /** The reference's `getTableIdentifier` (table_helper.go:303). */
   def lockId(destinationId: String, table: String): String =
@@ -40,8 +51,17 @@ object DdlLock {
   /** Acquire `id` or throw after `timeoutMs` — INSERT-must-succeed with
     * exponential backoff; stale rows (older than `staleMs` by `now`) are
     * evicted between attempts so a crashed engine cannot wedge DDL. */
+  /** Default TTL before a holder is presumed crashed: generous relative to
+    * any DDL episode (seconds) so a merely SLOW holder or modest clock skew
+    * between engines cannot get evicted into concurrent DDL — eviction is
+    * crash recovery, not progress guarantee. (The reference's coordination
+    * locks carry the same TTL tradeoff; a heartbeat/fencing protocol is the
+    * next rung and deliberately out of scope for a lock whose critical
+    * sections are single ALTER statements.) */
+  val DefaultStaleMs: Long = 600000L
+
   def acquire(sink: JdbcSink, id: String, owner: String,
-              timeoutMs: Long = 10000L, staleMs: Long = 60000L,
+              timeoutMs: Long = 10000L, staleMs: Long = DefaultStaleMs,
               now: () => Long = () => System.currentTimeMillis()): Unit = {
     ensureLockTable(sink)
     val deadline = now() + timeoutMs
@@ -56,7 +76,9 @@ object DdlLock {
           } finally ps.close()
           true
         }
-        catch { case _: java.sql.SQLException => false } // pk violation: held
+        catch {
+          case e: java.sql.SQLException if isDuplicateKey(e) => false // held
+        }
       if (got) return
       // evict a crashed holder, then retry (the insert stays the only way in)
       sink.withConnection { c =>

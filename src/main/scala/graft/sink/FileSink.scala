@@ -555,11 +555,6 @@ object FileSink {
       .filter(col("change_type") =!= "unchanged")
   }
 
-  /** Fold the current version's deltas into new base files: partitions
-    * holding deltas rewrite from the reconciled view (planning scan finds
-    * their base files, as [[mergeCowVersioned]] does); every other
-    * partition's base entries carry over byte-identical. Commits and
-    * returns the new version (a no-op commit if there are no deltas). */
   /** Auto-compaction policy for the MOR lake: compact when the pending
     * delta/tombstone FILE count exceeds `maxDeltas`, or when deltas exceed
     * `maxRatio` of the base file count (a small table drowning in deltas
@@ -578,22 +573,38 @@ object FileSink {
                       filesPerPartition: Int = 0): Option[Int] = {
     val v = currentVersion(spark, dir)
     require(v >= 1, s"maybeCompactMor: no committed version under $dir")
-    val (deltas, bases) = readManifest(spark, dir, v).partition(isDelta)
+    val files = readManifest(spark, dir, v)
+    val (deltas, bases) = files.partition(isDelta)
     val over = deltas.size > maxDeltas ||
       (bases.nonEmpty && deltas.size.toDouble / bases.size > maxRatio)
     if (over && deltas.nonEmpty)
-      Some(compactMor(spark, dir, schema, pk, partitionCol, layoutBy, filesPerPartition))
+      // pass the manifest we decided on: one metadata read for decision AND
+      // compaction, and no commit can slip between the two
+      Some(compactMorFrom(spark, dir, schema, pk, partitionCol,
+        layoutBy, filesPerPartition, v, files))
     else None
   }
 
+  /** Fold the current version's deltas into new base files: partitions
+    * holding deltas rewrite from the reconciled view (planning scan finds
+    * their base files, as [[mergeCowVersioned]] does); every other
+    * partition's base entries carry over byte-identical. Commits and
+    * returns the new version (a no-op commit if there are no deltas). */
   def compactMor(spark: SparkSession, dir: String, schema: StructType,
                  pk: Seq[String], partitionCol: String,
                  layoutBy: Option[String] = None,
                  filesPerPartition: Int = 0): Int = {
-    import org.apache.spark.sql.functions._
     val prevV = currentVersion(spark, dir)
     require(prevV >= 1, s"compactMor: no committed version under $dir")
-    val files = readManifest(spark, dir, prevV)
+    compactMorFrom(spark, dir, schema, pk, partitionCol, layoutBy,
+      filesPerPartition, prevV, readManifest(spark, dir, prevV))
+  }
+
+  private def compactMorFrom(spark: SparkSession, dir: String, schema: StructType,
+                             pk: Seq[String], partitionCol: String,
+                             layoutBy: Option[String], filesPerPartition: Int,
+                             prevV: Int, files: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
     val (deltas, bases) = files.partition(isDelta)
     val v = prevV + 1
     if (deltas.isEmpty) { writeManifest(spark, dir, v, files, Some(files)); return v }

@@ -46,12 +46,17 @@ object RawArchive {
       }
     }
 
-    private def open(dest: String, dt: String, n: Int): Seg = {
+    private def open(dest: String, dt: String, hint: Int): Seg = {
       val d = new java.io.File(s"$dir/$dest/dt=$dt")
       require(d.isDirectory || d.mkdirs(), s"cannot create archive dir $d")
-      new Seg(new java.util.zip.GZIPOutputStream(
-        new java.io.FileOutputStream(new java.io.File(d, f"events-$n%05d.ndjson.gz"))),
-        0L, n)
+      // NEVER truncate a sealed segment: a restarted edge (new Writer over
+      // the same spool — the backup-logger crash/restart path) must resume
+      // AFTER whatever earlier segments exist, or the archive would lose
+      // the very events it exists to make recoverable
+      var n = hint
+      var f = new java.io.File(d, f"events-$n%05d.ndjson.gz")
+      while (f.exists()) { n += 1; f = new java.io.File(d, f"events-$n%05d.ndjson.gz") }
+      new Seg(new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f)), 0L, n)
     }
 
     def close(): Unit = synchronized {

@@ -74,7 +74,9 @@ object IngestFilters {
     * case-folded equality. */
   private def satisfy(f: String, subject: Column): Column =
     if (f == "*") lit(true)
-    else lower(trim(subject)) === f.trim.toLowerCase
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+    // fold would mangle 'I' under tr/az locales and silently drop events
+    else lower(trim(subject)) === f.trim.toLowerCase(java.util.Locale.ROOT)
 
   /** `SatisfyDomainFilter` non-eager (filters.go:15–24): literal `*`,
     * `*.domain.com` = suffix `.domain.com` (the bare apex does NOT match),

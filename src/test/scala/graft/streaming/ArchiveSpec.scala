@@ -33,6 +33,28 @@ class ArchiveSpec extends SparkSuite {
     assert(back.toSeq == lines)
   }
 
+  test("a restarted writer resumes AFTER existing segments — sealed archive bytes are never truncated") {
+    val dir = tmp()
+    val w1 = new RawArchive.Writer(dir, maxBytes = 32)
+    (0 until 4).foreach(i => w1.log("d1", Day1, s"""{"gen":1,"i":$i,"pad":"xxxxxxxx"}"""))
+    w1.close()
+    val sealedFiles = new java.io.File(s"$dir/d1/dt=2024-01-01").listFiles().map(f =>
+      f.getName -> f.length()).toMap
+    assert(sealedFiles.size > 1)
+    // the crash/restart path: a NEW writer over the same spool dir
+    val w2 = new RawArchive.Writer(dir, maxBytes = 32)
+    w2.log("d1", Day1, """{"gen":2,"i":0}""")
+    w2.close()
+    val after = new java.io.File(s"$dir/d1/dt=2024-01-01").listFiles().map(f =>
+      f.getName -> f.length()).toMap
+    // every pre-restart segment survives byte-identical; gen-2 got a NEW file
+    sealedFiles.foreach { case (n, len) => assert(after(n) == len, s"$n truncated") }
+    assert(after.size == sealedFiles.size + 1)
+    val back = RawArchive.readRange(spark, s"$dir/d1", "2024-01-01")
+      .count()
+    assert(back == 5)
+  }
+
   test("writer output reads back through Spark with partition discovery; range replay prunes files") {
     val dir = tmp()
     val w = new RawArchive.Writer(dir)
