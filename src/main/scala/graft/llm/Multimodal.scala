@@ -494,14 +494,53 @@ object Multimodal {
     private def str4(payload: Array[Byte], pos: Int): String =
       new String(payload, pos, 4, "US-ASCII")
 
+    /** MJPEG mux: `00dc` chunks of genuine baseline JPEGs, fourcc MJPG. */
     def encode(frames: Seq[Array[Byte]], width: Int, height: Int,
-               fps: Int = 10): Array[Byte] = {
+               fps: Int = 10): Array[Byte] =
+      mux(frames, width, height, fps, handler = "MJPG", chunkId = "00dc",
+        bitCount = 24, compression = Some("MJPG"), palette = Array.emptyByteArray)
+
+    /** DIB row stride for 8-bit pixels: rows pad to 4-byte boundaries. */
+    def rawStride(width: Int): Int = (width + 3) & ~3
+
+    /** UNCOMPRESSED 8-bit grayscale AVI (`00db` DIB chunks, BI_RGB, a
+      * 256-entry gray palette in strf): the lossless sibling of [[encode]] —
+      * pixels survive the container bit-exactly, so an oracle can hash-
+      * replay decoded rasters the way it can for PNG. Input frames are
+      * row-major top-down rasters; DIB stores rows bottom-up, each padded
+      * to [[rawStride]]. */
+    def encodeRawGray(rasters: Seq[Array[Byte]], width: Int, height: Int,
+                      fps: Int = 10): Array[Byte] = {
+      val stride = rawStride(width)
+      val dib = rasters.map { r =>
+        require(r.length == width * height, "raster size mismatch")
+        val out = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) { // bottom-up rows
+          System.arraycopy(r, y * width, out, (height - 1 - y) * stride, width)
+          y += 1
+        }
+        out
+      }
+      // gray palette: RGBQUAD (b, g, r, 0) per index
+      val pal = new Array[Byte](256 * 4)
+      (0 until 256).foreach { i =>
+        pal(i * 4) = i.toByte; pal(i * 4 + 1) = i.toByte; pal(i * 4 + 2) = i.toByte
+      }
+      mux(dib, width, height, fps, handler = "DIB ", chunkId = "00db",
+        bitCount = 8, compression = None, palette = pal)
+    }
+
+    private def mux(frames: Seq[Array[Byte]], width: Int, height: Int,
+                    fps: Int, handler: String, chunkId: String, bitCount: Int,
+                    compression: Option[String], palette: Array[Byte]): Array[Byte] = {
       require(frames.nonEmpty, "empty AVI")
       require(fps > 0, "fps must be positive")
       val n = frames.size
       val maxLen = frames.map(_.length).max
       val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
-      val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+      val strfSize = 40 + palette.length
+      val strlSize = 4 + (8 + 56) + (8 + strfSize) // 'strl' + strh + strf
       val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
       val idxSize = 16 * n
       val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
@@ -519,7 +558,7 @@ object Multimodal {
       (0 until 4).foreach(_ => bb.putInt(0)) // dwReserved
       put4("LIST"); bb.putInt(strlSize); put4("strl")
       put4("strh"); bb.putInt(56)
-      put4("vids"); put4("MJPG")
+      put4("vids"); put4(handler)
       bb.putInt(0); bb.putShort(0); bb.putShort(0) // flags, priority, language
       bb.putInt(0) // initial frames
       bb.putInt(1); bb.putInt(fps) // dwScale, dwRate → fps frames/sec
@@ -527,22 +566,25 @@ object Multimodal {
       bb.putInt(maxLen); bb.putInt(-1); bb.putInt(0) // bufsize, quality, samplesize
       bb.putShort(0); bb.putShort(0) // rcFrame left, top
       bb.putShort(width.toShort); bb.putShort(height.toShort)
-      put4("strf"); bb.putInt(40)
+      put4("strf"); bb.putInt(strfSize)
       bb.putInt(40); bb.putInt(width); bb.putInt(height) // biSize, biWidth, biHeight
-      bb.putShort(1); bb.putShort(24) // biPlanes, biBitCount
-      put4("MJPG"); bb.putInt(width * height * 3) // biCompression, biSizeImage
-      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putShort(1); bb.putShort(bitCount.toShort) // biPlanes, biBitCount
+      compression.fold[Unit]({ bb.putInt(0); () })(put4) // BI_RGB = 0 when raw
+      bb.putInt(maxLen) // biSizeImage
+      bb.putInt(0); bb.putInt(0)
+      bb.putInt(palette.length / 4); bb.putInt(0) // biClrUsed, biClrImportant
+      bb.put(palette)
       put4("LIST"); bb.putInt(moviSize); put4("movi")
       val moviFcc = bb.position() - 4 // file offset of the 'movi' fourcc
       val offsets = new Array[Int](n) // idx1 offsets are movi-fourcc-relative
       frames.zipWithIndex.foreach { case (f, i) =>
         offsets(i) = bb.position() - moviFcc
-        put4("00dc"); bb.putInt(f.length); bb.put(f)
+        put4(chunkId); bb.putInt(f.length); bb.put(f)
         if ((f.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
       }
       put4("idx1"); bb.putInt(idxSize)
       frames.zipWithIndex.foreach { case (f, i) =>
-        put4("00dc"); bb.putInt(KeyframeFlag)
+        put4(chunkId); bb.putInt(KeyframeFlag)
         bb.putInt(offsets(i)); bb.putInt(f.length)
       }
       bb.array()
@@ -588,6 +630,54 @@ object Multimodal {
 
     def frame(payload: Array[Byte], off: Int, len: Int): Array[Byte] =
       java.util.Arrays.copyOfRange(payload, off, off + len)
+
+    /** Stream geometry from the header tree (the real demuxer's strf read):
+      * walks RIFF → LIST(hdrl) → LIST(strl) → strf and returns
+      * (biWidth, biHeight, biBitCount, compression fourcc — "\0\0\0\0" for
+      * BI_RGB raw). Header-only: movi bytes are never touched. */
+    def geometry(payload: Array[Byte]): (Int, Int, Int, String) = {
+      require(payload.length >= 12 && str4(payload, 0) == "RIFF" &&
+        str4(payload, 8) == "AVI ", "bad magic: not a RIFF/AVI payload")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // find a chunk id inside [from, to), recursing into LISTs
+      def find(from: Int, to: Int, id: String): Int = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val ck = str4(payload, pos)
+          val sz = bb.getInt(pos + 4)
+          require(sz >= 0 && pos + 8 + sz.toLong <= payload.length,
+            s"corrupt RIFF chunk $ck")
+          if (ck == id) return pos
+          if (ck == "LIST" && sz >= 4) {
+            val in = find(pos + 12, pos + 8 + sz, id)
+            if (in >= 0) return in
+          }
+          pos += 8 + sz + (sz & 1)
+        }
+        -1
+      }
+      val strf = find(12, payload.length, "strf")
+      require(strf >= 0, "no strf header")
+      val d = strf + 8 // BITMAPINFOHEADER start
+      (bb.getInt(d + 4), bb.getInt(d + 8), bb.getShort(d + 14).toInt,
+        str4(payload, d + 16))
+    }
+
+    /** Decode one `00db` uncompressed 8-bit DIB frame back to a row-major
+      * top-down raster (undo the bottom-up rows + stride padding). */
+    def rawGrayFrame(dib: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val stride = rawStride(width)
+      require(dib.length == stride * height,
+        s"DIB size ${dib.length} != stride $stride × height $height")
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(dib, (height - 1 - y) * stride, out, y * width, width)
+        y += 1
+      }
+      out
+    }
   }
 
   /** One decoded sampled frame: parent doc, frame index, RASTER bytes. */
@@ -608,6 +698,28 @@ object Multimodal {
   def sampleFramesAvi(media: Dataset[MediaRow], stride: Int,
                       decoder: MediaDecoder): Dataset[DecodedFrameRow] =
     sampleFramesBy(media, stride, decoder, AviMjpeg.index)
+
+  /** [[sampleFramesAvi]] for UNCOMPRESSED 8-bit AVI streams
+    * ([[AviMjpeg.encodeRawGray]]): geometry from the strf header, frames
+    * decoded by the trivial DIB un-pad/flip — bit-exact pixels, which is
+    * what lets an oracle hash-replay AVI frame rasters the way it does for
+    * PNG. Seek honesty is the same idx1 contract. */
+  def sampleFramesAviRaw(media: Dataset[MediaRow], stride: Int)
+      : Dataset[DecodedFrameRow] = {
+    import media.sparkSession.implicits._
+    require(stride > 0)
+    media.flatMap { r =>
+      val (w, h, bits, comp) = AviMjpeg.geometry(r.media)
+      require(bits == 8 && comp == "\u0000\u0000\u0000\u0000",
+        s"not an uncompressed 8-bit stream ($bits bpp, '$comp')")
+      val idx = AviMjpeg.index(r.media)
+      idx.indices.by(stride).map { i =>
+        val (off, len) = idx(i)
+        DecodedFrameRow(r.doc_id, i.toLong,
+          AviMjpeg.rawGrayFrame(AviMjpeg.frame(r.media, off, len), w, h))
+      }
+    }
+  }
 
   private def sampleFramesBy(media: Dataset[MediaRow], stride: Int,
                              decoder: MediaDecoder,

@@ -2890,6 +2890,25 @@ object LlmOps {
       }.toDF("doc_id", "frame_idx", "n_px", "within_tol")
   }
 
+  /** The LOSSLESS AVI leg: same RIFF/movi/idx1 container and seek path, but
+    * an UNCOMPRESSED 8-bit DIB stream (`00db`, BI_RGB + gray palette) —
+    * pixels survive the container bit-exactly, so this oracle hash-replays
+    * the decoded rasters EXACTLY (same oracle as the GFR1 frame sampler:
+    * the container changed, the pixels must not). Between this and
+    * [[mmFrameSampleAvi]] the AVI demuxer is pinned from both sides:
+    * bounded-error through the real lossy codec, hash-exact through the
+    * raw stream. */
+  def mmFrameSampleAviRaw(s: SparkSession, d: String): DataFrame = {
+    val media = textBytesMedia(s, d, "video/avi") { bytes =>
+      Multimodal.AviMjpeg.encodeRawGray((0 until MmFrames).map(f =>
+        cycledRaster(bytes, MmFrameW * MmFrameH, offset = f)),
+        MmFrameW, MmFrameH)
+    }
+    Multimodal.sampleFramesAviRaw(media, stride = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("raster")).as("frame_md5"))
+  }
+
   private val mmFrameSampleAviOracle = s"""
     SELECT doc_id, f AS frame_idx,
       ${MmFrameW * MmFrameH}::BIGINT AS n_px, TRUE AS within_tol
@@ -3402,6 +3421,7 @@ object LlmOps {
     "mm_resize_real"    -> Q(mmResizeReal, Some(mmResizeRealOracle)),
     "mm_framesample_real" -> Q(mmFrameSampleReal, Some(mmFrameSampleRealOracle)),
     "mm_framesample_avi" -> Q(mmFrameSampleAvi, Some(mmFrameSampleAviOracle)),
+    "mm_framesample_avi_raw" -> Q(mmFrameSampleAviRaw, Some(mmFrameSampleRealOracle)),
     "mm_audio_real"     -> Q(mmAudioReal, Some(mmAudioRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),

@@ -264,6 +264,55 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("AviMjpeg raw stream: odd-width DIB round-trips pixels bit-exactly (stride pad + bottom-up)") {
+    // width 6 → stride 8: two pad bytes per row, rows stored bottom-up
+    val (w, h) = (6, 3)
+    assert(Multimodal.AviMjpeg.rawStride(w) == 8)
+    val rasters = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => ((i * 7 + f * 31 + 40) % 200).toByte))
+    val avi = Multimodal.AviMjpeg.encodeRawGray(rasters, w, h)
+    // geometry comes from the real strf read: 8 bpp, BI_RGB
+    val (gw, gh, bits, comp) = Multimodal.AviMjpeg.geometry(avi)
+    assert((gw, gh, bits) == (w, h, 8) && comp == "\u0000\u0000\u0000\u0000")
+    val idx = Multimodal.AviMjpeg.index(avi)
+    assert(idx.size == 3)
+    idx.zipWithIndex.foreach { case ((off, len), i) =>
+      val back = Multimodal.AviMjpeg.rawGrayFrame(
+        Multimodal.AviMjpeg.frame(avi, off, len), w, h)
+      assert(back.toSeq == rasters(i).toSeq, s"frame $i pixels diverged")
+    }
+    // the MJPEG variant's geometry reads 24bpp/MJPG through the same path
+    val jpgAvi = Multimodal.AviMjpeg.encode(
+      Seq(Multimodal.encodeJpeg(8, 8, Array.tabulate(64)(_.toByte))), 8, 8)
+    val (_, _, jb, jc) = Multimodal.AviMjpeg.geometry(jpgAvi)
+    assert(jb == 24 && jc == "MJPG")
+  }
+
+  test("sampleFramesAviRaw: idx1 seek honesty + exact pixels; MJPEG payload refused") {
+    val (w, h) = (8, 8)
+    val rasters = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => ((i * 11 + f * 53 + 32) % 96).toByte))
+    val payload = Multimodal.AviMjpeg.encodeRawGray(rasters, w, h)
+    val idx = Multimodal.AviMjpeg.index(payload)
+    val (off1, len1) = idx(1)
+    java.util.Arrays.fill(payload, off1, off1 + len1, 0x5a.toByte) // corrupt skipped frame
+    val ds = Seq(Multimodal.MediaRow(1L, payload, "video/avi")).toDS()
+    val sampled = Multimodal.sampleFramesAviRaw(ds, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(sampled(0).raster.toSeq == rasters(0).toSeq)
+    assert(sampled(2 / 2).raster.toSeq == rasters(2).toSeq)
+    // raw frames carry no self-describing header, so a corrupt SAMPLED frame
+    // surfaces as wrong pixels, not a parse error — the hash-exact oracle is
+    // what catches it; a WRONG STREAM TYPE (MJPEG) fails loudly here
+    val jpgAvi = Multimodal.AviMjpeg.encode(
+      Seq(Multimodal.encodeJpeg(w, h, rasters(0))), w, h)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFramesAviRaw(
+        Seq(Multimodal.MediaRow(2L, jpgAvi, "video/avi")).toDS(), stride = 1).collect()
+    }
+  }
+
   test("encodeJpeg at q=1.0: gray round-trip error ≤ 1 on noisy ASCII-range rasters") {
     // anchors LlmOps.AviTol = 2: the measured bound is 1, the gate keeps
     // margin without admitting a wrong frame (whole ASCII bytes apart)
