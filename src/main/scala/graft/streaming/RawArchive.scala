@@ -74,6 +74,28 @@ object RawArchive {
       .write.mode("append").partitionBy("dt")
       .option("compression", "gzip").text(destDir)
 
+  /** Retention (the reference's `BackupLogTTL` / lumberjack `MaxAge` days):
+    * drop whole `dt=` partitions strictly OLDER than `ttlDays` before
+    * `today`. Deleting by partition directory is the point of the layout —
+    * expiry is a rename-free O(|expired dirs|) metadata operation, never a
+    * scan; comparisons are on the lexicographically ordered date strings.
+    * Returns the expired partition dates. */
+  def vacuum(dir: String, dest: String, ttlDays: Int,
+             todayMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+    require(ttlDays > 0, "ttlDays must be positive")
+    val cutoff = DtFmt.format(java.time.Instant.ofEpochMilli(
+      todayMs() - ttlDays.toLong * 86400000L))
+    val root = new java.io.File(s"$dir/$dest")
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+    val expired = parts.filter(_.getName.stripPrefix("dt=") < cutoff)
+    expired.foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+    expired.map(_.getName.stripPrefix("dt=")).toSeq.sorted
+  }
+
   /** Replay read of `[fromDt, toDt]` (inclusive; `toDt` open-ended when
     * None): raw lines + their `dt`. The range lands on the hive partition
     * column, so pruning happens in the file listing — files outside the

@@ -88,6 +88,25 @@ class ArchiveSpec extends SparkSuite {
       ("""{"a":3}""", "2024-01-01")))
   }
 
+  test("vacuum expires whole partitions strictly older than the TTL; newer days untouched") {
+    val dir = tmp()
+    val w = new RawArchive.Writer(dir)
+    w.log("d1", Day1, """{"d":1}""")          // 2024-01-01
+    w.log("d1", Day2, """{"d":2}""")          // 2024-01-02
+    w.log("d1", Day2 + 86400000L, """{"d":3}""") // 2024-01-03
+    w.close()
+    // "today" = 2024-01-05; TTL 3 days → cutoff 2024-01-02: only day 1 goes
+    val expired = RawArchive.vacuum(dir, "d1", ttlDays = 3,
+      todayMs = () => Day1 + 4 * 86400000L)
+    assert(expired == Seq("2024-01-01"))
+    assert(!new java.io.File(s"$dir/d1/dt=2024-01-01").exists())
+    val left = RawArchive.readRange(spark, s"$dir/d1", "2024-01-01")
+      .select("dt").collect().map(_.getString(0)).toSet
+    assert(left == Set("2024-01-02", "2024-01-03"))
+    // idempotent: nothing else crosses the cutoff on a re-run
+    assert(RawArchive.vacuum(dir, "d1", 3, () => Day1 + 4 * 86400000L).isEmpty)
+  }
+
   test("ingest edge wiring: events spooled through IngestServer land in the archive pre-parse") {
     val dir = tmp()
     val w = new RawArchive.Writer(dir)
