@@ -101,6 +101,14 @@ final class IngestServer(
             case None =>
               respond(ex, 401, s"""{"ok":false,"error":"invalid writeKey ${
                 key.map(WriteKeys.mask).getOrElse("(none)")}"}""")
+            case Some((streamId, keyType)) if !s2s && keyType == "browser" &&
+                !graft.streaming.IngestFilters.checkOrigin(
+                  reg.jsDomains.getOrElse(streamId, ""), hdr("Origin")) =>
+              // browser ingest only: the stream's authorizedJavaScriptDomains
+              // gate the Origin header (router.go:607-625) — defense in
+              // depth on top of the writeKey credential
+              respond(ex, 403, s"""{"ok":false,"error":${graft.Verify.jsonStr(
+                s"origin ${hdr("Origin").getOrElse("")} is not authorized")}}""")
             case Some((streamId, keyType)) =>
               // stamp type + ingestType WITHOUT parsing the payload (the
               // reference also wraps raw bytes; parsing is the consumer's)

@@ -22,10 +22,13 @@ object WriteKeys {
                            keyType: String) // "s2s" | "browser"
 
   /** Key registry + the deployment's global hash secrets. Plain keys map
-    * key → (streamId, keyType) directly. */
+    * key → (streamId, keyType) directly. `jsDomains` is each stream's
+    * `authorizedJavaScriptDomains` config (ingest/repository.go:178) —
+    * comma-separated rules checked against browser requests' Origin. */
   final case class Registry(bindings: Map[String, Binding],
                             plain: Map[String, (String, String)],
-                            globalSecrets: Seq[String]) {
+                            globalSecrets: Seq[String],
+                            jsDomains: Map[String, String] = Map.empty) {
 
     /** Resolve a writeKey to (streamId, keyType); None = unauthorized. */
     def resolve(writeKey: String, s2sEndpoint: Boolean): Option[(String, String)] = {

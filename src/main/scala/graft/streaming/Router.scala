@@ -99,4 +99,45 @@ object IngestFilters {
     anyOf(hs, satisfyDomain(_, h)) &&
       (anyOf(evs, satisfy(_, t)) || anyOf(evs, satisfy(_, e)))
   }
+
+  // ---- authorized-JavaScript-domains origin check (edge auth) -----------
+  // Per-REQUEST control plane (an Origin header against a config string),
+  // so these are plain driver-side functions, not Columns.
+
+  /** Rule sanitizer (filters.go:59–67): trim, strip one URL scheme, strip a
+    * trailing slash. */
+  private def sanitizeJsDomain(d0: String): String = {
+    val d1 = d0.trim
+    val d2 = if (d1.startsWith("https://")) d1.stripPrefix("https://")
+             else d1.stripPrefix("http://")
+    d2.stripSuffix("/")
+  }
+
+  /** `SatisfyDomainFilter` EAGER form (filters.go:15–24): `*.domain.com`
+    * matches subdomains AND the bare apex — the CORS-ish authorization
+    * semantics, unlike the ingest-filter host rule's non-eager form. */
+  private def satisfyDomainEager(f: String, subject: String): Boolean =
+    if (f == "*") true
+    else if (f.startsWith("*.")) subject.endsWith(f.substring(1)) || subject == f.substring(2)
+    else f == subject
+
+  /** `ApplyAuthorizedJavaScriptDomainsFilter` (filters.go:52–57):
+    * comma-separated rules, ANY sanitized rule admitting the origin. */
+  def authorizedJsDomains(domains: String, origin: String): Boolean =
+    domains.split(",").exists(r => satisfyDomainEager(sanitizeJsDomain(r), origin))
+
+  /** `checkOrigin` (ingest/router.go:607–625), for BROWSER ingest only:
+    * empty or `*` config admits everything; a MISSING Origin header is
+    * allowed (the reference lets non-CORS clients through — the writeKey is
+    * the credential, the origin check is defense in depth); otherwise the
+    * header is stripped of its scheme and port and must satisfy a rule. */
+  def checkOrigin(authorizedDomains: String, originHeader: Option[String]): Boolean = {
+    val ds = authorizedDomains.trim
+    if (ds.isEmpty || ds == "*") true
+    else originHeader.map(_.trim).filter(_.nonEmpty).forall { o =>
+      val noScheme = if (o.startsWith("https://")) o.stripPrefix("https://")
+                     else o.stripPrefix("http://")
+      authorizedJsDomains(ds, noScheme.split(":")(0))
+    }
+  }
 }

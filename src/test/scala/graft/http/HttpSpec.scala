@@ -105,6 +105,71 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("authorizedJsDomains/checkOrigin matrix mirrors the reference (eager, sanitize, missing-Origin)") {
+    import graft.streaming.IngestFilters._
+    // rules sanitize: scheme + trailing slash stripped, whitespace trimmed
+    assert(authorizedJsDomains("https://app.example.com/", "app.example.com"))
+    assert(authorizedJsDomains(" http://a.io , b.io", "b.io"))
+    // EAGER wildcard: *.example.com admits subdomains AND the bare apex
+    // (unlike the non-eager ingest host filter)
+    assert(authorizedJsDomains("*.example.com", "shop.example.com"))
+    assert(authorizedJsDomains("*.example.com", "example.com"))
+    assert(!authorizedJsDomains("*.example.com", "evil.com"))
+    assert(authorizedJsDomains("*", "anything.at.all"))
+    // checkOrigin: empty/'*' config admits; MISSING Origin admits (non-CORS
+    // clients pass — the writeKey is the credential); scheme+port stripped
+    assert(checkOrigin("", Some("https://evil.com")))
+    assert(checkOrigin("*", Some("https://evil.com")))
+    assert(checkOrigin("*.example.com", None))
+    assert(checkOrigin("*.example.com", Some("")))
+    assert(checkOrigin("*.example.com", Some("https://shop.example.com:8443")))
+    assert(!checkOrigin("*.example.com", Some("https://evil.com")))
+    assert(checkOrigin("app.io", Some("http://app.io:3000")))
+  }
+
+  /** HttpURLConnection silently drops the restricted `Origin` header, so
+    * the origin-gate test posts through java.net.http.HttpClient (which
+    * allows it). */
+  private def postOrigin(url: String, body: String,
+                         headers: Map[String, String]): (Int, String) = {
+    val b = java.net.http.HttpRequest.newBuilder(new URI(url))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = java.net.http.HttpClient.newHttpClient().send(
+      b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("/api/s browser path enforces authorizedJavaScriptDomains on the Origin header") {
+    val reg = testRegistry.copy(jsDomains = Map("destB" -> "*.example.com"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
+    val srv = new IngestServer(
+      spool = (_, _, e) => spooled.synchronized { spooled += e; () },
+      bulkLoad = (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      val url = s"http://127.0.0.1:${srv.port}/api/s/page"
+      // authorized subdomain and bare apex (eager) both land
+      assert(postOrigin(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec",
+        "Origin" -> "https://shop.example.com"))._1 == 200)
+      assert(postOrigin(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec",
+        "Origin" -> "https://example.com:443"))._1 == 200)
+      // foreign origin is 403 and never spools
+      val (code, body) = postOrigin(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec",
+        "Origin" -> "https://evil.com"))
+      assert(code == 403 && body.contains("not authorized"))
+      // no Origin header: allowed (non-CORS client; key is the credential)
+      assert(postOrigin(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec"))._1 == 200)
+      // a stream with NO domain config is unrestricted (destC via plain key)
+      assert(postOrigin(s"$url?writekey=plainkey", """{"a":1}""",
+        Map("Origin" -> "https://evil.com"))._1 == 200)
+      // s2s endpoints never origin-check (the gate is browser-only)
+      assert(postOrigin(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        """{"a":1}""", Map("X-Write-Key" -> "k1:sec1",
+        "Origin" -> "https://evil.com"))._1 == 200)
+      assert(spooled.length == 5)
+    } finally srv.stop()
+  }
+
   test("/api/s/s2s rejects: no key, wrong secret, unknown id, browser key on s2s") {
     val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
       auth = Some(testRegistry)).start()
