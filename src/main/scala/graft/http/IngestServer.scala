@@ -97,7 +97,13 @@ final class IngestServer(
             query(ex).get("writekey"))
           if (ex.getRequestMethod != "POST" || tp.isEmpty || body.isEmpty)
             respond(ex, 400, """{"ok":false,"error":"POST /api/s/[s2s/]:type with a JSON body"}""")
-          else key.flatMap(k => reg.resolve(k, s2s)) match {
+          // with a stream config, run the full locator chain (slug from the
+          // query, domain from the Host header, router.go:587-605) so
+          // non-strict streams resolve keylessly; otherwise writeKey-only
+          else (if (reg.streams.nonEmpty)
+                  WriteKeys.locate(reg.streams, reg, query(ex).get("slug"),
+                    hdr("Host").map(_.split(":")(0)), key, s2s)
+                else key.flatMap(k => reg.resolve(k, s2s))) match {
             case None =>
               respond(ex, 401, s"""{"ok":false,"error":"invalid writeKey ${
                 key.map(WriteKeys.mask).getOrElse("(none)")}"}""")

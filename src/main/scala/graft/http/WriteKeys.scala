@@ -28,7 +28,8 @@ object WriteKeys {
   final case class Registry(bindings: Map[String, Binding],
                             plain: Map[String, (String, String)],
                             globalSecrets: Seq[String],
-                            jsDomains: Map[String, String] = Map.empty) {
+                            jsDomains: Map[String, String] = Map.empty,
+                            streams: Seq[Stream] = Nil) {
 
     /** Resolve a writeKey to (streamId, keyType); None = unauthorized. */
     def resolve(writeKey: String, s2sEndpoint: Boolean): Option[(String, String)] = {
@@ -76,6 +77,51 @@ object WriteKeys {
         .stripSuffix(":")
       catch { case _: IllegalArgumentException => a } // not base64: raw token
     }.orElse(xWriteKey).orElse(queryKey)
+
+  /** Stream config entry for writeKey-LESS location
+    * (ingest/router.go:78-79,658-715): `strict` streams only ever resolve
+    * through a writeKey; `domains` back the Host-based locator. */
+  final case class Stream(id: String, strict: Boolean = false,
+                          domains: Seq[String] = Nil)
+
+  /** The reference's stream-locator chains (router.go:587-605): which
+    * locators run, in which order, depends on the endpoint —
+    *   s2s:     writeKey → slug → ambiguous-domain
+    *   browser: slug → domain → writeKey → sole
+    * Every non-writeKey locator refuses `strict` streams (their credential
+    * IS the key), and assigns the ENDPOINT's ingest type. The domain
+    * locator takes a unique match, or — only when no key was sent — the
+    * first non-strict stream on a shared domain (router.go:669-688); the
+    * s2s chain's ambiguous form takes any non-strict match. A sole-stream
+    * workspace resolves keylessly (router.go:705-715). Returns
+    * (streamId, ingestType). */
+  def locate(streams: Seq[Stream], reg: Registry,
+             slug: Option[String], domain: Option[String],
+             writeKey: Option[String], s2sEndpoint: Boolean): Option[(String, String)] = {
+    val endpointType = if (s2sEndpoint) "s2s" else "browser"
+    def ok(s: Stream) = !s.strict
+    val byKey = () => writeKey.flatMap(k => reg.resolve(k, s2sEndpoint))
+    val bySlug = () => slug.filter(_.nonEmpty)
+      .flatMap(sl => streams.find(_.id == sl)).filter(ok)
+      .map(s => (s.id, endpointType))
+    val byDomain = () => domain.filter(_.nonEmpty).flatMap { d =>
+      val ms = streams.filter(_.domains.contains(d))
+      if (ms.size == 1) ms.headOption.filter(ok)
+      else if (writeKey.isEmpty && ms.size > 1) ms.find(ok)
+      else None
+    }.map(s => (s.id, endpointType))
+    val byAmbiguousDomain = () => domain.filter(_.nonEmpty)
+      .flatMap(d => streams.filter(_.domains.contains(d)).find(ok))
+      .map(s => (s.id, endpointType))
+    val bySole = () => streams match {
+      case Seq(only) if ok(only) => Some((only.id, endpointType))
+      case _ => None
+    }
+    val chain =
+      if (s2sEndpoint) Seq(byKey, bySlug, byAmbiguousDomain)
+      else Seq(bySlug, byDomain, byKey, bySole)
+    chain.view.flatMap(f => f()).headOption
+  }
 
   /** Log-safe masking — router.go:717-727. */
   def mask(writeKey: String): String =

@@ -170,6 +170,64 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("stream locators: chain order, strict refusal, domain uniqueness, sole fallback") {
+    import WriteKeys.{Stream, locate}
+    val reg = testRegistry
+    val streams = Seq(
+      Stream("destA", strict = true, domains = Seq("a.io")),
+      Stream("destB", domains = Seq("shared.io", "b.io")),
+      Stream("destC", domains = Seq("shared.io")))
+    // slug wins over everything on the browser chain
+    assert(locate(streams, reg, Some("destB"), Some("b.io"), Some("plainkey"), s2sEndpoint = false)
+      .contains(("destB", "browser")))
+    // a strict stream never resolves by slug/domain — only by writeKey
+    assert(locate(streams, reg, Some("destA"), None, None, s2sEndpoint = false).isEmpty)
+    assert(locate(streams, reg, None, Some("a.io"), None, s2sEndpoint = false).isEmpty)
+    assert(locate(streams, reg, Some("destA"), None, Some("k1:sec1"), s2sEndpoint = true)
+      .contains(("destA", "s2s")))
+    // unique domain resolves; a shared domain resolves only KEYLESSLY
+    assert(locate(streams, reg, None, Some("b.io"), None, s2sEndpoint = false)
+      .contains(("destB", "browser")))
+    assert(locate(streams, reg, None, Some("shared.io"), None, s2sEndpoint = false)
+      .contains(("destB", "browser"))) // first non-strict wins keylessly
+    assert(locate(streams, reg, None, Some("shared.io"), Some("bad:key"), s2sEndpoint = false)
+      .isEmpty) // a key was sent: ambiguous domain does NOT fall through
+    // on the browser chain the writeKey still resolves after slug/domain miss
+    assert(locate(streams, reg, None, None, Some("kb:bsec"), s2sEndpoint = false)
+      .contains(("destB", "browser")))
+    // sole-stream workspace resolves with no credentials at all
+    assert(locate(Seq(Stream("only")), reg, None, None, None, s2sEndpoint = false)
+      .contains(("only", "browser")))
+    assert(locate(Seq(Stream("only", strict = true)), reg, None, None, None,
+      s2sEndpoint = false).isEmpty)
+    // the s2s chain has no sole fallback and types the result s2s
+    assert(locate(Seq(Stream("only")), reg, None, None, None, s2sEndpoint = true).isEmpty)
+    assert(locate(streams, reg, Some("destB"), None, None, s2sEndpoint = true)
+      .contains(("destB", "s2s")))
+  }
+
+  test("/api/s with a stream config: slug and sole-stream resolve keylessly on the live server") {
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val reg = testRegistry.copy(streams = Seq(
+      WriteKeys.Stream("destB"), WriteKeys.Stream("destA", strict = true)))
+    val srv = new IngestServer(
+      spool = (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
+      bulkLoad = (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      // keyless slug resolution lands on the non-strict stream
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page?slug=destB",
+        """{"a":1}""", Map.empty)._1 == 200)
+      assert(spooled.last._1 == "destB" && spooled.last._2.contains("\"ingestType\":\"browser\""))
+      // a strict stream is NOT reachable by slug
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page?slug=destA",
+        """{"a":1}""", Map.empty)._1 == 401)
+      // writeKey still works through the chain
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        """{"a":1}""", Map("X-Write-Key" -> "k1:sec1"))._1 == 200)
+      assert(spooled.last._1 == "destA")
+    } finally srv.stop()
+  }
+
   test("/api/s/s2s rejects: no key, wrong secret, unknown id, browser key on s2s") {
     val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
       auth = Some(testRegistry)).start()
