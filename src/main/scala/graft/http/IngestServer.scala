@@ -93,17 +93,17 @@ final class IngestServer(
           val tp = (if (s2s) path.stripPrefix("s2s/") else path).takeWhile(_ != '/')
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
           val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
+          val q = query(ex) // parse the query string once per request
           val key = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
-            query(ex).get("writekey"))
+            q.get("writekey"))
           if (ex.getRequestMethod != "POST" || tp.isEmpty || body.isEmpty)
             respond(ex, 400, """{"ok":false,"error":"POST /api/s/[s2s/]:type with a JSON body"}""")
-          // with a stream config, run the full locator chain (slug from the
-          // query, domain from the Host header, router.go:587-605) so
-          // non-strict streams resolve keylessly; otherwise writeKey-only
-          else (if (reg.streams.nonEmpty)
-                  WriteKeys.locate(reg.streams, reg, query(ex).get("slug"),
-                    hdr("Host").map(_.split(":")(0)), key, s2s)
-                else key.flatMap(k => reg.resolve(k, s2s))) match {
+          // the writeKeyDefined locator chain both /api/s endpoints run
+          // (router_ingest_handler.go:30 + router.go:591-592): writeKey →
+          // slug (query) → ambiguous-domain (Host) → sole; with no stream
+          // config this degenerates to writeKey-only
+          else WriteKeys.locate(reg, q.get("slug"),
+                 hdr("Host").map(_.split(":")(0)), key, s2s) match {
             case None =>
               respond(ex, 401, s"""{"ok":false,"error":"invalid writeKey ${
                 key.map(WriteKeys.mask).getOrElse("(none)")}"}""")
@@ -130,7 +130,7 @@ final class IngestServer(
               } else {
                 val stamped = s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"${
                   if (s2s) "s2s" else keyType}","event":$trimmed}"""
-                spool(streamId, query(ex).getOrElse("tableName", "events"), stamped)
+                spool(streamId, q.getOrElse("tableName", "events"), stamped)
                 respond(ex, 200, """{"ok":true}""")
               }
           }

@@ -84,25 +84,34 @@ object WriteKeys {
   final case class Stream(id: String, strict: Boolean = false,
                           domains: Seq[String] = Nil)
 
-  /** The reference's stream-locator chains (router.go:587-605): which
-    * locators run, in which order, depends on the endpoint —
-    *   s2s:     writeKey → slug → ambiguous-domain
-    *   browser: slug → domain → writeKey → sole
+  /** The reference's stream-locator chains (router.go:587-605), selected by
+    * the handler's INGEST TYPE, not the endpoint:
+    *   writeKeyDefined (the `/api/s/:tp` AND `/api/s/s2s/:tp` handler,
+    *                    router_ingest_handler.go:30):
+    *                    writeKey → slug → ambiguous-domain → sole
+    *   s2s (classic):   writeKey → slug → ambiguous-domain
+    *   browser (classic): slug → domain → writeKey → sole
     * Every non-writeKey locator refuses `strict` streams (their credential
-    * IS the key), and assigns the ENDPOINT's ingest type. The domain
-    * locator takes a unique match, or — only when no key was sent — the
-    * first non-strict stream on a shared domain (router.go:669-688); the
-    * s2s chain's ambiguous form takes any non-strict match. A sole-stream
+    * IS the key) and assigns the ENDPOINT's ingest type; the slug locator
+    * matches a stream id OR a plain public key bound to it
+    * (GetStreamByPlainKeyOrId, repository.go:88-90). The classic browser
+    * domain locator takes a unique match, or — only when no key was sent —
+    * the first non-strict stream on a shared domain (router.go:669-688);
+    * the ambiguous form takes any non-strict match. A sole-stream
     * workspace resolves keylessly (router.go:705-715). Returns
     * (streamId, ingestType). */
-  def locate(streams: Seq[Stream], reg: Registry,
+  def locate(reg: Registry,
              slug: Option[String], domain: Option[String],
-             writeKey: Option[String], s2sEndpoint: Boolean): Option[(String, String)] = {
+             writeKey: Option[String], s2sEndpoint: Boolean,
+             ingestType: String = "writeKeyDefined"): Option[(String, String)] = {
+    val streams = reg.streams
     val endpointType = if (s2sEndpoint) "s2s" else "browser"
     def ok(s: Stream) = !s.strict
+    def streamOf(idOrPlainKey: String): Option[Stream] =
+      streams.find(_.id == idOrPlainKey).orElse(
+        reg.plain.get(idOrPlainKey).flatMap { case (sid, _) => streams.find(_.id == sid) })
     val byKey = () => writeKey.flatMap(k => reg.resolve(k, s2sEndpoint))
-    val bySlug = () => slug.filter(_.nonEmpty)
-      .flatMap(sl => streams.find(_.id == sl)).filter(ok)
+    val bySlug = () => slug.filter(_.nonEmpty).flatMap(streamOf).filter(ok)
       .map(s => (s.id, endpointType))
     val byDomain = () => domain.filter(_.nonEmpty).flatMap { d =>
       val ms = streams.filter(_.domains.contains(d))
@@ -117,9 +126,12 @@ object WriteKeys {
       case Seq(only) if ok(only) => Some((only.id, endpointType))
       case _ => None
     }
-    val chain =
-      if (s2sEndpoint) Seq(byKey, bySlug, byAmbiguousDomain)
-      else Seq(bySlug, byDomain, byKey, bySole)
+    val chain = ingestType match {
+      case "writeKeyDefined" => Seq(byKey, bySlug, byAmbiguousDomain, bySole)
+      case "s2s"             => Seq(byKey, bySlug, byAmbiguousDomain)
+      case "browser"         => Seq(bySlug, byDomain, byKey, bySole)
+      case other => throw new IllegalArgumentException(s"unknown ingest type $other")
+    }
     chain.view.flatMap(f => f()).headOption
   }
 

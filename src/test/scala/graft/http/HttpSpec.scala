@@ -170,43 +170,57 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("stream locators: chain order, strict refusal, domain uniqueness, sole fallback") {
+  test("stream locators: per-ingest-type chains, strict refusal, domain rules, sole fallback") {
     import WriteKeys.{Stream, locate}
-    val reg = testRegistry
     val streams = Seq(
       Stream("destA", strict = true, domains = Seq("a.io")),
       Stream("destB", domains = Seq("shared.io", "b.io")),
       Stream("destC", domains = Seq("shared.io")))
-    // slug wins over everything on the browser chain
-    assert(locate(streams, reg, Some("destB"), Some("b.io"), Some("plainkey"), s2sEndpoint = false)
+    val reg = testRegistry.copy(streams = streams)
+    // writeKeyDefined (the /api/s handler's chain, BOTH endpoints): the
+    // presented KEY wins over a slug — a credential is never overridden
+    assert(locate(reg, Some("destB"), None, Some("plainkey"), s2sEndpoint = false)
+      .contains(("destC", "browser")))
+    // keyless slug resolution; plain public keys alias their stream's slug
+    assert(locate(reg, Some("destB"), None, None, s2sEndpoint = false)
       .contains(("destB", "browser")))
+    assert(locate(reg, Some("plainkey"), None, None, s2sEndpoint = false)
+      .contains(("destC", "browser")))
     // a strict stream never resolves by slug/domain — only by writeKey
-    assert(locate(streams, reg, Some("destA"), None, None, s2sEndpoint = false).isEmpty)
-    assert(locate(streams, reg, None, Some("a.io"), None, s2sEndpoint = false).isEmpty)
-    assert(locate(streams, reg, Some("destA"), None, Some("k1:sec1"), s2sEndpoint = true)
+    assert(locate(reg, Some("destA"), None, None, s2sEndpoint = false).isEmpty)
+    assert(locate(reg, None, Some("a.io"), None, s2sEndpoint = false).isEmpty)
+    assert(locate(reg, Some("destA"), None, Some("k1:sec1"), s2sEndpoint = true)
       .contains(("destA", "s2s")))
-    // unique domain resolves; a shared domain resolves only KEYLESSLY
-    assert(locate(streams, reg, None, Some("b.io"), None, s2sEndpoint = false)
+    // writeKeyDefined ambiguous-domain: any non-strict match, even keyed-but-failed
+    assert(locate(reg, None, Some("shared.io"), Some("bad:key"), s2sEndpoint = false)
       .contains(("destB", "browser")))
-    assert(locate(streams, reg, None, Some("shared.io"), None, s2sEndpoint = false)
-      .contains(("destB", "browser"))) // first non-strict wins keylessly
-    assert(locate(streams, reg, None, Some("shared.io"), Some("bad:key"), s2sEndpoint = false)
-      .isEmpty) // a key was sent: ambiguous domain does NOT fall through
-    // on the browser chain the writeKey still resolves after slug/domain miss
-    assert(locate(streams, reg, None, None, Some("kb:bsec"), s2sEndpoint = false)
-      .contains(("destB", "browser")))
-    // sole-stream workspace resolves with no credentials at all
-    assert(locate(Seq(Stream("only")), reg, None, None, None, s2sEndpoint = false)
-      .contains(("only", "browser")))
-    assert(locate(Seq(Stream("only", strict = true)), reg, None, None, None,
+    // sole-stream workspace resolves keylessly on BOTH /api/s endpoints
+    val sole = testRegistry.copy(streams = Seq(Stream("only")))
+    assert(locate(sole, None, None, None, s2sEndpoint = false).contains(("only", "browser")))
+    assert(locate(sole, None, None, None, s2sEndpoint = true).contains(("only", "s2s")))
+    assert(locate(testRegistry.copy(streams = Seq(Stream("only", strict = true))),
+      None, None, None, s2sEndpoint = false).isEmpty)
+    // classic browser chain: slug WINS over the key; domain uniqueness; a
+    // shared domain resolves only keylessly
+    assert(locate(reg, Some("destB"), None, Some("plainkey"), s2sEndpoint = false,
+      ingestType = "browser").contains(("destB", "browser")))
+    assert(locate(reg, None, Some("b.io"), None, s2sEndpoint = false,
+      ingestType = "browser").contains(("destB", "browser")))
+    assert(locate(reg, None, Some("shared.io"), None, s2sEndpoint = false,
+      ingestType = "browser").contains(("destB", "browser")))
+    assert(locate(reg, None, Some("shared.io"), Some("bad:key"), s2sEndpoint = false,
+      ingestType = "browser").isEmpty)
+    // classic s2s chain has NO sole fallback
+    assert(locate(sole, None, None, None, s2sEndpoint = true,
+      ingestType = "s2s").isEmpty)
+    // with no stream config every chain degenerates to writeKey-only
+    assert(locate(testRegistry, Some("destB"), Some("b.io"), None,
       s2sEndpoint = false).isEmpty)
-    // the s2s chain has no sole fallback and types the result s2s
-    assert(locate(Seq(Stream("only")), reg, None, None, None, s2sEndpoint = true).isEmpty)
-    assert(locate(streams, reg, Some("destB"), None, None, s2sEndpoint = true)
-      .contains(("destB", "s2s")))
+    assert(locate(testRegistry, None, None, Some("kb:bsec"), s2sEndpoint = false)
+      .contains(("destB", "browser")))
   }
 
-  test("/api/s with a stream config: slug and sole-stream resolve keylessly on the live server") {
+  test("/api/s with a stream config: writeKey wins, slug and sole resolve keylessly on the live server") {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val reg = testRegistry.copy(streams = Seq(
       WriteKeys.Stream("destB"), WriteKeys.Stream("destA", strict = true)))
@@ -221,10 +235,26 @@ class HttpSpec extends SparkSuite {
       // a strict stream is NOT reachable by slug
       assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page?slug=destA",
         """{"a":1}""", Map.empty)._1 == 401)
-      // writeKey still works through the chain
-      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+      // a presented KEY wins over a slug (the credential routes the event)
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/s2s/track?slug=destB",
         """{"a":1}""", Map("X-Write-Key" -> "k1:sec1"))._1 == 200)
       assert(spooled.last._1 == "destA")
+    } finally srv.stop()
+  }
+
+  test("/api/s sole-stream workspace: keyless posts resolve on BOTH endpoints") {
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val reg = testRegistry.copy(streams = Seq(WriteKeys.Stream("onlyD")))
+    val srv = new IngestServer(
+      spool = (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
+      bulkLoad = (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page",
+        """{"a":1}""", Map.empty)._1 == 200)
+      assert(spooled.last._1 == "onlyD" && spooled.last._2.contains("\"ingestType\":\"browser\""))
+      assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        """{"a":1}""", Map.empty)._1 == 200)
+      assert(spooled.last._2.contains("\"ingestType\":\"s2s\""))
     } finally srv.stop()
   }
 
