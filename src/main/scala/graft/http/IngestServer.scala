@@ -4,8 +4,34 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** HTTP façade (S1/S2) over the engine — the reference's two ingestion
-  * endpoints re-expressed with the JDK's built-in server (zero deps):
+/** Deterministic ingest throttling (billing-quota shedding): the reference
+  * sheds `stream.Throttle` percent of events with `rand.Int31n(100) <
+  * throttle` (ingest/router.go:258-261, config `ingest/repository.go:215`).
+  * The random draw is replaced by a deterministic percentile of the raw
+  * event body — `uint32(md5(body)[0:4]) % 100` — so a shed set is exactly
+  * replayable by tests and oracles while keeping the same uniform-percent
+  * semantics. Shed events are reported through the server's `onShed` hook
+  * (the reference logs them as SKIPPED to the events log) and answered 402.
+  */
+object IngestThrottle {
+
+  /** Percentile in [0,100) of a raw body — first 4 MD5 bytes as an
+    * unsigned int, mod 100. */
+  def pct(body: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes(UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % 100L).toInt
+  }
+
+  /** `throttle >= 100` sheds everything (router.go:259). */
+  def shed(body: String, throttle: Int): Boolean =
+    throttle > 0 && (throttle >= 100 || pct(body) < throttle)
+}
+
+/** HTTP façade over the engine — the reference's ingest edge re-expressed
+  * with the JDK's built-in server (zero deps):
   *
   *   - `POST /post/:destId?tableName=T` (router.go:122-191): ONE JSON event,
   *     appended to the destination's spool folder — the stand-in for the
@@ -14,41 +40,300 @@ import java.nio.charset.StandardCharsets.UTF_8
   *     topic. Responds `{"ok":true}` immediately (async path).
   *   - `POST /bulk/:destId?tableName=T&mode=M` (router.go:220-321): an
   *     NDJSON body processed SYNCHRONOUSLY through the caller-supplied
-  *     loader; responds with the load state
-  *     (`{"ok":true,"rows":N}` / `{"ok":false,"error":...}`).
+  *     loader; responds with the load state.
+  *   - `POST /api/s/:tp`, `/api/s/s2s/:tp` (ingest/router.go:174-177):
+  *     Segment-compatible authenticated single-event ingest.
+  *   - `POST /api/s/s2s/batch`, `/v1/batch`, `/batch`
+  *     (ingest/router.go:166-172): batch envelope with gap dedup
+  *     ([[BatchIngest]]).
+  *   - `GET /api/px/:tp` (ingest/router.go:175): tracking pixel
+  *     ([[PixelIngest]]).
+  *   - `GET|POST /v1/projects/:writeKey/settings`, `/projects/...`
+  *     (ingest/router.go:160-165): analytics.js settings stub.
+  *   - `GET /failed/:destId?status=retry|dead` (bulkerapp/app/router.go:72):
+  *     NDJSON read-back of a destination's retry/DLQ state, via the
+  *     injected `failedLines` reader ([[FailedReadback]]).
   *
-  * The HTTP layer holds no engine logic: `spool` and `bulkLoad` are
-  * injected, so the same server fronts any destination stack. The payload
-  * path is line-oriented — events are never parsed here (the reference also
-  * forwards raw bytes to Kafka; parsing happens in the consumer).
+  * The HTTP layer holds no engine logic: `spool`, `bulkLoad`, `onShed` and
+  * `failedLines` are injected, so the same server fronts any destination
+  * stack. Single-event payloads are line-oriented and never parsed here
+  * (the reference also forwards raw bytes to Kafka; parsing happens in the
+  * consumer); batch and pixel payloads are parsed because their semantics
+  * (gap dedup, query-param events) require it.
   */
 final class IngestServer(
     spool: (String, String, String) => Unit,        // (dest, table, rawEvent)
     bulkLoad: (String, String, String, Seq[String]) => Long, // (dest, table, mode, lines) => rows
-    auth: Option[WriteKeys.Registry] = None // enables /api/s/... writeKey auth
+    auth: Option[WriteKeys.Registry] = None, // enables /api/s, batch, pixel
+    onShed: (String, String) => Unit = (_, _) => (), // (streamId, rawEvent) — SKIPPED hook
+    failedLines: Option[(String, String) => Iterator[String]] = None, // (destId, status)
+    newId: () => String = () => java.util.UUID.randomUUID().toString
 ) {
 
   private var server: HttpServer = _
 
   def port: Int = server.getAddress.getPort
 
+  /** Query string as a map (last value wins) — single-valued params. */
   private def query(ex: HttpExchange): Map[String, String] =
+    queryPairs(ex).toMap
+
+  /** Query string as ordered pairs (repeats preserved) — the pixel event
+    * parser needs multi-valued params. */
+  private def queryPairs(ex: HttpExchange): Seq[(String, String)] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
       .filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2)
         java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8") }
-      .toMap
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
   }
 
+  private def respondBytes(ex: HttpExchange, code: Int, body: Array[Byte],
+                           contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
   private def destOf(ex: HttpExchange, prefix: String): String =
     ex.getRequestURI.getPath.stripPrefix(prefix).takeWhile(_ != '/')
+
+  private def readBody(ex: HttpExchange): String = {
+    val gzip = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .exists(_.contains("gzip"))
+    val in = if (gzip) new java.util.zip.GZIPInputStream(ex.getRequestBody)
+             else ex.getRequestBody
+    new String(in.readAllBytes(), UTF_8)
+  }
+
+  private def errorBody(e: Exception, fallback: String): String =
+    s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse(fallback))}}"""
+
+  // -------------------------------------------------------------- handlers
+
+  /** Single-event Segment ingest (`IngestHandler`), on the writeKeyDefined
+    * locator chain. The event body is spooled raw inside a
+    * `{"type":...,"ingestType":...,"event":...}` envelope. */
+  private def handleApiS(reg: WriteKeys.Registry, ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/s/")
+      val s2s = path.startsWith("s2s/")
+      val tp = (if (s2s) path.stripPrefix("s2s/") else path).takeWhile(_ != '/')
+      if (s2s && tp == "batch") { handleBatch(reg, ex, s2sEndpoint = true); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+      val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
+      val q = query(ex) // parse the query string once per request
+      val key = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
+        q.get("writekey"))
+      if (ex.getRequestMethod != "POST" || tp.isEmpty || body.isEmpty)
+        respond(ex, 400, """{"ok":false,"error":"POST /api/s/[s2s/]:type with a JSON body"}""")
+      // the writeKeyDefined locator chain both /api/s endpoints run
+      // (router_ingest_handler.go:30 + router.go:591-592): writeKey →
+      // slug → ambiguous-domain → sole. Slug and domain are exclusive —
+      // getDataLocator (router.go:388-396) derives the slug from the Host
+      // subdomain and RETURNS EARLY, so a request that carries a slug never
+      // consults the domain locator; the ?slug= param stands in for the
+      // dataHosts subdomain.
+      else {
+        val slug = q.get("slug").filter(_.nonEmpty)
+        val domain = if (slug.isDefined) None else hdr("Host").map(_.split(":")(0))
+        WriteKeys.locate(reg, slug, domain, key, s2s) match {
+          case None =>
+            respond(ex, 401, s"""{"ok":false,"error":"invalid writeKey ${
+              key.map(WriteKeys.mask).getOrElse("(none)")}"}""")
+          case Some((streamId, ingType)) if ingType == "browser" &&
+              !graft.streaming.IngestFilters.checkOrigin(
+                reg.jsDomains.getOrElse(streamId, ""), hdr("Origin")) =>
+            // browser-typed ingest only: the stream's
+            // authorizedJavaScriptDomains gate the Origin header. NOTE a
+            // deliberate divergence: the reference's checkOrigin exists
+            // (router.go:607-625) but its call sites are commented out
+            // (router_ingest_handler.go:113) and even the disabled body
+            // only WARNED — this edge enforces the documented config
+            // instead of shipping a dead gate.
+            respond(ex, 403, s"""{"ok":false,"error":${graft.Verify.jsonStr(
+              s"origin ${hdr("Origin").getOrElse("")} is not authorized")}}""")
+          case Some((streamId, ingType)) =>
+            // stamp type + the LOCATOR's ingest type (a hashed key carries
+            // its own: a browser key resolving on /api/s/s2s stamps
+            // 'browser', router.go:641-648) WITHOUT parsing the payload —
+            // but the URL-decoded type segment must be JSON-escaped and the
+            // body must at least LOOK like a JSON value, or the spooled
+            // record is unparseable yet was acked with 200
+            val trimmed = body.trim
+            val throttle = reg.streamConfig(streamId).map(_.throttle).getOrElse(0)
+            if (trimmed.isEmpty ||
+                !(trimmed.head == '{' || trimmed.head == '[')) {
+              respond(ex, 400,
+                """{"ok":false,"error":"body must be a JSON object or array"}""")
+            } else if (IngestThrottle.shed(trimmed, throttle)) {
+              // billing-quota shed (router.go:258-261): SKIPPED, not failed
+              onShed(streamId, trimmed)
+              respond(ex, 402, """{"ok":false,"error":"throttled"}""")
+            } else {
+              val stamped = s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$ingType","event":$trimmed}"""
+              spool(streamId, q.getOrElse("tableName", "events"), stamped)
+              respond(ex, 200, """{"ok":true}""")
+            }
+        }
+      }
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
+  /** Batch-envelope ingest (`BatchHandler`,
+    * router_batch_handler.go:109-249): writeKey-ONLY stream location (the
+    * reference calls `getStream(loc, strict=true, ...)` — no slug/domain/
+    * sole fallback), gap dedup when the stream configures it, batch-level
+    * context merged under each event, then the per-event spool path. */
+  private def handleBatch(reg: WriteKeys.Registry, ex: HttpExchange,
+                          s2sEndpoint: Boolean): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 400, """{"ok":false,"error":"POST a batch envelope"}"""); return
+      }
+      val body = readBody(ex)
+      val payload =
+        try BatchIngest.parse(body)
+        catch { case e: Exception =>
+          respond(ex, 400, errorBody(e, "error parsing message")); return }
+      val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
+      val q = query(ex)
+      // header/query key first, the envelope's writeKey as the fallback
+      // extractor (router_batch_handler.go:150)
+      val key = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
+        q.get("writekey")).orElse(payload.writeKey)
+      key.flatMap(k => reg.resolve(k, s2sEndpoint, writeKeyDefined = true)) match {
+        case None =>
+          respond(ex, 401, s"""{"ok":false,"error":"stream not found for: ${
+            key.map(WriteKeys.mask).getOrElse("(no writeKey)")}"}""")
+        case Some((streamId, ingType)) =>
+          val finalType = if (s2sEndpoint) "s2s" else ingType
+          val cfg = reg.streamConfig(streamId)
+          val gap = cfg.map(_.deduplicateWindowMs).getOrElse(0)
+          val throttle = cfg.map(_.throttle).getOrElse(0)
+          val received = payload.batch.size
+          val batch =
+            if (gap > 0) BatchIngest.deduplicateBatch(payload.batch, gap)
+            else payload.batch
+          val deduplicated = received - batch.size
+          val table = q.getOrElse("tableName", "events")
+          var okEvents = 0
+          val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+          batch.foreach { ev =>
+            BatchIngest.patchBatchEvent(ev, payload.context, payload.eventsName) match {
+              case Left(err) => errors += err
+              case Right(pev) =>
+                val raw = pev.toString
+                if (IngestThrottle.shed(raw, throttle)) {
+                  onShed(streamId, raw); errors += "throttled"
+                } else {
+                  val tp = Option(pev.get("type")).map(_.asText).getOrElse("track")
+                  spool(streamId, table,
+                    s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$finalType","event":$raw}""")
+                  okEvents += 1
+                }
+            }
+          }
+          val extra = new StringBuilder
+          if (deduplicated > 0)
+            extra ++= s""","deduplicatedEvents":$deduplicated,"processedEvents":${batch.size}"""
+          if (errors.nonEmpty)
+            extra ++= s""","errors":${errors.map(graft.Verify.jsonStr).mkString("[", ",", "]")}"""
+          val allOk = batch.size == okEvents && errors.isEmpty
+          respond(ex, 200,
+            s"""{"ok":$allOk,"receivedEvents":$received,"okEvents":$okEvents$extra}""")
+      }
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
+  /** Tracking-pixel ingest (`PixelHandler`,
+    * router_pixel_handler.go:36-134): GET, event from query params, full
+    * writeKeyDefined locator chain WITHOUT a payload key extractor, always
+    * answered with the 1×1 GIF — a pixel never surfaces errors to the
+    * embedding page (every ResponseError there uses StatusOK). The
+    * `destination_url` redirect leg is out of scope (an open-redirect
+    * guard, not a dataflow). */
+  private def handlePixel(reg: WriteKeys.Registry, ex: HttpExchange): Unit =
+    try {
+      ex.getResponseHeaders.set("Cache-Control", "no-cache, no-store, must-revalidate")
+      ex.getResponseHeaders.set("Pragma", "no-cache")
+      ex.getResponseHeaders.set("Expires", "0")
+      val tp = destOf(ex, "/api/px/")
+      val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
+      val pairs = queryPairs(ex)
+      val q = pairs.toMap
+      def gif(): Unit = respondBytes(ex, 200, PixelIngest.EmptyGif, "image/gif")
+      if (ex.getRequestMethod != "GET" || tp.isEmpty) { gif(); return }
+      val event = PixelIngest.parseEvent(pairs)
+      val truish = q.get("process_headers").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .exists(Set("true", "1", "yes", "on").contains)
+      if (truish)
+        PixelIngest.processHeaders(event, PixelIngest.parseCookies(hdr("Cookie")),
+          hdr("Referer"), tp, newId).foreach { anon =>
+          ex.getResponseHeaders.set("Set-Cookie",
+            s"__eventn_id=$anon; Path=/; SameSite=None; Secure")
+        }
+      val key = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
+        q.get("writekey"))
+      val slug = q.get("slug").filter(_.nonEmpty)
+      val domain = if (slug.isDefined) None else hdr("Host").map(_.split(":")(0))
+      WriteKeys.locate(reg, slug, domain, key, s2sEndpoint = false) match {
+        case None => gif() // stream not found: still a 200 GIF
+        case Some((streamId, ingType)) =>
+          val raw = event.toString
+          val throttle = reg.streamConfig(streamId).map(_.throttle).getOrElse(0)
+          if (IngestThrottle.shed(raw, throttle)) onShed(streamId, raw)
+          else spool(streamId, q.getOrElse("tableName", "events"),
+            s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$ingType","event":$raw}""")
+          gif()
+      }
+    } catch { case _: Exception =>
+      respondBytes(ex, 200, PixelIngest.EmptyGif, "image/gif") }
+
+  /** analytics.js settings stub (`SettingsHandler`,
+    * router_segment_settings_handler.go): the writeKey is ECHOED, never
+    * validated — the reference serves the same static plan to any key so
+    * analytics.js bootstraps before its first event auths. */
+  private def handleSettings(ex: HttpExchange, prefix: String): Unit =
+    try {
+      val rest0 = ex.getRequestURI.getPath.stripPrefix(prefix).stripPrefix("/")
+      // the doubled alias `/v1/projects/projects/:writeKey/settings`
+      // (ingest/router.go:162,165) collapses to the same key
+      val rest = if (rest0.startsWith("projects/")) rest0.stripPrefix("projects/")
+                 else rest0
+      val writeKey = rest.stripSuffix("/settings").takeWhile(_ != '/')
+      ex.getResponseHeaders.set("Cache-Control", "public, max-age=86400")
+      respond(ex, 200, SettingsJson.header + writeKey + SettingsJson.footer)
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
+  /** Failed-events read-back (`FailedHandler`): chunked NDJSON from the
+    * injected reader; unknown status is a 400 like the reference. */
+  private def handleFailed(read: (String, String) => Iterator[String],
+                           ex: HttpExchange): Unit =
+    try {
+      val destId = destOf(ex, "/failed/")
+      val status = query(ex).getOrElse("status", "dead")
+      if (ex.getRequestMethod != "GET" || destId.isEmpty)
+        respond(ex, 400, """{"error":"GET /failed/:destinationId"}""")
+      else if (!FailedReadback.Statuses.contains(status))
+        respond(ex, 400, s"""{"error":"unknown status: $status (should be 'retry' or 'dead')"}""")
+      else {
+        val it = read(destId, status)
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0L) // chunked: length unknown up front
+        val out = ex.getResponseBody
+        it.foreach { line => out.write(line.getBytes(UTF_8)); out.write('\n') }
+        ex.close()
+      }
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
+  // ----------------------------------------------------------------- wiring
 
   def start(portHint: Int = 0): IngestServer = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", portHint), 0)
@@ -60,9 +345,7 @@ final class IngestServer(
         if (ex.getRequestMethod != "POST" || dest.isEmpty || body.isEmpty)
           respond(ex, 400, """{"ok":false,"error":"POST /post/:dest with a JSON body"}""")
         else { spool(dest, table, body); respond(ex, 200, """{"ok":true}""") }
-      } catch { case e: Exception =>
-        respond(ex, 500, s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse("error"))}}""")
-      })
+      } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) })
     server.createContext("/bulk/", (ex: HttpExchange) =>
       try {
         val dest = destOf(ex, "/bulk/")
@@ -77,70 +360,36 @@ final class IngestServer(
           val rows = bulkLoad(dest, table, mode, lines)
           respond(ex, 200, s"""{"ok":true,"rows":$rows}""")
         }
-      } catch { case e: Exception =>
-        respond(ex, 500, s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse("load failed"))}}""")
-      })
-    // Segment-compatible authenticated edge (ingest/router.go:174-176
-    // `/api/s/:tp` + `/api/s/s2s/:tp`, auth per router.go:369-397): resolve
-    // the writeKey to its bound stream (here: destination), stamp the event
-    // with its type + ingest mode, spool like /post. 401 when the key is
-    // missing, unknown, wrong-secret, or a browser key on the s2s path.
+      } catch { case e: Exception => respond(ex, 500, errorBody(e, "load failed")) })
+    // Segment-compatible authenticated edge (ingest/router.go:160-177)
     auth.foreach { reg =>
-      server.createContext("/api/s/", (ex: HttpExchange) =>
-        try {
-          val path = ex.getRequestURI.getPath.stripPrefix("/api/s/")
-          val s2s = path.startsWith("s2s/")
-          val tp = (if (s2s) path.stripPrefix("s2s/") else path).takeWhile(_ != '/')
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
-          val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
-          val q = query(ex) // parse the query string once per request
-          val key = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
-            q.get("writekey"))
-          if (ex.getRequestMethod != "POST" || tp.isEmpty || body.isEmpty)
-            respond(ex, 400, """{"ok":false,"error":"POST /api/s/[s2s/]:type with a JSON body"}""")
-          // the writeKeyDefined locator chain both /api/s endpoints run
-          // (router_ingest_handler.go:30 + router.go:591-592): writeKey →
-          // slug (query) → ambiguous-domain (Host) → sole; with no stream
-          // config this degenerates to writeKey-only
-          else WriteKeys.locate(reg, q.get("slug"),
-                 hdr("Host").map(_.split(":")(0)), key, s2s) match {
-            case None =>
-              respond(ex, 401, s"""{"ok":false,"error":"invalid writeKey ${
-                key.map(WriteKeys.mask).getOrElse("(none)")}"}""")
-            case Some((streamId, keyType)) if !s2s && keyType == "browser" &&
-                !graft.streaming.IngestFilters.checkOrigin(
-                  reg.jsDomains.getOrElse(streamId, ""), hdr("Origin")) =>
-              // browser ingest only: the stream's authorizedJavaScriptDomains
-              // gate the Origin header (router.go:607-625) — defense in
-              // depth on top of the writeKey credential
-              respond(ex, 403, s"""{"ok":false,"error":${graft.Verify.jsonStr(
-                s"origin ${hdr("Origin").getOrElse("")} is not authorized")}}""")
-            case Some((streamId, keyType)) =>
-              // stamp type + ingestType WITHOUT parsing the payload (the
-              // reference also wraps raw bytes; parsing is the consumer's)
-              // — but the URL-decoded type segment must be JSON-escaped
-              // (a crafted %22 would otherwise inject envelope fields) and
-              // the body must at least LOOK like a JSON value, or the
-              // spooled record is unparseable yet was acked with 200
-              val trimmed = body.trim
-              if (trimmed.isEmpty ||
-                  !(trimmed.head == '{' || trimmed.head == '[')) {
-                respond(ex, 400,
-                  """{"ok":false,"error":"body must be a JSON object or array"}""")
-              } else {
-                val stamped = s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"${
-                  if (s2s) "s2s" else keyType}","event":$trimmed}"""
-                spool(streamId, q.getOrElse("tableName", "events"), stamped)
-                respond(ex, 200, """{"ok":true}""")
-              }
-          }
-        } catch { case e: Exception =>
-          respond(ex, 500, s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse("error"))}}""")
-        })
+      server.createContext("/api/s/", (ex: HttpExchange) => handleApiS(reg, ex))
+      server.createContext("/v1/batch", (ex: HttpExchange) =>
+        handleBatch(reg, ex, s2sEndpoint = false))
+      server.createContext("/batch", (ex: HttpExchange) =>
+        handleBatch(reg, ex, s2sEndpoint = false))
+      server.createContext("/api/px/", (ex: HttpExchange) => handlePixel(reg, ex))
+    }
+    server.createContext("/v1/projects", (ex: HttpExchange) =>
+      handleSettings(ex, "/v1/projects"))
+    server.createContext("/projects", (ex: HttpExchange) =>
+      handleSettings(ex, "/projects"))
+    failedLines.foreach { read =>
+      server.createContext("/failed/", (ex: HttpExchange) => handleFailed(read, ex))
     }
     server.start()
     this
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+}
+
+/** The static settings document served to analytics.js
+  * (router_segment_settings_handler.go:8-9): Segment.io integration keyed
+  * by the request's writeKey, default-enabled plan. */
+object SettingsJson {
+  val header: String = """{"integrations":{"Segment.io":{"apiKey":""""
+  val footer: String = """","versionSettings":{"version":"4.4.7","componentTypes":["browser"]}}},""" +
+    """"plan":{"track":{"__default":{"enabled":true}},"identify":{"__default":{"enabled":true}},""" +
+    """"group":{"__default":{"enabled":true}}},"analyticsNextEnabled":true}"""
 }

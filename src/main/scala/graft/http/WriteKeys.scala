@@ -31,16 +31,34 @@ object WriteKeys {
                             jsDomains: Map[String, String] = Map.empty,
                             streams: Seq[Stream] = Nil) {
 
-    /** Resolve a writeKey to (streamId, keyType); None = unauthorized. */
-    def resolve(writeKey: String, s2sEndpoint: Boolean): Option[(String, String)] = {
+    /** Resolve a writeKey to (streamId, ingestType); None = unauthorized.
+      *
+      * `WriteKeyStreamLocator` (router.go:629-656) semantics:
+      *   - a PLAIN key resolves through the endpoint-typed map — public
+      *     (browser) plaintexts are only in the browser map, private (s2s)
+      *     plaintexts only in the s2s map (repository.go:88-111) — and the
+      *     event is stamped with the ENDPOINT's type;
+      *   - a hashed `keyId:secret` key resolves to its binding's stream.
+      *     Under the `writeKeyDefined` ingest type (the `/api/s` handlers)
+      *     the binding's keyType is NOT checked against the endpoint — a
+      *     browser key presented on `/api/s/s2s/:tp` still resolves, and
+      *     the event is stamped with the KEY's type (router.go:641-648).
+      *     Under a CLASSIC ingest type the keyType must equal it. */
+    def resolve(writeKey: String, s2sEndpoint: Boolean,
+                writeKeyDefined: Boolean = false): Option[(String, String)] = {
+      val endpointType = if (s2sEndpoint) "s2s" else "browser"
       val parts = writeKey.split(":", 2)
-      val resolved =
-        if (parts.length == 1) plain.get(writeKey)
-        else bindings.get(parts(0)).filter(b => checkHash(b.hash, parts(1)))
-          .map(b => (b.streamId, b.keyType))
-      // an s2s endpoint never accepts a browser key (router.go:632-643)
-      resolved.filterNot { case (_, kt) => s2sEndpoint && kt == "browser" }
+      if (parts.length == 1)
+        plain.get(writeKey).filter(_._2 == endpointType)
+          .map { case (sid, _) => (sid, endpointType) }
+      else bindings.get(parts(0))
+        .filter(b => writeKeyDefined || b.keyType == endpointType)
+        .filter(b => checkHash(b.hash, parts(1)))
+        .map(b => (b.streamId, b.keyType))
     }
+
+    /** Per-stream edge config (throttle, dedup window) for a resolved id. */
+    def streamConfig(id: String): Option[Stream] = streams.find(_.id == id)
 
     def checkHash(hash: String, secret: String): Boolean = {
       hash.split("\\.", 2) match {
@@ -80,9 +98,15 @@ object WriteKeys {
 
   /** Stream config entry for writeKey-LESS location
     * (ingest/router.go:78-79,658-715): `strict` streams only ever resolve
-    * through a writeKey; `domains` back the Host-based locator. */
+    * through a writeKey; `domains` back the Host-based locator.
+    * `throttle` is the percentage of events shed for the stream
+    * (ingest/repository.go:215 `Throttle`, applied router.go:258-261);
+    * `deduplicateWindowMs` enables in-batch gap dedup on the batch
+    * endpoint (router_batch_handler.go:178-182 `DeduplicateWindowMs`). */
   final case class Stream(id: String, strict: Boolean = false,
-                          domains: Seq[String] = Nil)
+                          domains: Seq[String] = Nil,
+                          throttle: Int = 0,
+                          deduplicateWindowMs: Int = 0)
 
   /** The reference's stream-locator chains (router.go:587-605), selected by
     * the handler's INGEST TYPE, not the endpoint:
@@ -110,7 +134,8 @@ object WriteKeys {
     def streamOf(idOrPlainKey: String): Option[Stream] =
       streams.find(_.id == idOrPlainKey).orElse(
         reg.plain.get(idOrPlainKey).flatMap { case (sid, _) => streams.find(_.id == sid) })
-    val byKey = () => writeKey.flatMap(k => reg.resolve(k, s2sEndpoint))
+    val byKey = () => writeKey.flatMap(k =>
+      reg.resolve(k, s2sEndpoint, ingestType == "writeKeyDefined"))
     val bySlug = () => slug.filter(_.nonEmpty).flatMap(streamOf).filter(ok)
       .map(s => (s.id, endpointType))
     val byDomain = () => domain.filter(_.nonEmpty).flatMap { d =>

@@ -352,6 +352,153 @@ object StreamOps {
       WHERE etype = 'incoming' AND actor_id = 'conn_3' AND level = 'info') t
     WHERE rn <= 50"""
 
+  /** B8 — the Segment batch ingest endpoint end-to-end
+    * (`ingest/router_batch_handler.go`): deterministic batches are POSTed
+    * over real HTTP to a live [[graft.http.IngestServer]] whose stream
+    * config enables gap dedup; the admitted events spool to NDJSON and are
+    * read back distributed. Each events-table row seeds a duplicate
+    * scenario keyed by `event_id % 4`:
+    *   0 — identical dup INSIDE the gap (dropped),
+    *   1 — identical dup OUTSIDE the gap (kept),
+    *   2 — two copies WITHOUT a timestamp (dedup skipped, both kept),
+    *   3 — within-gap dup whose `properties` differ (different key, kept).
+    * A top-level `seq` field (0=original, 1=dup) is deliberately OUTSIDE
+    * the dedup key (anonymousId/userId/type/event/properties/traits), so
+    * the output rows identify exactly which copies survived. The oracle
+    * recomputes the admitted set from the scenario table. The driver-side
+    * loop is the HTTP CLIENT role (the reference's SDK/load generator) —
+    * only event_id is collected; the engine side (dedup at the edge, spool,
+    * distributed read-back) never funnels a frame through the driver. */
+  def b8BatchIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{IngestServer, WriteKeys}
+    val base = "/tmp/graft_b8"
+    rmrf(s, base)
+    val gapMs = 4000
+    val ids = Tables.events(s, d).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    val reg = WriteKeys.Registry(
+      bindings = Map("bk" -> WriteKeys.Binding("bk",
+        WriteKeys.storedHash("bsec", "salt", "gs"), "batchdest", "s2s")),
+      plain = Map.empty, globalSecrets = Seq("gs"),
+      streams = Seq(WriteKeys.Stream("batchdest", deduplicateWindowMs = gapMs)))
+    val spoolDir = new java.io.File(s"$base/spool"); spoolDir.mkdirs()
+    val writer = new java.io.BufferedWriter(
+      new java.io.FileWriter(s"$base/spool/events.ndjson"))
+    val srv = new IngestServer(
+      (_, _, line) => writer.synchronized { writer.write(line); writer.newLine() },
+      (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSX").withZone(java.time.ZoneOffset.UTC)
+      def iso(ms: Long) = fmt.format(java.time.Instant.ofEpochMilli(ms))
+      def entry(e: Long, variant: Long, seq: Long, tsOff: Option[Long]): String = {
+        val ts = tsOff.map(o => s""","timestamp":"${iso(T0 + e * 1000 + o)}"""").getOrElse("")
+        s"""{"anonymousId":"a$e","userId":"u$e","type":"track","event":"buy","properties":{"eid":$e,"variant":$variant},"seq":$seq$ts}"""
+      }
+      // the per-row duplicate scenario; pairs stay adjacent in ONE batch
+      def entries(e: Long): Seq[String] = (e % 4) match {
+        case 0 => Seq(entry(e, 0, 0, Some(0L)), entry(e, 0, 1, Some(gapMs / 2L)))
+        case 1 => Seq(entry(e, 0, 0, Some(0L)), entry(e, 0, 1, Some(3L * gapMs)))
+        case 2 => Seq(entry(e, 0, 0, None), entry(e, 0, 1, None))
+        case _ => Seq(entry(e, 0, 0, Some(0L)), entry(e, 1, 1, Some(gapMs / 2L)))
+      }
+      ids.grouped(512).foreach { group =>
+        val body = group.flatMap(entries)
+          .mkString("""{"writeKey":"bk:bsec","batch":[""", ",", "]}")
+        val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        val out = conn.getOutputStream
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        require(conn.getResponseCode == 200, s"batch POST failed: ${conn.getResponseCode}")
+        conn.disconnect()
+      }
+    } finally { srv.stop(); writer.close() }
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("ingestType", StringType),
+      StructField("event", StructType(Seq(
+        StructField("properties", StructType(Seq(
+          StructField("eid", LongType), StructField("variant", LongType)))),
+        StructField("seq", LongType))))))
+    s.read.schema(schema).json(s"$base/spool/events.ndjson")
+      .select(col("event.properties.eid").as("event_id"),
+        col("event.properties.variant").as("variant"),
+        col("event.seq").as("seq"))
+  }
+
+  private val b8Oracle = """
+    WITH e AS (SELECT event_id, event_id % 4 AS m FROM events)
+    SELECT event_id, CAST(0 AS BIGINT) AS variant, CAST(0 AS BIGINT) AS seq FROM e
+    UNION ALL
+    SELECT event_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM e WHERE m IN (1, 2)
+    UNION ALL
+    SELECT event_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM e WHERE m = 3"""
+
+  /** B9 — failed-events read-back (`bulkerapp/app/router.go:370-433`): a
+    * destination's retry queue and DLQ, seeded through the REAL
+    * [[graft.streaming.RetryQueue]] machinery (a poisoned batch walks the
+    * drain into the DLQ at its exhausted depth; a later transient batch
+    * stays parked), are streamed back over live HTTP as NDJSON from
+    * `/failed/:dest?status=retry|dead` and re-parsed distributed. The
+    * oracle recomputes both queue states from the seeding rule. Queues
+    * hold failures only — ops telemetry, not the data plane. */
+  def b9FailedReadback(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{FailedReadback, IngestServer}
+    import graft.streaming.{RetryPolicy, RetryQueue}
+    val base = "/tmp/graft_b9"
+    rmrf(s, base)
+    val queue = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())
+    val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+    // poison batch: enqueued at final depth, drained past its backoff with
+    // a permanently-failing load → dead-letters at __retries = maxRetries
+    queue.enqueue(ev.filter(col("event_id") % 10 === 3), batchId = 2L,
+      error = "poison", nowMs = T0, attempt = 5)
+    queue.drain(s, T0 + 1441L * 60000L) { _ =>
+      throw new RuntimeException("poison")
+    }
+    // transient batch: parked after the drain, not yet due
+    queue.enqueue(ev.filter(col("event_id") % 10 === 7), batchId = 1L,
+      error = "transient failure", nowMs = T0 + 1441L * 60000L, attempt = 2)
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+      failedLines = Some((dest, status) =>
+        if (dest == "destX") FailedReadback.lines(s, queue, status)
+        else Iterator.empty)).start()
+    val lines = try {
+      Seq("retry", "dead").map { status =>
+        val conn = new java.net.URI(
+          s"http://127.0.0.1:${srv.port}/failed/destX?status=$status")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        status -> body.split("\n").toSeq.filter(_.nonEmpty)
+      }
+    } finally srv.stop()
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("__retries", LongType),
+      StructField("__error", StringType)))
+    lines.map { case (status, ls) =>
+      s.read.schema(schema).json(ls.toDS())
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("value_c"),
+          col("__retries").as("retries"), col("__error").as("error"))
+        .withColumn("status", lit(status))
+    }.reduce(_ unionByName _)
+  }
+
+  private val b9Oracle = """
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+           CAST(2 AS BIGINT) AS retries, 'transient failure' AS error,
+           'retry' AS status
+    FROM events WHERE event_id % 10 = 7
+    UNION ALL
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT),
+           CAST(5 AS BIGINT), 'poison', 'dead'
+    FROM events WHERE event_id % 10 = 3"""
+
   /** Event-time windowed aggregation through the REAL streaming machinery:
     * two file-source micro-batches flow into a watermarked tumbling-window
     * count (complete mode → memory sink), proving the aggregation state
@@ -1213,5 +1360,7 @@ object StreamOps {
     "b5_routing"        -> Q(b5Routing, Some(b5Oracle)),
     "b6_filters"        -> Q(b6Filters, Some(b6Oracle)),
     "b7_events_log"     -> Q(b7EventsLog, Some(b7Oracle)),
+    "b8_batch_ingest"   -> Q(b8BatchIngest, Some(b8Oracle)),
+    "b9_failed_readback" -> Q(b9FailedReadback, Some(b9Oracle)),
   )
 }

@@ -105,4 +105,8 @@ final case class RetryQueue(dir: String, dlqDir: String,
 
   /** Dead-lettered rows (empty frame with no rows if nothing ever died). */
   def dlq(spark: SparkSession): Option[DataFrame] = readOrEmpty(spark, dlqDir)
+
+  /** Currently-parked retry rows (due or not), with bookkeeping — the
+    * read-back surface behind `/failed/:dest?status=retry`. */
+  def queued(spark: SparkSession): Option[DataFrame] = readOrEmpty(spark, dir)
 }

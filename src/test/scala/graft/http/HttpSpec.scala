@@ -258,22 +258,32 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
-  test("/api/s/s2s rejects: no key, wrong secret, unknown id, browser key on s2s") {
-    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
-      auth = Some(testRegistry)).start()
+  test("/api/s/s2s rejects: no key, wrong secret, unknown id; hashed browser key RESOLVES as browser") {
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val srv = new IngestServer(
+      (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
+      (_, _, _, _) => 0L, auth = Some(testRegistry)).start()
     try {
       val url = s"http://127.0.0.1:${srv.port}/api/s/s2s/track"
       assert(postAuth(url, """{"a":1}""", Map.empty)._1 == 401)
       assert(postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "k1:WRONG"))._1 == 401)
       assert(postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "nope:x"))._1 == 401)
-      // browser-typed key is refused on the s2s endpoint...
-      assert(postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec"))._1 == 401)
-      // ...but accepted on the browser endpoint
+      // a hashed BROWSER key on the s2s endpoint: under the writeKeyDefined
+      // chain the keyType check is skipped (router.go:641-648) — the key
+      // resolves to ITS stream and the event is stamped with the KEY's
+      // type, not the endpoint's
+      val (cb, _) = postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "kb:bsec"))
+      assert(cb == 200)
+      assert(spooled.last._1 == "destB" &&
+        spooled.last._2.contains("\"ingestType\":\"browser\""))
+      // ...and on the browser endpoint too
       assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page",
         """{"a":1}""", Map("X-Write-Key" -> "kb:bsec"))._1 == 200)
-      // plain key resolves on the browser endpoint via query param
+      // a plain BROWSER key only resolves on the browser endpoint — plain
+      // public plaintexts are not in the s2s map (repository.go:88-111)
       assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page?writekey=plainkey",
         """{"a":1}""", Map.empty)._1 == 200)
+      assert(postAuth(s"$url?writekey=plainkey", """{"a":1}""", Map.empty)._1 == 401)
       // 401 responses never echo the key
       val (_, body) = postAuth(url, """{"a":1}""", Map("X-Write-Key" -> "k1:WRONG"))
       assert(body.contains("k1:***") && !body.contains("WRONG"))

@@ -1,0 +1,396 @@
+package graft.http
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.Row
+import graft.SparkSuite
+
+/** Round-13 ingest-edge tail: batch envelope + gap dedup
+  * (router_batch_handler.go), throttle shed (router.go:258-261), tracking
+  * pixel (router_pixel_handler.go), settings stub, failed-events read-back
+  * (bulkerapp/app/router.go:370-433). */
+class IngestEdgeSpec extends SparkSuite {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def obj(json: String) =
+    om.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+
+  private def http(method: String, url: String, body: Option[String],
+                   headers: Map[String, String] = Map.empty): (Int, Array[Byte], Map[String, String]) = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(b.getBytes(UTF_8)) finally out.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val bytes = is.readAllBytes()
+    import scala.jdk.CollectionConverters._
+    // JDK header-field casing varies; normalize keys to lowercase
+    val hs = conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null => k.toLowerCase(java.util.Locale.ROOT) -> vs.get(0) }.toMap
+    conn.disconnect()
+    (code, bytes, hs)
+  }
+
+  private def post(url: String, body: String, headers: Map[String, String] = Map.empty) = {
+    val (c, b, _) = http("POST", url, Some(body), headers); (c, new String(b, UTF_8))
+  }
+
+  private def registry(streams: WriteKeys.Stream*) = WriteKeys.Registry(
+    bindings = Map(
+      "k1" -> WriteKeys.Binding("k1",
+        WriteKeys.storedHash("sec1", "salt0", "gs"), "destA", "s2s"),
+      "kb" -> WriteKeys.Binding("kb",
+        WriteKeys.storedHash("bsec", "s2", "gs"), "destB", "browser")),
+    plain = Map("plainkey" -> (("destC", "browser"))),
+    globalSecrets = Seq("gs"), streams = streams.toSeq)
+
+  // ------------------------------------------------------------ gap dedup
+
+  test("deduplicateBatch: within-gap dup dropped, dropped dup does NOT advance the key's clock") {
+    def ev(ts: String) = obj(
+      s"""{"anonymousId":"a","userId":"u","type":"track","event":"e","properties":{"p":1},"timestamp":"$ts"}""")
+    // t0, t0+gap (dropped: |diff| <= gap), t0+1.5*gap — the third is 1.5gap
+    // from the LAST KEPT (t0) so it survives; if the dropped dup had
+    // advanced the clock it would sit 0.5gap away and be wrongly dropped
+    val batch = Seq(ev("2024-01-01T00:00:00Z"), ev("2024-01-01T00:00:05Z"),
+      ev("2024-01-01T00:00:07.500Z"))
+    val out = BatchIngest.deduplicateBatch(batch, 5000)
+    assert(out.map(_.get("timestamp").asText) ==
+      Seq("2024-01-01T00:00:00Z", "2024-01-01T00:00:07.500Z"))
+  }
+
+  test("deduplicateBatch: any key-field difference defeats the dedup; missing/garbage timestamps always pass") {
+    val base = """{"anonymousId":"a","userId":"u","type":"track","event":"e","properties":{"p":1},"traits":{"t":2},"timestamp":"2024-01-01T00:00:00Z"}"""
+    def mut(f: (com.fasterxml.jackson.databind.node.ObjectNode) => Unit) = {
+      val o = obj(base); f(o); o
+    }
+    val dupTs = "2024-01-01T00:00:01Z"
+    val variants = Seq[com.fasterxml.jackson.databind.node.ObjectNode](
+      mut(o => { o.put("timestamp", dupTs); o.put("userId", "OTHER"); () }),
+      mut(o => { o.put("timestamp", dupTs); o.put("event", "OTHER"); () }),
+      mut(o => { o.put("timestamp", dupTs)
+        o.set[com.fasterxml.jackson.databind.JsonNode]("properties", obj("""{"p":9}""")); () }),
+      mut(o => { o.put("timestamp", dupTs)
+        o.set[com.fasterxml.jackson.databind.JsonNode]("traits", obj("""{"t":9}""")); () }))
+    val exactDup = mut(o => { o.put("timestamp", dupTs); () })
+    val batch = Seq(obj(base)) ++ variants ++ Seq(exactDup)
+    val out = BatchIngest.deduplicateBatch(batch, 60000)
+    assert(out.size == 1 + variants.size) // only the exact dup collapses
+    // no timestamp / unparseable timestamp: dedup is skipped entirely
+    val noTs = obj("""{"anonymousId":"a","type":"track","event":"e"}""")
+    val noTs2 = obj("""{"anonymousId":"a","type":"track","event":"e"}""")
+    val badTs = mut(o => { o.put("timestamp", "not-a-date"); () })
+    assert(BatchIngest.deduplicateBatch(Seq(noTs, noTs2, badTs, badTs), 60000).size == 4)
+  }
+
+  // --------------------------------------------------------- live batches
+
+  test("/api/s/s2s/batch: gap dedup + counts + per-event spool with envelope") {
+    val reg = registry(WriteKeys.Stream("destA", deduplicateWindowMs = 5000))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val srv = new IngestServer(
+      (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
+      (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      val body =
+        """{"writeKey":"k1:sec1","batch":[
+          {"anonymousId":"a1","type":"track","event":"buy","properties":{"n":1},"timestamp":"2024-01-01T00:00:00Z"},
+          {"anonymousId":"a1","type":"track","event":"buy","properties":{"n":1},"timestamp":"2024-01-01T00:00:02Z"},
+          {"anonymousId":"a1","type":"track","event":"buy","properties":{"n":1},"timestamp":"2024-01-01T00:00:30Z"},
+          {"anonymousId":"a2","type":"page"}
+        ]}"""
+      val (code, resp) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", body)
+      assert(code == 200, resp)
+      // 4 received, 1 inside-gap dup dropped, 3 spooled
+      assert(resp.contains("\"receivedEvents\":4"))
+      assert(resp.contains("\"okEvents\":3"))
+      assert(resp.contains("\"deduplicatedEvents\":1"))
+      assert(resp.contains("\"processedEvents\":3"))
+      assert(resp.contains("\"ok\":true"))
+      assert(spooled.size == 3 && spooled.forall(_._1 == "destA"))
+      assert(spooled.forall(_._3.contains("\"ingestType\":\"s2s\"")))
+      assert(spooled.count(_._3.contains("\"type\":\"track\"")) == 2)
+      assert(spooled.count(_._3.contains("\"type\":\"page\"")) == 1)
+    } finally srv.stop()
+  }
+
+  test("batch context merges UNDER each event's own context; eventsName forces track + default name") {
+    val reg = registry(WriteKeys.Stream("destA"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
+    val srv = new IngestServer(
+      (_, _, e) => spooled.synchronized { spooled += e; () },
+      (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      val body =
+        """{"writeKey":"k1:sec1","eventsName":"signup","context":{"ip":"1.2.3.4","lib":"srv"},"batch":[
+          {"anonymousId":"a1"},
+          {"anonymousId":"a2","event":"custom","context":{"ip":"9.9.9.9"}}
+        ]}"""
+      val (code, resp) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", body)
+      assert(code == 200 && resp.contains("\"okEvents\":2"), resp)
+      val evs = spooled.map(s => om.readTree(s).get("event"))
+      // event 1: no own context/name — batch context + default event name
+      val e1 = evs.find(_.get("anonymousId").asText == "a1").get
+      assert(e1.get("event").asText == "signup" && e1.get("type").asText == "track")
+      assert(e1.get("context").get("ip").asText == "1.2.3.4")
+      // event 2: own event name and own context fields WIN over batch-level
+      val e2 = evs.find(_.get("anonymousId").asText == "a2").get
+      assert(e2.get("event").asText == "custom")
+      assert(e2.get("context").get("ip").asText == "9.9.9.9")
+      assert(e2.get("context").get("lib").asText == "srv")
+    } finally srv.stop()
+  }
+
+  test("batch location is STRICT writeKey-only: no slug/sole fallback; /v1/batch uses browser typing; gzip accepted") {
+    val reg = registry(WriteKeys.Stream("onlyStream"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val srv = new IngestServer(
+      (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
+      (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      // a sole-stream workspace does NOT resolve a keyless batch (the
+      // reference calls getStream strict=true — writeKey locator only)
+      val noKey = """{"batch":[{"type":"page"}]}"""
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", noKey)._1 == 401)
+      assert(post(s"http://127.0.0.1:${srv.port}/v1/batch", noKey)._1 == 401)
+      // /v1/batch is NOT an s2s endpoint: plain browser key resolves there,
+      // and the event stamps ingestType browser
+      val withPlain = """{"writeKey":"plainkey","batch":[{"type":"page"}]}"""
+      assert(post(s"http://127.0.0.1:${srv.port}/v1/batch", withPlain)._1 == 200)
+      assert(spooled.last._1 == "destC" &&
+        spooled.last._2.contains("\"ingestType\":\"browser\""))
+      // ...but not on the s2s batch endpoint (plain public keys are
+      // browser-map-only, repository.go:88-111)
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", withPlain)._1 == 401)
+      // an s2s hashed key lands on either; header key wins over envelope
+      val hdrKey = """{"writeKey":"plainkey","batch":[{"type":"identify"}]}"""
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", hdrKey,
+        Map("X-Write-Key" -> "k1:sec1"))._1 == 200)
+      assert(spooled.last._1 == "destA" &&
+        spooled.last._2.contains("\"ingestType\":\"s2s\""))
+      // gzip body (router_batch_handler.go:135-137)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("""{"writeKey":"k1:sec1","batch":[{"type":"page"}]}""".getBytes(UTF_8))
+      gz.close()
+      val conn = new URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Encoding", "gzip")
+      val out = conn.getOutputStream
+      try out.write(bos.toByteArray) finally out.close()
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      // invalid event types / missing type are per-event errors, batch-level 200
+      val bad = """{"writeKey":"k1:sec1","batch":[{"type":"nonsense"},{"anonymousId":"x"},{"type":"track"}]}"""
+      val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", bad)
+      assert(c2 == 200 && r2.contains("\"ok\":false") && r2.contains("\"okEvents\":0"), r2)
+      assert(r2.contains("Unknown event type") &&
+        r2.contains("type property of event is required") &&
+        r2.contains("'event' property is required"))
+    } finally srv.stop()
+  }
+
+  // ------------------------------------------------------------- throttle
+
+  test("throttle: deterministic percentile; 0 sheds nothing, 100 sheds all, 50 splits reproducibly") {
+    val bodies = (1 to 200).map(i => s"""{"n":$i}""")
+    assert(bodies.forall(!IngestThrottle.shed(_, 0)))
+    assert(bodies.forall(IngestThrottle.shed(_, 100)))
+    val shed50 = bodies.count(IngestThrottle.shed(_, 50))
+    assert(shed50 > 60 && shed50 < 140, s"50% throttle shed $shed50/200")
+    // determinism: the same body always decides the same way
+    bodies.foreach { b =>
+      assert(IngestThrottle.shed(b, 50) == (IngestThrottle.pct(b) < 50))
+      assert(IngestThrottle.shed(b, 50) == IngestThrottle.shed(b, 50))
+    }
+    // monotone in the throttle percentage
+    bodies.foreach { b => (0 to 99).foreach { t =>
+      if (IngestThrottle.shed(b, t)) assert(IngestThrottle.shed(b, t + 1)) } }
+  }
+
+  test("throttled single events answer 402, reach onShed, and never spool; batch counts them as errors") {
+    val reg = registry(WriteKeys.Stream("destA", throttle = 100),
+      WriteKeys.Stream("destC"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
+    val shed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val srv = new IngestServer(
+      (_, _, e) => spooled.synchronized { spooled += e; () },
+      (_, _, _, _) => 0L, auth = Some(reg),
+      onShed = (d, e) => shed.synchronized { shed += ((d, e)); () }).start()
+    try {
+      val (code, resp) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        """{"a":1}""", Map("X-Write-Key" -> "k1:sec1"))
+      assert(code == 402 && resp.contains("throttled"))
+      assert(spooled.isEmpty && shed.toSeq == Seq(("destA", """{"a":1}""")))
+      // an unthrottled stream is unaffected
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/page?writekey=plainkey",
+        """{"a":2}""")._1 == 200)
+      assert(spooled.size == 1)
+      // batch path: shed events appear as per-event 'throttled' errors
+      val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch",
+        """{"writeKey":"k1:sec1","batch":[{"type":"page"},{"type":"identify"}]}""")
+      assert(c2 == 200 && r2.contains("\"okEvents\":0") && r2.contains("throttled"), r2)
+      assert(shed.size == 3)
+    } finally srv.stop()
+  }
+
+  // ---------------------------------------------------------------- pixel
+
+  test("/api/px/:tp: query-param event spools through the locator chain and answers the 1x1 GIF") {
+    val reg = registry(WriteKeys.Stream("destB"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val srv = new IngestServer(
+      (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
+      (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      val data = java.util.Base64.getEncoder.encodeToString(
+        """{"anonymousId":"anon1","properties":{"src":"email"}}""".getBytes(UTF_8))
+      val (code, bytes, hs) = http("GET",
+        s"http://127.0.0.1:${srv.port}/api/px/open?data=$data&writekey=k1:sec1&campaign=c1&context.page.url=https%3A%2F%2Fx.io",
+        None)
+      assert(code == 200)
+      assert(bytes.sameElements(PixelIngest.EmptyGif))
+      assert(hs.get("content-type").contains("image/gif"))
+      assert(hs.get("cache-control").exists(_.contains("no-store")))
+      assert(spooled.size == 1 && spooled.head._1 == "destA")
+      val ev = om.readTree(spooled.head._2)
+      assert(ev.get("type").asText == "open" && ev.get("ingestType").asText == "s2s")
+      val e = ev.get("event")
+      assert(e.get("anonymousId").asText == "anon1")       // from data=
+      assert(e.get("properties").get("src").asText == "email")
+      assert(e.get("campaign").asText == "c1")             // flat param
+      assert(e.get("context").get("page").get("url").asText == "https://x.io") // dotted path
+      // slug locator reuse: keyless GET resolves the non-strict stream;
+      // transport params (slug/writekey) never leak into the event payload
+      http("GET", s"http://127.0.0.1:${srv.port}/api/px/open?slug=destB&x=1", None)
+      assert(spooled.size == 2 && spooled.last._1 == "destB")
+      val last = om.readTree(spooled.last._2)
+      assert(last.get("ingestType").asText == "browser")
+      assert(!last.get("event").hasNonNull("slug"))
+      // a failed key still falls through the writeKeyDefined chain to the
+      // sole-stream fallback (reference locator order) — so to see the
+      // not-found leg the sole stream must be strict
+      val strictSrv = new IngestServer((_, _, _) => fail("must not spool"),
+        (_, _, _, _) => 0L,
+        auth = Some(registry(WriteKeys.Stream("destB", strict = true)))).start()
+      try {
+        val (c3, b3, _) = http("GET",
+          s"http://127.0.0.1:${strictSrv.port}/api/px/open?writekey=bogus", None)
+        assert(c3 == 200 && b3.sameElements(PixelIngest.EmptyGif))
+      } finally strictSrv.stop()
+    } finally srv.stop()
+  }
+
+  test("pixel process_headers: cookie identity, generated anonymousId sets a cookie, referer fills page") {
+    val reg = registry(WriteKeys.Stream("destB"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
+    val srv = new IngestServer(
+      (_, _, e) => spooled.synchronized { spooled += e; () },
+      (_, _, _, _) => 0L, auth = Some(reg),
+      newId = () => "fixed-uuid-1").start()
+    try {
+      // identity from cookies; referer fills context.page and (page event)
+      // properties
+      http("GET",
+        s"http://127.0.0.1:${srv.port}/api/px/page?slug=destB&process_headers=true",
+        None, Map(
+          "Cookie" -> "__eventn_id=cookie-anon; __eventn_uid=u42; __eventn_id_usr=%7B%22plan%22%3A%22pro%22%7D",
+          "Referer" -> "https://shop.io/cart?x=1"))
+      val e1 = om.readTree(spooled.head).get("event")
+      assert(e1.get("anonymousId").asText == "cookie-anon")
+      assert(e1.get("userId").asText == "u42")
+      assert(e1.get("context").get("traits").get("plan").asText == "pro")
+      assert(e1.get("context").get("page").get("host").asText == "shop.io")
+      assert(e1.get("context").get("page").get("path").asText == "/cart")
+      assert(e1.get("properties").get("url").asText == "https://shop.io/cart?x=1")
+      // no cookie: a fresh id is minted and handed back via Set-Cookie
+      val (_, _, hs) = http("GET",
+        s"http://127.0.0.1:${srv.port}/api/px/open?slug=destB&process_headers=1", None)
+      assert(hs.get("set-cookie")
+        .exists(_.contains("__eventn_id=fixed-uuid-1")))
+      val e2 = om.readTree(spooled.last).get("event")
+      assert(e2.get("anonymousId").asText == "fixed-uuid-1")
+      // WITHOUT process_headers cookies are ignored
+      http("GET", s"http://127.0.0.1:${srv.port}/api/px/open?slug=destB&z=1",
+        None, Map("Cookie" -> "__eventn_id=cookie-anon"))
+      assert(!om.readTree(spooled.last).get("event").hasNonNull("anonymousId"))
+    } finally srv.stop()
+  }
+
+  // ------------------------------------------------------------- settings
+
+  test("settings endpoint echoes the writeKey inside the static analytics.js plan") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L).start()
+    try {
+      val (code, body, hs) = http("GET",
+        s"http://127.0.0.1:${srv.port}/v1/projects/MYKEY/settings", None)
+      val s = new String(body, UTF_8)
+      assert(code == 200)
+      assert(hs.get("cache-control").exists(_.contains("max-age=86400")))
+      val parsed = om.readTree(s) // the response must be valid JSON
+      assert(parsed.get("integrations").get("Segment.io").get("apiKey").asText == "MYKEY")
+      assert(parsed.get("plan").get("track").get("__default").get("enabled").asBoolean)
+      assert(parsed.get("analyticsNextEnabled").asBoolean)
+      // aliases: /projects/:key/settings and the doubled projects form
+      val (_, b2, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/projects/K2/settings", None)
+      assert(om.readTree(new String(b2, UTF_8)).get("integrations")
+        .get("Segment.io").get("apiKey").asText == "K2")
+      val (_, b3, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/v1/projects/projects/K3/settings", None)
+      assert(om.readTree(new String(b3, UTF_8)).get("integrations")
+        .get("Segment.io").get("apiKey").asText == "K3")
+    } finally srv.stop()
+  }
+
+  // ------------------------------------------------------- failed readback
+
+  test("/failed/:dest streams NDJSON per status; unknown status is a 400") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+      failedLines = Some((dest, status) =>
+        Iterator(s"""{"dest":"$dest","status":"$status","n":1}""",
+          s"""{"dest":"$dest","status":"$status","n":2}"""))).start()
+    try {
+      val (code, body, hs) = http("GET",
+        s"http://127.0.0.1:${srv.port}/failed/pg1?status=retry", None)
+      assert(code == 200)
+      assert(hs.get("content-type").contains("application/x-ndjson"))
+      val lines = new String(body, UTF_8).split("\n").toSeq
+      assert(lines == Seq("""{"dest":"pg1","status":"retry","n":1}""",
+        """{"dest":"pg1","status":"retry","n":2}"""))
+      // default status is dead (router.go:372)
+      val (_, b2, _) = http("GET", s"http://127.0.0.1:${srv.port}/failed/pg1", None)
+      assert(new String(b2, UTF_8).contains("\"status\":\"dead\""))
+      val (c3, b3, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/failed/pg1?status=nope", None)
+      assert(c3 == 400 && new String(b3, UTF_8).contains("unknown status"))
+    } finally srv.stop()
+  }
+
+  test("FailedReadback.lines reads the real RetryQueue parquet with bookkeeping, deterministic order") {
+    import graft.streaming.{RetryPolicy, RetryQueue}
+    val base = java.nio.file.Files.createTempDirectory("graft_failed_").toString
+    val queue = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())
+    val batch = df("event_id BIGINT, v STRING",
+      Seq(Row(2L, "b"), Row(1L, "a"), Row(3L, "c")))
+    queue.enqueue(batch, batchId = 7L, error = "sink down", nowMs = 1000L)
+    val retryLines = FailedReadback.lines(spark, queue, "retry").toSeq
+    assert(retryLines.size == 3)
+    val first = om.readTree(retryLines.head)
+    assert(first.get("event_id").asLong == 1L) // ordered by first event column
+    assert(first.get("__batch_id").asLong == 7L)
+    assert(first.get("__retries").asInt == 1)
+    assert(first.get("__error").asText == "sink down")
+    assert(FailedReadback.lines(spark, queue, "dead").isEmpty) // no DLQ yet
+    intercept[IllegalArgumentException] {
+      FailedReadback.lines(spark, queue, "bogus")
+    }
+  }
+}
