@@ -26,7 +26,8 @@ object DdlLock {
   private val lockSpec = TableSpec(Table, Seq(
     ColumnSpec("LOCK_ID", DataKind.Str),
     ColumnSpec("OWNER", DataKind.Str),
-    ColumnSpec("ACQUIRED_MS", DataKind.Int64)), pk = Seq("LOCK_ID"))
+    ColumnSpec("ACQUIRED_MS", DataKind.Int64),
+    ColumnSpec("HEARTBEAT_MS", DataKind.Int64)), pk = Seq("LOCK_ID"))
 
   private def ensureLockTable(sink: JdbcSink): Unit =
     try sink.withConnection(sink.exec(_,
@@ -49,16 +50,20 @@ object DdlLock {
     s"${destinationId}_$table"
 
   /** Acquire `id` or throw after `timeoutMs` — INSERT-must-succeed with
-    * exponential backoff; stale rows (older than `staleMs` by `now`) are
-    * evicted between attempts so a crashed engine cannot wedge DDL. */
-  /** Default TTL before a holder is presumed crashed: generous relative to
-    * any DDL episode (seconds) so a merely SLOW holder or modest clock skew
-    * between engines cannot get evicted into concurrent DDL — eviction is
-    * crash recovery, not progress guarantee. (The reference's coordination
-    * locks carry the same TTL tradeoff; a heartbeat/fencing protocol is the
-    * next rung and deliberately out of scope for a lock whose critical
-    * sections are single ALTER statements.) */
-  val DefaultStaleMs: Long = 600000L
+    * exponential backoff; stale rows (HEARTBEAT older than `staleMs` by
+    * `now`) are evicted between attempts so a crashed engine cannot wedge
+    * DDL. */
+  /** Default TTL before a holder is presumed crashed. Staleness is judged
+    * on the HEARTBEAT column, which [[withLock]] refreshes from a daemon
+    * thread every [[DefaultHeartbeatMs]] while holding — so a live-but-SLOW
+    * holder (one long ALTER) keeps beating and is never evicted, and the
+    * TTL can sit at seconds instead of the ten-minutes a beat-less TTL
+    * would need: a crashed engine stops wedging DDL after ~30 s (~15
+    * missed beats), well under any acquire timeout's worth of damage. */
+  val DefaultStaleMs: Long = 30000L
+
+  /** Holder heartbeat period — eviction requires missing ~15 beats. */
+  val DefaultHeartbeatMs: Long = 2000L
 
   def acquire(sink: JdbcSink, id: String, owner: String,
               timeoutMs: Long = 10000L, staleMs: Long = DefaultStaleMs,
@@ -69,9 +74,10 @@ object DdlLock {
     while (true) {
       val got =
         try sink.withConnection { c =>
-          val ps = c.prepareStatement(s"""INSERT INTO "$Table" VALUES (?, ?, ?)""")
+          val ps = c.prepareStatement(s"""INSERT INTO "$Table" VALUES (?, ?, ?, ?)""")
           try {
-            ps.setString(1, id); ps.setString(2, owner); ps.setLong(3, now())
+            ps.setString(1, id); ps.setString(2, owner)
+            ps.setLong(3, now()); ps.setLong(4, now())
             ps.executeUpdate()
           } finally ps.close()
           true
@@ -80,10 +86,11 @@ object DdlLock {
           case e: java.sql.SQLException if isDuplicateKey(e) => false // held
         }
       if (got) return
-      // evict a crashed holder, then retry (the insert stays the only way in)
+      // evict a holder whose HEARTBEAT went silent, then retry (the insert
+      // stays the only way in)
       sink.withConnection { c =>
         val ps = c.prepareStatement(
-          s"""DELETE FROM "$Table" WHERE "LOCK_ID" = ? AND "ACQUIRED_MS" < ?""")
+          s"""DELETE FROM "$Table" WHERE "LOCK_ID" = ? AND "HEARTBEAT_MS" < ?""")
         try { ps.setString(1, id); ps.setLong(2, now() - staleMs); ps.executeUpdate() }
         finally ps.close()
       }
@@ -94,6 +101,20 @@ object DdlLock {
       backoff = math.min(backoff * 2, 200L)
     }
   }
+
+  /** Refresh `owner`'s heartbeat on `id`. Returns false when the row is no
+    * longer ours (we were evicted as stale and possibly replaced) — the
+    * fencing signal: a holder seeing false must treat its lock as lost. */
+  def heartbeat(sink: JdbcSink, id: String, owner: String,
+                now: () => Long = () => System.currentTimeMillis()): Boolean =
+    sink.withConnection { c =>
+      val ps = c.prepareStatement(
+        s"""UPDATE "$Table" SET "HEARTBEAT_MS" = ? WHERE "LOCK_ID" = ? AND "OWNER" = ?""")
+      try {
+        ps.setLong(1, now()); ps.setString(2, id); ps.setString(3, owner)
+        ps.executeUpdate() == 1
+      } finally ps.close()
+    }
 
   /** Release `id` if `owner` still holds it (a stale-evicted owner's late
     * release must not free the NEW holder's lock). */
@@ -107,12 +128,29 @@ object DdlLock {
 
   private val ownerSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Run `f` under the warehouse lock for (destinationId, table). */
+  /** Shared daemon scheduler for holder heartbeats — one thread serves
+    * every lock in the JVM (episodes are short; most never beat once). */
+  private lazy val beats = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val th = new Thread(r, "graft-ddl-lock-heartbeat"); th.setDaemon(true); th
+    })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
+
+  /** Run `f` under the warehouse lock for (destinationId, table), with the
+    * holder heartbeat running so a long `f` is never evicted as stale. */
   def withLock[T](sink: JdbcSink, destinationId: String, table: String,
                   timeoutMs: Long = 10000L)(f: => T): T = {
     val id = lockId(destinationId, table)
     val owner = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-${ownerSeq.incrementAndGet()}"
     acquire(sink, id, owner, timeoutMs)
-    try f finally release(sink, id, owner)
+    val beat = beats.scheduleAtFixedRate(
+      () => try { heartbeat(sink, id, owner); () } catch { case _: Exception => () },
+      DefaultHeartbeatMs, DefaultHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try f finally {
+      beat.cancel(false)
+      release(sink, id, owner)
+    }
   }
 }

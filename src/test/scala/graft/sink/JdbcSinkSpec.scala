@@ -101,6 +101,32 @@ class JdbcSinkSpec extends SparkSuite {
     DdlLock.release(sink, "d_t", "owner3")
   }
 
+  test("DdlLock heartbeat: a beating slow holder survives past staleMs; an evicted owner's beat fences") {
+    val url = "jdbc:derby:memory:test_ddlbeat;create=true"
+    val sink = JdbcSink(url, DerbyDialect)
+    drop(sink, DdlLock.Table)
+    var clock = 5000000L
+    val now = () => clock
+    DdlLock.acquire(sink, "slow_t", "holder", timeoutMs = 60000L, now = now)
+    // the holder's DDL runs LONGER than staleMs, but its heartbeat thread
+    // keeps beating — a challenger can never evict it
+    (1 to 4).foreach { _ =>
+      clock += 20000L // stays under staleMs=30000 between beats
+      assert(DdlLock.heartbeat(sink, "slow_t", "holder", now))
+    }
+    // 80s elapsed since acquire (>> staleMs) yet the lock held firm
+    val e = intercept[IllegalStateException] {
+      DdlLock.acquire(sink, "slow_t", "rival", timeoutMs = 0L, now = now)
+    }
+    assert(e.getMessage.contains("already locked"))
+    // silence past staleMs: the rival takes over, and the old holder's next
+    // beat returns FALSE — the fencing signal that its lock is lost
+    clock += 60000L
+    DdlLock.acquire(sink, "slow_t", "rival", timeoutMs = 1000L, now = now)
+    assert(!DdlLock.heartbeat(sink, "slow_t", "holder", now))
+    DdlLock.release(sink, "slow_t", "rival")
+  }
+
   test("existingColumns does not see phantom tables through _ wildcards") {
     val sink = freshSink("wild")
     drop(sink, "AXB"); drop(sink, "A_B")
