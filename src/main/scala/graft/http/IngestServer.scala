@@ -72,6 +72,16 @@ final class IngestServer(
 
   private var server: HttpServer = _
 
+  /** The live auth/stream config snapshot. Every authenticated handler
+    * reads it PER REQUEST (the reference's handlers call
+    * `repository.GetData()` the same way), so a hot-swapped registry —
+    * key added/revoked, stream throttled, link retyped — takes effect on
+    * the next request with no restart. Wire [[updateAuth]] to a
+    * [[graft.streaming.ConfigRepository]]`.onChange` for polled config. */
+  @volatile private var registry: Option[WriteKeys.Registry] = auth
+
+  def updateAuth(reg: WriteKeys.Registry): Unit = registry = Some(reg)
+
   def port: Int = server.getAddress.getPort
 
   /** Query string as a map (last value wins) — single-valued params. */
@@ -361,14 +371,15 @@ final class IngestServer(
           respond(ex, 200, s"""{"ok":true,"rows":$rows}""")
         }
       } catch { case e: Exception => respond(ex, 500, errorBody(e, "load failed")) })
-    // Segment-compatible authenticated edge (ingest/router.go:160-177)
-    auth.foreach { reg =>
-      server.createContext("/api/s/", (ex: HttpExchange) => handleApiS(reg, ex))
+    // Segment-compatible authenticated edge (ingest/router.go:160-177);
+    // handlers read the CURRENT registry per request — hot-reload safe
+    if (auth.isDefined) {
+      server.createContext("/api/s/", (ex: HttpExchange) => handleApiS(registry.get, ex))
       server.createContext("/v1/batch", (ex: HttpExchange) =>
-        handleBatch(reg, ex, s2sEndpoint = false))
+        handleBatch(registry.get, ex, s2sEndpoint = false))
       server.createContext("/batch", (ex: HttpExchange) =>
-        handleBatch(reg, ex, s2sEndpoint = false))
-      server.createContext("/api/px/", (ex: HttpExchange) => handlePixel(reg, ex))
+        handleBatch(registry.get, ex, s2sEndpoint = false))
+      server.createContext("/api/px/", (ex: HttpExchange) => handlePixel(registry.get, ex))
     }
     server.createContext("/v1/projects", (ex: HttpExchange) =>
       handleSettings(ex, "/v1/projects"))

@@ -499,6 +499,56 @@ object StreamOps {
            CAST(5 AS BIGINT), 'poison', 'dead'
     FROM events WHERE event_id % 10 = 3"""
 
+  /** B10 — DLQ replay after a fix (the reference's ops flow: stream the
+    * dead queue back via `/failed/:dest?status=dead`, fix the fault,
+    * re-submit — composed here as [[graft.streaming.RetryQueue.replayDlq]]
+    * over the same transactional pk-merge the original load used): the
+    * poisoned tail of the b4 pipeline (top 1% of ids) is dead-lettered at
+    * exhausted depth through the real drain, the "constraint" is lifted,
+    * and the replay must drain the DLQ to zero and leave the warehouse
+    * EQUAL to the run that never failed. Any leftover DLQ row unions into
+    * the output as sink='dlq' — the oracle admits none. */
+  def b10DlqReplay(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_b10"
+    rmrf(s, base)
+    val sink = JdbcSink("jdbc:derby:memory:graft_b10;create=true", DerbyDialect,
+      maxWriteConnections = 4)
+    try sink.withConnection(sink.exec(_, "DROP TABLE \"REPLAY_SINK\""))
+    catch { case _: java.sql.SQLException => () }
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val poisonFrom = maxId - maxId / 100 // b4's poisoned-tail rule
+    val spec = sink.specFor(ev, "replay_sink", pk = Seq("event_id"))
+    sink.ensureTable(spec)
+    // the healthy majority loaded normally; the poisoned tail walked b4's
+    // ladder to the DLQ (seeded at exhausted depth through the real drain)
+    sink.loadMerge(ev.filter(col("event_id") < poisonFrom), spec)
+    val queue = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())
+    queue.enqueue(ev.filter(col("event_id") >= poisonFrom), batchId = 9L,
+      error = "constraint violation", nowMs = T0, attempt = 5)
+    queue.drain(s, T0 + 1441L * 60000L) { _ =>
+      throw new RuntimeException("constraint violation")
+    }
+    // the fix lands: replay drains the dead batches through the SAME
+    // idempotent pk merge; a second replay is a no-op
+    val replayed = queue.replayDlq(s) { rows => sink.loadMerge(rows, spec) }
+    require(replayed == 1, s"expected 1 replayed batch, got $replayed")
+    require(queue.replayDlq(s)(_ => ()) == 0, "DLQ must have drained")
+    val table = s.read.jdbc(sink.url, "\"REPLAY_SINK\"", new java.util.Properties())
+      .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+        col("EVENT_TYPE").as("event_type"), col("VALUE").as("value"))
+      .withColumn("sink", lit("table"))
+    queue.dlq(s) match {
+      case None => table
+      case Some(left) => table.unionByName(left
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("sink", lit("dlq")))
+    }
+  }
+
+  private val b10Oracle = """
+    SELECT event_id, user_id, event_type, value, 'table' AS sink FROM events"""
+
   /** Event-time windowed aggregation through the REAL streaming machinery:
     * two file-source micro-batches flow into a watermarked tumbling-window
     * count (complete mode → memory sink), proving the aggregation state
@@ -1362,5 +1412,6 @@ object StreamOps {
     "b7_events_log"     -> Q(b7EventsLog, Some(b7Oracle)),
     "b8_batch_ingest"   -> Q(b8BatchIngest, Some(b8Oracle)),
     "b9_failed_readback" -> Q(b9FailedReadback, Some(b9Oracle)),
+    "b10_dlq_replay"    -> Q(b10DlqReplay, Some(b10Oracle)),
   )
 }

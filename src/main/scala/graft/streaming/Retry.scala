@@ -109,4 +109,44 @@ final case class RetryQueue(dir: String, dlqDir: String,
   /** Currently-parked retry rows (due or not), with bookkeeping — the
     * read-back surface behind `/failed/:dest?status=retry`. */
   def queued(spark: SparkSession): Option[DataFrame] = readOrEmpty(spark, dir)
+
+  /** Re-drive dead-lettered batches through `load` after an operator fixed
+    * the underlying fault — the ops flow the reference serves as
+    * `/failed/:dest?status=dead` read-back (router.go:370-433) followed by
+    * a re-submit through the ingest path; here it is one call, idempotent
+    * when `load` is a pk merge. Replay goes per ORIGINAL batch (like
+    * [[drain]]); batches that load are REMOVED from the DLQ via a staged
+    * swap, batches that still fail stay dead. Returns the number of
+    * batches successfully replayed. The per-batch-id loop is control-plane
+    * (bounded by #dead batches); each batch's rows load distributed. */
+  def replayDlq(spark: SparkSession)(load: DataFrame => Unit): Int = {
+    val dOpt = readOrEmpty(spark, dlqDir)
+    if (dOpt.isEmpty) return 0
+    val dead = dOpt.get.persist()
+    try {
+      val ids = dead.select("__batch_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val replayed = ids.filter { id =>
+        val rows = dead.filter(col("__batch_id") === id)
+        try { load(rows.drop(MetaCols: _*)); true }
+        catch { case _: Throwable => false }
+      }
+      if (replayed.nonEmpty) {
+        val remaining = dead.filter(
+          !col("__batch_id").isInCollection(replayed.toSeq)).coalesce(8)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dlqDir), spark.sparkContext.hadoopConfiguration)
+        if (replayed.length == ids.length) {
+          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true); ()
+        } else {
+          val nextPath = new org.apache.hadoop.fs.Path(dlqDir + "__next")
+          remaining.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true)
+          fs.rename(nextPath, new org.apache.hadoop.fs.Path(dlqDir))
+          ()
+        }
+      }
+      replayed.length
+    } finally { dead.unpersist(); () }
+  }
 }

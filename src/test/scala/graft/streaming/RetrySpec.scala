@@ -69,6 +69,31 @@ class RetrySpec extends SparkSuite {
     assert(canon(parked.select("id", "__retries")) == Seq(Seq("666", "2")))
   }
 
+  test("replayDlq: fixed batches drain out of the DLQ, still-broken batches stay dead") {
+    val q = tmpQueue()
+    // two batches dead-letter at exhausted depth through the real drain
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.enqueue(batch(666L), batchId = 2L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    assert(q.dlq(spark).get.count() == 3)
+    // the fix covers batch 1 only: one batch replays, 666 stays dead
+    val loaded = scala.collection.mutable.Set.empty[Long]
+    val n = q.replayDlq(spark) { rows =>
+      val ids = rows.collect().toSeq.map(_.getLong(0))
+      if (ids.contains(666L)) throw new RuntimeException("still broken")
+      loaded ++= ids
+    }
+    assert(n == 1 && loaded == Set(1L, 2L))
+    assert(canon(q.dlq(spark).get.select("id")) == Seq(Seq("666")))
+    // replayed rows arrive WITHOUT bookkeeping columns
+    q.replayDlq(spark) { rows =>
+      assert(!rows.columns.exists(_.startsWith("__"))); ()
+    }
+    // the second replay fixed 666 too: the DLQ directory is gone
+    assert(q.dlq(spark).isEmpty)
+    assert(q.replayDlq(spark)(_ => fail("nothing left to replay")) == 0)
+  }
+
   test("transient failure: retry succeeds and nothing dead-letters") {
     val q = tmpQueue()
     q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = 0L)
