@@ -262,6 +262,68 @@ final class IngestServer(
       }
     } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
 
+  /** Classic jitsu event API (`ClassicHandler`,
+    * router_classic_handler.go:79-207; routes ingest/router.go:180-186):
+    * `/api/v1/event[s]` types the request browser, `/api/v1/s2s/event[s]`
+    * s2s, and the randomized `/api.<rand>` alias hides the browser path
+    * from blockers. The token arrives as `?token=`, `X-Auth-Token`,
+    * `api_key`, or the first `p_<rand>` query param; stream location is
+    * STRICT writeKey-only (`getStream(loc, strict=true, ...)`) with the
+    * classic keyType-must-match rule. The body is ONE event or an ARRAY
+    * (no gap dedup — that is the Segment batch endpoint's semantics), each
+    * spooled under a `classic` envelope. Browser-side failures answer 200
+    * with the error in the body (the classic client contract —
+    * `utils.Ternary(s2sEndpoint, 4xx, StatusOK)`); s2s failures 400/401. */
+  private def handleClassic(reg: WriteKeys.Registry, ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      val s2sEndpoint = path.startsWith("/api/v1/s2s/")
+      def soft(code: Int, msg: String): Unit =
+        respond(ex, if (s2sEndpoint) code else 200,
+          s"""{"ok":false,"error":${graft.Verify.jsonStr(msg)}}""")
+      if (ex.getRequestMethod != "POST") { soft(400, "POST an event"); return }
+      val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
+      val pairs = queryPairs(ex)
+      val q = pairs.toMap
+      val token = q.get("token").filter(_.nonEmpty)
+        .orElse(hdr("X-Auth-Token")).orElse(hdr("api_key"))
+        .orElse(pairs.collectFirst { case (k, v) if k.startsWith("p_") && v.nonEmpty => v })
+      token.flatMap(t => reg.resolve(t, s2sEndpoint)) match {
+        case None => soft(401, s"stream not found for: ${
+          token.map(WriteKeys.mask).getOrElse("(no token)")}")
+        case Some((streamId, ingType)) =>
+          val body = readBody(ex).trim
+          // one event or an array of events (router_classic_handler.go:149-163)
+          val events: Either[String, Seq[String]] =
+            if (body.isEmpty) Left("empty body")
+            else if (body.head == '[')
+              try {
+                val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+                import scala.jdk.CollectionConverters._
+                Right(root.elements().asScala.map(_.toString).toSeq)
+              } catch { case e: Exception =>
+                Left(s"error parsing message: ${Option(e.getMessage).getOrElse("bad JSON")}") }
+            else if (body.head == '{') Right(Seq(body))
+            else Left("body must be a JSON object or array")
+          events match {
+            case Left(err) => soft(400, err)
+            case Right(evs) =>
+              val throttle = reg.streamConfig(streamId).map(_.throttle).getOrElse(0)
+              val table = q.getOrElse("tableName", "events")
+              var shedCount = 0
+              evs.foreach { raw =>
+                if (IngestThrottle.shed(raw, throttle)) { onShed(streamId, raw); shedCount += 1 }
+                else spool(streamId, table,
+                  s"""{"type":"classic","ingestType":"$ingType","event":$raw}""")
+              }
+              if (shedCount == evs.size && shedCount > 0)
+                respond(ex, if (s2sEndpoint) 402 else 200,
+                  """{"ok":false,"error":"throttled"}""")
+              else respond(ex, 200, """{"ok":true}""")
+          }
+      }
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
   /** Tracking-pixel ingest (`PixelHandler`,
     * router_pixel_handler.go:36-134): GET, event from query params, full
     * writeKeyDefined locator chain WITHOUT a payload key extractor, always
@@ -380,6 +442,10 @@ final class IngestServer(
       server.createContext("/batch", (ex: HttpExchange) =>
         handleBatch(registry.get, ex, s2sEndpoint = false))
       server.createContext("/api/px/", (ex: HttpExchange) => handlePixel(registry.get, ex))
+      server.createContext("/api/v1/", (ex: HttpExchange) => handleClassic(registry.get, ex))
+      // randomized classic alias `/api.<rand>` (router.go:186) — a distinct
+      // literal prefix, so it cannot shadow the /api/... contexts
+      server.createContext("/api.", (ex: HttpExchange) => handleClassic(registry.get, ex))
     }
     server.createContext("/v1/projects", (ex: HttpExchange) =>
       handleSettings(ex, "/v1/projects"))

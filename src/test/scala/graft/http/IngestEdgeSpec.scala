@@ -324,6 +324,49 @@ class IngestEdgeSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  // -------------------------------------------------------------- classic
+
+  test("classic /api/v1/event[s]: token spots, array bodies, soft-200 browser errors, strict key typing") {
+    val reg = registry(WriteKeys.Stream("soleStream")) // sole MUST NOT resolve keylessly
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val srv = new IngestServer(
+      (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
+      (_, _, _, _) => 0L, auth = Some(reg)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.port}"
+      // browser endpoint + browser key via ?token=
+      val (c1, r1) = post(s"$base/api/v1/event?token=kb:bsec", """{"event_type":"pageview"}""")
+      assert(c1 == 200 && r1 == """{"ok":true}""")
+      assert(spooled.last._1 == "destB")
+      assert(spooled.last._2 ==
+        """{"type":"classic","ingestType":"browser","event":{"event_type":"pageview"}}""")
+      // ARRAY body fans out to one spool per element (X-Auth-Token spot)
+      val (c2, _) = post(s"$base/api/v1/events", """[{"a":1},{"a":2}]""",
+        Map("X-Auth-Token" -> "kb:bsec"))
+      assert(c2 == 200 && spooled.size == 3)
+      // s2s endpoint: s2s key lands typed s2s; browser key REJECTED (classic
+      // keyType matching, unlike the writeKeyDefined /api/s chain)
+      assert(post(s"$base/api/v1/s2s/event", """{"b":1}""",
+        Map("api_key" -> "k1:sec1"))._1 == 200)
+      assert(spooled.last._1 == "destA" &&
+        spooled.last._2.contains("\"ingestType\":\"s2s\""))
+      assert(post(s"$base/api/v1/s2s/event?token=kb:bsec", """{"b":1}""")._1 == 401)
+      // browser-side failures answer 200 with the error IN THE BODY (the
+      // classic client contract); s2s failures are real HTTP errors
+      val (c3, r3) = post(s"$base/api/v1/event?token=bogus", """{"x":1}""")
+      assert(c3 == 200 && r3.contains("\"ok\":false") && r3.contains("stream not found"))
+      assert(post(s"$base/api/v1/s2s/event?token=bogus", """{"x":1}""")._1 == 401)
+      // STRICT location: a sole-stream workspace never resolves keylessly
+      val (c4, r4) = post(s"$base/api/v1/event", """{"x":1}""")
+      assert(c4 == 200 && r4.contains("\"ok\":false"))
+      // randomized alias /api.<rand> with the p_<rand> token spot
+      assert(post(s"$base/api.r4nd0m?p_ab=plainkey", """{"z":9}""")._1 == 200)
+      assert(spooled.last._1 == "destC" &&
+        spooled.last._2.contains("\"ingestType\":\"browser\""))
+      assert(spooled.size == 5)
+    } finally srv.stop()
+  }
+
   // ------------------------------------------------------------- settings
 
   test("settings endpoint echoes the writeKey inside the static analytics.js plan") {
