@@ -127,6 +127,33 @@ final class IngestServer(
   private def errorBody(e: Exception, fallback: String): String =
     s"""{"ok":false,"error":${graft.Verify.jsonStr(Option(e.getMessage).getOrElse(fallback))}}"""
 
+  /** CORS middleware on the fast routes (`CorsMiddleware`,
+    * ingest/router.go:208-229): echo the Origin back (credentialed
+    * responses cannot use `*`), and answer OPTIONS preflights directly so
+    * analytics.js can POST cross-origin. Returns true when the exchange
+    * was fully handled (preflight). */
+  private def cors(ex: HttpExchange): Boolean = {
+    val origin = Option(ex.getRequestHeaders.getFirst("Origin")).filter(_.nonEmpty)
+    def allow(o: String): Unit = {
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", o)
+      h.set("Access-Control-Allow-Methods", "GET,POST,HEAD,OPTIONS")
+      h.set("Access-Control-Allow-Headers",
+        "x-enable-debug, x-write-key, authorization, content-type, x-ip-policy, cache-control, x-jitsu-custom")
+      h.set("Access-Control-Allow-Credentials", "true")
+      h.set("Access-Control-Max-Age", "86400")
+    }
+    if (ex.getRequestMethod == "OPTIONS") {
+      allow(origin.getOrElse("*"))
+      ex.sendResponseHeaders(200, -1L)
+      ex.close()
+      true
+    } else {
+      origin.foreach(allow)
+      false
+    }
+  }
+
   // -------------------------------------------------------------- handlers
 
   /** Single-event Segment ingest (`IngestHandler`), on the writeKeyDefined
@@ -134,6 +161,7 @@ final class IngestServer(
     * `{"type":...,"ingestType":...,"event":...}` envelope. */
   private def handleApiS(reg: WriteKeys.Registry, ex: HttpExchange): Unit =
     try {
+      if (cors(ex)) return
       val path = ex.getRequestURI.getPath.stripPrefix("/api/s/")
       val s2s = path.startsWith("s2s/")
       val tp = (if (s2s) path.stripPrefix("s2s/") else path).takeWhile(_ != '/')
@@ -205,6 +233,7 @@ final class IngestServer(
   private def handleBatch(reg: WriteKeys.Registry, ex: HttpExchange,
                           s2sEndpoint: Boolean): Unit =
     try {
+      if (cors(ex)) return
       if (ex.getRequestMethod != "POST") {
         respond(ex, 400, """{"ok":false,"error":"POST a batch envelope"}"""); return
       }
@@ -276,6 +305,7 @@ final class IngestServer(
     * `utils.Ternary(s2sEndpoint, 4xx, StatusOK)`); s2s failures 400/401. */
   private def handleClassic(reg: WriteKeys.Registry, ex: HttpExchange): Unit =
     try {
+      if (cors(ex)) return
       val path = ex.getRequestURI.getPath
       val s2sEndpoint = path.startsWith("/api/v1/s2s/")
       def soft(code: Int, msg: String): Unit =
@@ -333,6 +363,7 @@ final class IngestServer(
     * guard, not a dataflow). */
   private def handlePixel(reg: WriteKeys.Registry, ex: HttpExchange): Unit =
     try {
+      if (cors(ex)) return
       ex.getResponseHeaders.set("Cache-Control", "no-cache, no-store, must-revalidate")
       ex.getResponseHeaders.set("Pragma", "no-cache")
       ex.getResponseHeaders.set("Expires", "0")
@@ -374,6 +405,7 @@ final class IngestServer(
     * analytics.js bootstraps before its first event auths. */
   private def handleSettings(ex: HttpExchange, prefix: String): Unit =
     try {
+      if (cors(ex)) return
       val rest0 = ex.getRequestURI.getPath.stripPrefix(prefix).stripPrefix("/")
       // the doubled alias `/v1/projects/projects/:writeKey/settings`
       // (ingest/router.go:162,165) collapses to the same key

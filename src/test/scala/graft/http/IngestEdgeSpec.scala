@@ -324,6 +324,62 @@ class IngestEdgeSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  // ------------------------------------------------ cors + shed→events-log
+
+  test("CORS: OPTIONS preflight answered directly; responses echo a present Origin") {
+    val reg = registry(WriteKeys.Stream("destA"))
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+      auth = Some(reg)).start()
+    try {
+      // OPTIONS preflight never reaches the handler logic — answered with
+      // the allow set (router.go:209-218); HttpURLConnection drops Origin,
+      // so preflight rides HttpClient
+      val b = java.net.http.HttpRequest
+        .newBuilder(new URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/track"))
+        .method("OPTIONS", java.net.http.HttpRequest.BodyPublishers.noBody())
+        .header("Origin", "https://shop.io")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "https://shop.io")
+      assert(resp.headers().firstValue("Access-Control-Allow-Credentials")
+        .orElse("") == "true")
+      assert(resp.headers().firstValue("Access-Control-Allow-Headers")
+        .orElse("").contains("x-write-key"))
+      // a POST carrying an Origin gets the echo on the real response too
+      val p = java.net.http.HttpRequest
+        .newBuilder(new URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/track"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("""{"a":1}"""))
+        .header("Origin", "https://shop.io")
+        .header("X-Write-Key", "k1:sec1")
+      val resp2 = java.net.http.HttpClient.newHttpClient().send(
+        p.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp2.statusCode() == 200)
+      assert(resp2.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "https://shop.io")
+    } finally srv.stop()
+  }
+
+  test("shed events land in the events log as SKIPPED through the onShed hook (router_ingest_handler.go:44-47)") {
+    import graft.streaming.{ActorEvent, JdbcEventsLog}
+    val url = "jdbc:derby:memory:edge_shedlog;create=true"
+    val log = new JdbcEventsLog(url, flushEvery = 1)
+    val reg = registry(WriteKeys.Stream("destA", throttle = 100))
+    val srv = new IngestServer((_, _, _) => fail("must not spool"),
+      (_, _, _, _) => 0L, auth = Some(reg),
+      onShed = (streamId, raw) => log.post(ActorEvent(
+        eventType = "incoming", actorId = streamId, level = "error",
+        timestampMs = 1L, content = s"""SKIPPED throttled: $raw"""))).start()
+    try {
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
+        """{"a":1}""", Map("X-Write-Key" -> "k1:sec1"))._1 == 402)
+      val rows = log.getEvents("incoming", "destA", Some("error"), None, None, 10)
+      assert(rows.size == 1)
+      assert(rows.head.content == """SKIPPED throttled: {"a":1}""")
+    } finally srv.stop()
+  }
+
   // -------------------------------------------------------------- classic
 
   test("classic /api/v1/event[s]: token spots, array bodies, soft-200 browser errors, strict key typing") {
