@@ -63,7 +63,7 @@ object IngestThrottle {
   */
 final class IngestServer(
     spool: (String, String, String) => Unit,        // (dest, table, rawEvent)
-    bulkLoad: (String, String, String, Seq[String]) => Long, // (dest, table, mode, lines) => rows
+    bulkLoad: (String, String, String, Seq[String], Seq[String]) => Long, // (dest, table, mode, pk, lines) => rows
     auth: Option[WriteKeys.Registry] = None, // enables /api/s, batch, pixel
     onShed: (String, String) => Unit = (_, _) => (), // (streamId, rawEvent) — SKIPPED hook
     failedLines: Option[(String, String) => Iterator[String]] = None, // (destId, status)
@@ -456,12 +456,15 @@ final class IngestServer(
         val q = query(ex)
         val table = q.getOrElse("tableName", "events")
         val mode = q.getOrElse("mode", "replace_table") // router.go:233 default
+        // repeated ?pk= params become the stream's primary key and switch
+        // deduplication on (router.go:258-262 WithPrimaryKey+WithDeduplicate)
+        val pks = queryPairs(ex).collect { case ("pk", v) if v.nonEmpty => v }
         val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
         if (ex.getRequestMethod != "POST" || dest.isEmpty)
           respond(ex, 400, """{"ok":false,"error":"POST /bulk/:dest"}""")
         else {
-          val rows = bulkLoad(dest, table, mode, lines)
+          val rows = bulkLoad(dest, table, mode, pks, lines)
           respond(ex, 200, s"""{"ok":true,"rows":$rows}""")
         }
       } catch { case e: Exception => respond(ex, 500, errorBody(e, "load failed")) })

@@ -386,7 +386,7 @@ object StreamOps {
       new java.io.FileWriter(s"$base/spool/events.ndjson"))
     val srv = new IngestServer(
       (_, _, line) => writer.synchronized { writer.write(line); writer.newLine() },
-      (_, _, _, _) => 0L, auth = Some(reg)).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       val fmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSX").withZone(java.time.ZoneOffset.UTC)
@@ -459,7 +459,7 @@ object StreamOps {
     // transient batch: parked after the drain, not yet due
     queue.enqueue(ev.filter(col("event_id") % 10 === 7), batchId = 1L,
       error = "transient failure", nowMs = T0 + 1441L * 60000L, attempt = 2)
-    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
       failedLines = Some((dest, status) =>
         if (dest == "destX") FailedReadback.lines(s, queue, status)
         else Iterator.empty)).start()

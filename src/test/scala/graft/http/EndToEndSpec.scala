@@ -41,7 +41,7 @@ class EndToEndSpec extends SparkSuite {
         val f = new java.io.FileWriter(new java.io.File(dir, s"$table.json"), true)
         try f.write(event + "\n") finally f.close()
       },
-      bulkLoad = (_, _, _, _) => 0L).start()
+      bulkLoad = (_, _, _, _, _) => 0L).start()
     try {
       (1 to 5).foreach(i =>
         assert(post(s"http://127.0.0.1:${srv.port}/post/pg1?tableName=orders",
@@ -73,9 +73,12 @@ class EndToEndSpec extends SparkSuite {
     val engine = new Engine(spark, sink)
     val srv = new IngestServer(
       spool = (_, _, _) => (),
-      bulkLoad = (_, table, mode, lines) => {
+      bulkLoad = (_, table, mode, pk, lines) => {
         import spark.implicits._
-        val st = engine.createStream(table, StreamConfig(mode = mode))
+        // ?pk= switches on pk + dedup exactly like the reference's
+        // WithPrimaryKey(pkeys...) + WithDeduplicate (router.go:258-262)
+        val st = engine.createStream(table,
+          StreamConfig(mode = mode, pk = pk, deduplicate = pk.nonEmpty))
         st.consumeDataset(lines.toDS())
         val state = st.complete()
         assert(state.status == "ok", state.error)
@@ -85,8 +88,14 @@ class EndToEndSpec extends SparkSuite {
       val body = (1 to 7).map(i => s"""{"id":$i}""").mkString("\n")
       assert(post(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items&mode=replace_table",
         body) == 200)
+      // the pk leg: duplicate ids in one NDJSON body collapse (last wins)
+      val dupBody = ((1 to 6).map(i => s"""{"id":$i,"v":"a$i"}""") :+
+        """{"id":3,"v":"winner"}""").mkString("\n")
+      assert(post(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items&mode=replace_table&pk=id",
+        dupBody) == 200)
     } finally srv.stop()
     val back = spark.read.jdbc(sink.url, "\"ITEMS\"", new java.util.Properties())
-    assert(back.count() == 7)
+    assert(back.count() == 6)
+    assert(canon(back.filter("ID = 3").select("V")) == Seq(Seq("winner")))
   }
 }

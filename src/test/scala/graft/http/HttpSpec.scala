@@ -68,7 +68,7 @@ class HttpSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val srv = new IngestServer(
       spool = (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
-      bulkLoad = (_, _, _, _) => 0L, auth = Some(testRegistry)).start()
+      bulkLoad = (_, _, _, _, _) => 0L, auth = Some(testRegistry)).start()
     try {
       val (code, resp) = postAuth(
         s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
@@ -88,7 +88,7 @@ class HttpSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val srv = new IngestServer(
       spool = (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
-      bulkLoad = (_, _, _, _) => 0L, auth = Some(testRegistry)).start()
+      bulkLoad = (_, _, _, _, _) => 0L, auth = Some(testRegistry)).start()
     try {
       // %22%2C%22x%22%3A%22y decodes to `a","x":"y` — without escaping this
       // would inject a top-level "x" field into the envelope
@@ -145,7 +145,7 @@ class HttpSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
     val srv = new IngestServer(
       spool = (_, _, e) => spooled.synchronized { spooled += e; () },
-      bulkLoad = (_, _, _, _) => 0L, auth = Some(reg)).start()
+      bulkLoad = (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       val url = s"http://127.0.0.1:${srv.port}/api/s/page"
       // authorized subdomain and bare apex (eager) both land
@@ -226,7 +226,7 @@ class HttpSpec extends SparkSuite {
       WriteKeys.Stream("destB"), WriteKeys.Stream("destA", strict = true)))
     val srv = new IngestServer(
       spool = (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
-      bulkLoad = (_, _, _, _) => 0L, auth = Some(reg)).start()
+      bulkLoad = (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       // keyless slug resolution lands on the non-strict stream
       assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page?slug=destB",
@@ -247,7 +247,7 @@ class HttpSpec extends SparkSuite {
     val reg = testRegistry.copy(streams = Seq(WriteKeys.Stream("onlyD")))
     val srv = new IngestServer(
       spool = (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
-      bulkLoad = (_, _, _, _) => 0L, auth = Some(reg)).start()
+      bulkLoad = (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       assert(postAuth(s"http://127.0.0.1:${srv.port}/api/s/page",
         """{"a":1}""", Map.empty)._1 == 200)
@@ -262,7 +262,7 @@ class HttpSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val srv = new IngestServer(
       (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
-      (_, _, _, _) => 0L, auth = Some(testRegistry)).start()
+      (_, _, _, _, _) => 0L, auth = Some(testRegistry)).start()
     try {
       val url = s"http://127.0.0.1:${srv.port}/api/s/s2s/track"
       assert(postAuth(url, """{"a":1}""", Map.empty)._1 == 401)
@@ -294,7 +294,7 @@ class HttpSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val srv = new IngestServer(
       spool = (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
-      bulkLoad = (_, _, _, _) => 0L).start()
+      bulkLoad = (_, _, _, _, _) => 0L).start()
     try {
       val (code, resp) = post(s"http://127.0.0.1:${srv.port}/post/pg1?tableName=orders",
         """{"id":1,"v":"x"}""")
@@ -306,23 +306,25 @@ class HttpSpec extends SparkSuite {
   }
 
   test("POST /bulk/:dest runs a synchronous NDJSON load and reports rows — S2") {
-    var seen: (String, String, String, Seq[String]) = null
+    var seen: (String, String, String, Seq[String], Seq[String]) = null
     val srv = new IngestServer(
       spool = (_, _, _) => (),
-      bulkLoad = (d, t, m, lines) => { seen = (d, t, m, lines); lines.length.toLong }
+      bulkLoad = (d, t, m, pk, lines) => { seen = (d, t, m, pk, lines); lines.length.toLong }
     ).start()
     try {
       val (code, resp) = post(
-        s"http://127.0.0.1:${srv.port}/bulk/duck?tableName=items&mode=batch",
+        s"http://127.0.0.1:${srv.port}/bulk/duck?tableName=items&mode=batch&pk=a&pk=b",
         "{\"a\":1}\n{\"a\":2}\n\n{\"a\":3}")
       assert(code == 200 && resp == """{"ok":true,"rows":3}""")
-      assert(seen == (("duck", "items", "batch", Seq("{\"a\":1}", "{\"a\":2}", "{\"a\":3}"))))
+      // repeated ?pk= params arrive in order (router.go QueryArray)
+      assert(seen == (("duck", "items", "batch", Seq("a", "b"),
+        Seq("{\"a\":1}", "{\"a\":2}", "{\"a\":3}"))))
     } finally srv.stop()
   }
 
   test("bulk default mode is replace_table (router.go:233)") {
     var mode = ""
-    val srv = new IngestServer((_, _, _) => (), (_, _, m, _) => { mode = m; 0L }).start()
+    val srv = new IngestServer((_, _, _) => (), (_, _, m, _, _) => { mode = m; 0L }).start()
     try {
       post(s"http://127.0.0.1:${srv.port}/bulk/x", """{"a":1}""")
       assert(mode == "replace_table")
@@ -331,7 +333,7 @@ class HttpSpec extends SparkSuite {
 
   test("a failing bulk load returns ok:false with the error — S2 abort path") {
     val srv = new IngestServer((_, _, _) => (),
-      (_, _, _, _) => throw new RuntimeException("sink down")).start()
+      (_, _, _, _, _) => throw new RuntimeException("sink down")).start()
     try {
       val (code, resp) = post(s"http://127.0.0.1:${srv.port}/bulk/x", """{"a":1}""")
       assert(code == 500 && resp.contains("sink down"))
@@ -341,7 +343,7 @@ class HttpSpec extends SparkSuite {
   test("error bodies stay valid JSON when the exception message carries quotes") {
     val srv = new IngestServer(
       (_, _, _) => throw new RuntimeException("""boom "quoted" \ path"""),
-      (_, _, _, _) => throw new RuntimeException(null: String)).start()
+      (_, _, _, _, _) => throw new RuntimeException(null: String)).start()
     try {
       val (c1, r1) = post(s"http://127.0.0.1:${srv.port}/post/x", """{"a":1}""")
       assert(c1 == 500 && r1.contains("""boom \"quoted\" \\ path"""), r1)

@@ -96,7 +96,7 @@ class IngestEdgeSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val srv = new IngestServer(
       (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
-      (_, _, _, _) => 0L, auth = Some(reg)).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       val body =
         """{"writeKey":"k1:sec1","batch":[
@@ -125,7 +125,7 @@ class IngestEdgeSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
     val srv = new IngestServer(
       (_, _, e) => spooled.synchronized { spooled += e; () },
-      (_, _, _, _) => 0L, auth = Some(reg)).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       val body =
         """{"writeKey":"k1:sec1","eventsName":"signup","context":{"ip":"1.2.3.4","lib":"srv"},"batch":[
@@ -152,7 +152,7 @@ class IngestEdgeSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val srv = new IngestServer(
       (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
-      (_, _, _, _) => 0L, auth = Some(reg)).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       // a sole-stream workspace does NOT resolve a keyless batch (the
       // reference calls getStream strict=true — writeKey locator only)
@@ -222,7 +222,7 @@ class IngestEdgeSpec extends SparkSuite {
     val shed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val srv = new IngestServer(
       (_, _, e) => spooled.synchronized { spooled += e; () },
-      (_, _, _, _) => 0L, auth = Some(reg),
+      (_, _, _, _, _) => 0L, auth = Some(reg),
       onShed = (d, e) => shed.synchronized { shed += ((d, e)); () }).start()
     try {
       val (code, resp) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/track",
@@ -248,7 +248,7 @@ class IngestEdgeSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val srv = new IngestServer(
       (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
-      (_, _, _, _) => 0L, auth = Some(reg)).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       val data = java.util.Base64.getEncoder.encodeToString(
         """{"anonymousId":"anon1","properties":{"src":"email"}}""".getBytes(UTF_8))
@@ -278,7 +278,7 @@ class IngestEdgeSpec extends SparkSuite {
       // sole-stream fallback (reference locator order) — so to see the
       // not-found leg the sole stream must be strict
       val strictSrv = new IngestServer((_, _, _) => fail("must not spool"),
-        (_, _, _, _) => 0L,
+        (_, _, _, _, _) => 0L,
         auth = Some(registry(WriteKeys.Stream("destB", strict = true)))).start()
       try {
         val (c3, b3, _) = http("GET",
@@ -293,7 +293,7 @@ class IngestEdgeSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
     val srv = new IngestServer(
       (_, _, e) => spooled.synchronized { spooled += e; () },
-      (_, _, _, _) => 0L, auth = Some(reg),
+      (_, _, _, _, _) => 0L, auth = Some(reg),
       newId = () => "fixed-uuid-1").start()
     try {
       // identity from cookies; referer fills context.page and (page event)
@@ -328,7 +328,7 @@ class IngestEdgeSpec extends SparkSuite {
 
   test("CORS: OPTIONS preflight answered directly; responses echo a present Origin") {
     val reg = registry(WriteKeys.Stream("destA"))
-    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
       auth = Some(reg)).start()
     try {
       // OPTIONS preflight never reaches the handler logic — answered with
@@ -367,7 +367,7 @@ class IngestEdgeSpec extends SparkSuite {
     val log = new JdbcEventsLog(url, flushEvery = 1)
     val reg = registry(WriteKeys.Stream("destA", throttle = 100))
     val srv = new IngestServer((_, _, _) => fail("must not spool"),
-      (_, _, _, _) => 0L, auth = Some(reg),
+      (_, _, _, _, _) => 0L, auth = Some(reg),
       onShed = (streamId, raw) => log.post(ActorEvent(
         eventType = "incoming", actorId = streamId, level = "error",
         timestampMs = 1L, content = s"""SKIPPED throttled: $raw"""))).start()
@@ -387,7 +387,7 @@ class IngestEdgeSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val srv = new IngestServer(
       (d, _, e) => spooled.synchronized { spooled += ((d, e)); () },
-      (_, _, _, _) => 0L, auth = Some(reg)).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
     try {
       val base = s"http://127.0.0.1:${srv.port}"
       // browser endpoint + browser key via ?token=
@@ -426,7 +426,7 @@ class IngestEdgeSpec extends SparkSuite {
   // ------------------------------------------------------------- settings
 
   test("settings endpoint echoes the writeKey inside the static analytics.js plan") {
-    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L).start()
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L).start()
     try {
       val (code, body, hs) = http("GET",
         s"http://127.0.0.1:${srv.port}/v1/projects/MYKEY/settings", None)
@@ -452,7 +452,7 @@ class IngestEdgeSpec extends SparkSuite {
   // ------------------------------------------------------- failed readback
 
   test("/failed/:dest streams NDJSON per status; unknown status is a 400") {
-    val srv = new IngestServer((_, _, _) => (), (_, _, _, _) => 0L,
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
       failedLines = Some((dest, status) =>
         Iterator(s"""{"dest":"$dest","status":"$status","n":1}""",
           s"""{"dest":"$dest","status":"$status","n":2}"""))).start()

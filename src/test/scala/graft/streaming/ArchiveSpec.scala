@@ -113,7 +113,7 @@ class ArchiveSpec extends SparkSuite {
     val spooled = scala.collection.mutable.ArrayBuffer[String]()
     val srv = new graft.http.IngestServer(
       spool = (dest, _, raw) => { w.log(dest, Day1, raw); spooled += raw; () },
-      bulkLoad = (_, _, _, _) => 0L).start()
+      bulkLoad = (_, _, _, _, _) => 0L).start()
     try {
       val url = new java.net.URI(s"http://127.0.0.1:${srv.port}/post/d1").toURL
       Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":"y"}""").foreach { body =>

@@ -90,7 +90,7 @@ class ConfigReloadSpec extends SparkSuite {
       plain = Map.empty, globalSecrets = Seq("gs"))
     val spooled = new java.util.concurrent.atomic.AtomicInteger(0)
     val srv = new IngestServer((_, _, _) => { spooled.incrementAndGet(); () },
-      (_, _, _, _) => 0L, auth = Some(reg("k1", "sec1"))).start()
+      (_, _, _, _, _) => 0L, auth = Some(reg("k1", "sec1"))).start()
     try {
       def post(key: String): Int = {
         val conn = new java.net.URI(
