@@ -154,6 +154,12 @@ final class IngestServer(
     }
   }
 
+  /** The spool envelope every ingest path emits — type + the locator's
+    * ingest type around the raw event (the reference wraps raw bytes the
+    * same way before the Kafka produce). */
+  private def envelope(tp: String, ingestType: String, rawEvent: String): String =
+    s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$ingestType","event":$rawEvent}"""
+
   // -------------------------------------------------------------- handlers
 
   /** Single-event Segment ingest (`IngestHandler`), on the writeKeyDefined
@@ -217,8 +223,8 @@ final class IngestServer(
               onShed(streamId, trimmed)
               respond(ex, 402, """{"ok":false,"error":"throttled"}""")
             } else {
-              val stamped = s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$ingType","event":$trimmed}"""
-              spool(streamId, q.getOrElse("tableName", "events"), stamped)
+              spool(streamId, q.getOrElse("tableName", "events"),
+                envelope(tp, ingType, trimmed))
               respond(ex, 200, """{"ok":true}""")
             }
         }
@@ -253,7 +259,9 @@ final class IngestServer(
           respond(ex, 401, s"""{"ok":false,"error":"stream not found for: ${
             key.map(WriteKeys.mask).getOrElse("(no writeKey)")}"}""")
         case Some((streamId, ingType)) =>
-          val finalType = if (s2sEndpoint) "s2s" else ingType
+          // the stamped type is the LOCATOR's (a browser key resolving on
+          // the s2s batch endpoint stamps 'browser', router.go:641-648 —
+          // same rule as handleApiS); s2sEndpoint only shapes responses
           val cfg = reg.streamConfig(streamId)
           val gap = cfg.map(_.deduplicateWindowMs).getOrElse(0)
           val throttle = cfg.map(_.throttle).getOrElse(0)
@@ -274,8 +282,7 @@ final class IngestServer(
                   onShed(streamId, raw); errors += "throttled"
                 } else {
                   val tp = Option(pev.get("type")).map(_.asText).getOrElse("track")
-                  spool(streamId, table,
-                    s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$finalType","event":$raw}""")
+                  spool(streamId, table, envelope(tp, ingType, raw))
                   okEvents += 1
                 }
             }
@@ -315,7 +322,12 @@ final class IngestServer(
       val hdr = (n: String) => Option(ex.getRequestHeaders.getFirst(n))
       val pairs = queryPairs(ex)
       val q = pairs.toMap
-      val token = q.get("token").filter(_.nonEmpty)
+      // getDataLocator (router_classic_handler.go:109 + router.go:369-387)
+      // consults Authorization/X-Write-Key/?writekey= FIRST, then the
+      // classic token spots via the writeKeyExtractor fallback
+      val token = WriteKeys.extract(hdr("Authorization"), hdr("X-Write-Key"),
+          q.get("writekey"))
+        .orElse(q.get("token").filter(_.nonEmpty))
         .orElse(hdr("X-Auth-Token")).orElse(hdr("api_key"))
         .orElse(pairs.collectFirst { case (k, v) if k.startsWith("p_") && v.nonEmpty => v })
       token.flatMap(t => reg.resolve(t, s2sEndpoint)) match {
@@ -343,8 +355,7 @@ final class IngestServer(
               var shedCount = 0
               evs.foreach { raw =>
                 if (IngestThrottle.shed(raw, throttle)) { onShed(streamId, raw); shedCount += 1 }
-                else spool(streamId, table,
-                  s"""{"type":"classic","ingestType":"$ingType","event":$raw}""")
+                else spool(streamId, table, envelope("classic", ingType, raw))
               }
               if (shedCount == evs.size && shedCount > 0)
                 respond(ex, if (s2sEndpoint) 402 else 200,
@@ -374,8 +385,9 @@ final class IngestServer(
       def gif(): Unit = respondBytes(ex, 200, PixelIngest.EmptyGif, "image/gif")
       if (ex.getRequestMethod != "GET" || tp.isEmpty) { gif(); return }
       val event = PixelIngest.parseEvent(pairs)
+      // utils.IsTruish (jitsubase/utils/bool.go:31-41): 'true' (ci) or '1'
       val truish = q.get("process_headers").map(_.trim.toLowerCase(java.util.Locale.ROOT))
-        .exists(Set("true", "1", "yes", "on").contains)
+        .exists(Set("true", "1").contains)
       if (truish)
         PixelIngest.processHeaders(event, PixelIngest.parseCookies(hdr("Cookie")),
           hdr("Referer"), tp, newId).foreach { anon =>
@@ -393,7 +405,7 @@ final class IngestServer(
           val throttle = reg.streamConfig(streamId).map(_.throttle).getOrElse(0)
           if (IngestThrottle.shed(raw, throttle)) onShed(streamId, raw)
           else spool(streamId, q.getOrElse("tableName", "events"),
-            s"""{"type":${graft.Verify.jsonStr(tp)},"ingestType":"$ingType","event":$raw}""")
+            envelope(tp, ingType, raw))
           gif()
       }
     } catch { case _: Exception =>
@@ -413,7 +425,11 @@ final class IngestServer(
                  else rest0
       val writeKey = rest.stripSuffix("/settings").takeWhile(_ != '/')
       ex.getResponseHeaders.set("Cache-Control", "public, max-age=86400")
-      respond(ex, 200, SettingsJson.header + writeKey + SettingsJson.footer)
+      // the path segment is URL-decoded — JSON-escape it so a %22 cannot
+      // break or inject into the declared application/json body (same
+      // hardening as the /api/s/:tp envelope)
+      respond(ex, 200, SettingsJson.header.stripSuffix("\"") +
+        graft.Verify.jsonStr(writeKey) + SettingsJson.footer.stripPrefix("\""))
     } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
 
   /** Failed-events read-back (`FailedHandler`): chunked NDJSON from the
@@ -432,7 +448,16 @@ final class IngestServer(
         ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
         ex.sendResponseHeaders(200, 0L) // chunked: length unknown up front
         val out = ex.getResponseBody
-        it.foreach { line => out.write(line.getBytes(UTF_8)); out.write('\n') }
+        // the iterator is lazy (the queue read runs during the stream): a
+        // mid-stream failure cannot become a 500 anymore — surface it as
+        // an in-band ERROR line, exactly the reference's FailedHandler
+        // contract (router.go:415-419 writes {"ERROR": ...} rows)
+        try it.foreach { line => out.write(line.getBytes(UTF_8)); out.write('\n') }
+        catch { case e: Exception =>
+          out.write(s"""{"ERROR":${graft.Verify.jsonStr(
+            Option(e.getMessage).getOrElse("read failed"))}}""".getBytes(UTF_8))
+          out.write('\n')
+        }
         ex.close()
       }
     } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }

@@ -40,14 +40,23 @@ object PixelIngest {
     * base64 JSON as the base event, then lay every non-reserved query
     * parameter over it (repeated params become arrays). Dots in parameter
     * names address nested paths (`context.page.url=` lands under the
-    * context object) per the reference's `SetPath`. */
+    * context object) per the reference's `SetPath`. A malformed `data=`
+    * (bad base64 or non-object JSON) THROWS — the reference rejects the
+    * whole event ("error parsing message", router_pixel_handler.go:117);
+    * swallowing it would silently ingest a partial event. */
   def parseEvent(params: Seq[(String, String)]): ObjectNode = {
     val event: ObjectNode =
-      params.collectFirst { case ("data", v) if v.nonEmpty => v }.flatMap { b64 =>
-        try mapper.readTree(java.util.Base64.getDecoder.decode(b64)) match {
-          case o: ObjectNode => Some(o)
-          case _ => None
-        } catch { case _: Exception => None }
+      params.collectFirst { case ("data", v) if v.nonEmpty => v }.map { b64 =>
+        val bytes =
+          try java.util.Base64.getDecoder.decode(b64)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"Error decoding event from 'data' field in tracking pixel: ${e.getMessage}") }
+        mapper.readTree(bytes) match {
+          case o: ObjectNode => o
+          case _ => throw new IllegalArgumentException(
+            "Error unmarshalling event from 'data': not a JSON object")
+        }
       }.getOrElse(mapper.createObjectNode())
     params.filterNot { case (k, _) => Reserved.contains(k) }
       .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (k, vs) =>

@@ -51,6 +51,10 @@ object WriteKeys {
       if (parts.length == 1)
         plain.get(writeKey).filter(_._2 == endpointType)
           .map { case (sid, _) => (sid, endpointType) }
+          // every stream's ID is in BOTH plain maps (repository.go:78-79:
+          // streamsByPlainKeyOrIds[id] AND s2sStreamsByPlainKeyOrIds[id]) —
+          // a bare stream id presented as the writeKey resolves to it
+          .orElse(streams.find(_.id == writeKey).map(s => (s.id, endpointType)))
       else bindings.get(parts(0))
         .filter(b => writeKeyDefined || b.keyType == endpointType)
         .filter(b => checkHash(b.hash, parts(1)))

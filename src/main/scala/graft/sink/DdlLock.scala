@@ -138,19 +138,38 @@ object DdlLock {
     t
   }
 
+  /** Thrown when a holder discovers (via a false heartbeat) that it was
+    * evicted as stale while its DDL ran — the work may have raced another
+    * engine's, so the episode must NOT report success. */
+  final class LockLostException(id: String, owner: String)
+    extends IllegalStateException(
+      s"DDL lock $id was lost by $owner mid-episode (evicted as stale): " +
+        "the work may have raced another engine and must be retried")
+
   /** Run `f` under the warehouse lock for (destinationId, table), with the
-    * holder heartbeat running so a long `f` is never evicted as stale. */
+    * holder heartbeat running so a long `f` is never evicted as stale. If
+    * the heartbeat ever reports the lock LOST (the JVM froze past staleMs
+    * and a rival took over), the episode fails loudly with
+    * [[LockLostException]] even when `f` itself succeeded — a fenced
+    * holder must not report success for possibly-raced DDL. */
   def withLock[T](sink: JdbcSink, destinationId: String, table: String,
-                  timeoutMs: Long = 10000L)(f: => T): T = {
+                  timeoutMs: Long = 10000L,
+                  heartbeatMs: Long = DefaultHeartbeatMs)(f: => T): T = {
     val id = lockId(destinationId, table)
     val owner = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-${ownerSeq.incrementAndGet()}"
     acquire(sink, id, owner, timeoutMs)
+    val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = beats.scheduleAtFixedRate(
-      () => try { heartbeat(sink, id, owner); () } catch { case _: Exception => () },
-      DefaultHeartbeatMs, DefaultHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try f finally {
+      () => try { if (!heartbeat(sink, id, owner)) fenced.set(true) }
+            catch { case _: Exception => () }, // transient beat failure ≠ lost
+      heartbeatMs, heartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try {
+      val out = f
+      if (fenced.get()) throw new LockLostException(id, owner)
+      out
+    } finally {
       beat.cancel(false)
-      release(sink, id, owner)
+      if (!fenced.get()) release(sink, id, owner) // an evicted row isn't ours
     }
   }
 }

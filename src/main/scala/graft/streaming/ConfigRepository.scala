@@ -48,8 +48,12 @@ final class ConfigRepository[T](
   /** One poll: load with the current tag; an unmodified answer is a no-op,
     * a modified one swaps atomically and notifies, a THROWN failure keeps
     * the stale snapshot (abstract_repository.go:116-168). Returns whether
-    * the snapshot changed. */
-  def refresh(): Boolean =
+    * the snapshot changed. Serialized — the ticker and a manual
+    * per-micro-batch refresh may race, and an interleaved pair of polls
+    * could otherwise publish a mismatched (data, tag) pair or fire
+    * onChange listeners out of order (readers of [[current]] are lock-free
+    * either way). */
+  def refresh(): Boolean = refreshLock.synchronized {
     try loader(tagRef.get()) match {
       case None => failures = 0; false
       case Some((data, newTag)) =>
@@ -61,6 +65,9 @@ final class ConfigRepository[T](
     } catch {
       case _: Exception => failures += 1; false // keep serving stale config
     }
+  }
+
+  private val refreshLock = new Object
 
   /** Start the background ticker (abstract_repository.go:181-205). */
   def start(): ConfigRepository[T] = synchronized {

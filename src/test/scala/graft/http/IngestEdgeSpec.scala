@@ -174,6 +174,19 @@ class IngestEdgeSpec extends SparkSuite {
         Map("X-Write-Key" -> "k1:sec1"))._1 == 200)
       assert(spooled.last._1 == "destA" &&
         spooled.last._2.contains("\"ingestType\":\"s2s\""))
+      // a hashed BROWSER key on the s2s batch endpoint resolves under the
+      // writeKeyDefined rule and stamps the KEY's type (router.go:641-648)
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch",
+        """{"writeKey":"kb:bsec","batch":[{"type":"page"}]}""")._1 == 200)
+      assert(spooled.last._1 == "destB" &&
+        spooled.last._2.contains("\"ingestType\":\"browser\""))
+      // a bare STREAM ID works as a plain writeKey (repository.go:78-79
+      // indexes every id in both plain maps) — the strict batch path
+      // resolves it where slug/sole never apply
+      assert(post(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch",
+        """{"writeKey":"onlyStream","batch":[{"type":"page"}]}""")._1 == 200)
+      assert(spooled.last._1 == "onlyStream" &&
+        spooled.last._2.contains("\"ingestType\":\"s2s\""))
       // gzip body (router_batch_handler.go:135-137)
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -274,6 +287,12 @@ class IngestEdgeSpec extends SparkSuite {
       val last = om.readTree(spooled.last._2)
       assert(last.get("ingestType").asText == "browser")
       assert(!last.get("event").hasNonNull("slug"))
+      // malformed data= (bad base64): the event is REJECTED — nothing
+      // spools (the reference errors the whole event) but the page still
+      // gets its GIF
+      val (cBad, bBad, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/api/px/open?data=%2B%2Bnot-base64&writekey=k1:sec1", None)
+      assert(cBad == 200 && bBad.sameElements(PixelIngest.EmptyGif) && spooled.size == 2)
       // a failed key still falls through the writeKeyDefined chain to the
       // sole-stream fallback (reference locator order) — so to see the
       // not-found leg the sole stream must be strict
@@ -419,7 +438,12 @@ class IngestEdgeSpec extends SparkSuite {
       assert(post(s"$base/api.r4nd0m?p_ab=plainkey", """{"z":9}""")._1 == 200)
       assert(spooled.last._1 == "destC" &&
         spooled.last._2.contains("\"ingestType\":\"browser\""))
-      assert(spooled.size == 5)
+      // the standard credential spots apply too, and OUTRANK ?token=
+      // (getDataLocator runs first, router_classic_handler.go:109)
+      assert(post(s"$base/api/v1/event?token=bogus", """{"w":1}""",
+        Map("X-Write-Key" -> "kb:bsec"))._1 == 200)
+      assert(spooled.last._1 == "destB")
+      assert(spooled.size == 6)
     } finally srv.stop()
   }
 
@@ -446,6 +470,11 @@ class IngestEdgeSpec extends SparkSuite {
         s"http://127.0.0.1:${srv.port}/v1/projects/projects/K3/settings", None)
       assert(om.readTree(new String(b3, UTF_8)).get("integrations")
         .get("Segment.io").get("apiKey").asText == "K3")
+      // a %22 in the path segment is JSON-escaped, not injected
+      val (_, b4, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/v1/projects/K%22%2C%22x%22%3A1/settings", None)
+      assert(om.readTree(new String(b4, UTF_8)).get("integrations")
+        .get("Segment.io").get("apiKey").asText == "K\",\"x\":1")
     } finally srv.stop()
   }
 
@@ -470,6 +499,23 @@ class IngestEdgeSpec extends SparkSuite {
       val (c3, b3, _) = http("GET",
         s"http://127.0.0.1:${srv.port}/failed/pg1?status=nope", None)
       assert(c3 == 400 && new String(b3, UTF_8).contains("unknown status"))
+    } finally srv.stop()
+  }
+
+  test("/failed surfaces a mid-stream read failure as an in-band ERROR line (headers already committed)") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      failedLines = Some((_, _) =>
+        Iterator("""{"n":1}""") ++ new Iterator[String] {
+          def hasNext = true
+          def next(): String = throw new RuntimeException("parquet gone")
+        })).start()
+    try {
+      val (code, body, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/failed/pg1?status=dead", None)
+      val lines = new String(body, UTF_8).split("\n").toSeq
+      assert(code == 200) // headers were committed before the failure
+      assert(lines.head == """{"n":1}""")
+      assert(lines.last.contains("\"ERROR\"") && lines.last.contains("parquet gone"))
     } finally srv.stop()
   }
 

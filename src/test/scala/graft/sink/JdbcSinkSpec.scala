@@ -127,6 +127,36 @@ class JdbcSinkSpec extends SparkSuite {
     DdlLock.release(sink, "slow_t", "rival")
   }
 
+  test("DdlLock.withLock: a fenced holder fails loudly and never frees the rival's lock") {
+    val url = "jdbc:derby:memory:test_ddlfence;create=true"
+    val sink = JdbcSink(url, DerbyDialect)
+    drop(sink, DdlLock.Table)
+    // simulate an eviction mid-episode: while f runs, a rival force-takes
+    // the row (what stale eviction does after a long JVM freeze); the
+    // holder's next beat returns false → the episode must THROW even
+    // though f completed, and release must NOT delete the rival's row
+    val e = intercept[DdlLock.LockLostException] {
+      DdlLock.withLock(sink, url, "FENCED_T", heartbeatMs = 50L) {
+        sink.withConnection { c =>
+          val st = c.createStatement()
+          try {
+            st.executeUpdate(
+              s"""DELETE FROM "${DdlLock.Table}" WHERE "LOCK_ID" LIKE '%FENCED_T'""")
+            st.executeUpdate(
+              s"""INSERT INTO "${DdlLock.Table}" VALUES ('${url}_FENCED_T', 'rival', 1, 1)""")
+          } finally st.close()
+        }
+        Thread.sleep(300) // several beat periods: the false beat lands
+      }
+    }
+    assert(e.getMessage.contains("lost"))
+    sink.withConnection { c =>
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT "OWNER" FROM "${DdlLock.Table}" WHERE "LOCK_ID" = '${url}_FENCED_T'""")
+      assert(rs.next() && rs.getString(1) == "rival") // rival's row survived
+    }
+  }
+
   test("existingColumns does not see phantom tables through _ wildcards") {
     val sink = freshSink("wild")
     drop(sink, "AXB"); drop(sink, "A_B")
