@@ -863,11 +863,70 @@ object Relational {
     tpchViews(s, d); s.sql(q21AntiSemiSql)
   }
 
+  /** TPC-H Q20 shape (partsupp-free — the testdata carries no partsupp, so
+    * the availability threshold reads off lineitem itself): suppliers who
+    * shipped MORE THAN 3× the average supplier share of some small part —
+    * a nested IN whose grouped HAVING carries TWO correlated scalars
+    * against the group key (per-part distinct-supplier count and per-part
+    * quantity sum). The deepest nesting of the correlated family: Catalyst
+    * must decorrelate scalars inside an aggregate inside a predicate
+    * subquery (two partkey aggregates joined into the HAVING, then a
+    * left-semi on s_suppkey). The share test is cross-multiplied
+    * DECIMAL/BIGINT (sum·cnt > total·3) — no division decides membership;
+    * the 3× bar selects 1/10, 26/100, 53/1000 suppliers across the three
+    * SFs (probed), so the semi-join is discriminating at every scale. */
+  private val q20NestedInSql = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size <= 4
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) *
+               (SELECT COUNT(DISTINCT l3.l_suppkey)
+                FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+           > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 3)"""
+
+  def q20NestedIn(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q20NestedInSql)
+  }
+
+  /** TPC-H Q22 shape: above-average-balance customers with NO high-value
+    * order — an uncorrelated scalar threshold plus a NOT EXISTS anti-join,
+    * aggregated per nation. (The classic no-order-at-all predicate is
+    * vacuous on this data — every customer has orders at every SF — so the
+    * anti-join keys on orders above a price bar instead; 14 survivors at
+    * sf0.01.) The average is cross-multiplied (bal·cnt > sum, both exact
+    * DECIMAL/BIGINT) so no engine's decimal division can flip a membership
+    * at the boundary; the total re-casts the exact DECIMAL sum to double
+    * only on output. */
+  private val q22AntiAvgSql = """
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+            (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+          > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+             FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_nationkey"""
+
+  def q22AntiAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    tpchViews(s, d); s.sql(q22AntiAvgSql)
+  }
+
   def qs: Map[String, Q] = Map(
     "q2_corr_min" -> Q(q2CorrMin, Some(q2CorrSql)),
     "q4_exists" -> Q(q4Exists, Some(q4ExistsSql)),
     "q17_avg_threshold" -> Q(q17AvgThreshold, Some(q17AvgSql)),
     "q21_anti_semi" -> Q(q21AntiSemi, Some(q21AntiSemiSql)),
+    "q20_nested_in" -> Q(q20NestedIn, Some(q20NestedInSql)),
+    "q22_anti_avg" -> Q(q22AntiAvg, Some(q22AntiAvgSql)),
     "t_fk_check" -> Q(tFkCheck, Some(tFkCheckOracle)),
     "q_bloom_join" -> Q(qBloomJoin, Some(qBloomJoinOracle)),
     "q18_top_orders" -> Q(q18, Some(q18Oracle)),

@@ -434,6 +434,67 @@ object StreamOps {
     UNION ALL
     SELECT event_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM e WHERE m = 3"""
 
+  /** B11 — ingest throttle shedding end-to-end
+    * (`ingest/repository.go:215` + `router.go:258-261`): a stream under a
+    * 30% billing-quota throttle is driven over real HTTP with one
+    * deterministic body per sampled event; the edge's md5-percentile gate
+    * (the deterministic replacement for the reference's `rand.Int31n`)
+    * splits them into admitted (spooled, 200) and shed (onShed, 402).
+    * Both sets read back distributed and the ORACLE recomputes the gate:
+    * DuckDB's `('0x'||substr(md5(body),1,8))::BIGINT % 100` equals
+    * [[graft.http.IngestThrottle.pct]] bit-for-bit — so a gate that sheds
+    * too much, too little, or on different bytes hash-fails. The driver
+    * loop is the HTTP client role over a 1/20 id sample. */
+  def b11ThrottleShed(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{IngestServer, WriteKeys}
+    val base = "/tmp/graft_b11"
+    rmrf(s, base)
+    val ids = Tables.events(s, d).select("event_id")
+      .filter(col("event_id") % 20 === 0)
+      .collect().map(_.getLong(0)).sorted
+    val reg = WriteKeys.Registry(
+      bindings = Map("tk" -> WriteKeys.Binding("tk",
+        WriteKeys.storedHash("tsec", "salt", "gs"), "thr", "s2s")),
+      plain = Map.empty, globalSecrets = Seq("gs"),
+      streams = Seq(WriteKeys.Stream("thr", throttle = 30)))
+    new java.io.File(s"$base/out").mkdirs()
+    val admitted = new java.io.BufferedWriter(
+      new java.io.FileWriter(s"$base/out/admitted.ndjson"))
+    val shed = new java.io.BufferedWriter(
+      new java.io.FileWriter(s"$base/out/shed.ndjson"))
+    val srv = new IngestServer(
+      (_, _, line) => admitted.synchronized { admitted.write(line); admitted.newLine() },
+      (_, _, _, _, _) => 0L, auth = Some(reg),
+      onShed = (_, raw) => shed.synchronized { shed.write(raw); shed.newLine() }).start()
+    try ids.foreach { e =>
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/track")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("X-Write-Key", "tk:tsec")
+      val out = conn.getOutputStream
+      try out.write(s"""{"eid":$e}""".getBytes("UTF-8")) finally out.close()
+      val code = conn.getResponseCode
+      require(code == 200 || code == 402, s"unexpected $code")
+      conn.disconnect()
+    } finally { srv.stop(); admitted.close(); shed.close() }
+    val okRows = s.read.schema(StructType(Seq(StructField("event", StructType(Seq(
+        StructField("eid", LongType))))))).json(s"$base/out/admitted.ndjson")
+      .select(col("event.eid").as("event_id")).withColumn("status", lit("ok"))
+    val shedRows = s.read.schema(StructType(Seq(StructField("eid", LongType))))
+      .json(s"$base/out/shed.ndjson")
+      .select(col("eid").as("event_id")).withColumn("status", lit("shed"))
+    okRows.unionByName(shedRows)
+  }
+
+  private val b11Oracle = """
+    WITH sample AS (
+      SELECT event_id, '{"eid":' || event_id || '}' AS body
+      FROM events WHERE event_id % 20 = 0)
+    SELECT event_id,
+      CASE WHEN ('0x' || substr(md5(body), 1, 8))::BIGINT % 100 < 30
+           THEN 'shed' ELSE 'ok' END AS status
+    FROM sample"""
+
   /** B9 — failed-events read-back (`bulkerapp/app/router.go:370-433`): a
     * destination's retry queue and DLQ, seeded through the REAL
     * [[graft.streaming.RetryQueue]] machinery (a poisoned batch walks the
@@ -1413,5 +1474,6 @@ object StreamOps {
     "b8_batch_ingest"   -> Q(b8BatchIngest, Some(b8Oracle)),
     "b9_failed_readback" -> Q(b9FailedReadback, Some(b9Oracle)),
     "b10_dlq_replay"    -> Q(b10DlqReplay, Some(b10Oracle)),
+    "b11_throttle_shed" -> Q(b11ThrottleShed, Some(b11Oracle)),
   )
 }

@@ -44,6 +44,24 @@ class CorrelatedSpec extends SparkSuite {
     assert(rows.length == 1)
   }
 
+  test("q20_nested_in: HAVING's correlated scalars decorrelate; membership is a LeftSemi hash join") {
+    val p = plan("q20_nested_in")
+    assert(p.contains("LeftSemi"), p.take(400))
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    // the 3x bar must stay discriminating, not vacuous, at tiny SF
+    val n = Registry.all("q20_nested_in").fn(spark, d).count()
+    val total = graft.core.Tables.supplier(spark, d).count()
+    assert(n > 0 && n < total, s"$n of $total suppliers")
+  }
+
+  test("q22_anti_avg: scalar average threshold + NOT EXISTS land as hash joins") {
+    val p = plan("q22_anti_avg")
+    assert(p.contains("LeftAnti"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    Registry.all("q22_anti_avg").fn(spark, d).count() // may be empty at sf0.001; must execute
+  }
+
   test("q2/q4/q21 return plausible non-empty results at sf0.001") {
     assert(Registry.all("q2_corr_min").fn(spark, d).count() > 0)
     assert(Registry.all("q4_exists").fn(spark, d).count() > 0)
