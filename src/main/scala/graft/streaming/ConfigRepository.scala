@@ -54,17 +54,25 @@ final class ConfigRepository[T](
     * onChange listeners out of order (readers of [[current]] are lock-free
     * either way). */
   def refresh(): Boolean = refreshLock.synchronized {
-    try loader(tagRef.get()) match {
-      case None => failures = 0; false
-      case Some((data, newTag)) =>
-        ref.set(data)
-        tagRef.set(Some(newTag))
-        failures = 0
-        listeners.forEach(f => f(data))
-        true
-    } catch {
-      case _: Exception => failures += 1; false // keep serving stale config
+    // the load/swap and the notifications are separate phases: once the
+    // snapshot swapped, the refresh HAS succeeded — a throwing listener must
+    // not be miscounted as a load failure, mask the swap from the caller, or
+    // starve the remaining listeners of the change they're owed
+    val swapped: Option[T] =
+      try loader(tagRef.get()) match {
+        case None => failures = 0; None
+        case Some((data, newTag)) =>
+          ref.set(data)
+          tagRef.set(Some(newTag))
+          failures = 0
+          Some(data)
+      } catch {
+        case _: Exception => failures += 1; None // keep serving stale config
+      }
+    swapped.foreach { data =>
+      listeners.forEach(f => try f(data) catch { case _: Exception => () })
     }
+    swapped.isDefined
   }
 
   private val refreshLock = new Object

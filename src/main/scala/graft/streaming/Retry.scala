@@ -48,13 +48,39 @@ final case class RetryQueue(dir: String, dlqDir: String,
       .coalesce(8)
       .write.mode(SaveMode.Append).parquet(dir)
 
-  private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
-    try {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) Some(spark.read.parquet(path))
-      else None
-    } catch { case _: Throwable => None }
+  private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Commit a staged queue rewrite: the new queue is fully materialized at
+    * `path__next` BEFORE the old dir drops, and the rename's result is
+    * CHECKED — a false return would otherwise strand the queue in `__next`
+    * silently. A crash between the delete and the rename is recovered by
+    * [[readOrEmpty]]'s fallback. */
+  private def commitSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         next: org.apache.hadoop.fs.Path,
+                         main: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(main, true)
+    if (!fs.rename(next, main))
+      throw new java.io.IOException(
+        s"queue swap failed: could not rename $next to $main — staged rows remain at $next")
+  }
+
+  private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] = {
+    // recover an interrupted staged swap FIRST (crash between delete and
+    // rename left the rows only in __next): finish the rename before
+    // reading, so no reader ever sees the queue as spuriously empty. A
+    // failed recovery rename must THROW, not read-as-empty — silence here
+    // is exactly the bookkeeping loss the staged swap exists to prevent.
+    val fs = fsOf(spark, path)
+    val main = new org.apache.hadoop.fs.Path(path)
+    val next = new org.apache.hadoop.fs.Path(path + "__next")
+    if (!fs.exists(main) && fs.exists(next) && !fs.rename(next, main))
+      throw new java.io.IOException(s"could not recover interrupted queue swap at $next")
+    if (fs.exists(main))
+      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+    else None
+  }
 
   /** Drain every batch whose `__retry_time` has come: re-attempt `load` per
     * original batch id; still-failing rows re-enqueue with `__retries`+1, or
@@ -94,12 +120,10 @@ final case class RetryQueue(dir: String, dlqDir: String,
       // enqueue's file fan-out instead of one file per upstream partition
       val next = notDue.unionByName(requeued).coalesce(8)
       // staged swap: materialize the new queue fully before dropping the old
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val fs = fsOf(spark, dir)
       val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
       next.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      fs.rename(nextPath, new org.apache.hadoop.fs.Path(dir))
+      commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dir))
     } finally q.unpersist()
   }
 
@@ -134,16 +158,13 @@ final case class RetryQueue(dir: String, dlqDir: String,
       if (replayed.nonEmpty) {
         val remaining = dead.filter(
           !col("__batch_id").isInCollection(replayed.toSeq)).coalesce(8)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(dlqDir), spark.sparkContext.hadoopConfiguration)
+        val fs = fsOf(spark, dlqDir)
         if (replayed.length == ids.length) {
           fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true); ()
         } else {
           val nextPath = new org.apache.hadoop.fs.Path(dlqDir + "__next")
           remaining.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
-          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true)
-          fs.rename(nextPath, new org.apache.hadoop.fs.Path(dlqDir))
-          ()
+          commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dlqDir))
         }
       }
       replayed.length

@@ -101,6 +101,25 @@ class JdbcSinkSpec extends SparkSuite {
     DdlLock.release(sink, "d_t", "owner3")
   }
 
+  test("DdlLock: a pre-heartbeat 3-column lock table is migrated in place, old rows evictable") {
+    val sink = freshSink("ddlmigrate")
+    drop(sink, DdlLock.Table)
+    // an older engine version left the 3-column shape behind, with a holder
+    // row that never released
+    sink.withConnection { c =>
+      sink.exec(c, s"""CREATE TABLE "${DdlLock.Table}" (
+        "LOCK_ID" VARCHAR(8192) NOT NULL, "OWNER" VARCHAR(8192),
+        "ACQUIRED_MS" BIGINT, PRIMARY KEY ("LOCK_ID"))""")
+      sink.exec(c, s"""INSERT INTO "${DdlLock.Table}" VALUES ('m_t', 'ghost', 5)""")
+    }
+    val now = () => 1000000L
+    // acquire migrates (ALTER ADD HEARTBEAT_MS DEFAULT 0), sees the ghost's
+    // zero heartbeat as instantly stale, evicts it, and takes the lock
+    DdlLock.acquire(sink, "m_t", "owner1", timeoutMs = 1000L, now = now)
+    assert(DdlLock.heartbeat(sink, "m_t", "owner1", now))
+    DdlLock.release(sink, "m_t", "owner1")
+  }
+
   test("DdlLock heartbeat: a beating slow holder survives past staleMs; an evicted owner's beat fences") {
     val url = "jdbc:derby:memory:test_ddlbeat;create=true"
     val sink = JdbcSink(url, DerbyDialect)

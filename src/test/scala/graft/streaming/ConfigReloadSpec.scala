@@ -33,6 +33,18 @@ class ConfigReloadSpec extends SparkSuite {
     assert(seen.toSeq == Seq(Map("a" -> 2)))
   }
 
+  test("a throwing onChange listener cannot mask a successful swap or starve later listeners") {
+    val repo = new ConfigRepository[Int](0, _ => Some((1, "v1")))
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    repo.onChange(_ => { calls += "first"; throw new RuntimeException("listener bug") })
+    repo.onChange(v => { calls += s"second:$v"; () })
+    // the swap already happened, so refresh() reports TRUE (not a load
+    // failure), failureCount stays 0, and the second listener still fires
+    assert(repo.refresh())
+    assert(repo.current == 1 && repo.failureCount == 0)
+    assert(calls.toSeq == Seq("first", "second:1"))
+  }
+
   test("link added mid-stream takes effect on the NEXT micro-batch; no event lost") {
     val base = java.nio.file.Files.createTempDirectory("graft_reload_").toString
     val dir = new java.io.File(s"$base/input"); dir.mkdirs()

@@ -94,6 +94,32 @@ class RetrySpec extends SparkSuite {
     assert(q.replayDlq(spark)(_ => fail("nothing left to replay")) == 0)
   }
 
+  test("interrupted staged swap: rows stranded in __next are recovered by readers") {
+    val q = tmpQueue()
+    q.enqueue(batch(1L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.enqueue(batch(666L), batchId = 2L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    assert(q.dlq(spark).get.count() == 2)
+    // simulate the crash window between commitSwap's delete and rename: the
+    // surviving rows exist ONLY at dlq__next, the main dir is gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(q.dlqDir), spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(q.dlqDir)
+    val next = new org.apache.hadoop.fs.Path(q.dlqDir + "__next")
+    spark.read.parquet(q.dlqDir).filter(org.apache.spark.sql.functions.col("id") === 666L)
+      .write.parquet(next.toString)
+    fs.delete(main, true)
+    // every reader sees the stranded rows (the swap is finished on read) …
+    assert(canon(q.dlq(spark).get.select("id")) == Seq(Seq("666")))
+    assert(!fs.exists(next) && fs.exists(main))
+    // … and replay drains them like a normally-committed DLQ
+    val loaded = scala.collection.mutable.Set.empty[Long]
+    assert(q.replayDlq(spark) { rows =>
+      loaded ++= rows.collect().toSeq.map(_.getLong(0))
+    } == 1 && loaded == Set(666L))
+    assert(q.dlq(spark).isEmpty)
+  }
+
   test("transient failure: retry succeeds and nothing dead-letters") {
     val q = tmpQueue()
     q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = 0L)
