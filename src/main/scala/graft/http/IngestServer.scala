@@ -53,6 +53,19 @@ object IngestThrottle {
   *   - `GET /failed/:destId?status=retry|dead` (bulkerapp/app/router.go:72):
   *     NDJSON read-back of a destination's retry/DLQ state, via the
   *     injected `failedLines` reader ([[FailedReadback]]).
+  *   - `GET /log/:eventType.:level/:actorId` (router.go:67,485-571):
+  *     events-log read-back with the id-cursor/date/limit filter matrix,
+  *     via the injected `logEvents` reader ([[LogReadback]]).
+  *   - `POST /test` (router.go:66,434-483): destination config test
+  *     ([[ConnectionTest]]).
+  *   - `GET /ready` + `/health` (router.go:68-69, ingest/router.go:189):
+  *     liveness is always 200; readiness consults the injected probe
+  *     (the engine's stand-in for the reference's Kafka-metadata gate).
+  *   - `POST /b`, `/v1/b`, `/batch/b`, `/v1/batch/b`
+  *     (ingest/router.go:166-171): short batch aliases onto the same
+  *     handler (SDKs ship configured with either spelling).
+  *   - `GET|HEAD /p.js`, `/s/lib.js` (ingest/router.go:179,187): the tag
+  *     script bundles ([[ScriptServing]]), plus `/robots.txt`.
   *
   * The HTTP layer holds no engine logic: `spool`, `bulkLoad`, `onShed` and
   * `failedLines` are injected, so the same server fronts any destination
@@ -67,7 +80,9 @@ final class IngestServer(
     auth: Option[WriteKeys.Registry] = None, // enables /api/s, batch, pixel
     onShed: (String, String) => Unit = (_, _) => (), // (streamId, rawEvent) — SKIPPED hook
     failedLines: Option[(String, String) => Iterator[String]] = None, // (destId, status)
-    newId: () => String = () => java.util.UUID.randomUUID().toString
+    newId: () => String = () => java.util.UUID.randomUUID().toString,
+    logEvents: Option[LogReadback.Reader] = None, // enables GET /log/...
+    readiness: () => Option[String] = () => None  // Some(output) = NOT ready
 ) {
 
   private var server: HttpServer = _
@@ -462,6 +477,89 @@ final class IngestServer(
       }
     } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
 
+  /** Events-log read-back (`EventsLogHandler`, router.go:485-571): the
+    * filter params parse with the reference's exact 400 contracts, the
+    * backend read streams newest-first, and a backend failure is the
+    * reference's 500. A missing `.level` in the event key is a 400 here
+    * (the reference indexes `parts[1]` unguarded and 500s via recovery). */
+  private def handleLog(read: LogReadback.Reader, ex: HttpExchange): Unit =
+    try {
+      val segs = ex.getRequestURI.getPath.stripPrefix("/log/").split("/")
+      if (ex.getRequestMethod != "GET" || segs.length < 2 || segs(0).isEmpty) {
+        respond(ex, 400, """{"error":"GET /log/:eventType.:level/:actorId"}"""); return
+      }
+      val keyParts = segs(0).split("\\.", 2)
+      if (keyParts.length < 2) {
+        respond(ex, 400,
+          """{"error":"eventType path segment must be <type>.<level>"}"""); return
+      }
+      val (eventType, level) = (keyParts(0), keyParts(1))
+      val actorId = segs(1)
+      val q = query(ex)
+      def intParam(name: String): Option[Int] = q.get(name).map { s =>
+        try s.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"'$name' parameter must be an integer number") }
+      }
+      def dateParam(name: String): Option[Long] =
+        try LogReadback.parseDateParam(q.get(name))
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"'$name' parameter must be " +
+            "either unix timestamp or date in '2006-01-02' format") }
+      val (maxBytes, startMs, endMs, limit) =
+        try {
+          val mb = intParam("maxBytes").getOrElse(0)
+          val st = dateParam("start")
+          val en = dateParam("end")
+          // router.go:521-528: a parsed limit REPLACES the default only
+          // when < 1000; limit=0 therefore means uncapped
+          val lim = intParam("limit").filter(_ < 1000).getOrElse(100)
+          (mb, st, en, lim)
+        } catch { case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":${graft.Verify.jsonStr(e.getMessage)}}""")
+          return
+        }
+      val filter = LogReadback.Filter(
+        q.get("beforeId").filter(_.nonEmpty), startMs, endMs, limit)
+      val records =
+        try read(eventType, level, actorId, filter)
+        catch { case e: Exception =>
+          respond(ex, 500, s"""{"error":${graft.Verify.jsonStr(
+            "Failed to get events log: " + Option(e.getMessage).getOrElse("read failed"))}}""")
+          return
+        }
+      val (ct, body) = LogReadback.render(eventType, records,
+        LogReadback.truish(q.get("ndjson")), maxBytes)
+      respondBytes(ex, 200, body, ct)
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
+  /** Connection test (`TestConnectionHandler`, router.go:434-483). */
+  private def handleTest(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 400, """{"ok":false,"error":"POST a destination config"}"""); return
+      }
+      ConnectionTest.test(readBody(ex)) match {
+        case Left(err) =>
+          respond(ex, 422, s"""{"ok":false,"error":${graft.Verify.jsonStr(err)}}""")
+        case Right(_) => respond(ex, 200, """{"ok":true}""")
+      }
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
+  /** Liveness (`/health`) is unconditional; readiness (`/ready`) consults
+    * the injected probe — the engine's stand-in for the reference's
+    * Kafka-metadata/producer-queue gate (router.go:90-121): a load
+    * balancer must stop routing before the edge can't spool. */
+  private def handleHealth(ex: HttpExchange, gated: Boolean): Unit =
+    try {
+      val failure = if (gated) readiness() else None
+      failure match {
+        case None => respond(ex, 200, """{"status":"pass"}""")
+        case Some(out) => respond(ex, 503,
+          s"""{"status":"fail","output":${graft.Verify.jsonStr(out)}}""")
+      }
+    } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) }
+
   // ----------------------------------------------------------------- wiring
 
   def start(portHint: Int = 0): IngestServer = {
@@ -514,9 +612,48 @@ final class IngestServer(
     failedLines.foreach { read =>
       server.createContext("/failed/", (ex: HttpExchange) => handleFailed(read, ex))
     }
+    logEvents.foreach { read =>
+      server.createContext("/log/", (ex: HttpExchange) => handleLog(read, ex))
+    }
+    server.createContext("/test", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/test") handleTest(ex) else notFound(ex))
+    server.createContext("/health", (ex: HttpExchange) => handleHealth(ex, gated = false))
+    server.createContext("/ready", (ex: HttpExchange) => handleHealth(ex, gated = true))
+    if (auth.isDefined) {
+      // short batch aliases (ingest/router.go:166-171). JDK contexts are
+      // longest-prefix STRING matches: "/b" would swallow any unknown
+      // "/b..." path ("/bulk/" and "/batch" are longer and win for theirs),
+      // so the alias contexts guard on the exact path and 404 the rest.
+      server.createContext("/b", (ex: HttpExchange) =>
+        if (ex.getRequestURI.getPath == "/b")
+          handleBatch(registry.get, ex, s2sEndpoint = false)
+        else notFound(ex))
+      server.createContext("/v1/b", (ex: HttpExchange) =>
+        if (ex.getRequestURI.getPath == "/v1/b")
+          handleBatch(registry.get, ex, s2sEndpoint = false)
+        else notFound(ex))
+      // `/batch/b` and `/v1/batch/b` already route through the "/batch" and
+      // "/v1/batch" contexts (handleBatch ignores the trailing segment)
+    }
+    // static script edge (ingest/router.go:179,187) + robots
+    server.createContext("/p.js", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/p.js") modernScript.serve(ex)
+      else notFound(ex))
+    server.createContext("/s/lib.js", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/s/lib.js") classicScript.serve(ex)
+      else notFound(ex))
+    server.createContext("/robots.txt", (ex: HttpExchange) =>
+      respond(ex, 200, "User-agent: *\nDisallow: /\n", "text/plain"))
     server.start()
     this
   }
+
+  /** The served tag bundles — hot-swappable via [[ScriptServing.update]]. */
+  val modernScript = new ScriptServing(ScriptServing.modernBundle)
+  val classicScript = new ScriptServing(ScriptServing.classicBundle)
+
+  private def notFound(ex: HttpExchange): Unit =
+    respond(ex, 404, """{"error":"not found"}""")
 
   def stop(): Unit = if (server != null) server.stop(0)
 }

@@ -495,6 +495,121 @@ object StreamOps {
            THEN 'shed' ELSE 'ok' END AS status
     FROM sample"""
 
+  /** B12 — events-log HTTP read-back (`GET /log/:eventType.:level/:actorId`,
+    * bulkerapp/app/router.go:67,485-571) driven LIVE end-to-end: the
+    * events-table slice seeds the stream-backed events log through the real
+    * fan-out post path (error-level events land in BOTH the error and all
+    * streams, stamping the `<ms>-<seq>` ids the cursor pages on), and the
+    * probes exercise the endpoint's whole read matrix over real HTTP —
+    * newest-first page, `beforeId` EXCLUSIVE id-cursor continuation (the
+    * cursor comes from page 1's own response, exactly the UI flow),
+    * `limit=0` uncapped, error-stream selection, an inclusive `start`/`end`
+    * ms window, and the JSON-ARRAY framing — with the `incoming` bodies'
+    * writeKey MASKED in flight. Responses re-parse DISTRIBUTED; the oracle
+    * reconstructs every page (ids, pagination ranks, masked bodies) from
+    * the seeding rule. Driver-side work is the HTTP client + the bounded
+    * ops-telemetry seed (the log is control-plane, never the data plane). */
+  def b12LogReadback(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{IngestServer, LogReadback}
+    import graft.streaming.{ActorEvent, StreamEventsLog}
+    val Base = 1700000000000L // ids stay 13-digit: addressable via ?start/?end
+    var t = Base
+    // maxSize far above any SF's stream depth: the probes gate paging
+    // semantics, not the MAXLEN trim (spec-proven separately)
+    val log = new StreamEventsLog(maxSize = 1 << 20, clock = () => t)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var mx = 0L
+    rows.foreach { case (eid, u) =>
+      val uid = u % 3
+      t = Base + eid; mx = math.max(mx, eid)
+      val etype = if (eid % 2 == 1) "incoming" else "bulker_batch"
+      val level = if (eid % 5 == 0) "error" else "info"
+      val content =
+        if (etype == "incoming")
+          s"""{"body":"{\\"writeKey\\":\\"w$uid:s$eid\\"}","n":$eid}"""
+        else s"""{"body":"batch $eid ok","n":$eid}"""
+      log.postAsync(ActorEvent(etype, s"conn_$uid", level, t, content))
+      log.flush() // per-event flush: deterministic "<Base+eid>-<seq>" ids
+    }
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      logEvents = Some(LogReadback.reader(log))).start()
+    val probes: Seq[(String, Seq[String])] = try {
+      def get(pathAndQuery: String): Seq[String] = {
+        val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}$pathAndQuery")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        body.split("\n").toSeq.filter(_.nonEmpty)
+      }
+      val page = get("/log/incoming.info/conn_0?ndjson=true&limit=40")
+      // the continuation cursor is page 1's LAST id — the UI's next-page flow
+      val cursor = page.lastOption.map { line =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(line).get("id").asText }
+      Seq(
+        "p_page" -> page,
+        "p_cursor" -> cursor.map(c =>
+          get(s"/log/incoming.info/conn_0?ndjson=true&limit=40&beforeId=$c"))
+          .getOrElse(Nil),
+        "p_err" -> get("/log/bulker_batch.error/conn_1?ndjson=true&limit=0"),
+        "p_window" -> get("/log/incoming.info/conn_2?ndjson=true&limit=0" +
+          s"&start=${Base + mx / 3}&end=${Base + 2 * mx / 3}"),
+        // default framing: ONE JSON-array line, exploded by the JSON reader
+        "p_array" -> get("/log/bulker_batch.info/conn_0?limit=25"))
+    } finally srv.stop()
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("date", StringType),
+      StructField("content", StructType(Seq(
+        StructField("body", StringType), StructField("n", LongType))))))
+    probes.map { case (probe, lines) =>
+      s.read.schema(schema).json(lines.toDS())
+        .select(col("id"), col("content.n").as("n"), col("content.body").as("body"))
+        .withColumn("probe", lit(probe))
+    }.reduce(_ unionByName _)
+  }
+
+  private val b12Oracle = """
+    WITH seed AS (
+      SELECT event_id AS eid, user_id % 3 AS uid,
+        CASE WHEN event_id % 2 = 1 THEN 'incoming' ELSE 'bulker_batch' END AS etype,
+        CASE WHEN event_id % 5 = 0 THEN 'error' ELSE 'info' END AS level
+      FROM events WHERE event_id % 7 = 0),
+    recs AS (
+      -- ids record the fan-out XADD order: an error event hits its error
+      -- stream first (seq 0) and the all stream second (seq 1); info events
+      -- only ever hit all (seq 0). p_err reads the ERROR stream (id_err);
+      -- every .info probe reads the all stream (id).
+      SELECT eid, uid, etype, level,
+        CAST(1700000000000 + eid AS VARCHAR) || '-' ||
+          (CASE WHEN level = 'error' THEN '1' ELSE '0' END) AS id,
+        CAST(1700000000000 + eid AS VARCHAR) || '-0' AS id_err,
+        CASE WHEN etype = 'incoming'
+             THEN '{"writeKey": "w' || uid || ':***"}'
+             ELSE 'batch ' || eid || ' ok' END AS body
+      FROM seed),
+    mx AS (SELECT max(eid) AS m FROM seed)
+    SELECT 'p_page' AS probe, id, eid AS n, body FROM (
+      SELECT *, row_number() OVER (ORDER BY eid DESC) AS rn FROM recs
+      WHERE etype = 'incoming' AND uid = 0) t WHERE rn <= 40
+    UNION ALL
+    SELECT 'p_cursor', id, eid, body FROM (
+      SELECT *, row_number() OVER (ORDER BY eid DESC) AS rn FROM recs
+      WHERE etype = 'incoming' AND uid = 0) t WHERE rn > 40 AND rn <= 80
+    UNION ALL
+    SELECT 'p_err', id_err, eid, body FROM recs
+    WHERE etype = 'bulker_batch' AND uid = 1 AND level = 'error'
+    UNION ALL
+    SELECT 'p_window', id, eid, body FROM recs, mx
+    WHERE etype = 'incoming' AND uid = 2 AND eid >= m // 3 AND eid <= (2 * m) // 3
+    UNION ALL
+    SELECT 'p_array', id, eid, body FROM (
+      SELECT *, row_number() OVER (ORDER BY eid DESC) AS rn FROM recs
+      WHERE etype = 'bulker_batch' AND uid = 0) t WHERE rn <= 25"""
+
   /** B9 — failed-events read-back (`bulkerapp/app/router.go:370-433`): a
     * destination's retry queue and DLQ, seeded through the REAL
     * [[graft.streaming.RetryQueue]] machinery (a poisoned batch walks the
@@ -1475,5 +1590,6 @@ object StreamOps {
     "b9_failed_readback" -> Q(b9FailedReadback, Some(b9Oracle)),
     "b10_dlq_replay"    -> Q(b10DlqReplay, Some(b10Oracle)),
     "b11_throttle_shed" -> Q(b11ThrottleShed, Some(b11Oracle)),
+    "b12_log_readback"  -> Q(b12LogReadback, Some(b12Oracle)),
   )
 }

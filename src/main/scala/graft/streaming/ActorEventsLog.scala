@@ -200,6 +200,48 @@ final class StreamEventsLog(maxSize: Int = 1000,
       .take(math.max(0, limit))
       .toSeq
   }
+
+  /** The HTTP read-back page (`GetEvents` through an `EventsLogFilter`,
+    * events_log.go:119-144): newest first, with the id-cursor —
+    *
+    *   - `beforeId` is an EXCLUSIVE upper bound on the `<ms>-<seq>` id
+    *     (the XREVRANGE `(id` form); a malformed id (no leading digits)
+    *     THROWS, the reference's parseTimestamp error;
+    *   - an `endMs` that is TIGHTER than the cursor (endMs < beforeId's ms)
+    *     REPLACES the id bound with an inclusive ms bound — the two never
+    *     AND (GetStartAndEndIds keeps exactly one `end` value);
+    *   - `startMs` is an inclusive lower ms bound;
+    *   - `limit <= 0` means UNCAPPED (the reference adds the COUNT arg only
+    *     when limit > 0). */
+  def page(eventType: String, actorId: String, level: String = "",
+           beforeId: Option[String] = None, startMs: Option[Long] = None,
+           endMs: Option[Long] = None,
+           limit: Int = 100): Seq[(String, ActorEvent)] = synchronized {
+    flush()
+    val lv = if (level == "error") "error" else "all"
+    def parseId(id: String): (Long, Long) = {
+      val ms = id.takeWhile(_.isDigit)
+      if (ms.isEmpty) throw new IllegalArgumentException(
+        s"failed to parse beforeId [$id] it is expected to start with timestamp")
+      val rest = id.drop(ms.length)
+      val seq = if (rest.startsWith("-") && rest.drop(1).forall(_.isDigit) &&
+                    rest.length > 1) rest.drop(1).toLong
+                else 0L // a bare-ms cursor excludes that ms's first entry
+      (ms.toLong, seq)
+    }
+    val before = beforeId.map(parseId)
+    val useEnd = endMs.filter(e => before.forall(b => e < b._1))
+    val idBound = if (useEnd.isDefined) None else before
+    val it = streams.getOrElse(key(eventType, lv, actorId),
+        scala.collection.mutable.ArrayBuffer.empty[(String, ActorEvent)])
+      .reverseIterator
+      .filter { case (id, _) =>
+        val (ms, seq) = parseId(id)
+        idBound.forall { case (bm, bs) => ms < bm || (ms == bm && seq < bs) } &&
+          useEnd.forall(ms <= _) && startMs.forall(ms >= _)
+      }
+    (if (limit > 0) it.take(limit) else it).toSeq
+  }
 }
 
 /** ClickHouse statement set for the same log — the backend the reference

@@ -519,6 +519,233 @@ class IngestEdgeSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  // ------------------------------------------------------ events-log readback
+
+  private def seededLogServer(): (IngestServer, Long) = {
+    import graft.streaming.{ActorEvent, StreamEventsLog}
+    val base = 1700000000000L // 13-digit epoch ms, addressable by ?start/?end
+    var t = base
+    val log = new StreamEventsLog(maxSize = 1000, clock = () => t)
+    for (i <- 1 to 12) {
+      t = base + i
+      val level = if (i % 4 == 0) "error" else "info"
+      log.postAsync(ActorEvent("incoming", "a", level, t,
+        s"""{"body":"{\\"writeKey\\":\\"w$i:sec$i\\"}","n":$i}"""))
+      log.flush() // one event per flush: deterministic "<ms>-0" ids
+    }
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      logEvents = Some(LogReadback.reader(log))).start()
+    (srv, base)
+  }
+
+  test("/log: newest-first NDJSON page, beforeId exclusive cursor, limit<1000 rule, masked writeKey") {
+    val (srv, base) = seededLogServer()
+    try {
+      def get(qs: String) = {
+        val (c, b, hs) = http("GET",
+          s"http://127.0.0.1:${srv.port}/log/incoming.info/a?$qs", None)
+        (c, new String(b, UTF_8), hs)
+      }
+      val (c1, b1, hs1) = get("ndjson=true&limit=5")
+      assert(c1 == 200 && hs1.get("content-type").contains("application/x-ndjson"))
+      val p1 = b1.split("\n").toSeq.map(om.readTree)
+      // error-level events fan out to the `all` stream too — all 12 present,
+      // newest first
+      assert(p1.map(_.get("content").get("n").asInt) == Seq(12, 11, 10, 9, 8))
+      // n=12 is error-level: the fan-out XADDs the error stream first (-0),
+      // then the all stream (-1) — the id records that order
+      assert(p1.head.get("id").asText == s"${base + 12}-1")
+      assert(p1.head.get("date").asText.startsWith("20")) // ISO-8601
+      // incoming bodies carry the masked writeKey, secret tail replaced
+      assert(p1.head.get("content").get("body").asText ==
+        """{"writeKey": "w12:***"}""")
+      // the cursor EXCLUDES beforeId itself
+      val cursor = p1.last.get("id").asText // "<base+8>-0"
+      val (_, b2, _) = get(s"ndjson=true&limit=5&beforeId=$cursor")
+      assert(b2.split("\n").toSeq.map(om.readTree(_).get("content").get("n").asInt) ==
+        Seq(7, 6, 5, 4, 3))
+      // limit >= 1000 is ignored (default 100); limit=0 = uncapped
+      assert(get("ndjson=true&limit=1000")._2.split("\n").length == 12)
+      assert(get("ndjson=true&limit=0")._2.split("\n").length == 12)
+      // the error level picks the error stream: only i in {4,8,12}
+      val (_, be, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/log/incoming.error/a?ndjson=true", None)
+      assert(new String(be, UTF_8).split("\n").toSeq
+        .map(om.readTree(_).get("content").get("n").asInt) == Seq(12, 8, 4))
+    } finally srv.stop()
+  }
+
+  test("/log: date window bounds inclusive; a tighter end REPLACES the cursor; array framing; maxBytes") {
+    val (srv, base) = seededLogServer()
+    try {
+      def get(qs: String) = {
+        val (c, b, hs) = http("GET",
+          s"http://127.0.0.1:${srv.port}/log/incoming.info/a?$qs", None)
+        (c, new String(b, UTF_8), hs)
+      }
+      // inclusive [start, end] in epoch ms
+      val (_, bw, _) = get(s"ndjson=true&start=${base + 3}&end=${base + 6}")
+      assert(bw.split("\n").toSeq.map(om.readTree(_).get("content").get("n").asInt) ==
+        Seq(6, 5, 4, 3))
+      // end < beforeId's ms: the ms bound REPLACES the id bound
+      val (_, br, _) = get(s"ndjson=true&beforeId=${base + 10}-0&end=${base + 5}")
+      assert(br.split("\n").head.contains("\"n\":5"))
+      // end >= beforeId's ms: the cursor stays, the end date is dropped
+      val (_, bk, _) = get(s"ndjson=true&beforeId=${base + 5}-0&end=${base + 10}&limit=2")
+      assert(bk.split("\n").toSeq.map(om.readTree(_).get("content").get("n").asInt) ==
+        Seq(4, 3))
+      // default framing is a JSON array
+      val (ca, ba, hsa) = get("limit=3")
+      assert(ca == 200 && hsa.get("content-type").contains("application/json"))
+      val arr = om.readTree(ba)
+      assert(arr.isArray && arr.size == 3 && arr.get(0).get("content").get("n").asInt == 12)
+      // maxBytes stops at the first overflowing record (2 records fit)
+      val oneLen = LogReadback.recordJson("incoming",
+        LogReadback.Record(s"${base + 12}-0", base + 12,
+          s"""{"body":"{\\"writeKey\\":\\"w12:sec12\\"}","n":12}""")).getBytes(UTF_8).length
+      val (_, bm, _) = get(s"ndjson=true&maxBytes=${2 * oneLen + 2}")
+      assert(bm.split("\n").length == 2)
+    } finally srv.stop()
+  }
+
+  test("/log: param 400 contracts, malformed beforeId is the backend 500, missing .level is a 400") {
+    val (srv, _) = seededLogServer()
+    try {
+      def get(path: String) = {
+        val (c, b, _) = http("GET", s"http://127.0.0.1:${srv.port}$path", None)
+        (c, new String(b, UTF_8))
+      }
+      val (cl, bl) = get("/log/incoming.info/a?limit=abc")
+      assert(cl == 400 && bl.contains("'limit' parameter must be an integer number"))
+      val (cm, bm) = get("/log/incoming.info/a?maxBytes=abc")
+      assert(cm == 400 && bm.contains("'maxBytes' parameter must be an integer number"))
+      val (cs, bs) = get("/log/incoming.info/a?start=2024-13-99")
+      assert(cs == 400 && bs.contains(
+        "'start' parameter must be either unix timestamp or date in '2006-01-02' format"))
+      // a DAY parses at UTC midnight (no rows that old: empty page, not an error)
+      val (cd, bd) = get("/log/incoming.info/a?ndjson=true&end=2001-01-02")
+      assert(cd == 200 && bd.isEmpty)
+      val (cb, bb) = get("/log/incoming.info/a?beforeId=xyz")
+      assert(cb == 500 && bb.contains("Failed to get events log"))
+      val (ck, bk) = get("/log/incoming/a")
+      assert(ck == 400 && bk.contains("<type>.<level>"))
+    } finally srv.stop()
+  }
+
+  // ---------------------------------------------------- health + aliases + test
+
+  test("/health is unconditional liveness; /ready gates on the injected probe") {
+    @volatile var out: Option[String] = Some("spool not writable")
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      readiness = () => out).start()
+    try {
+      def get(path: String) = {
+        val (c, b, _) = http("GET", s"http://127.0.0.1:${srv.port}$path", None)
+        (c, new String(b, UTF_8))
+      }
+      assert(get("/health") == ((200, """{"status":"pass"}""")))
+      val (cr, br) = get("/ready")
+      assert(cr == 503 && br == """{"status":"fail","output":"spool not writable"}""")
+      out = None
+      assert(get("/ready") == ((200, """{"status":"pass"}""")))
+    } finally srv.stop()
+  }
+
+  test("short batch aliases /b /v1/b /batch/b /v1/batch/b all ingest; /bulk/ coexists; unknown /b… 404s") {
+    val reg = registry(WriteKeys.Stream("destA"))
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bulked = 0L
+    val srv = new IngestServer(
+      (_, _, raw) => spooled.synchronized { spooled += raw; () },
+      (_, _, _, _, lines) => { bulked += lines.size; lines.size.toLong },
+      auth = Some(reg)).start()
+    try {
+      val env = """{"writeKey":"k1:sec1","batch":[{"type":"track","event":"e1"}]}"""
+      Seq("/b", "/v1/b", "/batch/b", "/v1/batch/b").foreach { alias =>
+        val (c, b) = post(s"http://127.0.0.1:${srv.port}$alias", env)
+        assert(c == 200 && b.contains("\"okEvents\":1"), s"alias $alias")
+      }
+      assert(spooled.size == 4)
+      // the longest-prefix neighbours are untouched: /bulk/ still bulk-loads
+      val (cb, bb) = post(s"http://127.0.0.1:${srv.port}/bulk/destA", """{"a":1}""")
+      assert(cb == 200 && bb.contains("\"rows\":1") && bulked == 1L)
+      // an unknown path under the /b context is a 404, not a mis-routed batch
+      val (cn, _) = post(s"http://127.0.0.1:${srv.port}/based", env)
+      assert(cn == 404)
+      val (cn2, _) = post(s"http://127.0.0.1:${srv.port}/v1/bx", env)
+      assert(cn2 == 404)
+    } finally srv.stop()
+  }
+
+  test("POST /test: ok for a known dialect, live-probes a JDBC url, 422 on parse/type/connect failures") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L).start()
+    try {
+      def tst(body: String) = post(s"http://127.0.0.1:${srv.port}/test", body)
+      assert(tst("""{"id":"d1","destinationType":"postgres"}""") ==
+        ((200, """{"ok":true}""")))
+      // Derby is the live stand-in: the url is actually connected
+      assert(tst("""{"destinationType":"derby","url":"jdbc:derby:memory:ct_ok;create=true"}""")._1 == 200)
+      val (cp, bp) = tst("not json at all")
+      assert(cp == 422 && bp.contains("parse failed"))
+      val (cu, bu) = tst("""{"destinationType":"oracle9i"}""")
+      assert(cu == 422 && bu.contains("unknown bulker implementation: oracle9i"))
+      val (cc, bc) = tst("""{"destinationType":"derby","url":"jdbc:derby:memory:ct_missing_db"}""")
+      assert(cc == 422 && bc.contains("error creating bulker"))
+      val (cn, _) = tst("""{"destinationType":"derby"}""")
+      assert(cn == 200) // no url: dialect-text validation only (K1-K6 treatment)
+    } finally srv.stop()
+  }
+
+  // ------------------------------------------------------------ script edge
+
+  test("GET /p.js and /s/lib.js: bytes, ETag/304, HEAD, gzip negotiation, 405 for POST") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L).start()
+    try {
+      def req(method: String, path: String, headers: Map[String, String] = Map.empty) = {
+        val conn = new URI(s"http://127.0.0.1:${srv.port}$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod(method)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val bytes = if (is == null) Array.empty[Byte] else is.readAllBytes()
+        import scala.jdk.CollectionConverters._
+        val hs = conn.getHeaderFields.asScala.collect {
+          case (k, vs) if k != null => k.toLowerCase(java.util.Locale.ROOT) -> vs.get(0) }.toMap
+        conn.disconnect()
+        (code, bytes, hs)
+      }
+      for (path <- Seq("/p.js", "/s/lib.js")) {
+        val (c1, b1, h1) = req("GET", path)
+        assert(c1 == 200 && h1.get("content-type").contains("application/javascript"))
+        val body = new String(b1, UTF_8)
+        assert(body.contains("data-write-key") && body.contains("window.jitsu"))
+        assert(if (path == "/p.js") body.contains("/api/s/")
+               else body.contains("/api/v1/event?token="))
+        val etag = h1("etag")
+        // conditional GET → 304, no body
+        val (c2, b2, _) = req("GET", path, Map("If-None-Match" -> etag))
+        assert(c2 == 304 && b2.isEmpty)
+        // HEAD: headers (incl. length) only
+        val (c3, b3, h3) = req("HEAD", path)
+        assert(c3 == 200 && b3.isEmpty &&
+          h3.get("content-length").exists(_.toInt == b1.length))
+        // gzip negotiation: encoded body, distinct ETag, same content
+        val (c4, b4, h4) = req("GET", path, Map("Accept-Encoding" -> "gzip"))
+        assert(c4 == 200 && h4.get("content-encoding").contains("gzip"))
+        assert(h4("etag") != etag)
+        val gunzipped = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b4)).readAllBytes()
+        assert(java.util.Arrays.equals(gunzipped, b1))
+        // method contract
+        assert(req("POST", path)._1 == 405)
+      }
+      // robots: deny-all
+      val (cr, br, _) = req("GET", "/robots.txt")
+      assert(cr == 200 && new String(br, UTF_8).contains("Disallow: /"))
+    } finally srv.stop()
+  }
+
   test("FailedReadback.lines reads the real RetryQueue parquet with bookkeeping, deterministic order") {
     import graft.streaming.{RetryPolicy, RetryQueue}
     val base = java.nio.file.Files.createTempDirectory("graft_failed_").toString
