@@ -366,15 +366,18 @@ object StreamOps {
     * the dedup key (anonymousId/userId/type/event/properties/traits), so
     * the output rows identify exactly which copies survived. The oracle
     * recomputes the admitted set from the scenario table. The driver-side
-    * loop is the HTTP CLIENT role (the reference's SDK/load generator) —
-    * only event_id is collected; the engine side (dedup at the edge, spool,
-    * distributed read-back) never funnels a frame through the driver. */
+    * loop is the HTTP CLIENT role (the reference's SDK/load generator) over
+    * a 1/21 id sample (21 ≡ 1 mod 4, so every scenario residue still
+    * cycles) — the collected array stays bounded at ANY SF, like b11's
+    * 1/20 gate; the engine side (dedup at the edge, spool, distributed
+    * read-back) never funnels a frame through the driver. */
   def b8BatchIngest(s: SparkSession, d: String): DataFrame = {
     import graft.http.{IngestServer, WriteKeys}
     val base = "/tmp/graft_b8"
     rmrf(s, base)
     val gapMs = 4000
     val ids = Tables.events(s, d).select("event_id")
+      .filter(col("event_id") % 21 === 0)
       .collect().map(_.getLong(0)).sorted
     val reg = WriteKeys.Registry(
       bindings = Map("bk" -> WriteKeys.Binding("bk",
@@ -427,7 +430,8 @@ object StreamOps {
   }
 
   private val b8Oracle = """
-    WITH e AS (SELECT event_id, event_id % 4 AS m FROM events)
+    WITH e AS (SELECT event_id, event_id % 4 AS m FROM events
+               WHERE event_id % 21 = 0)
     SELECT event_id, CAST(0 AS BIGINT) AS variant, CAST(0 AS BIGINT) AS seq FROM e
     UNION ALL
     SELECT event_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM e WHERE m IN (1, 2)
