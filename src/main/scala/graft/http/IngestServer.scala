@@ -66,6 +66,11 @@ object IngestThrottle {
   *     handler (SDKs ship configured with either spelling).
   *   - `GET|HEAD /p.js`, `/s/lib.js` (ingest/router.go:179,187): the tag
   *     script bundles ([[ScriptServing]]), plus `/robots.txt`.
+  *   - `GET /connections-metrics/:workspaceId` (router.go:344-369): the
+  *     workspace's connection metrics in the Prometheus query-response
+  *     shape, answered from the engine's own [[EdgeMetrics]] snapshot
+  *     (the reference proxies the same two metric families to an external
+  *     Prometheus this environment doesn't have).
   *
   * The HTTP layer holds no engine logic: `spool`, `bulkLoad`, `onShed` and
   * `failedLines` are injected, so the same server fronts any destination
@@ -96,6 +101,20 @@ final class IngestServer(
   @volatile private var registry: Option[WriteKeys.Registry] = auth
 
   def updateAuth(reg: WriteKeys.Registry): Unit = registry = Some(reg)
+
+  /** Per-connection message/queue metrics behind `/connections-metrics`
+    * ([[EdgeMetrics]]). Every admit/shed/patch-error below counts here. */
+  val metrics = new EdgeMetrics
+
+  private def spool0(dest: String, table: String, raw: String): Unit = {
+    spool(dest, table, raw)
+    metrics.incStatus(dest, table, "success")
+  }
+
+  private def shed0(dest: String, table: String, raw: String): Unit = {
+    onShed(dest, raw)
+    metrics.incStatus(dest, table, "skipped")
+  }
 
   def port: Int = server.getAddress.getPort
 
@@ -235,10 +254,10 @@ final class IngestServer(
                 """{"ok":false,"error":"body must be a JSON object or array"}""")
             } else if (IngestThrottle.shed(trimmed, throttle)) {
               // billing-quota shed (router.go:258-261): SKIPPED, not failed
-              onShed(streamId, trimmed)
+              shed0(streamId, q.getOrElse("tableName", "events"), trimmed)
               respond(ex, 402, """{"ok":false,"error":"throttled"}""")
             } else {
-              spool(streamId, q.getOrElse("tableName", "events"),
+              spool0(streamId, q.getOrElse("tableName", "events"),
                 envelope(tp, ingType, trimmed))
               respond(ex, 200, """{"ok":true}""")
             }
@@ -290,14 +309,16 @@ final class IngestServer(
           val errors = scala.collection.mutable.ArrayBuffer.empty[String]
           batch.foreach { ev =>
             BatchIngest.patchBatchEvent(ev, payload.context, payload.eventsName) match {
-              case Left(err) => errors += err
+              case Left(err) =>
+                errors += err
+                metrics.incStatus(streamId, table, "error")
               case Right(pev) =>
                 val raw = pev.toString
                 if (IngestThrottle.shed(raw, throttle)) {
-                  onShed(streamId, raw); errors += "throttled"
+                  shed0(streamId, table, raw); errors += "throttled"
                 } else {
                   val tp = Option(pev.get("type")).map(_.asText).getOrElse("track")
-                  spool(streamId, table, envelope(tp, ingType, raw))
+                  spool0(streamId, table, envelope(tp, ingType, raw))
                   okEvents += 1
                 }
             }
@@ -369,8 +390,8 @@ final class IngestServer(
               val table = q.getOrElse("tableName", "events")
               var shedCount = 0
               evs.foreach { raw =>
-                if (IngestThrottle.shed(raw, throttle)) { onShed(streamId, raw); shedCount += 1 }
-                else spool(streamId, table, envelope("classic", ingType, raw))
+                if (IngestThrottle.shed(raw, throttle)) { shed0(streamId, table, raw); shedCount += 1 }
+                else spool0(streamId, table, envelope("classic", ingType, raw))
               }
               if (shedCount == evs.size && shedCount > 0)
                 respond(ex, if (s2sEndpoint) 402 else 200,
@@ -418,8 +439,9 @@ final class IngestServer(
         case Some((streamId, ingType)) =>
           val raw = event.toString
           val throttle = reg.streamConfig(streamId).map(_.throttle).getOrElse(0)
-          if (IngestThrottle.shed(raw, throttle)) onShed(streamId, raw)
-          else spool(streamId, q.getOrElse("tableName", "events"),
+          if (IngestThrottle.shed(raw, throttle))
+            shed0(streamId, q.getOrElse("tableName", "events"), raw)
+          else spool0(streamId, q.getOrElse("tableName", "events"),
             envelope(tp, ingType, raw))
           gif()
       }
@@ -571,7 +593,7 @@ final class IngestServer(
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
         if (ex.getRequestMethod != "POST" || dest.isEmpty || body.isEmpty)
           respond(ex, 400, """{"ok":false,"error":"POST /post/:dest with a JSON body"}""")
-        else { spool(dest, table, body); respond(ex, 200, """{"ok":true}""") }
+        else { spool0(dest, table, body); respond(ex, 200, """{"ok":true}""") }
       } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) })
     server.createContext("/bulk/", (ex: HttpExchange) =>
       try {
@@ -619,6 +641,17 @@ final class IngestServer(
       if (ex.getRequestURI.getPath == "/test") handleTest(ex) else notFound(ex))
     server.createContext("/health", (ex: HttpExchange) => handleHealth(ex, gated = false))
     server.createContext("/ready", (ex: HttpExchange) => handleHealth(ex, gated = true))
+    // connections metrics (router.go:344-369): the reference proxies the
+    // workspace's PromQL to Prometheus; here the engine's own EdgeMetrics
+    // snapshot renders the same query-response shape (same <10-char guard)
+    server.createContext("/connections-metrics/", (ex: HttpExchange) =>
+      try {
+        val ws = destOf(ex, "/connections-metrics/")
+        if (ex.getRequestMethod != "GET") notFound(ex)
+        else if (ws.length < 10)
+          respond(ex, 400, """{"error":"invalid workspaceId"}""")
+        else respond(ex, 200, metrics.promJson(ws))
+      } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) })
     if (auth.isDefined) {
       // short batch aliases (ingest/router.go:166-171). JDK contexts are
       // longest-prefix STRING matches: "/b" would swallow any unknown

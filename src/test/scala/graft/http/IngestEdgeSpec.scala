@@ -746,6 +746,50 @@ class IngestEdgeSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("/connections-metrics/:workspaceId renders the engine's metric snapshot in the Prometheus shape") {
+    // a workspace-prefixed destination, throttled so both statuses accrue
+    val ws = "ws12345678" // exactly the 10-char minimum
+    val reg = WriteKeys.Registry(
+      bindings = Map("mk" -> WriteKeys.Binding("mk",
+        WriteKeys.storedHash("msec", "salt", "gs"), s"$ws-pg", "s2s")),
+      plain = Map.empty, globalSecrets = Seq("gs"),
+      streams = Seq(WriteKeys.Stream(s"$ws-pg", throttle = 50)))
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      auth = Some(reg)).start()
+    try {
+      srv.metrics.gauge(s"$ws-pg", "batch", "events")(() => 7L)
+      srv.metrics.gauge("otherws-123-pg", "batch", "events")(() => 99L) // filtered out
+      var ok, shed = 0
+      for (i <- 1 to 20) {
+        val (c, _) = post(s"http://127.0.0.1:${srv.port}/api/s/s2s/track?writekey=mk:msec",
+          s"""{"n":$i}""")
+        if (c == 200) ok += 1 else { assert(c == 402); shed += 1 }
+      }
+      assert(ok > 0 && shed > 0) // the 50% gate splits deterministically
+      val (cm, bm, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/connections-metrics/$ws", None)
+      assert(cm == 200)
+      val root = om.readTree(new String(bm, UTF_8))
+      assert(root.get("status").asText == "success")
+      assert(root.get("data").get("resultType").asText == "vector")
+      import scala.jdk.CollectionConverters._
+      val rows = root.get("data").get("result").elements().asScala.toSeq
+      // the other workspace's gauge is filtered out by the id prefix
+      assert(rows.forall(_.get("metric").get("destinationId").asText.startsWith(s"$ws-")))
+      def value(name: String, label: (String, String)): Option[String] =
+        rows.find(r => r.get("metric").get("__name__").asText == name &&
+          r.get("metric").get(label._1).asText == label._2)
+          .map(_.get("value").get(1).asText)
+      assert(value("bulkerapp_consumer_queue_size", "mode" -> "batch").contains("7"))
+      assert(value("connection_message_statuses", "status" -> "success").contains(ok.toString))
+      assert(value("connection_message_statuses", "status" -> "skipped").contains(shed.toString))
+      // the reference's workspaceId guard
+      val (cb, bb, _) = http("GET",
+        s"http://127.0.0.1:${srv.port}/connections-metrics/short", None)
+      assert(cb == 400 && new String(bb, UTF_8).contains("invalid workspaceId"))
+    } finally srv.stop()
+  }
+
   test("FailedReadback.lines reads the real RetryQueue parquet with bookkeeping, deterministic order") {
     import graft.streaming.{RetryPolicy, RetryQueue}
     val base = java.nio.file.Files.createTempDirectory("graft_failed_").toString
