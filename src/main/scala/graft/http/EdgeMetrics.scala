@@ -26,11 +26,26 @@ final class EdgeMetrics {
   private val gauges =
     new ConcurrentHashMap[(String, String, String), () => Long]()
 
+  /** Label-cardinality cap: destinationId/tableName are CALLER-controlled
+    * (an unauthenticated `/post/:anything` names a destination), so an
+    * unbounded label set would be a slow memory leak on a long-lived edge.
+    * Past the cap, new series fold into one `__other__` bucket — the
+    * standard Prometheus high-cardinality defense; established series keep
+    * counting exactly. */
+  private val MaxSeries = 10000
+
   /** Count one message outcome for (destinationId, tableName):
     * `success` | `skipped` | `error` — the reference's message statuses. */
-  def incStatus(destinationId: String, tableName: String, status: String): Unit =
-    statuses.computeIfAbsent((destinationId, tableName, status),
-      _ => new LongAdder).increment()
+  def incStatus(destinationId: String, tableName: String, status: String): Unit = {
+    val k = (destinationId, tableName, status)
+    val existing = statuses.get(k)
+    val adder =
+      if (existing != null) existing
+      else if (statuses.size >= MaxSeries)
+        statuses.computeIfAbsent(("__other__", "__other__", status), _ => new LongAdder)
+      else statuses.computeIfAbsent(k, _ => new LongAdder)
+    adder.increment()
+  }
 
   /** Register a live queue-size gauge for (destinationId, mode, tableName)
     * — the consumer-queue twin (a spool backlog, a retry queue depth). */

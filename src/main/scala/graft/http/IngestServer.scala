@@ -639,8 +639,12 @@ final class IngestServer(
     }
     server.createContext("/test", (ex: HttpExchange) =>
       if (ex.getRequestURI.getPath == "/test") handleTest(ex) else notFound(ex))
-    server.createContext("/health", (ex: HttpExchange) => handleHealth(ex, gated = false))
-    server.createContext("/ready", (ex: HttpExchange) => handleHealth(ex, gated = true))
+    server.createContext("/health", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/health") handleHealth(ex, gated = false)
+      else notFound(ex)) // a typo'd probe path must not read as healthy
+    server.createContext("/ready", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/ready") handleHealth(ex, gated = true)
+      else notFound(ex))
     // connections metrics (router.go:344-369): the reference proxies the
     // workspace's PromQL to Prometheus; here the engine's own EdgeMetrics
     // snapshot renders the same query-response shape (same <10-char guard)

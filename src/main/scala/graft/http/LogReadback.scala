@@ -113,9 +113,10 @@ object LogReadback {
   }
 
   /** Frame the page (router.go:535-571): NDJSON lines or a JSON array;
-    * `maxBytes > 0` stops at the first record that would overflow (the
-    * separators are not counted, matching the reference's `written`
-    * accounting). Returns (contentType, body). */
+    * `maxBytes > 0` stops at the first record that would overflow. Each
+    * admitted record accounts `len + 1` — the reference's exact `written`
+    * bookkeeping (it counts one separator byte per record in BOTH
+    * framings, router.go:549,567). Returns (contentType, body). */
   def render(eventType: String, records: Seq[Record], ndjson: Boolean,
              maxBytes: Int): (String, Array[Byte]) = {
     val out = new java.io.ByteArrayOutputStream()

@@ -29,27 +29,42 @@ object DdlLock {
     ColumnSpec("ACQUIRED_MS", DataKind.Int64),
     ColumnSpec("HEARTBEAT_MS", DataKind.Int64)), pk = Seq("LOCK_ID"))
 
-  private def ensureLockTable(sink: JdbcSink): Unit = {
+  private def ensureLockTable(sink: JdbcSink): Unit =
     try sink.withConnection(sink.exec(_,
       sink.dialect.createTable(lockSpec, ifNotExists = false)))
     catch {
       case e: java.sql.SQLException =>
         // only "already exists" is benign — a real failure (connection,
-        // disk) must surface, not be misread as a held lock downstream
-        if (sink.existingColumns(Table).isEmpty) throw e
+        // disk) must surface, not be misread as a held lock downstream.
+        // A fresh CREATE needs no probe; only a PRE-EXISTING table pays
+        // the (single) metadata query, which doubles as the migration scan.
+        val cols = sink.existingColumns(Table)
+        if (cols.isEmpty) throw e
+        // migrate a pre-heartbeat lock table in place: a 3-column DDL_LOCKS
+        // left by an older engine version would otherwise make acquire's
+        // 4-value INSERT fail with an opaque shape error. Only the BIGINT
+        // bookkeeping columns are addable (newer versions never add key/
+        // owner strings); DEFAULT 0 marks any surviving pre-migration
+        // holder row instantly stale (it never beat and never will), so it
+        // is evictable rather than wedging DDL forever.
+        def up(s: String) = s.toUpperCase(java.util.Locale.ROOT)
+        val have = cols.getOrElse(Nil).map(c => up(c.name)).toSet
+        lockSpec.columns
+          .filter(c => c.kind == DataKind.Int64 && !have.contains(up(c.name)))
+          .foreach { c =>
+            try sink.withConnection(sink.exec(_,
+              s"""ALTER TABLE "$Table" ADD COLUMN "${c.name}" BIGINT DEFAULT 0"""))
+            catch {
+              case e2: java.sql.SQLException =>
+                // two engines may migrate CONCURRENTLY (the exact scenario
+                // this lock serves): losing the ALTER race is benign iff
+                // the column is there now
+                val now = sink.existingColumns(Table).getOrElse(Nil)
+                  .map(x => up(x.name))
+                if (!now.contains(up(c.name))) throw e2
+            }
+          }
     }
-    // migrate a pre-heartbeat lock table in place: a 3-column DDL_LOCKS left
-    // by an older engine version would otherwise make acquire's 4-value
-    // INSERT fail with an opaque shape error. DEFAULT 0 marks any surviving
-    // pre-migration holder row instantly stale (it never beat and never
-    // will), so it is evictable rather than wedging DDL forever.
-    val have = sink.existingColumns(Table).getOrElse(Nil)
-      .map(_.name.toUpperCase(java.util.Locale.ROOT)).toSet
-    lockSpec.columns.filterNot(c => have.contains(c.name.toUpperCase(java.util.Locale.ROOT))).foreach { c =>
-      sink.withConnection(sink.exec(_,
-        s"""ALTER TABLE "$Table" ADD COLUMN "${c.name}" BIGINT DEFAULT 0"""))
-    }
-  }
 
   /** Is this the exclusivity signal (integrity-constraint violation,
     * SQLState 23xxx — Derby 23505 duplicate key), as opposed to a real

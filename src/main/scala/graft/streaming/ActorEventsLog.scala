@@ -185,21 +185,14 @@ final class StreamEventsLog(maxSize: Int = 1000,
 
   /** Newest-first filtered read (XREVRANGE shape): `level` picks the stream
     * (error → the error stream, anything else → all), bounds are inclusive
-    * epoch-ms, `limit` caps the page. */
+    * epoch-ms, `limit` caps the page (`<= 0` = empty page — [[page]] keeps
+    * the HTTP endpoint's uncapped-at-0 rule; one filter implementation
+    * serves both). */
   def getEvents(eventType: String, actorId: String, level: String = "",
                 startMs: Option[Long] = None, endMs: Option[Long] = None,
-                limit: Int = 100): Seq[(String, ActorEvent)] = synchronized {
-    flush()
-    val lv = if (level == "error") "error" else "all"
-    val ts = (id: String) => id.takeWhile(_ != '-').toLong
-    streams.getOrElse(key(eventType, lv, actorId),
-        scala.collection.mutable.ArrayBuffer.empty[(String, ActorEvent)])
-      .reverseIterator
-      .filter { case (id, _) =>
-        startMs.forall(ts(id) >= _) && endMs.forall(ts(id) <= _) }
-      .take(math.max(0, limit))
-      .toSeq
-  }
+                limit: Int = 100): Seq[(String, ActorEvent)] =
+    if (limit <= 0) Nil
+    else page(eventType, actorId, level, None, startMs, endMs, limit)
 
   /** The HTTP read-back page (`GetEvents` through an `EventsLogFilter`,
     * events_log.go:119-144): newest first, with the id-cursor —

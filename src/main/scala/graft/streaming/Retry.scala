@@ -61,9 +61,15 @@ final case class RetryQueue(dir: String, dlqDir: String,
                          next: org.apache.hadoop.fs.Path,
                          main: org.apache.hadoop.fs.Path): Unit = {
     fs.delete(main, true)
-    if (!fs.rename(next, main))
-      throw new java.io.IOException(
-        s"queue swap failed: could not rename $next to $main — staged rows remain at $next")
+    if (!fs.rename(next, main)) {
+      // a concurrent reader may have RECOVERED the swap between our delete
+      // and rename (readOrEmpty's crash-recovery path) — then the rename
+      // fails but the swap is already complete; only an actually-stranded
+      // staging dir is an error
+      if (!(fs.exists(main) && !fs.exists(next)))
+        throw new java.io.IOException(
+          s"queue swap failed: could not rename $next to $main — staged rows remain at $next")
+    }
   }
 
   private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -75,7 +81,8 @@ final case class RetryQueue(dir: String, dlqDir: String,
     val fs = fsOf(spark, path)
     val main = new org.apache.hadoop.fs.Path(path)
     val next = new org.apache.hadoop.fs.Path(path + "__next")
-    if (!fs.exists(main) && fs.exists(next) && !fs.rename(next, main))
+    if (!fs.exists(main) && fs.exists(next) && !fs.rename(next, main) &&
+        !fs.exists(main)) // a racing commitSwap/reader may have finished it
       throw new java.io.IOException(s"could not recover interrupted queue swap at $next")
     if (fs.exists(main))
       try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
@@ -160,7 +167,12 @@ final case class RetryQueue(dir: String, dlqDir: String,
           !col("__batch_id").isInCollection(replayed.toSeq)).coalesce(8)
         val fs = fsOf(spark, dlqDir)
         if (replayed.length == ids.length) {
-          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true); ()
+          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true)
+          // drop any STALE staging dir from an earlier interrupted partial
+          // replay too — with the main dir gone, readOrEmpty's recovery
+          // would otherwise resurrect already-replayed batches from it
+          fs.delete(new org.apache.hadoop.fs.Path(dlqDir + "__next"), true)
+          ()
         } else {
           val nextPath = new org.apache.hadoop.fs.Path(dlqDir + "__next")
           remaining.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)

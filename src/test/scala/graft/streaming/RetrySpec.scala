@@ -120,6 +120,24 @@ class RetrySpec extends SparkSuite {
     assert(q.dlq(spark).isEmpty)
   }
 
+  test("a stale __next from an interrupted partial replay is not resurrected by a later full replay") {
+    val q = tmpQueue()
+    q.enqueue(batch(1L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.enqueue(batch(666L), batchId = 2L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    // an earlier partial replay crashed AFTER staging __next but BEFORE the
+    // swap: main dir intact, __next holds the then-remaining set
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(q.dlqDir), spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(q.dlqDir).filter(org.apache.spark.sql.functions.col("id") === 666L)
+      .write.parquet(q.dlqDir + "__next")
+    // now a FULL replay succeeds for every batch → DLQ must end EMPTY, and
+    // the stale staging dir must not be recoverable into phantom dead rows
+    assert(q.replayDlq(spark)(_ => ()) == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(q.dlqDir + "__next")))
+    assert(q.dlq(spark).isEmpty)
+  }
+
   test("transient failure: retry succeeds and nothing dead-letters") {
     val q = tmpQueue()
     q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = 0L)
