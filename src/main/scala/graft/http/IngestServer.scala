@@ -87,7 +87,10 @@ final class IngestServer(
     failedLines: Option[(String, String) => Iterator[String]] = None, // (destId, status)
     newId: () => String = () => java.util.UUID.randomUUID().toString,
     logEvents: Option[LogReadback.Reader] = None, // enables GET /log/...
-    readiness: () => Option[String] = () => None  // Some(output) = NOT ready
+    readiness: () => Option[String] = () => None, // Some(output) = NOT ready
+    // schema-aware bulk loader: supersedes `bulkLoad` when present (the
+    // 5-arg legacy shape cannot carry the X-Jitsu-Schema declaration)
+    bulkLoadEx: Option[BulkRequest => Long] = None
 ) {
 
   private var server: HttpServer = _
@@ -589,27 +592,74 @@ final class IngestServer(
     server.createContext("/post/", (ex: HttpExchange) =>
       try {
         val dest = destOf(ex, "/post/")
-        val table = query(ex).getOrElse("tableName", "events")
+        val q = query(ex)
+        val table = q.getOrElse("tableName", "events")
+        // modeOverride forces the produce topic's mode in the reference
+        // (router.go:127,146-150); this engine drains one spool per
+        // (dest, table) either way, so the override only VALIDATES here —
+        // same 400 contract, no behavioral fork to mis-route
+        val mode = q.get("modeOverride").filter(_.nonEmpty)
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
         if (ex.getRequestMethod != "POST" || dest.isEmpty || body.isEmpty)
           respond(ex, 400, """{"ok":false,"error":"POST /post/:dest with a JSON body"}""")
+        else if (mode.exists(m => m != "batch" && m != "stream"))
+          respond(ex, 400, s"""{"ok":false,"error":${graft.Verify.jsonStr(
+            s"invalid bulker mode: ${mode.get}")}}""")
         else { spool0(dest, table, body); respond(ex, 200, """{"ok":true}""") }
+      } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) })
+    // profile-rebuild trigger (`ProfilesHandler`, router.go:65,193-218):
+    // enqueue the profileId into the builder's priority queue — the
+    // builder itself is not in the reference tree (its topics are skipped
+    // by the topic manager); the edge contract is just the enqueue
+    server.createContext("/profiles/", (ex: HttpExchange) =>
+      try {
+        val segs = ex.getRequestURI.getPath.stripPrefix("/profiles/").split("/")
+        if (ex.getRequestMethod != "POST" || segs.length < 2 || segs(0).isEmpty || segs(1).isEmpty)
+          respond(ex, 400, """{"ok":false,"error":"POST /profiles/:profileBuilderId/:priority"}""")
+        else {
+          val profileId = query(ex).getOrElse("profileId", "")
+          spool0(segs(0), s"profiles_${segs(1)}",
+            s"""{"profileId":${graft.Verify.jsonStr(profileId)}}""")
+          respond(ex, 200, """{"ok":true}""")
+        }
       } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) })
     server.createContext("/bulk/", (ex: HttpExchange) =>
       try {
         val dest = destOf(ex, "/bulk/")
         val q = query(ex)
-        val table = q.getOrElse("tableName", "events")
         val mode = q.getOrElse("mode", "replace_table") // router.go:233 default
         // repeated ?pk= params become the stream's primary key and switch
         // deduplication on (router.go:258-262 WithPrimaryKey+WithDeduplicate)
         val pks = queryPairs(ex).collect { case ("pk", v) if v.nonEmpty => v }
+        // an explicit schema rides the X-Jitsu-Schema header
+        // (router.go:228,261-272): validated HERE (bad JSON is the
+        // reference's 400 before any stream work), applied by schema-aware
+        // loaders (bulkLoadEx); the legacy 5-arg loader cannot carry it
+        val schemaHeader = Option(ex.getRequestHeaders.getFirst("X-Jitsu-Schema"))
+          .filter(_.nonEmpty)
+        val schemaBad = schemaHeader.exists { sj =>
+          try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(sj); false }
+          catch { case _: Exception => true }
+        }
         val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
         if (ex.getRequestMethod != "POST" || dest.isEmpty)
           respond(ex, 400, """{"ok":false,"error":"POST /bulk/:dest"}""")
+        else if (!q.get("tableName").exists(_.nonEmpty))
+          // required in the reference (router.go:253-256) — a bulk load
+          // with no target table is always a caller bug
+          respond(ex, 400, """{"ok":false,"error":"tableName query parameter is required"}""")
+        else if (schemaBad)
+          respond(ex, 400, """{"ok":false,"error":"schema unmarshal error"}""")
+        else if (lines.exists(_.startsWith("ABORT")))
+          // an ABORT line mid-body aborts the whole load (router.go:285-289)
+          respond(ex, 400, """{"ok":false,"error":"aborted"}""")
         else {
-          val rows = bulkLoad(dest, table, mode, pks, lines)
+          val table = q("tableName")
+          val rows = bulkLoadEx match {
+            case Some(f) => f(BulkRequest(dest, table, mode, pks, schemaHeader, lines))
+            case None => bulkLoad(dest, table, mode, pks, lines)
+          }
           respond(ex, 200, s"""{"ok":true,"rows":$rows}""")
         }
       } catch { case e: Exception => respond(ex, 500, errorBody(e, "load failed")) })
@@ -694,6 +744,16 @@ final class IngestServer(
 
   def stop(): Unit = if (server != null) server.stop(0)
 }
+
+/** One parsed `/bulk/:dest` request (`BulkHandler`, router.go:220-321):
+  * everything the loader needs, including the `X-Jitsu-Schema` declared
+  * schema (raw JSON — `{"name":…,"fields":[{"name":…,"type":…},…]}`) that
+  * pins column types ahead of the data (the reference's `WithSchema`
+  * stream option; the engine's `schema`/`columnTypes` options are the
+  * library-path twin). */
+final case class BulkRequest(dest: String, table: String, mode: String,
+                             pks: Seq[String], schemaJson: Option[String],
+                             lines: Seq[String])
 
 /** The static settings document served to analytics.js
   * (router_segment_settings_handler.go:8-9): Segment.io integration keyed

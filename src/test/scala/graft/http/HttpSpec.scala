@@ -322,11 +322,59 @@ class HttpSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("bulk contract: tableName required, X-Jitsu-Schema validated + forwarded, ABORT aborts") {
+    var seen: BulkRequest = null
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      bulkLoadEx = Some(req => { seen = req; req.lines.length.toLong })).start()
+    try {
+      // tableName is required (router.go:253-256)
+      val (c0, r0) = post(s"http://127.0.0.1:${srv.port}/bulk/d1", """{"a":1}""")
+      assert(c0 == 400 && r0.contains("tableName query parameter is required"))
+      // a declared schema rides X-Jitsu-Schema into the loader
+      val schema = """{"name":"items","fields":[{"name":"a","type":4}]}"""
+      val (c1, r1) = postAuth(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items",
+        "{\"a\":1}\n{\"a\":2}", Map("X-Jitsu-Schema" -> schema))
+      assert(c1 == 200 && r1 == """{"ok":true,"rows":2}""")
+      assert(seen == BulkRequest("d1", "items", "replace_table", Nil, Some(schema),
+        Seq("""{"a":1}""", """{"a":2}""")))
+      // malformed schema header: the reference's 400 before any stream work
+      val (c2, r2) = postAuth(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items",
+        """{"a":1}""", Map("X-Jitsu-Schema" -> "{not json"))
+      assert(c2 == 400 && r2.contains("schema unmarshal error"))
+      // an ABORT line anywhere aborts the load (router.go:285-289)
+      seen = null
+      val (c3, r3) = post(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items",
+        "{\"a\":1}\nABORT: caller gave up\n{\"a\":2}")
+      assert(c3 == 400 && r3.contains("aborted") && seen == null)
+    } finally srv.stop()
+  }
+
+  test("/post validates modeOverride; /profiles enqueues the profileId per (builder, priority)") {
+    val spooled = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val srv = new IngestServer(
+      (d, t, e) => spooled.synchronized { spooled += ((d, t, e)); () },
+      (_, _, _, _, _) => 0L).start()
+    try {
+      val (c1, _) = post(s"http://127.0.0.1:${srv.port}/post/pg1?tableName=t&modeOverride=stream",
+        """{"a":1}""")
+      assert(c1 == 200)
+      val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/post/pg1?tableName=t&modeOverride=upsert",
+        """{"a":1}""")
+      assert(c2 == 400 && r2.contains("invalid bulker mode: upsert"))
+      // profile-rebuild trigger (router.go:193-218)
+      val (c3, r3) = post(s"http://127.0.0.1:${srv.port}/profiles/pb1/high?profileId=u42", "")
+      assert(c3 == 200 && r3 == """{"ok":true}""", r3)
+      assert(spooled.toSeq.contains(("pb1", "profiles_high", """{"profileId":"u42"}""")))
+      val (c4, _) = post(s"http://127.0.0.1:${srv.port}/profiles/pb1", "")
+      assert(c4 == 400) // priority segment required
+    } finally srv.stop()
+  }
+
   test("bulk default mode is replace_table (router.go:233)") {
     var mode = ""
     val srv = new IngestServer((_, _, _) => (), (_, _, m, _, _) => { mode = m; 0L }).start()
     try {
-      post(s"http://127.0.0.1:${srv.port}/bulk/x", """{"a":1}""")
+      post(s"http://127.0.0.1:${srv.port}/bulk/x?tableName=t", """{"a":1}""")
       assert(mode == "replace_table")
     } finally srv.stop()
   }
@@ -335,7 +383,7 @@ class HttpSpec extends SparkSuite {
     val srv = new IngestServer((_, _, _) => (),
       (_, _, _, _, _) => throw new RuntimeException("sink down")).start()
     try {
-      val (code, resp) = post(s"http://127.0.0.1:${srv.port}/bulk/x", """{"a":1}""")
+      val (code, resp) = post(s"http://127.0.0.1:${srv.port}/bulk/x?tableName=t", """{"a":1}""")
       assert(code == 500 && resp.contains("sink down"))
     } finally srv.stop()
   }
@@ -348,7 +396,7 @@ class HttpSpec extends SparkSuite {
       val (c1, r1) = post(s"http://127.0.0.1:${srv.port}/post/x", """{"a":1}""")
       assert(c1 == 500 && r1.contains("""boom \"quoted\" \\ path"""), r1)
       // a null message renders as the fallback, not the string "null"
-      val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/bulk/x", """{"a":1}""")
+      val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/bulk/x?tableName=t", """{"a":1}""")
       assert(c2 == 500 && r2.contains("load failed") && !r2.contains("\"null\""), r2)
     } finally srv.stop()
   }

@@ -667,7 +667,7 @@ class IngestEdgeSpec extends SparkSuite {
       }
       assert(spooled.size == 4)
       // the longest-prefix neighbours are untouched: /bulk/ still bulk-loads
-      val (cb, bb) = post(s"http://127.0.0.1:${srv.port}/bulk/destA", """{"a":1}""")
+      val (cb, bb) = post(s"http://127.0.0.1:${srv.port}/bulk/destA?tableName=events", """{"a":1}""")
       assert(cb == 200 && bb.contains("\"rows\":1") && bulked == 1L)
       // an unknown path under the /b context is a 404, not a mis-routed batch
       val (cn, _) = post(s"http://127.0.0.1:${srv.port}/based", env)
@@ -788,6 +788,46 @@ class IngestEdgeSpec extends SparkSuite {
         s"http://127.0.0.1:${srv.port}/connections-metrics/short", None)
       assert(cb == 400 && new String(bb, UTF_8).contains("invalid workspaceId"))
     } finally srv.stop()
+  }
+
+  test("ScriptServing.update hot-swaps the bundle: new bytes, new ETag, old conditional misses") {
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L).start()
+    try {
+      val (_, b1, h1) = http("GET", s"http://127.0.0.1:${srv.port}/p.js", None)
+      val etag1 = h1("etag")
+      srv.modernScript.update("// v2 bundle\n".getBytes(UTF_8))
+      val (c2, b2, h2) = http("GET", s"http://127.0.0.1:${srv.port}/p.js", None,
+        Map("If-None-Match" -> etag1)) // stale tag must NOT 304 after a swap
+      assert(c2 == 200 && new String(b2, UTF_8) == "// v2 bundle\n")
+      assert(h2("etag") != etag1 && !java.util.Arrays.equals(b1, b2))
+    } finally srv.stop()
+  }
+
+  test("LogReadback.recordJson degrades unparseable content to an in-band EVENTS_LOG_ERROR row") {
+    val bad = LogReadback.recordJson("incoming",
+      LogReadback.Record("1-0", 1L, "{broken json"))
+    val node = om.readTree(bad) // the degraded row itself must be valid JSON
+    assert(node.has("EVENTS_LOG_ERROR"))
+    assert(node.get("OBJECT").asText == "{broken json")
+    // a page mixing good and bad records still renders fully
+    val (_, body) = LogReadback.render("incoming", Seq(
+      LogReadback.Record("2-0", 2L, """{"n":2}"""),
+      LogReadback.Record("1-0", 1L, "{broken json")), ndjson = true, maxBytes = 0)
+    assert(new String(body, UTF_8).split("\n").length == 2)
+  }
+
+  test("EdgeMetrics: past the series cap, new caller-controlled labels fold into __other__") {
+    val m = new EdgeMetrics
+    for (i <- 1 to 10000) m.incStatus(s"d$i", "t", "success")
+    assert(m.statusCount("d1", "t", "success") == 1L)
+    m.incStatus("brand-new-dest", "brand-new-table", "success")
+    m.incStatus("brand-new-dest2", "t", "error")
+    assert(m.statusCount("brand-new-dest", "brand-new-table", "success") == 0L)
+    assert(m.statusCount("__other__", "__other__", "success") == 1L)
+    assert(m.statusCount("__other__", "__other__", "error") == 1L)
+    // established series keep counting exactly
+    m.incStatus("d1", "t", "success")
+    assert(m.statusCount("d1", "t", "success") == 2L)
   }
 
   test("FailedReadback.lines reads the real RetryQueue parquet with bookkeeping, deterministic order") {
