@@ -146,7 +146,22 @@ final class BulkerStream private[graft] (
     require(!aborted, "stream aborted")
     val raw = datasetInput.getOrElse(
       spark.createDataset(buffered.toSeq)(Encoders.STRING))
-    val shaped = Ingest.shape(spark, raw, shapeOptions)
+    val opts = shapeOptions
+    val shaped0 = Ingest.shape(spark, raw, opts)
+    // WithSchema seeds declared-but-ABSENT columns ahead of the data
+    // (replacetable_stream.go:33-34 copies the declared schema into the
+    // table; adjustTableColumnTypes does the same on the other modes): a
+    // declared field no event carries still becomes a column, typed by its
+    // declared type (an untyped declaration takes the typecast root STRING)
+    val missingDeclared = opts.declaredFields
+      .map(Names.column(_, Names.KeepCase, sink.dialect.maxIdentifierLength))
+      .distinct
+      .filterNot(c => shaped0.df.columns.exists(_.equalsIgnoreCase(c)))
+    val shaped =
+      if (missingDeclared.isEmpty) shaped0
+      else shaped0.copy(df = missingDeclared.foldLeft(shaped0.df)((d, c) =>
+        d.withColumn(c, lit(null).cast(
+          opts.columnTypes.getOrElse(c, DataKind.Str).spark))))
     val adaptedPk = cfg.pk.map(sink.dialect.adaptIdentifier)
     val ns = cfg.namespace.map(sink.dialect.adaptIdentifier)
     // ensure the target namespace exists (sql_adapter_base.go CreateSchema path)

@@ -753,7 +753,37 @@ final class IngestServer(
   * library-path twin). */
 final case class BulkRequest(dest: String, table: String, mode: String,
                              pks: Seq[String], schemaJson: Option[String],
-                             lines: Seq[String])
+                             lines: Seq[String]) {
+
+  /** The declared schema as engine options: ordered field names + the
+    * typed subset (fields whose `type` int maps onto the engine lattice;
+    * UNKNOWN/absent types stay inferable, exactly WithSchema's behavior of
+    * pinning declared columns ahead of the data). */
+  def declaredSchema: (Seq[String], Map[String, graft.core.DataKind]) =
+    schemaJson.map(BulkRequest.parseSchema).getOrElse((Nil, Map.empty))
+}
+
+object BulkRequest {
+
+  /** Parse the header's `types.Schema` JSON (`{"name":…,"fields":
+    * [{"name":…,"type":<int>},…]}`, bulkerlib/types/schema.go). The type
+    * ints are the reference's DataType iota order (datatype.go:16-33),
+    * which [[graft.core.DataKind.rank]] mirrors one-for-one. */
+  def parseSchema(json: String): (Seq[String], Map[String, graft.core.DataKind]) = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val fields = Option(root.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val named = fields.flatMap { f =>
+      Option(f.get("name")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
+        .map(_ -> Option(f.get("type")).filter(_.isNumber).map(_.asInt).getOrElse(0))
+    }
+    val kinds = named.flatMap { case (n, code) =>
+      graft.core.DataKind.all.find(k => k.rank == code && k != graft.core.DataKind.Unknown)
+        .map(n -> _)
+    }.toMap
+    (named.map(_._1), kinds)
+  }
+}
 
 /** The static settings document served to analytics.js
   * (router_segment_settings_handler.go:8-9): Segment.io integration keyed

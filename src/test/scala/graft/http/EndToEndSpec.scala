@@ -98,4 +98,47 @@ class EndToEndSpec extends SparkSuite {
     assert(back.count() == 6)
     assert(canon(back.filter("ID = 3").select("V")) == Seq(Seq("winner")))
   }
+
+  test("sync path: X-Jitsu-Schema pins declared column types through the LIVE engine load") {
+    TableCache.clear()
+    val sink = JdbcSink("jdbc:derby:memory:e2e_schema;create=true", DerbyDialect)
+    try sink.withConnection(sink.exec(_, """DROP TABLE "TYPED"""" ))
+    catch { case _: Exception => () }
+    val engine = new Engine(spark, sink)
+    val srv = new IngestServer(
+      spool = (_, _, _) => (), bulkLoad = (_, _, _, _, _) => 0L,
+      bulkLoadEx = Some { req =>
+        import spark.implicits._
+        val (declared, kinds) = req.declaredSchema
+        val st = engine.createStream(req.table, StreamConfig(mode = req.mode,
+          pk = req.pks, deduplicate = req.pks.nonEmpty,
+          declaredFields = declared, columnTypes = kinds))
+        st.consumeDataset(req.lines.toDS())
+        val state = st.complete()
+        assert(state.status == "ok", state.error)
+        state.rows
+      }).start()
+    try {
+      // score is declared FLOAT64 though every value in the data is a
+      // round int, and note is declared STRING but absent from the data —
+      // WithSchema pins both ahead of inference (datatype iota ints)
+      val schema = """{"name":"typed","fields":[{"name":"id","type":2},""" +
+        """{"name":"score","type":3},{"name":"note","type":4}]}"""
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=typed&mode=replace_table")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("X-Jitsu-Schema", schema)
+      val out = conn.getOutputStream
+      try out.write("{\"id\":1,\"score\":5}\n{\"id\":2,\"score\":7}".getBytes("UTF-8"))
+      finally out.close()
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    } finally srv.stop()
+    val cols = sink.existingColumns("TYPED").get.map(c => c.name -> c.kind).toMap
+    assert(cols("SCORE") == graft.core.DataKind.Float64) // pinned, not inferred Int64
+    assert(cols("NOTE") == graft.core.DataKind.Str)      // declared-only column exists
+    val back = spark.read.jdbc(sink.url, "\"TYPED\"", new java.util.Properties())
+    assert(back.count() == 2)
+  }
 }
