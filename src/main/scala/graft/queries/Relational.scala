@@ -920,7 +920,233 @@ object Relational {
     tpchViews(s, d); s.sql(q22AntiAvgSql)
   }
 
+  // ── Round-14 widening: the remaining distinct TPC-H plan shapes ──────
+  // q7/q8/q9/q13/q14 are DataFrame-first (joins, conditional aggregates,
+  // outer-join distributions — broadcast only the truly-fixed nation/region
+  // dims, let AQE size the rest); q11/q15/q16 run the SAME SQL text through
+  // Catalyst and DuckDB (uncorrelated-scalar HAVING, scalar-MAX-over-CTE,
+  // and NOT IN null-aware anti join — subquery shapes the optimizer must
+  // decorrelate, kept honest by PlanSweep).
+
+  /** TPC-H Q7 shape: volume shipping between nation pairs — two broadcast
+    * ALIASES of the 25-row nation dim on either end of the fact chain; the
+    * `n_nationkey <= 7` dim filters reach the supplier/customer joins via
+    * constraint propagation, so the fact shuffle carries only matching
+    * rows. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("n1_key") <= 7 && col("n2_key") <= 7 &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  private val q7Oracle = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <= 7 AND n2.n_nationkey <= 7
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)"""
+
+  /** TPC-H Q8 shape: market share — one supplier nation's fraction of the
+    * revenue sold into one customer region, per year. The conditional
+    * aggregate (SUM(CASE)/SUM) stays in exact DECIMAL until both sides are
+    * final, then one double division — no per-row float decides anything. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(asia), col("cn_region") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0)))
+        .cast(DoubleType) / sum(rev).cast(DoubleType)).as("mkt_share"))
+  }
+
+  private val q8Oracle = """
+    SELECT YEAR(o.o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region rg ON rg.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE rg.r_name = 'ASIA'
+    GROUP BY YEAR(o.o_orderdate)"""
+
+  /** TPC-H Q9 shape: product-type profit by supplier nation and year. The
+    * testdata carries no partsupp, so cost is the part's retail price times
+    * quantity (bulker-free adaptation, same plan: 5-table join, per-row
+    * exact DECIMAL amount, two-key aggregate). */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val amount = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) -
+      dec(col("p_retailprice")) * dec(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type").isin("PROMO", "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+  }
+
+  private val q9Oracle = """
+    SELECT n.n_name, YEAR(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                  - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY n.n_name, YEAR(o.o_orderdate)"""
+
+  /** TPC-H Q11 shape: parts whose value exceeds 1.5× the average part's
+    * share of the total — TWO uncorrelated scalar subqueries in the HAVING
+    * (distinct-part count and corpus total), cross-multiplied in exact
+    * BIGINT cents (sum·cnt·2 > total·3) so no decimal-width or division
+    * rule can flip a membership; the fraction is scale-free, so the
+    * predicate discriminates identically at every SF. */
+  private val q11SignificantSql = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) *
+             (SELECT COUNT(DISTINCT l2.l_partkey) FROM lineitem l2) * 2
+         > (SELECT SUM(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) FROM lineitem l2) * 3"""
+
+  def q11Significant(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q11SignificantSql)
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    * with the filter INSIDE the join condition (so zero-order customers
+    * survive as count 0), then a second aggregation over the counts. Two
+    * shuffles (custkey, then the tiny c_count key), both key-partitioned. */
+  def q13Distribution(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q13Oracle = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+      GROUP BY c.c_custkey)
+    GROUP BY c_count"""
+
+  /** TPC-H Q14 shape: promo revenue share for one quarter — a single-row
+    * conditional-aggregate ratio; both sums stay exact DECIMAL, one double
+    * division at the end. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100).cast(DoubleType) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast(DoubleType) /
+        sum(rev).cast(DoubleType)).as("promo_share"))
+  }
+
+  private val q14Oracle = """
+    SELECT 100 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'"""
+
+  /** TPC-H Q15 shape: top supplier by one-year revenue — an aggregate CTE
+    * probed by a scalar MAX over ITSELF; the argmax equality compares the
+    * exact DECIMAL sums (double only on output), so ties and boundaries are
+    * engine-exact. The CTE is evaluated twice by both engines (once for the
+    * max, once for the join); a production form would cache it — here it is
+    * one keyed aggregate per side, no wide state. */
+  private val q15TopSupplierSql = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(r2.total_rev) FROM revenue r2)"""
+
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q15TopSupplierSql)
+  }
+
+  /** TPC-H Q16 shape: supplier diversity per part attribute, excluding
+    * suppliers matched by a NOT IN subquery — Catalyst's null-aware anti
+    * join path — then COUNT(DISTINCT) per (brand, type, size). At sf0.001
+    * the exclusion set is empty (no negative balances), which is exactly
+    * the NOT IN edge the null-aware plan must keep-all on. */
+  private val q16NotInSql = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_suppkey NOT IN (SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size"""
+
+  def q16NotIn(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(q16NotInSql)
+  }
+
   def qs: Map[String, Q] = Map(
+    "q7_volume_shipping" -> Q(q7VolumeShipping, Some(q7Oracle)),
+    "q8_market_share" -> Q(q8MarketShare, Some(q8Oracle)),
+    "q9_profit" -> Q(q9Profit, Some(q9Oracle)),
+    "q11_significant" -> Q(q11Significant, Some(q11SignificantSql)),
+    "q13_distribution" -> Q(q13Distribution, Some(q13Oracle)),
+    "q14_promo_share" -> Q(q14PromoShare, Some(q14Oracle)),
+    "q15_top_supplier" -> Q(q15TopSupplier, Some(q15TopSupplierSql)),
+    "q16_notin_distinct" -> Q(q16NotIn, Some(q16NotInSql)),
     "q2_corr_min" -> Q(q2CorrMin, Some(q2CorrSql)),
     "q4_exists" -> Q(q4Exists, Some(q4ExistsSql)),
     "q17_avg_threshold" -> Q(q17AvgThreshold, Some(q17AvgSql)),
