@@ -1138,7 +1138,124 @@ object Relational {
     tpchViews(s, d); s.sql(q16NotInSql)
   }
 
+  /** TPC-H Q6 shape: forecast-revenue-change — the minimal scan shape. No
+    * join, no grouping: three pushable predicates and one exact-DECIMAL
+    * product sum. The point at 100 TB is the scan itself — all three
+    * filters must reach the parquet reader (PlanSweep-visible pushdown),
+    * and the single-row aggregate is a map-side partial + 1-row exchange.
+    * Discounts are clean 2-dp values, so the DECIMAL(18,2) band compare
+    * can't straddle a rounding tie on either engine. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+        dec(col("l_discount")) >= dec(lit(0.03)) &&
+        dec(col("l_discount")) <= dec(lit(0.07)) &&
+        col("l_quantity") < 25)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+
+  private val q6Oracle = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) >= CAST(0.03 AS DECIMAL(18,2))
+      AND CAST(l_discount AS DECIMAL(18,2)) <= CAST(0.07 AS DECIMAL(18,2))
+      AND l_quantity < 25"""
+
+  /** TPC-H Q10 shape: returned-item revenue per customer — a one-quarter
+    * order slice joined to its 'R'-flagged lines, grouped by the full
+    * customer identity (the wide GROUP BY rides the same custkey shuffle).
+    * Both selective filters sit UNDER their joins, so the fact shuffle
+    * carries only the quarter's returned lines; nation is broadcast. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(rev).cast(DoubleType).as("revenue"))
+  }
+
+  private val q10Oracle = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name"""
+
+  /** TPC-H Q12 shape: late-line priority split — join orders to lines and
+    * pivot the order priority into two conditional counts per line status.
+    * The testdata carries no l_shipmode/l_commitdate/l_receiptdate
+    * (reference Q12's columns), so the shape is kept with what exists:
+    * "late" = shipped >60 days after the order date, and l_linestatus is
+    * the 2-value grouping key. Counts stay BIGINT on both engines (DuckDB
+    * SUM(int) is HUGEINT — cast). */
+  def q12LateLines(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(!hi, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+  }
+
+  private val q12Oracle = """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus"""
+
+  /** TPC-H Q19 shape: disjunction-of-conjunctions revenue — three
+    * brand/size/quantity blocks OR'd across the part⋈lineitem join.
+    * Catalyst extracts the per-side common factors from the disjunction
+    * (brand IN set + size bound to the part scan, quantity envelope to the
+    * lineitem scan) so both scans prune before the join; quantities and
+    * sizes are integral, so the BETWEEN bounds are exact on both engines. */
+  def q19Disjunction(s: SparkSession, d: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    val pred =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sum(rev).cast(DoubleType).as("revenue"))
+  }
+
+  private val q19Oracle = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)"""
+
   def qs: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Oracle)),
+    "q10_returned_items" -> Q(q10ReturnedItems, Some(q10Oracle)),
+    "q12_late_lines" -> Q(q12LateLines, Some(q12Oracle)),
+    "q19_disjunct_revenue" -> Q(q19Disjunction, Some(q19Oracle)),
     "q7_volume_shipping" -> Q(q7VolumeShipping, Some(q7Oracle)),
     "q8_market_share" -> Q(q8MarketShare, Some(q8Oracle)),
     "q9_profit" -> Q(q9Profit, Some(q9Oracle)),
