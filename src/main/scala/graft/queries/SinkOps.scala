@@ -773,7 +773,60 @@ object SinkOps {
     WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') <> '2024-01-02'
        OR (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-02' AND event_id % 3 = 0)"""
 
+  /** Dynamic partition pruning — the 100 TB fact-scan property that a
+    * partitioned lake join only READS the partitions the dim selects,
+    * decided at RUNTIME. A 30-day-partitioned events lake joins a derived
+    * day dim on the PARTITION column; the dim's filter sits on a NON-join
+    * attribute (day-of-month ≤ 7), so no static constraint propagation can
+    * reach the fact scan — Catalyst plants a DynamicPruningExpression
+    * subquery in the scan's PartitionFilters, fed by the join's reused
+    * broadcast, and 23 of 30 day folders are never opened. DppSpec asserts
+    * the plan marker AND that `input_file_name()` post-execution saw only
+    * the 7 matching folders (`df.inputFiles` would lie — it ignores
+    * runtime pruning). */
+  def qDppJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_dpp/events"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_dpp"), true)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .write.partitionBy("day").parquet(dir)
+    dppJoinFrame(s, d, dir)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
+  /** The fact/dim halves of [[qDppJoin]], factored so DppSpec can re-plan
+    * the join over the already-written lake and tag the fact with
+    * `input_file_name()` BEFORE the join (after it, Spark rejects the
+    * multi-source expression). */
+  def dppFact(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("day", StringType)))).parquet(dir)
+
+  def dppDim(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+      .withColumn("dom", dayofmonth(to_date(col("day"))))
+      .filter(col("dom") <= 7)
+
+  def dppJoinFrame(s: SparkSession, d: String, dir: String): DataFrame =
+    dppFact(s, dir).join(broadcast(dppDim(s, d)), Seq("day"))
+
+  private val qDppOracle = """
+    WITH ev AS (
+      SELECT event_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM ev
+    WHERE day(CAST(day AS DATE)) <= 7
+    GROUP BY day"""
+
   def qs: Map[String, Q] = Map(
+    "q_dpp_join"        -> Q(qDppJoin, Some(qDppOracle)),
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
     "k8_file_sink"      -> Q(k8FileSink, Some(k8Oracle)),
     "k8_avro_sink"      -> Q(k8AvroSink, Some(k8AvroOracle)),
