@@ -153,10 +153,16 @@ final class BulkerStream private[graft] (
     // table; adjustTableColumnTypes does the same on the other modes): a
     // declared field no event carries still becomes a column, typed by its
     // declared type (an untyped declaration takes the typecast root STRING)
+    // seeding respects the same column cap Ingest.shape enforces: a
+    // declared-but-absent field beyond the cap carries no data (no event
+    // has it), so it drops rather than overflowing the sink's DDL past
+    // maxColumns
+    val declRoom = math.max(0, opts.maxColumns - shaped0.df.columns.length)
     val missingDeclared = opts.declaredFields
       .map(Names.column(_, Names.KeepCase, sink.dialect.maxIdentifierLength))
       .distinct
       .filterNot(c => shaped0.df.columns.exists(_.equalsIgnoreCase(c)))
+      .take(declRoom)
     val shaped =
       if (missingDeclared.isEmpty) shaped0
       else shaped0.copy(df = missingDeclared.foldLeft(shaped0.df)((d, c) =>

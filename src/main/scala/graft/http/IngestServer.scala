@@ -95,6 +95,10 @@ final class IngestServer(
 
   private var server: HttpServer = _
 
+  // one shared mapper (readTree is thread-safe) — handlers must not pay a
+  // fresh ObjectMapper construction per request
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The live auth/stream config snapshot. Every authenticated handler
     * reads it PER REQUEST (the reference's handlers call
     * `repository.GetData()` the same way), so a hot-swapped registry —
@@ -379,7 +383,7 @@ final class IngestServer(
             if (body.isEmpty) Left("empty body")
             else if (body.head == '[')
               try {
-                val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+                val root = jsonMapper.readTree(body)
                 import scala.jdk.CollectionConverters._
                 Right(root.elements().asScala.map(_.toString).toSeq)
               } catch { case e: Exception =>
@@ -593,7 +597,7 @@ final class IngestServer(
       try {
         val dest = destOf(ex, "/post/")
         val q = query(ex)
-        val table = q.getOrElse("tableName", "events")
+        val table = q.getOrElse("tableName", "")
         // modeOverride forces the produce topic's mode in the reference
         // (router.go:127,146-150); this engine drains one spool per
         // (dest, table) either way, so the override only VALIDATES here —
@@ -605,6 +609,10 @@ final class IngestServer(
         else if (mode.exists(m => m != "batch" && m != "stream"))
           respond(ex, 400, s"""{"ok":false,"error":${graft.Verify.jsonStr(
             s"invalid bulker mode: ${mode.get}")}}""")
+        else if (table.isEmpty)
+          // required on the events path too (router.go:156-159) — the
+          // reference never defaults a target table
+          respond(ex, 400, """{"ok":false,"error":"tableName query parameter is required"}""")
         else { spool0(dest, table, body); respond(ex, 200, """{"ok":true}""") }
       } catch { case e: Exception => respond(ex, 500, errorBody(e, "error")) })
     // profile-rebuild trigger (`ProfilesHandler`, router.go:65,193-218):
@@ -637,9 +645,18 @@ final class IngestServer(
         // loaders (bulkLoadEx); the legacy 5-arg loader cannot carry it
         val schemaHeader = Option(ex.getRequestHeaders.getFirst("X-Jitsu-Schema"))
           .filter(_.nonEmpty)
+        // the reference unmarshals into a STRUCT (types.Schema), so shape
+        // errors — non-object root, non-array `fields`, non-object field,
+        // mistyped name/type — 400 just like bad syntax does
         val schemaBad = schemaHeader.exists { sj =>
-          try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(sj); false }
-          catch { case _: Exception => true }
+          try {
+            val root = jsonMapper.readTree(sj)
+            import scala.jdk.CollectionConverters._
+            !root.isObject || Option(root.get("fields")).exists(f =>
+              !f.isArray || f.elements().asScala.exists(e => !e.isObject ||
+                Option(e.get("name")).exists(!_.isTextual) ||
+                Option(e.get("type")).exists(t => !t.isNumber || !t.canConvertToInt)))
+          } catch { case _: Exception => true }
         }
         val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -654,6 +671,12 @@ final class IngestServer(
         else if (lines.exists(_.startsWith("ABORT")))
           // an ABORT line mid-body aborts the whole load (router.go:285-289)
           respond(ex, 400, """{"ok":false,"error":"aborted"}""")
+        else if (lines.isEmpty)
+          // consumed == 0: the reference ABORTS the stream and answers 200
+          // ok without completing (router.go:313-317) — an empty body must
+          // never reach the loader (a replace_table complete would wipe
+          // the target table)
+          respond(ex, 200, """{"ok":true,"rows":0}""")
         else {
           val table = q("tableName")
           val rows = bulkLoadEx match {
@@ -765,13 +788,15 @@ final case class BulkRequest(dest: String, table: String, mode: String,
 
 object BulkRequest {
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Parse the header's `types.Schema` JSON (`{"name":…,"fields":
     * [{"name":…,"type":<int>},…]}`, bulkerlib/types/schema.go). The type
     * ints are the reference's DataType iota order (datatype.go:16-33),
     * which [[graft.core.DataKind.rank]] mirrors one-for-one. */
   def parseSchema(json: String): (Seq[String], Map[String, graft.core.DataKind]) = {
     import scala.jdk.CollectionConverters._
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val root = mapper.readTree(json)
     val fields = Option(root.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Nil)
     val named = fields.flatMap { f =>
       Option(f.get("name")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)

@@ -141,4 +141,24 @@ class EndToEndSpec extends SparkSuite {
     val back = spark.read.jdbc(sink.url, "\"TYPED\"", new java.util.Properties())
     assert(back.count() == 2)
   }
+
+  test("declared-but-absent columns respect maxColumns — seeding cannot push the DDL past the cap") {
+    TableCache.clear()
+    val sink = JdbcSink("jdbc:derby:memory:e2e_cap;create=true", DerbyDialect)
+    try sink.withConnection(sink.exec(_, """DROP TABLE "CAPPED"""" ))
+    catch { case _: Exception => () }
+    val engine = new Engine(spark, sink)
+    import spark.implicits._
+    // data carries 2 columns = exactly the cap; both declared-only fields
+    // have zero room and must drop (they carry no data), NOT overflow the
+    // DDL to 4 columns
+    val st = engine.createStream("capped", StreamConfig(mode = "replace_table",
+      maxColumns = 2, declaredFields = Seq("id", "v", "note", "extra"),
+      columnTypes = Map("note" -> graft.core.DataKind.Str)))
+    st.consumeDataset(Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":"y"}""").toDS())
+    val state = st.complete()
+    assert(state.status == "ok", state.error)
+    val cols = sink.existingColumns("CAPPED").get.map(_.name).toSet
+    assert(cols == Set("ID", "V"), s"DDL exceeded the cap: $cols")
+  }
 }

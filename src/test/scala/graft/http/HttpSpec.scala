@@ -341,11 +341,27 @@ class HttpSpec extends SparkSuite {
       val (c2, r2) = postAuth(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items",
         """{"a":1}""", Map("X-Jitsu-Schema" -> "{not json"))
       assert(c2 == 400 && r2.contains("schema unmarshal error"))
+      // syntactically-valid but WRONG-SHAPED schemas 400 the same way — the
+      // reference unmarshals into a struct (router.go:263-267), so a
+      // non-object root / non-array fields / mistyped name all error
+      Seq("[1,2]", "\"s\"", """{"fields":5}""", """{"fields":[5]}""",
+        """{"fields":[{"name":5}]}""", """{"fields":[{"name":"a","type":"s"}]}""")
+        .foreach { bad =>
+          val (cb, rb) = postAuth(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items",
+            """{"a":1}""", Map("X-Jitsu-Schema" -> bad))
+          assert(cb == 400 && rb.contains("schema unmarshal error"), s"schema $bad")
+        }
       // an ABORT line anywhere aborts the load (router.go:285-289)
       seen = null
       val (c3, r3) = post(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items",
         "{\"a\":1}\nABORT: caller gave up\n{\"a\":2}")
       assert(c3 == 400 && r3.contains("aborted") && seen == null)
+      // consumed == 0 answers 200 ok but the LOADER NEVER RUNS
+      // (router.go:313-317: Abort + ok) — an empty replace_table body must
+      // not wipe the target
+      seen = null
+      val (c4, r4) = post(s"http://127.0.0.1:${srv.port}/bulk/d1?tableName=items", "\n  \n")
+      assert(c4 == 200 && r4 == """{"ok":true,"rows":0}""" && seen == null)
     } finally srv.stop()
   }
 
@@ -361,6 +377,10 @@ class HttpSpec extends SparkSuite {
       val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/post/pg1?tableName=t&modeOverride=upsert",
         """{"a":1}""")
       assert(c2 == 400 && r2.contains("invalid bulker mode: upsert"))
+      // tableName required on the events path too (router.go:156-159) —
+      // never silently defaulted
+      val (c2b, r2b) = post(s"http://127.0.0.1:${srv.port}/post/pg1", """{"a":1}""")
+      assert(c2b == 400 && r2b.contains("tableName query parameter is required"))
       // profile-rebuild trigger (router.go:193-218)
       val (c3, r3) = post(s"http://127.0.0.1:${srv.port}/profiles/pb1/high?profileId=u42", "")
       assert(c3 == 200 && r3 == """{"ok":true}""", r3)
@@ -393,7 +413,7 @@ class HttpSpec extends SparkSuite {
       (_, _, _) => throw new RuntimeException("""boom "quoted" \ path"""),
       (_, _, _, _, _) => throw new RuntimeException(null: String)).start()
     try {
-      val (c1, r1) = post(s"http://127.0.0.1:${srv.port}/post/x", """{"a":1}""")
+      val (c1, r1) = post(s"http://127.0.0.1:${srv.port}/post/x?tableName=t", """{"a":1}""")
       assert(c1 == 500 && r1.contains("""boom \"quoted\" \\ path"""), r1)
       // a null message renders as the fallback, not the string "null"
       val (c2, r2) = post(s"http://127.0.0.1:${srv.port}/bulk/x?tableName=t", """{"a":1}""")

@@ -17,8 +17,12 @@ class DppSpec extends SparkSuite {
     // Build the lake + run the full query once (also proves it returns rows).
     val agg = SinkOps.qDppJoin(spark, d)
     val rows = agg.collect()
-    assert(rows.nonEmpty && rows.length == 7,
-      s"expected the 7 first-week day groups, got ${rows.length}")
+    // expectations derive from the dim itself — the driver regenerates
+    // /root/testdata between rounds, so no hardcoded calendar
+    val expected = SinkOps.dppDim(spark, d).select("day")
+      .collect().map(_.getString(0)).toSet
+    assert(rows.nonEmpty && rows.length == expected.size,
+      s"expected ${expected.size} dim-selected day groups, got ${rows.length}")
 
     // Re-plan the join over the written lake: the fact FileScan must carry
     // a dynamicpruning partition filter (runtime, not static — the dim's
@@ -41,11 +45,13 @@ class DppSpec extends SparkSuite {
         assert(m.isDefined, s"file outside a day= partition folder: $f")
         m.get.group(1)
       }.toSet
-    val expected = (1 to 7).map(i => f"2024-01-$i%02d").toSet
     assert(seenDays == expected,
-      s"scan touched wrong partitions: $seenDays")
+      s"scan touched wrong partitions: $seenDays vs dim $expected")
+    // ... and pruning must have had something to prune: the lake carries
+    // strictly more day folders than the dim selects
     val allDays = new java.io.File("/tmp/graft_dpp/events").listFiles()
       .count(_.getName.startsWith("day="))
-    assert(allDays == 30, s"fixture expected 30 day folders, found $allDays")
+    assert(allDays > expected.size,
+      s"fixture degenerate: $allDays folders written, dim selects ${expected.size}")
   }
 }

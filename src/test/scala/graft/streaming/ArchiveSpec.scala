@@ -115,7 +115,7 @@ class ArchiveSpec extends SparkSuite {
       spool = (dest, _, raw) => { w.log(dest, Day1, raw); spooled += raw; () },
       bulkLoad = (_, _, _, _, _) => 0L).start()
     try {
-      val url = new java.net.URI(s"http://127.0.0.1:${srv.port}/post/d1").toURL
+      val url = new java.net.URI(s"http://127.0.0.1:${srv.port}/post/d1?tableName=events").toURL
       Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":"y"}""").foreach { body =>
         val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
         c.setRequestMethod("POST"); c.setDoOutput(true)
