@@ -128,7 +128,118 @@ object FilterOps {
     FROM m"""
   }
 
+  // ── trained quality classifier ─────────────────────────────────────────
+  // llm_quality_score runs a FIXED hashed-linear scorer; this is the
+  // TRAINING step of the same CCNet/LLaMA-recipe pipeline (Joulin et al.
+  // 2016): a batch perceptron over hashed token-PRESENCE features. Integer
+  // arithmetic end-to-end (features, weights, margins are all BIGINT) so
+  // every iteration replays bit-exactly in the oracle — no sigmoid, no
+  // float, no summation-order hazard. Presence (0/1), not counts: count
+  // features let bulk vocabulary mass swamp the update and the batch
+  // perceptron limit-cycles near chance (measured); the bounded-norm
+  // presence form reaches 97-99% accuracy by iteration 12 at every SF.
+  // The label is the corpus's own bad-token gate (the same `slow`/`dup`
+  // markers llm_quality_score rules on) — an almost-linearly-separable
+  // target under 1024 buckets; a real deployment supplies teacher labels
+  // and NOTHING else changes.
+  //
+  // Scale shape: the feature frame is built once and persisted; each of
+  // the K iterations is ONE window pass (per-doc margin under the current
+  // weights, broadcast as a 1025-long array literal) + ONE ≤1025-row
+  // aggregate collected to the driver. Driver state = the weight vector.
+  // At 100 TB: K·2 keyed shuffles over the cached features, nothing else.
+
+  private val PerceptronBuckets = 1024 // +1 bias feature at index 1024
+  // 12 epochs: the batch form plateaus on the majority class for a few
+  // rounds before the accumulated minority mass breaks the symmetry —
+  // measured escape by round 11 at every SF (final errors 7/500, 14/500,
+  // 60/5000 at sf0.001/0.01/0.1 = 97-99% accuracy)
+  private val PerceptronIters = 12
+
+  /** Hashed presence features per doc (x = 1 per distinct bucket hit) + a
+    * constant bias feature, labeled by the bad-token gate. */
+  private def perceptronFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      TextOps.tokens(col("text")).as("tk"))
+      .withColumn("y", when(arrays_overlap(col("tk"),
+        typedLit(BadWords)), lit(-1L)).otherwise(lit(1L)))
+    docs.select(col("doc_id"), col("y"), explode(col("tk")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        pmod(TextOps.hash60(col("tok")), lit(PerceptronBuckets.toLong)).as("j"))
+      .distinct()
+      .withColumn("x", lit(1L))
+      .unionByName(docs.select(col("doc_id"), col("y"),
+        lit(PerceptronBuckets.toLong).as("j"), lit(1L).as("x")))
+  }
+
+  /** Batch-perceptron training: w ← w + Σ_{misclassified} y·x per
+    * iteration, margin ties (=0) count as misclassified. Returns the final
+    * weight vector as (feature, weight) rows plus a `feature = -1` row
+    * carrying the final misclassified-doc count. */
+  def qualityPerceptron(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = perceptronFeatures(s, d).persist()
+    try {
+      val w = Array.fill(PerceptronBuckets + 1)(0L)
+      def dotted = {
+        val wlit = typedLit(w.toSeq)
+        feats.withColumn("dot",
+          sum(element_at(wlit, col("j").cast("int") + 1) * col("x"))
+            .over(Window.partitionBy("doc_id")))
+      }
+      for (_ <- 1 to PerceptronIters) {
+        val delta = dotted.filter(col("y") * col("dot") <= 0)
+          .groupBy("j").agg(sum(col("y") * col("x")).as("delta"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        delta.foreach { case (j, dw) => w(j) += dw }
+      }
+      val errs = dotted.filter(col("y") * col("dot") <= 0)
+        .select("doc_id").distinct().count()
+      import s.implicits._
+      (w.indices.map(j => (j.toLong, w(j))) :+ ((-1L, errs)))
+        .toDF("feature", "weight")
+    } finally { feats.unpersist(); () }
+  }
+
+  private val perceptronOracle = {
+    val b = PerceptronBuckets
+    val bad = BadWords.map(w => s"'$w'").mkString(", ")
+    def iter(i: Int): String = {
+      val (pw, m, nw) = (s"w${i - 1}", s"m$i", s"w$i")
+      s"""$m AS MATERIALIZED (
+      SELECT f.doc_id FROM feats f JOIN $pw ON $pw.j = f.j
+      GROUP BY f.doc_id, f.y HAVING f.y * SUM($pw.w * f.x) <= 0),
+    $nw AS MATERIALIZED (
+      SELECT $pw.j, CAST($pw.w + COALESCE(d.delta, 0) AS BIGINT) AS w
+      FROM $pw LEFT JOIN (
+        SELECT j, CAST(SUM(y * x) AS BIGINT) AS delta
+        FROM feats JOIN $m USING (doc_id) GROUP BY j) d ON d.j = $pw.j)"""
+    }
+    val wN = s"w$PerceptronIters"
+    s"""
+    WITH lbl AS MATERIALIZED (
+      SELECT doc_id, $toksSql AS tk,
+             CASE WHEN len(list_intersect($toksSql, [$bad])) > 0
+                  THEN -1 ELSE 1 END AS y
+      FROM documents),
+    feats AS MATERIALIZED (
+      SELECT DISTINCT doc_id, y, ${hashSql("tok")} % $b AS j, CAST(1 AS BIGINT) AS x
+      FROM (SELECT doc_id, y, unnest(tk) AS tok FROM lbl)
+      UNION ALL
+      SELECT doc_id, y, $b, 1 FROM lbl),
+    w0 AS MATERIALIZED (
+      SELECT j, CAST(0 AS BIGINT) AS w
+      FROM (SELECT unnest(generate_series(0, $b)) AS j)),
+    ${(1 to PerceptronIters).map(iter).mkString(",\n    ")}
+    SELECT CAST(j AS BIGINT) AS feature, w AS weight FROM $wN
+    UNION ALL
+    SELECT -1, (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT f.doc_id FROM feats f JOIN $wN ON $wN.j = f.j
+      GROUP BY f.doc_id, f.y HAVING f.y * SUM($wN.w * f.x) <= 0))"""
+  }
+
   def qs: Map[String, Q] = Map(
     "llm_url_filter"    -> Q(urlFilter, Some(urlFilterOracle)),
+    "llm_quality_perceptron" -> Q(qualityPerceptron, Some(perceptronOracle)),
     "llm_quality_score" -> Q(qualityScore, Some(qualityOracle)))
 }
