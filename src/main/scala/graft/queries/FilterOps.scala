@@ -178,7 +178,13 @@ object FilterOps {
     * carrying the final misclassified-doc count. */
   def qualityPerceptron(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val feats = perceptronFeatures(s, d).persist()
+    // K sequential epochs = 2K+1 tiny jobs whose per-task overhead, not
+    // compute, dominates at bench scale: pre-shuffle the cached features
+    // onto few, doc-aligned partitions so every epoch's window is
+    // exchange-free and each job launches 8 tasks instead of 32+ (at real
+    // corpus scale the same alignment holds at natural width)
+    val feats = perceptronFeatures(s, d)
+      .repartition(8, col("doc_id")).persist()
     try {
       val w = Array.fill(PerceptronBuckets + 1)(0L)
       def dotted = {
