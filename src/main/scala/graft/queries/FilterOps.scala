@@ -13,11 +13,13 @@ import LlmOps.{hashSql, qSql, toksSql}
   * hashed linear quality scorer (Joulin et al. 2016 — the CCNet/LLaMA
   * quality-classifier shape).
   *
-  * Scale shape: both operators are ONE narrow projection per document — the
-  * domain blocklist is a literal `isin` (pure filter, not even a broadcast
-  * join), the rule columns are in-row arithmetic, and the scorer folds its
-  * hashed features in-row over a materialized, codegen-hashed feature
-  * array. No shuffle anywhere; the plan is a scan + project + filter.
+  * Scale shape: the filter and the fixed scorer are ONE narrow projection
+  * per document — the domain blocklist is a literal `isin` (pure filter,
+  * not even a broadcast join), the rule columns are in-row arithmetic, and
+  * the scorer folds its hashed features in-row over a materialized,
+  * codegen-hashed feature array; no shuffle, scan + project + filter. The
+  * exception is the TRAINED classifier below: K sequential epochs over a
+  * persisted doc-aligned feature frame (2 keyed shuffles per epoch).
   */
 object FilterOps {
 
@@ -157,19 +159,24 @@ object FilterOps {
   private val PerceptronIters = 12
 
   /** Hashed presence features per doc (x = 1 per distinct bucket hit) + a
-    * constant bias feature, labeled by the bad-token gate. */
-  private def perceptronFeatures(s: SparkSession, d: String): DataFrame = {
+    * constant bias feature, labeled by the bad-token gate. `docs` feeds
+    * BOTH union arms (persist-before-multi-consumer rule — otherwise the
+    * corpus tokenizes twice); the caller materializes the result while the
+    * returned handle is cached and unpersists it when done. */
+  private def perceptronFeatures(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       TextOps.tokens(col("text")).as("tk"))
       .withColumn("y", when(arrays_overlap(col("tk"),
         typedLit(BadWords)), lit(-1L)).otherwise(lit(1L)))
-    docs.select(col("doc_id"), col("y"), explode(col("tk")).as("tok"))
+      .persist()
+    val feats = docs.select(col("doc_id"), col("y"), explode(col("tk")).as("tok"))
       .select(col("doc_id"), col("y"),
         pmod(TextOps.hash60(col("tok")), lit(PerceptronBuckets.toLong)).as("j"))
       .distinct()
       .withColumn("x", lit(1L))
       .unionByName(docs.select(col("doc_id"), col("y"),
         lit(PerceptronBuckets.toLong).as("j"), lit(1L).as("x")))
+    (feats, docs)
   }
 
   /** Batch-perceptron training: w ← w + Σ_{misclassified} y·x per
@@ -183,8 +190,11 @@ object FilterOps {
     // onto few, doc-aligned partitions so every epoch's window is
     // exchange-free and each job launches 8 tasks instead of 32+ (at real
     // corpus scale the same alignment holds at natural width)
-    val feats = perceptronFeatures(s, d)
-      .repartition(8, col("doc_id")).persist()
+    // the first epoch materializes `feats` while the tokenized docs handle
+    // is still cached (unpersisted in the finally), so the corpus is
+    // tokenized exactly once with no extra materialization pass
+    val (raw, docs) = perceptronFeatures(s, d)
+    val feats = raw.repartition(8, col("doc_id")).persist()
     try {
       val w = Array.fill(PerceptronBuckets + 1)(0L)
       def dotted = {
@@ -204,7 +214,7 @@ object FilterOps {
       import s.implicits._
       (w.indices.map(j => (j.toLong, w(j))) :+ ((-1L, errs)))
         .toDF("feature", "weight")
-    } finally { feats.unpersist(); () }
+    } finally { feats.unpersist(); docs.unpersist(); () }
   }
 
   private val perceptronOracle = {

@@ -77,8 +77,10 @@ class AqeSpec extends SparkSuite {
       assert(plan.contains("coalesced"),
         s"no runtime partition coalescing in the executed plan:\n${plan.take(1500)}")
       // the shuffle that planned 64 partitions must execute with far fewer
-      assert(agg.rdd.getNumPartitions < 64,
-        s"still ${agg.rdd.getNumPartitions} partitions after AQE")
+      // (toRdd reuses the already-finalized QueryExecution — Dataset.rdd
+      // would build a fresh one and re-execute the query)
+      val parts = agg.queryExecution.toRdd.getNumPartitions
+      assert(parts < 64, s"still $parts partitions after AQE")
     }
   }
 }
