@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Engine
+import graft.core.Tables
+import graft.sink.JdbcSink
+import graft.sources.{Airbyte, AirbyteRunner}
+import graft.sql.DerbyDialect
+
+/** S6 — the Airbyte-protocol source data plane (sync-sidecar/read.go) LIVE
+  * end-to-end: a deterministic connector transcript (RECORD / STATE / TRACE
+  * / LOG / CONTROL lines derived from the events + customer tables) runs
+  * through [[graft.sources.AirbyteRunner]] into a Derby-backed
+  * [[graft.Engine]], and the output is the union of the final warehouse
+  * tables, the per-stream status map, and the saved state checkpoints —
+  * every piece recomputable by the oracle from the same parquet.
+  *
+  * The transcript exercises the protocol's load-bearing semantics:
+  *   - incremental + initial state → Batch mode; chunked STATE checkpoints
+  *     commit-then-save; a cross-chunk pk update merges last-wins;
+  *   - full_refresh → ReplaceTable: a pre-seeded junk generation vanishes;
+  *   - a mid-stream TRACE ERROR: later records ignored, later STATEs NOT
+  *     saved ("because of previous errors", read.go:311-314), final status
+  *     PARTIAL (committed chunk survives), run rollup PARTIAL.
+  *
+  * The driver plays the CONNECTOR role (the protocol is a sequential pipe by
+  * nature — same adjudication as b8's HTTP-client loop); the engine side of
+  * every chunk load is fully distributed.
+  */
+object AirbyteOps {
+
+  private val CatalogJson = """{"streams":[
+    {"stream":{"name":"orders_inc","namespace":"dev",
+      "json_schema":{"properties":{
+        "event_id":{"type":"integer"},"user_id":{"type":"integer"},
+        "etype":{"type":"string"},"cents":{"type":"integer"}}},
+      "source_defined_primary_key":[["event_id"]],
+      "default_cursor_field":[]},
+     "sync_mode":"incremental","cursor_field":["cents"]},
+    {"stream":{"name":"users_full","namespace":"dev",
+      "json_schema":{"properties":{
+        "k":{"type":"integer"},"name":{"type":"string"},
+        "cents":{"type":"number","airbyte_type":"integer"}}},
+      "source_defined_primary_key":[],
+      "default_cursor_field":[]},
+     "sync_mode":"full_refresh","cursor_field":[]},
+    {"stream":{"name":"flaky_inc","namespace":"dev",
+      "json_schema":{"properties":{
+        "event_id":{"type":"integer"},"user_id":{"type":"integer"},
+        "etype":{"type":"string"},"cents":{"type":"integer"}}},
+      "source_defined_primary_key":[["event_id"]],
+      "default_cursor_field":["cents"]},
+     "sync_mode":"incremental","cursor_field":[]}]}"""
+
+  private def record(ns: String, name: String, data: String): String =
+    s"""{"type":"RECORD","record":{"stream":"$name","namespace":"$ns","data":$data}}"""
+  private def streamState(ns: String, name: String, state: String): String =
+    s"""{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"$name","namespace":"$ns"},"stream_state":$state}}}"""
+  private def streamStatus(ns: String, name: String, status: String): String =
+    s"""{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"$name","namespace":"$ns"},"status":"$status"}}}"""
+  private def traceError(ns: String, name: String, message: String): String =
+    s"""{"type":"TRACE","trace":{"type":"ERROR","error":{"stream_descriptor":{"name":"$name","namespace":"$ns"},"message":"$message"}}}"""
+
+  def s6AirbyteSync(s: SparkSession, d: String): DataFrame = {
+    val sink = JdbcSink("jdbc:derby:memory:graft_s6;create=true", DerbyDialect,
+      maxWriteConnections = 4)
+    Seq("AB_DEV_ORDERS_INC", "AB_DEV_USERS_FULL", "AB_DEV_FLAKY_INC").foreach { t =>
+      try sink.withConnection(sink.exec(_, s"""DROP TABLE "$t""""))
+      catch { case _: java.sql.SQLException => () }
+    }
+
+    // quantize IN SPARK with the house floor(x*100 + 0.5) rule, then collect
+    // integer-only payloads — no float rendering can diverge from the oracle
+    val ev = Tables.events(s, d).filter(col("event_id") % 17 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+    val sample = ev.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val s0 = sample.filter(_._1 % 3 == 0) // orders_inc
+    val s1 = sample.filter(_._1 % 3 == 1) // flaky_inc
+    val users = Tables.customer(s, d).filter(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100 + 0.5).cast(LongType).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+
+    def evJson(t: (Long, Long, String, Long), centsShift: Long = 0L): String =
+      s"""{"event_id":${t._1},"user_id":${t._2},"etype":"${t._3}","cents":${t._4 + centsShift}}"""
+
+    // pre-seed a junk generation under users_full: ReplaceTable must erase it
+    {
+      import s.implicits._
+      val junk = Seq((-1L, "junk", -1L)).toDF("k", "name", "cents")
+      val spec = sink.specFor(junk, "ab_dev_users_full")
+      sink.ensureTable(spec)
+      sink.append(junk, spec.name)
+    }
+
+    val ordersChunk1 = s0
+    val ordersChunk2 = s0.filter(_._1 % 5 == 0) // pk updates: +100000 cents
+    val flakyChunk1 = s1.filter(_._1 % 2 == 0)
+    val flakyChunk2 = s1.filterNot(_._1 % 2 == 0) // after the error: ignored
+    val lines = Vector.newBuilder[String]
+    lines += "info connector booting" // bare passthrough line (main.go:194-213)
+    lines += streamStatus("dev", "users_full", "STARTED")
+    users.foreach(u => lines += record("dev", "users_full",
+      s"""{"k":${u._1},"name":"${u._2}","cents":${u._3}}"""))
+    lines += streamStatus("dev", "users_full", "COMPLETE")
+    lines += streamStatus("dev", "orders_inc", "STARTED")
+    ordersChunk1.foreach(t => lines += record("dev", "orders_inc", evJson(t)))
+    val st1 = streamState("dev", "orders_inc", s"""{"c":${s0.map(_._1).max}}""")
+    lines += st1
+    lines += st1 // consecutive duplicate STATE line: suppressed (read.go:246-249)
+    ordersChunk2.foreach(t => lines += record("dev", "orders_inc", evJson(t, 100000L)))
+    lines += streamState("dev", "orders_inc",
+      s"""{"c":${ordersChunk2.map(_._1).max}}""")
+    lines += streamStatus("dev", "orders_inc", "COMPLETE")
+    lines += streamStatus("dev", "flaky_inc", "STARTED")
+    flakyChunk1.foreach(t => lines += record("dev", "flaky_inc", evJson(t)))
+    lines += streamState("dev", "flaky_inc", s"""{"c":${flakyChunk1.map(_._1).max}}""")
+    lines += traceError("dev", "flaky_inc", "connector exploded")
+    flakyChunk2.foreach(t => lines += record("dev", "flaky_inc", evJson(t)))
+    // post-error STATE: must NOT be saved (read.go:311-314)
+    lines += streamState("dev", "flaky_inc", s"""{"c":${s1.map(_._1).max}}""")
+    lines += streamStatus("dev", "flaky_inc", "INCOMPLETE")
+    lines += """{"type":"CONTROL","control":{"type":"CONNECTOR_CONFIG"}}"""
+
+    val engine = new Engine(s, sink)
+    val runner = new AirbyteRunner(engine, Airbyte.parseCatalog(CatalogJson),
+      AirbyteRunner.Config(tableNamePrefix = "ab_${SOURCE_NAMESPACE}_",
+        initialState = """{"dev.orders_inc":{"c":0}}""", packageName = "airbyte/source-fixture"))
+    val result = runner.run(lines.result().iterator)
+
+    def readBack(table: String) =
+      s.read.jdbc(sink.url, s"\"$table\"", new java.util.Properties())
+    val ordersRows = readBack("AB_DEV_ORDERS_INC").select(lit("orders").as("src"),
+      col("EVENT_ID").as("k"), col("CENTS").as("cents"), col("ETYPE").as("tag"))
+    val usersRows = readBack("AB_DEV_USERS_FULL").select(lit("users").as("src"),
+      col("K").as("k"), col("CENTS").as("cents"), col("NAME").as("tag"))
+    val flakyRows = readBack("AB_DEV_FLAKY_INC").select(lit("flaky").as("src"),
+      col("EVENT_ID").as("k"), col("CENTS").as("cents"), col("ETYPE").as("tag"))
+
+    val metaSchema = StructType(Seq(
+      StructField("src", StringType), StructField("k", LongType),
+      StructField("cents", LongType, nullable = true), StructField("tag", StringType)))
+    import scala.jdk.CollectionConverters._
+    val metaRows: Seq[Row] =
+      result.streams.map(sr =>
+        Row("status", sr.events, null, s"${sr.stream}=${sr.status}")) ++
+      result.states.map { case (k, v) => Row("state", null, null, s"$k=$v") } :+
+      Row("run", null, null, result.status)
+    val meta = s.createDataFrame(metaRows.asJava, metaSchema)
+    ordersRows.unionByName(usersRows).unionByName(flakyRows).unionByName(meta)
+  }
+
+  private val s6Oracle = """
+    WITH smp AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_id % 17 = 0),
+    s0 AS (SELECT * FROM smp WHERE event_id % 3 = 0),
+    s1 AS (SELECT * FROM smp WHERE event_id % 3 = 1),
+    u AS (SELECT c_custkey AS k, c_name AS name,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer WHERE c_custkey % 11 = 0)
+    SELECT 'orders' AS src, event_id AS k,
+           cents + CASE WHEN event_id % 5 = 0 THEN 100000 ELSE 0 END AS cents,
+           event_type AS tag
+    FROM s0
+    UNION ALL SELECT 'users', k, cents, name FROM u
+    UNION ALL SELECT 'flaky', event_id, cents, event_type
+              FROM s1 WHERE event_id % 2 = 0
+    UNION ALL SELECT 'status',
+      (SELECT COUNT(*) FROM s0) + (SELECT COUNT(*) FROM s0 WHERE event_id % 5 = 0),
+      NULL, 'dev.orders_inc=SUCCESS'
+    UNION ALL SELECT 'status', (SELECT COUNT(*) FROM u), NULL,
+      'dev.users_full=SUCCESS'
+    UNION ALL SELECT 'status', (SELECT COUNT(*) FROM s1 WHERE event_id % 2 = 0),
+      NULL, 'dev.flaky_inc=PARTIAL'
+    UNION ALL SELECT 'state', NULL, NULL,
+      'dev.orders_inc={"c":' || (SELECT MAX(event_id) FROM s0 WHERE event_id % 5 = 0) || '}'
+    UNION ALL SELECT 'state', NULL, NULL,
+      'dev.flaky_inc={"c":' || (SELECT MAX(event_id) FROM s1 WHERE event_id % 2 = 0) || '}'
+    UNION ALL SELECT 'run', NULL, NULL, 'PARTIAL'"""
+
+  val qs: Map[String, Q] = Map(
+    "s6_airbyte_sync" -> Q(s6AirbyteSync, Some(s6Oracle)))
+}
