@@ -23,9 +23,21 @@ object ConnectionTest {
 
   private val mapper = new ObjectMapper()
 
-  /** Run the test: Left(error message) → 422, Right(destinationId) → 200. */
+  /** Probe threads: daemon, named, unbounded count but each probe is
+    * bounded by `timeoutMs` — a stuck TCP connect costs one parked thread,
+    * never a blocked caller. */
+  private val probePool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-conn-test"); t.setDaemon(true); t
+    })
+
+  /** Run the test: Left(error message) → 422, Right(destinationId) → 200.
+    * The live connect runs on [[probePool]] under `timeoutMs` — a caller-
+    * supplied URL pointing at an unreachable host must not hold the HTTP
+    * handler for the OS connect timeout. */
   def test(body: String,
-           connect: String => Unit = defaultConnect): Either[String, String] = {
+           connect: String => Unit = defaultConnect,
+           timeoutMs: Long = 5000L): Either[String, String] = {
     val cfg =
       try mapper.readTree(body) match {
         case o: ObjectNode => o
@@ -41,10 +53,22 @@ object ConnectionTest {
     if (!graft.sql.Dialect.all.contains(destType))
       return Left(s"error creating bulker: unknown bulker implementation: $destType")
     val url = str("url")
-    if (url.nonEmpty)
-      try connect(url)
-      catch { case e: Exception =>
-        return Left(s"error creating bulker: ${Option(e.getMessage).getOrElse("connect failed")}") }
+    if (url.nonEmpty) {
+      val probe = probePool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = connect(url)
+      })
+      try probe.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          probe.cancel(true)
+          return Left(s"error creating bulker: connection test timed out after ${timeoutMs}ms")
+        case e: java.util.concurrent.ExecutionException =>
+          val cause = Option(e.getCause).getOrElse(e)
+          return Left(s"error creating bulker: ${Option(cause.getMessage).getOrElse("connect failed")}")
+        case e: Exception =>
+          return Left(s"error creating bulker: ${Option(e.getMessage).getOrElse("connect failed")}")
+      }
+    }
     Right(id)
   }
 

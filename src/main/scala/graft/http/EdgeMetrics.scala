@@ -23,6 +23,10 @@ final class EdgeMetrics {
 
   private val statuses =
     new ConcurrentHashMap[(String, String, String), LongAdder]()
+  // exact admission counter for the series cap: CHM.size is a full
+  // traversal and racy under concurrent first-touches — a monotonic
+  // admission count makes the bound exact and O(1) to check
+  private val statusSeries = new java.util.concurrent.atomic.AtomicInteger(0)
   private val gauges =
     new ConcurrentHashMap[(String, String, String), () => Long]()
 
@@ -41,9 +45,21 @@ final class EdgeMetrics {
     val existing = statuses.get(k)
     val adder =
       if (existing != null) existing
-      else if (statuses.size >= MaxSeries)
-        statuses.computeIfAbsent(("__other__", "__other__", status), _ => new LongAdder)
-      else statuses.computeIfAbsent(k, _ => new LongAdder)
+      else {
+        // reserve a slot first; give it back if we lost the insert race or
+        // blew the cap — the map can never exceed MaxSeries (+ the
+        // __other__ overflow buckets)
+        val slot = statusSeries.incrementAndGet()
+        if (slot > MaxSeries) {
+          statusSeries.decrementAndGet()
+          statuses.computeIfAbsent(("__other__", "__other__", status), _ => new LongAdder)
+        } else {
+          var inserted = false
+          val a = statuses.computeIfAbsent(k, _ => { inserted = true; new LongAdder })
+          if (!inserted) statusSeries.decrementAndGet()
+          a
+        }
+      }
     adder.increment()
   }
 

@@ -94,6 +94,7 @@ final class IngestServer(
 ) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   // one shared mapper (readTree is thread-safe) — handlers must not pay a
   // fresh ObjectMapper construction per request
@@ -754,6 +755,14 @@ final class IngestServer(
       else notFound(ex))
     server.createContext("/robots.txt", (ex: HttpExchange) =>
       respond(ex, 200, "User-agent: *\nDisallow: /\n", "text/plain"))
+    // without an executor the JDK server runs every handler on its single
+    // dispatcher thread — one slow request (a /test probe, a big bulk body)
+    // would stall /health and every ingest path behind it
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ingest-http"); t.setDaemon(true); t
+      })
+    server.setExecutor(pool)
     server.start()
     this
   }
@@ -765,7 +774,10 @@ final class IngestServer(
   private def notFound(ex: HttpExchange): Unit =
     respond(ex, 404, """{"error":"not found"}""")
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 }
 
 /** One parsed `/bulk/:dest` request (`BulkHandler`, router.go:220-321):

@@ -92,10 +92,22 @@ object Similarity {
       when(dot > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Hard ceiling on [[bruteTopK]]'s query side: past this a brute cross is
+    * a quadratic scale-killer, not a truth baseline — callers must route
+    * through the LSH/IVF/PQ paths instead. */
+  val BruteQueryCap = 100000L
+
   /** Brute-force top-k: every query row against the whole corpus. The query
-    * side must be small (broadcast nested-loop join by construction). */
+    * side must be small (broadcast nested-loop join by construction) — a
+    * limit-guarded count enforces [[BruteQueryCap]] at runtime so a corpus-
+    * scale frame can't silently ship a quadratic cross. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 queryId: String = "vec_id", corpusId: String = "vec_id"): DataFrame = {
+    // ONE bounded probe: limit(cap+1) never scans past cap+1 rows
+    val probed = queries.limit(BruteQueryCap.toInt + 1).count()
+    require(probed <= BruteQueryCap,
+      s"bruteTopK query side exceeds $BruteQueryCap rows — brute force is the " +
+        "EVAL-tier truth baseline; use lshTopK/ivfTopK/pq paths at corpus scale")
     val q = broadcast(queries.select(col(queryId).as("query_id"), col("embedding").as("__qe")))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col("embedding").as("__ce"))
     rank(q.crossJoin(c), k)

@@ -212,24 +212,27 @@ final class StreamEventsLog(maxSize: Int = 1000,
            limit: Int = 100): Seq[(String, ActorEvent)] = synchronized {
     flush()
     val lv = if (level == "error") "error" else "all"
-    def parseId(id: String): (Long, Long) = {
+    def parseId(id: String, defaultSeq: Long): (Long, Long) = {
       val ms = id.takeWhile(_.isDigit)
       if (ms.isEmpty) throw new IllegalArgumentException(
         s"failed to parse beforeId [$id] it is expected to start with timestamp")
       val rest = id.drop(ms.length)
       val seq = if (rest.startsWith("-") && rest.drop(1).forall(_.isDigit) &&
                     rest.length > 1) rest.drop(1).toLong
-                else 0L // a bare-ms cursor excludes that ms's first entry
+                else defaultSeq
       (ms.toLong, seq)
     }
-    val before = beforeId.map(parseId)
+    // a bare-ms cursor's seq defaults to MAX — Redis resolves an incomplete
+    // id in an END bound to <ms>-MAX, so the exclusive `(id` cursor still
+    // admits that millisecond's earlier entries (XREVRANGE end semantics)
+    val before = beforeId.map(parseId(_, Long.MaxValue))
     val useEnd = endMs.filter(e => before.forall(b => e < b._1))
     val idBound = if (useEnd.isDefined) None else before
     val it = streams.getOrElse(key(eventType, lv, actorId),
         scala.collection.mutable.ArrayBuffer.empty[(String, ActorEvent)])
       .reverseIterator
       .filter { case (id, _) =>
-        val (ms, seq) = parseId(id)
+        val (ms, seq) = parseId(id, 0L) // stored ids always carry `-seq`
         idBound.forall { case (bm, bs) => ms < bm || (ms == bm && seq < bs) } &&
           useEnd.forall(ms <= _) && startMs.forall(ms >= _)
       }

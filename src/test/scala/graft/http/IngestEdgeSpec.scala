@@ -849,4 +849,33 @@ class IngestEdgeSpec extends SparkSuite {
       FailedReadback.lines(spark, queue, "bogus")
     }
   }
+
+  test("ConnectionTest: an unreachable-host probe is bounded by the timeout") {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val r = ConnectionTest.test(
+      """{"destinationType":"postgres","url":"jdbc:postgresql://x/db"}""",
+      connect = _ => latch.await(), // a connect that never returns
+      timeoutMs = 150L)
+    latch.countDown()
+    assert(r.isLeft && r.swap.exists(_.contains("timed out")))
+  }
+
+  test("a blocked handler does not stall the rest of the edge (pooled executor)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val srv = new IngestServer(
+      (_, _, _) => gate.await(), // /post handler blocks until released
+      (_, _, _, _, _) => 0L).start()
+    try {
+      val slow = new Thread(() =>
+        post(s"http://127.0.0.1:${srv.port}/post/d1?tableName=t", """{"a":1}"""))
+      slow.setDaemon(true); slow.start()
+      Thread.sleep(100) // let the slow request occupy its handler thread
+      // /health must answer while /post is parked — serial dispatch would hang
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}/health")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(2000); conn.setReadTimeout(2000)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    } finally { gate.countDown(); srv.stop() }
+  }
 }

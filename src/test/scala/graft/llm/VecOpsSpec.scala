@@ -309,4 +309,17 @@ class VecOpsSpec extends SparkSuite {
     val (r0, r2) = (recall(seedCb), recall(trained))
     assert(r2 >= r0, s"trained recall $r2 < seed recall $r0")
   }
+
+  test("bruteTopK rejects a corpus-scale query side (quadratic-cross guard)") {
+    val big = spark.range(Similarity.BruteQueryCap + 1)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val small = spark.range(4)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteTopK(big, small, k = 1)
+    }
+    assert(e.getMessage.contains("query side exceeds"))
+    // under the cap the guard is invisible
+    assert(Similarity.bruteTopK(small, small, k = 2).count() > 0)
+  }
 }

@@ -182,4 +182,23 @@ class ActorEventsLogSpec extends AnyFunSuite {
       !s.contains("timestamp <= ?") && s.contains("LIMIT 50"))
     assert(s.contains("ORDER BY timestamp DESC"))
   }
+
+  test("StreamEventsLog: a bare-ms beforeId keeps that millisecond's earlier entries") {
+    var t = 1000L
+    val log = new StreamEventsLog(clock = () => t)
+    import graft.streaming.{ActorEvent => AE}
+    def ev(n: Int) = AE("incoming", "a", "info", t, s"""{"n":$n}""")
+    log.postEvent(ev(1)) // 1000-0
+    log.postEvent(ev(2)) // 1000-1
+    log.postEvent(ev(3)) // 1000-2
+    t = 1001L
+    log.postEvent(ev(4)) // 1001-0
+    // Redis end-bound semantics: an incomplete id resolves seq to MAX, so
+    // the exclusive cursor "(1000" still admits 1000-0..1000-2
+    val bare = log.page("incoming", "a", beforeId = Some("1000")).map(_._1)
+    assert(bare == Seq("1000-2", "1000-1", "1000-0"))
+    // a full id stays strictly exclusive on (ms, seq)
+    val full = log.page("incoming", "a", beforeId = Some("1000-1")).map(_._1)
+    assert(full == Seq("1000-0"))
+  }
 }
