@@ -614,6 +614,177 @@ object StreamOps {
       SELECT *, row_number() OVER (ORDER BY eid DESC) AS rn FROM recs
       WHERE etype = 'bulker_batch' AND uid = 0) t WHERE rn <= 25"""
 
+  /** B13 — the classic jitsu event API admitted set
+    * (`ingest/router_classic_handler.go:79-207`) driven LIVE end-to-end:
+    * each sampled event runs one scenario of the token-spot × keyType ×
+    * array-fan-out × soft-error matrix against `/api/v1/event` and
+    * `/api/v1/s2s/event`, and the spooled (admitted) envelopes read back
+    * distributed. Classic key semantics under test (router.go:629-656):
+    * a hashed key's type must MATCH the endpoint (an s2s key on the browser
+    * endpoint is soft-200 rejected; a browser key on s2s is a hard 401), a
+    * plain public key rides any classic token spot (`?token`, `p_*`,
+    * headers), a bare stream id resolves on both, and browser-endpoint
+    * failures NEVER error the caller (soft 200). The oracle recomputes the
+    * admitted set per scenario residue. Driver loop = HTTP client role over
+    * a 1/19 id sample (same adjudication as b8/b11). */
+  def b13ClassicIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{IngestServer, WriteKeys}
+    val base = "/tmp/graft_b13"
+    rmrf(s, base)
+    val ids = Tables.events(s, d).select("event_id")
+      .filter(col("event_id") % 19 === 0)
+      .collect().map(_.getLong(0)).sorted
+    val reg = WriteKeys.Registry(
+      bindings = Map(
+        "cbk" -> WriteKeys.Binding("cbk",
+          WriteKeys.storedHash("cbs", "salt", "gs"), "classicdest", "browser"),
+        "csk" -> WriteKeys.Binding("csk",
+          WriteKeys.storedHash("css", "salt", "gs"), "classicdest", "s2s")),
+      plain = Map("pubkey" -> ("classicdest", "browser")),
+      globalSecrets = Seq("gs"),
+      streams = Seq(WriteKeys.Stream("classicdest")))
+    new java.io.File(s"$base/spool").mkdirs()
+    val writer = new java.io.BufferedWriter(
+      new java.io.FileWriter(s"$base/spool/events.ndjson"))
+    val srv = new IngestServer(
+      (_, _, line) => writer.synchronized { writer.write(line); writer.newLine() },
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
+    try ids.foreach { e =>
+      def ev(seq: Long) = s"""{"eid":$e,"seq":$seq}"""
+      val (pathAndQuery, headers, body, expect) = (e % 8) match {
+        case 0 => ("/api/v1/event?token=cbk:cbs", Map.empty[String, String], ev(0), 200)
+        case 1 => ("/api/v1/event?p_rnd=pubkey", Map.empty[String, String], ev(0), 200)
+        case 2 => ("/api/v1/event", Map("X-Auth-Token" -> "csk:css"), ev(0), 200) // soft reject
+        case 3 => ("/api/v1/s2s/event", Map("api_key" -> "csk:css"), ev(0), 200)
+        case 4 => ("/api/v1/s2s/event?token=cbk:cbs", Map.empty[String, String], ev(0), 401)
+        case 5 => ("/api/v1/event?token=cbk:cbs", Map.empty[String, String],
+          s"[${ev(0)},${ev(1)}]", 200)
+        case 6 => ("/api/v1/event?token=cbk:cbs", Map.empty[String, String],
+          "not json", 200) // soft parse error
+        case _ => ("/api/v1/s2s/event?token=classicdest", Map.empty[String, String], ev(0), 200)
+      }
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}$pathAndQuery")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val out = conn.getOutputStream
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      require(conn.getResponseCode == expect,
+        s"classic POST $pathAndQuery: ${conn.getResponseCode} != $expect")
+      conn.disconnect()
+    } finally { srv.stop(); writer.close() }
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("ingestType", StringType),
+      StructField("event", StructType(Seq(
+        StructField("eid", LongType), StructField("seq", LongType))))))
+    s.read.schema(schema).json(s"$base/spool/events.ndjson")
+      .select(col("event.eid").as("event_id"), col("event.seq").as("seq"),
+        col("ingestType").as("itype"))
+  }
+
+  private val b13Oracle = """
+    WITH e AS (SELECT event_id, event_id % 8 AS m FROM events
+               WHERE event_id % 19 = 0)
+    SELECT event_id, CAST(0 AS BIGINT) AS seq, 'browser' AS itype
+    FROM e WHERE m IN (0, 1, 5)
+    UNION ALL
+    SELECT event_id, CAST(1 AS BIGINT), 'browser' FROM e WHERE m = 5
+    UNION ALL
+    SELECT event_id, CAST(0 AS BIGINT), 's2s' FROM e WHERE m IN (3, 7)"""
+
+  /** B14 — the tracking-pixel admitted set
+    * (`ingest/router_pixel_handler.go`) driven LIVE: each sampled event runs
+    * one pixel scenario over real GETs against `/api/px/:tp` — base64
+    * `data=` payload, flat params with dotted nesting + repeated-param
+    * arrays, cookie-identity recovery under `process_headers`, and the
+    * Referer page fill on a `page` pixel — plus an unknown-key probe that
+    * must answer the GIF and spool NOTHING. The GIF/Set-Cookie wire stays
+    * spec-land ([[graft.http.PixelIngest]] specs); the oracle recomputes the
+    * spooled event shapes. Driver loop = HTTP client role, 1/23 id sample. */
+  def b14PixelIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{IngestServer, WriteKeys}
+    val base = "/tmp/graft_b14"
+    rmrf(s, base)
+    val ids = Tables.events(s, d).select("event_id")
+      .filter(col("event_id") % 23 === 0)
+      .collect().map(_.getLong(0)).sorted
+    // a second stream in the workspace: without it the sole-stream locator
+    // (router.go:705-715) would resolve the unknown-key probe keylessly
+    val reg = WriteKeys.Registry(
+      bindings = Map.empty, plain = Map("pixkey" -> ("pixdest", "browser")),
+      globalSecrets = Seq("gs"),
+      streams = Seq(WriteKeys.Stream("pixdest"), WriteKeys.Stream("decoydest")))
+    new java.io.File(s"$base/spool").mkdirs()
+    val writer = new java.io.BufferedWriter(
+      new java.io.FileWriter(s"$base/spool/events.ndjson"))
+    val srv = new IngestServer(
+      (_, _, line) => writer.synchronized { writer.write(line); writer.newLine() },
+      (_, _, _, _, _) => 0L, auth = Some(reg)).start()
+    try ids.foreach { e =>
+      def b64(json: String) =
+        java.net.URLEncoder.encode(
+          java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8")), "UTF-8")
+      val (pathAndQuery, headers) = (e % 5) match {
+        case 0 => (s"/api/px/track?writekey=pixkey&data=${b64(s"""{"scen":"data","eid":$e}""")}",
+          Map.empty[String, String])
+        case 1 => (s"/api/px/track?writekey=pixkey&scen=flat&eid=$e&extra.nested=v$e&tag=a&tag=b",
+          Map.empty[String, String])
+        case 2 => (s"/api/px/track?writekey=pixkey&process_headers=1&data=${b64(s"""{"scen":"hdr","eid":$e}""")}",
+          Map("Cookie" -> s"__eventn_id=ck$e; __eventn_uid=u$e"))
+        case 3 => (s"/api/px/page?writekey=pixkey&process_headers=true&scen=page&eid=$e&anonymousId=a$e",
+          Map("Referer" -> s"https://ex.com/p$e?x=1"))
+        case _ => (s"/api/px/track?writekey=nosuchkey&scen=lost&eid=$e",
+          Map.empty[String, String])
+      }
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}$pathAndQuery")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val gif = conn.getInputStream.readAllBytes()
+      require(conn.getResponseCode == 200 && gif.length == 43,
+        s"pixel GET: ${conn.getResponseCode} len ${gif.length}")
+      conn.disconnect()
+    } finally { srv.stop(); writer.close() }
+    val schema = StructType(Seq(
+      StructField("type", StringType),
+      StructField("event", StructType(Seq(
+        StructField("scen", StringType), StructField("eid", StringType),
+        StructField("anonymousId", StringType), StructField("userId", StringType),
+        StructField("extra", StructType(Seq(StructField("nested", StringType)))),
+        StructField("tag", ArrayType(StringType)),
+        StructField("properties", StructType(Seq(
+          StructField("url", StringType), StructField("path", StringType)))))))))
+    s.read.schema(schema).json(s"$base/spool/events.ndjson")
+      .select(col("event.scen").as("scen"),
+        col("event.eid").cast(LongType).as("event_id"),
+        // cookie identities only for the process_headers scenario — the
+        // page scenario's explicit anonymousId is its own (not cookie-read)
+        when(col("event.scen") === "hdr", col("event.anonymousId")).as("anon"),
+        col("event.userId").as("usr"),
+        col("event.extra.nested").as("extra"),
+        array_join(col("event.tag"), ",").as("tags"),
+        col("event.properties.url").as("url"),
+        col("event.properties.path").as("path"))
+  }
+
+  private val b14Oracle = """
+    WITH e AS (SELECT event_id, event_id % 5 AS m FROM events
+               WHERE event_id % 23 = 0)
+    SELECT 'data' AS scen, event_id, CAST(NULL AS VARCHAR) AS anon,
+           CAST(NULL AS VARCHAR) AS usr, CAST(NULL AS VARCHAR) AS extra,
+           CAST(NULL AS VARCHAR) AS tags, CAST(NULL AS VARCHAR) AS url,
+           CAST(NULL AS VARCHAR) AS path
+    FROM e WHERE m = 0
+    UNION ALL
+    SELECT 'flat', event_id, NULL, NULL, 'v' || event_id, 'a,b', NULL, NULL
+    FROM e WHERE m = 1
+    UNION ALL
+    SELECT 'hdr', event_id, 'ck' || event_id, 'u' || event_id, NULL, NULL, NULL, NULL
+    FROM e WHERE m = 2
+    UNION ALL
+    SELECT 'page', event_id, NULL, NULL, NULL, NULL,
+           'https://ex.com/p' || event_id || '?x=1', '/p' || event_id
+    FROM e WHERE m = 3"""
+
   /** B9 — failed-events read-back (`bulkerapp/app/router.go:370-433`): a
     * destination's retry queue and DLQ, seeded through the REAL
     * [[graft.streaming.RetryQueue]] machinery (a poisoned batch walks the
@@ -1591,6 +1762,8 @@ object StreamOps {
     "b6_filters"        -> Q(b6Filters, Some(b6Oracle)),
     "b7_events_log"     -> Q(b7EventsLog, Some(b7Oracle)),
     "b8_batch_ingest"   -> Q(b8BatchIngest, Some(b8Oracle)),
+    "b13_classic_ingest" -> Q(b13ClassicIngest, Some(b13Oracle)),
+    "b14_pixel_ingest"  -> Q(b14PixelIngest, Some(b14Oracle)),
     "b9_failed_readback" -> Q(b9FailedReadback, Some(b9Oracle)),
     "b10_dlq_replay"    -> Q(b10DlqReplay, Some(b10Oracle)),
     "b11_throttle_shed" -> Q(b11ThrottleShed, Some(b11Oracle)),
