@@ -26,7 +26,8 @@ import graft.llm.Bpe
   * whole-stage codegen. The merge table rides along as a plan reference
   * object (bounded: it is the trained model, ≤ a few thousand entries). */
 final case class BpePieces(child: Expression, rules: Seq[(String, String)],
-                           perWord: Boolean) extends UnaryExpression {
+                           perWord: Boolean, byteLevel: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -41,13 +42,13 @@ final case class BpePieces(child: Expression, rules: Seq[(String, String)],
   @transient private lazy val rhsArr: Array[String] = rules.map(_._2).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpePieces.encode(input.asInstanceOf[ArrayData], lhsArr, rhsArr, perWord)
+    BpePieces.encode(input.asInstanceOf[ArrayData], lhsArr, rhsArr, perWord, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lRef = ctx.addReferenceObj("bpeLhs", rules.map(_._1).toArray, "java.lang.String[]")
     val rRef = ctx.addReferenceObj("bpeRhs", rules.map(_._2).toArray, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, arr => {
-      s"${ev.value} = graft.functions.BpePieces.encode($arr, $lRef, $rRef, $perWord);"
+      s"${ev.value} = graft.functions.BpePieces.encode($arr, $lRef, $rRef, $perWord, $byteLevel);"
     })
   }
 
@@ -60,7 +61,7 @@ object BpePieces {
   /** Shared by eval and codegen. Null elements are skipped (a null word has
     * no pieces); the output array never contains nulls. */
   def encode(arr: ArrayData, lhs: Array[String], rhs: Array[String],
-             perWord: Boolean): GenericArrayData = {
+             perWord: Boolean, byteLevel: Boolean): GenericArrayData = {
     // hot path: only the two long-lived parallel arrays are touched — no
     // per-row tuple Seq (this kernel exists to keep the scan allocation-lean)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -70,7 +71,9 @@ object BpePieces {
         if (!arr.isNullAt(j)) {
           val w = arr.getUTF8String(j).toString
           if (w.nonEmpty) {
-            val pieces = Bpe.encodeWord(w, lhs, rhs)
+            val pieces =
+              if (byteLevel) Bpe.encodeWordBytes(w, lhs, rhs)
+              else Bpe.encodeWord(w, lhs, rhs)
             var k = 0
             while (k < pieces.length) {
               out += UTF8String.fromString(pieces(k)); k += 1

@@ -66,11 +66,34 @@ object Bpe {
     out
   }
 
+  /** UTF-8 byte symbols as two-character uppercase hex pairs — the
+    * byte-fallback alphabet. Byte-level BPE (GPT-2's convention, Radford et
+    * al. 2019) runs the same merge algebra over a 256-symbol base alphabet
+    * so NO input is ever out-of-vocabulary; GPT-2 remaps bytes to printable
+    * unicode cosmetically, hex pairs are the equivalent bijection that both
+    * engines can compute (`hex(encode(word))` split in twos — Spark and
+    * DuckDB render identical uppercase hex). */
+  def byteSyms(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i) = new String(Array(HexDigits(b >> 4), HexDigits(b & 0xf)))
+      i += 1
+    }
+    out
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
   /** Driver-side trainer over a (bounded) word-frequency model. Stops early
-    * when no adjacent pair remains (fully merged vocabulary). */
-  def train(wordCounts: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    * when no adjacent pair remains (fully merged vocabulary). `split` picks
+    * the base alphabet: code points (default) or [[byteSyms]]. */
+  def train(wordCounts: Seq[(String, Long)], nMerges: Int,
+            split: String => Array[String] = chars): Seq[Merge] = {
     var state: Array[(Array[String], Long)] =
-      wordCounts.iterator.map { case (w, f) => (chars(w), f) }.toArray
+      wordCounts.iterator.map { case (w, f) => (split(w), f) }.toArray
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
@@ -131,6 +154,18 @@ object Bpe {
     * path ([[graft.functions.BpePieces]]) — no per-row tuple Seq. */
   def encodeWord(word: String, lhs: Array[String], rhs: Array[String]): Array[String] = {
     var syms = chars(word)
+    var i = 0
+    while (i < lhs.length) {
+      if (syms.length > 1) syms = applyRule(syms, lhs(i), rhs(i))
+      i += 1
+    }
+    syms
+  }
+
+  /** Byte-level twin of the parallel-array [[encodeWord]]: the word becomes
+    * UTF-8 hex-pair symbols before the cascade — no OOV possible. */
+  def encodeWordBytes(word: String, lhs: Array[String], rhs: Array[String]): Array[String] = {
+    var syms = byteSyms(word)
     var i = 0
     while (i < lhs.length) {
       if (syms.length > 1) syms = applyRule(syms, lhs(i), rhs(i))

@@ -70,10 +70,11 @@ object TextOps {
     * (see [[graft.functions.BpePieces]]). `perWord = true` treats the array
     * as a word list and flattens per-word pieces; `false` applies the rules
     * to the array as one symbol sequence. */
-  def bpePieces(c: Column, rules: Seq[(String, String)], perWord: Boolean): Column =
+  def bpePieces(c: Column, rules: Seq[(String, String)], perWord: Boolean,
+                byteLevel: Boolean = false): Column =
     org.apache.spark.sql.GraftExpressions.column(
       graft.functions.BpePieces(
-        org.apache.spark.sql.GraftExpressions.expression(c), rules, perWord))
+        org.apache.spark.sql.GraftExpressions.expression(c), rules, perWord, byteLevel))
 
   /** Bounded K-minimum-values aggregate: the K smallest DISTINCT longs per
     * group in O(K) map-side state (see [[graft.functions.KMinK]]) — no

@@ -51,6 +51,16 @@ object BpeOps {
     Bpe.train(wc, NMerges)
   }
 
+  /** Byte-level variant: the same capped model, trained over the UTF-8
+    * hex-pair alphabet ([[Bpe.byteSyms]]) — the GPT-2-convention fallback
+    * that leaves NO token out-of-vocabulary. */
+  def trainedByteMerges(s: SparkSession, d: String): Seq[Bpe.Merge] = {
+    val wc = wordCounts(s, d)
+      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.train(wc, NMerges, Bpe.byteSyms)
+  }
+
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     trainedMerges(s, d).toDF("rank", "lhs", "rhs", "merged", "weight")
@@ -103,6 +113,46 @@ object BpeOps {
           .as("decoded_md5"))
   }
 
+  /** Byte-level BPE encode — the GPT-2 byte-fallback convention over the
+    * hex-pair alphabet: merges learned on UTF-8 bytes of the same capped
+    * word model, applied by the same codegen'd [[graft.functions.BpePieces]]
+    * kernel in byteLevel mode. Any unicode input tokenizes (256 base
+    * symbols, no OOV); same narrow no-shuffle scan shape as
+    * `llm_bpe_encode`. The oracle replays train + re-encode over
+    * `regexp_extract_all(hex(encode(word)), '..')`. */
+  def bpeBytes(s: SparkSession, d: String): DataFrame = {
+    val rules = trainedByteMerges(s, d).map(m => (m.lhs, m.rhs))
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextOps.bpePieces(TextOps.tokens(col("text")), rules, perWord = true,
+          byteLevel = true).as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast(LongType).as("n_pieces"),
+        md5(concat_ws(Sep, col("pieces"))).as("checksum"))
+  }
+
+  /** Byte-level roundtrip contract, now over ARBITRARY unicode: pieces are
+    * hex pairs of the word's UTF-8 bytes, so the separator-less concat of a
+    * doc's pieces IS `hex(utf8(whitespace-stripped text))` — the oracle
+    * computes that straight from the text with NO replay. Any byte lost,
+    * invented, or reordered by the cascade breaks the hash. */
+  def bpeBytesRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rules = trainedByteMerges(s, d).map(m => (m.lhs, m.rhs))
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        md5(concat_ws("",
+          TextOps.bpePieces(TextOps.tokens(col("text")), rules, perWord = true,
+            byteLevel = true)))
+          .as("decoded_md5"))
+  }
+
+  private val bpeBytesRoundtripOracle = """
+    SELECT doc_id,
+           md5(hex(encode(regexp_replace(text, '[\t\n\x0b\f\r ]', '', 'g')))) AS decoded_md5
+    FROM documents WHERE length(trim(text)) > 0"""
+
   // explicit class, not '\s': Java regex \s includes \x0B (vertical tab)
   // while RE2's does not — a testdata doc containing 0x0B (ASCII, so it
   // passes the TablesSpec guard) would silently diverge the engines
@@ -112,14 +162,20 @@ object BpeOps {
 
   // ---- oracle: exact replay of the training loop in SQL -----------------
 
-  // word-frequency model + initial per-word character state (w0/s0)
-  private def modelCtes = s"""w0 AS MATERIALIZED (
+  // the two base alphabets: code points, and UTF-8 bytes as hex pairs
+  // (DuckDB hex(encode(v)) and Spark hex(encode(v,'UTF-8')) both render
+  // uppercase — the byte symbols agree byte-for-byte across engines)
+  private val CharSplit = "regexp_extract_all(word, '.')"
+  private val ByteSplit = "regexp_extract_all(hex(encode(word)), '..')"
+
+  // word-frequency model + initial per-word symbol state (w0/s0)
+  private def modelCtes(splitSql: String) = s"""w0 AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest($toksSql) AS word FROM documents
             WHERE length(trim(text)) > 0) t
       WHERE length(word) > 0 GROUP BY 1
       ORDER BY freq DESC, word LIMIT $VocabCap),
-    s0 AS MATERIALIZED (SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM w0)"""
+    s0 AS MATERIALIZED (SELECT word, freq, $splitSql AS syms FROM w0)"""
 
   // the fold-apply of one merge rule over a symbol list: accumulate into a
   // chr(31)-joined string (append rhs WITHOUT a separator when the previous
@@ -142,16 +198,17 @@ object BpeOps {
         ELSE ${applySql("syms", "b.lhs", "b.rhs")} END AS syms
       FROM s$i LEFT JOIN b$i b ON TRUE)"""
 
-  private def trainCtes: String =
-    (Seq(modelCtes) ++ (0 until NMerges).map(roundCtes)).mkString(",\n    ")
+  private def trainCtes(splitSql: String): String =
+    (Seq(modelCtes(splitSql)) ++ (0 until NMerges).map(roundCtes)).mkString(",\n    ")
 
   private val mergesSelect = (0 until NMerges)
     .map(i => s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, w AS weight FROM b$i")
     .mkString("\n    UNION ALL ")
 
-  private[queries] val bpeTrainOracle = s"WITH $trainCtes\n    $mergesSelect"
+  private[queries] val bpeTrainOracle = s"WITH ${trainCtes(CharSplit)}\n    $mergesSelect"
 
-  private[queries] val bpeEncodeOracle = s"""WITH RECURSIVE $trainCtes,
+  // full train + re-encode replay, parameterized by the base alphabet
+  private def encodeOracle(splitSql: String) = s"""WITH RECURSIVE ${trainCtes(splitSql)},
     merges AS MATERIALIZED ($mergesSelect),
     docs AS (SELECT doc_id, $toksSql AS toks FROM documents
              WHERE length(trim(text)) > 0),
@@ -160,7 +217,7 @@ object BpeOps {
            WHERE length(toks[k]) > 0),
     words AS MATERIALIZED (SELECT DISTINCT word FROM dw),
     enc AS (
-      SELECT word, 0 AS r, regexp_extract_all(word, '.') AS syms FROM words
+      SELECT word, 0 AS r, $splitSql AS syms FROM words
       UNION ALL
       SELECT e.word, e.r + 1,
         CASE WHEN m.lhs IS NULL THEN e.syms
@@ -171,6 +228,9 @@ object BpeOps {
     SELECT dw.doc_id, CAST(sum(len(f.syms)) AS BIGINT) AS n_pieces,
            md5(string_agg(array_to_string(f.syms, chr(31)), chr(31) ORDER BY dw.pos)) AS checksum
     FROM dw JOIN final f USING (word) GROUP BY 1"""
+
+  private[queries] val bpeEncodeOracle = encodeOracle(CharSplit)
+  private[queries] val bpeBytesOracle = encodeOracle(ByteSplit)
 
   // ---- unigram-LM (SentencePiece-style) Viterbi segmentation -----------
 
@@ -289,6 +349,8 @@ object BpeOps {
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
     "llm_bpe_train_dist" -> Q(bpeTrainDist, Some(bpeTrainOracle)),
     "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)),
+    "llm_bpe_bytes"  -> Q(bpeBytes, Some(bpeBytesOracle)),
+    "llm_bpe_bytes_roundtrip" -> Q(bpeBytesRoundtrip, Some(bpeBytesRoundtripOracle)),
     "llm_bpe_roundtrip" -> Q(bpeRoundtrip, Some(bpeRoundtripOracle)),
     "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
 }

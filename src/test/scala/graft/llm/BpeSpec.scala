@@ -208,4 +208,38 @@ class BpeSpec extends SparkSuite {
     assert(exp.forall { case (id, (n, _)) => n <= nt(id) })
     assert(exp.exists { case (id, (n, _)) => n < nt(id) })
   }
+
+  test("byteSyms: UTF-8 hex pairs, supplementary chars covered, no OOV alphabet") {
+    assert(Bpe.byteSyms("ab").toSeq == Seq("61", "62"))
+    assert(Bpe.byteSyms("é").toSeq == Seq("C3", "A9"))      // 2-byte UTF-8
+    assert(Bpe.byteSyms("€").toSeq == Seq("E2", "82", "AC")) // 3-byte
+    assert(Bpe.byteSyms("😀").toSeq ==             // 😀, 4-byte
+      Seq("F0", "9F", "98", "80"))
+    assert(Bpe.byteSyms("").isEmpty)
+  }
+
+  test("byte-level encode is lossless on arbitrary unicode (hex concat = utf8 hex)") {
+    val words = Seq("hello", "héllo", "日本語", "a😀b", "mixé€")
+    val wc = words.map(_ -> 5L) ++ Seq("hehe" -> 50L, "lolo" -> 40L)
+    val merges = Bpe.train(wc, 10, Bpe.byteSyms)
+    val (lhs, rhs) = (merges.map(_.lhs).toArray, merges.map(_.rhs).toArray)
+    words.foreach { w =>
+      val pieces = Bpe.encodeWordBytes(w, lhs, rhs)
+      assert(pieces.mkString("") == Bpe.byteSyms(w).mkString(""),
+        s"byte loss on '$w'")
+      // every piece is a whole number of byte symbols
+      assert(pieces.forall(_.length % 2 == 0))
+    }
+  }
+
+  test("byte-level training merges frequent byte pairs first") {
+    // 'he' dominates: its byte pair (68,65) must be merge rank 0
+    val wc = Seq("hehe" -> 100L, "xyz" -> 1L)
+    val merges = Bpe.train(wc, 3, Bpe.byteSyms)
+    assert(merges.head.lhs == "68" && merges.head.rhs == "65")
+    // and the learned symbol keeps merging ('hehe' → one piece eventually)
+    val enc = Bpe.encodeWordBytes("hehe",
+      merges.map(_.lhs).toArray, merges.map(_.rhs).toArray)
+    assert(enc.length < 4)
+  }
 }
