@@ -107,21 +107,21 @@ object StreamOps {
     // "constraint" permanently; the first batch carrying the middle range
     // hits a transient failure once (the retry must then succeed)
     val transientTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def load(df0: DataFrame): Unit = {
-      // the batch is read twice (probe + merge write) — cache it so the
-      // JSON parse isn't paid per pass (50k-row batches cost ~0.2s/parse)
-      val df = df0.persist()
-      try {
-        // ONE probe job decides both fault injections (max id + mid-range hit)
-        val probe = df.agg(max(col("event_id")).as("mx"),
-          max(when(col("event_id").between(mid, poisonFrom - 1), col("event_id"))).as("midmx"))
-          .collect()(0)
-        if (!probe.isNullAt(0) && probe.getLong(0) >= poisonFrom)
-          throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
-        if (!probe.isNullAt(1) && transientTripped.compareAndSet(false, true))
-          throw new RuntimeException("transient connection reset")
-        sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
-      } finally df.unpersist()
+    // the micro-batch cache is OWNED by the runtime now (runFileStream
+    // persists each batch around load + the failure-path enqueue): a local
+    // persist here would only double-cache and, worse, unpersist before the
+    // enqueue re-read — the r14 profile showed that as a full extra JSON
+    // parse of every failed 50k-row batch
+    def load(df: DataFrame): Unit = {
+      // ONE probe job decides both fault injections (max id + mid-range hit)
+      val probe = df.agg(max(col("event_id")).as("mx"),
+        max(when(col("event_id").between(mid, poisonFrom - 1), col("event_id"))).as("midmx"))
+        .collect()(0)
+      if (!probe.isNullAt(0) && probe.getLong(0) >= poisonFrom)
+        throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
+      if (!probe.isNullAt(1) && transientTripped.compareAndSet(false, true))
+        throw new RuntimeException("transient connection reset")
+      sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
     }
 
     val retry = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())
