@@ -825,8 +825,71 @@ object SinkOps {
     WHERE day(CAST(day AS DATE)) <= 7
     GROUP BY day"""
 
+  /** K9 LIVE — the webhook destination's DELIVERED set, oracle-gated
+    * (implementations/api_based/webhook.go:92-230). A real loopback
+    * receiver accepts the executor-side NDJSON chunk posts; one injected
+    * 503 on the first attempt of the chunk carrying the minimum sampled
+    * event proves the bounded-retry path end-to-end (that chunk's body
+    * arrives exactly twice — at-least-once — and the read-back dedups).
+    * The oracle recomputes the admitted sample; `marker_attempts` pins the
+    * retry count. Scale shape: rows marshal and POST per partition on the
+    * executors (no driver collect, no single socket); the capture file is
+    * test apparatus, not the dataflow. */
+  def b15WebhookDelivery(s: SparkSession, d: String): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val base = "/tmp/graft_b15"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val data = Tables.events(s, d)
+      .filter(col("event_id") % 17 === 0)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    // control plane: the fault marker is the minimum sampled id (1 row)
+    val marker = data.agg(min("event_id")).head().getLong(0)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val faulted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val receiver = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    receiver.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      received.add(body)
+      // `"event_id":M,`|`"event_id":M}` — delimited so M never prefix-matches
+      val isMarker = body.contains(s""""event_id":$marker,""") ||
+        body.contains(s""""event_id":$marker}""")
+      if (isMarker && faulted.compareAndSet(false, true)) {
+        ex.sendResponseHeaders(503, -1L); ex.close()
+      } else {
+        ex.sendResponseHeaders(200, 2L)
+        ex.getResponseBody.write("ok".getBytes(UTF_8)); ex.close()
+      }
+    })
+    receiver.start()
+    try graft.sink.Webhook(
+        s"http://127.0.0.1:${receiver.getAddress.getPort}/hook",
+        chunkRows = 200, maxAttempts = 3, backoffMs = 10)
+      .post(data)
+    finally receiver.stop(0)
+    val bodies = received.toArray.map(_.toString)
+    val markerAttempts = bodies.count(b =>
+      b.contains(s""""event_id":$marker,""") || b.contains(s""""event_id":$marker}"""))
+    new java.io.File(base).mkdirs()
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(s"$base/recv.ndjson"))
+    try bodies.foreach { b => w.write(b); w.newLine() } finally w.close()
+    s.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType))))
+      .json(s"$base/recv.ndjson")
+      .distinct() // the faulted chunk delivered twice (at-least-once)
+      .withColumn("marker_attempts", lit(markerAttempts.toLong))
+  }
+
+  private val b15Oracle = """
+    SELECT event_id, event_type, user_id, CAST(2 AS BIGINT) AS marker_attempts
+    FROM events WHERE event_id % 17 = 0"""
+
   def qs: Map[String, Q] = Map(
     "q_dpp_join"        -> Q(qDppJoin, Some(qDppOracle)),
+    "b15_webhook_delivery" -> Q(b15WebhookDelivery, Some(b15Oracle)),
     "k7_jdbc_roundtrip" -> Q(k7Roundtrip, Some(k7Oracle)),
     "k8_file_sink"      -> Q(k8FileSink, Some(k8Oracle)),
     "k8_avro_sink"      -> Q(k8AvroSink, Some(k8AvroOracle)),

@@ -785,6 +785,81 @@ object StreamOps {
            'https://ex.com/p' || event_id || '?x=1', '/p' || event_id
     FROM e WHERE m = 3"""
 
+  /** B16 — the `/connections-metrics` snapshot itself, oracle-gated
+    * (S17; bulkerapp/app/router.go:344-369). A live edge ingests a 1/13 id
+    * sample through the real `/api/s/s2s` handlers — valid singles that
+    * either admit (success) or billing-shed on the md5-percentile throttle
+    * (skipped), plus batch envelopes whose events fail type validation
+    * (error) — and the query's OUTPUT is the Prometheus-shaped
+    * `connection_message_statuses` vector read back over HTTP from
+    * `/connections-metrics/:workspaceId`. The oracle recomputes all three
+    * counters from the same residue + md5 arithmetic, so the gate proves
+    * the edge counted every admit/shed/patch-error exactly once. The
+    * 3-series parse is control-plane (a metrics snapshot, never data). */
+  def b16EdgeMetrics(s: SparkSession, d: String): DataFrame = {
+    import graft.http.{IngestServer, WriteKeys}
+    val ws = "wsmetrics16"
+    val destId = s"$ws-dest1"
+    val ids = Tables.events(s, d).select("event_id")
+      .filter(col("event_id") % 13 === 0)
+      .collect().map(_.getLong(0)).sorted
+    val reg = WriteKeys.Registry(
+      bindings = Map("mk" -> WriteKeys.Binding("mk",
+        WriteKeys.storedHash("msec", "salt", "gs"), destId, "s2s")),
+      plain = Map.empty, globalSecrets = Seq("gs"),
+      streams = Seq(WriteKeys.Stream(destId, throttle = 30)))
+    val srv = new IngestServer((_, _, _) => (), (_, _, _, _, _) => 0L,
+      auth = Some(reg)).start()
+    val json = try {
+      ids.foreach { e =>
+        val (path, body, okCodes) =
+          if (e % 3 == 1)
+            ("/api/s/s2s/batch",
+              s"""{"batch":[{"type":"bogus","eid":$e}]}""", Set(200))
+          else ("/api/s/s2s/track", s"""{"eid":$e}""", Set(200, 402))
+        val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("X-Write-Key", "mk:msec")
+        val out = conn.getOutputStream
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        require(okCodes.contains(conn.getResponseCode),
+          s"metrics POST $path: unexpected ${conn.getResponseCode}")
+        conn.disconnect()
+      }
+      val get = new java.net.URI(
+        s"http://127.0.0.1:${srv.port}/connections-metrics/$ws")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val b = new String(get.getInputStream.readAllBytes(), "UTF-8")
+      get.disconnect(); b
+    } finally srv.stop()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(root.get("status").asText == "success", json.take(200))
+    import scala.jdk.CollectionConverters._
+    val rows = root.get("data").get("result").elements.asScala.map { r =>
+      val m = r.get("metric")
+      require(m.get("__name__").asText == "connection_message_statuses", json.take(200))
+      (m.get("destinationId").asText, m.get("tableName").asText,
+        m.get("status").asText, r.get("value").get(1).asText.toLong)
+    }.toSeq
+    import s.implicits._
+    rows.toDF("destination_id", "table_name", "status", "n")
+  }
+
+  private val b16Oracle = """
+    WITH sample AS (
+      SELECT event_id, '{"eid":' || event_id || '}' AS body
+      FROM events WHERE event_id % 13 = 0),
+    legs AS (
+      SELECT CASE WHEN event_id % 3 = 1 THEN 'error'
+                  WHEN ('0x' || substr(md5(body), 1, 8))::BIGINT % 100 < 30
+                    THEN 'skipped'
+                  ELSE 'success' END AS status
+      FROM sample)
+    SELECT 'wsmetrics16-dest1' AS destination_id, 'events' AS table_name,
+           status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM legs GROUP BY status"""
+
   /** B9 — failed-events read-back (`bulkerapp/app/router.go:370-433`): a
     * destination's retry queue and DLQ, seeded through the REAL
     * [[graft.streaming.RetryQueue]] machinery (a poisoned batch walks the
@@ -1768,5 +1843,6 @@ object StreamOps {
     "b10_dlq_replay"    -> Q(b10DlqReplay, Some(b10Oracle)),
     "b11_throttle_shed" -> Q(b11ThrottleShed, Some(b11Oracle)),
     "b12_log_readback"  -> Q(b12LogReadback, Some(b12Oracle)),
+    "b16_edge_metrics"  -> Q(b16EdgeMetrics, Some(b16Oracle)),
   )
 }
