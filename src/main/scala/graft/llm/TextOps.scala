@@ -76,6 +76,13 @@ object TextOps {
       graft.functions.BpePieces(
         org.apache.spark.sql.GraftExpressions.expression(c), rules, perWord, byteLevel))
 
+  /** Greedy longest-match WordPiece encode of a document's word array
+    * against a learned vocabulary (see [[graft.functions.WordPieces]]). */
+  def wordPieces(c: Column, vocab: Array[String]): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.WordPieces(
+        org.apache.spark.sql.GraftExpressions.expression(c), vocab))
+
   /** Bounded K-minimum-values aggregate: the K smallest DISTINCT longs per
     * group in O(K) map-side state (see [[graft.functions.KMinK]]) — no
     * upstream `.distinct()` and no rank window needed. */

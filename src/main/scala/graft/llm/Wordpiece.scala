@@ -1,0 +1,157 @@
+package graft.llm
+
+/** WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer,
+  * Devlin et al. 2019, arXiv:1810.04805): train by iterative pair merge like
+  * BPE, but the merge winner maximizes the LIKELIHOOD score
+  * `count(ab) / (count(a) * count(b))` over the CURRENT segmentation state —
+  * the pair whose merge most increases corpus log-likelihood under a
+  * unigram-piece LM — and encode is greedy longest-match-first against the
+  * learned vocabulary (not a merge cascade), with a whole word falling back
+  * to `[UNK]` when any position is uncoverable. Word-internal, no `##`
+  * continuation marker — the same documented simplification as [[Bpe]]'s
+  * missing end-of-word marker (a pre-tokenization convention, not an
+  * algorithm change).
+  *
+  * Determinism contract (the DuckDB oracle replays this EXACTLY):
+  *  - the same capped word-frequency model as [[Bpe]];
+  *  - each round: symbol counts and adjacent-pair counts both weighted by
+  *    word frequency over the current state; the score is quantized to the
+  *    integer `count(ab)·10^18 / (count(a)·count(b))` (floor division in
+  *    128-bit — BigInt here, HUGEINT in the oracle; exact, no float ulps),
+  *    winner by (quotient DESC, lhs ASC, rhs ASC) in code-point order;
+  *  - the quotient never exceeds 10^18 (count(a), count(b) >= count(ab), so
+  *    q <= 10^18 / count(ab)) — it always fits the output's BIGINT column;
+  *  - merges apply left-to-right in one pass (shared [[Bpe.applyRule]]);
+  *  - encode: vocabulary = every code point of the MODEL words + all merged
+  *    pieces; per word, repeatedly take the LONGEST vocab piece matching at
+  *    the cursor (lengths in code points — DuckDB `len`/`substr` and Spark
+  *    `substring` both count code points, UTF-16 units would diverge on
+  *    supplementary chars); any uncoverable position makes the whole word
+  *    one `[UNK]` piece (the BERT convention).
+  *
+  * Scale shape: identical to [[Bpe]] — ONE corpus-scale word-count pass,
+  * bounded-model training on the driver (control plane), and encode as a
+  * broadcast-vocabulary codegen kernel ([[graft.functions.WordPieces]]), a
+  * narrow per-document projection with no shuffle.
+  */
+object Wordpiece {
+
+  final case class Merge(rank: Int, lhs: String, rhs: String, merged: String,
+                         weight: Long, scoreQ: Long)
+
+  val Unk = "[UNK]"
+
+  private val ScoreScale = BigInt(10).pow(18)
+
+  /** Driver-side trainer over the (bounded) word-frequency model. Stops
+    * early when no adjacent pair remains. `split` picks the base alphabet
+    * (code points by default, same contract as [[Bpe.train]]). */
+  def train(wordCounts: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    var state: Array[(Array[String], Long)] =
+      wordCounts.iterator.map { case (w, f) => (splitCps(w), f) }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val uc = scala.collection.mutable.HashMap.empty[String, Long]
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length) {
+          uc.update(syms(i), uc.getOrElse(syms(i), 0L) + f)
+          if (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            pc.update(k, pc.getOrElse(k, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null
+        var bw = 0L; var bq = BigInt(-1)
+        pc.foreach { case ((l, r), w) =>
+          val q = (BigInt(w) * ScoreScale) / (BigInt(uc(l)) * BigInt(uc(r)))
+          val better = q > bq || (q == bq && {
+            val c = cpCompare(l, bl); c < 0 || (c == 0 && cpCompare(r, br) < 0)
+          })
+          if (better) { bl = l; br = r; bw = w; bq = q }
+        }
+        merges += Merge(rank, bl, br, bl + br, bw, bq.toLong)
+        state = state.map { case (syms, f) => (Bpe.applyRule(syms, bl, br), f) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The encode vocabulary: every code point of the model words plus every
+    * merged piece — sorted for a deterministic plan reference. */
+  def vocab(modelWords: Seq[String], merges: Seq[Merge]): Array[String] = {
+    val v = scala.collection.mutable.LinkedHashSet.empty[String]
+    modelWords.foreach(w => splitCps(w).foreach(v += _))
+    merges.foreach(v += _.merged)
+    v.toArray.sorted
+  }
+
+  /** Greedy longest-match encode of one word; `[UNK]` (alone) when any
+    * cursor position matches no piece. Longest = most CODE POINTS. */
+  def encodeWord(word: String, pieces: Set[String], maxPieceCps: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      // candidate lengths in code points, longest first
+      var bestEnd = -1
+      var end = i
+      var cps = 0
+      // advance to at most maxPieceCps code points, remembering char offsets
+      val ends = new Array[Int](maxPieceCps)
+      while (end < word.length && cps < maxPieceCps) {
+        end += Character.charCount(word.codePointAt(end))
+        ends(cps) = end
+        cps += 1
+      }
+      var k = cps - 1
+      while (k >= 0 && bestEnd < 0) {
+        val cand = word.substring(i, ends(k))
+        if (pieces.contains(cand)) bestEnd = ends(k)
+        k -= 1
+      }
+      if (bestEnd < 0) return Array(Unk)
+      out += word.substring(i, bestEnd)
+      i = bestEnd
+    }
+    out.toArray
+  }
+
+  private[llm] def splitCps(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      out(k) = word.substring(i, i + w)
+      i += w
+      k += 1
+    }
+    out
+  }
+
+  /** Code-point compare (see [[Bpe]] — `String.compareTo` is UTF-16 and
+    * would rank supplementary chars differently than Spark/DuckDB). */
+  private def cpCompare(a: String, b: String): Int = {
+    if (b == null) return -1
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+}

@@ -232,6 +232,128 @@ object BpeOps {
   private[queries] val bpeEncodeOracle = encodeOracle(CharSplit)
   private[queries] val bpeBytesOracle = encodeOracle(ByteSplit)
 
+  // ---- WordPiece: likelihood-scored merges + greedy longest-match -------
+
+  private[queries] val WpMerges = 30
+
+  /** WordPiece trainer over the same capped model ([[graft.llm.Wordpiece]]):
+    * per round the winner maximizes `count(ab)/(count(a)·count(b))` over the
+    * CURRENT state — quantized to an exact integer quotient (BigInt here,
+    * HUGEINT in the oracle) so no float ulp can pick different winners.
+    * Same scale shape as `llm_bpe_train`: one corpus-scale word-count pass,
+    * bounded-model control-plane training. */
+  def wordpieceTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedWpMerges(s, d)._2
+      .toDF("rank", "lhs", "rhs", "merged", "weight", "score_q")
+  }
+
+  private def trainedWpMerges(s: SparkSession, d: String)
+      : (Seq[String], Seq[graft.llm.Wordpiece.Merge]) = {
+    val wc = wordCounts(s, d)
+      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap) // TakeOrdered
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (wc.map(_._1), graft.llm.Wordpiece.train(wc, WpMerges))
+  }
+
+  /** WordPiece encode — greedy longest-match against the learned vocabulary
+    * (base code points of the model words + merged pieces), an uncoverable
+    * word collapsing to one `[UNK]`. The vocabulary broadcasts inside the
+    * codegen'd [[graft.functions.WordPieces]] kernel: a narrow no-shuffle
+    * projection per document, like `llm_bpe_encode`. The oracle replays
+    * training, materializes the longest-match table per (word, position),
+    * and walks each distinct word with a recursive CTE. */
+  def wordpieceEncode(s: SparkSession, d: String): DataFrame = {
+    val (modelWords, merges) = trainedWpMerges(s, d)
+    val vocab = graft.llm.Wordpiece.vocab(modelWords, merges)
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextOps.wordPieces(TextOps.tokens(col("text")), vocab).as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast(LongType).as("n_pieces"),
+        size(filter(col("pieces"), p => p === lit(graft.llm.Wordpiece.Unk)))
+          .cast(LongType).as("n_unk"),
+        md5(concat_ws(Sep, col("pieces"))).as("checksum"))
+  }
+
+  // one WordPiece training round: state-weighted symbol + pair counts →
+  // exact HUGEINT score quotient argmax → guarded apply. The quotient is
+  // <= 10^18 (both unigram counts >= the pair count), so BIGINT holds it.
+  private def wpRoundCtes(i: Int) = s"""u$i AS (
+      SELECT syms[k] AS s, CAST(sum(freq) AS BIGINT) AS c
+      FROM s$i, unnest(range(1, len(syms) + 1)) AS t(k) GROUP BY 1),
+    p$i AS (
+      SELECT syms[k] AS lhs, syms[k+1] AS rhs, CAST(sum(freq) AS BIGINT) AS w
+      FROM s$i, unnest(range(1, len(syms))) AS t(k) GROUP BY 1, 2),
+    b$i AS MATERIALIZED (
+      SELECT lhs, rhs, w,
+        CAST((CAST(w AS HUGEINT) * CAST(1000000000000000000 AS HUGEINT))
+             // (CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT)) AS BIGINT) AS q
+      FROM p$i JOIN u$i ua ON ua.s = lhs JOIN u$i ub ON ub.s = rhs
+      ORDER BY q DESC, lhs, rhs LIMIT 1),
+    s${i + 1} AS MATERIALIZED (
+      SELECT word, freq,
+        CASE WHEN b.lhs IS NULL THEN syms
+        ELSE ${applySql("syms", "b.lhs", "b.rhs")} END AS syms
+      FROM s$i LEFT JOIN b$i b ON TRUE)"""
+
+  private def wpTrainCtes: String =
+    (Seq(modelCtes(CharSplit)) ++ (0 until WpMerges).map(wpRoundCtes)).mkString(",\n    ")
+
+  private val wpMergesSelect = (0 until WpMerges)
+    .map(i => s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, w AS weight, q AS score_q FROM b$i")
+    .mkString("\n    UNION ALL ")
+
+  private[queries] val wpTrainOracle = s"WITH $wpTrainCtes\n    $wpMergesSelect"
+
+  private[queries] val wpEncodeOracle = s"""WITH RECURSIVE $wpTrainCtes,
+    merges AS MATERIALIZED ($wpMergesSelect),
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT unnest(regexp_extract_all(word, '.')) AS piece FROM w0
+        UNION ALL
+        SELECT merged FROM merges) v),
+    docs AS (SELECT doc_id, $toksSql AS toks FROM documents
+             WHERE length(trim(text)) > 0),
+    dw AS MATERIALIZED (SELECT doc_id, k AS pos, toks[k] AS word
+           FROM docs, unnest(range(1, len(toks) + 1)) AS t(k)
+           WHERE length(toks[k]) > 0),
+    words AS MATERIALIZED (SELECT DISTINCT word FROM dw),
+    lens AS (SELECT DISTINCT len(piece) AS l FROM vocab),
+    best AS MATERIALIZED (
+      -- expand (word, pos) by the few distinct piece LENGTHS so the vocab
+      -- probe is a hash equi-join on the candidate substring, not a
+      -- nested-loop over expression matches
+      SELECT c.word, c.pos, max(c.l) AS l
+      FROM (SELECT a.word, a.pos, ln.l, substr(a.word, a.pos, ln.l) AS cand
+            FROM (SELECT word, k AS pos
+                  FROM words, unnest(range(1, len(word) + 1)) AS t(k)) a, lens ln
+            WHERE a.pos + ln.l - 1 <= len(a.word)) c
+      JOIN vocab v ON v.piece = c.cand
+      GROUP BY 1, 2),
+    walk(word, pos, n, acc) AS (
+      SELECT word, 1, 0, '' FROM words
+      UNION ALL
+      SELECT w.word, w.pos + b.l, w.n + 1,
+        w.acc || (CASE WHEN w.n = 0 THEN '' ELSE chr(31) END)
+              || substr(w.word, w.pos, b.l)
+      FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+      WHERE w.pos <= len(w.word)),
+    covered AS (SELECT word, n, acc FROM walk WHERE pos = len(word) + 1),
+    enc AS (
+      SELECT w.word,
+        CAST(COALESCE(c.n, 1) AS BIGINT) AS np,
+        CAST(CASE WHEN c.word IS NULL THEN 1
+             ELSE len(list_filter(string_split(c.acc, chr(31)), p -> p = '[UNK]'))
+             END AS BIGINT) AS unk,
+        COALESCE(c.acc, '[UNK]') AS pieces
+      FROM words w LEFT JOIN covered c USING (word))
+    SELECT dw.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           CAST(sum(e.unk) AS BIGINT) AS n_unk,
+           md5(string_agg(e.pieces, chr(31) ORDER BY dw.pos)) AS checksum
+    FROM dw JOIN enc e USING (word) GROUP BY 1"""
+
   // ---- unigram-LM (SentencePiece-style) Viterbi segmentation -----------
 
   private val UniK = 512 // piece vocab caps: top-K unigram…
@@ -352,5 +474,7 @@ object BpeOps {
     "llm_bpe_bytes"  -> Q(bpeBytes, Some(bpeBytesOracle)),
     "llm_bpe_bytes_roundtrip" -> Q(bpeBytesRoundtrip, Some(bpeBytesRoundtripOracle)),
     "llm_bpe_roundtrip" -> Q(bpeRoundtrip, Some(bpeRoundtripOracle)),
+    "llm_wordpiece_train"  -> Q(wordpieceTrain, Some(wpTrainOracle)),
+    "llm_wordpiece_encode" -> Q(wordpieceEncode, Some(wpEncodeOracle)),
     "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
 }
