@@ -806,6 +806,45 @@ object Multimodal {
     }
   }
 
+  /** One scored video frame: `mad` = sum of absolute pixel deltas against
+    * the PREVIOUS frame (0 for frame 0); `is_key` = frame 0 or mad at/over
+    * the caller's scene-cut threshold. */
+  final case class KeyframeRow(doc_id: Long, frame_idx: Long, mad: Long,
+                               is_key: Boolean)
+
+  /** Scene-cut keyframe selection over an uncompressed 8-bit AVI
+    * ([[AviMjpeg.encodeRawGray]]): decode every frame through the lossless
+    * DIB leg, score consecutive-frame mean-absolute-difference (the
+    * classic shot-boundary statistic — all integer arithmetic, so an
+    * oracle replays it exactly), keep frame 0 plus every frame whose MAD
+    * reaches `threshold`. Scale shape: ONE narrow flatMap per document —
+    * the container payload carries all its frames, so scoring needs no
+    * shuffle and no frame-pair join; a 100 TB video corpus keyframes in a
+    * single scan. */
+  def keyframes(media: Dataset[MediaRow], threshold: Long): Dataset[KeyframeRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (w, h, bits, comp) = AviMjpeg.geometry(r.media)
+      require(bits == 8 && comp == "\u0000\u0000\u0000\u0000",
+        s"not an uncompressed 8-bit stream ($bits bpp)")
+      val idx = AviMjpeg.index(r.media)
+      var prev: Array[Byte] = null
+      idx.indices.map { i =>
+        val (off, len) = idx(i)
+        val cur = AviMjpeg.rawGrayFrame(AviMjpeg.frame(r.media, off, len), w, h)
+        var mad = 0L
+        if (prev != null) {
+          var k = 0
+          while (k < cur.length) {
+            mad += math.abs((cur(k) & 0xff) - (prev(k) & 0xff)); k += 1
+          }
+        }
+        prev = cur
+        KeyframeRow(r.doc_id, i.toLong, mad, i == 0 || mad >= threshold)
+      }
+    }
+  }
+
   /** Resized media record: same payload identity, new declared geometry. */
   final case class ResizedRow(doc_id: Long, width: Long, height: Long,
                               resized: Array[Byte])

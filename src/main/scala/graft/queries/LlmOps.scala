@@ -2915,6 +2915,53 @@ object LlmOps {
     FROM documents, (VALUES (0::BIGINT), (2::BIGINT)) AS fr(f)
     WHERE length(text) > 0"""
 
+  // keyframe fixture: KfFrames frames in scenes of KfScene — within a scene
+  // each frame adds +1 brightness (tiny MAD), a scene cut re-aligns the
+  // raster by KfJump bytes (large MAD on any non-degenerate text)
+  private val KfFrames = 8
+  private val KfScene = 4
+  private val KfJump = 37
+  private val KfThreshold = 320L // 5x the exact within-scene MAD (64 px * 1)
+
+  /** Shot-boundary keyframe selection (`mm_keyframes`): the planted scenes
+    * ride a REAL uncompressed AVI through the real RIFF demux; scoring is
+    * consecutive-frame MAD in one narrow flatMap per doc
+    * ([[graft.llm.Multimodal.keyframes]] — no shuffle, no frame-pair
+    * join). `is_key` derives ONLY from the measured MAD, so the oracle —
+    * which rebuilds every pixel from the text arithmetic and applies the
+    * same threshold — agrees on any input, planted structure or not. */
+  def mmKeyframes(s: SparkSession, d: String): DataFrame = {
+    val n = MmFrameW * MmFrameH
+    val media = textBytesMedia(s, d, "video/avi") { bytes =>
+      Multimodal.AviMjpeg.encodeRawGray((0 until KfFrames).map { f =>
+        cycledRaster(bytes, n, offset = KfJump * (f / KfScene))
+          .map(b => (((b & 0xff) + f % KfScene) % 256).toByte)
+      }, MmFrameW, MmFrameH)
+    }
+    Multimodal.keyframes(media, KfThreshold).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("mad"), col("is_key"))
+  }
+
+  private val mmKeyframesOracle = s"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    px AS (
+      SELECT doc_id, f, i,
+        (ord(substr(text, (((i + $KfJump * (f // $KfScene)) % n) + 1)::INT, 1))
+         + (f % $KfScene)) % 256 AS v
+      FROM b,
+        LATERAL UNNEST(generate_series(0, ${KfFrames - 1})) AS uf(f),
+        LATERAL UNNEST(generate_series(0, ${MmFrameW * MmFrameH - 1})) AS ui(i)),
+    mad AS (
+      SELECT a.doc_id, a.f AS frame_idx, CAST(sum(abs(a.v - p.v)) AS BIGINT) AS mad
+      FROM px a JOIN px p ON p.doc_id = a.doc_id AND p.i = a.i AND p.f = a.f - 1
+      GROUP BY 1, 2)
+    SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, CAST(0 AS BIGINT) AS mad,
+           TRUE AS is_key
+    FROM b
+    UNION ALL
+    SELECT doc_id, frame_idx, mad, mad >= $KfThreshold AS is_key FROM mad"""
+
   private val MmAudioSamples = 256
   private val MmAudioWindows = 8
 
@@ -3422,6 +3469,7 @@ object LlmOps {
     "mm_framesample_real" -> Q(mmFrameSampleReal, Some(mmFrameSampleRealOracle)),
     "mm_framesample_avi" -> Q(mmFrameSampleAvi, Some(mmFrameSampleAviOracle)),
     "mm_framesample_avi_raw" -> Q(mmFrameSampleAviRaw, Some(mmFrameSampleRealOracle)),
+    "mm_keyframes"      -> Q(mmKeyframes, Some(mmKeyframesOracle)),
     "mm_audio_real"     -> Q(mmAudioReal, Some(mmAudioRealOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),

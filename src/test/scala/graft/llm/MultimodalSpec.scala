@@ -357,4 +357,23 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(frames(0).frame, "UTF-8") == t.substring(0, 64))
     assert(new String(frames(1).frame, "UTF-8") == t.substring(128, 192))
   }
+
+  test("keyframes: MAD shot-boundary flags through the real raw-AVI demux") {
+    val (w, h) = (8, 8)
+    // two scenes of two frames: within a scene +1 brightness (MAD = 64),
+    // the cut re-bases the raster (MAD = 64*10 = 640)
+    val base = Array.tabulate(w * h)(i => (32 + i % 64).toByte)
+    val rasters = Seq(
+      base,
+      base.map(b => (b + 1).toByte),
+      base.map(b => (b + 11).toByte), // cut: +10 vs previous frame
+      base.map(b => (b + 12).toByte))
+    val payload = Multimodal.AviMjpeg.encodeRawGray(rasters, w, h)
+    val ds = Seq(Multimodal.MediaRow(9L, payload, "video/avi")).toDS()
+    val rows = Multimodal.keyframes(ds, threshold = 320L)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.mad).toSeq == Seq(0L, 64L, 640L, 64L))
+    assert(rows.map(_.is_key).toSeq == Seq(true, false, true, false))
+  }
 }
