@@ -19,7 +19,9 @@ import graft.llm.Wordpiece
   * lookup per candidate length — as Column compositions both would be
   * interpreted higher-order traversals per row. The vocabulary rides along
   * as a bounded plan reference object (base alphabet + one merge per
-  * training round). */
+  * training round): the reference is a [[WordPieces.Model]] whose hash set
+  * and max-piece-length are built LAZILY ONCE per (de)serialized instance —
+  * per task, not per row, and with no global interning map to leak. */
 final case class WordPieces(child: Expression, pieces: Array[String])
     extends UnaryExpression {
 
@@ -32,13 +34,16 @@ final case class WordPieces(child: Expression, pieces: Array[String])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_pieces"
 
+  @transient private lazy val model = new WordPieces.Model(pieces)
+
   override protected def nullSafeEval(input: Any): Any =
-    WordPieces.encode(input.asInstanceOf[ArrayData], pieces)
+    WordPieces.encode(input.asInstanceOf[ArrayData], model)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pRef = ctx.addReferenceObj("wpPieces", pieces, "java.lang.String[]")
+    val mRef = ctx.addReferenceObj("wpModel", new WordPieces.Model(pieces),
+      classOf[WordPieces.Model].getName)
     nullSafeCodeGen(ctx, ev, arr => {
-      s"${ev.value} = graft.functions.WordPieces.encode($arr, $pRef);"
+      s"${ev.value} = graft.functions.WordPieces.encode($arr, $mRef);"
     })
   }
 
@@ -48,29 +53,28 @@ final case class WordPieces(child: Expression, pieces: Array[String])
 
 object WordPieces {
 
-  // the (vocab set, max piece code points) pair is interned per distinct
-  // vocabulary array so a whole stage's rows share one hash set
-  private val interned =
-    new java.util.concurrent.ConcurrentHashMap[Array[String], (Set[String], Int)]()
+  /** The vocabulary, shipped once per plan: the set and the max piece
+    * length (in code points) derive lazily on first use after
+    * deserialization — one build per task, shared by all its rows. */
+  final class Model(val pieces: Array[String]) extends Serializable {
+    @transient lazy val set: Set[String] = pieces.toSet
+    @transient lazy val maxCps: Int =
+      if (pieces.isEmpty) 1
+      else pieces.iterator.map(s => s.codePointCount(0, s.length)).max
+  }
 
-  private def model(pieces: Array[String]): (Set[String], Int) =
-    interned.computeIfAbsent(pieces, p => {
-      val set = p.toSet
-      val maxCps = if (p.isEmpty) 1
-        else p.iterator.map(s => s.codePointCount(0, s.length)).max
-      (set, maxCps)
-    })
-
-  /** Shared by eval and codegen. Null/empty words contribute nothing. */
-  def encode(arr: ArrayData, pieces: Array[String]): GenericArrayData = {
-    val (set, maxCps) = model(pieces)
+  /** Shared by eval and codegen. Null/empty words contribute nothing. One
+    * scratch offsets buffer per CALL (row), reused across the row's words
+    * and cursor positions — no per-position allocation in the hot loop. */
+  def encode(arr: ArrayData, model: Model): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val scratch = new Array[Int](model.maxCps)
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
         val w = arr.getUTF8String(j).toString
         if (w.nonEmpty) {
-          val ps = Wordpiece.encodeWord(w, set, maxCps)
+          val ps = Wordpiece.encodeWord(w, model.set, model.maxCps, scratch)
           var k = 0
           while (k < ps.length) { out += UTF8String.fromString(ps(k)); k += 1 }
         }

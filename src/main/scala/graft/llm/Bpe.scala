@@ -51,7 +51,7 @@ object Bpe {
     * aware) and the oracle's `regexp_extract_all(word, '.')`; a UTF-16
     * `charAt` split would feed lone surrogates to the trainer and diverge
     * from both engines on any non-BMP text. */
-  private def chars(word: String): Array[String] = {
+  private[llm] def chars(word: String): Array[String] = {
     val n = word.codePointCount(0, word.length)
     val out = new Array[String](n)
     var i = 0
@@ -130,7 +130,7 @@ object Bpe {
     * (U+D800+) below U+E000..U+FFFF, so a supplementary-vs-BMP tie-break
     * would pick different merge winners on the driver than on the engines.
     * The driver trainer breaks ties through this instead. */
-  private def cpCompare(a: String, b: String): Int = {
+  private[llm] def cpCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

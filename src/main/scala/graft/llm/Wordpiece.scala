@@ -48,7 +48,7 @@ object Wordpiece {
     * (code points by default, same contract as [[Bpe.train]]). */
   def train(wordCounts: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
     var state: Array[(Array[String], Long)] =
-      wordCounts.iterator.map { case (w, f) => (splitCps(w), f) }.toArray
+      wordCounts.iterator.map { case (w, f) => (Bpe.chars(w), f) }.toArray
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
@@ -72,8 +72,9 @@ object Wordpiece {
         var bw = 0L; var bq = BigInt(-1)
         pc.foreach { case ((l, r), w) =>
           val q = (BigInt(w) * ScoreScale) / (BigInt(uc(l)) * BigInt(uc(r)))
+          // bl is null only before the first candidate, and then q > bq
           val better = q > bq || (q == bq && {
-            val c = cpCompare(l, bl); c < 0 || (c == 0 && cpCompare(r, br) < 0)
+            val c = Bpe.cpCompare(l, bl); c < 0 || (c == 0 && Bpe.cpCompare(r, br) < 0)
           })
           if (better) { bl = l; br = r; bw = w; bq = q }
         }
@@ -89,14 +90,22 @@ object Wordpiece {
     * merged piece — sorted for a deterministic plan reference. */
   def vocab(modelWords: Seq[String], merges: Seq[Merge]): Array[String] = {
     val v = scala.collection.mutable.LinkedHashSet.empty[String]
-    modelWords.foreach(w => splitCps(w).foreach(v += _))
+    modelWords.foreach(w => Bpe.chars(w).foreach(v += _))
     merges.foreach(v += _.merged)
     v.toArray.sorted
   }
 
   /** Greedy longest-match encode of one word; `[UNK]` (alone) when any
     * cursor position matches no piece. Longest = most CODE POINTS. */
-  def encodeWord(word: String, pieces: Set[String], maxPieceCps: Int): Array[String] = {
+  def encodeWord(word: String, pieces: Set[String], maxPieceCps: Int): Array[String] =
+    encodeWord(word, pieces, maxPieceCps, new Array[Int](maxPieceCps))
+
+  /** Hot-path twin: `scratch` (length ≥ maxPieceCps) is the candidate
+    * end-offset buffer, supplied by the caller so the kernel allocates it
+    * once per ROW, not once per cursor position ([[graft.functions
+    * .WordPieces]]). */
+  def encodeWord(word: String, pieces: Set[String], maxPieceCps: Int,
+                 scratch: Array[Int]): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < word.length) {
@@ -105,16 +114,15 @@ object Wordpiece {
       var end = i
       var cps = 0
       // advance to at most maxPieceCps code points, remembering char offsets
-      val ends = new Array[Int](maxPieceCps)
       while (end < word.length && cps < maxPieceCps) {
         end += Character.charCount(word.codePointAt(end))
-        ends(cps) = end
+        scratch(cps) = end
         cps += 1
       }
       var k = cps - 1
       while (k >= 0 && bestEnd < 0) {
-        val cand = word.substring(i, ends(k))
-        if (pieces.contains(cand)) bestEnd = ends(k)
+        val cand = word.substring(i, scratch(k))
+        if (pieces.contains(cand)) bestEnd = scratch(k)
         k -= 1
       }
       if (bestEnd < 0) return Array(Unk)
@@ -122,36 +130,5 @@ object Wordpiece {
       i = bestEnd
     }
     out.toArray
-  }
-
-  private[llm] def splitCps(word: String): Array[String] = {
-    val n = word.codePointCount(0, word.length)
-    val out = new Array[String](n)
-    var i = 0
-    var k = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      val w = Character.charCount(cp)
-      out(k) = word.substring(i, i + w)
-      i += w
-      k += 1
-    }
-    out
-  }
-
-  /** Code-point compare (see [[Bpe]] — `String.compareTo` is UTF-16 and
-    * would rank supplementary chars differently than Spark/DuckDB). */
-  private def cpCompare(a: String, b: String): Int = {
-    if (b == null) return -1
-    var i = 0
-    var j = 0
-    while (i < a.length && j < b.length) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(j)
-      if (ca != cb) return Integer.compare(ca, cb)
-      i += Character.charCount(ca)
-      j += Character.charCount(cb)
-    }
-    Integer.compare(a.length - i, b.length - j)
   }
 }

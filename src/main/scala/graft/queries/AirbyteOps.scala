@@ -102,6 +102,14 @@ object AirbyteOps {
     val ordersChunk2 = s0.filter(_._1 % 5 == 0) // pk updates: +100000 cents
     val flakyChunk1 = s1.filter(_._1 % 2 == 0)
     val flakyChunk2 = s1.filterNot(_._1 % 2 == 0) // after the error: ignored
+    // the state lines below take .max of these cells; an empty cell means
+    // the driver's regenerated testdata broke the %17/%3/%5/%2 sampling
+    // assumption — fail with the diagnosis, not an opaque empty.max (the
+    // oracle's MAX would go NULL there, so no output shape matches anyway)
+    require(ordersChunk2.nonEmpty && flakyChunk1.nonEmpty && flakyChunk2.nonEmpty,
+      s"s6 fixture sampling cells empty (|s0|=${s0.length} |s1|=${s1.length} " +
+        s"|orders2|=${ordersChunk2.length} |flaky1|=${flakyChunk1.length}): " +
+        "testdata event_id distribution no longer covers %17/%3/%5/%2")
     val lines = Vector.newBuilder[String]
     lines += "info connector booting" // bare passthrough line (main.go:194-213)
     lines += streamStatus("dev", "users_full", "STARTED")

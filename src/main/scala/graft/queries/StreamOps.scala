@@ -34,6 +34,25 @@ object StreamOps {
   private def rmrf(s: SparkSession, path: String): Unit =
     fs(s, path).delete(new Path(path), true)
 
+  /** One driver-as-client POST against a live edge fixture — the shared
+    * shape of every b*-ingest scenario loop. Fails with the URL and code
+    * when the response is not in `expect`; returns the code so soft/hard
+    * matrices can branch on it. */
+  private def httpPost(url: String, body: String,
+                       headers: Map[String, String] = Map.empty,
+                       expect: Set[Int] = Set(200)): Int = {
+    val conn = new java.net.URI(url)
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val out = conn.getOutputStream
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val code = conn.getResponseCode
+    require(expect.contains(code), s"POST $url: unexpected HTTP $code")
+    conn.disconnect()
+    code
+  }
+
   /** Stage a frame as ONE NDJSON object under `destDir/name` — one "topic
     * segment" for the file source (each becomes one micro-batch under
     * maxFilesPerTrigger=1). */
@@ -408,13 +427,7 @@ object StreamOps {
       ids.grouped(512).foreach { group =>
         val body = group.flatMap(entries)
           .mkString("""{"writeKey":"bk:bsec","batch":[""", ",", "]}")
-        val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch")
-          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-        conn.setRequestMethod("POST"); conn.setDoOutput(true)
-        val out = conn.getOutputStream
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        require(conn.getResponseCode == 200, s"batch POST failed: ${conn.getResponseCode}")
-        conn.disconnect()
+        httpPost(s"http://127.0.0.1:${srv.port}/api/s/s2s/batch", body)
       }
     } finally { srv.stop(); writer.close() }
     val schema = StructType(Seq(
@@ -471,15 +484,8 @@ object StreamOps {
       (_, _, _, _, _) => 0L, auth = Some(reg),
       onShed = (_, raw) => shed.synchronized { shed.write(raw); shed.newLine() }).start()
     try ids.foreach { e =>
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}/api/s/s2s/track")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST"); conn.setDoOutput(true)
-      conn.setRequestProperty("X-Write-Key", "tk:tsec")
-      val out = conn.getOutputStream
-      try out.write(s"""{"eid":$e}""".getBytes("UTF-8")) finally out.close()
-      val code = conn.getResponseCode
-      require(code == 200 || code == 402, s"unexpected $code")
-      conn.disconnect()
+      httpPost(s"http://127.0.0.1:${srv.port}/api/s/s2s/track", s"""{"eid":$e}""",
+        Map("X-Write-Key" -> "tk:tsec"), expect = Set(200, 402))
     } finally { srv.stop(); admitted.close(); shed.close() }
     val okRows = s.read.schema(StructType(Seq(StructField("event", StructType(Seq(
         StructField("eid", LongType))))))).json(s"$base/out/admitted.ndjson")
@@ -663,15 +669,8 @@ object StreamOps {
           "not json", 200) // soft parse error
         case _ => ("/api/v1/s2s/event?token=classicdest", Map.empty[String, String], ev(0), 200)
       }
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}$pathAndQuery")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST"); conn.setDoOutput(true)
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      val out = conn.getOutputStream
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      require(conn.getResponseCode == expect,
-        s"classic POST $pathAndQuery: ${conn.getResponseCode} != $expect")
-      conn.disconnect()
+      httpPost(s"http://127.0.0.1:${srv.port}$pathAndQuery", body, headers,
+        expect = Set(expect))
     } finally { srv.stop(); writer.close() }
     val schema = StructType(Seq(
       StructField("type", StringType), StructField("ingestType", StringType),
@@ -817,15 +816,8 @@ object StreamOps {
             ("/api/s/s2s/batch",
               s"""{"batch":[{"type":"bogus","eid":$e}]}""", Set(200))
           else ("/api/s/s2s/track", s"""{"eid":$e}""", Set(200, 402))
-        val conn = new java.net.URI(s"http://127.0.0.1:${srv.port}$path")
-          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-        conn.setRequestMethod("POST"); conn.setDoOutput(true)
-        conn.setRequestProperty("X-Write-Key", "mk:msec")
-        val out = conn.getOutputStream
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        require(okCodes.contains(conn.getResponseCode),
-          s"metrics POST $path: unexpected ${conn.getResponseCode}")
-        conn.disconnect()
+        httpPost(s"http://127.0.0.1:${srv.port}$path", body,
+          Map("X-Write-Key" -> "mk:msec"), expect = okCodes)
       }
       val get = new java.net.URI(
         s"http://127.0.0.1:${srv.port}/connections-metrics/$ws")

@@ -193,8 +193,13 @@ final class AirbyteRunner(
   }
 
   /** read.go:281-299: STATE dispatch — STREAM states attach to their stream
-    * and checkpoint it; GLOBAL/LEGACY checkpoint the last-touched stream and
-    * save under the sentinel keys. */
+    * and checkpoint it; GLOBAL/LEGACY checkpoint the last-OPENED stream and
+    * save under the sentinel keys. NOTE "last-opened", not "last-touched":
+    * the reference sets `lastStream` only on the create/reopen path of
+    * openStream (read.go:469), AFTER the already-active early returns — so
+    * records interleaving into an older stream do NOT move the pointer, and
+    * a GLOBAL state checkpoints the most recently OPENED stream. Replicated
+    * faithfully, quirk included. */
   private def processState(state: ObjectNode): Unit = text(state, "type") match {
     case "GLOBAL" =>
       checkpointIfNecessary(Option(lastStream))

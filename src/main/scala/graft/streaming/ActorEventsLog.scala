@@ -217,9 +217,15 @@ final class StreamEventsLog(maxSize: Int = 1000,
       if (ms.isEmpty) throw new IllegalArgumentException(
         s"failed to parse beforeId [$id] it is expected to start with timestamp")
       val rest = id.drop(ms.length)
-      val seq = if (rest.startsWith("-") && rest.drop(1).forall(_.isDigit) &&
-                    rest.length > 1) rest.drop(1).toLong
-                else defaultSeq
+      // Redis accepts exactly `<ms>` (seq defaulted) or `<ms>-<digits>`;
+      // a malformed suffix ("1000-", "1000-x") is an XREVRANGE error, not
+      // a silent bare-ms fallback that would re-admit that ms's entries
+      val seq =
+        if (rest.isEmpty) defaultSeq
+        else if (rest.startsWith("-") && rest.length > 1 &&
+                 rest.drop(1).forall(_.isDigit)) rest.drop(1).toLong
+        else throw new IllegalArgumentException(
+          s"failed to parse beforeId [$id]: malformed sequence suffix")
       (ms.toLong, seq)
     }
     // a bare-ms cursor's seq defaults to MAX — Redis resolves an incomplete

@@ -108,13 +108,17 @@ object MicroBatch {
     val query = source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
+      .foreachBatch { (df0: DataFrame, batchId: Long) =>
+        // same owned per-batch cache as runFileStream: without it a FAILED
+        // batch's retry.enqueue re-fetches the whole offset range from the
+        // broker — a second network read per failure
+        val df = df0.persist()
         try load(df)
         catch {
           case e: Throwable =>
             retry.enqueue(df, batchId,
               Option(e.getMessage).getOrElse(e.getClass.getName), clock())
-        }
+        } finally { df.unpersist(); () }
       }
       .start()
     query.awaitTermination()

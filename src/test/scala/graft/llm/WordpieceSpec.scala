@@ -80,7 +80,8 @@ class WordpieceSpec extends SparkSuite {
     val arr = new GenericArrayData(Array[Any](
       UTF8String.fromString("ab"), UTF8String.fromString("ba"),
       UTF8String.fromString("q")))
-    val out = graft.functions.WordPieces.encode(arr, vocab)
+    val out = graft.functions.WordPieces.encode(arr,
+      new graft.functions.WordPieces.Model(vocab))
     assert((0 until out.numElements()).map(out.getUTF8String(_).toString) ==
       Seq("ab", "b", "a", Wordpiece.Unk))
   }
