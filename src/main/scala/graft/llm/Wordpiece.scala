@@ -86,6 +86,69 @@ object Wordpiece {
     merges.result()
   }
 
+  /** Executor-side per-round trainer for an UNCAPPED word model — the
+    * WordPiece twin of [[Bpe.trainDistributed]]: each round is one
+    * map-side-combined symbol-count aggregate + one pair-count aggregate,
+    * the likelihood score joined in (the symbol-count frame is bounded —
+    * alphabet + one merge per round — so both joins broadcast), and a
+    * 1-row TakeOrdered feedback to the driver; the winning rule applies
+    * executor-side via the codegen'd [[graft.functions.BpePieces]] kernel
+    * (the merge algebra is shared). Emits the same table as [[train]].
+    *
+    * Exact-quotient discipline: `count(ab)·10^18` overflows Long, so the
+    * quotient computes in DECIMAL(38,0) — and because Spark decimal
+    * DIVISION rounds HALF_UP (a true x.9999996 would round past the
+    * floor), the numerator is first made an exact multiple of the
+    * denominator (`wS − pmod(wS, den)`); the division is then exact and
+    * representable, no rounding can fire. */
+  def trainDistributed(words: org.apache.spark.sql.DataFrame, nMerges: Int,
+                       wordCol: String = "word", freqCol: String = "freq"): Seq[Merge] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    var state = words
+      .select(split(col(wordCol), "").as("syms"), col(freqCol).cast("long").as("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    var sinceCheckpoint = 0
+    val dec = DecimalType(38, 0)
+    while (rank < nMerges && !exhausted) {
+      val st = state.withColumn("n", size(col("syms")))
+      val uni = st.select(explode(col("syms")).as("s"), col("freq"))
+        .groupBy("s").agg(sum(col("freq")).as("c"))
+      val pairs = st.filter(col("n") >= 2)
+        .select(col("freq"), explode(arrays_zip(
+          expr("slice(syms, 1, n - 1)"), expr("slice(syms, 2, n - 1)"))).as("p"))
+        .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+        .agg(sum(col("freq")).as("w"))
+      val wS = col("w").cast(dec) * lit(ScoreScale.toString).cast(dec)
+      val den = col("ca").cast(dec) * col("cb").cast(dec)
+      val best = pairs
+        .join(broadcast(uni.select(col("s").as("lhs"), col("c").as("ca"))), "lhs")
+        .join(broadcast(uni.select(col("s").as("rhs"), col("c").as("cb"))), "rhs")
+        .select(col("lhs"), col("rhs"), col("w"),
+          ((wS - pmod(wS, den)) / den).cast(LongType).as("q"))
+        .orderBy(col("q").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect() // TakeOrdered: 1 row of control-plane feedback
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, w, q) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2), best(0).getLong(3))
+        merges += Merge(rank, l, r, l + r, w, q)
+        state = state.withColumn("syms",
+          TextOps.bpePieces(col("syms"), Seq((l, r)), perWord = false))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= 8) {
+          state = state.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
   /** The encode vocabulary: every code point of the model words plus every
     * merged piece — sorted for a deterministic plan reference. */
   def vocab(modelWords: Seq[String], merges: Seq[Merge]): Array[String] = {

@@ -248,6 +248,20 @@ object BpeOps {
       .toDF("rank", "lhs", "rhs", "merged", "weight", "score_q")
   }
 
+  /** The executor-per-round WordPiece trainer on the SAME capped model —
+    * the cluster form for word models too large to collect (see
+    * [[graft.llm.Wordpiece.trainDistributed]]: per round two map-side
+    * aggregates + two broadcast joins + a 1-row TakeOrdered). Gated by the
+    * same oracle as the driver form: both paths must emit the identical
+    * merge table, exact quotients included. */
+  def wordpieceTrainDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = wordCounts(s, d)
+      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
+    graft.llm.Wordpiece.trainDistributed(model, WpMerges)
+      .toDF("rank", "lhs", "rhs", "merged", "weight", "score_q")
+  }
+
   private def trainedWpMerges(s: SparkSession, d: String)
       : (Seq[String], Seq[graft.llm.Wordpiece.Merge]) = {
     val wc = wordCounts(s, d)
@@ -475,6 +489,7 @@ object BpeOps {
     "llm_bpe_bytes_roundtrip" -> Q(bpeBytesRoundtrip, Some(bpeBytesRoundtripOracle)),
     "llm_bpe_roundtrip" -> Q(bpeRoundtrip, Some(bpeRoundtripOracle)),
     "llm_wordpiece_train"  -> Q(wordpieceTrain, Some(wpTrainOracle)),
+    "llm_wordpiece_train_dist" -> Q(wordpieceTrainDist, Some(wpTrainOracle)),
     "llm_wordpiece_encode" -> Q(wordpieceEncode, Some(wpEncodeOracle)),
     "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
 }

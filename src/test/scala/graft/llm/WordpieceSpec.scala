@@ -58,6 +58,16 @@ class WordpieceSpec extends SparkSuite {
       Seq("😀", "a"))
   }
 
+  test("distributed trainer emits the driver trainer's exact merge table") {
+    // includes an exact-quotient case (2e18/6 floors) and a lex tie
+    val wc = Seq("ababab" -> 4L, "xq" -> 3L, "abab" -> 1L, "cd" -> 1L)
+    val driver = Wordpiece.train(wc, 4)
+    val dist = Wordpiece.trainDistributed(wc.toDF("word", "freq"), 4)
+    assert(dist == driver)
+    assert(driver.map(m => (m.rank, m.lhs, m.rhs, m.weight, m.scoreQ)) ==
+      dist.map(m => (m.rank, m.lhs, m.rhs, m.weight, m.scoreQ)))
+  }
+
   test("vocab = model code points + merged pieces") {
     val m = Wordpiece.train(Seq("ab" -> 2L), 1)
     val v = Wordpiece.vocab(Seq("ab", "c😀"), m)
