@@ -21,8 +21,13 @@ import graft.llm.Wordpiece
   * as a bounded plan reference object (base alphabet + one merge per
   * training round): the reference is a [[WordPieces.Model]] whose hash set
   * and max-piece-length are built LAZILY ONCE per (de)serialized instance —
-  * per task, not per row, and with no global interning map to leak. */
-final case class WordPieces(child: Expression, pieces: Array[String])
+  * per task, not per row, and with no global interning map to leak.
+  *
+  * The vocabulary is a `Seq` (not `Array`) so the case-class equals/
+  * hashCode are structural — two plans carrying the same learned vocab
+  * canonicalize equal and Catalyst subexpression reuse can fire (the
+  * [[BpePieces]] precedent). */
+final case class WordPieces(child: Expression, pieces: Seq[String])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -56,7 +61,7 @@ object WordPieces {
   /** The vocabulary, shipped once per plan: the set and the max piece
     * length (in code points) derive lazily on first use after
     * deserialization — one build per task, shared by all its rows. */
-  final class Model(val pieces: Array[String]) extends Serializable {
+  final class Model(val pieces: Seq[String]) extends Serializable {
     @transient lazy val set: Set[String] = pieces.toSet
     @transient lazy val maxCps: Int =
       if (pieces.isEmpty) 1

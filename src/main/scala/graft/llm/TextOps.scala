@@ -78,7 +78,7 @@ object TextOps {
 
   /** Greedy longest-match WordPiece encode of a document's word array
     * against a learned vocabulary (see [[graft.functions.WordPieces]]). */
-  def wordPieces(c: Column, vocab: Array[String]): Column =
+  def wordPieces(c: Column, vocab: Seq[String]): Column =
     org.apache.spark.sql.GraftExpressions.column(
       graft.functions.WordPieces(
         org.apache.spark.sql.GraftExpressions.expression(c), vocab))

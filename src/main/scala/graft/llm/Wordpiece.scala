@@ -151,11 +151,11 @@ object Wordpiece {
 
   /** The encode vocabulary: every code point of the model words plus every
     * merged piece — sorted for a deterministic plan reference. */
-  def vocab(modelWords: Seq[String], merges: Seq[Merge]): Array[String] = {
+  def vocab(modelWords: Seq[String], merges: Seq[Merge]): IndexedSeq[String] = {
     val v = scala.collection.mutable.LinkedHashSet.empty[String]
     modelWords.foreach(w => Bpe.chars(w).foreach(v += _))
     merges.foreach(v += _.merged)
-    v.toArray.sorted
+    v.toIndexedSeq.sorted
   }
 
   /** Greedy longest-match encode of one word; `[UNK]` (alone) when any

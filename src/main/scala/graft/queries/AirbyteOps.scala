@@ -73,9 +73,12 @@ object AirbyteOps {
 
     // quantize IN SPARK with the house floor(x*100 + 0.5) rule, then collect
     // integer-only payloads — no float rendering can diverge from the oracle
+    // FIXED-COUNT sample (600 smallest 1/17 ids): the driver-side line
+    // builder + Derby ingest cost the same at every SF (r15 verdict)
     val ev = Tables.events(s, d).filter(col("event_id") % 17 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      .orderBy(col("event_id")).limit(600)
     val sample = ev.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
@@ -167,7 +170,8 @@ object AirbyteOps {
     WITH smp AS (
       SELECT event_id, user_id, event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events WHERE event_id % 17 = 0),
+      FROM events WHERE event_id % 17 = 0
+      ORDER BY event_id LIMIT 600),
     s0 AS (SELECT * FROM smp WHERE event_id % 3 = 0),
     s1 AS (SELECT * FROM smp WHERE event_id % 3 = 1),
     u AS (SELECT c_custkey AS k, c_name AS name,

@@ -845,7 +845,11 @@ object SinkOps {
       .filter(col("event_id") % 17 === 0)
       .select(col("event_id"), col("event_type"), col("user_id"))
     // control plane: the fault marker is the minimum sampled id (1 row)
-    val marker = data.agg(min("event_id")).head().getLong(0)
+    val markerRow = data.agg(min("event_id")).head()
+    require(!markerRow.isNullAt(0),
+      "b15: event_id % 17 sample is empty — regenerated testdata no longer " +
+        "carries a multiple of 17; repick the sampling residue")
+    val marker = markerRow.getLong(0)
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val faulted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val receiver = com.sun.net.httpserver.HttpServer.create(

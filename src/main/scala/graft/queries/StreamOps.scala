@@ -47,9 +47,17 @@ object StreamOps {
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val out = conn.getOutputStream
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val code = conn.getResponseCode
+    // Drain whichever stream the status produced BEFORE evaluating expect:
+    // these loops issue thousands of sequential posts, and an undrained
+    // body both leaks the connection on the failure path and defeats
+    // keep-alive reuse on the success path.
+    val code = try {
+      val c = conn.getResponseCode
+      val in = if (c >= 400) conn.getErrorStream else conn.getInputStream
+      if (in != null) try { in.readAllBytes(); () } finally in.close()
+      c
+    } finally conn.disconnect()
     require(expect.contains(code), s"POST $url: unexpected HTTP $code")
-    conn.disconnect()
     code
   }
 
@@ -461,13 +469,17 @@ object StreamOps {
     * DuckDB's `('0x'||substr(md5(body),1,8))::BIGINT % 100` equals
     * [[graft.http.IngestThrottle.pct]] bit-for-bit — so a gate that sheds
     * too much, too little, or on different bytes hash-fails. The driver
-    * loop is the HTTP client role over a 1/20 id sample. */
+    * loop is the HTTP client role over a FIXED-COUNT sample — the 500
+    * smallest 1/20 ids — so the sequential post loop costs the same at
+    * every SF instead of growing with the table (the r15 verdict's
+    * fixed-fraction finding). */
   def b11ThrottleShed(s: SparkSession, d: String): DataFrame = {
     import graft.http.{IngestServer, WriteKeys}
     val base = "/tmp/graft_b11"
     rmrf(s, base)
     val ids = Tables.events(s, d).select("event_id")
       .filter(col("event_id") % 20 === 0)
+      .orderBy(col("event_id")).limit(500)
       .collect().map(_.getLong(0)).sorted
     val reg = WriteKeys.Registry(
       bindings = Map("tk" -> WriteKeys.Binding("tk",
@@ -499,7 +511,8 @@ object StreamOps {
   private val b11Oracle = """
     WITH sample AS (
       SELECT event_id, '{"eid":' || event_id || '}' AS body
-      FROM events WHERE event_id % 20 = 0)
+      FROM events WHERE event_id % 20 = 0
+      ORDER BY event_id LIMIT 500)
     SELECT event_id,
       CASE WHEN ('0x' || substr(md5(body), 1, 8))::BIGINT % 100 < 30
            THEN 'shed' ELSE 'ok' END AS status
@@ -802,6 +815,9 @@ object StreamOps {
     val ids = Tables.events(s, d).select("event_id")
       .filter(col("event_id") % 13 === 0)
       .collect().map(_.getLong(0)).sorted
+    require(ids.nonEmpty,
+      "b16: event_id % 13 sample is empty — regenerated testdata no longer " +
+        "carries a multiple of 13; repick the sampling residue")
     val reg = WriteKeys.Registry(
       bindings = Map("mk" -> WriteKeys.Binding("mk",
         WriteKeys.storedHash("msec", "salt", "gs"), destId, "s2s")),

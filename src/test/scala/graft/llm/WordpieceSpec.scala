@@ -75,7 +75,7 @@ class WordpieceSpec extends SparkSuite {
   }
 
   test("WordPieces kernel: codegen and interpreted eval agree, per doc order") {
-    val vocab = Array("a", "b", "ab", "c")
+    val vocab = Seq("a", "b", "ab", "c")
     val df = Seq(
       (1L, Seq("ab", "ba", "q")),   // q → [UNK]
       (2L, Seq("", "c"))            // empty word contributes nothing
