@@ -83,6 +83,14 @@ object TextOps {
       graft.functions.WordPieces(
         org.apache.spark.sql.GraftExpressions.expression(c), vocab))
 
+  /** Unigram-LM Viterbi encode of a document's word array against a
+    * learned (piece, score) vocabulary (see
+    * [[graft.functions.UnigramPieces]]). */
+  def unigramPieces(c: Column, vocab: Seq[(String, Long)]): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.UnigramPieces(
+        org.apache.spark.sql.GraftExpressions.expression(c), vocab))
+
   /** Bounded K-minimum-values aggregate: the K smallest DISTINCT longs per
     * group in O(K) map-side state (see [[graft.functions.KMinK]]) — no
     * upstream `.distinct()` and no rank window needed. */

@@ -481,6 +481,168 @@ object BpeOps {
     FROM step s JOIN toks t ON t.doc_id = s.doc_id AND s.i = len(t.tk)"""
   }
 
+  // ---- unigram-LM (SentencePiece) Viterbi-EM trainer --------------------
+
+  private def cappedModel(s: SparkSession, d: String) = wordCounts(s, d)
+    .orderBy(col("freq").desc, col("word").asc).limit(VocabCap) // TakeOrdered
+
+  /** Unigram-LM EM training ([[graft.llm.Unigram]]): seed substring vocab →
+    * [[graft.llm.Unigram.Rounds]] rounds of (integer-order Viterbi segment →
+    * hard counts → prune to 3m/4 used multis, chars kept forever). Same
+    * scale shape as the sibling trainers: one corpus-scale word-count
+    * shuffle, bounded-model control-plane rounds. The oracle replays every
+    * round — seed, per-round recursive Viterbi walk, counts, prune. */
+  def unigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = cappedModel(s, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.llm.Unigram.train(wc).toDF("piece", "score")
+  }
+
+  /** The executor-per-round twin ([[graft.llm.Unigram.trainDistributed]]):
+    * seed via a substring explode + TakeOrdered, each EM round segments
+    * executor-side through the codegen'd [[graft.functions.UnigramPieces]]
+    * kernel and collects only the bounded count table. Gated by the same
+    * oracle: both paths must emit the identical vocabulary. */
+  def unigramTrainDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.llm.Unigram.trainDistributed(cappedModel(s, d)).toDF("piece", "score")
+  }
+
+  /** Viterbi encode of every document against the trained unigram
+    * vocabulary — broadcast model inside the codegen kernel, a narrow
+    * no-shuffle projection per document; uncoverable words collapse to one
+    * `[UNK]`. The oracle replays training then DP-walks every DISTINCT
+    * word with the same packed-key recursion. */
+  def unigramEncode(s: SparkSession, d: String): DataFrame = {
+    val wc = cappedModel(s, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab = graft.llm.Unigram.train(wc)
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextOps.unigramPieces(TextOps.tokens(col("text")), vocab).as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast(LongType).as("n_pieces"),
+        size(filter(col("pieces"), p => p === lit(graft.llm.Unigram.Unk)))
+          .cast(LongType).as("n_unk"),
+        md5(concat_ws(Sep, col("pieces"))).as("checksum"))
+  }
+
+  /** One Viterbi DP walk as a recursive CTE, carrying the last
+    * [[graft.llm.Unigram.MaxLen]] (=4) dp states (count, score-sum, piece
+    * accumulator) per word; each step probes the 4 candidate substrings
+    * ending at the new position against the vocabulary and picks the
+    * winner by the packed key `n·2^50 − f·8 + (4−l)` MINIMIZED — exactly
+    * the (fewest pieces, max score-sum, longest piece) order while
+    * f < 2^47 (f is bounded by wordLen × corpus char count, orders of
+    * magnitude below that at any test SF) and n < 2^13 (word length). An
+    * all-invalid step carries NULL — an uncoverable ([UNK]) word. */
+  private def uniWalkCte(name: String, src: String, vocab: String): String = {
+    val cands = (1 to 4).map { l =>
+      val j = l - 1
+      val valid = s"g$l.piece IS NOT NULL AND w.n$j IS NOT NULL"
+      val acc = s"CASE WHEN w.a$j = '' THEN g$l.piece ELSE w.a$j || chr(31) || g$l.piece END"
+      s"""CASE WHEN $valid THEN w.n$j + 1 END AS cn$l,
+          CASE WHEN $valid THEN w.f$j + g$l.sc END AS cf$l,
+          CASE WHEN $valid THEN $acc END AS ca$l,
+          CASE WHEN $valid THEN (w.n$j + 1) * 1125899906842624
+               - (w.f$j + g$l.sc) * 8 + ${4 - l} END AS k$l"""
+    }.mkString(",\n          ")
+    def pick(f: String) =
+      s"""CASE WHEN bk IS NULL THEN NULL WHEN bk = k4 THEN ${f}4
+             WHEN bk = k3 THEN ${f}3 WHEN bk = k2 THEN ${f}2 ELSE ${f}1 END"""
+    s"""$name(word, freq, i, n0, f0, a0, n1, f1, a1, n2, f2, a2, n3, f3, a3) AS (
+      SELECT word, freq, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+      FROM $src
+      UNION ALL
+      SELECT word, freq, i, ${pick("cn")}, ${pick("cf")}, ${pick("ca")},
+             p0n, p0f, p0a, p1n, p1f, p1a, p2n, p2f, p2a
+      FROM (SELECT z.*, least(k1, k2, k3, k4) AS bk FROM (
+        SELECT w.word, w.freq, w.i + 1 AS i,
+          $cands,
+          w.n0 AS p0n, w.f0 AS p0f, w.a0 AS p0a,
+          w.n1 AS p1n, w.f1 AS p1f, w.a1 AS p1a,
+          w.n2 AS p2n, w.f2 AS p2f, w.a2 AS p2a
+        FROM $name w
+        LEFT JOIN $vocab g1 ON g1.piece = substr(w.word, w.i + 1, 1)
+        LEFT JOIN $vocab g2 ON w.i >= 1 AND g2.piece = substr(w.word, w.i, 2)
+        LEFT JOIN $vocab g3 ON w.i >= 2 AND g3.piece = substr(w.word, w.i - 1, 3)
+        LEFT JOIN $vocab g4 ON w.i >= 3 AND g4.piece = substr(w.word, w.i - 2, 4)
+        WHERE w.i < len(w.word)) z) y)"""
+  }
+
+  // capped word model + seed vocabulary: all single code points + the
+  // top-SeedMulti multi-cp substrings by (weighted count DESC, piece ASC)
+  private def uniModelCte = s"""uw0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest($toksSql) AS word FROM documents
+            WHERE length(trim(text)) > 0) t
+      WHERE length(word) > 0 GROUP BY 1
+      ORDER BY freq DESC, word LIMIT $VocabCap),
+    usub AS MATERIALIZED (
+      SELECT substr(word, p, l) AS piece, CAST(sum(freq) AS BIGINT) AS c
+      FROM uw0,
+           unnest(range(1, len(word) + 1)) AS tp(p),
+           unnest(range(1, ${graft.llm.Unigram.MaxLen + 1})) AS tl(l)
+      WHERE p + l - 1 <= len(word)
+      GROUP BY 1),
+    uv0 AS MATERIALIZED (
+      SELECT piece, c AS sc FROM usub WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rn
+        FROM usub WHERE len(piece) >= 2) r
+      WHERE rn <= ${graft.llm.Unigram.SeedMulti})"""
+
+  // one EM round: Viterbi walk → hard counts → M-step + 3m/4 prune
+  private def uniRoundCtes(i: Int): String = s"""${uniWalkCte(s"uwalk$i", "uw0", s"uv$i")},
+    useg$i AS (SELECT freq, a0 AS acc FROM uwalk$i WHERE i = len(word)),
+    ucnt$i AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(acc, chr(31))) AS piece, freq FROM useg$i) x
+      GROUP BY 1),
+    uv${i + 1} AS MATERIALIZED (
+      SELECT v.piece, COALESCE(c.c, 0) AS sc
+      FROM uv$i v LEFT JOIN ucnt$i c USING (piece) WHERE len(v.piece) = 1
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rn,
+               count(*) OVER () AS m
+        FROM ucnt$i WHERE len(piece) >= 2) r
+      WHERE rn * 4 <= m * 3)"""
+
+  private def uniTrainCtes: String =
+    (Seq(uniModelCte) ++ (0 until graft.llm.Unigram.Rounds).map(uniRoundCtes))
+      .mkString(",\n    ")
+
+  private[queries] val uniTrainOracle =
+    s"""WITH RECURSIVE $uniTrainCtes
+    SELECT piece, sc AS score FROM uv${graft.llm.Unigram.Rounds}"""
+
+  private[queries] val uniEncodeOracle = s"""WITH RECURSIVE $uniTrainCtes,
+    udocs AS (SELECT doc_id, $toksSql AS toks FROM documents
+              WHERE length(trim(text)) > 0),
+    udw AS MATERIALIZED (SELECT doc_id, k AS pos, toks[k] AS word
+          FROM udocs, unnest(range(1, len(toks) + 1)) AS t(k)
+          WHERE length(toks[k]) > 0),
+    uwords AS MATERIALIZED (
+      SELECT word, CAST(1 AS BIGINT) AS freq FROM (SELECT DISTINCT word FROM udw) q),
+    ${uniWalkCte("uewalk", "uwords", s"uv${graft.llm.Unigram.Rounds}")},
+    ueseg AS (SELECT word, n0 AS n, a0 AS acc FROM uewalk WHERE i = len(word)),
+    uenc AS MATERIALIZED (
+      SELECT word, CAST(COALESCE(n, 1) AS BIGINT) AS np,
+             CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS unk,
+             COALESCE(acc, '${graft.llm.Unigram.Unk}') AS pieces
+      FROM ueseg)
+    SELECT udw.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           CAST(sum(e.unk) AS BIGINT) AS n_unk,
+           md5(string_agg(e.pieces, chr(31) ORDER BY udw.pos)) AS checksum
+    FROM udw JOIN uenc e USING (word) GROUP BY 1"""
+
   def qs: Map[String, Q] = Map(
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
     "llm_bpe_train_dist" -> Q(bpeTrainDist, Some(bpeTrainOracle)),
@@ -491,5 +653,8 @@ object BpeOps {
     "llm_wordpiece_train"  -> Q(wordpieceTrain, Some(wpTrainOracle)),
     "llm_wordpiece_train_dist" -> Q(wordpieceTrainDist, Some(wpTrainOracle)),
     "llm_wordpiece_encode" -> Q(wordpieceEncode, Some(wpEncodeOracle)),
-    "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)))
+    "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)),
+    "llm_unigram_train" -> Q(unigramTrain, Some(uniTrainOracle)),
+    "llm_unigram_train_dist" -> Q(unigramTrainDist, Some(uniTrainOracle)),
+    "llm_unigram_encode" -> Q(unigramEncode, Some(uniEncodeOracle)))
 }
