@@ -8,5 +8,5 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
 object Registry {
-  def all: Map[String, Q] = Relational.qs ++ EltOps.qs ++ LlmOps.qs ++ SketchOps.qs ++ SinkOps.qs ++ StreamOps.qs ++ EventOps.qs ++ BpeOps.qs ++ FilterOps.qs ++ PqOps.qs ++ GraphOps.qs ++ AirbyteOps.qs
+  def all: Map[String, Q] = Relational.qs ++ EltOps.qs ++ LlmOps.qs ++ SketchOps.qs ++ SinkOps.qs ++ StreamOps.qs ++ EventOps.qs ++ BpeOps.qs ++ FilterOps.qs ++ PqOps.qs ++ GraphOps.qs ++ AirbyteOps.qs ++ ReprocessOps.qs
 }
