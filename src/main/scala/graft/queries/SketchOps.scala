@@ -832,7 +832,11 @@ object SketchOps {
     * collect broadcast back; the only shuffle keys on the (center, context)
     * pair. Negatives are a per-pair explode of hash draws — no join against
     * anything. */
-  def skipgram(s: SparkSession, d: String): DataFrame = {
+  def skipgram(s: SparkSession, d: String): DataFrame = skipgramData(s, d)._1
+
+  /** The pair frame plus the realized vocabulary size (the id space the
+    * SGNS trainer's weight tables span). */
+  private def skipgramData(s: SparkSession, d: String): (DataFrame, Int) = {
     import s.implicits._
     val toksd = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -859,17 +863,19 @@ object SketchOps {
       .join(broadcast(vocab.select(col("token").as("center"), col("vid").as("center_id"))), "center")
       .join(broadcast(vocab.select(col("token").as("context"), col("vid").as("context_id"))), "context")
       .groupBy("center_id", "context_id").agg(count(lit(1)).as("n_pos"))
-    pos.select(col("center_id"), col("context_id"), col("n_pos"),
+    val frame = pos.select(col("center_id"), col("context_id"), col("n_pos"),
         explode(array((1 to SkipgramNegs).map(lit(_)): _*)).as("neg_rank"))
       .withColumn("neg_id",
         TextOps.hash60(concat(col("center_id").cast(StringType), lit(":"),
           col("context_id").cast(StringType), lit(":neg:"),
           col("neg_rank").cast(StringType))) % lit(top.length.toLong) + lit(1L))
       .filter(col("neg_id") =!= col("center_id") && col("neg_id") =!= col("context_id"))
+    (frame, top.length)
   }
 
-  private val skipgramOracle = s"""
-    WITH t AS (SELECT doc_id, $toksSql AS sp FROM documents),
+  // shared by the skipgram dump and the SGNS trainer's replay: `sgpairs`
+  // is the emitted (center, context, n_pos, neg_rank, neg_id) set
+  private val skipgramCtes = s"""t AS (SELECT doc_id, $toksSql AS sp FROM documents),
     tok AS (SELECT doc_id, unnest(sp) AS w, generate_subscripts(sp, 1) AS pos FROM t),
     vocab AS (
       SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) AS vid
@@ -890,9 +896,169 @@ object SketchOps {
       SELECT center_id, context_id, n_pos, r AS neg_rank,
         ${hashSql("center_id::VARCHAR || ':' || context_id::VARCHAR || ':neg:' || r::VARCHAR")}
           % vn + 1 AS neg_id
-      FROM pos, vsize, unnest([${(1 to SkipgramNegs).mkString(", ")}]) AS u(r))
-    SELECT center_id, context_id, n_pos, neg_rank, neg_id FROM drawn
-    WHERE neg_id <> center_id AND neg_id <> context_id"""
+      FROM pos, vsize, unnest([${(1 to SkipgramNegs).mkString(", ")}]) AS u(r)),
+    sgpairs AS MATERIALIZED (
+      SELECT center_id, context_id, n_pos, neg_rank, neg_id FROM drawn
+      WHERE neg_id <> center_id AND neg_id <> context_id)"""
+
+  private val skipgramOracle =
+    s"WITH $skipgramCtes\n    SELECT * FROM sgpairs"
+
+  // ---- trained SGNS embeddings (fixed-point batch trainer) --------------
+
+  private val SgnsDims = 8
+  private val SgnsEpochs = 6
+  private val SgnsF = 65536          // fixed-point scale (1.0 == 2^16)
+  private val SgnsClamp = 2 * SgnsF  // weight clamp ±2.0
+  private val SgnsSigDen = 4 * SgnsF // hard sigmoid: F/2 + rawDot/(4F)
+  private val SgnsLrDen = 4 * SgnsF  // update: g / (ws · 4F) ⇒ lr = 1/4
+  private val SgnsInitMod = SgnsF / 2
+  private val SgnsInitOff = SgnsF / 4
+
+  /** Word2vec skip-gram-negative-sampling TRAINING (Mikolov et al. 2013,
+    * arXiv:1310.4546) over [[skipgram]]'s pair set, re-disciplined to
+    * integer fixed-point exactly like `llm_quality_perceptron`: a BATCH
+    * epoch form (the paper's per-pair SGD order is inherently sequential —
+    * no oracle could replay it), a HARD sigmoid
+    * `clamp(½ + x/4, 0, 1)` in 2^16 fixed point (the float σ would make
+    * every gradient an ulp hazard), md5-derived deterministic init, and
+    * per-word mean-gradient updates with truncating division (Scala
+    * BigInt `/` and DuckDB HUGEINT `//` both truncate toward zero) plus a
+    * ±2.0 clamp. Positives push σ(u_c·v_t) toward 1, the hash-drawn
+    * negatives toward 0; counts weight everything.
+    *
+    * Scale shape (the perceptron precedent): ONE corpus-scale pass builds
+    * the weighted pair/negative sample table (≤ 3·V² rows after the pair
+    * aggregation — model-bounded, persisted); each epoch is one pass over
+    * it under the BROADCAST weight literals plus a ≤ 2·V·D-row aggregate
+    * collected as control-plane feedback; driver state = the two weight
+    * matrices. Gradient sums ride in DECIMAL(38,0)/HUGEINT so no corpus
+    * size can overflow them. */
+  def sgnsTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tf, vocabN) = skipgramData(s, d)
+    val pos = tf.select(col("center_id"), col("context_id"), col("n_pos"))
+      .distinct() // tf carries one row per neg draw
+      .groupBy(col("center_id").as("c"), col("context_id").as("t"))
+      .agg(sum("n_pos").as("sw")).withColumn("lbl", lit(1))
+    val neg = tf
+      .groupBy(col("center_id").as("c"), col("neg_id").as("t"))
+      .agg(sum("n_pos").as("sw")).withColumn("lbl", lit(0))
+    val samples = pos.unionByName(neg).persist()
+
+    val D = SgnsDims
+    def init(kind: String): Array[Array[Long]] =
+      Array.tabulate(vocabN + 1, D) { (vid, j) =>
+        if (vid == 0) 0L
+        else TextOps.hash60Str(s"sgns:$kind:$vid:$j") % SgnsInitMod - SgnsInitOff
+      }
+    val u = init("u")
+    val v = init("v")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+    // truncating long division by a positive constant (what DuckDB `//`
+    // and BigInt `/` do); operands stay < 2^38 so the double path is exact
+    def truncDiv(x: Column, den: Long): Column =
+      when(x >= 0, (x - pmod(x, lit(den))) / lit(den))
+        .otherwise(-((-x - pmod(-x, lit(den))) / lit(den))).cast(LongType)
+
+    for (_ <- 1 to SgnsEpochs) {
+      val uLit = typedLit(u.map(_.toSeq).toSeq)
+      val vLit = typedLit(v.map(_.toSeq).toSeq)
+      // element_at is 1-based: row for vid sits at position vid + 1
+      // (position 1 is the unused vid-0 row)
+      def uAt(vid: Column, j: Column) =
+        element_at(element_at(uLit, vid.cast("int") + lit(1)), j + lit(1))
+      def vAt(vid: Column, j: Column) =
+        element_at(element_at(vLit, vid.cast("int") + lit(1)), j + lit(1))
+      val rawDot = (0 until D)
+        .map(j => uAt(col("c"), lit(j)) * vAt(col("t"), lit(j)))
+        .reduce(_ + _) // ≤ D·(2F)² < 2^38: exact
+      val sig = greatest(lit(0L),
+        least(lit(SgnsF.toLong), lit(SgnsF / 2L) + truncDiv(rawDot, SgnsSigDen)))
+      val ex = samples
+        .withColumn("e", sig - when(col("lbl") === 1, SgnsF.toLong).otherwise(0L))
+        .select(col("c"), col("t"), col("sw"), col("e"),
+          explode(typedLit((0 until D).toList)).as("j"))
+      val legU = ex.select(lit("u").as("tag"), col("c").as("vid"), col("j"),
+        (col("sw").cast(dec) * col("e") * vAt(col("t"), col("j"))).as("g"),
+        col("sw"))
+      val legV = ex.select(lit("v").as("tag"), col("t").as("vid"), col("j"),
+        (col("sw").cast(dec) * col("e") * uAt(col("c"), col("j"))).as("g"),
+        col("sw"))
+      val grads = legU.unionByName(legV)
+        .groupBy("tag", "vid", "j")
+        .agg(sum("g").as("g"), sum(col("sw").cast(dec)).as("ws"))
+        .collect() // ≤ 2·V·D control-plane rows
+      grads.foreach { r =>
+        val (tag, vid, j) = (r.getString(0), r.getLong(1).toInt, r.getInt(2))
+        val g = BigInt(r.getDecimal(3).toBigInteger)
+        val ws = BigInt(r.getDecimal(4).toBigInteger)
+        val m = if (tag == "u") u else v
+        val delta = (g / (ws * SgnsLrDen)).toLong // BigInt /: truncates
+        m(vid)(j) = math.max(-SgnsClamp.toLong,
+          math.min(SgnsClamp.toLong, m(vid)(j) - delta))
+      }
+    }
+    samples.unpersist()
+    (1 to vocabN).flatMap(vid => (0 until D).map(j =>
+      (vid.toLong, j.toLong, u(vid)(j), v(vid)(j))))
+      .toDF("vid", "dim", "uq", "vq")
+  }
+
+  private val sgnsOracle = {
+    def epoch(i: Int): String = {
+      val (pw, nw) = (s"sw$i", s"sw${i + 1}")
+      s"""dot$i AS MATERIALIZED (
+      SELECT s.c, s.t, s.lbl, s.sw, SUM(uc.uq * vt.vq) AS z
+      FROM sgsamples s
+      JOIN $pw uc ON uc.vid = s.c
+      JOIN $pw vt ON vt.vid = s.t AND vt.j = uc.j
+      GROUP BY 1, 2, 3, 4),
+    er$i AS MATERIALIZED (
+      SELECT c, t, lbl, sw,
+        CAST(GREATEST(0, LEAST($SgnsF, ${SgnsF / 2} + z // $SgnsSigDen))
+             - CASE WHEN lbl = 1 THEN $SgnsF ELSE 0 END AS BIGINT) AS e
+      FROM dot$i),
+    gu$i AS MATERIALIZED (
+      SELECT e.c AS vid, w.j, SUM(CAST(e.sw AS HUGEINT) * e.e * w.vq) AS g,
+             SUM(CAST(e.sw AS HUGEINT)) AS ws
+      FROM er$i e JOIN $pw w ON w.vid = e.t GROUP BY 1, 2),
+    gv$i AS MATERIALIZED (
+      SELECT e.t AS vid, w.j, SUM(CAST(e.sw AS HUGEINT) * e.e * w.uq) AS g,
+             SUM(CAST(e.sw AS HUGEINT)) AS ws
+      FROM er$i e JOIN $pw w ON w.vid = e.c GROUP BY 1, 2),
+    $nw AS MATERIALIZED (
+      SELECT w.vid, w.j,
+        CAST(GREATEST(-$SgnsClamp, LEAST($SgnsClamp, w.uq -
+          CAST(COALESCE(gu.g // (gu.ws * $SgnsLrDen), 0) AS BIGINT))) AS BIGINT) AS uq,
+        CAST(GREATEST(-$SgnsClamp, LEAST($SgnsClamp, w.vq -
+          CAST(COALESCE(gv.g // (gv.ws * $SgnsLrDen), 0) AS BIGINT))) AS BIGINT) AS vq
+      FROM $pw w
+      LEFT JOIN gu$i gu ON gu.vid = w.vid AND gu.j = w.j
+      LEFT JOIN gv$i gv ON gv.vid = w.vid AND gv.j = w.j)"""
+    }
+    s"""
+    WITH $skipgramCtes,
+    sgsamples AS MATERIALIZED (
+      SELECT c, t, 1 AS lbl, CAST(sum(n_pos) AS BIGINT) AS sw
+      FROM (SELECT DISTINCT center_id AS c, context_id AS t, n_pos
+            FROM sgpairs) p
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT center_id, neg_id, 0, CAST(sum(n_pos) AS BIGINT)
+      FROM sgpairs GROUP BY 1, 2, 3),
+    sgdims AS (SELECT unnest(generate_series(0, ${SgnsDims - 1})) AS j),
+    sw0 AS MATERIALIZED (
+      SELECT vid, j,
+        CAST(${hashSql("'sgns:u:' || vid || ':' || j")} % $SgnsInitMod
+             - $SgnsInitOff AS BIGINT) AS uq,
+        CAST(${hashSql("'sgns:v:' || vid || ':' || j")} % $SgnsInitMod
+             - $SgnsInitOff AS BIGINT) AS vq
+      FROM (SELECT vid FROM vocab) vv, sgdims),
+    ${(0 until SgnsEpochs).map(epoch).mkString(",\n    ")}
+    SELECT vid, CAST(j AS BIGINT) AS dim, uq, vq FROM sw$SgnsEpochs"""
+  }
 
   // ---- source-pair similarity matrix -----------------------------------
 
@@ -1090,6 +1256,7 @@ object SketchOps {
     "llm_source_sim"   -> Q(sourceSim, Some(sourceSimOracle)),
     "llm_pmi"          -> Q(pmi, Some(pmiOracle)),
     "llm_skipgram"     -> Q(skipgram, Some(skipgramOracle)),
+    "llm_sgns_train"   -> Q(sgnsTrain, Some(sgnsOracle)),
     "llm_kmv_distinct" -> Q(kmvDistinct, Some(kmvOracle)),
     "llm_hll_distinct" -> Q(hllDistinct, Some(hllOracle)),
     "q_heavy_hitters"  -> Q(heavyHitters, Some(heavyHittersOracle)),

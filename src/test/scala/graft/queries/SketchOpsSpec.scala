@@ -530,6 +530,57 @@ class SketchOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("rangepartitioning"), plan)
   }
 
+  // ---- SGNS trainer ------------------------------------------------------
+
+  test("sgns_train equals a plain-Scala fixed-point reference, bit for bit") {
+    val rows = corpus(30, 2, 10, 20, seed = 11L)
+    val d = writeDocs(rows)
+    // reference implementation: same pipeline in naive Scala/BigInt
+    val (fp, nd, epochs, clampW, sigDen, lrDen) =
+      (65536L, 8, 6, 131072L, 262144L, 262144L)
+    val pairs = SketchOps.skipgram(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val vocabN = {
+      val docsToks = rows.map(r => r._2.trim.split("\\s+").toSeq)
+      math.min(100, docsToks.flatten.distinct.size)
+    }
+    val pos = pairs.map(p => (p._1, p._2, p._3)).distinct
+      .groupBy(p => (p._1, p._2)).map { case ((c, t), xs) => (c, t, 1, xs.map(_._3).sum) }
+    val neg = pairs.groupBy(p => (p._1, p._5)).map { case ((c, t), xs) => (c, t, 0, xs.map(_._3).sum) }
+    val samples = (pos ++ neg).toSeq
+    def init(kind: String) = Array.tabulate(vocabN + 1, nd)((vid, j) =>
+      if (vid == 0) 0L else TextOps.hash60Str(s"sgns:$kind:$vid:$j") % (fp / 2) - fp / 4)
+    val u = init("u"); val v = init("v")
+    def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt: truncates to zero
+    for (_ <- 1 to epochs) {
+      val gu = collection.mutable.Map.empty[(Long, Int), (BigInt, BigInt)]
+      val gv = collection.mutable.Map.empty[(Long, Int), (BigInt, BigInt)]
+      samples.foreach { case (c, t, lbl, sw) =>
+        val z = (0 until nd).map(j => u(c.toInt)(j) * v(t.toInt)(j)).sum
+        val sig = math.max(0L, math.min(fp, fp / 2 + tdiv(z, sigDen).toLong))
+        val e = sig - (if (lbl == 1) fp else 0L)
+        (0 until nd).foreach { j =>
+          val (ug, uw) = gu.getOrElse((c, j), (BigInt(0), BigInt(0)))
+          gu((c, j)) = (ug + BigInt(sw) * e * v(t.toInt)(j), uw + sw)
+          val (vg, vw) = gv.getOrElse((t, j), (BigInt(0), BigInt(0)))
+          gv((t, j)) = (vg + BigInt(sw) * e * u(c.toInt)(j), vw + sw)
+        }
+      }
+      gu.foreach { case ((vid, j), (g, ws)) =>
+        u(vid.toInt)(j) = math.max(-clampW, math.min(clampW,
+          u(vid.toInt)(j) - tdiv(g, ws * lrDen).toLong)) }
+      gv.foreach { case ((vid, j), (g, ws)) =>
+        v(vid.toInt)(j) = math.max(-clampW, math.min(clampW,
+          v(vid.toInt)(j) - tdiv(g, ws * lrDen).toLong)) }
+    }
+    val expected = (1 to vocabN).flatMap(vid => (0 until nd).map(j =>
+      (vid.toLong, j.toLong, u(vid)(j), v(vid)(j)))).sorted
+    val got = SketchOps.sgnsTrain(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == expected)
+    assert(got.exists { case (_, _, uq, vq) => uq != 0 || vq != 0 })
+  }
+
   // ---- plan shapes ------------------------------------------------------
 
   test("sketch-op plans: hash-partitioned only — no global sort, no pair product") {
