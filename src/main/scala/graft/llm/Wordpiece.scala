@@ -114,14 +114,24 @@ object Wordpiece {
     var sinceCheckpoint = 0
     val dec = DecimalType(38, 0)
     while (rank < nMerges && !exhausted) {
+      // ONE pass + ONE shuffle per round: each word emits its unigram
+      // tokens (rhs = null) and its adjacent pairs into a single
+      // frequency-weighted aggregate (r15 verdict: the separate uni/pair
+      // aggregates scanned the state twice). `slice(syms, 2, n-1)` is
+      // empty for 1-symbol words, so no n >= 2 branch is needed. The
+      // bounded result feeds three consumers (pair rows + both score-join
+      // sides) — persisted per the multi-consumer rule.
       val st = state.withColumn("n", size(col("syms")))
-      val uni = st.select(explode(col("syms")).as("s"), col("freq"))
-        .groupBy("s").agg(sum(col("freq")).as("c"))
-      val pairs = st.filter(col("n") >= 2)
-        .select(col("freq"), explode(arrays_zip(
-          expr("slice(syms, 1, n - 1)"), expr("slice(syms, 2, n - 1)"))).as("p"))
-        .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+      val nullRhs = lit(null).cast("string")
+      val toks = st.select(col("freq"), explode(concat(
+          transform(col("syms"), x => struct(x.as("lhs"), nullRhs.as("rhs"))),
+          zip_with(expr("slice(syms, 1, n - 1)"), expr("slice(syms, 2, n - 1)"),
+            (a, b) => struct(a.as("lhs"), b.as("rhs"))))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("w"))
+        .persist()
+      val uni = toks.filter(col("rhs").isNull).select(col("lhs").as("s"), col("w").as("c"))
+      val pairs = toks.filter(col("rhs").isNotNull)
       val wS = col("w").cast(dec) * lit(ScoreScale.toString).cast(dec)
       val den = col("ca").cast(dec) * col("cb").cast(dec)
       val best = pairs
@@ -131,6 +141,7 @@ object Wordpiece {
           ((wS - pmod(wS, den)) / den).cast(LongType).as("q"))
         .orderBy(col("q").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect() // TakeOrdered: 1 row of control-plane feedback
+      toks.unpersist()
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, w, q) = (best(0).getString(0), best(0).getString(1),
