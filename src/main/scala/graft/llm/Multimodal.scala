@@ -806,6 +806,93 @@ object Multimodal {
     }
   }
 
+  /** Integer-quantized DFT tables for the spectral features: cos/sin at
+    * `floor(x·2^15 + 0.5)`, generated ONCE from StrictMath (bit-identical
+    * on every JVM) and EMBEDDED as literals in the oracle SQL — neither
+    * engine ever evaluates a transcendental at query time, so the whole
+    * spectral path is exact integer arithmetic. */
+  object SpectralTable {
+    val N = 32     // samples per analysis window
+    val K = 8      // DFT bins kept (0..K-1)
+    val Scale = 32768L
+    val cosQ: Array[Array[Long]] = Array.tabulate(K, N)((k, n) =>
+      math.floor(StrictMath.cos(2.0 * math.Pi * k * n / N) * Scale + 0.5).toLong)
+    val sinQ: Array[Array[Long]] = Array.tabulate(K, N)((k, n) =>
+      math.floor(StrictMath.sin(2.0 * math.Pi * k * n / N) * Scale + 0.5).toLong)
+  }
+
+  final case class SpectralRow(doc_id: Long, w: Long, bin: Long, energy: Long)
+
+  /** Spectral features from decoded PCM: per 32-sample window, the first 8
+    * integer-DFT bin energies `re² + im²` over centered samples (s − 128),
+    * correlated against [[SpectralTable]] — all integers (|re| ≤
+    * 128·2^15·32 = 2^27, energy ≤ 2^55). One decode + one narrow pass per
+    * document, no shuffle. */
+  def spectral(media: Dataset[MediaRow]): Dataset[SpectralRow] = {
+    import media.sparkSession.implicits._
+    import SpectralTable._
+    media.flatMap { r =>
+      val (_, _, pcm) = WavCodec.decode(r.media)
+      require(pcm.length % N == 0, s"PCM length ${pcm.length} not a window multiple")
+      val nw = pcm.length / N
+      (0 until nw).flatMap { w =>
+        (0 until K).map { k =>
+          var re = 0L; var im = 0L
+          var n = 0
+          while (n < N) {
+            val c = (pcm(w * N + n) & 0xff) - 128L
+            re += c * cosQ(k)(n); im += c * sinQ(k)(n)
+            n += 1
+          }
+          SpectralRow(r.doc_id, w.toLong, k.toLong, re * re + im * im)
+        }
+      }
+    }
+  }
+
+  final case class AudioFpRow(doc_id: Long, fp: Long)
+
+  /** Chromaprint-style audio fingerprint: for each (window w ≥ 1, bin
+    * k ≥ 1), one bit = sign of the second difference of bin energies,
+    * `(e[w][k] − e[w][k−1]) − (e[w−1][k] − e[w−1][k−1]) > 0` — packed at
+    * bit (w−1)·(K−1) + (k−1). 8 windows × 8 bins ⇒ 49 bits. Derived from
+    * the same integer spectral energies, so the SQL oracle replays the
+    * fingerprint exactly. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFpRow] = {
+    import media.sparkSession.implicits._
+    import SpectralTable._
+    media.map { r =>
+      val (_, _, pcm) = WavCodec.decode(r.media)
+      require(pcm.length % N == 0, s"PCM length ${pcm.length} not a window multiple")
+      val nw = pcm.length / N
+      val e = Array.ofDim[Long](nw, K)
+      var w = 0
+      while (w < nw) {
+        var k = 0
+        while (k < K) {
+          var re = 0L; var im = 0L
+          var n = 0
+          while (n < N) {
+            val c = (pcm(w * N + n) & 0xff) - 128L
+            re += c * cosQ(k)(n); im += c * sinQ(k)(n)
+            n += 1
+          }
+          e(w)(k) = re * re + im * im
+          k += 1
+        }
+        w += 1
+      }
+      var fp = 0L
+      var i = 0
+      for (ww <- 1 until nw; k <- 1 until K) {
+        if ((e(ww)(k) - e(ww)(k - 1)) - (e(ww - 1)(k) - e(ww - 1)(k - 1)) > 0)
+          fp |= 1L << i
+        i += 1
+      }
+      AudioFpRow(r.doc_id, fp)
+    }
+  }
+
   /** One scored video frame: `mad` = sum of absolute pixel deltas against
     * the PREVIOUS frame (0 for frame 0); `is_key` = frame 0 or mad at/over
     * the caller's scene-cut threshold. */

@@ -2995,6 +2995,121 @@ object LlmOps {
     FROM pcm JOIN sums USING (doc_id)
     GROUP BY 1, 2, 3, 4, 5"""
 
+  // ---- audio spectral features + fingerprint dedup ----------------------
+
+  private val FpBands = 7
+  private val FpBandBits = 7
+  private val FpHamT = 10L
+
+  private def audioMedia(s: SparkSession, d: String) =
+    textBytesMedia(s, d, "audio/wav")(bytes =>
+      Multimodal.WavCodec.encode(cycledRaster(bytes, MmAudioSamples)))
+
+  /** Audio SPECTRAL features through the real WAV codec: 8 integer-DFT bin
+    * energies per 32-sample window of the decoded PCM, correlated against
+    * the StrictMath-quantized [[Multimodal.SpectralTable]] whose values are
+    * EMBEDDED in the oracle SQL — no engine evaluates a transcendental, so
+    * re²+im² replays exactly. One decode + one narrow pass per document. */
+  def mmAudioSpectral(s: SparkSession, d: String): DataFrame =
+    Multimodal.spectral(audioMedia(s, d)).toDF()
+      .select(col("doc_id"), col("w"), col("bin"), col("energy"))
+
+  // the quantized DFT tables as flat SQL array literals (k·N + n + 1 indexed)
+  private lazy val spectralTablesCte = {
+    import Multimodal.SpectralTable._
+    def flat(t: Array[Array[Long]]) =
+      (0 until K).flatMap(k => (0 until N).map(n => t(k)(n))).mkString(", ")
+    s"ct AS (SELECT [${flat(cosQ)}] AS ca, [${flat(sinQ)}] AS sa)"
+  }
+
+  private def spectralCtes = {
+    import Multimodal.SpectralTable._
+    s"""b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    $spectralTablesCte,
+    pcm AS (SELECT doc_id, i // $N AS w, i % $N AS nn,
+                   ord(substr(text, ((i % b.n) + 1)::INT, 1)) - 128 AS c
+            FROM b, LATERAL UNNEST(generate_series(0, ${MmAudioSamples - 1})) AS u(i)),
+    bins AS MATERIALIZED (
+      SELECT doc_id, w, k,
+        SUM(c * ca[(k * $N + nn + 1)::INT]) AS re,
+        SUM(c * sa[(k * $N + nn + 1)::INT]) AS im
+      FROM pcm, ct, LATERAL UNNEST(generate_series(0, ${K - 1})) AS uk(k)
+      GROUP BY 1, 2, 3)"""
+  }
+
+  private lazy val mmAudioSpectralOracle = s"""
+    WITH $spectralCtes
+    SELECT doc_id, w::BIGINT AS w, k::BIGINT AS bin,
+           CAST(re * re + im * im AS BIGINT) AS energy
+    FROM bins"""
+
+  /** Audio near-duplicate detection on a Chromaprint-style fingerprint:
+    * 49 sign-of-second-difference bits over the spectral energies
+    * ([[Multimodal.audioFingerprint]]), then the SimHash-style scale path —
+    * split into ${7} 7-bit bands, candidates = docs sharing any exact band
+    * (equality bucket join, never an all-pairs product), survivors by
+    * Hamming ≤ ${10}. Output = every fingerprint (kind 'fp') plus the
+    * surviving pairs (kind 'pair'). The oracle replays PCM → integer DFT →
+    * bit packing → banding → Hamming from the text alone. */
+  def mmAudioFpDedup(s: SparkSession, d: String): DataFrame = {
+    val fps = Multimodal.audioFingerprint(audioMedia(s, d)).toDF()
+      .persist() // consumers: fp output, band build, both pair-side joins
+    val bands = fps.select(col("doc_id"), col("fp"),
+        explode(typedLit((0 until FpBands).toList)).as("b"))
+      .select(col("doc_id"), col("b"),
+        expr(s"shiftright(fp, b * $FpBandBits) & ${(1 << FpBandBits) - 1}").as("bb"))
+      .persist() // self-joined: without this the fingerprint pass runs per side
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bb") === col("y.bb") &&
+          col("y.doc_id") > col("x.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+    val pairs = cand
+      .join(fps.select(col("doc_id").as("da"), col("fp").as("fa")), "da")
+      .join(fps.select(col("doc_id").as("db"), col("fp").as("fb")), "db")
+      .withColumn("ham", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
+      .filter(col("ham") <= FpHamT)
+    val out = fps.select(lit("fp").as("kind"), col("doc_id").as("a"),
+        lit(-1L).as("b"), col("fp").as("v"))
+      .unionByName(pairs.select(lit("pair").as("kind"), col("da").as("a"),
+        col("db").as("b"), col("ham").as("v")))
+    out
+  }
+
+  private lazy val mmAudioFpDedupOracle = {
+    import Multimodal.SpectralTable._
+    s"""
+    WITH $spectralCtes,
+    eng AS (SELECT doc_id, w, k, re * re + im * im AS e FROM bins),
+    fps AS MATERIALIZED (
+      SELECT a.doc_id,
+        CAST(SUM(CASE WHEN (a.e - pk.e) - (pw.e - pwk.e) > 0
+             THEN 1::BIGINT << ((a.w - 1) * ${K - 1} + (a.k - 1))::INT
+             ELSE 0 END) AS BIGINT) AS fp
+      FROM eng a
+      JOIN eng pk  ON pk.doc_id = a.doc_id  AND pk.w = a.w      AND pk.k = a.k - 1
+      JOIN eng pw  ON pw.doc_id = a.doc_id  AND pw.w = a.w - 1  AND pw.k = a.k
+      JOIN eng pwk ON pwk.doc_id = a.doc_id AND pwk.w = a.w - 1 AND pwk.k = a.k - 1
+      WHERE a.w >= 1 AND a.k >= 1
+      GROUP BY 1),
+    bands AS MATERIALIZED (
+      SELECT doc_id, b, (fp >> (b * $FpBandBits)::INT) & ${(1 << FpBandBits) - 1} AS bb
+      FROM fps, LATERAL UNNEST(generate_series(0, ${FpBands - 1})) AS ub(b)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      FROM bands x JOIN bands y ON y.b = x.b AND y.bb = x.bb
+        AND y.doc_id > x.doc_id),
+    pairs AS (
+      SELECT c.da, c.db, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS ham
+      FROM cand c
+      JOIN fps fa ON fa.doc_id = c.da
+      JOIN fps fb ON fb.doc_id = c.db
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= $FpHamT)
+    SELECT 'fp' AS kind, doc_id AS a, CAST(-1 AS BIGINT) AS b, fp AS v FROM fps
+    UNION ALL
+    SELECT 'pair', da, db, ham FROM pairs"""
+  }
+
   // ---- corpus-version diff ----------------------------------------------
 
   /** Corpus diff between two snapshot versions — the "what changed since the
@@ -3471,6 +3586,8 @@ object LlmOps {
     "mm_framesample_avi_raw" -> Q(mmFrameSampleAviRaw, Some(mmFrameSampleRealOracle)),
     "mm_keyframes"      -> Q(mmKeyframes, Some(mmKeyframesOracle)),
     "mm_audio_real"     -> Q(mmAudioReal, Some(mmAudioRealOracle)),
+    "mm_audio_spectral" -> Q(mmAudioSpectral, Some(mmAudioSpectralOracle)),
+    "mm_audio_fpdedup"  -> Q(mmAudioFpDedup, Some(mmAudioFpDedupOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

@@ -348,6 +348,48 @@ class MultimodalSpec extends SparkSuite {
     assert(f.win_energy == Seq(0L, 64L)) // |130-128| * 32
   }
 
+  test("spectral: integer DFT energies match a naive reference; table pins") {
+    import Multimodal.SpectralTable._
+    // table pins: bin 0 row is the all-32768 DC correlator, sin row 0 is 0
+    assert(cosQ(0).forall(_ == Scale) && sinQ(0).forall(_ == 0L))
+    assert(cosQ(1)(0) == Scale && sinQ(2)(8) == 0L) // sin(π) quantizes to 0
+    // one window of a pure bin-2 cosine: energy concentrates in bin 2
+    val pcm = Array.tabulate(N)(n =>
+      (128 + math.round(100 * StrictMath.cos(2 * math.Pi * 2 * n / N))).toByte)
+    val ds = Seq(Multimodal.MediaRow(3L,
+      Multimodal.WavCodec.encode(pcm), "audio/wav")).toDS()
+    val rows = Multimodal.spectral(ds).collect().sortBy(_.bin)
+    assert(rows.length == K && rows.forall(_.w == 0L))
+    // naive reference with the same table
+    val expect = (0 until K).map { k =>
+      val re = (0 until N).map(n => ((pcm(n) & 0xff) - 128L) * cosQ(k)(n)).sum
+      val im = (0 until N).map(n => ((pcm(n) & 0xff) - 128L) * sinQ(k)(n)).sum
+      re * re + im * im
+    }
+    assert(rows.map(_.energy).toSeq == expect)
+    assert(expect(2) == expect.max && expect(2) > 100L * expect(5))
+  }
+
+  test("audioFingerprint: sign-of-second-difference bits pack per (w,k)") {
+    import Multimodal.SpectralTable._
+    // two windows: silence then a bin-1 tone — exactly the (1,1)..(1,7)
+    // bits of window 1 can fire; recompute them from spectral()
+    val pcm = Array.tabulate(2 * N)(n =>
+      if (n < N) 128.toByte
+      else (128 + math.round(80 * StrictMath.cos(2 * math.Pi * (n - N) / N))).toByte)
+    val ds = Seq(Multimodal.MediaRow(9L,
+      Multimodal.WavCodec.encode(pcm), "audio/wav")).toDS()
+    val fp = Multimodal.audioFingerprint(ds).collect()(0).fp
+    val e = Multimodal.spectral(ds).collect()
+      .map(r => (r.w.toInt, r.bin.toInt) -> r.energy).toMap
+    var expect = 0L
+    for (k <- 1 until K) {
+      val d = (e((1, k)) - e((1, k - 1))) - (e((0, k)) - e((0, k - 1)))
+      if (d > 0) expect |= 1L << (0 * (K - 1) + (k - 1))
+    }
+    assert(fp == expect && fp != 0L)
+  }
+
   test("sampleFrames covers every stride-th frame with exact byte slices") {
     val t = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
     val frames = Multimodal.sampleFrames(media(7L -> t), stride = 2, frameBytes = 64)
