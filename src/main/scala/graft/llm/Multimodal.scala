@@ -899,26 +899,32 @@ object Multimodal {
   final case class KeyframeRow(doc_id: Long, frame_idx: Long, mad: Long,
                                is_key: Boolean)
 
-  /** Scene-cut keyframe selection over an uncompressed 8-bit AVI
-    * ([[AviMjpeg.encodeRawGray]]): decode every frame through the lossless
-    * DIB leg, score consecutive-frame mean-absolute-difference (the
-    * classic shot-boundary statistic — all integer arithmetic, so an
-    * oracle replays it exactly), keep frame 0 plus every frame whose MAD
-    * reaches `threshold`. Scale shape: ONE narrow flatMap per document —
-    * the container payload carries all its frames, so scoring needs no
-    * shuffle and no frame-pair join; a 100 TB video corpus keyframes in a
-    * single scan. */
+  /** Scene-cut keyframe selection over EITHER AVI leg: the lossless 8-bit
+    * DIB stream ([[AviMjpeg.encodeRawGray]]) decodes bit-exactly — an
+    * oracle replays the MAD statistic to the digit — while the lossy
+    * MJPEG stream ([[AviMjpeg.encode]]) decodes each `00dc` chunk through
+    * the real `javax.imageio` JPEG decoder, so only the DECISIONS are
+    * oracle-checkable (bounded decode error; see `mm_keyframes_mjpeg`).
+    * Both legs score consecutive-frame mean-absolute-difference and keep
+    * frame 0 plus every frame whose MAD reaches `threshold`. Scale shape:
+    * ONE narrow flatMap per document — the container payload carries all
+    * its frames, so scoring needs no shuffle and no frame-pair join; a
+    * 100 TB video corpus keyframes in a single scan. */
   def keyframes(media: Dataset[MediaRow], threshold: Long): Dataset[KeyframeRow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val (w, h, bits, comp) = AviMjpeg.geometry(r.media)
-      require(bits == 8 && comp == "\u0000\u0000\u0000\u0000",
-        s"not an uncompressed 8-bit stream ($bits bpp)")
+      val mjpeg = comp == "MJPG"
+      require(mjpeg || (bits == 8 && comp == "\u0000\u0000\u0000\u0000"),
+        s"neither an uncompressed 8-bit nor an MJPG stream ($bits bpp)")
       val idx = AviMjpeg.index(r.media)
       var prev: Array[Byte] = null
       idx.indices.map { i =>
         val (off, len) = idx(i)
-        val cur = AviMjpeg.rawGrayFrame(AviMjpeg.frame(r.media, off, len), w, h)
+        val payload = AviMjpeg.frame(r.media, off, len)
+        val cur =
+          if (mjpeg) ImageIoDecoder.pixels(payload)
+          else AviMjpeg.rawGrayFrame(payload, w, h)
         var mad = 0L
         if (prev != null) {
           var k = 0

@@ -400,6 +400,28 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(frames(1).frame, "UTF-8") == t.substring(128, 192))
   }
 
+  test("keyframes MJPEG leg: real lossy decode, decisions inside the margins") {
+    val (w, h) = (8, 8)
+    val base = Array.tabulate(w * h)(i => ((i * 37 + 11) % 64 + 32).toByte)
+    // scenes of 2: bright scene 1 (+96), jitter +2 on odd frames
+    val frames = (0 until 6).map { f =>
+      val bit = if ((f / 2) % 3 == 1) 96 else 0
+      val jit = if (f % 2 == 1) 2 else 0
+      base.map(b => ((b & 0xff) + bit + jit).toByte)
+    }
+    val avi = Multimodal.AviMjpeg.encode(
+      frames.map(Multimodal.encodeJpeg(w, h, _)), w, h)
+    val rows = Multimodal.keyframes(Seq(Multimodal.MediaRow(4L, avi, "video/avi")).toDS(),
+      threshold = 48L * w * h).collect().sortBy(_.frame_idx)
+    assert(rows.map(_.is_key).toSeq ==
+      Seq(true, false, true, false, true, false))
+    // the bounded-error claim itself: in-scene decoded MADs sit far below
+    // the threshold, cut MADs far above (margin ≥ 23 intensities/pixel)
+    val mads = rows.map(_.mad)
+    assert(mads(1) < 25L * w * h && mads(3) < 25L * w * h && mads(5) < 25L * w * h)
+    assert(mads(2) > 71L * w * h && mads(4) > 71L * w * h)
+  }
+
   test("keyframes: MAD shot-boundary flags through the real raw-AVI demux") {
     val (w, h) = (8, 8)
     // two scenes of two frames: within a scene +1 brightness (MAD = 64),
