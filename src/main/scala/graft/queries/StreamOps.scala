@@ -44,19 +44,21 @@ object StreamOps {
     val conn = new java.net.URI(url)
       .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST"); conn.setDoOutput(true)
+    // one fresh connection per post, closed by the server: keep-alive
+    // reuse against the JDK HttpServer stalls ~44 ms/request on every
+    // DRAINED 2xx (delayed-ACK interaction, measured in isolation and as
+    // a 4 s → 342 s b16 bench blowup) — Connection: close restores the
+    // 1.4 ms/request path while still draining, so the failure path
+    // cannot leak a half-read connection either
+    conn.setRequestProperty("Connection", "close")
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val out = conn.getOutputStream
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // Drain whichever stream the status produced BEFORE evaluating expect:
-    // these loops issue thousands of sequential posts, and an undrained
-    // body both leaks the connection on the failure path and defeats
-    // keep-alive reuse on the success path.
-    val code = try {
-      val c = conn.getResponseCode
-      val in = if (c >= 400) conn.getErrorStream else conn.getInputStream
+    val code = conn.getResponseCode
+    try {
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
       if (in != null) try { in.readAllBytes(); () } finally in.close()
-      c
-    } finally conn.disconnect()
+    } catch { case _: java.io.IOException => conn.disconnect() }
     require(expect.contains(code), s"POST $url: unexpected HTTP $code")
     code
   }
