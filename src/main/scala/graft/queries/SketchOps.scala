@@ -936,7 +936,8 @@ object SketchOps {
     * size can overflow them. */
   def sgnsTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (tf, vocabN) = skipgramData(s, d)
+    val (tf0, vocabN) = skipgramData(s, d)
+    val tf = tf0.persist() // pos AND neg legs scan it: one corpus pass, not two
     val pos = tf.select(col("center_id"), col("context_id"), col("n_pos"))
       .distinct() // tf carries one row per neg draw
       .groupBy(col("center_id").as("c"), col("context_id").as("t"))
@@ -945,6 +946,8 @@ object SketchOps {
       .groupBy(col("center_id").as("c"), col("neg_id").as("t"))
       .agg(sum("n_pos").as("sw")).withColumn("lbl", lit(0))
     val samples = pos.unionByName(neg).persist()
+    samples.count() // materialize once so the epochs never re-run the pair gen
+    tf.unpersist()
 
     val D = SgnsDims
     def init(kind: String): Array[Array[Long]] =

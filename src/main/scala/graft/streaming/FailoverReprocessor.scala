@@ -345,6 +345,10 @@ object FailoverReprocessor {
         val in = if (path.endsWith(".gz"))
           new java.util.zip.GZIPInputStream(raw) else raw
         val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8))
+        // a task killed mid-file must not leak the stream (close() is
+        // idempotent, so the exhaustion-path close below stays)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
         var n = 0L
         new Iterator[Row] {
           private var nextLine = br.readLine()
