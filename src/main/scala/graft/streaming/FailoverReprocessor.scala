@@ -216,7 +216,7 @@ object FailoverReprocessor {
     final case class WorkerRow(workerIndex: Int, status: String,
         currentFile: String, currentLine: Long, processedFiles: Int,
         totalLines: Long, success: Long, error: Long, skipped: Long,
-        processedBytes: Long, lastError: String)
+        processedBytes: Long, lastError: String, assignedFiles: Int = 0)
 
     /** The worker's self-reported upsert (main.go:571-599). */
     def upsertWorker(sink: JdbcSink, jobId: String, w: WorkerRow): Unit =
@@ -245,7 +245,8 @@ object FailoverReprocessor {
       sink.withConnection { c =>
         val ps = c.prepareStatement(s"""SELECT worker_index, status,
           current_file, current_line, processed_files, total_lines,
-          success_count, error_count, skipped_count, processed_bytes, error
+          success_count, error_count, skipped_count, processed_bytes, error,
+          assigned_files
           FROM "$WorkersTable" WHERE job_id = ? ORDER BY worker_index""")
         try {
           ps.setString(1, jobId)
@@ -254,7 +255,8 @@ object FailoverReprocessor {
           while (rs.next()) out += WorkerRow(rs.getInt(1), rs.getString(2),
             Option(rs.getString(3)).getOrElse(""), rs.getLong(4), rs.getInt(5),
             rs.getLong(6), rs.getLong(7), rs.getLong(8), rs.getLong(9),
-            rs.getLong(10), Option(rs.getString(11)).getOrElse(""))
+            rs.getLong(10), Option(rs.getString(11)).getOrElse(""),
+            rs.getInt(12))
           out.result()
         } finally ps.close()
       }
@@ -262,6 +264,65 @@ object FailoverReprocessor {
     final case class JobRow(id: String, status: String, totalFiles: Int,
         totalWorkers: Int, processedFiles: Long, totalLines: Long,
         success: Long, error: Long, skipped: Long, processedBytes: Long)
+
+    /** Everything the admin HTTP surface renders for one job: the job row
+      * (config JSON, lifecycle timestamps, error), the SUM-over-workers
+      * aggregates, and the cursor of the most recently updated RUNNING
+      * worker (reprocessing_db.go:51-121). */
+    final case class FullJob(id: String, status: String, config: String,
+        createdAt: java.sql.Timestamp, startedAt: Option[java.sql.Timestamp],
+        completedAt: Option[java.sql.Timestamp], error: String,
+        totalFiles: Int, totalWorkers: Int, processedFiles: Long,
+        totalLines: Long, success: Long, errorCount: Long, skipped: Long,
+        processedBytes: Long, currentFile: String, currentLine: Long)
+
+    def fullJob(sink: JdbcSink, jobId: String): Option[FullJob] =
+      sink.withConnection { c =>
+        val ps = c.prepareStatement(s"""SELECT j.id, j.status, j.config,
+          j.created_at, j.started_at, j.completed_at, j.error,
+          j.total_files, j.total_workers,
+          COALESCE(SUM(w.processed_files), 0), COALESCE(SUM(w.total_lines), 0),
+          COALESCE(SUM(w.success_count), 0), COALESCE(SUM(w.error_count), 0),
+          COALESCE(SUM(w.skipped_count), 0), COALESCE(SUM(w.processed_bytes), 0)
+          FROM "$JobsTable" j LEFT JOIN "$WorkersTable" w ON w.job_id = j.id
+          WHERE j.id = ?
+          GROUP BY j.id, j.status, j.config, j.created_at, j.started_at,
+                   j.completed_at, j.error, j.total_files, j.total_workers""")
+        val cur = c.prepareStatement(s"""SELECT current_file, current_line
+          FROM "$WorkersTable" WHERE job_id = ? AND status = 'running'
+          ORDER BY updated_at DESC FETCH FIRST 1 ROWS ONLY""")
+        try {
+          ps.setString(1, jobId)
+          val rs = ps.executeQuery()
+          if (!rs.next()) None
+          else {
+            cur.setString(1, jobId)
+            val cs = cur.executeQuery()
+            val (cf, cl) =
+              if (cs.next()) (Option(cs.getString(1)).getOrElse(""), cs.getLong(2))
+              else ("", 0L)
+            Some(FullJob(rs.getString(1), rs.getString(2),
+              Option(rs.getString(3)).getOrElse("{}"), rs.getTimestamp(4),
+              Option(rs.getTimestamp(5)), Option(rs.getTimestamp(6)),
+              Option(rs.getString(7)).getOrElse(""), rs.getInt(8), rs.getInt(9),
+              rs.getLong(10), rs.getLong(11), rs.getLong(12), rs.getLong(13),
+              rs.getLong(14), rs.getLong(15), cf, cl))
+          }
+        } finally { ps.close(); cur.close() }
+      }
+
+    /** All jobs, newest first (reprocessing_jobs_created_at_idx order;
+      * id DESC breaks same-tick ties deterministically). */
+    def listJobIds(sink: JdbcSink): Seq[String] = sink.withConnection { c =>
+      val ps = c.prepareStatement(
+        s"""SELECT id FROM "$JobsTable" ORDER BY created_at DESC, id DESC""")
+      try {
+        val rs = ps.executeQuery()
+        val out = Seq.newBuilder[String]
+        while (rs.next()) out += rs.getString(1)
+        out.result()
+      } finally ps.close()
+    }
 
     /** Job read-back with the aggregated worker stats
       * (reprocessing_db.go:51-121: COALESCE(SUM(...), 0) over workers). */
