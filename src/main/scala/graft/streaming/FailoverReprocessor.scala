@@ -392,37 +392,55 @@ object FailoverReprocessor {
     StructField("line_no", LongType, nullable = false),
     StructField("line", StringType, nullable = false)))
 
+  // sentinel line_no for a file that could not be opened/decoded at all:
+  // the reference's "failed to process file after N attempts" outcome
+  // (main.go:180-184) — one error, no line counts, file still "processed"
+  private[streaming] val FileFailLine = -1L
+
   /** One task per file: sequential line scan with exact 1-based numbering
-    * (the cursor unit), gzip-aware, reader closed on exhaustion. */
+    * (the cursor unit), gzip-aware, reader closed on exhaustion. An
+    * unopenable/undecodable file (missing, corrupt gzip header) yields ONE
+    * sentinel row instead of failing the job — the reference logs, counts
+    * one error, and moves to the next file (main.go:144-191); mid-file
+    * faults stay task failures, which Spark retries from the top of the
+    * file exactly like the reference's retry loop rolls back counts and
+    * rescans (main.go:149-177 — the final successful pass is the only one
+    * that counts, by construction here). */
   private def readLines(spark: SparkSession,
                         files: Seq[FileItem]): DataFrame = {
     val items = files.zipWithIndex.map { case (f, i) => (i, f.path) }
     val rdd = spark.sparkContext
       .parallelize(items, math.max(items.size, 1))
       .flatMap { case (idx, path) =>
-        val hp = new org.apache.hadoop.fs.Path(path)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val raw: java.io.InputStream = fs.open(hp)
-        val in = if (path.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(raw) else raw
-        val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8))
-        // a task killed mid-file must not leak the stream (close() is
-        // idempotent, so the exhaustion-path close below stays)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
-        var n = 0L
-        new Iterator[Row] {
-          private var nextLine = br.readLine()
-          override def hasNext: Boolean = {
-            if (nextLine == null) br.close()
-            nextLine != null
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val raw: java.io.InputStream = fs.open(hp)
+          val in = if (path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw) else raw
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8))
+          // a task killed mid-file must not leak the stream (close() is
+          // idempotent, so the exhaustion-path close below stays)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
+          var n = 0L
+          new Iterator[Row] {
+            private var nextLine = br.readLine()
+            override def hasNext: Boolean = {
+              if (nextLine == null) br.close()
+              nextLine != null
+            }
+            override def next(): Row = {
+              val l = nextLine
+              nextLine = br.readLine()
+              n += 1
+              Row(idx, path, n, l)
+            }
           }
-          override def next(): Row = {
-            val l = nextLine
-            nextLine = br.readLine()
-            n += 1
-            Row(idx, path, n, l)
-          }
+        } catch {
+          case e: java.io.IOException =>
+            Iterator.single(Row(idx, path, FileFailLine,
+              Option(e.getMessage).getOrElse(e.toString)))
         }
       }
     spark.createDataFrame(rdd, LineSchema)
@@ -462,11 +480,14 @@ object FailoverReprocessor {
         (col("file_idx") === ci && col("line_no") <= c.cutLine))
     }
 
+    // the reference's resolution map is KEYED by id and slug
+    // (main.go:96-101: map[string]*StreamDef) — a stream whose id equals
+    // its slug contributes ONE key, never a join-duplicating pair
     val streamRows = streams.flatMap { s =>
       val dests = s.destinations.mkString(",")
       val hasDest = s.destinations.nonEmpty
       Seq(s.id, s.slug).filter(_.nonEmpty).map(k => (k, dests, hasDest))
-    }
+    }.distinctBy(_._1)
     import spark.implicits._
     val streamDf = streamRows.toDF("stream_key", "dests", "has_dest")
 
@@ -476,9 +497,13 @@ object FailoverReprocessor {
     val idFilter = cfg.streamIds
 
     val parsed = lines
+      // an unreadable FILE contributes one sentinel row: one error, no
+      // line/cursor counts (the retry-exhausted outcome, main.go:180-184)
+      .withColumn("file_fail", col("line_no") === lit(FileFailLine))
       .withColumn("msg", from_json(col("line"), MsgSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
-      .withColumn("parse_err", col("msg").isNull || col("msg._corrupt").isNotNull)
+      .withColumn("parse_err", !col("file_fail") &&
+        (col("msg").isNull || col("msg._corrupt").isNotNull))
       .withColumn("stream_key",
         when(length(col("msg.origin.sourceId")) > 0, col("msg.origin.sourceId"))
           .otherwise(col("msg.origin.slug")))
@@ -498,8 +523,10 @@ object FailoverReprocessor {
         toS.map(t => col("mc").isNull || col("mc") <= lit(t)).getOrElse(lit(true))
 
     val flagged = parsed
-      .withColumn("admitted", !col("parse_err") && streamPass && datePass)
-      .withColumn("skipped", !col("parse_err") && !(streamPass && datePass))
+      .withColumn("admitted",
+        !col("file_fail") && !col("parse_err") && streamPass && datePass)
+      .withColumn("skipped",
+        !col("file_fail") && !col("parse_err") && !(streamPass && datePass))
       // resolution (main.go:501-547): explicit connection_ids win; else the
       // broadcast stream map; unknown stream / no destinations → error
       .join(broadcast(streamDf), Seq("stream_key"), "left")
@@ -513,21 +540,28 @@ object FailoverReprocessor {
 
     // one map-side-combined aggregate → ≤100 worker rows of control plane
     val statRows = flagged.groupBy("worker").agg(
-      count(lit(1)).as("total_lines"),
-      sum(when(col("parse_err") || col("resolve_err"), 1L).otherwise(0L)).as("errs"),
+      sum(when(!col("file_fail"), 1L).otherwise(0L)).as("total_lines"),
+      sum(when(col("file_fail") || col("parse_err") || col("resolve_err"),
+        1L).otherwise(0L)).as("errs"),
       sum(when(col("skipped"), 1L).otherwise(0L)).as("skips"),
       sum(when(col("admitted"), 1L).otherwise(0L)).as("succ"),
-      max(struct(col("path"), col("line_no"))).as("cursor"))
+      max(struct(col("path"), greatest(col("line_no"), lit(0L)))).as("cursor"),
+      max(when(col("file_fail"),
+        concat(lit("failed to process file "), col("path"), lit(": "),
+          col("line")))).as("last_err"))
       .collect().map { r =>
         (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getStruct(5).getString(0), r.getStruct(5).getLong(1)))
+          r.getStruct(5).getString(0), r.getStruct(5).getLong(1),
+          Option(r.getString(6)).getOrElse("")))
       }.toMap
 
     // delivered = admitted ∧ resolved, with the reference's batch index —
     // the rank among the file's ADMITTED lines / batch_size (resolve
     // failures sit inside batches too, main.go:501-547 `continue`s them)
     val delivered = flagged
-      .filter(col("admitted"))
+      // dry run: messages process and COUNT but never produce
+      // (main.go:555-560 skips only the Kafka send)
+      .filter(col("admitted") && lit(!cfg.dryRun))
       .withColumn("batch_idx",
         ((row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("path").orderBy("line_no")) - 1) / batch)
@@ -549,15 +583,15 @@ object FailoverReprocessor {
         case Some(ci) if isCut => assigned.filter(_._2 < ci)
         case _ => assigned
       }
-      val (tl, er, sk, su, cf, cl) = statRows.getOrElse(w,
-        (0L, 0L, 0L, 0L, "", 0L))
+      val (tl, er, sk, su, cf, cl, le) = statRows.getOrElse(w,
+        (0L, 0L, 0L, 0L, "", 0L, ""))
       Db.WorkerRow(w,
         status = if (isCut) "running" else "completed",
         currentFile = cf, currentLine = cl,
         processedFiles = done.size,
         totalLines = tl, success = su, error = er, skipped = sk,
         processedBytes = done.map(_._1.size).sum,
-        lastError = "")
+        lastError = le)
     }
     rows.foreach(Db.upsertWorker(sink, job.id, _))
 

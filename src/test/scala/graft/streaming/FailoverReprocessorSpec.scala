@@ -42,6 +42,40 @@ class FailoverReprocessorSpec extends SparkSuite {
     assert(filterByDateRange(files, None, None) == files)
   }
 
+  test("corrupt file → one error + lastError, others unaffected; dry run counts but never delivers") {
+    import graft.sink.JdbcSink
+    import graft.sql.DerbyDialect
+    val dir = java.nio.file.Files.createTempDirectory("graft_fr_").toString
+    def w(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    val good = (1 to 5).map(i =>
+      s"""{"messageCreated":"2024-01-05T00:00:00Z","origin":{"sourceId":"sA","slug":"sA"},"event":{"event_id":$i}}""")
+    w("kafka_failover_2024_01_05T00_00_00.ndjson",
+      good.mkString("", "\n", "\n").getBytes("UTF-8"))
+    w("kafka_failover_2024_01_06T00_00_00.ndjson.gz",
+      "definitely not gzip".getBytes("UTF-8")) // corrupt header: open fails
+    val sink = JdbcSink("jdbc:derby:memory:graft_frspec;create=true",
+      DerbyDialect, maxWriteConnections = 2)
+    val streams = Seq(StreamDef("sA", "sA", Seq("c-x")))
+    def runJob(id: String, dry: Boolean) = {
+      val cfg = JobConfig(path = dir, dryRun = dry)
+      FailoverReprocessor.run(spark, sink,
+        FailoverReprocessor.startJob(spark, sink, id, cfg), cfg, streams)
+    }
+    val r = runJob("frspec1", dry = false)
+    assert(r.job.status == "completed")
+    assert(r.job.totalLines == 5L && r.job.success == 5L)
+    assert(r.job.error == 1L && r.job.skipped == 0L) // the corrupt FILE
+    val failed = r.workers.find(_.lastError.nonEmpty).get
+    assert(failed.lastError.contains("failed to process file"))
+    assert(failed.totalLines == 0L && failed.error == 1L)
+    assert(r.delivered.count() == 5L)
+    // dry run: identical accounting, empty delivery (main.go:555-560)
+    val d = runJob("frspec2", dry = true)
+    assert(d.job.totalLines == 5L && d.job.success == 5L && d.job.error == 1L)
+    assert(d.delivered.count() == 0L)
+  }
+
   test("file-list filter matches full path or basename; worker cap is 100") {
     val files = Seq(
       FileItem("/spool/a/f1.ndjson", 1L, 0L),
