@@ -378,7 +378,13 @@ object Multimodal {
     PhashRow(docId, hash, n.toLong)
   }
 
-  private def blockHashOne(docId: Long, media: Array[Byte], blocks: Int): BlockHashRow = {
+  private def blockHashOne(docId: Long, media: Array[Byte], blocks: Int): BlockHashRow =
+    BlockHashRow(docId, blockHashBits(media, blocks), media.length.toLong)
+
+  /** The bit computation of [[blockHash]] on a raw byte raster — shared by
+    * the per-payload path above and the per-FRAME path in
+    * [[videoFrameHashes]]. */
+  private[graft] def blockHashBits(media: Array[Byte], blocks: Int): Long = {
     val n = media.length
     val sums = new Array[Long](blocks)
     val cnts = new Array[Long](blocks)
@@ -399,7 +405,33 @@ object Multimodal {
       if (cnts(k) > 0 && BigInt(sums(k)) * n > BigInt(total) * cnts(k)) hash |= 1L << k
       k += 1
     }
-    BlockHashRow(docId, hash, n.toLong)
+    hash
+  }
+
+  /** One fingerprinted video frame: `fhash` = [[blockHash]]-style
+    * mean-threshold bits over the frame's decoded grayscale raster. */
+  final case class FrameHashRow(doc_id: Long, frame_idx: Long, fhash: Long)
+
+  /** Per-FRAME perceptual hashes through the real RIFF demux — the
+    * signature half of video near-dup (frame-fingerprint matching): each
+    * `00db` DIB chunk of the uncompressed 8-bit AVI decodes bit-exactly
+    * ([[AviMjpeg.rawGrayFrame]]), then hashes via [[blockHashBits]]. The
+    * lossless leg is REQUIRED here (an MJPEG frame's pixels are decoder
+    * arithmetic, so its hash would not be oracle-replayable); keyframe
+    * scoring covers the lossy leg. Scale shape: ONE narrow flatMap per
+    * document — the container carries all its frames, so signatures need
+    * no shuffle; output is 16 bytes per frame regardless of frame size. */
+  def videoFrameHashes(media: Dataset[MediaRow], blocks: Int): Dataset[FrameHashRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (w, h, bits, comp) = AviMjpeg.geometry(r.media)
+      require(bits == 8 && comp == "\u0000\u0000\u0000\u0000",
+        s"videoFrameHashes needs the uncompressed 8-bit DIB stream ($bits bpp)")
+      AviMjpeg.index(r.media).zipWithIndex.map { case ((off, len), i) =>
+        val raster = AviMjpeg.rawGrayFrame(AviMjpeg.frame(r.media, off, len), w, h)
+        FrameHashRow(r.doc_id, i.toLong, blockHashBits(raster, blocks))
+      }
+    }
   }
 
   /** REAL image resize: decode via `decoder`, nearest-neighbor sample the

@@ -3152,6 +3152,108 @@ object LlmOps {
     SELECT 'pair', da, db, ham FROM pairs"""
   }
 
+  // ---- video near-dup (frame-fingerprint matching) ----------------------
+
+  private val VdFrames = 4
+  private val VdOff = 17
+  private val VdMinFrames = 3
+
+  /** Video near-duplicate detection by frame-fingerprint matching — the
+    * video leg of the perceptual-dedup triangle (image `mm_dedup_real`,
+    * audio `mm_audio_fpdedup`): each doc's 4-frame uncompressed AVI demuxes
+    * through the real RIFF parser, every frame fingerprints to the 48-bit
+    * blockhash ([[graft.llm.Multimodal.videoFrameHashes]] — ONE narrow
+    * flatMap per doc, 16 bytes out per frame), and two videos are near-dups
+    * when ≥ $VdMinFrames frames match at the SAME frame index with Hamming
+    * ≤ $MmHamming. Scale shape is the SimHash discipline with the band key
+    * scoped to the frame index: candidates come from an equality bucket
+    * join on (frame_idx, band, 12-bit key) with over-hot keys dropped via a
+    * broadcast anti-join, the per-frame Hamming verify touches candidate
+    * pairs only, and the temporal agreement count is one groupBy over the
+    * surviving frame matches — never an all-pairs product, and no video's
+    * pixels ever cross the wire. */
+  def mmVideoDedup(s: SparkSession, d: String): DataFrame = {
+    val n = MmFrameW * MmFrameH
+    val media = textBytesMedia(s, d, "video/avi") { bytes =>
+      Multimodal.AviMjpeg.encodeRawGray((0 until VdFrames).map(f =>
+        cycledRaster(bytes, n, offset = VdOff * f)), MmFrameW, MmFrameH)
+    }
+    // consumers: band build + both verify-join sides — persist (self-join
+    // sides don't reuse exchanges; without this the demux runs per side)
+    val fh = Multimodal.videoFrameHashes(media, MmBits).toDF().persist()
+    val bands0 = fh.select(col("doc_id"), col("frame_idx"),
+        explode(array((0 until MmBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fhash"), b * MmBandBits)
+              .bitwiseAND(lit((1L << MmBandBits) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("bk.band"), col("bk.key"))
+    val hot = bands0.groupBy("frame_idx", "band", "key")
+      .agg(count(lit(1)).as("df")).filter(col("df") > MmBandCap)
+      .select("frame_idx", "band", "key")
+    val bands = bands0
+      .join(broadcast(hot), Seq("frame_idx", "band", "key"), "left_anti")
+      .persist()
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    cands
+      .join(fh.select(col("doc_id").as("i"), col("frame_idx"),
+        col("fhash").as("ha")), Seq("i"))
+      .join(fh.select(col("doc_id").as("j"), col("frame_idx"),
+        col("fhash").as("hb")), Seq("j", "frame_idx"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= MmHamming)
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= VdMinFrames)
+      .select(col("i"), col("j"), col("n_matched"))
+  }
+
+  private lazy val mmVideoDedupOracle = {
+    val npx = MmFrameW * MmFrameH
+    s"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    by AS (SELECT doc_id, f, (i * $MmBits) // $npx AS k,
+             ord(substr(text, (((i + $VdOff * f) % n) + 1)::INT, 1)) AS v
+           FROM b,
+             LATERAL UNNEST(generate_series(0, ${VdFrames - 1})) AS uf(f),
+             LATERAL UNNEST(generate_series(0, ${npx - 1})) AS ui(i)),
+    blk AS (SELECT doc_id, f, k, CAST(sum(v) AS BIGINT) AS s_k, count(*) AS c_k
+            FROM by GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, f, CAST(sum(s_k) AS BIGINT) AS s
+            FROM blk GROUP BY 1, 2),
+    fh AS MATERIALIZED (
+      SELECT blk.doc_id, blk.f,
+        CAST(SUM(CASE WHEN s_k * $npx > s * c_k THEN 1::BIGINT << k
+             ELSE 0 END) AS BIGINT) AS h
+      FROM blk JOIN tot USING (doc_id, f) GROUP BY 1, 2),
+    bands0 AS (
+      SELECT doc_id, f, band,
+        (h >> (band * $MmBandBits)::INT) & ${(1L << MmBandBits) - 1} AS key
+      FROM fh, LATERAL UNNEST(generate_series(0, ${MmBands - 1})) AS ub(band)),
+    bands AS MATERIALIZED (
+      SELECT doc_id, f, band, key FROM (
+        SELECT doc_id, f, band, key,
+               count(*) OVER (PARTITION BY f, band, key) AS df
+        FROM bands0) t
+      WHERE df <= $MmBandCap),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.f = b.f AND a.band = b.band AND a.key = b.key
+          AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT c.i, c.j, CAST(count(*) AS BIGINT) AS n_matched
+      FROM cands c
+      JOIN fh ha ON ha.doc_id = c.i
+      JOIN fh hb ON hb.doc_id = c.j AND hb.f = ha.f
+      WHERE bit_count(xor(ha.h, hb.h)) <= $MmHamming
+      GROUP BY 1, 2)
+    SELECT i, j, n_matched FROM m WHERE n_matched >= $VdMinFrames"""
+  }
+
   // ---- corpus-version diff ----------------------------------------------
 
   /** Corpus diff between two snapshot versions — the "what changed since the
@@ -3631,6 +3733,7 @@ object LlmOps {
     "mm_audio_spectral" -> Q(mmAudioSpectral, Some(mmAudioSpectralOracle)),
     "mm_keyframes_mjpeg" -> Q(mmKeyframesMjpeg, Some(mmKeyframesMjpegOracle)),
     "mm_audio_fpdedup"  -> Q(mmAudioFpDedup, Some(mmAudioFpDedupOracle)),
+    "mm_video_dedup"    -> Q(mmVideoDedup, Some(mmVideoDedupOracle)),
     "mm_framesample"    -> Q(mmFrameSample, Some(mmFrameOracle)),
     "mm_resize"         -> Q(mmResize, Some(mmResizeOracle)),
   )

@@ -440,4 +440,46 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.mad).toSeq == Seq(0L, 64L, 640L, 64L))
     assert(rows.map(_.is_key).toSeq == Seq(true, false, true, false))
   }
+
+  test("videoFrameHashes: per-frame blockhash through the raw-AVI demux") {
+    val (w, h) = (8, 8)
+    val f0 = Array.tabulate(w * h)(i => (i % 97).toByte)
+    val f1 = Array.tabulate(w * h)(i => ((i * 7) % 131).toByte)
+    val payload = Multimodal.AviMjpeg.encodeRawGray(Seq(f0, f1), w, h)
+    val ds = Seq(Multimodal.MediaRow(3L, payload, "video/avi")).toDS()
+    val rows = Multimodal.videoFrameHashes(ds, blocks = 48)
+      .collect().sortBy(_.frame_idx)
+
+    // plain-Scala reference: mean-threshold bit per equal byte span
+    def ref(px: Array[Byte]): Long = {
+      val n = px.length
+      val sums = new Array[Long](48); val cnts = new Array[Long](48)
+      px.indices.foreach { j =>
+        val k = j * 48 / n; sums(k) += px(j) & 0xffL; cnts(k) += 1
+      }
+      val total = sums.sum
+      (0 until 48).foldLeft(0L) { (acc, k) =>
+        if (cnts(k) > 0 && BigInt(sums(k)) * n > BigInt(total) * cnts(k))
+          acc | (1L << k) else acc
+      }
+    }
+    assert(rows.map(_.frame_idx).toSeq == Seq(0L, 1L))
+    assert(rows.map(_.fhash).toSeq == Seq(ref(f0), ref(f1)))
+    assert(ref(f0) != ref(f1)) // non-vacuous: distinct content hashes apart
+
+    // near-dup stability: a few-byte perturbation stays Hamming-close
+    val f0b = f0.clone(); f0b(5) = (f0b(5) + 3).toByte
+    assert(java.lang.Long.bitCount(ref(f0) ^ ref(f0b)) <= 2)
+
+    // the MJPEG leg must refuse: its pixels are decoder arithmetic, not
+    // oracle-replayable
+    val jpeg = Multimodal.AviMjpeg.encode(
+      Seq(Multimodal.encodeJpeg(w, h, f0)), w, h)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFrameHashes(
+        Seq(Multimodal.MediaRow(4L, jpeg, "video/avi")).toDS(), 48).collect()
+    }
+    assert(ex.getMessage.contains("uncompressed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("uncompressed")))
+  }
 }
