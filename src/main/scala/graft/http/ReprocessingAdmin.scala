@@ -91,7 +91,13 @@ final class ReprocessingAdmin(
   private def instOf(n: JsonNode, f: String): Option[java.time.Instant] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
       .filter(_ != "0001-01-01T00:00:00Z") // Go's zero time = unset
-      .map(java.time.Instant.parse)
+      .map { s =>
+        // Go's time.Time accepts any RFC3339 offset, not just 'Z' —
+        // Instant.parse alone would 400 a valid "+02:00" timestamp
+        try java.time.Instant.parse(s)
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.time.OffsetDateTime.parse(s).toInstant }
+      }
 
   /** ReprocessingStartRequest → JobConfig, with the reference's path
     * validation (failover_reprocessor.go:117-125). `retry_attempts` and
@@ -115,7 +121,9 @@ final class ReprocessingAdmin(
       startLine = Option(n.get("start_line")).map(_.asLong(0L)).getOrElse(0L),
       batchSize = Option(n.get("batch_size")).map(_.asInt(0)).getOrElse(0),
       dateFrom = instOf(n, "date_from"),
-      dateTo = instOf(n, "date_to")))
+      dateTo = instOf(n, "date_to"),
+      retryAttempts = Option(n.get("retry_attempts")).map(_.asInt(0)).getOrElse(0),
+      limit = Option(n.get("limit")).map(_.asLong(0L)).getOrElse(0L)))
   }
 
   // -------------------------------------------------------------- handlers
@@ -178,12 +186,19 @@ final class ReprocessingAdmin(
           (j: FailoverReprocessor.Job, c: JobConfig) =>
             FailoverReprocessor.run(spark, sink, j, c, streams); ()
         }
-        val th = new Thread(() =>
+        val th = new Thread(() => {
+          // thread-local job group: a cancel kills the data plane's Spark
+          // jobs (the in-process twin of the reference deleting the K8s
+          // job, failover_reprocessor.go:506-518)
+          spark.sparkContext.setJobGroup(jobGroup(id),
+            s"reprocessing job $id", interruptOnCancel = true)
           try run(job, cfg)
           catch { case e: Exception =>
-            Db.updateJobStatus(sink, id, "failed",
+            // guarded: a cancel-induced abort must not overwrite 'cancelled'
+            Db.finishJob(sink, id, "failed",
               Option(e.getMessage).getOrElse(e.toString))
-          }, s"reprocess-$id")
+          } finally spark.sparkContext.clearJobGroup()
+        }, s"reprocess-$id")
         th.setDaemon(true)
         th.start()
         Db.fullJob(sink, id) match {
@@ -200,11 +215,17 @@ final class ReprocessingAdmin(
         err(ex, 400, s"job $id is already finished")
       case Some(_) =>
         Db.updateJobStatus(sink, id, "cancelled")
+        // stop the data plane: cancels every Spark job the runner thread
+        // submitted under this job's group (interrupt-on-cancel); run()'s
+        // own completed/failed writes are guarded so 'cancelled' sticks
+        spark.sparkContext.cancelJobGroup(jobGroup(id))
         Db.fullJob(sink, id) match {
           case Some(j) => respond(ex, 200, jobJson(j))
           case None => err(ex, 400, s"reprocessing job $id not found")
         }
     }
+
+  private def jobGroup(id: String): String = s"reprocessing-$id"
 
   // ---------------------------------------------------------------- wiring
 

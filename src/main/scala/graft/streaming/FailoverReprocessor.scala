@@ -60,7 +60,11 @@ object FailoverReprocessor {
       startLine: Long = 0L,
       batchSize: Int = 1000,
       dateFrom: Option[java.time.Instant] = None,
-      dateTo: Option[java.time.Instant] = None)
+      dateTo: Option[java.time.Instant] = None,
+      // accepted and recorded like the reference (failover_reprocessor
+      // .go:46,49) whose worker never reads them either (main.go)
+      retryAttempts: Int = 0,
+      limit: Long = 0L)
 
   final case class Job(id: String, totalFiles: Int, totalWorkers: Int,
                        files: Seq[FileItem])
@@ -196,6 +200,22 @@ object FailoverReprocessor {
         error = ?, started_at = COALESCE(started_at, CURRENT_TIMESTAMP),
         completed_at = ${if (terminal) "CURRENT_TIMESTAMP" else "completed_at"}
         WHERE id = ?""")
+      try { ps.setString(1, status); ps.setString(2, error); ps.setString(3, id)
+        ps.executeUpdate(); () } finally ps.close()
+    }
+
+    /** Terminal completed/failed write that only lands while the job is
+      * still active — the reference's completion monitor only processes
+      * running jobs (failover_reprocessor.go:373-437), so a run() that
+      * finishes AFTER a CancelJob must not overwrite 'cancelled'. (Cancel
+      * itself stays an unconditional write: the reference allows
+      * cancelling a failed job, CancelJob:500-503.) */
+    def finishJob(sink: JdbcSink, id: String, status: String,
+                  error: String = ""): Unit = sink.withConnection { c =>
+      val ps = c.prepareStatement(s"""UPDATE "$JobsTable" SET status = ?,
+        error = ?, started_at = COALESCE(started_at, CURRENT_TIMESTAMP),
+        completed_at = CURRENT_TIMESTAMP
+        WHERE id = ? AND status IN ('pending', 'running')""")
       try { ps.setString(1, status); ps.setString(2, error); ps.setString(3, id)
         ps.executeUpdate(); () } finally ps.close()
     }
@@ -368,12 +388,17 @@ object FailoverReprocessor {
     Job(id, files.size, nW, files)
   }
 
+  // every string goes through the JSON escaper: paths/ids/files arrive from
+  // the HTTP surface, and one raw quote would corrupt the stored config that
+  // jobJson re-embeds verbatim into every /jobs response
   private def configJson(cfg: JobConfig): String = {
-    def arr(xs: Seq[String]) = xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    s"""{"local_path":"${cfg.path}","stream_ids":${arr(cfg.streamIds)},""" +
+    def js(s: String) = graft.Verify.jsonStr(s)
+    def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
+    s"""{"local_path":${js(cfg.path)},"stream_ids":${arr(cfg.streamIds)},""" +
       s""""connection_ids":${arr(cfg.connectionIds)},"files":${arr(cfg.files)},""" +
-      s""""dry_run":${cfg.dryRun},"start_file":"${cfg.startFile}",""" +
-      s""""start_line":${cfg.startLine},"batch_size":${cfg.batchSize}}"""
+      s""""dry_run":${cfg.dryRun},"start_file":${js(cfg.startFile)},""" +
+      s""""start_line":${cfg.startLine},"batch_size":${cfg.batchSize},""" +
+      s""""retry_attempts":${cfg.retryAttempts},"limit":${cfg.limit}}"""
   }
 
   // PERMISSIVE from_json yields a null-FIELDED struct on malformed input,
@@ -412,35 +437,47 @@ object FailoverReprocessor {
     val rdd = spark.sparkContext
       .parallelize(items, math.max(items.size, 1))
       .flatMap { case (idx, path) =>
-        try {
-          val hp = new org.apache.hadoop.fs.Path(path)
-          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val raw: java.io.InputStream = fs.open(hp)
-          val in = if (path.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(raw) else raw
-          val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8))
-          // a task killed mid-file must not leak the stream (close() is
-          // idempotent, so the exhaustion-path close below stays)
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
-          var n = 0L
-          new Iterator[Row] {
-            private var nextLine = br.readLine()
-            override def hasNext: Boolean = {
-              if (nextLine == null) br.close()
-              nextLine != null
+        def sentinel(e: Throwable) = Iterator.single(Row(idx, path,
+          FileFailLine, Option(e.getMessage).getOrElse(e.toString)))
+        val opened =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            Right(fs.open(hp): java.io.InputStream)
+          } catch { case e: java.io.IOException => Left(e) }
+        opened match {
+          case Left(e) => sentinel(e)
+          case Right(raw) =>
+            try {
+              val in = if (path.endsWith(".gz"))
+                new java.util.zip.GZIPInputStream(raw) else raw
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, UTF_8))
+              // a task killed mid-file must not leak the stream (close() is
+              // idempotent, so the exhaustion-path close below stays)
+              Option(org.apache.spark.TaskContext.get())
+                .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
+              var n = 0L
+              new Iterator[Row] {
+                private var nextLine = br.readLine()
+                override def hasNext: Boolean = {
+                  if (nextLine == null) br.close()
+                  nextLine != null
+                }
+                override def next(): Row = {
+                  val l = nextLine
+                  nextLine = br.readLine()
+                  n += 1
+                  Row(idx, path, n, l)
+                }
+              }
+            } catch {
+              // a corrupt header (bad gzip magic) must not leak the raw
+              // stream that already opened
+              case e: java.io.IOException =>
+                try raw.close() catch { case _: java.io.IOException => () }
+                sentinel(e)
             }
-            override def next(): Row = {
-              val l = nextLine
-              nextLine = br.readLine()
-              n += 1
-              Row(idx, path, n, l)
-            }
-          }
-        } catch {
-          case e: java.io.IOException =>
-            Iterator.single(Row(idx, path, FileFailLine,
-              Option(e.getMessage).getOrElse(e.toString)))
         }
       }
     spark.createDataFrame(rdd, LineSchema)
@@ -467,10 +504,13 @@ object FailoverReprocessor {
       .withColumn("worker", pmod(col("file_idx"), lit(nW)).cast(IntegerType))
     // resume: within start_file only lines past the recorded cursor run
     // (earlier files were cut in prepareFiles); skipped-by-cursor lines
-    // are not scanned at all, so no counter sees them
+    // are not scanned at all, so no counter sees them. The file-fail
+    // sentinel (line_no = -1) must survive the cut: a start file that is
+    // unreadable NOW still owes its one error
     if (cfg.startFile.nonEmpty)
       lines = lines.filter(col("path") =!= cfg.startFile ||
-        col("line_no") > cfg.startLine)
+        col("line_no") > cfg.startLine ||
+        col("line_no") === lit(FileFailLine))
     // cancellation: the cut worker's cut file stops after cutLine and its
     // later files never start; every other worker is unaffected
     cancelAt.foreach { c =>
@@ -480,14 +520,21 @@ object FailoverReprocessor {
         (col("file_idx") === ci && col("line_no") <= c.cutLine))
     }
 
-    // the reference's resolution map is KEYED by id and slug
-    // (main.go:96-101: map[string]*StreamDef) — a stream whose id equals
-    // its slug contributes ONE key, never a join-duplicating pair
-    val streamRows = streams.flatMap { s =>
+    // the resolution map: the reference worker keys streams by id
+    // (repository.go:50) and looks up sourceId-else-slug (main.go:519-523);
+    // this engine also keys the slug so slug-only messages resolve. Map
+    // semantics preserved: one entry per key, a stream whose id equals its
+    // slug contributes ONE key (never a join-duplicating pair), and a
+    // cross-stream key collision resolves LAST-Wins like Go map insertion
+    val byKey = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, String, Boolean)]
+    streams.foreach { s =>
       val dests = s.destinations.mkString(",")
       val hasDest = s.destinations.nonEmpty
-      Seq(s.id, s.slug).filter(_.nonEmpty).map(k => (k, dests, hasDest))
-    }.distinctBy(_._1)
+      Seq(s.id, s.slug).filter(_.nonEmpty).distinct
+        .foreach(k => byKey(k) = (k, dests, hasDest))
+    }
+    val streamRows = byKey.values.toSeq
     import spark.implicits._
     val streamDf = streamRows.toDF("stream_key", "dests", "has_dest")
 
@@ -597,9 +644,10 @@ object FailoverReprocessor {
 
     // completion from worker statuses (failover_reprocessor.go:373-437);
     // a cancel marks the JOB cancelled and leaves worker rows as written
-    // (failover_reprocessor.go:491-530)
+    // (failover_reprocessor.go:491-530). The completed write is guarded:
+    // it must not undo a cancellation that raced this run
     if (cancelAt.isDefined) Db.updateJobStatus(sink, job.id, "cancelled")
-    else Db.updateJobStatus(sink, job.id, "completed")
+    else Db.finishJob(sink, job.id, "completed")
 
     RunResult(delivered, Db.workers(sink, job.id), Db.getJob(sink, job.id))
   }

@@ -107,8 +107,10 @@ class ReprocessingAdminSpec extends SparkSuite {
       "kafka_failover_2024_01_06T00_00_00.ndjson" ->
         Seq(msg(7, "srcA"), "not json {")))
     val gate = new CountDownLatch(1)
-    val done = new CountDownLatch(1)
-    var ids = List("job-b", "job-a") // newId pops from the head
+    val done = new CountDownLatch(2) // both jobs' runners must finish
+    // newId pops from the head: job-a first, then job-b — so created_at
+    // DESC and the id-DESC same-tick tie-break AGREE that job-b lists first
+    var ids = List("job-a", "job-b")
     val admin = new ReprocessingAdmin(spark, sink, streams,
       newId = () => { val h = ids.head; ids = ids.tail; h },
       runner = Some((job, cfg) => {
@@ -121,39 +123,40 @@ class ReprocessingAdminSpec extends SparkSuite {
       val (c1, b1) = http("POST", base, Some(s"""{"local_path":"$dir","batch_size":3}"""))
       assert(c1 == 200)
       val j1 = om.readTree(b1)
-      assert(j1.get("id").asText == "job-b")
+      assert(j1.get("id").asText == "job-a")
       assert(j1.get("status").asText == "running")
       assert(j1.get("total_files").asInt == 2 && j1.get("total_workers").asInt == 2)
       assert(j1.get("progress").asDouble == 0.0)
       assert(j1.get("config").get("local_path").asText == dir)
 
-      // a second (never-started) job lists FIRST (newest by id tie-break)
+      // a second (never-started) job lists FIRST: newest-first by
+      // created_at DESC, and on a same-tick tie id DESC also ranks job-b
+      // ahead — the ACTUAL response order is asserted, both ids byte-for-byte
       val (c2, _) = http("POST", base, Some(s"""{"local_path":"$dir"}"""))
       assert(c2 == 200)
       val list = om.readTree(http("GET", base)._2).get("jobs")
       assert(list.size == 2)
-      // newest-first: same created_at tick resolves id DESC
       assert(Seq(list.get(0).get("id").asText, list.get(1).get("id").asText)
-        .sorted.reverse == Seq("job-b", "job-a"))
+        == Seq("job-b", "job-a"))
 
       // workers initialized pending with assigned counts before the run
-      val w0 = om.readTree(http("GET", s"$base/job-b/workers")._2).get("workers")
+      val w0 = om.readTree(http("GET", s"$base/job-a/workers")._2).get("workers")
       assert(w0.size == 2)
       assert((0 until 2).forall(i => w0.get(i).get("assigned_files").asInt == 1))
 
-      // cancel the idle job-a while 'running' (its runner is gated too)
-      val (cc, cb) = http("POST", s"$base/job-a/cancel", Some(""))
+      // cancel the idle job-b while 'running' (its runner is gated too)
+      val (cc, cb) = http("POST", s"$base/job-b/cancel", Some(""))
       assert(cc == 200 && om.readTree(cb).get("status").asText == "cancelled")
-      assert(http("POST", s"$base/job-a/cancel", Some(""))._1 == 400)
+      assert(http("POST", s"$base/job-b/cancel", Some(""))._1 == 400)
 
-      // release the data plane and wait for job-b to finish
+      // release the data plane and wait for job-a to finish
       gate.countDown()
       assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
       // the run() bookkeeping marks completion; poll the wire for it
-      var jb = om.readTree(http("GET", s"$base/job-b")._2)
+      var jb = om.readTree(http("GET", s"$base/job-a")._2)
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       while (jb.get("status").asText != "completed" && System.nanoTime() < deadline) {
-        Thread.sleep(100); jb = om.readTree(http("GET", s"$base/job-b")._2)
+        Thread.sleep(100); jb = om.readTree(http("GET", s"$base/job-a")._2)
       }
       assert(jb.get("status").asText == "completed")
       assert(jb.get("processed_files").asInt == 2)
@@ -164,12 +167,16 @@ class ReprocessingAdminSpec extends SparkSuite {
       assert(jb.get("progress").asDouble == 1.0)
       assert(jb.get("completed_at") != null)
       // finished jobs refuse cancel (failover_reprocessor.go:500-503)
-      val (c3, b3) = http("POST", s"$base/job-b/cancel", Some(""))
+      val (c3, b3) = http("POST", s"$base/job-a/cancel", Some(""))
       assert(c3 == 400 && b3.contains("already finished"))
       // worker rows carry cursors after the run
-      val w1 = om.readTree(http("GET", s"$base/job-b/workers")._2).get("workers")
+      val w1 = om.readTree(http("GET", s"$base/job-a/workers")._2).get("workers")
       assert((0 until 2).exists(i =>
         w1.get(i).get("current_line").asLong > 0))
+      // cancellation STICKS: job-b's gated runner also released and ran to
+      // its guarded completed-write, which must not overwrite 'cancelled'
+      val jbCancelled = om.readTree(http("GET", s"$base/job-b")._2)
+      assert(jbCancelled.get("status").asText == "cancelled")
     } finally admin.stop()
   }
 }
