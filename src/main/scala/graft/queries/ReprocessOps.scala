@@ -42,8 +42,13 @@ import graft.streaming.FailoverReprocessor
   * fixture writer and the ≤100-row bookkeeping are control plane. */
 object ReprocessOps {
 
-  private val Spool = "/tmp/graft_p13/spool"
+  private val Root = "/tmp/graft_p13"
+  private val Spool = s"$Root/spool"
   private val JdbcUrl = "jdbc:derby:memory:graft_p13;create=true"
+
+  private val Root14 = "/tmp/graft_p14"
+  private val Spool14 = s"$Root14/spool"
+  private val JdbcUrl14 = "jdbc:derby:memory:graft_p14;create=true"
 
   private val StreamFilter = Seq("src0", "slug1", "ghost", "src2")
   private val From = java.time.Instant.parse("2024-01-02T00:00:00Z")
@@ -62,11 +67,13 @@ object ReprocessOps {
     * keyed by event_id % 6, sorted by event_id, a malformed line after
     * every event_id % 97 == 0 event, file 4 gzipped, mtime = filename
     * timestamp + 2 days. Control-plane apparatus (like b11's spool). */
-  private def writeSpool(s: SparkSession, d: String): Map[Int, (String, Long)] = {
+  private def writeSpool(s: SparkSession, d: String,
+                         root: String = Root): Map[Int, (String, Long)] = {
+    val spool = s"$root/spool"
     val fsys = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(Spool), s.sparkContext.hadoopConfiguration)
-    fsys.delete(new org.apache.hadoop.fs.Path("/tmp/graft_p13"), true)
-    fsys.mkdirs(new org.apache.hadoop.fs.Path(Spool))
+      new java.net.URI(spool), s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(spool))
     val sample = Tables.events(s, d)
       .filter(col("event_id") % 7 === 0)
       .select(col("event_id"), col("user_id"),
@@ -79,7 +86,7 @@ object ReprocessOps {
     (0 to 5).map { k =>
       val name = s"kafka_failover_2024_01_0${k + 1}T05_00_00.ndjson" +
         (if (k == 4) ".gz" else "")
-      val path = s"$Spool/$name"
+      val path = s"$spool/$name"
       val hp = new org.apache.hadoop.fs.Path(path)
       val rawOut: java.io.OutputStream = fsys.create(hp, true)
       val out = if (k == 4) new java.util.zip.GZIPOutputStream(rawOut) else rawOut
@@ -159,12 +166,10 @@ object ReprocessOps {
     msgs(r1, "j1").unionByName(msgs(r2, "j2")).unionByName(meta)
   }
 
-  /** Exact replay from the events table: fixture derivations (file key,
-    * stream identity, malformed interleave, line numbering), the j1/j2
-    * scan legs split at the cut line, the filter/resolution matrix, batch
-    * ranks over admitted lines, and both rollups. */
-  private val p13Oracle = s"""
-    WITH smp AS MATERIALIZED (
+  /** The fixture-replay CTE prefix shared by the p13 and p14 oracles:
+    * sample → line numbering (malformed interleave) → filenames → the
+    * admitted/resolution matrix. */
+  private val FixtureCtes = s"""smp AS MATERIALIZED (
       SELECT event_id, user_id, date_trunc('second', ts) AS mc
       FROM events WHERE event_id % 7 = 0 ORDER BY event_id LIMIT 600),
     ln AS MATERIALIZED (
@@ -204,7 +209,14 @@ object ReprocessOps {
             CASE WHEN mal THEN NULL
                  WHEN ghost THEN 'ghost-slug' ELSE 'slug' || sk END AS slug
           FROM ln) l
-        JOIN names n USING (fk)) c),
+        JOIN names n USING (fk)) c)"""
+
+  /** Exact replay from the events table: fixture derivations (file key,
+    * stream identity, malformed interleave, line numbering), the j1/j2
+    * scan legs split at the cut line, the filter/resolution matrix, batch
+    * ranks over admitted lines, and both rollups. */
+  private val p13Oracle = s"""
+    WITH $FixtureCtes,
     cut AS (SELECT CAST((max(line_no) + 1) // 2 AS BIGINT) AS cl
             FROM ln WHERE fk = 3),
     j1 AS MATERIALIZED (
@@ -270,6 +282,175 @@ object ReprocessOps {
     UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2
     UNION ALL SELECT * FROM jr1 UNION ALL SELECT * FROM jr2"""
 
+  // ---- P14: the admin HTTP surface over a live job ------------------------
+
+  private lazy val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Driver-as-client HTTP with the drained Connection:close discipline
+    * (the b13/b16 lesson), returning the body for wire read-backs. */
+  private def http(method: String, url: String, body: Option[String] = None,
+                   headers: Map[String, String] = Map.empty): (Int, String) = {
+    val conn = new java.net.URI(url)
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setRequestProperty("Connection", "close")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val o = conn.getOutputStream
+      try o.write(b.getBytes(UTF_8)) finally o.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val s0 = if (is == null) "" else
+      try new String(is.readAllBytes(), UTF_8) finally is.close()
+    (code, s0)
+  }
+
+  /** P14 — the reprocessing ADMIN surface promoted to a live oracle gate
+    * (the b12–b16 pattern): everything this query emits is parsed from
+    * HTTP responses of [[graft.http.ReprocessingAdmin]], never read from
+    * Derby directly. One real job runs the data plane end-to-end (started
+    * by POST /jobs with an OFFSET-form RFC3339 date_from, completion
+    * polled over the wire); a second job is cancelled before its pod
+    * starts (the runner stand-in for the reference deleting the K8s job)
+    * and must STAY cancelled; the listing order, the per-worker rows, the
+    * config round-trip (retry_attempts/limit recorded verbatim), and both
+    * jobs' counter rollups are all oracle-recomputed from the events table
+    * alone. Scale note: the HTTP layer is control plane — the data plane
+    * behind POST is the same one-task-per-file scan p13 proves. */
+  def p14ReprocessAdmin(s: SparkSession, d: String): DataFrame = {
+    writeSpool(s, d, Root14)
+    val sink = JdbcSink(JdbcUrl14, DerbyDialect, maxWriteConnections = 4)
+    sink.withConnection { c =>
+      Seq(FailoverReprocessor.Db.WorkersTable,
+          FailoverReprocessor.Db.JobsTable).foreach { t =>
+        try sink.exec(c, s"""DROP TABLE "$t"""")
+        catch { case _: java.sql.SQLException => () }
+      }
+    }
+    var ids = List("p14a", "p14b")
+    val admin = new graft.http.ReprocessingAdmin(s, sink, Streams,
+      authToken = Some("p14-token"),
+      newId = () => { val h = ids.head; ids = ids.tail; h },
+      runner = Some((job, cfg) =>
+        if (job.id == "p14a") {
+          FailoverReprocessor.run(s, sink, job, cfg, Streams); ()
+        } else ())).start() // p14b: cancelled before its pod ever starts
+    try {
+      val api = s"http://127.0.0.1:${admin.port}/api/admin/reprocessing/jobs"
+      val tok = Map("Authorization" -> "Bearer p14-token")
+      require(http("GET", api)._1 == 401, "p14: unauthenticated GET must 401")
+
+      // date_from in offset form (+02:00 of the same instant as From):
+      // the wire accepts any RFC3339 offset like Go's time.Time
+      val startBody =
+        s"""{"local_path":"$Spool14","stream_ids":[${
+          StreamFilter.map(x => s""""$x"""").mkString(",")}],""" +
+          s""""batch_size":$BatchSize,"date_from":"2024-01-02T02:00:00+02:00",""" +
+          s""""date_to":"2024-01-12T00:00:00Z","retry_attempts":2,"limit":5}"""
+      val (pc, pb) = http("POST", api, Some(startBody), tok)
+      require(pc == 200, s"p14 POST /jobs: HTTP $pc $pb")
+      val post = om.readTree(pb)
+      require(post.get("id").asText == "p14a", "p14: unexpected job id")
+
+      // second job, cancelled while 'running' — must stick
+      require(http("POST", api,
+        Some(s"""{"local_path":"$Spool14"}"""), tok)._1 == 200)
+      require(http("POST", s"$api/p14b/cancel", Some(""), tok)._1 == 200)
+
+      // completion over the wire
+      var ja = om.readTree(http("GET", s"$api/p14a", headers = tok)._2)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (ja.get("status").asText == "running" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        ja = om.readTree(http("GET", s"$api/p14a", headers = tok)._2)
+      }
+      val workers = om.readTree(
+        http("GET", s"$api/p14a/workers", headers = tok)._2).get("workers")
+      val jc = om.readTree(http("GET", s"$api/p14b", headers = tok)._2)
+      val cworkers = om.readTree(
+        http("GET", s"$api/p14b/workers", headers = tok)._2).get("workers")
+      val list = om.readTree(http("GET", api, headers = tok)._2).get("jobs")
+
+      def jobTag(j: com.fasterxml.jackson.databind.JsonNode): String =
+        s"${j.get("status").asText}|${j.get("total_files").asLong}|" +
+          s"${j.get("total_workers").asLong}|${j.get("processed_files").asLong}|" +
+          s"${j.get("success_count").asLong}|${j.get("error_count").asLong}|" +
+          s"${j.get("skipped_count").asLong}|ts=${
+            if (j.has("started_at") && j.has("completed_at")) 1 else 0}"
+      import scala.jdk.CollectionConverters._
+      val wRows = workers.elements().asScala.map { w =>
+        Row("worker", "a", w.get("worker_index").asLong,
+          w.get("total_lines").asLong,
+          s"${w.get("status").asText}|${w.get("assigned_files").asLong}|" +
+            s"${w.get("processed_files").asLong}|${w.get("success_count").asLong}|" +
+            s"${w.get("error_count").asLong}|${w.get("skipped_count").asLong}|" +
+            s"${base(w.get("current_file").asText)}:${w.get("current_line").asLong}")
+      }.toSeq
+      val cfgEcho = post.get("config")
+      val postRow = Row("post", "a", post.get("total_workers").asLong,
+        post.get("total_files").asLong,
+        s"rt=${cfgEcho.get("retry_attempts").asLong}|" +
+          s"lim=${cfgEcho.get("limit").asLong}|" +
+          s"bs=${cfgEcho.get("batch_size").asLong}|" +
+          s"dry=${cfgEcho.get("dry_run").asBoolean}")
+      val cStatuses = cworkers.elements().asScala.map(_.get("status").asText)
+        .toSeq.distinct.sorted.mkString(",")
+      val cAssigned = cworkers.elements().asScala
+        .map(_.get("assigned_files").asLong).sum
+      val rows = wRows ++ Seq(
+        postRow,
+        Row("job", "a", ja.get("total_workers").asLong,
+          ja.get("total_lines").asLong, jobTag(ja)),
+        Row("job", "c", jc.get("total_workers").asLong,
+          jc.get("total_lines").asLong, jobTag(jc)),
+        Row("cworkers", "c", cworkers.size.toLong, cAssigned, cStatuses),
+        Row("list", "l", 0L, list.size.toLong,
+          list.elements().asScala.map(_.get("id").asText).mkString(",")))
+      val schema = StructType(Seq(
+        StructField("kind", StringType), StructField("job", StringType),
+        StructField("w", LongType), StructField("k", LongType),
+        StructField("tag", StringType)))
+      s.createDataFrame(rows.asJava, schema)
+    } finally admin.stop()
+  }
+
+  /** Wire-shape replay: worker/job rollups from the fixture CTEs (full
+    * scan, no cut — six files, one worker each), plus the constant rows
+    * the admin contract pins (config echo, cancelled job, listing order). */
+  private val p14Oracle = s"""
+    WITH $FixtureCtes,
+    wa AS (
+      SELECT 'worker' AS kind, 'a' AS job, CAST(fk AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS k,
+             'completed|1|1|'
+               || CAST(count(*) FILTER (WHERE admitted) AS BIGINT) || '|'
+               || CAST(count(*) FILTER (WHERE mal OR (admitted AND conn_ids IS NULL)) AS BIGINT) || '|'
+               || CAST(count(*) FILTER (WHERE NOT mal AND NOT admitted) AS BIGINT) || '|'
+               || fname || ':' || max(line_no) AS tag
+      FROM res GROUP BY fk, fname),
+    jra AS (
+      SELECT 'job' AS kind, 'a' AS job, CAST(6 AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS k,
+             'completed|6|6|6|'
+               || CAST(count(*) FILTER (WHERE admitted) AS BIGINT) || '|'
+               || CAST(count(*) FILTER (WHERE mal OR (admitted AND conn_ids IS NULL)) AS BIGINT) || '|'
+               || CAST(count(*) FILTER (WHERE NOT mal AND NOT admitted) AS BIGINT)
+               || '|ts=1' AS tag
+      FROM res)
+    SELECT * FROM wa
+    UNION ALL SELECT * FROM jra
+    UNION ALL SELECT 'post', 'a', CAST(6 AS BIGINT), CAST(6 AS BIGINT),
+                     'rt=2|lim=5|bs=$BatchSize|dry=false'
+    UNION ALL SELECT 'job', 'c', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+                     'cancelled|6|6|0|0|0|0|ts=1'
+    UNION ALL SELECT 'cworkers', 'c', CAST(6 AS BIGINT), CAST(6 AS BIGINT),
+                     'pending'
+    UNION ALL SELECT 'list', 'l', CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+                     'p14b,p14a'"""
+
   val qs: Map[String, Q] = Map(
-    "p13_failover_reprocess" -> Q(p13FailoverReprocess, Some(p13Oracle)))
+    "p13_failover_reprocess" -> Q(p13FailoverReprocess, Some(p13Oracle)),
+    "p14_reprocess_admin" -> Q(p14ReprocessAdmin, Some(p14Oracle)))
 }
