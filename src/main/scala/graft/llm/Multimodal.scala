@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream "cache" is DISK-backed (FileCacheImage*Stream):
+  // with it on, every in-memory encode/decode round-trips a temp file —
+  // filesystem churn that throttles the tens of thousands of tiny codec
+  // calls the real-media queries make per pass. Every payload here is an
+  // in-memory byte array, so the cache buys nothing; class-init flips it
+  // off once per JVM (executors included — the object loads wherever its
+  // codecs run).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media payload: bytes + typed metadata. */
   final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
 
