@@ -82,7 +82,7 @@ object ReprocessOps {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val byFile = sample.groupBy(_._1 % 6)
     require(byFile.size == 6 && byFile.values.forall(_.length >= 8),
-      s"p13 fixture: event_id %6 cells missing/thin (${byFile.view.mapValues(_.length).toMap})")
+      s"$root fixture: event_id %6 cells missing/thin (${byFile.view.mapValues(_.length).toMap})")
     (0 to 5).map { k =>
       val name = s"kafka_failover_2024_01_0${k + 1}T05_00_00.ndjson" +
         (if (k == 4) ".gz" else "")
@@ -286,26 +286,12 @@ object ReprocessOps {
 
   private lazy val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Driver-as-client HTTP with the drained Connection:close discipline
-    * (the b13/b16 lesson), returning the body for wire read-backs. */
+  /** Driver-as-client HTTP with the drained Connection:close discipline —
+    * the ONE shared implementation ([[StreamOps.httpCall]], where the
+    * measured keep-alive-stall rationale lives). */
   private def http(method: String, url: String, body: Option[String] = None,
-                   headers: Map[String, String] = Map.empty): (Int, String) = {
-    val conn = new java.net.URI(url)
-      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod(method)
-    conn.setRequestProperty("Connection", "close")
-    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    body.foreach { b =>
-      conn.setDoOutput(true)
-      val o = conn.getOutputStream
-      try o.write(b.getBytes(UTF_8)) finally o.close()
-    }
-    val code = conn.getResponseCode
-    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val s0 = if (is == null) "" else
-      try new String(is.readAllBytes(), UTF_8) finally is.close()
-    (code, s0)
-  }
+                   headers: Map[String, String] = Map.empty): (Int, String) =
+    StreamOps.httpCall(method, url, body, headers)
 
   /** P14 — the reprocessing ADMIN surface promoted to a live oracle gate
     * (the b12–b16 pattern): everything this query emits is parsed from
@@ -365,6 +351,14 @@ object ReprocessOps {
       while (ja.get("status").asText == "running" && System.nanoTime() < deadline) {
         Thread.sleep(100)
         ja = om.readTree(http("GET", s"$api/p14a", headers = tok)._2)
+      }
+      if (ja.get("status").asText == "running") {
+        // fail LOUDLY and stop the data plane: a silent fall-through would
+        // emit mid-flight rows (a phantom oracle mismatch) and leak the
+        // runner's Spark jobs into the next query's measurement
+        http("POST", s"$api/p14a/cancel", Some(""), tok)
+        throw new IllegalStateException(
+          "p14: job p14a still running after 120s — host stall; cancelled")
       }
       val workers = om.readTree(
         http("GET", s"$api/p14a/workers", headers = tok)._2).get("workers")

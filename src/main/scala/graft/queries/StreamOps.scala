@@ -34,6 +34,37 @@ object StreamOps {
   private def rmrf(s: SparkSession, path: String): Unit =
     fs(s, path).delete(new Path(path), true)
 
+  /** ONE driver-as-client HTTP call, shared by every live-wire gate
+    * (the b*-ingest loops here and p14's admin read-backs): one fresh
+    * connection per request, closed by the server — keep-alive reuse
+    * against the JDK HttpServer stalls ~44 ms/request on every DRAINED
+    * 2xx (delayed-ACK interaction, measured in isolation and as a
+    * 4 s → 342 s b16 bench blowup); Connection: close restores the
+    * 1.4 ms/request path while still draining, and the failure path
+    * cannot leak a half-read connection either. Returns (code, body). */
+  private[queries] def httpCall(method: String, url: String,
+                                body: Option[String] = None,
+                                headers: Map[String, String] = Map.empty)
+      : (Int, String) = {
+    val conn = new java.net.URI(url)
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setRequestProperty("Connection", "close")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(b.getBytes("UTF-8")) finally out.close()
+    }
+    val code = conn.getResponseCode
+    val text = try {
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (in == null) "" else
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.IOException => conn.disconnect(); "" }
+    (code, text)
+  }
+
   /** One driver-as-client POST against a live edge fixture — the shared
     * shape of every b*-ingest scenario loop. Fails with the URL and code
     * when the response is not in `expect`; returns the code so soft/hard
@@ -41,24 +72,7 @@ object StreamOps {
   private def httpPost(url: String, body: String,
                        headers: Map[String, String] = Map.empty,
                        expect: Set[Int] = Set(200)): Int = {
-    val conn = new java.net.URI(url)
-      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST"); conn.setDoOutput(true)
-    // one fresh connection per post, closed by the server: keep-alive
-    // reuse against the JDK HttpServer stalls ~44 ms/request on every
-    // DRAINED 2xx (delayed-ACK interaction, measured in isolation and as
-    // a 4 s → 342 s b16 bench blowup) — Connection: close restores the
-    // 1.4 ms/request path while still draining, so the failure path
-    // cannot leak a half-read connection either
-    conn.setRequestProperty("Connection", "close")
-    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    val out = conn.getOutputStream
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val code = conn.getResponseCode
-    try {
-      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      if (in != null) try { in.readAllBytes(); () } finally in.close()
-    } catch { case _: java.io.IOException => conn.disconnect() }
+    val (code, _) = httpCall("POST", url, Some(body), headers)
     require(expect.contains(code), s"POST $url: unexpected HTTP $code")
     code
   }
