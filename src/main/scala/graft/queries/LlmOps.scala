@@ -3178,9 +3178,17 @@ object LlmOps {
       Multimodal.AviMjpeg.encodeRawGray((0 until VdFrames).map(f =>
         cycledRaster(bytes, n, offset = VdOff * f)), MmFrameW, MmFrameH)
     }
+    videoDedupFromFrameHashes(Multimodal.videoFrameHashes(media, MmBits).toDF())
+  }
+
+  /** The band+verify pipeline over an already-computed per-frame hash
+    * frame (doc_id, frame_idx, fhash) — split out so the skew-stress spec
+    * can drive it with a planted hot clique, mirroring
+    * [[mmDedupFromHashes]]. */
+  private[queries] def videoDedupFromFrameHashes(fh0: DataFrame): DataFrame = {
     // consumers: band build + both verify-join sides — persist (self-join
     // sides don't reuse exchanges; without this the demux runs per side)
-    val fh = Multimodal.videoFrameHashes(media, MmBits).toDF().persist()
+    val fh = fh0.select("doc_id", "frame_idx", "fhash").persist()
     val bands0 = fh.select(col("doc_id"), col("frame_idx"),
         explode(array((0 until MmBands).map(b =>
           struct(lit(b).as("band"),

@@ -77,4 +77,29 @@ class SkewStressSpec extends SparkSuite {
     assert(LlmOps.prefixJoinPairs(corpus).count() == 0L)
     pref.unpersist(); sh.unpersist()
   }
+
+  test("video band cap: a hot frame-fingerprint clique generates ZERO candidates") {
+    // 150 videos of identical content (every frame hashes to the same 48
+    // bits — the video analogue of the boilerplate clique: an intro card,
+    // a station ident) would naively generate C(150,2) x 4 frames x 4
+    // bands candidate rows; with df=150 > the 100-key band cap every band
+    // bucket is dropped before the self-join
+    def fleet(n: Int, hash: Long, base: Long) =
+      (0 until n).flatMap(i => (0 until 4).map(f =>
+        (base + i, f.toLong, hash)))
+    val hot = fleet(150, 0x0000123456789L, 0L)
+    // plus a small genuine near-dup group under the cap: 3 videos whose
+    // frame hashes flip one distinct low bit each (pairwise Hamming 2 <= 6
+    // on every frame; bands 1-3 stay identical, so candidates surface)
+    val near = (0 until 3).flatMap(i => (0 until 4).map(f =>
+      (9000L + i, f.toLong, 0x7770000000000L ^ (1L << i))))
+    val fh = (hot ++ near).toDF("doc_id", "frame_idx", "fhash")
+    val out = LlmOps.videoDedupFromFrameHashes(fh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the clique contributes nothing; the under-cap trio pairs fully with
+    // all 4 frames agreeing
+    assert(out.forall(_._1 >= 9000L), s"hot-clique pair leaked: ${out.take(3).toSeq}")
+    assert(out.toSet == Set((9000L, 9001L, 4L), (9000L, 9002L, 4L),
+      (9001L, 9002L, 4L)), s"unexpected pairs: ${out.toSeq}")
+  }
 }
