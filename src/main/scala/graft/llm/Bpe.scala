@@ -129,8 +129,10 @@ object Bpe {
     * what `java.lang.String.compareTo` does NOT: UTF-16 ranks surrogates
     * (U+D800+) below U+E000..U+FFFF, so a supplementary-vs-BMP tie-break
     * would pick different merge winners on the driver than on the engines.
-    * The driver trainer breaks ties through this instead. */
-  private[llm] def cpCompare(a: String, b: String): Int = {
+    * The driver trainer breaks ties through this instead (and any other
+    * driver-side path that must agree with an engine ORDER BY — e.g. the
+    * failover reprocessor's file ordering). */
+  private[graft] def cpCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

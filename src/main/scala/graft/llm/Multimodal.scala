@@ -864,29 +864,39 @@ object Multimodal {
 
   final case class SpectralRow(doc_id: Long, w: Long, bin: Long, energy: Long)
 
+  /** Per-window integer-DFT bin energies `re² + im²` over centered samples
+    * (s − 128), correlated against [[SpectralTable]] — all integers (|re| ≤
+    * 128·2^15·32 = 2^27, energy ≤ 2^55). The ONE energy computation both
+    * [[spectral]] and [[audioFingerprint]] derive from: a change to the
+    * window/quantization contract lands in both oracle families or
+    * neither. */
+  private def binEnergies(pcm: Array[Byte]): Array[Array[Long]] = {
+    import SpectralTable._
+    require(pcm.length % N == 0, s"PCM length ${pcm.length} not a window multiple")
+    val nw = pcm.length / N
+    Array.tabulate(nw, K) { (w, k) =>
+      var re = 0L; var im = 0L
+      var n = 0
+      while (n < N) {
+        val c = (pcm(w * N + n) & 0xff) - 128L
+        re += c * cosQ(k)(n); im += c * sinQ(k)(n)
+        n += 1
+      }
+      re * re + im * im
+    }
+  }
+
   /** Spectral features from decoded PCM: per 32-sample window, the first 8
-    * integer-DFT bin energies `re² + im²` over centered samples (s − 128),
-    * correlated against [[SpectralTable]] — all integers (|re| ≤
-    * 128·2^15·32 = 2^27, energy ≤ 2^55). One decode + one narrow pass per
-    * document, no shuffle. */
+    * integer-DFT bin energies ([[binEnergies]]). One decode + one narrow
+    * pass per document, no shuffle. */
   def spectral(media: Dataset[MediaRow]): Dataset[SpectralRow] = {
     import media.sparkSession.implicits._
     import SpectralTable._
     media.flatMap { r =>
       val (_, _, pcm) = WavCodec.decode(r.media)
-      require(pcm.length % N == 0, s"PCM length ${pcm.length} not a window multiple")
-      val nw = pcm.length / N
-      (0 until nw).flatMap { w =>
-        (0 until K).map { k =>
-          var re = 0L; var im = 0L
-          var n = 0
-          while (n < N) {
-            val c = (pcm(w * N + n) & 0xff) - 128L
-            re += c * cosQ(k)(n); im += c * sinQ(k)(n)
-            n += 1
-          }
-          SpectralRow(r.doc_id, w.toLong, k.toLong, re * re + im * im)
-        }
+      val e = binEnergies(pcm)
+      (0 until e.length).flatMap { w =>
+        (0 until K).map(k => SpectralRow(r.doc_id, w.toLong, k.toLong, e(w)(k)))
       }
     }
   }
@@ -904,25 +914,8 @@ object Multimodal {
     import SpectralTable._
     media.map { r =>
       val (_, _, pcm) = WavCodec.decode(r.media)
-      require(pcm.length % N == 0, s"PCM length ${pcm.length} not a window multiple")
-      val nw = pcm.length / N
-      val e = Array.ofDim[Long](nw, K)
-      var w = 0
-      while (w < nw) {
-        var k = 0
-        while (k < K) {
-          var re = 0L; var im = 0L
-          var n = 0
-          while (n < N) {
-            val c = (pcm(w * N + n) & 0xff) - 128L
-            re += c * cosQ(k)(n); im += c * sinQ(k)(n)
-            n += 1
-          }
-          e(w)(k) = re * re + im * im
-          k += 1
-        }
-        w += 1
-      }
+      val e = binEnergies(pcm)
+      val nw = e.length
       var fp = 0L
       var i = 0
       for (ww <- 1 until nw; k <- 1 until K) {

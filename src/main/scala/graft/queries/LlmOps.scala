@@ -3042,6 +3042,7 @@ object LlmOps {
   private val FpBands = 7
   private val FpBandBits = 7
   private val FpHamT = 10L
+  private val FpBandCap = 100L // a 7-bit band key shared by > this many docs carries no signal
 
   private def audioMedia(s: SparkSession, d: String) =
     textBytesMedia(s, d, "audio/wav")(bytes =>
@@ -3090,17 +3091,31 @@ object LlmOps {
     * 49 sign-of-second-difference bits over the spectral energies
     * ([[Multimodal.audioFingerprint]]), then the SimHash-style scale path —
     * split into ${7} 7-bit bands, candidates = docs sharing any exact band
-    * (equality bucket join, never an all-pairs product), survivors by
+    * (equality bucket join, never an all-pairs product) with over-hot band
+    * keys dropped via a broadcast anti-join (df > $FpBandCap — a 7-bit key
+    * that a large fraction of the corpus shares is boilerplate, not
+    * signal, exactly the image/video band-cap discipline), survivors by
     * Hamming ≤ ${10}. Output = every fingerprint (kind 'fp') plus the
     * surviving pairs (kind 'pair'). The oracle replays PCM → integer DFT →
-    * bit packing → banding → Hamming from the text alone. */
-  def mmAudioFpDedup(s: SparkSession, d: String): DataFrame = {
-    val fps = Multimodal.audioFingerprint(audioMedia(s, d)).toDF()
+    * bit packing → banding → the same df cap → Hamming from the text
+    * alone. */
+  def mmAudioFpDedup(s: SparkSession, d: String): DataFrame =
+    audioFpDedupFromFps(
+      Multimodal.audioFingerprint(audioMedia(s, d)).toDF())
+
+  /** The band+verify pipeline over already-computed fingerprints
+    * (doc_id, fp) — split out so the skew-stress spec can drive it with a
+    * planted hot clique, mirroring [[videoDedupFromFrameHashes]]. */
+  private[queries] def audioFpDedupFromFps(fps0: DataFrame): DataFrame = {
+    val fps = fps0.select("doc_id", "fp")
       .persist() // consumers: fp output, band build, both pair-side joins
-    val bands = fps.select(col("doc_id"), col("fp"),
+    val bands0 = fps.select(col("doc_id"), col("fp"),
         explode(typedLit((0 until FpBands).toList)).as("b"))
       .select(col("doc_id"), col("b"),
         expr(s"shiftright(fp, b * $FpBandBits) & ${(1 << FpBandBits) - 1}").as("bb"))
+    val hot = bands0.groupBy("b", "bb").agg(count(lit(1)).as("df"))
+      .filter(col("df") > FpBandCap).select("b", "bb")
+    val bands = bands0.join(broadcast(hot), Seq("b", "bb"), "left_anti")
       .persist() // self-joined: without this the fingerprint pass runs per side
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bb") === col("y.bb") &&
@@ -3134,9 +3149,14 @@ object LlmOps {
       JOIN eng pwk ON pwk.doc_id = a.doc_id AND pwk.w = a.w - 1 AND pwk.k = a.k - 1
       WHERE a.w >= 1 AND a.k >= 1
       GROUP BY 1),
-    bands AS MATERIALIZED (
+    bands0 AS (
       SELECT doc_id, b, (fp >> (b * $FpBandBits)::INT) & ${(1 << FpBandBits) - 1} AS bb
       FROM fps, LATERAL UNNEST(generate_series(0, ${FpBands - 1})) AS ub(b)),
+    bands AS MATERIALIZED (
+      SELECT doc_id, b, bb FROM (
+        SELECT doc_id, b, bb, count(*) OVER (PARTITION BY b, bb) AS df
+        FROM bands0) t
+      WHERE df <= $FpBandCap),
     cand AS (
       SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
       FROM bands x JOIN bands y ON y.b = x.b AND y.bb = x.bb

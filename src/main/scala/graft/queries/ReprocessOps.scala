@@ -380,7 +380,10 @@ object ReprocessOps {
           s"${w.get("status").asText}|${w.get("assigned_files").asLong}|" +
             s"${w.get("processed_files").asLong}|${w.get("success_count").asLong}|" +
             s"${w.get("error_count").asLong}|${w.get("skipped_count").asLong}|" +
-            s"${base(w.get("current_file").asText)}:${w.get("current_line").asLong}")
+            // workerJson omits current_file for a zero-progress cursor —
+            // read it through Option so an empty worker parses, not NPEs
+            s"${base(Option(w.get("current_file")).fold("")(_.asText))}:${
+              w.get("current_line").asLong}")
       }.toSeq
       val cfgEcho = post.get("config")
       val postRow = Row("post", "a", post.get("total_workers").asLong,

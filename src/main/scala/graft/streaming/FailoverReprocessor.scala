@@ -108,7 +108,10 @@ object FailoverReprocessor {
       if (s.endsWith(".ndjson") || s.endsWith(".ndjson.gz"))
         out += FileItem(s, st.getLen, st.getModificationTime)
     }
-    out.result().sortBy(_.path)
+    // CODE-POINT order, not String's UTF-16 order: worker assignment
+    // (file_idx % nW) and the resume cut must agree with any SQL replay
+    // of ORDER BY path on supplementary-char filenames (see Bpe.cpCompare)
+    out.result().sortWith((a, b) => graft.llm.Bpe.cpCompare(a.path, b.path) < 0)
   }
 
   /** Date-range overlap filter (failover_reprocessor.go:642-673): a file
@@ -149,7 +152,8 @@ object FailoverReprocessor {
     var fs = listFiles(spark, cfg.path)
     fs = filterByDateRange(fs, cfg.dateFrom, cfg.dateTo)
     fs = filterByList(fs, cfg.files)
-    if (cfg.startFile.nonEmpty) fs = fs.filter(_.path >= cfg.startFile)
+    if (cfg.startFile.nonEmpty)
+      fs = fs.filter(f => graft.llm.Bpe.cpCompare(f.path, cfg.startFile) >= 0)
     fs
   }
 
@@ -165,7 +169,7 @@ object FailoverReprocessor {
         try sink.exec(c, ddl)
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       ensure(s"""CREATE TABLE "$JobsTable" (
-        id VARCHAR(64) PRIMARY KEY, config VARCHAR(4096) NOT NULL,
+        id VARCHAR(64) PRIMARY KEY, config VARCHAR(32672) NOT NULL,
         status VARCHAR(32) NOT NULL, created_at TIMESTAMP NOT NULL,
         started_at TIMESTAMP, completed_at TIMESTAMP,
         total_files INT DEFAULT 0, total_workers INT DEFAULT 0,
@@ -183,6 +187,12 @@ object FailoverReprocessor {
 
     def insertJob(sink: JdbcSink, id: String, config: String, totalFiles: Int,
                   totalWorkers: Int): Unit = sink.withConnection { c =>
+      // the column is Derby's VARCHAR ceiling (the read-back GROUP BYs it,
+      // which a CLOB can't); diagnose an oversize explicit-file-list config
+      // instead of surfacing Derby's opaque 22001 truncation error
+      require(config.length <= 32672,
+        s"job config JSON is ${config.length} chars (max 32672) — " +
+          "trim the explicit files list or use start_file/date filters")
       val ps = c.prepareStatement(s"""INSERT INTO "$JobsTable"
         (id, config, status, created_at, total_files, total_workers)
         VALUES (?, ?, 'pending', CURRENT_TIMESTAMP, ?, ?)""")
@@ -559,12 +569,16 @@ object FailoverReprocessor {
       .withColumn("mc", to_timestamp(col("msg.messageCreated"),
         "yyyy-MM-dd'T'HH:mm:ssXXX"))
     // stream_ids filter (main.go:451-471): matches sourceId OR slug; a
-    // message with no origin fails the filter when one is configured
+    // message with no origin — or one whose present field misses while the
+    // other field is absent (isin(NULL) is NULL, not false) — fails the
+    // filter when one is configured, landing in `skipped` like the
+    // reference, never in a three-valued-logic hole that no counter sees
     val streamPass =
       if (idFilter.isEmpty) lit(true)
-      else (col("msg.origin.sourceId").isin(idFilter: _*) ||
-        col("msg.origin.slug").isin(idFilter: _*)) &&
-        col("msg.origin").isNotNull
+      else coalesce(
+        (col("msg.origin.sourceId").isin(idFilter: _*) ||
+          col("msg.origin.slug").isin(idFilter: _*)) &&
+          col("msg.origin").isNotNull, lit(false))
     val datePass =
       fromS.map(f => col("mc").isNull || col("mc") >= lit(f)).getOrElse(lit(true)) &&
         toS.map(t => col("mc").isNull || col("mc") <= lit(t)).getOrElse(lit(true))

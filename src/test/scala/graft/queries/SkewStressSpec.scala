@@ -102,4 +102,23 @@ class SkewStressSpec extends SparkSuite {
     assert(out.toSet == Set((9000L, 9001L, 4L), (9000L, 9002L, 4L),
       (9001L, 9002L, 4L)), s"unexpected pairs: ${out.toSeq}")
   }
+
+  test("audio band cap: a hot audio-fingerprint clique generates ZERO candidates") {
+    // 150 identical 49-bit audio fingerprints (re-encodes of one jingle —
+    // the audio boilerplate clique) would naively generate C(150,2) x 7
+    // bands candidate rows; with df=150 > the 100-doc band cap every band
+    // bucket of the clique drops before the self-join. The 7-bit band keys
+    // make this cap load-bearing: only 128 keys exist per band, so at
+    // corpus scale EVERY bucket of a naive join is quadratic.
+    val hot = (0 until 150).map(i => (i.toLong, 0x1A2B3C4D5E6FL))
+    // plus a genuine near-dup trio under the cap: one distinct low bit
+    // flipped each (pairwise Hamming 2 <= 10; bands 1-6 stay identical)
+    val near = (0 until 3).map(i => (9000L + i, 0x0F0F0F0F0F0F0L ^ (1L << i)))
+    val out = LlmOps.audioFpDedupFromFps((hot ++ near).toDF("doc_id", "fp"))
+      .filter(col("kind") === "pair")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._1 >= 9000L), s"hot-clique pair leaked: ${out.take(3).toSeq}")
+    assert(out.toSet == Set((9000L, 9001L, 2L), (9000L, 9002L, 2L),
+      (9001L, 9002L, 2L)), s"unexpected pairs: ${out.toSeq}")
+  }
 }
