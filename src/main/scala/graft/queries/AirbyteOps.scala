@@ -197,6 +197,197 @@ object AirbyteOps {
       'dev.flaky_inc={"c":' || (SELECT MAX(event_id) FROM s1 WHERE event_id % 2 = 0) || '}'
     UNION ALL SELECT 'run', NULL, NULL, 'PARTIAL'"""
 
+  // ======================================================================
+  // S8 — the Firebase connector data plane (connectors/firebase/firebase.go)
+  // LIVE end-to-end: graft.sources.Firebase plays the connector over a
+  // deterministic Firestore/Auth fixture derived from part/lineitem/customer,
+  // its protocol lines run through the SAME AirbyteRunner as s6, and the
+  // output is the union of the landed warehouse tables + the runner rollup —
+  // all oracle-recomputed from parquet. Exercised semantics: ID-ordered
+  // pagination (batchSize=7 forces ~40 page restarts), LatLng→dotted-key
+  // flattening (landed as location_latitude/location_longitude), nested-map
+  // recursion (meta_size), subcollection JSON-array-string embedding with
+  // Go's sorted-key marshal, the auth-user mapping with the millis/1000
+  // seconds-precision timestamp quirk (landed as Derby TIMESTAMPs via the
+  // engine's sniff), nil provider slice → SQL NULL, and the final LEGACY
+  // state saved under _LEGACY_STATE.
+
+  private val S8NowMs = 1754003456789L
+
+  def s8FirebaseSync(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Firebase
+    val sink = JdbcSink("jdbc:derby:memory:graft_s8;create=true", DerbyDialect,
+      maxWriteConnections = 4)
+    Seq("FB_FIRESTORE_PRODUCTS", "FB_AUTH_USERS").foreach { t =>
+      try sink.withConnection(sink.exec(_, s"""DROP TABLE "$t""""))
+      catch { case _: java.sql.SQLException => () }
+    }
+
+    // FIXED-COUNT caps (the r15 b8/b13 precedent): fixture cost is constant
+    // at every SF. Quantization happens IN SPARK with the house floor rule.
+    val parts = Tables.part(s, d).filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size").cast(LongType).as("psize"),
+        floor(col("p_retailprice") * 100 + 0.5).cast(LongType).as("cents"))
+      .orderBy(col("p_partkey")).limit(294)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val partKeys = parts.map(_._1)
+    val ships = Tables.lineitem(s, d)
+      .filter(col("l_partkey").isin(partKeys.map(Long.box): _*))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber").cast(LongType),
+        floor(col("l_quantity") * 100 + 0.5).cast(LongType).as("qty_q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(t => (t._2, t._3)).toSeq).toMap
+    val users = Tables.customer(s, d).filter(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")).limit(400)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    require(parts.nonEmpty && users.nonEmpty,
+      s"s8 fixture sampling empty (|parts|=${parts.length} |users|=${users.length}): " +
+        "testdata key distribution no longer covers %7/%11")
+
+    val docs = parts.map { case (pk, name, brand, ptype, psize, cents) =>
+      Firebase.Doc(
+        id = f"p$pk%07d",
+        data = Map(
+          "name" -> name, "brand" -> brand, "ptype" -> ptype,
+          "retail_cents" -> cents,
+          "location" -> Firebase.LatLng((pk % 180 - 90) + 0.25, (pk % 360 - 180) + 0.5),
+          "meta" -> Map("size" -> psize)),
+        subcollections = Seq("shipments" ->
+          ships.getOrElse(pk, Seq.empty).map { case (_, ok, ln, q) =>
+            Map[String, Any]("line" -> ln, "order" -> ok, "qty_q" -> q)
+          }))
+    }
+    val authUsers = users.map { case (ck, name) =>
+      val created = 1500000000000L + ck * 3600000L + ck % 997
+      val login = created + ck * 720000L + 500
+      Firebase.AuthUser(
+        uid = s"u$ck", email = s"c$ck@example.test", displayName = name,
+        phoneNumber = "+1-555-" + f"$ck%06d",
+        photoUrl = s"https://img.example.test/u$ck",
+        providerIds = (ck % 3) match {
+          case 0 => Seq("password", "google.com")
+          case 1 => Seq("password")
+          case _ => null
+        },
+        disabled = ck % 5 == 0,
+        creationTimestampMs = created,
+        lastLogInTimestampMs = login,
+        lastRefreshTimestampMs = login + (ck % 24) * 60000L + 999)
+    }
+    val store = new Firebase.FixtureStore(Seq("products" -> docs.toSeq), authUsers.toSeq)
+
+    val engine = new Engine(s, sink)
+    val catalog = Airbyte.parseCatalog(Firebase.configuredCatalogJson(store))
+    val runner = new AirbyteRunner(engine, catalog,
+      AirbyteRunner.Config(tableNamePrefix = "fb_${SOURCE_NAMESPACE}_",
+        packageName = "airbyte/source-firebase"))
+    val result = runner.run(
+      Firebase.read(store, catalog, S8NowMs, batchSize = 7))
+
+    def readBack(table: String) =
+      s.read.jdbc(sink.url, s"\"$table\"", new java.util.Properties())
+    val prod = readBack("FB_FIRESTORE_PRODUCTS")
+    val usr = readBack("FB_AUTH_USERS")
+    val prodRows = prod.select(lit("prod").as("src"), col("ID").as("k"),
+      col("NAME").as("s1"), col("BRAND").as("s2"),
+      col("RETAIL_CENTS").as("n1"), col("META_SIZE").as("n2"),
+      col("SHIPMENTS").as("js"))
+    val geoRows = prod.select(lit("geo").as("src"), col("ID").as("k"),
+      col("PTYPE").as("s1"), lit(null).cast(StringType).as("s2"),
+      floor(col("LOCATION_LATITUDE") * 100 + 0.5).cast(LongType).as("n1"),
+      floor(col("LOCATION_LONGITUDE") * 100 + 0.5).cast(LongType).as("n2"),
+      lit(null).cast(StringType).as("js"))
+    val userRows = usr.select(lit("user").as("src"), col("UID").as("k"),
+      col("EMAIL").as("s1"), col("NAME").as("s2"),
+      when(col("DISABLED"), 1L).otherwise(0L).as("n1"),
+      unix_timestamp(col("CREATED_AT")).as("n2"),
+      col("SIGN_IN_METHODS").as("js"))
+    val userMetaRows = usr.select(lit("user_meta").as("src"), col("UID").as("k"),
+      col("PHONE").as("s1"), col("PHOTO_URL").as("s2"),
+      unix_timestamp(col("LAST_LOGIN")).as("n1"),
+      unix_timestamp(col("LAST_REFRESH")).as("n2"),
+      lit(null).cast(StringType).as("js"))
+
+    val metaSchema = StructType(Seq(
+      StructField("src", StringType), StructField("k", StringType),
+      StructField("s1", StringType, nullable = true),
+      StructField("s2", StringType, nullable = true),
+      StructField("n1", LongType, nullable = true),
+      StructField("n2", LongType, nullable = true),
+      StructField("js", StringType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    val metaRows: Seq[Row] =
+      result.streams.map(sr =>
+        Row("status", sr.stream, sr.status, null, sr.events, null, null)) ++
+      result.states.map { case (k, v) => Row("state", k, null, null, null, null, v) } :+
+      Row("run", result.status, null, null, null, null, null)
+    val meta = s.createDataFrame(metaRows.asJava, metaSchema)
+    prodRows.unionByName(geoRows).unionByName(userRows)
+      .unionByName(userMetaRows).unionByName(meta)
+  }
+
+  private val s8Oracle = s"""
+    WITH p AS (
+      SELECT p_partkey AS pk, p_name AS name, p_brand AS brand, p_type AS ptype,
+             CAST(p_size AS BIGINT) AS psize,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey LIMIT 294),
+    ship AS (
+      SELECT l_partkey AS pk,
+             '[' || string_agg('{"line":' || CAST(l_linenumber AS BIGINT)
+               || ',"order":' || l_orderkey || ',"qty_q":'
+               || CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) || '}',
+               ',' ORDER BY l_orderkey, l_linenumber) || ']' AS js
+      FROM lineitem JOIN p ON p.pk = l_partkey GROUP BY l_partkey),
+    u AS (
+      SELECT c_custkey AS ck, c_name AS name,
+             1500000000000 + c_custkey * 3600000 + c_custkey % 997 AS created_ms,
+             1500000000000 + c_custkey * 3600000 + c_custkey % 997
+               + c_custkey * 720000 + 500 AS login_ms
+      FROM customer WHERE c_custkey % 11 = 0 ORDER BY c_custkey LIMIT 400)
+    SELECT 'prod' AS src, 'p' || lpad(CAST(pk AS VARCHAR), 7, '0') AS k,
+           name AS s1, brand AS s2, cents AS n1, psize AS n2,
+           COALESCE(js, '[]') AS js
+    FROM p LEFT JOIN ship USING (pk)
+    UNION ALL
+    SELECT 'geo', 'p' || lpad(CAST(pk AS VARCHAR), 7, '0'), ptype, NULL,
+           (pk % 180 - 90) * 100 + 25, (pk % 360 - 180) * 100 + 50, NULL
+    FROM p
+    UNION ALL
+    SELECT 'user', 'u' || CAST(ck AS VARCHAR),
+           'c' || CAST(ck AS VARCHAR) || '@example.test', name,
+           CASE WHEN ck % 5 = 0 THEN 1 ELSE 0 END,
+           created_ms // 1000,
+           CASE CAST(ck % 3 AS INTEGER)
+             WHEN 0 THEN '["password","google.com"]'
+             WHEN 1 THEN '["password"]' ELSE NULL END
+    FROM u
+    UNION ALL
+    SELECT 'user_meta', 'u' || CAST(ck AS VARCHAR),
+           '+1-555-' || lpad(CAST(ck AS VARCHAR), 6, '0'),
+           'https://img.example.test/u' || CAST(ck AS VARCHAR),
+           login_ms // 1000,
+           (login_ms + (ck % 24) * 60000 + 999) // 1000, NULL
+    FROM u
+    UNION ALL
+    SELECT 'status', 'firestore.products', 'SUCCESS', NULL,
+           (SELECT COUNT(*) FROM p), NULL, NULL
+    UNION ALL
+    SELECT 'status', 'auth.users', 'SUCCESS', NULL,
+           (SELECT COUNT(*) FROM u), NULL, NULL
+    UNION ALL
+    SELECT 'state', '_LEGACY_STATE', NULL, NULL, NULL, NULL,
+           '{"timestamp":$S8NowMs}'
+    UNION ALL
+    SELECT 'run', 'SUCCESS', NULL, NULL, NULL, NULL, NULL"""
+
   val qs: Map[String, Q] = Map(
-    "s6_airbyte_sync" -> Q(s6AirbyteSync, Some(s6Oracle)))
+    "s6_airbyte_sync" -> Q(s6AirbyteSync, Some(s6Oracle)),
+    "s8_firebase_sync" -> Q(s8FirebaseSync, Some(s8Oracle)))
 }
