@@ -979,17 +979,26 @@ object SketchOps {
         .reduce(_ + _) // ≤ D·(2F)² < 2^38: exact
       val sig = greatest(lit(0L),
         least(lit(SgnsF.toLong), lit(SgnsF / 2L) + truncDiv(rawDot, SgnsSigDen)))
+      // ONE fused pass (the WordPiece-trainer precedent): the (tag, j)
+      // plane explodes from a 2·D-element literal, so the former
+      // legU/legV union — whose arms each re-scanned `samples` and
+      // re-evaluated the sigmoid — collapses into a single scan with `e`
+      // an attribute BELOW the Generate (computed once per sample row).
+      // DECIMAL sums are order-independent, so the gradients stay
+      // bit-identical to the two-leg form the oracle replays.
       val ex = samples
         .withColumn("e", sig - when(col("lbl") === 1, SgnsF.toLong).otherwise(0L))
         .select(col("c"), col("t"), col("sw"), col("e"),
-          explode(typedLit((0 until D).toList)).as("j"))
-      val legU = ex.select(lit("u").as("tag"), col("c").as("vid"), col("j"),
-        (col("sw").cast(dec) * col("e") * vAt(col("t"), col("j"))).as("g"),
-        col("sw"))
-      val legV = ex.select(lit("v").as("tag"), col("t").as("vid"), col("j"),
-        (col("sw").cast(dec) * col("e") * uAt(col("c"), col("j"))).as("g"),
-        col("sw"))
-      val grads = legU.unionByName(legV)
+          explode(typedLit(
+            (0 until D).flatMap(j => Seq(("u", j), ("v", j))).toList)).as("tj"))
+      val grads = ex.select(
+          col("tj._1").as("tag"),
+          when(col("tj._1") === "u", col("c")).otherwise(col("t")).as("vid"),
+          col("tj._2").as("j"),
+          (col("sw").cast(dec) * col("e") *
+            when(col("tj._1") === "u", vAt(col("t"), col("tj._2")))
+              .otherwise(uAt(col("c"), col("tj._2")))).as("g"),
+          col("sw"))
         .groupBy("tag", "vid", "j")
         .agg(sum("g").as("g"), sum(col("sw").cast(dec)).as("ws"))
         .collect() // ≤ 2·V·D control-plane rows
