@@ -118,15 +118,8 @@ object Firebase {
     }
   }
 
-  private def cpCompare(a: String, b: String): Int = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
-      if (ca != cb) return java.lang.Integer.compare(ca, cb)
-      i += Character.charCount(ca)
-    }
-    java.lang.Integer.compare(a.length, b.length)
-  }
+  /** the house code-point comparator (UTF-8 order, see CLAUDE.md) */
+  private def cpCompare(a: String, b: String): Int = graft.llm.Bpe.cpCompare(a, b)
 
   // ------------------------------------------------------- JSON rendering
 
@@ -148,7 +141,10 @@ object Firebase {
       else d.toString
     case m: Map[_, _] => jsonObj(m.asInstanceOf[Map[String, Any]])
     case xs: Seq[_] => xs.map(jsonValue).mkString("[", ",", "]")
-    case other => jstr(String.valueOf(other))
+    case other => // fail loudly at the source: a silent stringification
+      // would surface much later as a confusing landed-column-type diff
+      throw new IllegalArgumentException(
+        s"unsupported connector value type: ${other.getClass.getName}")
   }
 
   /** Go `json.Marshal(map[string]any)`: keys in sorted order. */
@@ -286,7 +282,7 @@ object Firebase {
         "uid" -> u.uid,
         "phone" -> u.phoneNumber,
         "photo_url" -> u.photoUrl,
-        "sign_in_methods" -> (if (u.providerIds == null) null else u.providerIds),
+        "sign_in_methods" -> u.providerIds, // nil slice → null via jsonValue
         "disabled" -> u.disabled,
         "created_at" -> unixTimestampToIsoString(u.creationTimestampMs),
         "last_login" -> unixTimestampToIsoString(u.lastLogInTimestampMs),
