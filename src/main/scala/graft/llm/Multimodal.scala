@@ -901,6 +901,66 @@ object Multimodal {
     }
   }
 
+  /** Integer linear-interpolation sample-rate conversion of 8-bit PCM —
+    * the audio twin of image [[resize]]: output length `m = n·num/den`
+    * (truncated), sample `out[j]` interpolates between the two source
+    * samples bracketing position `j·n/m`:
+    * `k = (j·n)/m`, `r = (j·n) mod m`, `out[j] = s[k] + ((s[k+1]−s[k])·r)/m`
+    * with the last source sample clamped and every division TRUNCATING
+    * TOWARD ZERO (Scala `Long./` == DuckDB `//`), so a SQL oracle replays
+    * each output sample exactly. `num == den` is the identity. */
+  private[graft] def resampleLinear(pcm: Array[Byte], num: Int, den: Int): Array[Int] = {
+    require(num > 0 && den > 0, s"bad resample ratio $num/$den")
+    val n = pcm.length
+    val m = math.max(1, (n.toLong * num / den).toInt)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val t = j.toLong * n
+      val k = (t / m).toInt
+      val k1 = math.min(k + 1, n - 1)
+      val a = pcm(k) & 0xff
+      val b = pcm(k1) & 0xff
+      out(j) = (a + ((b - a).toLong * (t % m)) / m).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** One resampled-audio window row: `energy` = Σ|v−128| and `wsum` =
+    * Σ v·(j+1) (position-weighted, so a sample-order bug cannot cancel)
+    * over the output samples landing in window `w`. */
+  final case class AudioResampleRow(doc_id: Long, leg: String, n_out: Long,
+                                    w: Long, energy: Long, wsum: Long)
+
+  /** Resample each document's decoded PCM through every `(leg, num, den)`
+    * ratio and emit per-window integer signatures — ONE decode and one
+    * narrow flatMap per document, no shuffle, constant work per doc at any
+    * corpus size. */
+  def audioResample(media: Dataset[MediaRow], legs: Seq[(String, Int, Int)],
+                    windows: Int): Dataset[AudioResampleRow] = {
+    import media.sparkSession.implicits._
+    require(windows > 0)
+    media.flatMap { rrow =>
+      val (_, _, pcm) = WavCodec.decode(rrow.media)
+      legs.flatMap { case (tag, num, den) =>
+        val out = resampleLinear(pcm, num, den)
+        val m = out.length
+        val energy = new Array[Long](windows)
+        val wsum = new Array[Long](windows)
+        var j = 0
+        while (j < m) {
+          val w = (j.toLong * windows / m).toInt
+          energy(w) += math.abs(out(j) - 128).toLong
+          wsum(w) += out(j).toLong * (j + 1)
+          j += 1
+        }
+        (0 until windows).map(w =>
+          AudioResampleRow(rrow.doc_id, tag, m.toLong, w.toLong, energy(w), wsum(w)))
+      }
+    }
+  }
+
   final case class AudioFpRow(doc_id: Long, fp: Long)
 
   /** Chromaprint-style audio fingerprint: for each (window w ≥ 1, bin

@@ -3087,6 +3087,55 @@ object LlmOps {
            CAST(re * re + im * im AS BIGINT) AS energy
     FROM bins"""
 
+  // ---- audio sample-rate conversion (integer linear interpolation) ------
+
+  private val MmResampleLegs = Seq(("down", 2, 3), ("up", 3, 2))
+
+  /** Audio sample-rate conversion through the real WAV codec — the
+    * 16 kHz-normalization step of an audio training pipeline, as the audio
+    * twin of image `mm_resize`: each document's decoded PCM is resampled
+    * by integer linear interpolation ([[Multimodal.resampleLinear]]) both
+    * DOWN (×2/3) and UP (×3/2), and each leg emits per-window integer
+    * signatures — `energy` = Σ|v−128| plus the position-weighted
+    * `wsum` = Σ v·(j+1), which a sample-order or off-by-one bug cannot
+    * leave unchanged. Every division truncates toward zero on both
+    * engines (Scala `Long./` == DuckDB `//`), so the oracle replays every
+    * interpolated sample exactly from the text-derived PCM. One decode +
+    * one narrow flatMap per document, no shuffle. */
+  def mmAudioResample(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioResample(audioMedia(s, d), MmResampleLegs, MmAudioWindows)
+      .toDF()
+      .select(col("doc_id"), col("leg"), col("n_out"), col("w"),
+        col("energy"), col("wsum"))
+
+  private lazy val mmAudioResampleOracle = {
+    val n = MmAudioSamples
+    val legsVals = MmResampleLegs.map { case (t, num, den) =>
+      s"('$t', ${math.max(1L, n.toLong * num / den)})"
+    }.mkString(", ")
+    s"""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) > 0),
+    pcm AS (SELECT doc_id, i, ord(substr(text, ((i % b.n) + 1)::INT, 1)) AS v
+            FROM b, LATERAL UNNEST(generate_series(0, ${n - 1})) AS u(i)),
+    legs(leg, m) AS (VALUES $legsVals),
+    vals AS (
+      SELECT sa.doc_id, l.leg, l.m, u.j,
+             sa.v + ((sb.v - sa.v) * ((u.j * $n) % l.m)) // l.m AS v
+      FROM legs l,
+           LATERAL UNNEST(generate_series(0, l.m - 1)) AS u(j),
+           pcm sa, pcm sb
+      WHERE sa.i = (u.j * $n) // l.m
+        AND sb.doc_id = sa.doc_id
+        AND sb.i = least((u.j * $n) // l.m + 1, ${n - 1}))
+    SELECT doc_id, leg, CAST(m AS BIGINT) AS n_out,
+           CAST((j * $MmAudioWindows) // m AS BIGINT) AS w,
+           CAST(SUM(abs(v - 128)) AS BIGINT) AS energy,
+           CAST(SUM(v * (j + 1)) AS BIGINT) AS wsum
+    FROM vals
+    GROUP BY 1, 2, 3, 4"""
+  }
+
   /** Audio near-duplicate detection on a Chromaprint-style fingerprint:
     * 49 sign-of-second-difference bits over the spectral energies
     * ([[Multimodal.audioFingerprint]]), then the SimHash-style scale path —
@@ -3758,6 +3807,7 @@ object LlmOps {
     "mm_framesample_avi_raw" -> Q(mmFrameSampleAviRaw, Some(mmFrameSampleRealOracle)),
     "mm_keyframes"      -> Q(mmKeyframes, Some(mmKeyframesOracle)),
     "mm_audio_real"     -> Q(mmAudioReal, Some(mmAudioRealOracle)),
+    "mm_audio_resample" -> Q(mmAudioResample, Some(mmAudioResampleOracle)),
     "mm_audio_spectral" -> Q(mmAudioSpectral, Some(mmAudioSpectralOracle)),
     "mm_keyframes_mjpeg" -> Q(mmKeyframesMjpeg, Some(mmKeyframesMjpegOracle)),
     "mm_audio_fpdedup"  -> Q(mmAudioFpDedup, Some(mmAudioFpDedupOracle)),

@@ -348,6 +348,39 @@ class MultimodalSpec extends SparkSuite {
     assert(f.win_energy == Seq(0L, 64L)) // |130-128| * 32
   }
 
+  test("resampleLinear: identity, boundary clamp, toward-zero truncation") {
+    val pcm = Array[Byte](10, 20, 30, 40)
+    // identity ratio reproduces the input exactly
+    assert(Multimodal.resampleLinear(pcm, 1, 1).toSeq == Seq(10, 20, 30, 40))
+    // upsample ×2: m=8, out[j] brackets position j·4/8 = j/2
+    // j=1: k=0,r=4,m=8 → 10 + (20-10)*4/8 = 15; j=7: k=3 → clamp k1=3 → 40
+    assert(Multimodal.resampleLinear(pcm, 2, 1).toSeq ==
+      Seq(10, 15, 20, 25, 30, 35, 40, 40))
+    // DECREASING pair pins toward-zero truncation (floor would differ):
+    // pcm=(130,129), up ×2 → j=1: 130 + (-1)*1/2 = 130 − trunc(0.5) = 130
+    assert(Multimodal.resampleLinear(Array(130.toByte, 129.toByte), 2, 1).toSeq ==
+      Seq(130, 130, 129, 129))
+    // downsample ×1/2 keeps every other position: j·4/2 → k = 2j exactly
+    assert(Multimodal.resampleLinear(pcm, 1, 2).toSeq == Seq(10, 30))
+  }
+
+  test("audioResample: per-window signatures over DECODED samples") {
+    // 4 samples, up ×3/2 → m=6: j·4/6 → (k,r): (0,0)(0,4)(1,2)(2,0)(2,4)(3,2)
+    // pcm=(128,134,128,134): out = 128, 128+6*4/6=132, 134+(-6)*2/6=132,
+    //                              128, 128+6*4/6=132, 134
+    val pcm = Array[Byte](128.toByte, 134.toByte, 128.toByte, 134.toByte)
+    val ds = Seq(Multimodal.MediaRow(9L,
+      Multimodal.WavCodec.encode(pcm), "audio/wav")).toDS()
+    val rows = Multimodal.audioResample(ds, Seq(("up", 3, 2)), windows = 2)
+      .collect().sortBy(_.w)
+    assert(rows.length == 2 && rows.forall(r => r.leg == "up" && r.n_out == 6L))
+    // windows: j 0..2 → w 0, j 3..5 → w 1
+    assert(rows(0).energy == 0L + 4L + 4L)
+    assert(rows(0).wsum == 128L * 1 + 132L * 2 + 132L * 3)
+    assert(rows(1).energy == 0L + 4L + 6L)
+    assert(rows(1).wsum == 128L * 4 + 132L * 5 + 134L * 6)
+  }
+
   test("spectral: integer DFT energies match a naive reference; table pins") {
     import Multimodal.SpectralTable._
     // table pins: bin 0 row is the all-32768 DC correlator, sin row 0 is 0
