@@ -911,6 +911,7 @@ object Multimodal {
     * each output sample exactly. `num == den` is the identity. */
   private[graft] def resampleLinear(pcm: Array[Byte], num: Int, den: Int): Array[Int] = {
     require(num > 0 && den > 0, s"bad resample ratio $num/$den")
+    require(pcm.nonEmpty, "empty PCM payload") // m=max(1,..) would index pcm(0)
     val n = pcm.length
     val m = math.max(1, (n.toLong * num / den).toInt)
     val out = new Array[Int](m)
@@ -946,6 +947,12 @@ object Multimodal {
       legs.flatMap { case (tag, num, den) =>
         val out = resampleLinear(pcm, num, den)
         val m = out.length
+        // the oracle's GROUP BY only emits windows that receive a sample;
+        // this side always emits all `windows` rows — identical row sets
+        // REQUIRE m >= windows (floor(j·W/m) is then surjective onto 0..W−1)
+        require(m >= windows,
+          s"resample leg '$tag' yields $m samples < $windows windows: " +
+            "empty windows would diverge from the oracle's GROUP BY")
         val energy = new Array[Long](windows)
         val wsum = new Array[Long](windows)
         var j = 0

@@ -2675,7 +2675,16 @@ object LlmOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          Multimodal.MediaRow(id, build(text.getBytes("UTF-8")), mime)
+          val bytes = text.getBytes("UTF-8")
+          // every real-media oracle replays the raster/PCM as CODE POINTS
+          // (ord(substr(text,…))) while this side cycles UTF-8 BYTES — the
+          // two agree only for ASCII text. The driver regenerates testdata
+          // between rounds: if text encoding ever drifts, fail HERE with
+          // the diagnosis instead of going oracle-red across the family.
+          require(bytes.length == text.length,
+            s"non-ASCII document text (doc_id=$id): the real-media oracles " +
+              "replay code points and would diverge from the byte raster")
+          Multimodal.MediaRow(id, build(bytes), mime)
         }
       }
   }
@@ -3116,8 +3125,9 @@ object LlmOps {
     s"""
     WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
                WHERE length(text) > 0),
-    pcm AS (SELECT doc_id, i, ord(substr(text, ((i % b.n) + 1)::INT, 1)) AS v
-            FROM b, LATERAL UNNEST(generate_series(0, ${n - 1})) AS u(i)),
+    pcm AS MATERIALIZED (
+      SELECT doc_id, i, ord(substr(text, ((i % b.n) + 1)::INT, 1)) AS v
+      FROM b, LATERAL UNNEST(generate_series(0, ${n - 1})) AS u(i)),
     legs(leg, m) AS (VALUES $legsVals),
     vals AS (
       SELECT sa.doc_id, l.leg, l.m, u.j,
