@@ -643,28 +643,15 @@ object BpeOps {
            md5(string_agg(e.pieces, chr(31) ORDER BY udw.pos)) AS checksum
     FROM udw JOIN uenc e USING (word) GROUP BY 1"""
 
-  /** The StreamOps.fewerShuffles precedent applied to the distributed
-    * trainers: their per-round jobs run over SMALL cached word-state frames
-    * (~50k tiny rows), where 32 post-shuffle tasks are pure scheduling
-    * overhead × rounds. 8 partitions, restored after. Results are
-    * partitioning-independent (exact integer/decimal aggregates + a
-    * totally-ordered TakeOrdered). */
-  private def fewerShuffles(fn: (SparkSession, String) => DataFrame)
-                           (s: SparkSession, d: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try fn(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
   def qs: Map[String, Q] = Map(
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
-    "llm_bpe_train_dist" -> Q(fewerShuffles(bpeTrainDist), Some(bpeTrainOracle)),
+    "llm_bpe_train_dist" -> Q(Tuning.fewerShuffles(bpeTrainDist), Some(bpeTrainOracle)),
     "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)),
     "llm_bpe_bytes"  -> Q(bpeBytes, Some(bpeBytesOracle)),
     "llm_bpe_bytes_roundtrip" -> Q(bpeBytesRoundtrip, Some(bpeBytesRoundtripOracle)),
     "llm_bpe_roundtrip" -> Q(bpeRoundtrip, Some(bpeRoundtripOracle)),
     "llm_wordpiece_train"  -> Q(wordpieceTrain, Some(wpTrainOracle)),
-    "llm_wordpiece_train_dist" -> Q(fewerShuffles(wordpieceTrainDist), Some(wpTrainOracle)),
+    "llm_wordpiece_train_dist" -> Q(Tuning.fewerShuffles(wordpieceTrainDist), Some(wpTrainOracle)),
     "llm_wordpiece_encode" -> Q(wordpieceEncode, Some(wpEncodeOracle)),
     "llm_viterbi_segment" -> Q(viterbiSegment, Some(viterbiOracle)),
     "llm_unigram_train" -> Q(unigramTrain, Some(uniTrainOracle)),

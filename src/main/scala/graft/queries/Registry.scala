@@ -7,6 +7,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tables. Column names/types must agree exactly between the two. */
 final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
+/** Shared per-query tuning wrappers. */
+private[queries] object Tuning {
+  /** Run a query at 8 shuffle partitions, restoring the session conf after.
+    * For CONTROL-PLANE-shaped queries — state-backed streams (a
+    * stream-stream join commits 4 state stores PER partition every
+    * micro-batch) and iterative trainers whose per-round jobs aggregate
+    * small cached frames — where 32 post-shuffle tasks are pure scheduling
+    * overhead. Never for CPU-heavy fan-out work, where task width IS the
+    * parallelism. Results must be partitioning-independent (exact
+    * integer/decimal aggregates, totally-ordered TakeOrdered). */
+  def fewerShuffles(fn: (SparkSession, String) => DataFrame)
+                   (s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try fn(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
+
 object Registry {
   def all: Map[String, Q] = Relational.qs ++ EltOps.qs ++ LlmOps.qs ++ SketchOps.qs ++ SinkOps.qs ++ StreamOps.qs ++ EventOps.qs ++ BpeOps.qs ++ FilterOps.qs ++ PqOps.qs ++ GraphOps.qs ++ AirbyteOps.qs ++ ReprocessOps.qs
 }

@@ -965,7 +965,13 @@ object SketchOps {
       when(x >= 0, (x - pmod(x, lit(den))) / lit(den))
         .otherwise(-((-x - pmod(-x, lit(den))) / lit(den))).cast(LongType)
 
-    for (_ <- 1 to SgnsEpochs) {
+    // the epoch aggregates reduce into ≤ 2·V·D groups — model-bounded, not
+    // corpus-bounded — so 8 reduce tasks is the right width at ANY corpus
+    // size (the map side keeps the cached frame's full parallelism). The
+    // corpus-scale pair build above stays at session width.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try for (_ <- 1 to SgnsEpochs) {
       val uLit = typedLit(u.map(_.toSeq).toSeq)
       val vLit = typedLit(v.map(_.toSeq).toSeq)
       // element_at is 1-based: row for vid sits at position vid + 1
@@ -1011,7 +1017,7 @@ object SketchOps {
         m(vid)(j) = math.max(-SgnsClamp.toLong,
           math.min(SgnsClamp.toLong, m(vid)(j) - delta))
       }
-    }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     samples.unpersist()
     (1 to vocabN).flatMap(vid => (0 until D).map(j =>
       (vid.toLong, j.toLong, u(vid)(j), v(vid)(j))))

@@ -1830,11 +1830,8 @@ object StreamOps {
     * The conf is read at query start and baked into the fresh checkpoint,
     * so restoring after the call cannot affect the stream. */
   private def fewerShuffles(fn: (SparkSession, String) => DataFrame)
-                           (s: SparkSession, d: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try fn(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+                           (s: SparkSession, d: String): DataFrame =
+    Tuning.fewerShuffles(fn)(s, d)
 
   def qs: Map[String, Q] = Map(
     "q_stream_lake_merge" -> Q(fewerShuffles(qStreamLakeMerge), Some(streamLakeMergeOracle)),
