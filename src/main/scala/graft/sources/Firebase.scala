@@ -222,7 +222,11 @@ object Firebase {
     * toward zero (pre-epoch values would round the wrong way — faithful to
     * the reference, which only ever sees post-epoch Firebase metadata);
     * the layout's fraction is six LITERAL zeros at seconds precision and
-    * the trailing `Z` is a literal (not a Go zone token). */
+    * the trailing `Z` is a literal (not a Go zone token). NOTE: Go's
+    * `time.Unix(...).Format` renders in the PROCESS-LOCAL timezone; this
+    * pins UTC, which is faithful exactly when the reference connector runs
+    * with TZ=UTC (the containerized deployment does; Verify/Bench pin
+    * `spark.sql.session.timeZone=UTC` to match). */
   private[sources] def unixTimestampToIsoString(ms: Long): String = {
     val t = java.time.LocalDateTime.ofEpochSecond(ms / 1000, 0, java.time.ZoneOffset.UTC)
     t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) +
@@ -282,7 +286,11 @@ object Firebase {
         "uid" -> u.uid,
         "phone" -> u.phoneNumber,
         "photo_url" -> u.photoUrl,
-        "sign_in_methods" -> u.providerIds, // nil slice → null via jsonValue
+        // firebase.go:255-259 builds signInMethods by appending to a nil
+        // slice — ZERO providers leaves it nil and json.Marshal emits null,
+        // so an empty Seq must land as null too, not "[]"
+        "sign_in_methods" -> (if (u.providerIds == null || u.providerIds.isEmpty) null
+                              else u.providerIds),
         "disabled" -> u.disabled,
         "created_at" -> unixTimestampToIsoString(u.creationTimestampMs),
         "last_login" -> unixTimestampToIsoString(u.lastLogInTimestampMs),

@@ -174,6 +174,14 @@ object FailoverReprocessor {
         started_at TIMESTAMP, completed_at TIMESTAMP,
         total_files INT DEFAULT 0, total_workers INT DEFAULT 0,
         error VARCHAR(2048))""")
+      // ensure swallows X0Y32, so a jobs table created by an OLDER build
+      // (config was VARCHAR(4096) before r16) keeps its narrow column while
+      // insertJob's require claims 32672 is fine — widen in place on every
+      // init; Derby allows growing a VARCHAR via ALTER COLUMN SET DATA TYPE
+      // and the statement is a no-op at the current width
+      try sink.exec(c, s"""ALTER TABLE "$JobsTable" ALTER COLUMN config
+        SET DATA TYPE VARCHAR(32672)""")
+      catch { case _: java.sql.SQLException => () } // pre-DDL-support Derby: leave as created
       ensure(s"""CREATE TABLE "$WorkersTable" (
         job_id VARCHAR(64) NOT NULL, worker_index INT NOT NULL,
         status VARCHAR(32) NOT NULL, updated_at TIMESTAMP NOT NULL,

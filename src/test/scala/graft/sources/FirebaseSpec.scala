@@ -129,10 +129,16 @@ class FirebaseSpec extends SparkSuite {
   test("users: exact field set, nil providers marshal to JSON null") {
     val store = new FixtureStore(Seq.empty, Seq(
       AuthUser("u1", "a@b.c", "Ann", "+1", "http://p", null, disabled = true,
+        1500000000123L, 1500000000456L, 1500000000789L),
+      // zero providers via an EMPTY seq: Go appends onto a nil slice, so a
+      // provider-less user always marshals null, never "[]"
+      AuthUser("u2", "z@b.c", "Zed", "+2", "http://q", Seq.empty, disabled = false,
         1500000000123L, 1500000000456L, 1500000000789L)))
     val cat = Airbyte.parseCatalog(configuredCatalogJson(store))
     val rec = read(store, cat, nowMs = 42L).toList.filter(_.contains("\"RECORD\""))
-    assert(rec.size == 1)
+    assert(rec.size == 2)
+    val data2 = Airbyte.mapper.readTree(rec(1)).get("record").get("data")
+    assert(data2.get("sign_in_methods").isNull) // empty slice → null too
     val node = Airbyte.mapper.readTree(rec.head).get("record")
     assert(node.get("namespace").asText == "auth" && node.get("stream").asText == "users")
     val data = node.get("data")
