@@ -148,15 +148,21 @@ final class AirbyteRunner(
     if (running.size == 1) Some(running.head) else None
   }
 
-  def run(lines: Iterator[String]): RunResult = {
-    try lines.foreach(processLine)
+  def run(lines: Iterator[String]): RunResult = run(lines, () => false)
+
+  /** Cancellable run (the sync-controller pod leg): `cancelled` is the
+    * sidecar's SIGTERM flag (main.go:214-221 / read.go:75-95) — when it
+    * trips, the connector pipe ends and the rollup takes the CANCELLED
+    * branches instead of completing still-open streams. */
+  def run(lines: Iterator[String], cancelled: () => Boolean): RunResult = {
+    try lines.takeWhile(_ => !cancelled()).foreach(processLine)
     catch { case e: Exception =>
       // the reference's recover() path (read.go:77-79): register and fall
       // through to the close, which fails still-running streams
       registerErr(String.valueOf(e.getMessage))
       if (lastStream != null) lastStream.registerError(String.valueOf(e.getMessage))
     }
-    finish()
+    finish(cancelled())
   }
 
   def processLine(raw: String): Unit = classify(raw) match {
@@ -413,25 +419,39 @@ final class AirbyteRunner(
   }
 
   /** The deferred rollup (read.go:74-141): close still-running streams
-    * (complete only if the run had no critical error), then emit the
-    * catalog-ordered status map and the SUCCESS/PARTIAL/FAILED verdict. */
-  def finish(): RunResult = {
+    * (complete only if the run had no critical error — and NEVER on a
+    * cancel, read.go:79-83), then emit the catalog-ordered status map and
+    * the SUCCESS/PARTIAL/FAILED/CANCELLED verdict. A cancelled run maps
+    * unprocessed catalog streams to a bare CANCELLED stat (read.go:90-92)
+    * and, unless everything already succeeded or everything failed, rolls
+    * up CANCELLED with "The task was cancelled" (read.go:110-119). */
+  def finish(): RunResult = finish(cancelled = false)
+
+  def finish(cancelled: Boolean): RunResult = {
     processed.values.filter(_.status == "RUNNING")
-      .foreach(closeOne(_, complete = !isCriticalError, strict = true))
+      .foreach(closeOne(_, complete = !cancelled && !isCriticalError, strict = true))
     val streams = catalogMap.keysIterator.map { key =>
       processed.get(key) match {
-        case Some(st) => StreamResult(key, st.status, st.eventsCount, st.error)
+        case Some(st) =>
+          StreamResult(key, st.status, st.eventsCount, st.error, st.bytesProcessed)
+        case None if cancelled => StreamResult(key, "CANCELLED", 0L, "")
         case None => StreamResult(key, "FAILED", 0L,
           "Stream was not processed. Check logs for errors.")
       }
     }.toSeq
+    val allSuccess = streams.nonEmpty && streams.forall(_.status == "SUCCESS")
+    val allFailed = streams.nonEmpty && streams.forall(_.status == "FAILED")
     val status =
-      if (streams.isEmpty) { if (firstErr.nonEmpty) "FAILED" else "SUCCESS" }
-      else if (streams.forall(_.status == "SUCCESS")) "SUCCESS"
-      else if (streams.forall(_.status == "FAILED")) "FAILED"
+      if (streams.isEmpty) {
+        if (cancelled) "CANCELLED" else if (firstErr.nonEmpty) "FAILED" else "SUCCESS"
+      }
+      else if (allSuccess) "SUCCESS"
+      else if (allFailed) "FAILED"
+      else if (cancelled) "CANCELLED"
       else "PARTIAL"
     val errorText =
       if (status == "SUCCESS") ""
+      else if (status == "CANCELLED") "The task was cancelled"
       else if (firstErr.nonEmpty) s"ERROR: $firstErr"
       else ""
     RunResult(status, errorText, streams, savedStates.toSeq, logLines.toSeq)
@@ -466,7 +486,8 @@ object AirbyteRunner {
       chunkEvents: Long = 500000L,
       nowMs: () => Long = () => System.currentTimeMillis())
 
-  final case class StreamResult(stream: String, status: String, events: Long, error: String)
+  final case class StreamResult(stream: String, status: String, events: Long,
+                                error: String, bytes: Long = 0L)
 
   final case class RunResult(
       status: String,
