@@ -90,10 +90,15 @@ final class SyncController(
     val cancelled = new AtomicBoolean(false)
   }
 
-  /** One in-flight or finished status signal (task.go:58-65). */
+  /** One in-flight or finished status signal (task.go:58-65). `ack` lets
+    * the pod wait for its CREATED bookkeeping before doing work — the
+    * in-process twin of K8s pod-startup latency, without which the
+    * sidecar's result write could race the CREATED row (the reference has
+    * the same theoretical race; a sub-millisecond "pod" makes it real). */
   private final case class TaskStatus(desc: TaskDescriptor, status: String,
                                       error: String = "",
-                                      metrics: Map[String, Long] = Map.empty)
+                                      metrics: Map[String, Long] = Map.empty,
+                                      ack: Option[CountDownLatch] = None)
 
   private def sendStatus(st: TaskStatus): Unit = {
     pendingStatuses.incrementAndGet()
@@ -133,13 +138,17 @@ final class SyncController(
     * otherwise spawn the pod thread and report CREATED. */
   private def spawnPod(desc: TaskDescriptor, cfg: TaskConfiguration): (String, String) = {
     val name = desc.podName
+    val created = new CountDownLatch(1)
     val pod = new Pod(name, desc,
-      new Thread(() => runPod(name, desc, cfg), s"sync-pod-$name"))
+      new Thread(() => {
+        // the pod starts work only after its CREATED bookkeeping landed
+        created.await(10, TimeUnit.SECONDS)
+        runPod(name, desc, cfg)
+      }, s"sync-pod-$name"))
     if (pods.putIfAbsent(name, pod) != null) (StatusAlreadyCreated, "")
     else {
       pod.thread.setDaemon(true)
-      // CREATED enqueued before the pod can race its terminal status in
-      sendStatus(TaskStatus(desc, StatusCreated))
+      sendStatus(TaskStatus(desc, StatusCreated, ack = Some(created)))
       pod.thread.start()
       (StatusCreated, "")
     }
@@ -348,6 +357,7 @@ final class SyncController(
             }
           case _ => ()
         } catch { case _: Exception => () } // Errorf-and-continue (task_manager.go:267)
+        st.ack.foreach(_.countDown())
         pendingStatuses.decrementAndGet()
         ()
       }
@@ -530,6 +540,11 @@ final class SyncController(
           pods.forEach { (name, pod) =>
             if (nowMs() - pod.desc.startedAt > taskTimeoutMs) terminatePod(name)
           }
+          // job_runner.go:190-196: drop sync locks with no live pod (a
+          // thenRun whose console callback never materialized a read task)
+          val liveSyncs = new java.util.HashSet[String]()
+          pods.forEach((_, pod) => { liveSyncs.add(pod.desc.syncId); () })
+          runningSyncs.keySet.removeIf(k => !liveSyncs.contains(k))
           ()
         }
       }

@@ -12,7 +12,8 @@ class RegistrySpec extends AnyFunSuite {
     "SketchOps" -> SketchOps.qs, "SinkOps" -> SinkOps.qs,
     "StreamOps" -> StreamOps.qs, "EventOps" -> EventOps.qs, "BpeOps" -> BpeOps.qs,
     "FilterOps" -> FilterOps.qs, "PqOps" -> PqOps.qs, "GraphOps" -> GraphOps.qs,
-    "AirbyteOps" -> AirbyteOps.qs, "ReprocessOps" -> ReprocessOps.qs)
+    "AirbyteOps" -> AirbyteOps.qs, "ReprocessOps" -> ReprocessOps.qs,
+    "SyncOps" -> SyncOps.qs)
 
   test("no query name collides across families (Map ++ would silently override)") {
     val all = families.flatMap { case (f, qs) => qs.keys.map(_ -> f) }
