@@ -383,6 +383,16 @@ object BpeOps {
     * 2 the DP lookback is 2: `dp[i] = best(dp[i−1]+uni(w_i),
     * dp[i−2]+big(w_{i−1}w_i))`.
     *
+    * GATE RELATIONSHIP (vs the r16 trained-unigram queries): this query
+    * segments against the PRE-TRAINING heuristic vocabulary — raw
+    * top-frequency unigrams + bigrams, the baseline a pipeline runs before
+    * an EM-trained model exists — and its DP objective is the
+    * integer count/frequency order above. [[unigramEncode]]
+    * (`llm_unigram_encode`) is the post-training stage: it encodes against
+    * the Viterbi-EM-TRAINED vocabulary from [[graft.llm.Unigram.train]]
+    * (`llm_unigram_train`), whose scores are learned, not raw counts. Both
+    * gates stay: they pin different production stages, not duplicates. */
+    *
     * Scale shape: model tables are bounded (UniK+BigK rows) and BROADCAST —
     * the corpus explodes to (doc, pos) once, picks up per-position piece
     * frequencies by broadcast join (no map-literal lookups in the fold),
@@ -513,7 +523,9 @@ object BpeOps {
     * vocabulary — broadcast model inside the codegen kernel, a narrow
     * no-shuffle projection per document; uncoverable words collapse to one
     * `[UNK]`. The oracle replays training then DP-walks every DISTINCT
-    * word with the same packed-key recursion. */
+    * word with the same packed-key recursion. (The TRAINED-vocab twin of
+    * [[viterbiSegment]]'s pre-training heuristic gate — see the gate
+    * relationship note there.) */
   def unigramEncode(s: SparkSession, d: String): DataFrame = {
     val wc = cappedModel(s, d)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -643,7 +655,130 @@ object BpeOps {
            md5(string_agg(e.pieces, chr(31) ORDER BY udw.pos)) AS checksum
     FROM udw JOIN uenc e USING (word) GROUP BY 1"""
 
+  // ---- the end-to-end tokenizer production chain ------------------------
+
+  private val ChainPackTokens = 512L
+
+  /** `llm_tokenize_pack` — the tokenizer PRODUCTION chain in one query,
+    * each stage the already-proven shape, composed in production order:
+    *
+    *  1. TRAIN: one corpus-scale word-count pass → capped model →
+    *     [[Bpe.train]] (the `llm_bpe_train` stage, control-plane bounded);
+    *  2. VOCAB: the tokenizer's emission vocabulary — distinct pieces of
+    *     the model words under the learned merges, dense ids in code-point
+    *     order (derived from the ALREADY-COLLECTED model: no extra pass);
+    *  3. ENCODE: the codegen'd [[graft.functions.BpePieces]] kernel per
+    *     document — REAL trained-tokenizer token counts and the exact
+    *     piece-stream checksum (narrow projection, zero shuffle);
+    *  4. PACK: per-source running token offset → `seq_id` context-window
+    *     assignment (the `llm_pack` shard shape: ONE window shuffle on the
+    *     shard key, never a global sort);
+    *  5. MANIFEST: per (source, seq_id) shard rollup — doc count, token
+    *     total, order-independent `bit_xor(hash60(checksum))` content
+    *     signature (one map-side-combinable aggregate).
+    *
+    * No shuffle exists between encode and pack beyond pack's own window
+    * exchange — the encode output flows straight into the running sum. The
+    * oracle replays the WHOLE chain: train CTEs → recursive re-encode →
+    * window pack → shard rollup → vocab ranking. */
+  def tokenizePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // stage 1: the one corpus pass + driver train (llm_bpe_train's shape)
+    val wc = wordCounts(s, d)
+      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = Bpe.train(wc, NMerges)
+    val rules = merges.map(m => (m.lhs, m.rhs))
+    // stage 2: emission vocabulary from the same collected model
+    val vocab = wc.map(_._1).flatMap(w => Bpe.encodeWord(w, rules)).distinct
+      .sortWith(Bpe.cpCompare(_, _) < 0).zipWithIndex
+    // stage 3: codegen encode — narrow, no shuffle
+    val enc = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        TextOps.bpePieces(TextOps.tokens(col("text")), rules, perWord = true)
+          .as("pieces"))
+      .select(col("doc_id"), col("source"),
+        size(col("pieces")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(Sep, col("pieces"))).as("checksum"))
+    // stage 4: shard-local running offset (llm_pack's window, real tokens)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // feeds BOTH the doc rows and the manifest aggregate: one eager
+    // materialization (the house multi-consumer rule), lineage truncated
+    val packed = enc.withColumn("seq_id",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L))
+        .divide(ChainPackTokens).cast(LongType))
+      .localCheckpoint(true)
+    val docRows = packed.select(lit("doc").as("kind"),
+      col("doc_id").cast(org.apache.spark.sql.types.StringType).as("k"),
+      col("source"), col("n_tokens").as("n1"), col("seq_id").as("n2"),
+      col("checksum").as("sig"))
+    // stage 5: shard manifest — map-side-combinable rollup
+    val manifest = packed
+      .withColumn("h", TextOps.hash60(col("checksum")))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n1"), sum(col("n_tokens")).as("n2"),
+        expr("bit_xor(h)").cast(org.apache.spark.sql.types.StringType).as("sig"))
+      .select(lit("shard").as("kind"),
+        col("seq_id").cast(org.apache.spark.sql.types.StringType).as("k"),
+        col("source"), col("n1"), col("n2"), col("sig"))
+    import s.implicits._
+    val vocabRows = vocab.toDF("k", "id").select(lit("vocab").as("kind"),
+      col("k"), lit(null).cast(org.apache.spark.sql.types.StringType).as("source"),
+      col("id").cast(LongType).as("n1"),
+      lit(null).cast(LongType).as("n2"),
+      lit(null).cast(org.apache.spark.sql.types.StringType).as("sig"))
+    docRows.unionByName(manifest).unionByName(vocabRows)
+  }
+
+  private val tokenizePackOracle = s"""WITH RECURSIVE ${trainCtes(CharSplit)},
+    merges AS MATERIALIZED ($mergesSelect),
+    docs AS (SELECT doc_id, source, $toksSql AS toks FROM documents
+             WHERE length(trim(text)) > 0),
+    dw AS MATERIALIZED (SELECT doc_id, k AS pos, toks[k] AS word
+           FROM docs, unnest(range(1, len(toks) + 1)) AS u(k)
+           WHERE length(toks[k]) > 0),
+    words AS MATERIALIZED (SELECT DISTINCT word FROM dw),
+    enc AS (
+      SELECT word, 0 AS r, $CharSplit AS syms FROM words
+      UNION ALL
+      SELECT e.word, e.r + 1,
+        CASE WHEN m.lhs IS NULL THEN e.syms
+        ELSE ${applySql("e.syms", "m.lhs", "m.rhs")} END
+      FROM enc e LEFT JOIN merges m ON m.rank = e.r
+      WHERE e.r < $NMerges),
+    final AS MATERIALIZED (SELECT word, syms FROM enc WHERE r = $NMerges),
+    de AS MATERIALIZED (
+      SELECT dw.doc_id, CAST(sum(len(f.syms)) AS BIGINT) AS n_tokens,
+             md5(string_agg(array_to_string(f.syms, chr(31)), chr(31)
+               ORDER BY dw.pos)) AS checksum
+      FROM dw JOIN final f USING (word) GROUP BY 1),
+    dd AS MATERIALIZED (
+      SELECT d.doc_id, d.source, de.n_tokens, de.checksum,
+        CAST(COALESCE(SUM(de.n_tokens) OVER (
+          PARTITION BY d.source ORDER BY d.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // $ChainPackTokens AS BIGINT) AS seq_id
+      FROM docs d JOIN de ON de.doc_id = d.doc_id),
+    voc AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS id
+      FROM (SELECT DISTINCT piece
+            FROM (SELECT unnest(syms) AS piece FROM s$NMerges) q1) q2)
+    SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS k, source,
+           n_tokens AS n1, seq_id AS n2, checksum AS sig
+    FROM dd
+    UNION ALL
+    SELECT 'shard', CAST(seq_id AS VARCHAR), source,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+           CAST(bit_xor(${LlmOps.hashSql("checksum")}) AS VARCHAR)
+    FROM dd GROUP BY source, seq_id
+    UNION ALL
+    SELECT 'vocab', piece, NULL, CAST(id AS BIGINT), NULL, NULL FROM voc"""
+
   def qs: Map[String, Q] = Map(
+    "llm_tokenize_pack" -> Q(tokenizePack, Some(tokenizePackOracle)),
     "llm_bpe_train"  -> Q(bpeTrain, Some(bpeTrainOracle)),
     "llm_bpe_train_dist" -> Q(Tuning.fewerShuffles(bpeTrainDist), Some(bpeTrainOracle)),
     "llm_bpe_encode" -> Q(bpeEncode, Some(bpeEncodeOracle)),
