@@ -391,7 +391,7 @@ object BpeOps {
     * (`llm_unigram_encode`) is the post-training stage: it encodes against
     * the Viterbi-EM-TRAINED vocabulary from [[graft.llm.Unigram.train]]
     * (`llm_unigram_train`), whose scores are learned, not raw counts. Both
-    * gates stay: they pin different production stages, not duplicates. */
+    * gates stay: they pin different production stages, not duplicates.
     *
     * Scale shape: model tables are bounded (UniK+BigK rows) and BROADCAST —
     * the corpus explodes to (doc, pos) once, picks up per-position piece
