@@ -828,8 +828,14 @@ object StreamOps {
     import graft.http.{IngestServer, WriteKeys}
     val ws = "wsmetrics16"
     val destId = s"$ws-dest1"
+    // FIXED-COUNT cap (the b11/b8 precedent, r16 watch-list): the
+    // driver-as-client loop is one sequential HTTP call per id, so an
+    // uncapped 1/13 sample scales the query with SF (~46k calls at sf0.1
+    // was the 2.9→4.7 s drift); 2600 calls cost the same at every SF and
+    // still exercise all three counter legs across the md5 percentile
     val ids = Tables.events(s, d).select("event_id")
       .filter(col("event_id") % 13 === 0)
+      .orderBy(col("event_id")).limit(2600)
       .collect().map(_.getLong(0)).sorted
     require(ids.nonEmpty,
       "b16: event_id % 13 sample is empty — regenerated testdata no longer " +
@@ -873,7 +879,8 @@ object StreamOps {
   private val b16Oracle = """
     WITH sample AS (
       SELECT event_id, '{"eid":' || event_id || '}' AS body
-      FROM events WHERE event_id % 13 = 0),
+      FROM events WHERE event_id % 13 = 0
+      ORDER BY event_id LIMIT 2600),
     legs AS (
       SELECT CASE WHEN event_id % 3 = 1 THEN 'error'
                   WHEN ('0x' || substr(md5(body), 1, 8))::BIGINT % 100 < 30
