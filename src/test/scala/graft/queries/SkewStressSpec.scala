@@ -121,4 +121,128 @@ class SkewStressSpec extends SparkSuite {
     assert(out.toSet == Set((9000L, 9001L, 2L), (9000L, 9002L, 2L),
       (9001L, 9002L, 2L)), s"unexpected pairs: ${out.toSeq}")
   }
+
+  // ---- 10× scaling curves for the r16 perceptual dedups -----------------
+  //
+  // The same skew question at fleet scale: drive the band-join entry
+  // points directly with synthetic fingerprint fleets at N and 10N (the
+  // codec stage is covered by the mm_* oracles; these tests are about the
+  // JOIN's growth curve), and check the distributed result against an
+  // EXACT driver replay of the banding semantics (bucket df → cap drop →
+  // candidate → Hamming) — the PageRank-differential pattern. Asserted
+  // bounds: candidate volume never exceeds the cap's structural ceiling
+  // Σ_buckets C(min(df,cap),2) ≤ bands·2^bits·C(cap,2) (CONSTANT in N —
+  // the whole point of the df cap), planted near-dup recall stays ≥ 90%
+  // at saturation, and 10× data costs < 40× wall time (quadratic would
+  // be 100×). Numbers recorded in PERF.md.
+
+  /** Exact driver replay of the banded-Hamming join: returns (pairs,
+    * candidateVolume) where pairs = {(a, b, hamming)} and candidateVolume
+    * = Σ over SURVIVING buckets of C(df, 2) (the join's row count). */
+  private def bandedRef(fps: Map[Long, Long], bands: Int, bits: Int,
+                        cap: Long, hamT: Long): (Set[(Long, Long, Long)], Long) = {
+    val buckets = scala.collection.mutable.Map.empty[(Int, Long), List[Long]]
+    for ((d, f) <- fps; b <- 0 until bands) {
+      val key = (f >>> (b * bits)) & ((1L << bits) - 1)
+      buckets.updateWith((b, key))(o => Some(d :: o.getOrElse(Nil)))
+    }
+    val cand = scala.collection.mutable.Set.empty[(Long, Long)]
+    var vol = 0L
+    for ((_, ds) <- buckets if ds.size <= cap) {
+      vol += ds.size.toLong * (ds.size - 1) / 2
+      val a = ds.sorted
+      for (i <- a.indices; j <- (i + 1) until a.size) cand += ((a(i), a(j)))
+    }
+    val pairs = cand.iterator.flatMap { case (x, y) =>
+      val h = java.lang.Long.bitCount(fps(x) ^ fps(y)).toLong
+      if (h <= hamT) Some((x, y, h)) else None
+    }.toSet
+    (pairs, vol)
+  }
+
+  /** Fleet generator: N docs in 3-member near-dup clusters — golden-ratio
+    * spread base fingerprints, member i flips bit i (pairwise Hamming 2,
+    * under both thresholds). */
+  private def fleet(n: Int, maskBits: Int): Map[Long, Long] = {
+    val mask = (1L << maskBits) - 1
+    (0 until n).map { d =>
+      val c = d / 3
+      val base = (c.toLong * 0x9E3779B97F4A7C15L) & mask
+      d.toLong -> (base ^ (1L << (d % 3)))
+    }.toMap
+  }
+
+  private def audioRun(fps: Map[Long, Long]): (Set[(Long, Long, Long)], Long) = {
+    val t0 = System.nanoTime()
+    val out = LlmOps.audioFpDedupFromFps(fps.toSeq.toDF("doc_id", "fp"))
+      .filter(col("kind") === "pair")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    (out, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  test("audio fpdedup 10x scaling: exact vs driver replay, capped candidate ceiling") {
+    val (small, big) = (fleet(1200, 49), fleet(12000, 49))
+    val (refS, volS) = bandedRef(small, 7, 7, 100L, 10L)
+    val (refB, volB) = bandedRef(big, 7, 7, 100L, 10L)
+    // the structural ceiling: candidate volume can NEVER exceed
+    // bands · 2^bits · C(cap,2), no matter how large N grows
+    val ceiling = 7L * 128L * (100L * 99L / 2)
+    assert(volS <= ceiling && volB <= ceiling,
+      s"candidate volume broke the cap ceiling: $volS / $volB vs $ceiling")
+    // planted recall at saturation (12k docs ≈ 94 docs per 7-bit bucket,
+    // brushing the cap): a planted pair survives unless ALL 7 of its
+    // band buckets went hot — must stay ≥ 90%
+    val planted = (0 until 12000 / 3).flatMap { c =>
+      val m = Seq(c * 3L, c * 3L + 1, c * 3L + 2)
+      Seq((m(0), m(1)), (m(0), m(2)), (m(1), m(2)))
+    }.toSet
+    val found = planted.count(p => refB.exists(r => (r._1, r._2) == p))
+    assert(found >= planted.size * 9 / 10,
+      s"planted recall collapsed at saturation: $found/${planted.size}")
+    val (outS, tS) = audioRun(small)
+    val (outB, tB) = audioRun(big)
+    assert(outS == refS, s"1x mismatch: ${outS.size} vs ref ${refS.size}")
+    assert(outB == refB, s"10x mismatch: ${outB.size} vs ref ${refB.size}")
+    // sub-quadratic wall growth (quadratic would be ~100×); generous
+    // slack for host throttle windows
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"audio fpdedup: 1x ${outS.size} pairs/${tS}ms vol=$volS; " +
+      s"10x ${outB.size} pairs/${tB}ms vol=$volB (ceiling $ceiling, " +
+      s"recall $found/${planted.size})")
+  }
+
+  test("video dedup 10x scaling: exact vs driver replay, linear candidate growth") {
+    // 4 identical frames per doc: per-frame banding is 4 copies of the
+    // doc-level reference; Hamming is frame-invariant so every passing
+    // pair matches all 4 frames (≥ VdMinFrames=3)
+    val (smallN, bigN) = (2400, 24000)
+    def run(n: Int): (Set[(Long, Long, Long)], Long, Set[(Long, Long, Long)], Long) = {
+      val fps = fleet(n, 48)
+      val (ref, vol) = bandedRef(fps, 4, 12, 100L, 6L)
+      val fh = fps.toSeq.flatMap { case (d, h) =>
+        (0 until 4).map(f => (d, f.toLong, h)) }.toDF("doc_id", "frame_idx", "fhash")
+      val t0 = System.nanoTime()
+      val out = LlmOps.videoDedupFromFrameHashes(fh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (ref.map { case (a, b, _) => (a, b, 4L) }, vol, out,
+        (System.nanoTime() - t0) / 1000000L)
+    }
+    val (refS, volS, outS, tS) = run(smallN)
+    val (refB, volB, outB, tB) = run(bigN)
+    assert(outS == refS, s"1x mismatch: ${outS.size} vs ref ${refS.size}")
+    assert(outB == refB, s"10x mismatch: ${outB.size} vs ref ${refB.size}")
+    // 12-bit keys: buckets stay far under the cap at 24k docs, so
+    // candidate volume grows ~bands·N²/2·4096 (≈ 11.7·N at N=24k, plus
+    // the 3-member cluster cohesion term) — assert it stays within the
+    // 4·bands·N density envelope (observed: ~12.2·N)
+    assert(volB <= 4L * 4 * bigN,
+      s"10x candidate volume $volB exceeds the linear-density bound")
+    // every planted pair must be found (no bucket is near the cap here)
+    assert(refB.size >= bigN, s"planted pairs missing: ${refB.size} < $bigN")
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"video dedup: 1x ${outS.size} pairs/${tS}ms vol=$volS; " +
+      s"10x ${outB.size} pairs/${tB}ms vol=$volB")
+  }
 }
