@@ -102,7 +102,11 @@ final class SyncController(
 
   private def sendStatus(st: TaskStatus): Unit = {
     pendingStatuses.incrementAndGet()
-    statusQueue.put(st)
+    // offer, not put: the queue is unbounded so this never blocks, and a
+    // pod thread carrying a pending cancel interrupt must still be able to
+    // report its terminal status (put() would throw InterruptedException
+    // and leak the pending counter — seen as a quiesce hang under test)
+    statusQueue.offer(st)
     ()
   }
 
@@ -276,6 +280,11 @@ final class SyncController(
       nowMs = nowMs)
     val runner = new AirbyteRunner(engine, catalog, runnerCfg)
     val raw = runner.run(conn.read(desc, cfg, cancelled), cancelled)
+    // the terminate interrupt may still be PENDING if it landed outside a
+    // blocking wait; clear it so the deferred bookkeeping below (Derby
+    // writes use interruptible locks) runs — the sidecar's SIGTERM handler
+    // likewise only flags, and the deferred rollup always completes
+    Thread.interrupted()
     raw.states.foreach { case (stream, state) =>
       SyncDb.upsertState(sink, desc.syncId, stream, state, nowMs())
     }
