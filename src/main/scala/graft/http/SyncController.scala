@@ -65,7 +65,12 @@ final class SyncController(
       syncId => (math.abs(scala.util.hashing.MurmurHash3.stringHash(syncId)) % 60) * 1000L,
     taskTimeoutMs: Long = 48L * 3600 * 1000,
     staleAfterMs: Long = 3600 * 1000L,
-    janitorPeriodMs: Long = 15L * 60 * 1000) {
+    janitorPeriodMs: Long = 15L * 60 * 1000,
+    /** watchPodStatuses poll period (CONTAINER_STATUS_CHECK_SECONDS=10,
+      * config.go:31) — live read pods heartbeat RUNNING + resource metrics
+      * at most once per `runningReportEveryMs` (job_runner.go:138,156-158) */
+    watcherPeriodMs: Long = 10000L,
+    runningReportEveryMs: Long = 60000L) {
 
   import SyncController._
 
@@ -79,6 +84,7 @@ final class SyncController(
   private val pendingStatuses = new java.util.concurrent.atomic.AtomicInteger(0)
   private var listenerThread: Thread = _
   private var janitorThread: Thread = _
+  private var watcherThread: Thread = _
 
   def port: Int = server.getAddress.getPort
   private def js(s: String): String = graft.Verify.jsonStr(s)
@@ -88,6 +94,8 @@ final class SyncController(
   private final class Pod(val name: String, val desc: TaskDescriptor,
                           val thread: Thread) {
     val cancelled = new AtomicBoolean(false)
+    /** last RUNNING report, 0 = never (job_runner.go:138 runningPods) */
+    val lastReportedMs = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   /** One in-flight or finished status signal (task.go:58-65). `ack` lets
@@ -97,7 +105,7 @@ final class SyncController(
     * the same theoretical race; a sub-millisecond "pod" makes it real). */
   private final case class TaskStatus(desc: TaskDescriptor, status: String,
                                       error: String = "",
-                                      metrics: Map[String, Long] = Map.empty,
+                                      metrics: Map[String, Double] = Map.empty,
                                       ack: Option[CountDownLatch] = None)
 
   private def sendStatus(st: TaskStatus): Unit = {
@@ -359,7 +367,11 @@ final class SyncController(
                 if (st.metrics.nonEmpty)
                   SyncDb.updateRunningTaskMetrics(sink, d.taskId,
                     st.metrics.toSeq.sortBy(_._1)
-                      .map { case (k, v) => s"${js(k)}:$v" }
+                      .map { case (k, v) =>
+                        val r = if (v == v.floor && math.abs(v) < 1e15)
+                          v.toLong.toString else v.toString
+                        s"${js(k)}:$r"
+                      }
                       .mkString("{", ",", "}"), nowMs())
                 else SyncDb.updateRunningTaskDate(sink, d.taskId, nowMs())
               case _ => () // sidecar manages success status (task_manager.go:263)
@@ -544,11 +556,6 @@ final class SyncController(
         catch { case _: InterruptedException => () }
         if (!closed.get()) {
           closeStaleTasksNow(nowMs() - staleAfterMs)
-          // job_runner.go:138-143: kill pods past the task timeout; the
-          // read leg's rollup turns the resulting cancel into TIME_EXCEEDED
-          pods.forEach { (name, pod) =>
-            if (nowMs() - pod.desc.startedAt > taskTimeoutMs) terminatePod(name)
-          }
           // job_runner.go:190-196: drop sync locks with no live pod (a
           // thenRun whose console callback never materialized a read task)
           val liveSyncs = new java.util.HashSet[String]()
@@ -560,14 +567,61 @@ final class SyncController(
     }, "sync-task-janitor")
     janitorThread.setDaemon(true)
     janitorThread.start()
+    watcherThread = new Thread(() => {
+      while (!closed.get()) {
+        try Thread.sleep(watcherPeriodMs)
+        catch { case _: InterruptedException => () }
+        if (!closed.get()) {
+          val now = nowMs()
+          pods.forEach { (name, pod) =>
+            val last = pod.lastReportedMs.get()
+            if (now - last >= runningReportEveryMs) {
+              // job_runner.go:138-143: kill pods past the task timeout;
+              // the read rollup turns the resulting cancel into
+              // TIME_EXCEEDED
+              if (now - pod.desc.startedAt > taskTimeoutMs) terminatePod(name)
+              else if (pod.lastReportedMs.compareAndSet(last, now))
+                // report RUNNING at most once per minute with the pod's
+                // resource usage (job_runner.go:144-158 getPodResUsage —
+                // cgroup cpu/mem there, per-thread cpu/alloc here)
+                sendStatus(TaskStatus(pod.desc, StatusRunning,
+                  metrics = podResUsage(pod)))
+            }
+          }
+          ()
+        }
+      }
+    }, "sync-pod-watcher")
+    watcherThread.setDaemon(true)
+    watcherThread.start()
     inited.set(true)
     this
+  }
+
+  /** The in-process twin of cgroup `cpu.stat usage_usec / memory.peak`
+    * (job_runner.go:323-388): the pod thread's CPU seconds and allocated
+    * bytes; only positive readings are reported, like the reference. */
+  private def podResUsage(pod: Pod): Map[String, Double] = {
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    try {
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      val cpuNs = mx.getThreadCpuTime(pod.thread.getId)
+      if (cpuNs > 0) out += "cpu_usage" -> cpuNs / 1e9
+      mx match {
+        case sun: com.sun.management.ThreadMXBean =>
+          val alloc = sun.getThreadAllocatedBytes(pod.thread.getId)
+          if (alloc > 0) out += "mem_usage" -> alloc.toDouble
+        case _ => ()
+      }
+    } catch { case _: Exception => () }
+    out.toMap
   }
 
   def stop(): Unit = {
     closed.set(true)
     if (server != null) server.stop(0)
     if (janitorThread != null) janitorThread.interrupt()
+    if (watcherThread != null) watcherThread.interrupt()
     pods.forEach((name, _) => terminatePod(name))
   }
 }

@@ -75,11 +75,14 @@ class SyncControllerSpec extends SparkSuite {
 
   private def ctlWith(sink: JdbcSink, conns: Map[String, Connector],
                       consoleUrl: String = "", consoleToken: String = "",
-                      taskTimeoutMs: Long = 48L * 3600 * 1000): SyncController =
+                      taskTimeoutMs: Long = 48L * 3600 * 1000,
+                      watcherPeriodMs: Long = 10000L,
+                      runningReportEveryMs: Long = 60000L): SyncController =
     new SyncController(new Engine(spark, sink), sink, conns,
       consoleUrl = consoleUrl, consoleToken = consoleToken,
       nowMs = () => T0, schedulerDelayMs = _ => 0L,
-      taskTimeoutMs = taskTimeoutMs).start()
+      taskTimeoutMs = taskTimeoutMs, watcherPeriodMs = watcherPeriodMs,
+      runningReportEveryMs = runningReportEveryMs).start()
 
   // ---------------------------------------------------------------- podName
 
@@ -371,6 +374,50 @@ class SyncControllerSpec extends SparkSuite {
       val desc = om.readTree(task.head(1))
       assert(desc.get("ns.u").get("status").asText == "TIME_EXCEEDED")
       assert(desc.get("ns.t").get("status").asText == "PARTIAL")
+    } finally ctl.stop()
+  }
+
+  test("pod watcher heartbeats RUNNING with cpu/mem metrics for a live read") {
+    val sink = freshSink("watch")
+    val entered = new CountDownLatch(1)
+    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
+      val gate = new Iterator[String] {
+        def hasNext: Boolean = {
+          entered.countDown()
+          while (!cancelled()) {
+            try Thread.sleep(5) catch { case _: InterruptedException => () }
+          }
+          false
+        }
+        def next(): String = throw new NoSuchElementException
+      }
+      Iterator("""{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""") ++ gate
+    }
+    // fast watcher ticks, zero min-report interval → heartbeat every tick
+    val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)),
+      watcherPeriodMs = 50L, runningReportEveryMs = 0L)
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      val taskId = "0123456789abcdef0123456789abcdef-w1"
+      http("POST", s"$api/read?package=slow&version=v1&syncId=sy6&taskId=$taskId",
+        Some(s"""{"config":{},"catalog":$readCatalog}"""))
+      assert(entered.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      // the watcher's RUNNING+metrics heartbeat must land on the row
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      var metrics: Seq[Seq[String]] = Nil
+      while (metrics.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        metrics = rows(sink, s"""SELECT metrics FROM "${SyncDb.TaskTable}"
+            WHERE task_id='$taskId' AND metrics IS NOT NULL""")
+      }
+      assert(metrics.nonEmpty, "no metrics heartbeat landed in 20s")
+      val node = om.readTree(metrics.head.head)
+      assert(node.get("cpu_usage").asDouble >= 0.0)
+      http("GET", s"$api/cancel?package=slow&syncId=sy6&taskId=$taskId")
+      quiesce(ctl)
+      // final CANCELLED row; the heartbeat never resurrects it (guards)
+      assert(rows(sink, s"""SELECT status FROM "${SyncDb.TaskTable}"
+          WHERE task_id='$taskId'""") == Seq(Seq("CANCELLED")))
     } finally ctl.stop()
   }
 
