@@ -421,6 +421,44 @@ class SyncControllerSpec extends SparkSuite {
     } finally ctl.stop()
   }
 
+  test("duplicate pod name → ALREADY_CREATED: the second POST never runs a pod") {
+    val sink = freshSink("dup")
+    val entered = new CountDownLatch(1)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
+      ran.incrementAndGet()
+      val gate = new Iterator[String] {
+        def hasNext: Boolean = {
+          entered.countDown()
+          while (!cancelled()) {
+            try Thread.sleep(5) catch { case _: InterruptedException => () }
+          }
+          false
+        }
+        def next(): String = throw new NoSuchElementException
+      }
+      Iterator("""{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""") ++ gate
+    }
+    val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)))
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      val t1 = "0123456789abcdef0123456789abcdef-d1"
+      val body = s"""{"config":{},"catalog":$readCatalog}"""
+      assert(http("POST", s"$api/read?package=slow&version=v1&syncId=sy7&taskId=$t1",
+        Some(body))._2 == """{"ok":true}""")
+      assert(entered.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      // identical (syncId, taskId, package, type) → same pod name →
+      // ALREADY_CREATED (job_runner.go:459-463,470-474); still ok:true on
+      // the wire, but no second pod runs
+      assert(http("POST", s"$api/read?package=slow&version=v1&syncId=sy7&taskId=$t1",
+        Some(body))._2 == """{"ok":true}""")
+      Thread.sleep(200)
+      assert(ran.get() == 1, "duplicate pod name must not spawn a second pod")
+      http("GET", s"$api/cancel?package=slow&syncId=sy7&taskId=$t1")
+      quiesce(ctl)
+    } finally ctl.stop()
+  }
+
   test("scheduled trigger dedups against a running sync; stale janitor closes") {
     val sink = freshSink("sched")
     val entered = new CountDownLatch(1)
