@@ -62,7 +62,9 @@ final class SyncController(
     /** scheduled-trigger jitter (job_runner.go:433: `hash(syncId)%60` s);
       * injectable so specs don't sleep */
     schedulerDelayMs: String => Long =
-      syncId => (math.abs(scala.util.hashing.MurmurHash3.stringHash(syncId)) % 60) * 1000L,
+      // abs on the LONG: math.abs(Int.MinValue) is still negative and a
+      // negative Thread.sleep would kill the scheduler thread
+      syncId => (math.abs(scala.util.hashing.MurmurHash3.stringHash(syncId).toLong) % 60) * 1000L,
     taskTimeoutMs: Long = 48L * 3600 * 1000,
     staleAfterMs: Long = 3600 * 1000L,
     janitorPeriodMs: Long = 15L * 60 * 1000,
@@ -94,6 +96,9 @@ final class SyncController(
   private final class Pod(val name: String, val desc: TaskDescriptor,
                           val thread: Thread) {
     val cancelled = new AtomicBoolean(false)
+    /** set AFTER the terminate interrupt was issued — lets the pod wait
+      * out the one in-flight interrupt before its deferred bookkeeping */
+    val interruptIssued = new AtomicBoolean(false)
     /** last RUNNING report, 0 = never (job_runner.go:138 runningPods) */
     val lastReportedMs = new java.util.concurrent.atomic.AtomicLong(0L)
   }
@@ -132,7 +137,7 @@ final class SyncController(
     if (!byScheduler || isTruish(desc.nodelay)) spawnPod(desc, cfg)
     else {
       val th = new Thread(() => {
-        try Thread.sleep(schedulerDelayMs(desc.syncId))
+        try Thread.sleep(math.max(0L, schedulerDelayMs(desc.syncId)))
         catch { case _: InterruptedException => () }
         if (runningSyncs.containsKey(desc.syncId)) () // skip: already running
         else {
@@ -153,8 +158,12 @@ final class SyncController(
     val created = new CountDownLatch(1)
     val pod = new Pod(name, desc,
       new Thread(() => {
-        // the pod starts work only after its CREATED bookkeeping landed
-        created.await(10, TimeUnit.SECONDS)
+        // the pod starts work only after its CREATED bookkeeping landed; a
+        // cancel arriving during startup must still reach runPod (the
+        // cancelled flag ends the pod immediately) — an uncaught interrupt
+        // here would leak the pods entry and wedge quiesce forever
+        try created.await(10, TimeUnit.SECONDS)
+        catch { case _: InterruptedException => () }
         runPod(name, desc, cfg)
       }, s"sync-pod-$name"))
     if (pods.putIfAbsent(name, pod) != null) (StatusAlreadyCreated, "")
@@ -180,7 +189,16 @@ final class SyncController(
             s"connector package '${desc.pkg}' not found")
         case Some(conn) =>
           desc.taskType match {
-            case "read" => readLeg(conn, desc, cfg, () => pod.cancelled.get())
+            case "read" =>
+              readLeg(conn, desc, cfg, () => pod.cancelled.get(),
+                settleCancel = () => if (pod.cancelled.get()) {
+                  // wait out the ONE terminate interrupt (issued exactly
+                  // once — terminatePod is CAS-guarded), then clear it so
+                  // the deferred Derby bookkeeping can't be killed mid-write
+                  while (!pod.interruptIssued.get()) Thread.onSpinWait()
+                  Thread.interrupted()
+                  ()
+                })
             case _ => specCatalogLeg(conn, desc, cfg)
           }
       }
@@ -273,7 +291,8 @@ final class SyncController(
     * (read.go:622-626), and the rollup writes the catalog-ordered stream
     * status map as the task description (read.go:85-141). */
   private def readLeg(conn: Connector, desc: TaskDescriptor, cfg: TaskConfiguration,
-                      cancelled: () => Boolean): Unit = {
+                      cancelled: () => Boolean,
+                      settleCancel: () => Unit = () => ()): Unit = {
     val catalog = Airbyte.parseCatalog(cfg.catalogJson)
     val runnerCfg = AirbyteRunner.Config(
       namespace = desc.namespace,
@@ -289,10 +308,10 @@ final class SyncController(
     val runner = new AirbyteRunner(engine, catalog, runnerCfg)
     val raw = runner.run(conn.read(desc, cfg, cancelled), cancelled)
     // the terminate interrupt may still be PENDING if it landed outside a
-    // blocking wait; clear it so the deferred bookkeeping below (Derby
+    // blocking wait; settle it so the deferred bookkeeping below (Derby
     // writes use interruptible locks) runs — the sidecar's SIGTERM handler
     // likewise only flags, and the deferred rollup always completes
-    Thread.interrupted()
+    settleCancel()
     raw.states.foreach { case (stream, state) =>
       SyncDb.upsertState(sink, desc.syncId, stream, state, nowMs())
     }
@@ -301,6 +320,26 @@ final class SyncController(
     // streams and the rollup, with the reference's split-your-sync hint
     val timeExceeded =
       cancelled() && nowMs() - desc.startedAt > taskTimeoutMs
+    if (!raw.processedAny) {
+      // read.go:128-141 — NO stream was ever opened: the row carries
+      // status+error only, never a description map, and the timeout takes
+      // the SHORT message form
+      if (raw.firstError.nonEmpty)
+        SyncDb.upsertTaskError(sink, desc.syncId, desc.taskId, desc.pkg,
+          desc.version, desc.startedAt, "FAILED", s"ERROR: ${raw.firstError}", nowMs())
+      else if (timeExceeded)
+        SyncDb.upsertTaskError(sink, desc.syncId, desc.taskId, desc.pkg,
+          desc.version, desc.startedAt, "TIME_EXCEEDED",
+          s"Task timeout: task is running for more than ${taskTimeoutMs / 3600000} hours.",
+          nowMs())
+      else if (cancelled())
+        SyncDb.upsertTaskError(sink, desc.syncId, desc.taskId, desc.pkg,
+          desc.version, desc.startedAt, "CANCELLED", "The task was cancelled", nowMs())
+      else
+        SyncDb.upsertTaskDescriptionAndError(sink, desc.syncId, desc.taskId,
+          desc.pkg, desc.version, desc.startedAt, "SUCCESS", "", "", nowMs())
+      return
+    }
     val result =
       if (!timeExceeded) raw
       else raw.copy(
@@ -416,10 +455,16 @@ final class SyncController(
   }
 
   /** job_runner terminatePod stand-in: flag + interrupt the pod thread (the
-    * SIGTERM the sidecar observes); the thread removes itself on exit. */
+    * SIGTERM the sidecar observes); the thread removes itself on exit.
+    * IDEMPOTENT: only the first terminate interrupts — a watcher re-kill or
+    * a double cancel must not land a second interrupt inside the pod's
+    * deferred Derby bookkeeping. */
   def terminatePod(name: String): Unit = {
     val pod = pods.get(name)
-    if (pod != null) { pod.cancelled.set(true); pod.thread.interrupt() }
+    if (pod != null && pod.cancelled.compareAndSet(false, true)) {
+      pod.thread.interrupt() // flag is set synchronously by this call
+      pod.interruptIssued.set(true)
+    }
   }
 
   /** Expose the janitor deterministically (the 15-minute ticker calls this

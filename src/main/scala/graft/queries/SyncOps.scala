@@ -400,7 +400,7 @@ object SyncOps {
     UNION ALL SELECT 'spec', 'airbyte/source-firebase', '1.0.0', '',
            $t0s, NULL, '${FbSpecJson}'
     UNION ALL SELECT 'spec', 'airbyte/source-ghost', '9.9',
-           'connector package ''airbyte/source-ghost'' not found',
+           '${GhostError.replace("'", "''")}',
            $t0s, NULL, NULL
     UNION ALL SELECT 'check', 'sk-fb', 'SUCCESS', '', $t0s, NULL,
            'airbyte/source-firebase|1.0.0'

@@ -454,7 +454,8 @@ final class AirbyteRunner(
       else if (status == "CANCELLED") "The task was cancelled"
       else if (firstErr.nonEmpty) s"ERROR: $firstErr"
       else ""
-    RunResult(status, errorText, streams, savedStates.toSeq, logLines.toSeq)
+    RunResult(status, errorText, streams, savedStates.toSeq, logLines.toSeq,
+      processedAny = processed.nonEmpty, firstError = firstErr)
   }
 
   // --- tiny jackson navigation helpers ---
@@ -494,7 +495,12 @@ object AirbyteRunner {
       error: String,
       streams: Seq[StreamResult],
       states: Seq[(String, String)],
-      logs: Seq[(String, String, String)])
+      logs: Seq[(String, String, String)],
+      /** read.go:85 — whether ANY stream was ever opened; the sidecar's
+        * deferred rollup takes the bare bad-status path when none was */
+      processedAny: Boolean = true,
+      /** the run's first registered error, raw (read.go firstErr) */
+      firstError: String = "")
 
   val GlobalStateKey = "_GLOBAL_STATE"
   val LegacyStateKey = "_LEGACY_STATE"

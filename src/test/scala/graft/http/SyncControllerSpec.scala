@@ -377,6 +377,37 @@ class SyncControllerSpec extends SparkSuite {
     } finally ctl.stop()
   }
 
+  test("cancel before ANY stream opened: bare CANCELLED row, no description map") {
+    // read.go:128-141 — the empty-processedStreams branch writes
+    // status+error only (sendBadStatus), never a stream map
+    val sink = freshSink("cancel0")
+    val entered = new CountDownLatch(1)
+    val readL = (_: TaskDescriptor, cancelled: () => Boolean) =>
+      new Iterator[String] { // blocks before emitting anything
+        def hasNext: Boolean = {
+          entered.countDown()
+          while (!cancelled()) {
+            try Thread.sleep(5) catch { case _: InterruptedException => () }
+          }
+          false
+        }
+        def next(): String = throw new NoSuchElementException
+      }
+    val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)))
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      val taskId = "0123456789abcdef0123456789abcdef-z1"
+      http("POST", s"$api/read?package=slow&version=v1&syncId=sy8&taskId=$taskId",
+        Some(s"""{"config":{},"catalog":$readCatalog}"""))
+      assert(entered.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      http("GET", s"$api/cancel?package=slow&syncId=sy8&taskId=$taskId")
+      quiesce(ctl)
+      assert(rows(sink, s"""SELECT status, description, error
+          FROM "${SyncDb.TaskTable}" WHERE sync_id='sy8'""") ==
+        Seq(Seq("CANCELLED", "null", "The task was cancelled")))
+    } finally ctl.stop()
+  }
+
   test("pod watcher heartbeats RUNNING with cpu/mem metrics for a live read") {
     val sink = freshSink("watch")
     val entered = new CountDownLatch(1)
