@@ -76,50 +76,59 @@ object SyncDb {
     finally ps.close()
   }
 
+  /** The INSERT leg of an UPDATE-then-INSERT upsert. Postgres's ON
+    * CONFLICT is atomic; this re-expression can lose an insert race under
+    * concurrent tasks, so a duplicate-key (Derby 23505) falls back to the
+    * caller's conflict action — the same guarded update, which may
+    * rightfully match zero rows. */
+  private def insertRacing(ins: => Unit)(onConflict: => Unit): Unit =
+    try ins
+    catch { case e: java.sql.SQLException if e.getSQLState == "23505" => onConflict }
+
   // ------------------------------------------------------------ source_spec
 
   /** db.go:10-11 upsertSpecSQL: overwrite only while the landed row has no
     * specs yet (a successful spec is immutable). */
   def upsertSpec(sink: JdbcSink, pkg: String, version: String, specs: String,
                  tsMs: Long, error: String): Unit = sink.withConnection { c =>
-    val n = update(c, s"""UPDATE "$SpecTable" SET specs = ?, "timestamp" = ?,
+    def upd() = update(c, s"""UPDATE "$SpecTable" SET specs = ?, "timestamp" = ?,
         error = ? WHERE package = ? AND version = ? AND specs IS NULL""") { ps =>
       ps.setString(1, specs); ps.setTimestamp(2, ts(tsMs)); ps.setString(3, error)
       ps.setString(4, pkg); ps.setString(5, version)
     }
-    if (n == 0 && !exists(c, s"""SELECT 1 FROM "$SpecTable"
+    if (upd() == 0 && !exists(c, s"""SELECT 1 FROM "$SpecTable"
         WHERE package = ? AND version = ?""") { ps =>
       ps.setString(1, pkg); ps.setString(2, version)
-    }) {
+    }) insertRacing {
       update(c, s"""INSERT INTO "$SpecTable" (package, version, specs, "timestamp", error)
           VALUES (?, ?, ?, ?, ?)""") { ps =>
         ps.setString(1, pkg); ps.setString(2, version); ps.setString(3, specs)
         ps.setTimestamp(4, ts(tsMs)); ps.setString(5, error)
       }
       ()
-    }
+    } { upd(); () }
   }
 
   /** db.go:13-14 insertSpecErrorSQL — same specs-IS-NULL guard, no specs
     * column bound. */
   def insertSpecError(sink: JdbcSink, pkg: String, version: String,
                       tsMs: Long, error: String): Unit = sink.withConnection { c =>
-    val n = update(c, s"""UPDATE "$SpecTable" SET "timestamp" = ?, error = ?
+    def upd() = update(c, s"""UPDATE "$SpecTable" SET "timestamp" = ?, error = ?
         WHERE package = ? AND version = ? AND specs IS NULL""") { ps =>
       ps.setTimestamp(1, ts(tsMs)); ps.setString(2, error)
       ps.setString(3, pkg); ps.setString(4, version)
     }
-    if (n == 0 && !exists(c, s"""SELECT 1 FROM "$SpecTable"
+    if (upd() == 0 && !exists(c, s"""SELECT 1 FROM "$SpecTable"
         WHERE package = ? AND version = ?""") { ps =>
       ps.setString(1, pkg); ps.setString(2, version)
-    }) {
+    }) insertRacing {
       update(c, s"""INSERT INTO "$SpecTable" (package, version, "timestamp", error)
           VALUES (?, ?, ?, ?)""") { ps =>
         ps.setString(1, pkg); ps.setString(2, version)
         ps.setTimestamp(3, ts(tsMs)); ps.setString(4, error)
       }
       ()
-    }
+    } { upd(); () }
   }
 
   // --------------------------------------------------------- source_catalog
@@ -128,16 +137,16 @@ object SyncDb {
                             key: String, tsMs: Long, status: String,
                             description: String, guard: String): Unit =
     sink.withConnection { c =>
-      val n = update(c, s"""UPDATE "$CatalogTable" SET "timestamp" = ?,
+      def upd() = update(c, s"""UPDATE "$CatalogTable" SET "timestamp" = ?,
           status = ?, description = ?
           WHERE package = ? AND version = ? AND "key" = ?$guard""") { ps =>
         ps.setTimestamp(1, ts(tsMs)); ps.setString(2, status); ps.setString(3, description)
         ps.setString(4, pkg); ps.setString(5, version); ps.setString(6, key)
       }
-      if (n == 0 && !exists(c, s"""SELECT 1 FROM "$CatalogTable"
+      if (upd() == 0 && !exists(c, s"""SELECT 1 FROM "$CatalogTable"
           WHERE package = ? AND version = ? AND "key" = ?""") { ps =>
         ps.setString(1, pkg); ps.setString(2, version); ps.setString(3, key)
-      }) {
+      }) insertRacing {
         update(c, s"""INSERT INTO "$CatalogTable"
             (package, version, "key", "timestamp", status, description)
             VALUES (?, ?, ?, ?, ?, ?)""") { ps =>
@@ -145,7 +154,7 @@ object SyncDb {
           ps.setTimestamp(4, ts(tsMs)); ps.setString(5, status); ps.setString(6, description)
         }
         ()
-      }
+      } { upd(); () }
     }
 
   /** db.go:16-17 — unconditional status upsert. */
@@ -166,14 +175,14 @@ object SyncDb {
                            key: String, catalog: String, tsMs: Long,
                            status: String, description: String): Unit =
     sink.withConnection { c =>
-      val n = update(c, s"""UPDATE "$CatalogTable" SET "catalog" = ?,
+      def upd() = update(c, s"""UPDATE "$CatalogTable" SET "catalog" = ?,
           "timestamp" = ?, status = ?, description = ?
           WHERE package = ? AND version = ? AND "key" = ?""") { ps =>
         ps.setString(1, catalog); ps.setTimestamp(2, ts(tsMs))
         ps.setString(3, status); ps.setString(4, description)
         ps.setString(5, pkg); ps.setString(6, version); ps.setString(7, key)
       }
-      if (n == 0) {
+      if (upd() == 0) insertRacing {
         update(c, s"""INSERT INTO "$CatalogTable"
             (package, version, "key", "catalog", "timestamp", status, description)
             VALUES (?, ?, ?, ?, ?, ?, ?)""") { ps =>
@@ -182,7 +191,7 @@ object SyncDb {
           ps.setString(6, status); ps.setString(7, description)
         }
         ()
-      }
+      } { upd(); () }
     }
 
   // ----------------------------------------------------------- source_state
@@ -190,19 +199,19 @@ object SyncDb {
   /** db.go:25-26 upsertStateSQL. */
   def upsertState(sink: JdbcSink, syncId: String, stream: String, state: String,
                   tsMs: Long): Unit = sink.withConnection { c =>
-    val n = update(c, s"""UPDATE "$StateTable" SET state = ?, "timestamp" = ?
+    def upd() = update(c, s"""UPDATE "$StateTable" SET state = ?, "timestamp" = ?
         WHERE sync_id = ? AND stream = ?""") { ps =>
       ps.setString(1, state); ps.setTimestamp(2, ts(tsMs))
       ps.setString(3, syncId); ps.setString(4, stream)
     }
-    if (n == 0) {
+    if (upd() == 0) insertRacing {
       update(c, s"""INSERT INTO "$StateTable" (sync_id, stream, state, "timestamp")
           VALUES (?, ?, ?, ?)""") { ps =>
         ps.setString(1, syncId); ps.setString(2, stream)
         ps.setString(3, state); ps.setTimestamp(4, ts(tsMs))
       }
       ()
-    }
+    } { upd(); () }
   }
 
   // ------------------------------------------------------------ source_task
@@ -214,12 +223,12 @@ object SyncDb {
                                     status: String, description: String,
                                     error: String, nowMs: Long): Unit =
     sink.withConnection { c =>
-      val n = update(c, s"""UPDATE "$TaskTable" SET updated_at = ?, status = ?,
+      def upd() = update(c, s"""UPDATE "$TaskTable" SET updated_at = ?, status = ?,
           description = ?, error = ? WHERE task_id = ?""") { ps =>
         ps.setTimestamp(1, ts(nowMs)); ps.setString(2, status)
         ps.setString(3, description); ps.setString(4, error); ps.setString(5, taskId)
       }
-      if (n == 0) {
+      if (upd() == 0) insertRacing {
         update(c, s"""INSERT INTO "$TaskTable" (sync_id, task_id, package, version,
             started_at, updated_at, status, description, error)
             VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""") { ps =>
@@ -229,19 +238,19 @@ object SyncDb {
           ps.setString(8, description); ps.setString(9, error)
         }
         ()
-      }
+      } { upd(); () }
     }
 
   /** db.go:31-32 upsertTaskErrorSQL. */
   def upsertTaskError(sink: JdbcSink, syncId: String, taskId: String, pkg: String,
                       version: String, startedAtMs: Long, status: String,
                       error: String, nowMs: Long): Unit = sink.withConnection { c =>
-    val n = update(c, s"""UPDATE "$TaskTable" SET updated_at = ?, status = ?,
+    def upd() = update(c, s"""UPDATE "$TaskTable" SET updated_at = ?, status = ?,
         error = ? WHERE task_id = ?""") { ps =>
       ps.setTimestamp(1, ts(nowMs)); ps.setString(2, status)
       ps.setString(3, error); ps.setString(4, taskId)
     }
-    if (n == 0) {
+    if (upd() == 0) insertRacing {
       update(c, s"""INSERT INTO "$TaskTable" (sync_id, task_id, package, version,
           started_at, updated_at, status, error)
           VALUES (?, ?, ?, ?, ?, ?, ?, ?)""") { ps =>
@@ -250,7 +259,7 @@ object SyncDb {
         ps.setTimestamp(6, ts(nowMs)); ps.setString(7, status); ps.setString(8, error)
       }
       ()
-    }
+    } { upd(); () }
   }
 
   /** db.go:34-35 upsertRunningTaskSQL — a finished (SUCCESS / CANCELLED /
@@ -260,22 +269,24 @@ object SyncDb {
                         version: String, startedAtMs: Long, status: String,
                         error: String, startedBy: String, nowMs: Long): Unit =
     sink.withConnection { c =>
-      val n = update(c, s"""UPDATE "$TaskTable" SET updated_at = ?, status = ?,
+      def upd() = update(c, s"""UPDATE "$TaskTable" SET updated_at = ?, status = ?,
           error = ?, started_by = ? WHERE task_id = ? AND status = 'RUNNING'""") { ps =>
         ps.setTimestamp(1, ts(nowMs)); ps.setString(2, status); ps.setString(3, error)
         ps.setString(4, startedBy); ps.setString(5, taskId)
       }
-      if (n == 0 && !exists(c,
+      if (upd() == 0 && !exists(c,
           s"""SELECT 1 FROM "$TaskTable" WHERE task_id = ?""")(_.setString(1, taskId))) {
-        update(c, s"""INSERT INTO "$TaskTable" (sync_id, task_id, package, version,
-            started_at, updated_at, status, error, started_by)
-            VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""") { ps =>
-          ps.setString(1, syncId); ps.setString(2, taskId); ps.setString(3, pkg)
-          ps.setString(4, version); ps.setTimestamp(5, ts(startedAtMs))
-          ps.setTimestamp(6, ts(nowMs)); ps.setString(7, status)
-          ps.setString(8, error); ps.setString(9, startedBy)
-        }
-        ()
+        insertRacing {
+          update(c, s"""INSERT INTO "$TaskTable" (sync_id, task_id, package, version,
+              started_at, updated_at, status, error, started_by)
+              VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""") { ps =>
+            ps.setString(1, syncId); ps.setString(2, taskId); ps.setString(3, pkg)
+            ps.setString(4, version); ps.setTimestamp(5, ts(startedAtMs))
+            ps.setTimestamp(6, ts(nowMs)); ps.setString(7, status)
+            ps.setString(8, error); ps.setString(9, startedBy)
+          }
+          ()
+        } { upd(); () }
       }
     }
 
@@ -317,12 +328,12 @@ object SyncDb {
                   status: String, description: String, tsMs: Long): Unit =
     sink.withConnection { c =>
       // conflict update touches ONLY status/description/timestamp (db.go:44)
-      val n = update(c, s"""UPDATE "$CheckTable" SET status = ?, description = ?,
+      def upd() = update(c, s"""UPDATE "$CheckTable" SET status = ?, description = ?,
           "timestamp" = ? WHERE "key" = ?""") { ps =>
         ps.setString(1, status); ps.setString(2, description); ps.setTimestamp(3, ts(tsMs))
         ps.setString(4, key)
       }
-      if (n == 0) {
+      if (upd() == 0) insertRacing {
         update(c, s"""INSERT INTO "$CheckTable"
             (package, version, "key", status, description, "timestamp")
             VALUES (?, ?, ?, ?, ?, ?)""") { ps =>
@@ -330,7 +341,7 @@ object SyncDb {
           ps.setString(4, status); ps.setString(5, description); ps.setTimestamp(6, ts(tsMs))
         }
         ()
-      }
+      } { upd(); () }
     }
 
   /** db.go:46-47 insertCheckErrorSQL — DO NOTHING on conflict: a landed
@@ -339,13 +350,15 @@ object SyncDb {
                        status: String, description: String, tsMs: Long): Unit =
     sink.withConnection { c =>
       if (!exists(c, s"""SELECT 1 FROM "$CheckTable" WHERE "key" = ?""")(_.setString(1, key))) {
-        update(c, s"""INSERT INTO "$CheckTable"
-            (package, version, "key", status, description, "timestamp")
-            VALUES (?, ?, ?, ?, ?, ?)""") { ps =>
-          ps.setString(1, pkg); ps.setString(2, version); ps.setString(3, key)
-          ps.setString(4, status); ps.setString(5, description); ps.setTimestamp(6, ts(tsMs))
-        }
-        ()
+        insertRacing {
+          update(c, s"""INSERT INTO "$CheckTable"
+              (package, version, "key", status, description, "timestamp")
+              VALUES (?, ?, ?, ?, ?, ?)""") { ps =>
+            ps.setString(1, pkg); ps.setString(2, version); ps.setString(3, key)
+            ps.setString(4, status); ps.setString(5, description); ps.setTimestamp(6, ts(tsMs))
+          }
+          ()
+        } { () } // DO NOTHING on conflict (db.go:47)
       }
     }
 
