@@ -147,6 +147,36 @@ class SyncControllerSpec extends SparkSuite {
     SyncDb.closeStaleTasks(sink, T0) // smoke: no RUNNING rows → 0
   }
 
+  test("SyncDb: concurrent upserts on one key collapse to a single row (insert race)") {
+    // Postgres ON CONFLICT is atomic; the UPDATE-then-INSERT re-expression
+    // must tolerate losing the insert race under concurrent tasks
+    val sink = freshSink("dbrace")
+    SyncDb.init(sink)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val go = new CountDownLatch(1)
+    val done = new CountDownLatch(24)
+    (0 until 24).foreach { i =>
+      pool.execute(() => {
+        try {
+          go.await()
+          SyncDb.upsertCheck(sink, "p", "v", "hotkey", s"S$i", "", T0 + i)
+          SyncDb.upsertState(sink, "sy", "hotstream", s"""{"i":$i}""", T0 + i)
+          SyncDb.insertCheckError(sink, "p", "v", s"late$i", "FAILED", "x", T0)
+        } catch { case t: Throwable => errs.add(t); () }
+        finally done.countDown()
+      })
+    }
+    go.countDown()
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent upserts threw: ${errs}")
+    assert(rows(sink, s"""SELECT COUNT(*) FROM "${SyncDb.CheckTable}"
+        WHERE "key"='hotkey'""") == Seq(Seq("1")))
+    assert(rows(sink, s"""SELECT COUNT(*) FROM "${SyncDb.StateTable}"
+        WHERE stream='hotstream'""") == Seq(Seq("1")))
+  }
+
   // ------------------------------------------------------------ HTTP surface
 
   test("spec task: happy path lands source_spec; unknown package lands error") {
