@@ -292,7 +292,7 @@ final class SyncController(
     * status map as the task description (read.go:85-141). */
   private def readLeg(conn: Connector, desc: TaskDescriptor, cfg: TaskConfiguration,
                       cancelled: () => Boolean,
-                      settleCancel: () => Unit = () => ()): Unit = {
+                      settleCancel: () => Unit): Unit = {
     val catalog = Airbyte.parseCatalog(cfg.catalogJson)
     val runnerCfg = AirbyteRunner.Config(
       namespace = desc.namespace,
@@ -508,6 +508,15 @@ final class SyncController(
       if (state.isEmpty) "{}" else state, f("destinationConfig"))
   }
 
+  /** Parse the POST body or answer the reference's 400 (task_manager.go:
+    * 56-59); None means the response was already written. */
+  private def parsedConfigOr400(ex: HttpExchange): Option[TaskConfiguration] =
+    try Some(parseConfig(body(ex)))
+    catch { case e: Exception =>
+      respond(ex, 400, s"""{"ok":false,"error":${js(String.valueOf(e.getMessage))}}""")
+      None
+    }
+
   private def createAndRespond(ex: HttpExchange, desc: TaskDescriptor,
                                cfg: TaskConfiguration, specShape: Boolean): Unit = {
     val (status, error) = createJob(desc, cfg)
@@ -530,29 +539,23 @@ final class SyncController(
           pkg = q(ex, "package"), version = q(ex, "version"),
           startedAt = rounded), TaskConfiguration.Empty, specShape = true)
       case ("POST", "/check") =>
-        val cfg = try parseConfig(body(ex)) catch { case e: Exception =>
-          respond(ex, 400, s"""{"ok":false,"error":${js(String.valueOf(e.getMessage))}}"""); return
-        }
-        createAndRespond(ex, TaskDescriptor(taskType = "check",
-          pkg = q(ex, "package"), version = q(ex, "version"),
-          storageKey = q(ex, "storageKey"), startedAt = nowMs()),
-          cfg, specShape = false)
+        parsedConfigOr400(ex).foreach(cfg =>
+          createAndRespond(ex, TaskDescriptor(taskType = "check",
+            pkg = q(ex, "package"), version = q(ex, "version"),
+            storageKey = q(ex, "storageKey"), startedAt = nowMs()),
+            cfg, specShape = false))
       case ("POST", "/discover") =>
-        val cfg = try parseConfig(body(ex)) catch { case e: Exception =>
-          respond(ex, 400, s"""{"ok":false,"error":${js(String.valueOf(e.getMessage))}}"""); return
-        }
-        createAndRespond(ex, TaskDescriptor(taskType = "discover",
-          workspaceId = q(ex, "workspaceId"), syncId = q(ex, "syncId"),
-          taskId = q(ex, "taskId"), pkg = q(ex, "package"),
-          version = q(ex, "version"), storageKey = q(ex, "storageKey"),
-          startedAt = nowMs(), thenRun = q(ex, "thenRun"),
-          fullSync = q(ex, "fullSync"), startedBy = q(ex, "startedBy")),
-          cfg, specShape = false)
+        parsedConfigOr400(ex).foreach(cfg =>
+          createAndRespond(ex, TaskDescriptor(taskType = "discover",
+            workspaceId = q(ex, "workspaceId"), syncId = q(ex, "syncId"),
+            taskId = q(ex, "taskId"), pkg = q(ex, "package"),
+            version = q(ex, "version"), storageKey = q(ex, "storageKey"),
+            startedAt = nowMs(), thenRun = q(ex, "thenRun"),
+            fullSync = q(ex, "fullSync"), startedBy = q(ex, "startedBy")),
+            cfg, specShape = false))
       case ("POST", "/read") =>
-        val cfg = try parseConfig(body(ex)) catch { case e: Exception =>
-          respond(ex, 400, s"""{"ok":false,"error":${js(String.valueOf(e.getMessage))}}"""); return
-        }
-        createAndRespond(ex, TaskDescriptor(taskType = "read",
+        parsedConfigOr400(ex).foreach(cfg => createAndRespond(ex,
+          TaskDescriptor(taskType = "read",
           pkg = q(ex, "package"), version = q(ex, "version"),
           syncId = q(ex, "syncId"), taskId = q(ex, "taskId"),
           namespace = q(ex, "namespace"),
@@ -561,7 +564,7 @@ final class SyncController(
           deduplicate = q(ex, "deduplicate"), fullSync = q(ex, "fullSync"),
           debug = q(ex, "debug"), nodelay = q(ex, "nodelay"),
           startedBy = q(ex, "startedBy"), startedAt = nowMs()),
-          cfg, specShape = false)
+          cfg, specShape = false))
       case ("GET", "/cancel") =>
         val pkg = q(ex, "package")
         val syncId = q(ex, "syncId")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 import graft.core.Tables
 import graft.llm.{Bpe, TextOps}
 import LlmOps.toksSql
@@ -43,23 +43,22 @@ object BpeOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Bounded model collect + driver training (see object doc). */
-  def trainedMerges(s: SparkSession, d: String): Seq[Bpe.Merge] = {
-    val wc = wordCounts(s, d)
-      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap) // TakeOrdered
+  /** The bounded (TakeOrdered) word model, collected — the ONE
+    * control-plane pull every trainer below shares. */
+  private def collectedModel(s: SparkSession, d: String): Seq[(String, Long)] =
+    wordCounts(s, d)
+      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    Bpe.train(wc, NMerges)
-  }
+
+  /** Bounded model collect + driver training (see object doc). */
+  def trainedMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    Bpe.train(collectedModel(s, d), NMerges)
 
   /** Byte-level variant: the same capped model, trained over the UTF-8
     * hex-pair alphabet ([[Bpe.byteSyms]]) — the GPT-2-convention fallback
     * that leaves NO token out-of-vocabulary. */
-  def trainedByteMerges(s: SparkSession, d: String): Seq[Bpe.Merge] = {
-    val wc = wordCounts(s, d)
-      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    Bpe.train(wc, NMerges, Bpe.byteSyms)
-  }
+  def trainedByteMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    Bpe.train(collectedModel(s, d), NMerges, Bpe.byteSyms)
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -684,9 +683,7 @@ object BpeOps {
   def tokenizePack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // stage 1: the one corpus pass + driver train (llm_bpe_train's shape)
-    val wc = wordCounts(s, d)
-      .orderBy(col("freq").desc, col("word").asc).limit(VocabCap)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val wc = collectedModel(s, d)
     val merges = Bpe.train(wc, NMerges)
     val rules = merges.map(m => (m.lhs, m.rhs))
     // stage 2: emission vocabulary from the same collected model
@@ -702,8 +699,7 @@ object BpeOps {
         size(col("pieces")).cast(LongType).as("n_tokens"),
         md5(concat_ws(Sep, col("pieces"))).as("checksum"))
     // stage 4: shard-local running offset (llm_pack's window, real tokens)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     // feeds BOTH the doc rows and the manifest aggregate: one eager
     // materialization (the house multi-consumer rule), lineage truncated
@@ -712,7 +708,7 @@ object BpeOps {
         .divide(ChainPackTokens).cast(LongType))
       .localCheckpoint(true)
     val docRows = packed.select(lit("doc").as("kind"),
-      col("doc_id").cast(org.apache.spark.sql.types.StringType).as("k"),
+      col("doc_id").cast(StringType).as("k"),
       col("source"), col("n_tokens").as("n1"), col("seq_id").as("n2"),
       col("checksum").as("sig"))
     // stage 5: shard manifest — map-side-combinable rollup
@@ -720,16 +716,16 @@ object BpeOps {
       .withColumn("h", TextOps.hash60(col("checksum")))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n1"), sum(col("n_tokens")).as("n2"),
-        expr("bit_xor(h)").cast(org.apache.spark.sql.types.StringType).as("sig"))
+        expr("bit_xor(h)").cast(StringType).as("sig"))
       .select(lit("shard").as("kind"),
-        col("seq_id").cast(org.apache.spark.sql.types.StringType).as("k"),
+        col("seq_id").cast(StringType).as("k"),
         col("source"), col("n1"), col("n2"), col("sig"))
     import s.implicits._
     val vocabRows = vocab.toDF("k", "id").select(lit("vocab").as("kind"),
-      col("k"), lit(null).cast(org.apache.spark.sql.types.StringType).as("source"),
+      col("k"), lit(null).cast(StringType).as("source"),
       col("id").cast(LongType).as("n1"),
       lit(null).cast(LongType).as("n2"),
-      lit(null).cast(org.apache.spark.sql.types.StringType).as("sig"))
+      lit(null).cast(StringType).as("sig"))
     docRows.unionByName(manifest).unionByName(vocabRows)
   }
 

@@ -271,6 +271,30 @@ class SyncControllerSpec extends SparkSuite {
     s"""{"type":"RECORD","record":{"stream":"t","namespace":"ns","data":{"id":$id,"v":$v}}}"""
   private def state(c: Long) =
     s"""{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"t","namespace":"ns"},"stream_state":{"c":$c}}}}"""
+  private val startedT =
+    """{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}"""
+
+  /** A read that emits `head` then blocks until cancelled — the live-pod
+    * stdout-pipe gate every cancel/heartbeat test needs. `entered` counts
+    * down when the gate is reached (i.e. after `head` was fully consumed
+    * and any checkpoint it triggered committed). */
+  private def gatedRead(entered: CountDownLatch, head: Seq[String],
+                        onStart: () => Unit = () => ())
+      : (TaskDescriptor, () => Boolean) => Iterator[String] =
+    (_, cancelled) => {
+      onStart()
+      val gate = new Iterator[String] {
+        def hasNext: Boolean = {
+          entered.countDown()
+          while (!cancelled()) {
+            try Thread.sleep(5) catch { case _: InterruptedException => () }
+          }
+          false
+        }
+        def next(): String = throw new NoSuchElementException
+      }
+      head.iterator ++ gate
+    }
 
   test("read task: RUNNING row, warehouse load, states, SUCCESS status map") {
     val sink = freshSink("read")
@@ -309,24 +333,7 @@ class SyncControllerSpec extends SparkSuite {
   test("cancel mid-read: committed chunk survives, CANCELLED sticks") {
     val sink = freshSink("cancel")
     val entered = new CountDownLatch(1)
-    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
-      val head = Iterator(
-        """{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""",
-        rec(1, 10), rec(2, 20), state(20))
-      val gate = new Iterator[String] {
-        def hasNext: Boolean = {
-          entered.countDown()
-          // the pod's stdout pipe: blocks until SIGTERM (interrupt) lands
-          while (!cancelled()) {
-            try Thread.sleep(5)
-            catch { case _: InterruptedException => () }
-          }
-          false
-        }
-        def next(): String = throw new NoSuchElementException
-      }
-      head ++ gate
-    }
+    val readL = gatedRead(entered, Seq(startedT, rec(1, 10), rec(2, 20), state(20)))
     val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)))
     try {
       val api = s"http://127.0.0.1:${ctl.port}"
@@ -367,22 +374,7 @@ class SyncControllerSpec extends SparkSuite {
   test("timeout cancel rolls up TIME_EXCEEDED (read.go:76-119)") {
     val sink = freshSink("timeout")
     val entered = new CountDownLatch(1)
-    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
-      val head = Iterator(
-        """{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""",
-        rec(1, 10), rec(2, 20), state(20))
-      val gate = new Iterator[String] {
-        def hasNext: Boolean = {
-          entered.countDown()
-          while (!cancelled()) {
-            try Thread.sleep(5) catch { case _: InterruptedException => () }
-          }
-          false
-        }
-        def next(): String = throw new NoSuchElementException
-      }
-      head ++ gate
-    }
+    val readL = gatedRead(entered, Seq(startedT, rec(1, 10), rec(2, 20), state(20)))
     // taskTimeoutMs = -1: any cancel counts as past the timeout
     val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)),
       taskTimeoutMs = -1L)
@@ -412,17 +404,7 @@ class SyncControllerSpec extends SparkSuite {
     // status+error only (sendBadStatus), never a stream map
     val sink = freshSink("cancel0")
     val entered = new CountDownLatch(1)
-    val readL = (_: TaskDescriptor, cancelled: () => Boolean) =>
-      new Iterator[String] { // blocks before emitting anything
-        def hasNext: Boolean = {
-          entered.countDown()
-          while (!cancelled()) {
-            try Thread.sleep(5) catch { case _: InterruptedException => () }
-          }
-          false
-        }
-        def next(): String = throw new NoSuchElementException
-      }
+    val readL = gatedRead(entered, head = Nil) // blocks before emitting anything
     val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)))
     try {
       val api = s"http://127.0.0.1:${ctl.port}"
@@ -441,19 +423,7 @@ class SyncControllerSpec extends SparkSuite {
   test("pod watcher heartbeats RUNNING with cpu/mem metrics for a live read") {
     val sink = freshSink("watch")
     val entered = new CountDownLatch(1)
-    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
-      val gate = new Iterator[String] {
-        def hasNext: Boolean = {
-          entered.countDown()
-          while (!cancelled()) {
-            try Thread.sleep(5) catch { case _: InterruptedException => () }
-          }
-          false
-        }
-        def next(): String = throw new NoSuchElementException
-      }
-      Iterator("""{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""") ++ gate
-    }
+    val readL = gatedRead(entered, Seq(startedT))
     // fast watcher ticks, zero min-report interval → heartbeat every tick
     val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)),
       watcherPeriodMs = 50L, runningReportEveryMs = 0L)
@@ -486,20 +456,8 @@ class SyncControllerSpec extends SparkSuite {
     val sink = freshSink("dup")
     val entered = new CountDownLatch(1)
     val ran = new java.util.concurrent.atomic.AtomicInteger(0)
-    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
-      ran.incrementAndGet()
-      val gate = new Iterator[String] {
-        def hasNext: Boolean = {
-          entered.countDown()
-          while (!cancelled()) {
-            try Thread.sleep(5) catch { case _: InterruptedException => () }
-          }
-          false
-        }
-        def next(): String = throw new NoSuchElementException
-      }
-      Iterator("""{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""") ++ gate
-    }
+    val readL = gatedRead(entered, Seq(startedT),
+      onStart = () => { ran.incrementAndGet(); () })
     val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)))
     try {
       val api = s"http://127.0.0.1:${ctl.port}"
@@ -524,20 +482,8 @@ class SyncControllerSpec extends SparkSuite {
     val sink = freshSink("sched")
     val entered = new CountDownLatch(1)
     val ran = new java.util.concurrent.atomic.AtomicInteger(0)
-    val readL = (_: TaskDescriptor, cancelled: () => Boolean) => {
-      ran.incrementAndGet()
-      val gate = new Iterator[String] {
-        def hasNext: Boolean = {
-          entered.countDown()
-          while (!cancelled()) {
-            try Thread.sleep(5) catch { case _: InterruptedException => () }
-          }
-          false
-        }
-        def next(): String = throw new NoSuchElementException
-      }
-      Iterator("""{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"STARTED"}}}""") ++ gate
-    }
+    val readL = gatedRead(entered, Seq(startedT),
+      onStart = () => { ran.incrementAndGet(); () })
     val ctl = ctlWith(sink, Map("slow" -> lineConnector(readL = readL)))
     try {
       val api = s"http://127.0.0.1:${ctl.port}"
