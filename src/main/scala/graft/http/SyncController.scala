@@ -84,6 +84,11 @@ final class SyncController(
   private val inited = new AtomicBoolean(false)
   private val closed = new AtomicBoolean(false)
   private val pendingStatuses = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** scheduler-delayed jobs whose hashed-delay sleep thread is still in
+    * flight — no pod exists yet, so quiesce must count them or a waiter can
+    * declare the controller idle just before the delayed pod spawns */
+  private val pendingScheduled = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val quiesceLock = new Object
   private var listenerThread: Thread = _
   private var janitorThread: Thread = _
   private var watcherThread: Thread = _
@@ -136,15 +141,18 @@ final class SyncController(
       } catch { case _: Exception => false }
     if (!byScheduler || isTruish(desc.nodelay)) spawnPod(desc, cfg)
     else {
+      pendingScheduled.incrementAndGet()
       val th = new Thread(() => {
-        try Thread.sleep(math.max(0L, schedulerDelayMs(desc.syncId)))
-        catch { case _: InterruptedException => () }
-        if (runningSyncs.containsKey(desc.syncId)) () // skip: already running
-        else {
-          spawnPod(desc.copy(startedAt = nowMs()), cfg)
-          runningSyncs.put(desc.syncId, desc.taskId)
-          ()
-        }
+        try {
+          try Thread.sleep(math.max(0L, schedulerDelayMs(desc.syncId)))
+          catch { case _: InterruptedException => () }
+          if (runningSyncs.containsKey(desc.syncId)) () // skip: already running
+          else {
+            spawnPod(desc.copy(startedAt = nowMs()), cfg)
+            runningSyncs.put(desc.syncId, desc.taskId)
+            ()
+          }
+        } finally { pendingScheduled.decrementAndGet(); signalQuiesce() }
       }, s"sync-sched-${desc.syncId}")
       th.setDaemon(true); th.start()
       (StatusPending, "")
@@ -210,7 +218,7 @@ final class SyncController(
     } finally {
       pods.remove(name)
       if (desc.taskType == "read") runningSyncs.remove(desc.syncId, desc.taskId)
-      ()
+      signalQuiesce()
     }
   }
 
@@ -274,7 +282,10 @@ final class SyncController(
           firstErr = ""
           SyncDb.upsertCatalogSuccess(sink, desc.pkg, desc.version, desc.storageKey,
             node.get("catalog").toString, desc.startedAt, "SUCCESS", "")
-        case "TRACE" | "CONTROL" | "DEBUG" | "STATE" | "RECORD" => ()
+        // the reference ignores TRACE and warns-and-ignores CONTROL; every
+        // other type (RECORD/STATE in a spec/check/discover leg, DEBUG, …)
+        // panics "not supported type" (spec_catalog.go:87-101)
+        case "TRACE" | "CONTROL" => ()
         case other =>
           fail(s"not supported type: $other")
       }
@@ -419,7 +430,7 @@ final class SyncController(
         } catch { case _: Exception => () } // Errorf-and-continue (task_manager.go:267)
         st.ack.foreach(_.countDown())
         pendingStatuses.decrementAndGet()
-        ()
+        signalQuiesce()
       }
     }
 
@@ -472,8 +483,31 @@ final class SyncController(
   def closeStaleTasksNow(olderThanMs: Long): Int =
     SyncDb.closeStaleTasks(sink, olderThanMs)
 
-  /** Test/ops hook: true when no pod or queued status is in flight. */
-  def quiesced: Boolean = pods.isEmpty && pendingStatuses.get() == 0
+  /** Test/ops hook: true when no pod, queued status, or scheduler-delayed
+    * job is in flight. */
+  def quiesced: Boolean =
+    pods.isEmpty && pendingStatuses.get() == 0 && pendingScheduled.get() == 0
+
+  private def signalQuiesce(): Unit =
+    quiesceLock.synchronized { quiesceLock.notifyAll() }
+
+  /** Event-driven quiesce wait: signaled by the listener draining a status,
+    * a pod removing itself, and a scheduler thread finishing — no poll tick,
+    * so callers aren't coupled to host scheduling granularity. */
+  def awaitQuiesce(timeoutMs: Long): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    quiesceLock.synchronized {
+      var remMs = timeoutMs
+      while (!quiesced && remMs > 0) {
+        // cap each wait: a signal can race in between the quiesced check and
+        // wait(), and missing one must cost a bounded re-check, not the
+        // whole timeout
+        quiesceLock.wait(math.min(remMs, 250L))
+        remMs = (deadline - System.nanoTime()) / 1000000L
+      }
+      quiesced
+    }
+  }
 
   // --------------------------------------------------------------- handlers
 
@@ -604,11 +638,6 @@ final class SyncController(
         catch { case _: InterruptedException => () }
         if (!closed.get()) {
           closeStaleTasksNow(nowMs() - staleAfterMs)
-          // job_runner.go:190-196: drop sync locks with no live pod (a
-          // thenRun whose console callback never materialized a read task)
-          val liveSyncs = new java.util.HashSet[String]()
-          pods.forEach((_, pod) => { liveSyncs.add(pod.desc.syncId); () })
-          runningSyncs.keySet.removeIf(k => !liveSyncs.contains(k))
           ()
         }
       }
@@ -621,6 +650,19 @@ final class SyncController(
         catch { case _: InterruptedException => () }
         if (!closed.get()) {
           val now = nowMs()
+          // job_runner.go:99-102,190-196: the watcher tick rebuilds the
+          // active-sync set from live READ pods (plus thenRun discovers,
+          // which re-store their lock while running) and drops every other
+          // sync lock — so a thenRun whose console callback never
+          // materialized a read task frees its sync in ~watcherPeriodMs,
+          // not at the 15-minute janitor cadence
+          val liveSyncs = new java.util.HashSet[String]()
+          pods.forEach { (_, pod) =>
+            if (pod.desc.taskType == "read" || isTruish(pod.desc.thenRun))
+              liveSyncs.add(pod.desc.syncId)
+            ()
+          }
+          runningSyncs.keySet.removeIf(k => !liveSyncs.contains(k))
           pods.forEach { (name, pod) =>
             val last = pod.lastReportedMs.get()
             if (now - last >= runningReportEveryMs) {

@@ -200,7 +200,13 @@ object SyncOps {
         "airbyte/source-badauth" -> badConnector),
       consoleUrl = s"http://127.0.0.1:${console.getAddress.getPort}",
       consoleToken = "p15-console-tok",
-      nowMs = () => T0).start()
+      nowMs = () => T0,
+      // the scenario drives the janitor deterministically via
+      // closeStaleTasksNow and the heartbeat machinery is pinned by
+      // SyncControllerSpec — park both periodic threads past the query's
+      // lifetime so its wall time can't couple to their wakeups
+      janitorPeriodMs = 3600000L,
+      watcherPeriodMs = 3600000L).start()
     try {
       val api = s"http://127.0.0.1:${ctl.port}"
       def expectOk(resp: (Int, String), what: String): Unit =
@@ -265,10 +271,10 @@ object SyncOps {
         s"$api/cancel?package=airbyte/source-slow&syncId=syB&taskId=$TB"),
         "GET /cancel")
 
-      // all pods + status rollups drained
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (!ctl.quiesced && System.nanoTime() < deadline) Thread.sleep(20)
-      require(ctl.quiesced, "p15: controller did not quiesce in 120s")
+      // all pods + status rollups drained (event-driven: the controller
+      // signals on every pod exit / status drain, so this wait is not
+      // coupled to sleep-tick granularity under host throttle)
+      require(ctl.awaitQuiesce(120000L), "p15: controller did not quiesce in 120s")
       require(consoleCalls.size == 1, s"p15: console calls = ${consoleCalls.size}")
 
       // 6. the stale janitor: an orphaned heartbeat closes FAILED
@@ -364,6 +370,11 @@ object SyncOps {
     } finally { ctl.stop(); console.stop(0) }
   }
 
+  /** Single-quote escaping for SQL string literals interpolated into the
+    * oracle — the connector JSON is apostrophe-free today, but a future
+    * description text with one must not silently break the oracle query. */
+  private def sq(s: String): String = s.replace("'", "''")
+
   private lazy val p15Oracle = {
     val t0s = T0 / 1000
     s"""
@@ -398,16 +409,16 @@ object SyncOps {
            cents, user_id, NULL
     FROM slow
     UNION ALL SELECT 'spec', 'airbyte/source-firebase', '1.0.0', '',
-           $t0s, NULL, '${FbSpecJson}'
+           $t0s, NULL, '${sq(FbSpecJson)}'
     UNION ALL SELECT 'spec', 'airbyte/source-ghost', '9.9',
-           '${GhostError.replace("'", "''")}',
+           '${sq(GhostError)}',
            $t0s, NULL, NULL
     UNION ALL SELECT 'check', 'sk-fb', 'SUCCESS', '', $t0s, NULL,
            'airbyte/source-firebase|1.0.0'
     UNION ALL SELECT 'check', 'sk-bad', 'FAILED', 'auth: invalid credentials',
            $t0s, NULL, 'airbyte/source-badauth|0.2'
     UNION ALL SELECT 'catalog', 'sk-fb', 'SUCCESS', '', $t0s, NULL,
-           '${FbCatalogJson}'
+           '${sq(FbCatalogJson)}'
     UNION ALL SELECT 'state', 'syA|_LEGACY_STATE', NULL, NULL, $t0s, NULL,
            '{"timestamp":$FbNowMs}'
     UNION ALL SELECT 'state', 'syB|dev.inc', NULL, NULL, $t0s, NULL,

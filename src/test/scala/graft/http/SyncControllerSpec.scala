@@ -77,10 +77,11 @@ class SyncControllerSpec extends SparkSuite {
                       consoleUrl: String = "", consoleToken: String = "",
                       taskTimeoutMs: Long = 48L * 3600 * 1000,
                       watcherPeriodMs: Long = 10000L,
-                      runningReportEveryMs: Long = 60000L): SyncController =
+                      runningReportEveryMs: Long = 60000L,
+                      schedDelayMs: Long = 0L): SyncController =
     new SyncController(new Engine(spark, sink), sink, conns,
       consoleUrl = consoleUrl, consoleToken = consoleToken,
-      nowMs = () => T0, schedulerDelayMs = _ => 0L,
+      nowMs = () => T0, schedulerDelayMs = _ => schedDelayMs,
       taskTimeoutMs = taskTimeoutMs, watcherPeriodMs = watcherPeriodMs,
       runningReportEveryMs = runningReportEveryMs).start()
 
@@ -509,5 +510,168 @@ class SyncControllerSpec extends SparkSuite {
           WHERE task_id='t-stale'""") ==
         Seq(Seq("FAILED", SyncDb.StaleTaskError)))
     } finally ctl.stop()
+  }
+
+  test("soak: 12 parallel reads with rolling cancels leave no pods or sync locks") {
+    // the load shape the reference's K8s deployment sees: concurrent read
+    // pods + operator cancels; after quiesce nothing may leak — no live
+    // pod, no pending status, no dangling sync lock, every task row terminal
+    val sink = freshSink("soak")
+    val nTasks = 12
+    val gates = Vector.fill(nTasks)(new CountDownLatch(1))
+    // single-stream catalog: evens complete stream t (SUCCESS), odds gate
+    // before the COMPLETE trace so the cancel lands mid-stream (CANCELLED)
+    val soakCatalog = """{"streams":[
+      {"stream":{"name":"t","namespace":"ns",
+        "json_schema":{"properties":{"id":{"type":"integer"},"v":{"type":"integer"}}},
+        "source_defined_primary_key":[["id"]],"default_cursor_field":[]},
+       "sync_mode":"incremental","cursor_field":["v"]}]}"""
+    val completeT =
+      """{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"t","namespace":"ns"},"status":"COMPLETE"}}}"""
+    val readL: (TaskDescriptor, () => Boolean) => Iterator[String] =
+      (desc, cancelled) => {
+        val i = desc.syncId.stripPrefix("soak").toInt
+        val head = Seq(startedT, rec(i * 10 + 1, 1), rec(i * 10 + 2, 2),
+          state(i * 10 + 2))
+        if (i % 2 == 0) (head :+ completeT).iterator // completes normally
+        else {
+          val gate = new Iterator[String] {
+            def hasNext: Boolean = {
+              gates(i).countDown()
+              while (!cancelled()) {
+                try Thread.sleep(5) catch { case _: InterruptedException => () }
+              }
+              false
+            }
+            def next(): String = throw new NoSuchElementException
+          }
+          head.iterator ++ gate
+        }
+      }
+    val ctl = ctlWith(sink, Map("src" -> lineConnector(readL = readL)))
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      def tid(i: Int) = s"0123456789abcdef0123456789abcdef-k$i"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val errs = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val done = new CountDownLatch(nTasks)
+      (0 until nTasks).foreach { i =>
+        pool.execute(() => {
+          try {
+            val r = http("POST", s"$api/read?package=src&version=v1&syncId=soak$i" +
+              s"&taskId=${tid(i)}&tableNamePrefix=soak${i}_",
+              Some(s"""{"config":{},"catalog":$soakCatalog}"""))
+            if (r._2 != """{"ok":true}""") errs.add(s"task $i: ${r._2}"); ()
+          } catch { case t: Throwable => errs.add(s"task $i: $t"); () }
+          finally done.countDown()
+        })
+      }
+      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"soak submits failed: $errs")
+      // rolling cancels: each odd task is cancelled once its first chunk
+      // committed (the gate is past the head lines)
+      (1 until nTasks by 2).foreach { i =>
+        assert(gates(i).await(60, java.util.concurrent.TimeUnit.SECONDS),
+          s"task $i never reached its gate")
+        http("GET", s"$api/cancel?package=src&syncId=soak$i&taskId=${tid(i)}")
+      }
+      pool.shutdown()
+      assert(ctl.awaitQuiesce(120000L), "soak did not quiesce")
+      val st = rows(sink, s"""SELECT sync_id, status
+          FROM "${SyncDb.TaskTable}"""").map(r => r(0) -> r(1)).toMap
+      (0 until nTasks).foreach { i =>
+        val want = if (i % 2 == 0) "SUCCESS" else "CANCELLED"
+        assert(st.get(s"soak$i").contains(want),
+          s"task $i: expected $want, got ${st.get(s"soak$i")}")
+      }
+      // no dangling sync lock: a scheduled re-sync of a completed sync must
+      // RUN (a leaked lock would skip it silently)
+      val by = java.net.URLEncoder.encode("""{"trigger":"scheduled"}""", "UTF-8")
+      http("POST", s"$api/read?package=src&version=v1&syncId=soak0" +
+        s"&taskId=0123456789abcdef0123456789abcdef-p0&tableNamePrefix=soak0_" +
+        s"&startedBy=$by", Some(s"""{"config":{},"catalog":$soakCatalog}"""))
+      assert(ctl.awaitQuiesce(60000L))
+      assert(rows(sink, s"""SELECT status FROM "${SyncDb.TaskTable}"
+          WHERE task_id='0123456789abcdef0123456789abcdef-p0'""") ==
+        Seq(Seq("SUCCESS")), "scheduled re-sync was suppressed by a leaked lock")
+    } finally ctl.stop()
+  }
+
+  test("discover leg rejects unsupported protocol types like the sidecar") {
+    // spec_catalog.go:87-101: RECORD/STATE in a spec/check/discover leg
+    // panic "not supported type"; TRACE/CONTROL stay ignored
+    val sink = freshSink("strict")
+    val ctl = ctlWith(sink, Map("leaky" -> lineConnector(
+      discoverL = Seq(
+        """{"type":"TRACE","trace":{"type":"STREAM_STATUS"}}""",
+        """{"type":"CONTROL","control":{"type":"CONNECTOR_CONFIG"}}""",
+        """{"type":"RECORD","record":{"stream":"t","data":{"id":1}}}""",
+        """{"type":"CATALOG","catalog":{"streams":[]}}"""))))
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      assert(http("POST", s"$api/discover?package=leaky&version=v1&storageKey=skx",
+        Some("""{"config":{}}"""))._2 == """{"ok":true}""")
+      assert(ctl.awaitQuiesce(30000L))
+      // the RECORD line kills the leg BEFORE the catalog lands
+      assert(rows(sink, s"""SELECT status, description
+          FROM "${SyncDb.CatalogTable}" WHERE "key"='skx'""") ==
+        Seq(Seq("FAILED", "not supported type: RECORD")))
+    } finally ctl.stop()
+  }
+
+  test("quiesced counts scheduler-delayed jobs; awaitQuiesce is event-driven") {
+    val sink = freshSink("sched2")
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ctl = ctlWith(sink, Map("src" -> lineConnector(
+      readL = (_, _) => { ran.incrementAndGet(); Iterator.empty })),
+      schedDelayMs = 300L)
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      val by = java.net.URLEncoder.encode("""{"trigger":"scheduled"}""", "UTF-8")
+      http("POST", s"$api/read?package=src&version=v1&syncId=syq" +
+        s"&taskId=0123456789abcdef0123456789abcdef-q1&startedBy=$by",
+        Some(s"""{"config":{},"catalog":$readCatalog}"""))
+      // no pod exists yet (the 300ms hashed-delay sleep is in flight) but
+      // the controller must NOT look idle
+      assert(!ctl.quiesced,
+        "a scheduler-delayed job must hold quiesce until its pod finishes")
+      assert(ctl.awaitQuiesce(30000L))
+      assert(ran.get() == 1)
+    } finally ctl.stop()
+  }
+
+  test("dangling thenRun sync lock is freed at watcher cadence") {
+    // job_runner.go:99-102,190-196: the watcher rebuilds active syncs from
+    // live read/thenRun pods each tick — a thenRun whose console callback
+    // never materializes a read task must suppress scheduled syncs for
+    // ~watcherPeriodMs, not until the 15-minute janitor
+    val sink = freshSink("locks")
+    val console = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    console.createContext("/", ex => { ex.sendResponseHeaders(200, 0L); ex.close() })
+    console.start()
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ctl = ctlWith(sink, Map("fb" -> lineConnector(
+      discoverL = Seq("""{"type":"CATALOG","catalog":{"streams":[]}}"""),
+      readL = (_, _) => { ran.incrementAndGet(); Iterator.empty })),
+      consoleUrl = s"http://127.0.0.1:${console.getAddress.getPort}",
+      consoleToken = "tok", watcherPeriodMs = 50L)
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      // thenRun discover: console answers 200 but never starts a read →
+      // the sy-lock dangles
+      http("POST", s"$api/discover?package=fb&version=v1&storageKey=skl" +
+        "&workspaceId=ws&syncId=syl&taskId=0123456789abcdef0123456789abcdef-d1" +
+        "&thenRun=true", Some("""{"config":{}}"""))
+      assert(ctl.awaitQuiesce(30000L))
+      Thread.sleep(300) // > several watcher ticks: the lock must be swept
+      val by = java.net.URLEncoder.encode("""{"trigger":"scheduled"}""", "UTF-8")
+      http("POST", s"$api/read?package=fb&version=v1&syncId=syl" +
+        s"&taskId=0123456789abcdef0123456789abcdef-r9&startedBy=$by",
+        Some(s"""{"config":{},"catalog":$readCatalog}"""))
+      assert(ctl.awaitQuiesce(30000L))
+      assert(ran.get() == 1,
+        "scheduled sync must run once the dangling thenRun lock is swept")
+    } finally { ctl.stop(); console.stop(0) }
   }
 }
