@@ -127,7 +127,10 @@ object StreamOps {
     try sink.withConnection(sink.exec(_, "DROP TABLE \"STREAM_SINK\""))
     catch { case _: java.sql.SQLException => () }
 
+    // the fixture reads events twice (bounds probe + segment staging):
+    // persist so the parquet decode happens once
     val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .persist()
     // data-relative segment bounds: the poisoned tail is the top 1% of ids
     // at ANY scale factor (the oracle mirrors the same subqueries)
     val maxId = timed("b4.maxIdProbe")(ev.agg(max(col("event_id"))).collect()(0).getLong(0))
@@ -137,6 +140,7 @@ object StreamOps {
         when(col("event_id") < mid, "001")
           .when(col("event_id") < poisonFrom, "002").otherwise("003")),
       "__seg", s, s"$base/stage", s"$base/input"))
+    ev.unpersist()
 
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -155,16 +159,26 @@ object StreamOps {
     // persist here would only double-cache and, worse, unpersist before the
     // enqueue re-read — the r14 profile showed that as a full extra JSON
     // parse of every failed 50k-row batch
+    //
+    // The PERMANENT fault is evaluated INSIDE the load's write pass (r18):
+    // a stateless row-level raise in the scan feeding the Derby tmp table —
+    // one Spark action per load attempt instead of probe + write, aborting
+    // before the merge tx exactly like a warehouse constraint error. The
+    // TRANSIENT trip must stay a driver-side CAS (executor closures are
+    // DESERIALIZED COPIES even in local mode — an in-pass CAS re-trips per
+    // task and the retry never succeeds); once tripped, its probe job never
+    // runs again, so the steady state is one action per load.
     def load(df: DataFrame): Unit = {
-      // ONE probe job decides both fault injections (max id + mid-range hit)
-      val probe = df.agg(max(col("event_id")).as("mx"),
-        max(when(col("event_id").between(mid, poisonFrom - 1), col("event_id"))).as("midmx"))
-        .collect()(0)
-      if (!probe.isNullAt(0) && probe.getLong(0) >= poisonFrom)
-        throw new RuntimeException(s"constraint violation: event_id >= $poisonFrom rejected")
-      if (!probe.isNullAt(1) && transientTripped.compareAndSet(false, true))
-        throw new RuntimeException("transient connection reset")
-      sink.loadMerge(df, mergeSpec) // B3: tmp table + tx + idempotent pk merge
+      if (!transientTripped.get()) {
+        val hit = df.agg(max(when(
+          col("event_id").between(mid, poisonFrom - 1), col("event_id")))).collect()(0)
+        if (!hit.isNullAt(0) && transientTripped.compareAndSet(false, true))
+          throw new RuntimeException("transient connection reset")
+      }
+      sink.loadMerge(df.filter( // B3: tmp table + tx + idempotent pk merge
+        when(col("event_id") >= poisonFrom,
+          raise_error(lit(s"constraint violation: event_id >= $poisonFrom rejected")))
+          .otherwise(lit(true))), mergeSpec)
     }
 
     val retry = RetryQueue(s"$base/retry", s"$base/dlq", RetryPolicy())

@@ -100,37 +100,61 @@ final case class RetryQueue(dir: String, dlqDir: String,
     if (qOpt.isEmpty) return
     val q = qOpt.get.persist()
     try {
-      val due = q.filter(col("__retry_time") <= nowMs)
-      // control-plane: ONE aggregate yields the due batch ids AND their retry
-      // depth (bounded by #failed batches) — no separate emptiness probe
-      val info = due.groupBy("__batch_id").agg(max(col("__retries")).as("__r"))
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
-      if (info.isEmpty) return
-      val failedIds = info.map(_._1).filterNot { id =>
-        val rows = due.filter(col("__batch_id") === id)
+      // control-plane: ONE aggregate yields every batch's retry depth, due
+      // time, and row count (`__retries`/`__retry_time` are uniform within a
+      // batch by construction — enqueue stamps literals and requeue shifts
+      // whole batches) — due-ness, survivors, dead-letters, and the
+      // rewrite's file fan-out are all decided driver-side from it, bounded
+      // by #failed batches, never by row volume.
+      val info = q.groupBy("__batch_id").agg(
+          max(col("__retries")).as("__r"), max(col("__retry_time")).as("__t"),
+          count(lit(1)).as("__n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val due = info.filter(_._3 <= nowMs)
+      if (due.isEmpty) return
+      val failedIds = due.map(_._1).filterNot { id =>
+        val rows = q.filter(col("__batch_id") === id)
         try { load(rows.drop(MetaCols: _*)); true }
         catch { case _: Throwable => false }
       }.toSet
-      val failed = due.filter(col("__batch_id").isInCollection(
-        if (failedIds.isEmpty) Seq(-1L) else failedIds.toSeq))
-      // exhausted rows dead-letter WITH their bookkeeping (error, count);
-      // retry depth is known driver-side, so nothing writes when none died
-      if (info.exists { case (id, r) => failedIds.contains(id) && r >= policy.maxRetries })
-        failed.filter(col("__retries") >= policy.maxRetries)
+      // exhausted batches dead-letter WITH their bookkeeping (error, count)
+      val deadIds = due.collect {
+        case (id, r, _, _) if failedIds.contains(id) && r >= policy.maxRetries => id }
+      if (deadIds.nonEmpty)
+        q.filter(col("__batch_id").isInCollection(deadIds.toSeq))
           .write.mode(SaveMode.Append).parquet(dlqDir)
-      val requeued = failed.filter(col("__retries") < policy.maxRetries)
-        .withColumn("__retries", col("__retries") + 1)
-        .withColumn("__retry_time",
-          lit(nowMs) + expr(s"least(pow(${policy.baseMin}, __retries), ${policy.capMin})").cast("long") * 60000L)
-      val notDue = q.filter(col("__retry_time") > nowMs)
-      // the queue holds failures (micro-batch sized): keep the rewrite at
-      // enqueue's file fan-out instead of one file per upstream partition
-      val next = notDue.unionByName(requeued).coalesce(8)
-      // staged swap: materialize the new queue fully before dropping the old
+      val requeueIds = due.collect {
+        case (id, r, _, _) if failedIds.contains(id) && r < policy.maxRetries => id }
+      val notDueIds = info.filter(_._3 > nowMs).map(_._1)
       val fs = fsOf(spark, dir)
-      val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
-      next.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
-      commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dir))
+      if (requeueIds.isEmpty && notDueIds.isEmpty) {
+        // nothing survives: the queue ends EMPTY — drop the folder instead
+        // of staging an empty rewrite (one less Spark job per final round;
+        // a stale __next from an earlier interrupted swap must go too or
+        // readOrEmpty would resurrect it as phantom parked rows)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dir + "__next"), true)
+        ()
+      } else {
+        val requeued = q.filter(col("__batch_id").isInCollection(
+            if (requeueIds.isEmpty) Seq(-1L) else requeueIds.toSeq))
+          .withColumn("__retries", col("__retries") + 1)
+          .withColumn("__retry_time",
+            lit(nowMs) + expr(s"least(pow(${policy.baseMin}, __retries), ${policy.capMin})").cast("long") * 60000L)
+        val notDue = q.filter(col("__batch_id").isInCollection(
+            if (notDueIds.isEmpty) Seq(-1L) else notDueIds.toSeq))
+        // surviving rows are already counted: size the rewrite's fan-out to
+        // the data instead of a fixed 8 tiny files per round
+        val keep = (requeueIds ++ notDueIds).toSet
+        val keepRows = info.collect { case (id, _, _, n) if keep(id) => n }.sum
+        val files = math.max(1L, math.min(8L, keepRows / 500000L + 1)).toInt
+        val next = notDue.unionByName(requeued).coalesce(files)
+        // staged swap: materialize the new queue fully before dropping the old
+        val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
+        next.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
+        commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dir))
+      }
     } finally q.unpersist()
   }
 
