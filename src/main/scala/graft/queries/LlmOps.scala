@@ -461,7 +461,7 @@ object LlmOps {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
-  private def minhashPairs(docs: DataFrame): DataFrame =
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame =
     // shingle+hash ONCE: the signature branch and the verify branch both
     // consume the (doc_id, hashes) frame — persist it so the text is
     // tokenized, shingled, and hashed a single time, not once per branch

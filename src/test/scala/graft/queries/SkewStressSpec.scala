@@ -245,4 +245,98 @@ class SkewStressSpec extends SparkSuite {
     info(s"video dedup: 1x ${outS.size} pairs/${tS}ms vol=$volS; " +
       s"10x ${outB.size} pairs/${tB}ms vol=$volB")
   }
+
+  // ---- 10× scaling curve for the TEXT near-dup family (r18) -------------
+  //
+  // Same discipline as the perceptual curves above, now for the minhash-LSH
+  // pipeline behind llm_minhash_lsh / the lsh_eval family: drive
+  // LlmOps.minhashPairs with synthetic 3-member near-dup clusters at N and
+  // 10N and check the distributed result against an EXACT driver replay of
+  // the full pipeline (shingle→hash60→16-perm signature→4-band md5 keys→
+  // bucket pairs→quantized-Jaccard verify) built from the SAME constants.
+  // The text band keyspace is md5-wide (unlike the 7-bit audio keys), so
+  // candidate volume is governed by true cluster structure: 3-member
+  // clusters ⇒ ≤ bands·3·(N/3) = 4N bucket pairs — LINEAR in N, which is
+  // the 100 TB claim this test pins.
+
+  /** Exact driver replay of the minhash-LSH pipeline. Returns
+    * (pairs(i, j, jac·1000), candidateVolume = Σ_buckets C(df,2)). */
+  private def minhashRef(docs: Seq[(Long, String)])
+      : (Set[(Long, Long, Long)], Long) = {
+    import graft.llm.TextOps
+    val hs: Map[Long, Array[Long]] = docs.map { case (d, text) =>
+      val toks = text.trim.split("\\s+")
+      val sh =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        else Seq(toks.mkString(" "))
+      d -> sh.map(TextOps.hash60Str).toArray
+    }.toMap
+    val sig: Map[Long, Array[Long]] = hs.map { case (d, a) =>
+      d -> Array.tabulate(16)(i => a.map(h =>
+        (TextOps.MinHashA(i) * (h % TextOps.MinHashP) + TextOps.MinHashB(i))
+          % TextOps.MinHashP).min)
+    }
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), List[Long]]
+    for ((d, sg) <- sig; b <- 0 until 4) {
+      val key = graft.shape.Names.md5hex(sg.slice(b * 4, b * 4 + 4).mkString(","))
+      buckets.updateWith((b, key))(o => Some(d :: o.getOrElse(Nil)))
+    }
+    var vol = 0L
+    val cand = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((_, ds) <- buckets) {
+      vol += ds.size.toLong * (ds.size - 1) / 2
+      val a = ds.sorted
+      for (i <- a.indices; j <- (i + 1) until a.size) cand += ((a(i), a(j)))
+    }
+    val pairs = cand.iterator.flatMap { case (x, y) =>
+      val (sa, sb) = (hs(x).toSet, hs(y).toSet)
+      val inter = (sa & sb).size
+      val jac = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 1000 + 0.5) / 1000
+      if (jac >= 0.5) Some((x, y, math.round(jac * 1000))) else None
+    }.toSet
+    (pairs, vol)
+  }
+
+  /** N docs in 3-member near-dup clusters: 40 shared cluster tokens + one
+    * member-unique tail token ⇒ 38 of 39 shingles shared, J = 0.95 ≫ τ. */
+  private def textFleet(n: Int): Seq[(Long, String)] =
+    (0 until n).map { d =>
+      val c = d / 3
+      val base = (1 to 40).map(j => s"c${c}w$j").mkString(" ")
+      (d.toLong, s"$base m$d")
+    }
+
+  private def lshRun(docs: Seq[(Long, String)]): (Set[(Long, Long, Long)], Long) = {
+    val t0 = System.nanoTime()
+    val out = LlmOps.minhashPairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1000))).toSet
+    (out, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  test("minhash LSH 10x scaling: exact vs driver replay, linear candidate growth") {
+    val (small, big) = (textFleet(1200), textFleet(12000))
+    val (refS, volS) = minhashRef(small)
+    val (refB, volB) = minhashRef(big)
+    // linear candidate growth: ≤ bands · pairs-per-cluster · clusters = 4N
+    assert(volS <= 4L * small.size && volB <= 4L * big.size,
+      s"candidate volume broke the linear bound: $volS / $volB")
+    // planted recall (deterministic given the fixed hash family): a J=0.95
+    // pair misses only when all 4 bands disagree — must stay ≥ 90%
+    val planted = (0 until big.size / 3).flatMap { c =>
+      val m = Seq(c * 3L, c * 3L + 1, c * 3L + 2)
+      Seq((m(0), m(1)), (m(0), m(2)), (m(1), m(2)))
+    }.toSet
+    val found = planted.count(p => refB.exists(r => (r._1, r._2) == p))
+    assert(found >= planted.size * 9 / 10,
+      s"planted recall collapsed: $found/${planted.size}")
+    val (outS, tS) = lshRun(small)
+    val (outB, tB) = lshRun(big)
+    assert(outS == refS, s"1x mismatch: ${outS.size} vs ref ${refS.size}")
+    assert(outB == refB, s"10x mismatch: ${outB.size} vs ref ${refB.size}")
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"minhash lsh: 1x ${outS.size} pairs/${tS}ms vol=$volS; " +
+      s"10x ${outB.size} pairs/${tB}ms vol=$volB (recall $found/${planted.size})")
+  }
 }
