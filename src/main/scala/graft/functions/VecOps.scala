@@ -250,16 +250,21 @@ final case class LshBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
-/** 32-bit SimHash from a token-hash array in ONE pass: bit `b` of the result
-  * is set when `sum over h of (((h >> b) % 2 == 1) ? +1 : -1) > 0`.
+/** `bits`-wide SimHash from a token-hash array in ONE pass: bit `b` of the
+  * result is set when `sum over h of (((h >> b) % 2 == 1) ? +1 : -1) > 0`.
+  * Default 32 (the classic fingerprint); up to 60 so the value stays
+  * non-negative in a BIGINT on every engine (the input hashes carry 60
+  * meaningful bits, so every vote up to bit 59 is informative — the wide
+  * form is the scale path for band joins, see LlmOps.simhashNearDupWide).
   *
   * Replicates the folded form bit-for-bit, including its null semantics: a
   * NULL element's vote condition is null, so it counts −1 on every bit; a
   * NULL array makes every per-bit `when` fall to `otherwise(0)`, so the
-  * result is 0 (not null). The fold costs 32 interpreted traversals per row;
-  * this is one codegen'd loop.
+  * result is 0 (not null). The fold costs `bits` interpreted traversals per
+  * row; this is one codegen'd loop.
   */
-final case class SimHash32(child: Expression) extends UnaryExpression {
+final case class SimHash32(child: Expression, bits: Int = 32) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"simhash width out of range: $bits")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -268,22 +273,22 @@ final case class SimHash32(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = s"simhash$bits"
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return 0L
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val votes = new Array[Long](32)
+    val votes = new Array[Long](bits)
     var k = 0
     while (k < arr.numElements()) {
       if (arr.isNullAt(k)) {
         var b = 0
-        while (b < 32) { votes(b) -= 1; b += 1 }
+        while (b < bits) { votes(b) -= 1; b += 1 }
       } else {
         val h = arr.getLong(k)
         var b = 0
-        while (b < 32) {
+        while (b < bits) {
           if ((h >> b) % 2 == 1) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -292,7 +297,7 @@ final case class SimHash32(child: Expression) extends UnaryExpression {
     }
     var sh = 0L
     var b = 0
-    while (b < 32) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+    while (b < bits) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
     sh
   }
 
@@ -307,18 +312,18 @@ final case class SimHash32(child: Expression) extends UnaryExpression {
       ${c.code}
       long ${ev.value} = 0L;
       if (!${c.isNull}) {
-        long[] $votes = new long[32];
+        long[] $votes = new long[$bits];
         for (int $k = 0; $k < ${c.value}.numElements(); $k++) {
           if (${c.value}.isNullAt($k)) {
-            for (int $b = 0; $b < 32; $b++) $votes[$b] -= 1;
+            for (int $b = 0; $b < $bits; $b++) $votes[$b] -= 1;
           } else {
             long $h = ${c.value}.getLong($k);
-            for (int $b = 0; $b < 32; $b++) {
+            for (int $b = 0; $b < $bits; $b++) {
               if ((($h >> $b) % 2) == 1) $votes[$b] += 1; else $votes[$b] -= 1;
             }
           }
         }
-        for (int $b = 0; $b < 32; $b++)
+        for (int $b = 0; $b < $bits; $b++)
           if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
       }""", isNull = FalseLiteral)
   }

@@ -188,9 +188,15 @@ object TextOps {
     * each of the 32 bit-votes traverses the array once, and an inline
     * subexpression would re-hash every token 32× per row. */
   def simhash32FromHashes(hashes: Column): Column =
+    simhashFromHashes(hashes, 32)
+
+  /** Parameterized-width SimHash (≤ 60 bits so the value stays non-negative
+    * in a BIGINT on every engine) — the wide form is the band-join scale
+    * path: 15-bit bands have 128× the keyspace of the classic 8-bit ones. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.GraftExpressions.column(
       graft.functions.SimHash32(
-        org.apache.spark.sql.GraftExpressions.expression(hashes)))
+        org.apache.spark.sql.GraftExpressions.expression(hashes), bits))
 
   /** The folded form of [[simhash32FromHashes]] — 32 interpreted aggregate
     * traversals; kept as the executable spec the native kernel is verified

@@ -914,16 +914,16 @@ object LlmOps {
         TextOps.hash60Array(TextOps.tokens(col("text"))).as("hs"))
       .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("simhash"))
 
-  private val simhashOracle = {
-    val bits = (0 until 32).map { b =>
-      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) - len(hs) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
-    }.mkString(" +\n      ")
-    s"""
+  /** The n-bit simhash bit-vote sum as DuckDB SQL (mirrors the kernel). */
+  private def simhashBitsSql(n: Int): String = (0 until n).map { b =>
+    s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) - len(hs) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+  }.mkString(" +\n      ")
+
+  private val simhashOracle = s"""
     SELECT doc_id,
-      $bits AS simhash
+      ${simhashBitsSql(32)} AS simhash
     FROM (SELECT doc_id, list_transform($toksSql, t -> ${hashSql("t")}) AS hs
           FROM documents) t"""
-  }
 
   private val SimHamMax = 3 // published near-dup threshold for 32-bit simhash
 
@@ -932,16 +932,25 @@ object LlmOps {
     * ≥1 band — pigeonhole), verified by exact Hamming distance via
     * bit_count(xor). Pair discovery is an equi-join on (band, byte); no
     * all-pairs anywhere — the standard simhash dedup shape at corpus scale. */
-  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  def simhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashBandPairs(Tables.documents(s, d)
       .select(col("doc_id"),
         TextOps.hash60Array(TextOps.tokens(col("text"))).as("hs"))
-      .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("sh"))
-    // persist: the self-join would otherwise run the 32 bit-vote aggregates
-    // once per side
+      .select(col("doc_id"), TextOps.simhash32FromHashes(col("hs")).as("sh")),
+      bandBits = 8)
+
+  /** The band-join core over ANY (doc_id, sh) fingerprint frame: explode
+    * into 4 bands of `bandBits` bits, equi-join on (band, key), verify by
+    * exact Hamming (pigeonhole: 4 bands cover Hamming ≤ 3 regardless of
+    * band width). Shared by the 32-bit and 60-bit forms and driveable with
+    * synthetic fleets by SkewStressSpec. */
+  private[queries] def simhashBandPairs(sh: DataFrame, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    // persist: the self-join would otherwise run the bit-vote kernel once
+    // per side
     val bands = sh.select(col("doc_id"), col("sh"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bk"))
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("byte"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.byte"))
       .persist()
     bands.as("a").join(bands.as("b"),
@@ -952,6 +961,21 @@ object LlmOps {
       .distinct()
       .filter(col("hamming") <= SimHamMax)
   }
+
+  /** The WIDE (60-bit) simhash near-dup — the 100 TB form: the 32-bit
+    * fingerprint's four 8-bit bands have only 256 keys each, so at corpus
+    * scale every band bucket holds Θ(N/256) docs and the band join goes
+    * quadratic no matter how uniform the text is. Four 15-bit bands keep
+    * identical Hamming ≤ 3 recall (same pigeonhole) with 128× the keyspace —
+    * bucket work drops by the same factor (SkewStressSpec pins the curve).
+    * 60 bits (not 64) so the fingerprint stays non-negative in a BIGINT on
+    * both engines. */
+  def simhashNearDupWide(s: SparkSession, d: String): DataFrame =
+    simhashBandPairs(Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.hash60Array(TextOps.tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), TextOps.simhashFromHashes(col("hs"), 60).as("sh")),
+      bandBits = 15)
 
   private val simhashNearDupOracle = {
     val bits = (0 until 32).map { b =>
@@ -972,6 +996,21 @@ object LlmOps {
       ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= $SimHamMax"""
   }
+
+  private val simhashNearDupWideOracle = s"""
+    WITH sh AS (
+      SELECT doc_id,
+        ${simhashBitsSql(60)} AS sh
+      FROM (SELECT doc_id, list_transform($toksSql, t -> ${hashSql("t")}) AS hs
+            FROM documents) t),
+    bands AS (
+      SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS byte
+      FROM sh, unnest([0, 1, 2, 3]) AS u(band))
+    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+      bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= $SimHamMax"""
 
   /** Near-dup CLUSTERS from the simhash pair set: connected components by
     * min-label propagation ([[graft.llm.Corpus.clusterPairs]]) — dedup must
@@ -3769,6 +3808,7 @@ object LlmOps {
     "llm_minhash_estimate" -> Q(minhashEstimate, Some(minhashEstimateOracle)),
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
+    "llm_simhash_neardup_wide" -> Q(simhashNearDupWide, Some(simhashNearDupWideOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
     "llm_cluster_eval"  -> Q(clusterEval, Some(clusterEvalOracle)),
     "llm_dedup_cluster_exact" -> Q(dedupClusterExact, Some(dedupClusterExactOracle)),

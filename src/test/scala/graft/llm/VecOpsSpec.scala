@@ -144,6 +144,31 @@ class VecOpsSpec extends SparkSuite {
     assert(e.eval(InternalRow(null)) == 0L)
   }
 
+  test("wide SimHash (60-bit): interpreted == codegen; low 32 bits == simhash32") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(Seq(5L, 11L, 1023L, 7L, 0x123456789ABCDEFL)),
+      Row(Seq(-3L, 8L, -1L)),
+      Row(Seq[Any](5L, null, 11L)))
+    val d = df("hs ARRAY<BIGINT>", rows)
+    val wide = d.select(TextOps.simhashFromHashes(col("hs"), 60)).collect().toSeq
+      .map(_.getLong(0))
+    // per-bit votes are width-independent → the 60-bit hash truncates to
+    // the 32-bit one, and bit 59 stays the top bit (non-negative BIGINT)
+    val narrow = d.select(TextOps.simhash32FromHashes(col("hs"))).collect().toSeq
+      .map(_.getLong(0))
+    assert(wide.map(_ & 0xFFFFFFFFL) == narrow)
+    assert(wide.forall(h => h >= 0L && (h >> 60) == 0L))
+    val e = graft.functions.SimHash32(
+      BoundReference(0, ArrayType(LongType), true), bits = 60)
+    val interp = e.eval(InternalRow(
+      new GenericArrayData(Array[Any](5L, null, 11L)))).asInstanceOf[Long]
+    assert(interp == wide(2))
+  }
+
   test("kmeansStep: assignment picks the cosine-nearest centroid; means are exact") {
     import spark.implicits._
     // two orthogonal centroids; members are scaled copies (cosine 1 to

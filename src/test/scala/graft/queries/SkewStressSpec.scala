@@ -314,6 +314,41 @@ class SkewStressSpec extends SparkSuite {
     (out, (System.nanoTime() - t0) / 1000000L)
   }
 
+  /** Σ_buckets C(df,2) for 4-band banding at `bits` per band — volume only
+    * (no pair materialization: the 8-bit side of the simhash comparison is
+    * deliberately in the millions). */
+  private def bandVolume(fps: Map[Long, Long], bits: Int): Long = {
+    val df = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for ((_, f) <- fps; b <- 0 until 4) {
+      val key = (f >>> (b * bits)) & ((1L << bits) - 1)
+      df.updateWith((b, key))(o => Some(o.getOrElse(0L) + 1)); ()
+    }
+    df.valuesIterator.map(n => n * (n - 1) / 2).sum
+  }
+
+  test("wide simhash bands: 15-bit keys collapse bucket work vs 8-bit at fleet scale") {
+    // the 32-bit fingerprint's 8-bit bands have 256 keys: at N docs EVERY
+    // bucket holds Θ(N/256) and the band join is quadratic regardless of
+    // content. The 60-bit form's 15-bit bands (llm_simhash_neardup_wide)
+    // have 32768 keys — same 4-band Hamming ≤ 3 pigeonhole, 128× thinner
+    // buckets. Fleet: 24k docs in 3-member clusters (low-bit flips ⇒ bands
+    // 1-3 identical inside a cluster, so every planted pair is a candidate).
+    val n = 24000
+    val fps = fleet(n, 60)
+    val narrowVol = bandVolume(fps.map { case (d, f) => d -> (f & 0xFFFFFFFFL) }, 8)
+    val wideVol = bandVolume(fps, 15)
+    assert(narrowVol >= 20L * wideVol,
+      s"15-bit bands should collapse bucket work ≥20x: narrow=$narrowVol wide=$wideVol")
+    // exactness of the distributed wide form vs the driver replay
+    val (ref, _) = bandedRef(fps, 4, 15, Long.MaxValue, 3L)
+    assert(ref.size >= n, s"planted pairs missing from the replay: ${ref.size}")
+    val out = LlmOps.simhashBandPairs(fps.toSeq.toDF("doc_id", "sh"), bandBits = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == ref, s"wide-band mismatch: ${out.size} vs ref ${ref.size}")
+    info(s"simhash bands at N=$n: 8-bit vol=$narrowVol, 15-bit vol=$wideVol " +
+      f"(${narrowVol.toDouble / wideVol}%.0fx), pairs=${out.size}")
+  }
+
   test("minhash LSH 10x scaling: exact vs driver replay, linear candidate growth") {
     val (small, big) = (textFleet(1200), textFleet(12000))
     val (refS, volS) = minhashRef(small)
