@@ -146,11 +146,17 @@ final class SyncController(
         try {
           try Thread.sleep(math.max(0L, schedulerDelayMs(desc.syncId)))
           catch { case _: InterruptedException => () }
-          if (runningSyncs.containsKey(desc.syncId)) () // skip: already running
-          else {
+          // the lock must land ATOMICALLY and BEFORE the pod spawns: an
+          // in-process pod is sub-millisecond, so spawn-then-put lets the
+          // pod finish and remove its own lock first — the late put then
+          // resurrects a dangling entry that suppresses the next scheduled
+          // sync; and two delayed triggers waking together would both pass
+          // a containsKey probe (the r17 created→running ordering lesson —
+          // the reference's K8s pod latency hides the same race,
+          // job_runner.go:438-440)
+          if (runningSyncs.putIfAbsent(desc.syncId, desc.taskId) == null) {
             spawnPod(desc.copy(startedAt = nowMs()), cfg)
-            runningSyncs.put(desc.syncId, desc.taskId)
-            ()
+            () // skip otherwise: the sync already runs a task
           }
         } finally { pendingScheduled.decrementAndGet(); signalQuiesce() }
       }, s"sync-sched-${desc.syncId}")

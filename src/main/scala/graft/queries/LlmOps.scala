@@ -977,40 +977,27 @@ object LlmOps {
       .select(col("doc_id"), TextOps.simhashFromHashes(col("hs"), 60).as("sh")),
       bandBits = 15)
 
-  private val simhashNearDupOracle = {
-    val bits = (0 until 32).map { b =>
-      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) - len(hs) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
-    }.mkString(" +\n      ")
-    s"""
-    WITH sh AS (
+  /** Shared band-join oracle: n-bit fingerprints, 4 bands of `bandBits`.
+    * `bands` is referenced twice (the self-join) → AS MATERIALIZED, or
+    * DuckDB inlines the whole n-term bit-vote chain once per side (the
+    * multiply-referenced-CTE house rule). */
+  private def simhashNearDupOracleFor(n: Int, bandBits: Int): String = s"""
+    WITH sh AS MATERIALIZED (
       SELECT doc_id,
-        $bits AS sh
+        ${simhashBitsSql(n)} AS sh
       FROM (SELECT doc_id, list_transform($toksSql, t -> ${hashSql("t")}) AS hs
             FROM documents) t),
-    bands AS (
-      SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS byte
+    bands AS MATERIALIZED (
+      SELECT doc_id, sh, band, (sh >> (band * $bandBits)) & ${(1 << bandBits) - 1} AS byte
       FROM sh, unnest([0, 1, 2, 3]) AS u(band))
     SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= $SimHamMax"""
-  }
 
-  private val simhashNearDupWideOracle = s"""
-    WITH sh AS (
-      SELECT doc_id,
-        ${simhashBitsSql(60)} AS sh
-      FROM (SELECT doc_id, list_transform($toksSql, t -> ${hashSql("t")}) AS hs
-            FROM documents) t),
-    bands AS (
-      SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS byte
-      FROM sh, unnest([0, 1, 2, 3]) AS u(band))
-    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
-      bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= $SimHamMax"""
+  private val simhashNearDupOracle = simhashNearDupOracleFor(32, 8)
+  private val simhashNearDupWideOracle = simhashNearDupOracleFor(60, 15)
 
   /** Near-dup CLUSTERS from the simhash pair set: connected components by
     * min-label propagation ([[graft.llm.Corpus.clusterPairs]]) — dedup must

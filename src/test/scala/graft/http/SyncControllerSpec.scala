@@ -622,22 +622,29 @@ class SyncControllerSpec extends SparkSuite {
   test("quiesced counts scheduler-delayed jobs; awaitQuiesce is event-driven") {
     val sink = freshSink("sched2")
     val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the read gates on a latch RELEASED AFTER the not-quiesced assert — a
+    // host stall can't let the delayed pod finish before the assert runs
+    val go = new CountDownLatch(1)
     val ctl = ctlWith(sink, Map("src" -> lineConnector(
-      readL = (_, _) => { ran.incrementAndGet(); Iterator.empty })),
-      schedDelayMs = 300L)
+      readL = (_, _) => {
+        go.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ran.incrementAndGet(); Iterator.empty
+      })),
+      schedDelayMs = 100L)
     try {
       val api = s"http://127.0.0.1:${ctl.port}"
       val by = java.net.URLEncoder.encode("""{"trigger":"scheduled"}""", "UTF-8")
       http("POST", s"$api/read?package=src&version=v1&syncId=syq" +
         s"&taskId=0123456789abcdef0123456789abcdef-q1&startedBy=$by",
         Some(s"""{"config":{},"catalog":$readCatalog}"""))
-      // no pod exists yet (the 300ms hashed-delay sleep is in flight) but
+      // the delayed-sleep thread or the gated pod is in flight: either way
       // the controller must NOT look idle
       assert(!ctl.quiesced,
         "a scheduler-delayed job must hold quiesce until its pod finishes")
+      go.countDown()
       assert(ctl.awaitQuiesce(30000L))
       assert(ran.get() == 1)
-    } finally ctl.stop()
+    } finally { go.countDown(); ctl.stop() }
   }
 
   test("dangling thenRun sync lock is freed at watcher cadence") {
