@@ -50,6 +50,24 @@ class RetrySpec extends SparkSuite {
     assert(q.dlq(spark).get.count() == 2)
   }
 
+  test("mixed drain: a failing due batch requeues while a not-yet-due batch stays parked untouched") {
+    // the r18 drain decides survivors per batch ID from one aggregate —
+    // this pins the mixed case: requeueIds and notDueIds non-empty at once
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "flaky", nowMs = t0)            // due at t0+5min
+    q.enqueue(batch(9L), batchId = 2L, error = "later", nowMs = t0 + 20 * 60000L)  // due at t0+25min
+    q.drain(spark, t0 + 5 * 60000L + 1)(_ => throw new RuntimeException("still broken"))
+    val parked = spark.read.parquet(q.dir)
+    // batch 1 re-parked at depth 2 with a recomputed retry_time; batch 2
+    // untouched (original depth AND original retry_time)
+    assert(canon(parked.select("__batch_id", "__retries", "__retry_time")) == Seq(
+      Seq("1", "2", (t0 + 5 * 60000L + 1 + 25 * 60000L).toString),
+      Seq("1", "2", (t0 + 5 * 60000L + 1 + 25 * 60000L).toString),
+      Seq("2", "1", (t0 + 20 * 60000L + 5 * 60000L).toString)))
+    assert(q.dlq(spark).isEmpty)
+  }
+
   test("per-batch isolation: one poisoned batch cannot fail another") {
     val q = tmpQueue()
     val t0 = 0L
