@@ -349,6 +349,74 @@ class SkewStressSpec extends SparkSuite {
       f"(${narrowVol.toDouble / wideVol}%.0fx), pairs=${out.size}")
   }
 
+  // ---- 10× scaling curve for the ANN family (IVF k-NN join) --------------
+
+  /** N vectors in 3-member near-dup clusters: a ±1 sign pattern per cluster
+    * (32 dims, golden-ratio bits) + one member-unique unit dim (3 reserved
+    * dims) ⇒ within-cluster cosine 32/33 ≈ 0.970, cross-cluster ≤ ~0.94 —
+    * every vector's true top-2 is exactly its two mates. */
+  private def embFleet(n: Int): IndexedSeq[(Long, Array[Double])] =
+    (0 until n).map { d =>
+      val c = d / 3
+      val bits = c.toLong * 0x9E3779B97F4A7C15L
+      val v = new Array[Double](35)
+      var i = 0
+      while (i < 32) { v(i) = if (((bits >>> i) & 1L) == 1L) 1.0 else -1.0; i += 1 }
+      v(32 + d % 3) = 1.0
+      (d.toLong, v)
+    }
+
+  test("IVF knn-join 10x scaling: sqrt-N cells, mates recovered, brute-equal at 1x") {
+    import graft.llm.Similarity
+    // the corpus-scale k-NN join (every vector is a query): cells grow as
+    // √N — the IVF balance point (build N·C + search N·(N/C), both N^1.5,
+    // so 10× data costs ~31.6×, far under the brute join's 100×)
+    def run(n: Int): (Map[Long, Set[Long]], Long) = {
+      val fleet = embFleet(n)
+      val clusters = n / 3
+      val cN = math.ceil(math.sqrt(n.toDouble)).toInt
+      val step = math.max(1, clusters / cN)
+      // centroids = pure sign centers (member dims zeroed) so all three
+      // mates keep EXACTLY equal cosine to every centroid — deterministic
+      // co-located cells regardless of quantization
+      val cents = (0 until clusters by step).map { c =>
+        val v = fleet(c * 3)._2.clone()
+        v(32) = 0.0; v(33) = 0.0; v(34) = 0.0
+        (c.toLong, v)
+      }
+      val corpus = fleet.toDF("vec_id", "embedding")
+      val t0 = System.nanoTime()
+      val out = Similarity.knnJoinIvf(corpus, corpus,
+          cents.toDF("vec_id", "embedding"), k = 2, nprobe = 1)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      (out, (System.nanoTime() - t0) / 1000000L)
+    }
+    def mates(d: Long): Set[Long] = {
+      val c = d / 3
+      Set(c * 3, c * 3 + 1, c * 3 + 2) - d
+    }
+    val (outS, tS) = run(1200)
+    val (outB, tB) = run(12000)
+    // 1×: the IVF result equals brute-force truth (same kernel, self rows
+    // dropped from the brute top-3)
+    val corpusS = embFleet(1200).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(corpusS, corpusS, k = 3)
+      .collect().filter(r => r.getLong(0) != r.getLong(2))
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Number](1).longValue).take(2).map(_.getLong(2)).toSet }
+    assert(outS == brute, "IVF(1x) diverged from the brute-force truth")
+    // 10×: planted mates recovered (deterministic given the fixed fleet)
+    val okB = (0 until 12000).count(d => outB.get(d.toLong).contains(mates(d.toLong)))
+    assert(okB >= 12000 * 99 / 100, s"mate recall collapsed at 10x: $okB/12000")
+    assert(tB < math.max(tS, 500L) * 45,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — exceeds the N^1.5 envelope")
+    info(s"ivf knn-join: 1x ${tS}ms (brute-equal), 10x ${tB}ms, " +
+      s"mate recall $okB/12000, cells ${math.ceil(math.sqrt(1200)).toInt}→" +
+      s"${math.ceil(math.sqrt(12000)).toInt}")
+  }
+
   test("minhash LSH 10x scaling: exact vs driver replay, linear candidate growth") {
     val (small, big) = (textFleet(1200), textFleet(12000))
     val (refS, volS) = minhashRef(small)
