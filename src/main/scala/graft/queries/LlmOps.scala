@@ -1083,13 +1083,14 @@ object LlmOps {
            ELSE ((SELECT c FROM hits) * 1000) // (SELECT count(*) FROM exactp)
       END AS recall_permille"""
 
-  /** Shared recursive connected-components chain over the simhash near-dup
-    * pair set (`pairs`→`nodes`→`edges`→`reach`) — consumers append their
-    * own `min(m) GROUP BY node` aggregate. ONE copy on purpose: three
-    * oracles (cluster, survivor, leak-free split) walk the same
-    * reachability, and a fix to the walk must reach all of them at once. */
-  private val ccReachCtesSql = s"""
-    pairs AS (SELECT i, j FROM ($simhashNearDupOracle) q),
+  /** Shared recursive connected-components chain over a near-dup pair set
+    * (`pairs`→`nodes`→`edges`→`reach`) — consumers append their own
+    * `min(m) GROUP BY node` aggregate. ONE builder on purpose: four
+    * oracles (cluster, wide cluster, survivor, leak-free split) walk the
+    * same reachability, and a fix to the walk must reach all of them at
+    * once. */
+  private def ccReachSql(pairsSql: String): String = s"""
+    pairs AS (SELECT i, j FROM ($pairsSql) q),
     nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
     edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
     reach(node, m) AS (
@@ -1097,8 +1098,25 @@ object LlmOps {
       UNION
       SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)"""
 
+  private val ccReachCtesSql = ccReachSql(simhashNearDupOracle)
+
   private val dedupClusterOracle = s"""
     WITH RECURSIVE $ccReachCtesSql
+    SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
+
+  /** [[dedupCluster]] riding the WIDE (60-bit) fingerprint — the 100 TB
+    * composition proven end-to-end: [[simhashNearDupWide]]'s thin-bucket
+    * band pairs feed the SAME clustering machinery (driver union-find ⇄
+    * checkpointed label propagation), so a corpus-scale dedup never has to
+    * route through the 256-key 32-bit banding to get components. */
+  def dedupClusterWide(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashNearDupWide(s, d).select("i", "j").persist()
+    graft.llm.Corpus.clusterPairs(pairs)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  private val dedupClusterWideOracle = s"""
+    WITH RECURSIVE ${ccReachSql(simhashNearDupWideOracle)}
     SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"""
 
   /** [[dedupCluster]] over the EXACT pair set instead of SimHash
@@ -3796,6 +3814,7 @@ object LlmOps {
     "llm_simhash"       -> Q(simhash, Some(simhashOracle)),
     "llm_simhash_neardup" -> Q(simhashNearDup, Some(simhashNearDupOracle)),
     "llm_simhash_neardup_wide" -> Q(simhashNearDupWide, Some(simhashNearDupWideOracle)),
+    "llm_dedup_cluster_wide" -> Q(dedupClusterWide, Some(dedupClusterWideOracle)),
     "llm_dedup_cluster" -> Q(dedupCluster, Some(dedupClusterOracle)),
     "llm_cluster_eval"  -> Q(clusterEval, Some(clusterEvalOracle)),
     "llm_dedup_cluster_exact" -> Q(dedupClusterExact, Some(dedupClusterExactOracle)),
