@@ -647,6 +647,34 @@ class SyncControllerSpec extends SparkSuite {
     } finally { go.countDown(); ctl.stop() }
   }
 
+  test("concurrent scheduled triggers for one sync spawn exactly one pod") {
+    // the r18 review fix: the sync lock lands via putIfAbsent BEFORE the
+    // pod spawns — a containsKey-then-spawn pair would let two delayed
+    // triggers waking together both pass the check and double-run the sync
+    val sink = freshSink("sched4")
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val go = new CountDownLatch(1)
+    val ctl = ctlWith(sink, Map("src" -> lineConnector(
+      readL = (_, _) => {
+        ran.incrementAndGet()
+        go.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Iterator.empty
+      })))  // schedDelayMs = 0: both triggers race immediately
+    try {
+      val api = s"http://127.0.0.1:${ctl.port}"
+      val by = java.net.URLEncoder.encode("""{"trigger":"scheduled"}""", "UTF-8")
+      Seq("c1", "c2").foreach { t =>
+        http("POST", s"$api/read?package=src&version=v1&syncId=syc" +
+          s"&taskId=0123456789abcdef0123456789abcdef-$t&startedBy=$by",
+          Some(s"""{"config":{},"catalog":$readCatalog}"""))
+      }
+      go.countDown()
+      assert(ctl.awaitQuiesce(30000L))
+      assert(ran.get() == 1,
+        s"concurrent scheduled triggers double-ran the sync: ${ran.get()}")
+    } finally { go.countDown(); ctl.stop() }
+  }
+
   test("dangling thenRun sync lock is freed at watcher cadence") {
     // job_runner.go:99-102,190-196: the watcher rebuilds active syncs from
     // live read/thenRun pods each tick — a thenRun whose console callback
