@@ -154,9 +154,10 @@ final class SyncController(
           // a containsKey probe (the r17 created→running ordering lesson —
           // the reference's K8s pod latency hides the same race,
           // job_runner.go:438-440)
+          // not taken ⇒ the sync already runs a task: skip (dedup)
           if (runningSyncs.putIfAbsent(desc.syncId, desc.taskId) == null) {
             spawnPod(desc.copy(startedAt = nowMs()), cfg)
-            () // skip otherwise: the sync already runs a task
+            ()
           }
         } finally { pendingScheduled.decrementAndGet(); signalQuiesce() }
       }, s"sync-sched-${desc.syncId}")
@@ -494,6 +495,11 @@ final class SyncController(
   def quiesced: Boolean =
     pods.isEmpty && pendingStatuses.get() == 0 && pendingScheduled.get() == 0
 
+  /** Test hook: scheduler-delayed jobs whose decision (spawn or skip) has
+    * not landed yet — lets a spec wait for the putIfAbsent race to settle
+    * without sleeping. */
+  def pendingScheduledJobs: Int = pendingScheduled.get()
+
   private def signalQuiesce(): Unit =
     quiesceLock.synchronized { quiesceLock.notifyAll() }
 
@@ -651,6 +657,13 @@ final class SyncController(
     janitorThread.setDaemon(true)
     janitorThread.start()
     watcherThread = new Thread(() => {
+      // two-strike lock sweep state: a lock is reaped only when it was
+      // ALSO dangling on the previous tick — a scheduled trigger places
+      // its lock (putIfAbsent) an instant before its pod registers, and a
+      // single-tick sweep landing exactly in that gap would reap the fresh
+      // lock and reopen the double-spawn race; no real dangling lock can
+      // un-dangle between ticks without a pod appearing
+      var prevDangling = Set.empty[String]
       while (!closed.get()) {
         try Thread.sleep(watcherPeriodMs)
         catch { case _: InterruptedException => () }
@@ -660,7 +673,7 @@ final class SyncController(
           // active-sync set from live READ pods (plus thenRun discovers,
           // which re-store their lock while running) and drops every other
           // sync lock — so a thenRun whose console callback never
-          // materialized a read task frees its sync in ~watcherPeriodMs,
+          // materialized a read task frees its sync in ~2·watcherPeriodMs,
           // not at the 15-minute janitor cadence
           val liveSyncs = new java.util.HashSet[String]()
           pods.forEach { (_, pod) =>
@@ -668,7 +681,12 @@ final class SyncController(
               liveSyncs.add(pod.desc.syncId)
             ()
           }
-          runningSyncs.keySet.removeIf(k => !liveSyncs.contains(k))
+          val dangling = scala.jdk.CollectionConverters
+            .SetHasAsScala(runningSyncs.keySet).asScala
+            .filterNot(liveSyncs.contains).toSet
+          val reap = dangling.intersect(prevDangling)
+          prevDangling = dangling -- reap
+          reap.foreach(runningSyncs.remove)
           pods.forEach { (name, pod) =>
             val last = pod.lastReportedMs.get()
             if (now - last >= runningReportEveryMs) {

@@ -1003,10 +1003,15 @@ object LlmOps {
     * min-label propagation ([[graft.llm.Corpus.clusterPairs]]) — dedup must
     * keep one representative per component, not per pair. The oracle walks
     * the same reachability with a recursive CTE. */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    // the pair set feeds both direction-unions of the edge list — persist so
-    // the banded self-join pipeline runs once
-    val pairs = simhashNearDup(s, d).select("i", "j").persist()
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    clusterOf(simhashNearDup(s, d))
+
+  /** Pair set → components, shared by every cluster form (the Spark twin
+    * of [[ccReachSql]] — a fix to the walk must reach all of them). The
+    * pair set feeds both direction-unions of the edge list — persist so
+    * the banded self-join pipeline runs once. */
+  private def clusterOf(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select("i", "j").persist()
     graft.llm.Corpus.clusterPairs(pairs)
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
@@ -1090,7 +1095,7 @@ object LlmOps {
     * same reachability, and a fix to the walk must reach all of them at
     * once. */
   private def ccReachSql(pairsSql: String): String = s"""
-    pairs AS (SELECT i, j FROM ($pairsSql) q),
+    pairs AS MATERIALIZED (SELECT i, j FROM ($pairsSql) q),
     nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
     edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
     reach(node, m) AS (
@@ -1109,11 +1114,8 @@ object LlmOps {
     * band pairs feed the SAME clustering machinery (driver union-find ⇄
     * checkpointed label propagation), so a corpus-scale dedup never has to
     * route through the 256-key 32-bit banding to get components. */
-  def dedupClusterWide(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashNearDupWide(s, d).select("i", "j").persist()
-    graft.llm.Corpus.clusterPairs(pairs)
-      .select(col("node").as("doc_id"), col("cluster_id"))
-  }
+  def dedupClusterWide(s: SparkSession, d: String): DataFrame =
+    clusterOf(simhashNearDupWide(s, d))
 
   private val dedupClusterWideOracle = s"""
     WITH RECURSIVE ${ccReachSql(simhashNearDupWideOracle)}
@@ -1126,11 +1128,8 @@ object LlmOps {
     * not through fingerprint coincidence. Same clustering machinery
     * (driver union-find ⇄ checkpointed label propagation), same oracle
     * walk, different — exact — edge set. */
-  def dedupClusterExact(s: SparkSession, d: String): DataFrame = {
-    val pairs = prefixJoinPairs(Tables.documents(s, d)).select("i", "j").persist()
-    graft.llm.Corpus.clusterPairs(pairs)
-      .select(col("node").as("doc_id"), col("cluster_id"))
-  }
+  def dedupClusterExact(s: SparkSession, d: String): DataFrame =
+    clusterOf(prefixJoinPairs(Tables.documents(s, d)))
 
   /** Recursive reachability over the EXACT (prefix-join) pair set — the
     * exact-edge twin of [[ccReachCtesSql]], shared by the exact cluster and

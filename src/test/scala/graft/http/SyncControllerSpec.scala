@@ -668,6 +668,13 @@ class SyncControllerSpec extends SparkSuite {
           s"&taskId=0123456789abcdef0123456789abcdef-$t&startedBy=$by",
           Some(s"""{"config":{},"catalog":$readCatalog}"""))
       }
+      // hold the winner's pod open until BOTH trigger threads have made
+      // their putIfAbsent decision — otherwise c1 could finish and release
+      // its lock before c2 even raced, making a legitimate second run
+      val decided = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (ctl.pendingScheduledJobs > 0 && System.nanoTime() < decided)
+        Thread.sleep(5)
+      assert(ctl.pendingScheduledJobs == 0, "trigger threads never decided")
       go.countDown()
       assert(ctl.awaitQuiesce(30000L))
       assert(ran.get() == 1,

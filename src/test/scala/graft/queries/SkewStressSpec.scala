@@ -410,8 +410,11 @@ class SkewStressSpec extends SparkSuite {
     // 10×: planted mates recovered (deterministic given the fixed fleet)
     val okB = (0 until 12000).count(d => outB.get(d.toLong).contains(mates(d.toLong)))
     assert(okB >= 12000 * 99 / 100, s"mate recall collapsed at 10x: $okB/12000")
-    assert(tB < math.max(tS, 500L) * 45,
-      s"10x data cost ${tB}ms vs 1x ${tS}ms — exceeds the N^1.5 envelope")
+    // measured growth is ~1.8x (fixed overhead dominates at this scale);
+    // 20x leaves an order of magnitude of throttle slack while still
+    // sitting far under both the N^1.5 (31.6x) and brute (100x) laws
+    assert(tB < math.max(tS, 500L) * 20,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
     info(s"ivf knn-join: 1x ${tS}ms (brute-equal), 10x ${tB}ms, " +
       s"mate recall $okB/12000, cells ${math.ceil(math.sqrt(1200)).toInt}→" +
       s"${math.ceil(math.sqrt(12000)).toInt}")
