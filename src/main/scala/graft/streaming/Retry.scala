@@ -98,21 +98,59 @@ final case class RetryQueue(dir: String, dlqDir: String,
   def drain(spark: SparkSession, nowMs: Long)(load: DataFrame => Unit): Unit = {
     val qOpt = readOrEmpty(spark, dir)
     if (qOpt.isEmpty) return
-    val q = qOpt.get.persist()
+    val qRaw = qOpt.get.persist()
+    var qNorm: Option[DataFrame] = None
     try {
       // control-plane: ONE aggregate yields every batch's retry depth, due
-      // time, and row count (`__retries`/`__retry_time` are uniform within a
-      // batch by construction — enqueue stamps literals and requeue shifts
-      // whole batches) — due-ness, survivors, dead-letters, and the
+      // time, and row count — due-ness, survivors, dead-letters, and the
       // rewrite's file fan-out are all decided driver-side from it, bounded
-      // by #failed batches, never by row volume.
-      val info = q.groupBy("__batch_id").agg(
-          max(col("__retries")).as("__r"), max(col("__retry_time")).as("__t"),
-          count(lit(1)).as("__n"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
+      // by #failed batches, never by row volume. enqueue stamps
+      // `__retries`/`__retry_time` as whole-batch literals, so min==max per
+      // batch id — EXCEPT when an at-least-once replayed enqueue appended
+      // the same batch twice with a different attempt/now; the aggregate
+      // detects that (hi != lo) so the drain never decides off mixed stamps.
+      def stats(f: DataFrame): Array[(Long, Int, Long, Long, Boolean)] =
+        f.groupBy("__batch_id").agg(
+            max(struct(col("__retries"), col("__retry_time"))).as("__hi"),
+            min(struct(col("__retries"), col("__retry_time"))).as("__lo"),
+            count(lit(1)).as("__n"))
+          .collect().map { r =>
+            val hi = r.getStruct(1); val lo = r.getStruct(2)
+            (r.getLong(0), hi.getInt(0), hi.getLong(1), r.getLong(3),
+             hi.getInt(0) != lo.getInt(0) || hi.getLong(1) != lo.getLong(1))
+          }.sortBy(_._1)
+      val raw = stats(qRaw)
+      val mixed = raw.filter(_._5)
+      val (q, info) =
+        if (mixed.isEmpty) (qRaw, raw)
+        else {
+          // the stamp is a whole-batch literal, so it discriminates the
+          // duplicate copies: keep only the LATEST attempt's rows (max
+          // (__retries, __retry_time)), dropping the stale replay copy
+          // outright, and re-derive the bookkeeping from the normalized
+          // frame — otherwise max()-based decisions would dead-letter rows
+          // below the retry budget or requeue not-yet-due rows early.
+          val stale = mixed.map { case (id, r, t, _, _) =>
+            col("__batch_id") === id &&
+              (col("__retries") =!= r || col("__retry_time") =!= t)
+          }.reduce(_ || _)
+          val qn = qRaw.filter(!stale).persist()
+          qNorm = Some(qn)
+          (qn, stats(qn))
+        }
       val due = info.filter(_._3 <= nowMs)
-      if (due.isEmpty) return
+      if (due.isEmpty) {
+        // nothing to drain — but if normalization dropped stale duplicate
+        // rows, scrub them from the parked queue now so `queued()`
+        // read-backs and future drains see one copy per batch
+        if (mixed.nonEmpty) {
+          val files = math.max(1L, math.min(8L, info.map(_._4).sum / 500000L + 1)).toInt
+          val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
+          q.coalesce(files).write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
+          commitSwap(fsOf(spark, dir), nextPath, new org.apache.hadoop.fs.Path(dir))
+        }
+        return
+      }
       val failedIds = due.map(_._1).filterNot { id =>
         val rows = q.filter(col("__batch_id") === id)
         try { load(rows.drop(MetaCols: _*)); true }
@@ -120,21 +158,23 @@ final case class RetryQueue(dir: String, dlqDir: String,
       }.toSet
       // exhausted batches dead-letter WITH their bookkeeping (error, count)
       val deadIds = due.collect {
-        case (id, r, _, _) if failedIds.contains(id) && r >= policy.maxRetries => id }
+        case (id, r, _, _, _) if failedIds.contains(id) && r >= policy.maxRetries => id }
       if (deadIds.nonEmpty)
         q.filter(col("__batch_id").isInCollection(deadIds.toSeq))
           .write.mode(SaveMode.Append).parquet(dlqDir)
       val requeueIds = due.collect {
-        case (id, r, _, _) if failedIds.contains(id) && r < policy.maxRetries => id }
+        case (id, r, _, _, _) if failedIds.contains(id) && r < policy.maxRetries => id }
       val notDueIds = info.filter(_._3 > nowMs).map(_._1)
       val fs = fsOf(spark, dir)
       if (requeueIds.isEmpty && notDueIds.isEmpty) {
         // nothing survives: the queue ends EMPTY — drop the folder instead
-        // of staging an empty rewrite (one less Spark job per final round;
-        // a stale __next from an earlier interrupted swap must go too or
-        // readOrEmpty would resurrect it as phantom parked rows)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        // of staging an empty rewrite (one less Spark job per final round).
+        // A stale __next from an earlier interrupted swap must go too, and
+        // must go FIRST: a crash between the two deletes must never leave
+        // only __next behind, or readOrEmpty's crash-recovery rename would
+        // resurrect already-dead-lettered/loaded rows as a live queue.
         fs.delete(new org.apache.hadoop.fs.Path(dir + "__next"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         ()
       } else {
         val requeued = q.filter(col("__batch_id").isInCollection(
@@ -147,7 +187,7 @@ final case class RetryQueue(dir: String, dlqDir: String,
         // surviving rows are already counted: size the rewrite's fan-out to
         // the data instead of a fixed 8 tiny files per round
         val keep = (requeueIds ++ notDueIds).toSet
-        val keepRows = info.collect { case (id, _, _, n) if keep(id) => n }.sum
+        val keepRows = info.collect { case (id, _, _, n, _) if keep(id) => n }.sum
         val files = math.max(1L, math.min(8L, keepRows / 500000L + 1)).toInt
         val next = notDue.unionByName(requeued).coalesce(files)
         // staged swap: materialize the new queue fully before dropping the old
@@ -155,7 +195,7 @@ final case class RetryQueue(dir: String, dlqDir: String,
         next.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
         commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dir))
       }
-    } finally q.unpersist()
+    } finally { qRaw.unpersist(); qNorm.foreach(_.unpersist()); () }
   }
 
   /** Dead-lettered rows (empty frame with no rows if nothing ever died). */
@@ -191,11 +231,12 @@ final case class RetryQueue(dir: String, dlqDir: String,
           !col("__batch_id").isInCollection(replayed.toSeq)).coalesce(8)
         val fs = fsOf(spark, dlqDir)
         if (replayed.length == ids.length) {
-          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true)
           // drop any STALE staging dir from an earlier interrupted partial
-          // replay too — with the main dir gone, readOrEmpty's recovery
-          // would otherwise resurrect already-replayed batches from it
+          // replay FIRST, then the main dir — a crash between the deletes
+          // must never leave only __next behind, or readOrEmpty's recovery
+          // would resurrect already-replayed batches from it
           fs.delete(new org.apache.hadoop.fs.Path(dlqDir + "__next"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true)
           ()
         } else {
           val nextPath = new org.apache.hadoop.fs.Path(dlqDir + "__next")

@@ -156,6 +156,59 @@ class RetrySpec extends SparkSuite {
     assert(q.dlq(spark).isEmpty)
   }
 
+  test("a stale __next is dropped by a nothing-survives drain, not resurrected") {
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = t0)
+    // an earlier interrupted rewrite left a stale staging dir holding rows
+    // that were since dead-lettered/loaded
+    spark.read.parquet(q.dir).write.parquet(q.dir + "__next")
+    var loads = 0
+    q.drain(spark, t0 + 5 * 60000L + 1)(_ => loads += 1) // succeeds → queue empties
+    assert(loads == 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(q.dir), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(q.dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(q.dir + "__next")))
+    // nothing phantom comes back on the next drain
+    q.drain(spark, t0 + 60 * 60000L)(_ => fail("phantom rows resurrected"))
+  }
+
+  test("replayed enqueue with a newer stamp: drain decides off the latest copy only") {
+    // at-least-once foreachBatch can re-enqueue the same batch id with a
+    // different attempt/now — the drain must normalize to the latest stamp,
+    // not mix max(__retries) with stale rows
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "flaky", nowMs = t0, attempt = 1)
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "flaky", nowMs = t0 + 60000L, attempt = 2)
+    var rowsSeen = -1L
+    // due per the LATEST stamp (t0+60s + 25min); drain succeeds
+    q.drain(spark, t0 + 60000L + 25 * 60000L + 1)(rows => rowsSeen = rows.count())
+    assert(rowsSeen == 2L) // the stale duplicate copy was dropped, not loaded
+    assert(q.queued(spark).isEmpty && q.dlq(spark).isEmpty)
+  }
+
+  test("replayed enqueue: dead-letter carries the latest retry depth, no duplicate rows") {
+    val q = tmpQueue()
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 4)
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    val dlq = q.dlq(spark).get
+    assert(canon(dlq.select("id", "__retries")) == Seq(Seq("1", "5"), Seq("2", "5")))
+  }
+
+  test("replayed enqueue before due time: the parked queue is scrubbed to one copy") {
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(7L), batchId = 3L, error = "flaky", nowMs = t0, attempt = 1)
+    q.enqueue(batch(7L), batchId = 3L, error = "flaky", nowMs = t0 + 60000L, attempt = 2)
+    q.drain(spark, t0 + 1000L)(_ => fail("nothing is due yet"))
+    val parked = spark.read.parquet(q.dir)
+    assert(canon(parked.select("id", "__retries", "__retry_time")) ==
+      Seq(Seq("7", "2", (t0 + 60000L + 25 * 60000L).toString)))
+  }
+
   test("transient failure: retry succeeds and nothing dead-letters") {
     val q = tmpQueue()
     q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = 0L)
