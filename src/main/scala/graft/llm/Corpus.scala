@@ -236,13 +236,24 @@ object Corpus {
         sequence(lit(0), floor((size(col("__toks")) - 1) / lit(st.toDouble)).cast(IntegerType)),
         i => concat_ws(" ", slice(col("__toks"), i * st + 1, lit(w))))).as(Seq("__pos", "__chunk")))
       .select(col(idCol), col("__pos"), TextOps.hash60(col("__chunk")).as("__h"))
-    val firstSeen = Window.partitionBy("__h")
-      .orderBy(col(idCol).asc, col("__pos").asc)
-    chunks
-      .withColumn("__rn", row_number().over(firstSeen))
+      .persist() // feeds the per-doc count AND the first-occurrence aggregate
+    // exactly one position per distinct hash is non-duplicate — the global
+    // (id, pos)-min — so per doc: n_dup_chunks = n_chunks − #hashes whose
+    // first occurrence lands in the doc. min(struct) is MAP-SIDE COMBINABLE:
+    // a boilerplate chunk shared by a large fraction of the corpus collapses
+    // to one row per input partition before the shuffle, where the previous
+    // row_number window routed EVERY occurrence of a hot hash through one
+    // partition's sort — the chunk-level analogue of the narrow-band-key
+    // degeneracy. The recombination is a tagged union, not a join, so the
+    // plan stays join-free (ScaleSpec pins it).
+    val firsts = chunks.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col(s"__first.$idCol").as(idCol))
+    chunks.select(col(idCol), lit(1L).as("__c"), lit(0L).as("__f"))
+      .unionByName(firsts.select(col(idCol), lit(0L).as("__c"), lit(1L).as("__f")))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .agg(sum(col("__c")).as("n_chunks"),
+        (sum(col("__c")) - sum(col("__f"))).as("n_dup_chunks"))
   }
 
   /** Deterministic train/val/test assignment: `hash(id+salt) mod 1000`

@@ -57,13 +57,18 @@ object Dedup {
     */
   def exact(df: DataFrame, contentCols: Seq[String], keepBy: String): DataFrame = {
     val h = contentHash(contentCols)
-    val w = Window.partitionBy(h)
-    val ordered = Window.partitionBy(h).orderBy(col(keepBy).asc)
-    df.withColumn("__grp_n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(ordered))
-      .filter(col("__rn") === 1)
-      .withColumnRenamed("__grp_n", "dup_count")
-      .drop("__rn")
+    // min_by keeps the smallest-keepBy row per content group in ONE
+    // MAP-SIDE COMBINABLE aggregate: an N-doc identical-text clique
+    // (boilerplate pages, license stubs) collapses to one candidate row per
+    // input partition BEFORE the shuffle. The previous row_number window
+    // shuffled every clique member to one reducer and sorted N rows there —
+    // the skew that makes giant cliques a scale-killer (SkewStressSpec
+    // plants one and pins this stage's collapse).
+    val cols = df.columns.toSeq
+    df.groupBy(h.as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(keepBy)).as("__row"),
+        count(lit(1)).as("dup_count"))
+      .select(cols.map(c => col("__row").getField(c).as(c)) :+ col("dup_count"): _*)
   }
 
   /** Collision-free content fingerprint: JSON-encodes the columns (null vs

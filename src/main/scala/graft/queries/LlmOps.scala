@@ -331,8 +331,13 @@ object LlmOps {
   /** The REPORT half: per-doc duplicated-token coverage and maximal span
     * count, read off [[substrCovered]] with a per-doc lag window (gaps-and-
     * islands — |doc|-bounded per partition). */
-  def substrDedup(s: SparkSession, d: String): DataFrame = {
-    val (grams, covered) = substrCovered(Tables.documents(s, d))
+  def substrDedup(s: SparkSession, d: String): DataFrame =
+    substrDedupFrom(Tables.documents(s, d))
+
+  /** [[substrDedup]] over ANY (doc_id, text) frame — driveable with
+    * synthetic corpora (SkewStressSpec's 10× curve). */
+  private[queries] def substrDedupFrom(docs: DataFrame): DataFrame = {
+    val (grams, covered) = substrCovered(docs)
     val isl = covered.withColumn("brk",
       when(col("cp") - lag("cp", 1).over(
         Window.partitionBy("doc_id").orderBy("cp")) === 1, 0L).otherwise(1L))
@@ -2160,7 +2165,19 @@ object LlmOps {
     val enriched = enrich(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), col("quality"),
         col("lang_guess").as("lang"))
-    val kept = enriched.filter(col("quality") >= PipelineQuality && col("lang") === "en")
+    dedupChain(enriched.filter(
+      col("quality") >= PipelineQuality && col("lang") === "en"))
+  }
+
+  /** The dedup half of [[cleanCorpus]] over an already-filtered
+    * (doc_id, text, quality, lang) frame: exact-hash dedup FIRST, then
+    * MinHash-LSH banding over the survivors only. The ORDERING is the
+    * 100 TB defense against giant identical-text cliques — an N-doc
+    * boilerplate clique collapses losslessly to one representative (with
+    * `dup_count` = N) before any band bucket can inherit its C(N,2)
+    * candidate pairs; SkewStressSpec plants exactly that clique and pins
+    * the candidate volume. Driveable with synthetic corpora. */
+  private[queries] def dedupChain(kept: DataFrame): DataFrame = {
     // persist: the survivors feed minhashPairs TWICE (signature branch +
     // shingle-verify branch) and the final anti-join — without this the
     // whole tokenize→quality→window-dedup chain re-runs three times

@@ -126,8 +126,11 @@ class ScaleSpec extends SparkSuite {
     val out = graft.llm.Corpus.chunkDedup(d, 20)
     val plan = out.queryExecution.executedPlan.toString
     // a repeated chunk must cost its group size, not a pair explosion: the
-    // plan has NO join at all — only the hash window + per-doc aggregation
+    // plan has NO join at all — and NO window either (the first-occurrence
+    // pick is a map-side min_by aggregate, so a hot chunk hash never routes
+    // every occurrence through one reducer's sort)
     assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(out.count() == 60)
   }

@@ -420,6 +420,302 @@ class SkewStressSpec extends SparkSuite {
       s"${math.ceil(math.sqrt(12000)).toInt}")
   }
 
+  // ---- giant-clique ORDERING: exact dedup collapses BEFORE banding (r19) --
+  //
+  // PERF.md's posture note says the text LSH band join carries no df cap
+  // because the production chains run exact-hash dedup first, so an N-doc
+  // identical-boilerplate clique collapses losslessly to one representative
+  // before any banding can inherit its C(N,2) pairs. This test turns that
+  // prose into a measurement: plant the clique, run the chain's stages, pin
+  // the collapse and the post-dedup candidate volume.
+
+  test("clean-corpus chain: an identical-doc clique collapses at exact dedup before banding") {
+    val n = 3000
+    val cliqueText = (1 to 40).map(i => s"cqb$i").mkString(" ")
+    val clique = (0 until n).map(i => (i.toLong, cliqueText))
+    val uniques = (0 until 300).map(i =>
+      (10000L + i, (1 to 40).map(j => s"q${i}z$j").mkString(" ")))
+    val clusters = (0 until 6).map { d => // two genuine 3-member near-dup groups
+      val c = d / 3
+      (20000L + d, (1 to 40).map(j => s"nd${c}w$j").mkString(" ") + s" m$d")
+    }
+    val kept = (clique ++ uniques ++ clusters).toDF("doc_id", "text")
+      .withColumn("quality", lit(0.5)).withColumn("lang", lit("en"))
+    // stage 1 (exact dedup — now a map-side min_by aggregate, no window):
+    // the clique collapses to ONE representative carrying dup_count = N
+    val exact = graft.ops.Dedup.exact(kept, Seq("text"), "doc_id").persist()
+    val survivors = 1 + 300 + 6
+    assert(exact.count() == survivors.toLong)
+    assert(!exact.queryExecution.executedPlan.toString.contains("Window"),
+      "exact dedup regressed to a window sort — giant cliques skew again")
+    // stage 2 (banding over the SURVIVORS only): candidate volume is linear
+    // in survivors; un-pre-deduped the clique ALONE would put 4·C(3000,2)
+    // ≈ 18M pairs into its four band buckets
+    val vol = LlmOps.bandFrame(exact.select("doc_id", "text"))
+      .groupBy("band", "key").agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1) div 2"))).first().getLong(0)
+    assert(vol <= 4L * survivors,
+      s"post-dedup candidate volume super-linear: $vol vs ${4L * survivors}")
+    exact.unpersist()
+    // end-to-end: one clique representative with the full multiplicity, the
+    // two near-dup cluster minima survive, their four twins drop
+    val out = LlmOps.dedupChain(kept)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.size == 1 + 300 + 2, s"chain emitted ${out.size} docs")
+    assert(out(0L) == n.toLong, s"clique rep dup_count = ${out.get(0L)}")
+    assert(out(20000L) == 1L && out(20003L) == 1L &&
+      !out.contains(20001L) && !out.contains(20004L),
+      "near-dup survivorship broke after the clique collapse")
+    info(s"clique n=$n: survivors=$survivors, post-dedup band volume=$vol " +
+      s"(naive clique volume would be ${4L * n.toLong * (n - 1) / 2})")
+  }
+
+  // ---- 10× scaling curve: chunk dedup (r19) ------------------------------
+
+  /** N docs of 4 chunks (window 20): chunk 0 = boilerplate shared by ALL
+    * docs (the hot hash, df = N), chunks 1–2 shared within the 3-member
+    * cluster, chunk 3 doc-unique. */
+  private def chunkFleet(n: Int): Seq[(Long, String)] = {
+    val boiler = (1 to 20).map(i => s"kb$i").mkString(" ")
+    (0 until n).map { d =>
+      val c = d / 3
+      val cl = (1 to 40).map(j => s"kc${c}_$j").mkString(" ")
+      val uniq = (1 to 20).map(j => s"ku${d}_$j").mkString(" ")
+      (d.toLong, s"$boiler $cl $uniq")
+    }
+  }
+
+  test("chunk dedup 10x scaling: map-side first-occurrence agg, exact, no window") {
+    // first-occurrence semantics are replayable in closed form: doc 0 owns
+    // every one of its chunks; later cluster heads (d % 3 == 0) own their
+    // two cluster chunks and the unique chunk but inherit the boilerplate
+    // dup; other members dup boilerplate + both cluster chunks
+    def expected(n: Int): Map[Long, (Long, Long)] =
+      (0 until n).map { d =>
+        val dups = if (d == 0) 0L else if (d % 3 == 0) 1L else 3L
+        d.toLong -> ((4L, dups))
+      }.toMap
+    def run(n: Int) = {
+      val out = graft.llm.Corpus.chunkDedup(chunkFleet(n).toDF("doc_id", "text"), 20)
+      val t0 = System.nanoTime()
+      val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (got, out, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (gotS, outS, tS) = run(1200)
+    val (gotB, _, tB) = run(12000)
+    assert(gotS == expected(1200), "1x mismatch vs closed-form replay")
+    assert(gotB == expected(12000), "10x mismatch vs closed-form replay")
+    // the scale posture itself: the plan must carry NO window (the hot
+    // boilerplate hash would route all N occurrences through one reducer
+    // sort) and NO join (ScaleSpec's long-standing pin)
+    val plan = outS.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"chunk dedup: 1x ${tS}ms, 10x ${tB}ms (hot hash df=12000 rides the " +
+      "map-side combine)")
+  }
+
+  // ---- 10× scaling curve: exact-substring dedup (r19) --------------------
+
+  /** N docs of 30 tokens: a 12-token boilerplate run shared by ALL docs
+    * (hot k-grams, df = N), a 10-token run shared within the 3-member
+    * cluster, an 8-token unique tail. */
+  private def substrFleet(n: Int): Seq[(Long, Array[String])] =
+    (0 until n).map { d =>
+      val c = d / 3
+      val tk = ((1 to 12).map(i => s"sb$i") ++ (1 to 10).map(j => s"sc${c}_$j") ++
+        (1 to 8).map(j => s"su${d}_$j")).toArray
+      (d.toLong, tk)
+    }
+
+  /** Exact driver replay of the positional-k-gram substring dedup: global
+    * gram multiplicity ≥ 2 → covered positions [pos, pos+k−1] → islands.
+    * Returns per-doc (n_tokens, dup_tokens, n_spans) plus the total
+    * dup-gram-position volume (the membership join's row count). */
+  private def substrRef(docs: Seq[(Long, Array[String])])
+      : (Map[Long, (Long, Long, Long)], Long) = {
+    val k = 8
+    val gramsOf: Map[Long, IndexedSeq[String]] = docs.map { case (d, tk) =>
+      d -> (if (tk.length >= k) (0 to tk.length - k).map(i => tk.slice(i, i + k).mkString(" "))
+            else IndexedSeq.empty[String])
+    }.toMap
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, gs) <- gramsOf; g <- gs) { df.updateWith(g)(o => Some(o.getOrElse(0) + 1)); () }
+    var vol = 0L
+    val per = docs.map { case (d, tk) =>
+      val dupStarts = gramsOf(d).zipWithIndex.collect { case (g, i) if df(g) >= 2 => i + 1 }
+      vol += dupStarts.size
+      val covered = dupStarts.flatMap(p => p until (p + k)).toSet.toSeq.sorted
+      val spans = covered.zipWithIndex.count { case (p, idx) =>
+        idx == 0 || covered(idx - 1) != p - 1 }
+      d -> ((tk.length.toLong, covered.size.toLong, spans.toLong))
+    }.toMap
+    (per, vol)
+  }
+
+  test("substring dedup 10x scaling: exact vs driver replay, linear dup-position volume") {
+    val (small, big) = (substrFleet(1200), substrFleet(12000))
+    val (refS, volS) = substrRef(small)
+    val (refB, volB) = substrRef(big)
+    // the membership join's row volume is positions-with-duplicated-grams —
+    // bounded by total positions, i.e. LINEAR in N (each doc has ≤ 23 gram
+    // starts), and the measured growth must track it
+    assert(volS <= 23L * small.size && volB <= 23L * big.size,
+      s"dup-position volume broke the linear bound: $volS / $volB")
+    assert(volB <= volS * 12, s"volume growth super-linear: $volS → $volB")
+    def run(docs: Seq[(Long, Array[String])]) = {
+      val frame = docs.map { case (d, tk) => (d, tk.mkString(" ")) }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val got = LlmOps.substrDedupFrom(frame).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      (got, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (outS, tS) = run(small)
+    val (outB, tB) = run(big)
+    assert(outS == refS, "1x mismatch vs driver replay")
+    assert(outB == refB, "10x mismatch vs driver replay")
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"substr dedup: 1x ${tS}ms vol=$volS; 10x ${tB}ms vol=$volB")
+  }
+
+  // ---- 10× scaling curve: embedding near-dup / semdedup (r19) ------------
+
+  /** N vectors in 3-member near-dup clusters built for DETERMINISTIC
+    * bucketing under ±1 hyperplanes: 61 ±1 sign dims (odd-parity dot
+    * products — every plane projection is an odd integer ± 0.5, so a
+    * member's 0.5-weight unique dim can never flip a sign) + 3 reserved
+    * member dims. Within-cluster cosine 61/61.25 ≈ 0.9959 ≥ 0.995. */
+  private def cosFleet(n: Int): IndexedSeq[(Long, Array[Double])] =
+    (0 until n).map { d =>
+      val c = d / 3
+      val bits = c.toLong * 0x9E3779B97F4A7C15L
+      val v = new Array[Double](64)
+      var i = 0
+      while (i < 61) { v(i) = if (((bits >>> i) & 1L) == 1L) 1.0 else -1.0; i += 1 }
+      v(61 + d % 3) = 0.5
+      (d.toLong, v)
+    }
+
+  /** Exact driver replay of [[graft.llm.Similarity.nearDupPairs]]: the SAME
+    * corpus-scaled plane count (planesFor), ±1 plane family, index-order
+    * dot accumulation, and left-associated cosine division as the codegen'd
+    * kernels. Returns (pairs, bucket candidate volume, nPlanes). */
+  private def semdedupRef(fleet: IndexedSeq[(Long, Array[Double])], threshold: Double)
+      : (Set[(Long, Long, Double)], Long, Int) = {
+    import graft.llm.Similarity
+    val nPlanes = Similarity.planesFor(fleet.size.toLong)
+    val ps = Similarity.planes(nPlanes, 64)
+    def bucket(v: Array[Double]): Long = {
+      var b = 0L; var j = 0
+      while (j < nPlanes) {
+        var dot = 0d; var k = 0
+        while (k < 64) { dot += v(k) * ps(j)(k); k += 1 }
+        if (dot > 0) b |= (1L << j)
+        j += 1
+      }
+      b
+    }
+    def cosQ(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0d; var xx = 0d; var yy = 0d; var k = 0
+      while (k < 64) { xy += a(k) * b(k); xx += a(k) * a(k); yy += b(k) * b(k); k += 1 }
+      math.floor(xy / math.sqrt(xx) / math.sqrt(yy) * 10000 + 0.5) / 10000
+    }
+    val byBucket = fleet.groupBy { case (_, v) => bucket(v) }
+    var vol = 0L
+    val pairs = Set.newBuilder[(Long, Long, Double)]
+    for ((_, ms) <- byBucket) {
+      vol += ms.size.toLong * (ms.size - 1) / 2
+      val a = ms.sortBy(_._1)
+      for (i <- a.indices; j <- (i + 1) until a.size) {
+        val q = cosQ(a(i)._2, a(j)._2)
+        if (q >= threshold) pairs += ((a(i)._1, a(j)._1, q))
+      }
+    }
+    (pairs.result(), vol, nPlanes)
+  }
+
+  test("embedding near-dup 10x scaling: corpus-scaled planes, exact vs driver replay") {
+    import graft.llm.Similarity
+    val threshold = 0.995
+    val (small, big) = (cosFleet(1200), cosFleet(12000))
+    val (refS, volS, pS) = semdedupRef(small, threshold)
+    val (refB, volB, pB) = semdedupRef(big, threshold)
+    // planesFor grows the bucket space with the corpus, so within-bucket
+    // pairing stays ~N·perBucket — LINEAR in N (a FIXED bucket space would
+    // be quadratic, the narrow-band degeneracy in embedding space)
+    assert(pB > pS, s"plane count failed to grow with the corpus: $pS → $pB")
+    assert(volS <= 300L * small.size && volB <= 300L * big.size,
+      s"bucket volume broke the linear-density bound: $volS / $volB")
+    // planted recall is DETERMINISTIC here (odd-parity projections cannot
+    // flip on the member dims): every within-cluster pair must be present
+    val planted = (0 until big.size / 3).flatMap { c =>
+      val m = Seq(c * 3L, c * 3L + 1, c * 3L + 2)
+      Seq((m(0), m(1)), (m(0), m(2)), (m(1), m(2)))
+    }
+    assert(planted.forall(p => refB.exists(r => (r._1, r._2) == p)),
+      "planted near-dup pair missing from the replay")
+    def run(fleet: IndexedSeq[(Long, Array[Double])]) = {
+      val t0 = System.nanoTime()
+      val out = Similarity.nearDupPairs(fleet.toDF("vec_id", "embedding"),
+          threshold, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      (out, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (outS, tS) = run(small)
+    val (outB, tB) = run(big)
+    assert(outS == refS, s"1x mismatch: ${outS.size} vs ref ${refS.size}")
+    assert(outB == refB, s"10x mismatch: ${outB.size} vs ref ${refB.size}")
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"embed near-dup: 1x ${outS.size} pairs/${tS}ms vol=$volS planes=$pS; " +
+      s"10x ${outB.size} pairs/${tB}ms vol=$volB planes=$pB")
+  }
+
+  // ---- 10× scaling curve: wide-simhash CLUSTERING layer (r19) ------------
+
+  test("wide-cluster 10x scaling: distributed label propagation equals driver union-find") {
+    // the r18 curve covered the wide BAND JOIN; this one drives the
+    // clustering layer on top of it — forcing the ITERATIVE path
+    // (driverMaxEdges = 0) so the checkpointed label-propagation loop is
+    // what's measured, checked against a driver union-find of the same
+    // replayed pair set
+    def components(pairs: Set[(Long, Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((i, j, _) <- pairs) {
+        val (ra, rb) = (find(i), find(j))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).map(nd => nd -> find(nd)).toMap
+    }
+    def run(n: Int): (Map[Long, Long], Long) = {
+      val pairs = LlmOps.simhashBandPairs(fleet(n, 60).toSeq.toDF("doc_id", "sh"),
+        bandBits = 15).select("i", "j")
+      val t0 = System.nanoTime()
+      val labels = graft.llm.Corpus.clusterPairs(pairs, driverMaxEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (labels, (System.nanoTime() - t0) / 1000000L)
+    }
+    val refS = components(bandedRef(fleet(1200, 60), 4, 15, Long.MaxValue, 3L)._1)
+    val refB = components(bandedRef(fleet(12000, 60), 4, 15, Long.MaxValue, 3L)._1)
+    val (outS, tS) = run(1200)
+    val (outB, tB) = run(12000)
+    assert(outS == refS, s"1x labels diverged: ${outS.size} vs ${refS.size}")
+    assert(outB == refB, s"10x labels diverged: ${outB.size} vs ${refB.size}")
+    // the loop is scheduling-bound at this scale (O(log diameter) rounds of
+    // fixed job cost) — 10× data must stay far under quadratic growth
+    assert(tB < math.max(tS, 2000L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"wide clustering: 1x ${refS.size} nodes/${tS}ms, " +
+      s"10x ${refB.size} nodes/${tB}ms (iterative path forced)")
+  }
+
   test("minhash LSH 10x scaling: exact vs driver replay, linear candidate growth") {
     val (small, big) = (textFleet(1200), textFleet(12000))
     val (refS, volS) = minhashRef(small)
