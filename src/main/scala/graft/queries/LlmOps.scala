@@ -1781,7 +1781,10 @@ object LlmOps {
     * check of bucketing + cosine. The plane count here is pinned at 8 for the
     * static oracle; the production path is [[Similarity.nearDupPairs]], which
     * scales the bucket space with the corpus. */
-  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+  /** The seeded corpus every embedding near-dup query shares: the real
+    * vectors plus [[NearDupSeeds]] clones carrying a ±0.1% per-dim
+    * perturbation (guaranteed genuine near-dups). */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
     val seeded = base.filter(col("vec_id") < NearDupSeeds).select(
@@ -1789,7 +1792,11 @@ object LlmOps {
       transform(col("embedding"),
         (x, k) => x * (lit(1d) + lit(0.0005) * (k % 5 - lit(2)).cast(DoubleType)))
         .as("embedding"))
-    val corpus = base.unionByName(seeded)
+    base.unionByName(seeded)
+  }
+
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val corpus = nearDupCorpus(s, d)
     // persist: the self-join would evaluate the 8 hyperplane dot-products
     // once per side otherwise
     val b = corpus.select(col("vec_id"), col("embedding"),
@@ -1820,6 +1827,84 @@ object LlmOps {
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ${qSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $NearDupCos"""
 
+  private[queries] val BandedBands = 4
+  private[queries] val BandedPerBand = 6
+  // pinned for the oracle, like NearDupPlanes; the production knob is
+  // perBand ≈ planesFor(n) with the SAME band count (recall is set by
+  // bands, bucket thinness by perBand)
+  private[queries] val BandedPlanes = Similarity.planes(BandedBands * BandedPerBand, 64)
+
+  /** Banded cosine-LSH near-dup — the HIGH-RECALL scale form of
+    * [[embedNearDup]]. The single-bucket form admits a candidate only when
+    * ALL plane signs agree (miss probability compounds with plane count —
+    * the very knob `planesFor` must grow for bucket thinness at corpus
+    * scale), so recall decays exactly where scale needs more planes. Four
+    * bands of six planes admit on ANY band agreeing — recall
+    * 1−(1−p^r)^B instead of p^(r·B) — the same AND/OR banding minhash-LSH
+    * uses for text (SkewStressSpec measures the gap on an adversarial
+    * fleet).
+    *
+    * Plan shape: ONE codegen'd 24-plane signature pass ([[Similarity
+    * .lshBucket]]); band keys are BIT SLICES of the signature (no per-band
+    * re-traversal); candidate pairs dedupe BEFORE the cosine verify; the
+    * verify joins embeddings back by key — never an all-pairs product. */
+  def embedNearDupBanded(s: SparkSession, d: String): DataFrame =
+    bandedPairsFrom(nearDupCorpus(s, d), NearDupCos)
+
+  /** The banded core over ANY (vec_id, embedding) frame — driveable with
+    * synthetic fleets (SkewStressSpec measures the recall gap vs the
+    * AND-of-all-planes key on an adversarial fleet). */
+  private[queries] def bandedPairsFrom(corpusIn: DataFrame,
+                                       threshold: Double): DataFrame = {
+    // persist: feeds the signature pass AND both verify sides
+    val corpus = corpusIn.persist()
+    val mask = (1L << BandedPerBand) - 1
+    val sig = corpus.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), BandedPlanes).as("sig"))
+    // persist: the self-join would run the 24-plane kernel once per side
+    val bb = sig.select(col("vec_id"), explode(array(
+        (0 until BandedBands).map(b => struct(lit(b).as("band"),
+          shiftright(col("sig"), b * BandedPerBand).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      .persist()
+    val cands = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct() // a pair colliding in several bands verifies ONCE
+    cands
+      .join(corpus.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+      .join(corpus.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+      .select(col("i"), col("j"),
+        TextOps.quant(Similarity.cosine(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  private val embedNearDupBandedOracle = s"""
+    WITH base AS (
+      SELECT vec_id, list_transform(range(1, 65), k -> embedding[k]::DOUBLE) AS embedding
+      FROM embeddings),
+    seeded AS (
+      SELECT vec_id + $SeedIdOffset AS vec_id,
+        list_transform(range(1, 65), k -> embedding[k]::DOUBLE * (1.0 + 0.0005 * ((k - 1) % 5 - 2))) AS embedding
+      FROM embeddings WHERE vec_id < $NearDupSeeds),
+    corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM seeded),
+    sig AS MATERIALIZED (
+      SELECT vec_id,
+        ${bucketSql("embedding", BandedPlanes)} AS sig
+      FROM corpus),
+    bands AS MATERIALIZED (
+      SELECT vec_id, band, (sig >> (band * $BandedPerBand)) & ${(1 << BandedPerBand) - 1} AS key
+      FROM sig, unnest([${(0 until BandedBands).mkString(", ")}]) AS u(band)),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+    SELECT i, j, q AS cos FROM (
+      SELECT i, j, ${qSql(cosineSql("ca.embedding", "cb.embedding"), 4)} AS q
+      FROM cands JOIN corpus ca ON ca.vec_id = i JOIN corpus cb ON cb.vec_id = j) t
+    WHERE q >= $NearDupCos"""
+
   /** Hard-negative mining (the DPR/contrastive-retrieval recipe): for each
     * anchor that has a semantic positive, the HARDEST non-positive — the
     * highest-cosine bucket-cohabitant BELOW the near-dup threshold (so it
@@ -1833,14 +1918,7 @@ object LlmOps {
     * per-anchor pick is a map-side-combinable `max_by` argmax — no window,
     * no sort, nothing quadratic beyond the bucketed pair set. */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
-    val seeded = base.filter(col("vec_id") < NearDupSeeds).select(
-      (col("vec_id") + SeedIdOffset).as("vec_id"),
-      transform(col("embedding"),
-        (x, k) => x * (lit(1d) + lit(0.0005) * (k % 5 - lit(2)).cast(DoubleType)))
-        .as("embedding"))
-    val corpus = base.unionByName(seeded)
+    val corpus = nearDupCorpus(s, d)
     val b = corpus.select(col("vec_id"), col("embedding"),
       Similarity.lshBucket(col("embedding"), NearDupPlanes).as("bucket"))
       .persist()
@@ -3857,6 +3935,7 @@ object LlmOps {
     "llm_ann_recall"    -> Q(annRecall, Some(annRecallOracle)),
     "llm_knn_join"      -> Q(knnJoin, Some(knnJoinOracle)),
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
+    "llm_embed_neardup_banded" -> Q(embedNearDupBanded, Some(embedNearDupBandedOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
     "llm_sem_decontaminate" -> Q(semDecontaminate, Some(semDecontaminateOracle)),
     "llm_contrastive"   -> Q(contrastivePairs, Some(contrastiveOracle)),

@@ -674,6 +674,91 @@ class SkewStressSpec extends SparkSuite {
       s"10x ${outB.size} pairs/${tB}ms vol=$volB planes=$pB")
   }
 
+  // ---- banded cosine LSH: recall gap vs the AND-of-all-planes key (r19) --
+
+  /** Adversarial fleet for BANDING recall: ±1 cluster bases over 61 dims
+    * with a ±0.12 member-hash perturbation on EVERY dim — large enough to
+    * flip a hyperplane sign a measurable fraction of the time (projection
+    * deltas ~N(0, (2·0.12)²·61) against the odd-integer base lattice),
+    * small enough that within-cluster cosine stays ≈ 0.986 ≫ the 0.95
+    * verify threshold. This is the regime scale forces: more planes for
+    * bucket thinness ⇒ compounding AND-miss probability. */
+  private def advCosFleet(n: Int): IndexedSeq[(Long, Array[Double])] =
+    (0 until n).map { d =>
+      val c = d / 3
+      val bits = c.toLong * 0x9E3779B97F4A7C15L
+      val mbits = (d.toLong + 1) * 0xC2B2AE3D27D4EB4FL
+      val v = new Array[Double](64)
+      var i = 0
+      while (i < 61) {
+        val b = if (((bits >>> i) & 1L) == 1L) 1.0 else -1.0
+        val m = if (((mbits >>> i) & 1L) == 1L) 0.12 else -0.12
+        v(i) = b + m
+        i += 1
+      }
+      (d.toLong, v)
+    }
+
+  test("banded cosine LSH beats the AND-of-all-planes key on plane-flipping near-dups") {
+    import graft.llm.Similarity
+    val n = 3000
+    val threshold = 0.95
+    val fleet = advCosFleet(n)
+    val vecs = fleet.toMap
+    val ps = LlmOps.BandedPlanes
+    val (bands, perBand) = (LlmOps.BandedBands, LlmOps.BandedPerBand)
+    val mask = (1L << perBand) - 1
+    def sig(v: Array[Double]): Long = {
+      var b = 0L; var j = 0
+      while (j < ps.length) {
+        var dot = 0d; var k = 0
+        while (k < 64) { dot += v(k) * ps(j)(k); k += 1 }
+        if (dot > 0) b |= (1L << j)
+        j += 1
+      }
+      b
+    }
+    def cosQ(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0d; var xx = 0d; var yy = 0d; var k = 0
+      while (k < 64) { xy += a(k) * b(k); xx += a(k) * a(k); yy += b(k) * b(k); k += 1 }
+      math.floor(xy / math.sqrt(xx) / math.sqrt(yy) * 10000 + 0.5) / 10000
+    }
+    val sigs = fleet.map { case (d, v) => d -> sig(v) }.toMap
+    val planted = (0 until n / 3).flatMap { c =>
+      val m = Seq(c * 3L, c * 3L + 1, c * 3L + 2)
+      Seq((m(0), m(1)), (m(0), m(2)), (m(1), m(2)))
+    }
+    // every planted pair passes the verify — banding recall is the whole game
+    assert(planted.forall { case (a, b) => cosQ(vecs(a), vecs(b)) >= threshold })
+    val bandHit = planted.count { case (a, b) =>
+      (0 until bands).exists(bi =>
+        ((sigs(a) >>> (bi * perBand)) & mask) == ((sigs(b) >>> (bi * perBand)) & mask)) }
+    val andHit = planted.count { case (a, b) => sigs(a) == sigs(b) }
+    info(f"planted=${planted.size} banded=$bandHit (${bandHit * 100.0 / planted.size}%.0f%%) " +
+      f"and24=$andHit (${andHit * 100.0 / planted.size}%.0f%%)")
+    assert(bandHit >= planted.size * 7 / 10,
+      s"banded recall collapsed: $bandHit/${planted.size}")
+    assert(andHit * 2 <= bandHit,
+      s"no recall gap: banded $bandHit vs and24 $andHit — the banding buys nothing")
+    // distributed == exact replay (candidates from per-band buckets, then
+    // quantized-cosine verify)
+    val byKey = scala.collection.mutable.Map.empty[(Int, Long), List[Long]]
+    for ((d, sg) <- sigs; bi <- 0 until bands)
+      byKey.updateWith((bi, (sg >>> (bi * perBand)) & mask))(o => Some(d :: o.getOrElse(Nil)))
+    val cand = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((_, ds) <- byKey) {
+      val a = ds.sorted
+      for (i <- a.indices; j <- (i + 1) until a.size) cand += ((a(i), a(j)))
+    }
+    val ref = cand.iterator.flatMap { case (x, y) =>
+      val q = cosQ(vecs(x), vecs(y))
+      if (q >= threshold) Some((x, y, q)) else None
+    }.toSet
+    val out = LlmOps.bandedPairsFrom(fleet.toDF("vec_id", "embedding"), threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == ref, s"banded distributed diverged: ${out.size} vs ref ${ref.size}")
+  }
+
   // ---- 10× scaling curve: wide-simhash CLUSTERING layer (r19) ------------
 
   test("wide-cluster 10x scaling: distributed label propagation equals driver union-find") {
