@@ -2229,6 +2229,33 @@ object LlmOps {
     SELECT node AS vec_id, min(m) AS cluster_id, node = min(m) AS kept
     FROM reach GROUP BY node"""
 
+  /** [[semDedup]] riding the BANDED pair set — the 100 TB composition for
+    * embedding space, like `llm_dedup_cluster_wide` is for simhash: the
+    * high-recall banded candidates feed the SAME clustering machinery
+    * (driver union-find ⇄ checkpointed label propagation), so a
+    * corpus-scale semantic dedup never has to trade recall for bucket
+    * thinness to get components. */
+  def semDedupBanded(s: SparkSession, d: String): DataFrame = {
+    // the pair set feeds both direction-unions of the edge list — persist
+    // so the banded pair pipeline runs once
+    val pairs = embedNearDupBanded(s, d).select("i", "j").persist()
+    graft.llm.Corpus.clusterPairs(pairs)
+      .select(col("node").as("vec_id"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("kept"))
+  }
+
+  private val semDedupBandedOracle = s"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED (SELECT i, j FROM ($embedNearDupBandedOracle) q),
+    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
+    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach(node, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
+    SELECT node AS vec_id, min(m) AS cluster_id, node = min(m) AS kept
+    FROM reach GROUP BY node"""
+
   // ---- the composed training-data pipeline ------------------------------
 
   private val PipelineQuality = 0.3
@@ -3937,6 +3964,7 @@ object LlmOps {
     "llm_embed_neardup" -> Q(embedNearDup, Some(embedNearDupOracle)),
     "llm_embed_neardup_banded" -> Q(embedNearDupBanded, Some(embedNearDupBandedOracle)),
     "llm_semdedup"      -> Q(semDedup, Some(semDedupOracle)),
+    "llm_semdedup_banded" -> Q(semDedupBanded, Some(semDedupBandedOracle)),
     "llm_sem_decontaminate" -> Q(semDecontaminate, Some(semDecontaminateOracle)),
     "llm_contrastive"   -> Q(contrastivePairs, Some(contrastiveOracle)),
     "llm_hard_negatives" -> Q(hardNegatives, Some(hardNegativesOracle)),
