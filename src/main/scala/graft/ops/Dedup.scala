@@ -66,7 +66,12 @@ object Dedup {
     // plants one and pins this stage's collapse).
     val cols = df.columns.toSeq
     df.groupBy(h.as("__h"))
-      .agg(min_by(struct(cols.map(col): _*), col(keepBy)).as("__row"),
+      // null-safe ordering key: min_by SKIPS rows whose key is null, so a
+      // group with an all-NULL keepBy would collapse to an all-NULL payload;
+      // (isNotNull, keepBy) is never null and ranks null keepBy FIRST
+      // (false < true) — the window form's asc_nulls_first election
+      .agg(min_by(struct(cols.map(col): _*),
+          struct(col(keepBy).isNotNull, col(keepBy))).as("__row"),
         count(lit(1)).as("dup_count"))
       .select(cols.map(c => col("__row").getField(c).as(c)) :+ col("dup_count"): _*)
   }

@@ -2166,10 +2166,15 @@ object LlmOps {
     * it keeps a AND c even when all three are mutual near-dups. Output is
     * the cluster assignment + keep flag for every vector that participated
     * in a pair (vectors in no pair survive by definition). */
-  def semDedup(s: SparkSession, d: String): DataFrame = {
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupFrom(embedNearDup(s, d))
+
+  /** Pair set → components → (vec_id, cluster_id, kept) — ONE body for the
+    * single-bucket and banded forms, like [[clusterOf]] on the text side. */
+  private def semDedupFrom(pairFrame: DataFrame): DataFrame = {
     // the pair set feeds both direction-unions of the edge list — persist
     // so the bucketed pair pipeline runs once
-    val pairs = embedNearDup(s, d).select("i", "j").persist()
+    val pairs = pairFrame.select("i", "j").persist()
     graft.llm.Corpus.clusterPairs(pairs)
       .select(col("node").as("vec_id"), col("cluster_id"),
         (col("node") === col("cluster_id")).as("kept"))
@@ -2217,9 +2222,12 @@ object LlmOps {
     SELECT anchor_id, pos_id, neg_rank, neg_id FROM drawn
     WHERE neg_id <> anchor_id AND neg_id <> pos_id"""
 
-  private val semDedupOracle = s"""
+  /** Shared semdedup component-walk oracle over ANY pair SQL — the
+    * embedding twin of [[ccReachSql]]: a fix to the walk must reach the
+    * single-bucket and banded forms at once. */
+  private def semDedupCcSql(pairsSql: String): String = s"""
     WITH RECURSIVE
-    pairs AS (SELECT i, j FROM ($embedNearDupOracle) q),
+    pairs AS MATERIALIZED (SELECT i, j FROM ($pairsSql) q),
     nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
     edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
     reach(node, m) AS (
@@ -2228,6 +2236,8 @@ object LlmOps {
       SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
     SELECT node AS vec_id, min(m) AS cluster_id, node = min(m) AS kept
     FROM reach GROUP BY node"""
+
+  private val semDedupOracle = semDedupCcSql(embedNearDupOracle)
 
   /** [[semDedup]] riding the BANDED pair set — the 100 TB composition for
     * embedding space, like `llm_dedup_cluster_wide` is for simhash: the
@@ -2235,26 +2245,10 @@ object LlmOps {
     * (driver union-find ⇄ checkpointed label propagation), so a
     * corpus-scale semantic dedup never has to trade recall for bucket
     * thinness to get components. */
-  def semDedupBanded(s: SparkSession, d: String): DataFrame = {
-    // the pair set feeds both direction-unions of the edge list — persist
-    // so the banded pair pipeline runs once
-    val pairs = embedNearDupBanded(s, d).select("i", "j").persist()
-    graft.llm.Corpus.clusterPairs(pairs)
-      .select(col("node").as("vec_id"), col("cluster_id"),
-        (col("node") === col("cluster_id")).as("kept"))
-  }
+  def semDedupBanded(s: SparkSession, d: String): DataFrame =
+    semDedupFrom(embedNearDupBanded(s, d))
 
-  private val semDedupBandedOracle = s"""
-    WITH RECURSIVE
-    pairs AS MATERIALIZED (SELECT i, j FROM ($embedNearDupBandedOracle) q),
-    nodes AS (SELECT i AS n FROM pairs UNION SELECT j FROM pairs),
-    edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
-    reach(node, m) AS (
-      SELECT n, n FROM nodes
-      UNION
-      SELECT r.node, e.j FROM reach r JOIN edges e ON e.i = r.m)
-    SELECT node AS vec_id, min(m) AS cluster_id, node = min(m) AS kept
-    FROM reach GROUP BY node"""
+  private val semDedupBandedOracle = semDedupCcSql(embedNearDupBandedOracle)
 
   // ---- the composed training-data pipeline ------------------------------
 

@@ -35,7 +35,14 @@ final case class RetryQueue(dir: String, dlqDir: String,
 
   val MetaCols = Seq("__batch_id", "__retries", "__retry_time", "__error")
 
-  /** Park a failed batch for retry `attempt` (1-based). */
+  /** Park a failed batch for retry `attempt` (1-based). IDEMPOTENT under
+    * at-least-once replay: the batch lands in a per-(batch, attempt)
+    * subfolder with OVERWRITE — a replayed foreachBatch that re-enqueues
+    * the same batch with the SAME stamp replaces its own rows instead of
+    * blindly appending a duplicate copy (the per-batchId-partition
+    * OVERWRITE rule for file-sink state); a replay with a DIFFERENT stamp
+    * lands beside it and [[drain]]'s stamp normalization keeps only the
+    * latest copy. */
   def enqueue(batch: DataFrame, batchId: Long, error: String,
               nowMs: Long, attempt: Int = 1): Unit =
     batch
@@ -46,7 +53,7 @@ final case class RetryQueue(dir: String, dlqDir: String,
       // failure batches are micro-batch sized — don't scatter them into one
       // tiny parquet object per core
       .coalesce(8)
-      .write.mode(SaveMode.Append).parquet(dir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/b${batchId}_a$attempt")
 
   private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(
@@ -85,8 +92,21 @@ final case class RetryQueue(dir: String, dlqDir: String,
         !fs.exists(main)) // a racing commitSwap/reader may have finished it
       throw new java.io.IOException(s"could not recover interrupted queue swap at $next")
     if (fs.exists(main))
-      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+      // recursive: live queues mix flat rewrite files with per-(batch,
+      // attempt) enqueue subfolders (no k=v partition dirs anywhere here)
+      try Some(spark.read.option("recursiveFileLookup", "true").parquet(path))
+      catch { case _: Throwable => None }
     else None
+  }
+
+  /** Staged queue rewrite: fan-out sized to the surviving rows, fully
+    * materialized at `__next`, committed via [[commitSwap]] — ONE protocol
+    * for every rewrite site. */
+  private def rewriteQueue(spark: SparkSession, frame: DataFrame, rows: Long): Unit = {
+    val files = math.max(1L, math.min(8L, rows / 500000L + 1)).toInt
+    val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
+    frame.coalesce(files).write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
+    commitSwap(fsOf(spark, dir), nextPath, new org.apache.hadoop.fs.Path(dir))
   }
 
   /** Drain every batch whose `__retry_time` has come: re-attempt `load` per
@@ -143,12 +163,7 @@ final case class RetryQueue(dir: String, dlqDir: String,
         // nothing to drain — but if normalization dropped stale duplicate
         // rows, scrub them from the parked queue now so `queued()`
         // read-backs and future drains see one copy per batch
-        if (mixed.nonEmpty) {
-          val files = math.max(1L, math.min(8L, info.map(_._4).sum / 500000L + 1)).toInt
-          val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
-          q.coalesce(files).write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
-          commitSwap(fsOf(spark, dir), nextPath, new org.apache.hadoop.fs.Path(dir))
-        }
+        if (mixed.nonEmpty) rewriteQueue(spark, q, info.map(_._4).sum)
         return
       }
       val failedIds = due.map(_._1).filterNot { id =>
@@ -157,11 +172,16 @@ final case class RetryQueue(dir: String, dlqDir: String,
         catch { case _: Throwable => false }
       }.toSet
       // exhausted batches dead-letter WITH their bookkeeping (error, count)
+      // — into per-batch OVERWRITE subfolders, so a replayed drain that
+      // dead-letters the same batch again replaces its rows instead of
+      // appending a duplicate copy (same idempotence rule as enqueue; the
+      // loop is control-plane, bounded by #dead batches)
       val deadIds = due.collect {
         case (id, r, _, _, _) if failedIds.contains(id) && r >= policy.maxRetries => id }
-      if (deadIds.nonEmpty)
-        q.filter(col("__batch_id").isInCollection(deadIds.toSeq))
-          .write.mode(SaveMode.Append).parquet(dlqDir)
+      deadIds.foreach { id =>
+        q.filter(col("__batch_id") === id)
+          .coalesce(8).write.mode(SaveMode.Overwrite).parquet(s"$dlqDir/b$id")
+      }
       val requeueIds = due.collect {
         case (id, r, _, _, _) if failedIds.contains(id) && r < policy.maxRetries => id }
       val notDueIds = info.filter(_._3 > nowMs).map(_._1)
@@ -188,12 +208,7 @@ final case class RetryQueue(dir: String, dlqDir: String,
         // the data instead of a fixed 8 tiny files per round
         val keep = (requeueIds ++ notDueIds).toSet
         val keepRows = info.collect { case (id, _, _, n, _) if keep(id) => n }.sum
-        val files = math.max(1L, math.min(8L, keepRows / 500000L + 1)).toInt
-        val next = notDue.unionByName(requeued).coalesce(files)
-        // staged swap: materialize the new queue fully before dropping the old
-        val nextPath = new org.apache.hadoop.fs.Path(dir + "__next")
-        next.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
-        commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dir))
+        rewriteQueue(spark, notDue.unionByName(requeued), keepRows)
       }
     } finally { qRaw.unpersist(); qNorm.foreach(_.unpersist()); () }
   }

@@ -67,4 +67,19 @@ class DedupSpec extends SparkSuite {
     assert(canon(out.select("x", "id", "dup_count")) == Seq(
       Seq("other", "1", "1"), Seq("same", "2", "3")))
   }
+
+  test("exact dedup: NULL keepBy ranks first and an all-NULL group keeps a real row") {
+    // min_by skips null ordering keys — the null-safe (isNotNull, keepBy)
+    // key must preserve the window form's asc_nulls_first election and
+    // never emit an all-NULL phantom survivor
+    val in = df("x STRING, id BIGINT", Seq(
+      Row("same", null), Row("same", null),
+      Row("mix", null), Row("mix", 5L), Row("other", 7L)))
+    val out = Dedup.exact(in, Seq("x"), "id").collect()
+      .map(r => r.getString(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2)))
+      .toMap
+    assert(out("same") == ((None, 2L)), s"all-NULL group broke: ${out("same")}")
+    assert(out("mix") == ((None, 2L)), s"nulls-first election broke: ${out("mix")}")
+    assert(out("other") == ((Some(7L), 1L)))
+  }
 }

@@ -54,7 +54,7 @@ class MicroBatchSpec extends SparkSuite {
       ok ++= ids
     }
     assert(ok.toSet == Set(1L, 3L)) // batches after the failure still ran
-    val parked = spark.read.parquet(retry.dir)
+    val parked = retry.queued(spark).get
     assert(canon(parked.select("id", "__retries", "__error")) ==
       Seq(Seq("666", "1", "poison")))
   }

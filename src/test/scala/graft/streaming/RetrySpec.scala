@@ -58,7 +58,7 @@ class RetrySpec extends SparkSuite {
     q.enqueue(batch(1L, 2L), batchId = 1L, error = "flaky", nowMs = t0)            // due at t0+5min
     q.enqueue(batch(9L), batchId = 2L, error = "later", nowMs = t0 + 20 * 60000L)  // due at t0+25min
     q.drain(spark, t0 + 5 * 60000L + 1)(_ => throw new RuntimeException("still broken"))
-    val parked = spark.read.parquet(q.dir)
+    val parked = q.queued(spark).get
     // batch 1 re-parked at depth 2 with a recomputed retry_time; batch 2
     // untouched (original depth AND original retry_time)
     assert(canon(parked.select("__batch_id", "__retries", "__retry_time")) == Seq(
@@ -83,7 +83,7 @@ class RetrySpec extends SparkSuite {
     assert(loadedIds == Set(1L)) // batch 1 loaded despite batch 2 failing
     // batch 2 is re-parked with retries=2, not dead-lettered yet
     assert(q.dlq(spark).isEmpty || q.dlq(spark).get.isEmpty)
-    val parked = spark.read.parquet(q.dir)
+    val parked = q.queued(spark).get
     assert(canon(parked.select("id", "__retries")) == Seq(Seq("666", "2")))
   }
 
@@ -124,7 +124,7 @@ class RetrySpec extends SparkSuite {
       new java.net.URI(q.dlqDir), spark.sparkContext.hadoopConfiguration)
     val main = new org.apache.hadoop.fs.Path(q.dlqDir)
     val next = new org.apache.hadoop.fs.Path(q.dlqDir + "__next")
-    spark.read.parquet(q.dlqDir).filter(org.apache.spark.sql.functions.col("id") === 666L)
+    q.dlq(spark).get.filter(org.apache.spark.sql.functions.col("id") === 666L)
       .write.parquet(next.toString)
     fs.delete(main, true)
     // every reader sees the stranded rows (the swap is finished on read) …
@@ -147,7 +147,7 @@ class RetrySpec extends SparkSuite {
     // swap: main dir intact, __next holds the then-remaining set
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(q.dlqDir), spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(q.dlqDir).filter(org.apache.spark.sql.functions.col("id") === 666L)
+    q.dlq(spark).get.filter(org.apache.spark.sql.functions.col("id") === 666L)
       .write.parquet(q.dlqDir + "__next")
     // now a FULL replay succeeds for every batch → DLQ must end EMPTY, and
     // the stale staging dir must not be recoverable into phantom dead rows
@@ -162,7 +162,7 @@ class RetrySpec extends SparkSuite {
     q.enqueue(batch(1L), batchId = 1L, error = "transient", nowMs = t0)
     // an earlier interrupted rewrite left a stale staging dir holding rows
     // that were since dead-lettered/loaded
-    spark.read.parquet(q.dir).write.parquet(q.dir + "__next")
+    q.queued(spark).get.write.parquet(q.dir + "__next")
     var loads = 0
     q.drain(spark, t0 + 5 * 60000L + 1)(_ => loads += 1) // succeeds → queue empties
     assert(loads == 1)
@@ -172,6 +172,32 @@ class RetrySpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(q.dir + "__next")))
     // nothing phantom comes back on the next drain
     q.drain(spark, t0 + 60 * 60000L)(_ => fail("phantom rows resurrected"))
+  }
+
+  test("replayed enqueue with an IDENTICAL stamp overwrites its own rows, never duplicates") {
+    // the at-least-once case stamp normalization CANNOT see (hi == lo):
+    // enqueue must be idempotent by layout — per-(batch, attempt) OVERWRITE
+    val q = tmpQueue()
+    val t0 = 0L
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "flaky", nowMs = t0)
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "flaky", nowMs = t0) // exact replay
+    assert(q.queued(spark).get.count() == 2L)
+    var rowsSeen = -1L
+    q.drain(spark, t0 + 5 * 60000L + 1)(rows => rowsSeen = rows.count())
+    assert(rowsSeen == 2L)
+    assert(q.queued(spark).isEmpty && q.dlq(spark).isEmpty)
+  }
+
+  test("a replayed final drain overwrites the batch's DLQ rows, never appends a second copy") {
+    val q = tmpQueue()
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    assert(q.dlq(spark).get.count() == 2)
+    // at-least-once resurrection: the same exhausted batch is re-enqueued
+    // and re-drained — its DLQ subfolder is overwritten, not appended
+    q.enqueue(batch(1L, 2L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    assert(q.dlq(spark).get.count() == 2)
   }
 
   test("replayed enqueue with a newer stamp: drain decides off the latest copy only") {
@@ -204,7 +230,7 @@ class RetrySpec extends SparkSuite {
     q.enqueue(batch(7L), batchId = 3L, error = "flaky", nowMs = t0, attempt = 1)
     q.enqueue(batch(7L), batchId = 3L, error = "flaky", nowMs = t0 + 60000L, attempt = 2)
     q.drain(spark, t0 + 1000L)(_ => fail("nothing is due yet"))
-    val parked = spark.read.parquet(q.dir)
+    val parked = q.queued(spark).get
     assert(canon(parked.select("id", "__retries", "__retry_time")) ==
       Seq(Seq("7", "2", (t0 + 60000L + 25 * 60000L).toString)))
   }
