@@ -226,17 +226,17 @@ object Corpus {
     // alternative already in [[fingerprints]]). stride = w (the default) is
     // the original disjoint chunking.
     val st = if (stride <= 0) w else { require(stride <= w, "stride > window"); stride }
-    val chunks = docs
+    // materialize the token array BEFORE the chunking lambda: higher-order
+    // functions are interpreted and re-evaluate inline subexpressions per
+    // element (the repo-wide lambda discipline)
+    val toksOf = docs
       .filter(length(trim(col(textCol))) > 0)
-      // materialize the token array BEFORE the chunking lambda: higher-order
-      // functions are interpreted and re-evaluate inline subexpressions per
-      // element (the repo-wide lambda discipline)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val chunks = toksOf
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), floor((size(col("__toks")) - 1) / lit(st.toDouble)).cast(IntegerType)),
         i => concat_ws(" ", slice(col("__toks"), i * st + 1, lit(w))))).as(Seq("__pos", "__chunk")))
       .select(col(idCol), col("__pos"), TextOps.hash60(col("__chunk")).as("__h"))
-      .persist() // feeds the per-doc count AND the first-occurrence aggregate
     // exactly one position per distinct hash is non-duplicate — the global
     // (id, pos)-min — so per doc: n_dup_chunks = n_chunks − #hashes whose
     // first occurrence lands in the doc. min(struct) is MAP-SIDE COMBINABLE:
@@ -249,8 +249,14 @@ object Corpus {
     val firsts = chunks.groupBy("__h")
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
       .select(col(s"__first.$idCol").as(idCol))
-    chunks.select(col(idCol), lit(1L).as("__c"), lit(0L).as("__f"))
-      .unionByName(firsts.select(col(idCol), lit(0L).as("__c"), lit(1L).as("__f")))
+    // per-doc chunk counts come straight off the token count (the chunking
+    // lambda emits exactly floor((n−1)/stride)+1 windows) — a second cheap
+    // narrow scan, so the corpus-sized position frame has ONE consumer and
+    // needs no cache
+    val counts = toksOf.select(col(idCol),
+      (floor((size(col("__toks")) - 1) / lit(st.toDouble)) + 1).cast(LongType).as("__c"),
+      lit(0L).as("__f"))
+    counts.unionByName(firsts.select(col(idCol), lit(0L).as("__c"), lit(1L).as("__f")))
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_chunks"),
         (sum(col("__c")) - sum(col("__f"))).as("n_dup_chunks"))
