@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-batch primary-key deduplication.
@@ -11,10 +10,10 @@ import org.apache.spark.sql.functions._
   * unless a `discriminatorField` is set, in which case the row with the
   * highest discriminator wins and ties fall to the newest row.
   *
-  * Spark-first rendering: a window `row_number` partitioned by the PK —
-  * a single hash-shuffle on the PK columns, no driver-side state. At 100 TB
-  * this is the canonical "keep one row per key" plan: shuffle once on pk,
-  * no join, skew handled by AQE.
+  * Spark-first rendering: a `max_by` hash aggregate keyed on the PK —
+  * a single map-side-combinable shuffle, no driver-side state, no window
+  * sort. At 100 TB this is the canonical "keep one row per key" plan:
+  * shuffle once on pk, no join, hot keys collapse before the exchange.
   */
 object Dedup {
 
@@ -32,19 +31,26 @@ object Dedup {
   def inBatch(df: DataFrame, pk: Seq[String],
               discriminators: Seq[String] = Nil,
               arrival: Option[Column] = None): DataFrame = {
-    // Stamp arrival order on the un-shuffled input: after the window's pk
-    // shuffle the id would reflect shuffle layout, not source order.
+    // Stamp arrival order on the un-shuffled input: after the pk shuffle
+    // the id would reflect shuffle layout, not source order.
     val arrCol = "__graft_arrival"
     val stamped = arrival match {
       case Some(a) => df.withColumn(arrCol, a)
       case None    => df.withColumn(arrCol, monotonically_increasing_id())
     }
-    val order: Seq[Column] =
-      discriminators.map(c => col(c).desc_nulls_last) :+ col(arrCol).desc
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-    stamped.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", arrCol)
+    // max_by keeps the winning row per pk in ONE map-side combinable
+    // aggregate — a hot key (one entity hammered by updates) collapses per
+    // input partition instead of routing every occurrence through one
+    // reducer's window sort (the same skew discipline as [[exact]]). The
+    // ordering key replays `desc_nulls_last` per discriminator —
+    // (isNotNull, value) maximized puts non-null above null — with the
+    // arrival stamp as the newest-wins tiebreak.
+    val key = struct(
+      discriminators.flatMap(c => Seq(col(c).isNotNull, col(c))) :+ col(arrCol): _*)
+    val cols = df.columns.toSeq
+    stamped.groupBy(pk.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), key).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Exact duplicate detection on arbitrary content columns: groups rows by a
