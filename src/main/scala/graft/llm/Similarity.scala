@@ -75,6 +75,62 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Banded near-dup pairs over a FIXED plane family: `bands` keys of
+    * `perBand` bits each, a pair is a candidate when ANY band agrees
+    * (recall 1−(1−p^perBand)^bands instead of the single-bucket p^planes),
+    * then one exact-cosine verify per DEDUPED candidate. When the whole
+    * family fits one Long (≤ 62 planes) the signature is ONE codegen'd
+    * kernel pass and band keys are bit slices; wider families compute one
+    * kernel per band. Candidates dedupe BEFORE the verify and embeddings
+    * join back by key — never an all-pairs product. */
+  def bandedPairsWith(corpusIn: DataFrame, ps: Array[Array[Double]],
+                      bands: Int, perBand: Int, threshold: Double,
+                      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(ps.length == bands * perBand, "plane family must be bands x perBand")
+    // persist: feeds the signature pass AND both verify sides
+    val corpus = corpusIn.select(col(id), col(emb).as("embedding")).persist()
+    val bandKeys: Seq[Column] =
+      if (bands * perBand <= 62) {
+        val sig = lshBucket(col("embedding"), ps)
+        val mask = (1L << perBand) - 1
+        (0 until bands).map(b =>
+          shiftright(sig, b * perBand).bitwiseAND(lit(mask)))
+      } else // past a Long's bits: one kernel per band over its plane slice
+        (0 until bands).map(b =>
+          lshBucket(col("embedding"), ps.slice(b * perBand, (b + 1) * perBand)))
+    // persist: the self-join would run the signature kernel once per side
+    val bb = corpus.select(col(id), explode(array(
+        bandKeys.zipWithIndex.map { case (k, b) =>
+          struct(lit(b).as("band"), k.as("key")) }: _*)).as("bk"))
+      .select(col(id), col("bk.band"), col("bk.key"))
+      .persist()
+    val cands = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j"))
+      .distinct() // a pair colliding in several bands verifies ONCE
+    cands
+      .join(corpus.select(col(id).as("i"), col("embedding").as("ea")), "i")
+      .join(corpus.select(col(id).as("j"), col("embedding").as("eb")), "j")
+      .select(col("i"), col("j"),
+        TextOps.quant(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[bandedPairsWith]] under CORPUS-SCALED planes — the production banded
+    * entry point: `perBand = planesFor(n)` keeps every band's buckets
+    * ~perBucket-thin as the corpus grows (the knob that makes the
+    * single-bucket form lose recall), while the OR-of-`bands` keeps recall
+    * high. At 10^9 vectors this is 4 bands × ~22 planes — past a Long's
+    * bits, so the per-band kernel branch engages automatically. */
+  def bandedNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+                         bands: Int = 4,
+                         id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val perBand = planesFor(corpus.count())
+    bandedPairsWith(corpus, planes(bands * perBand, dim), bands, perBand,
+      threshold, id, emb)
+  }
+
   /** b-bit LSH bucket of an embedding column under fixed hyperplanes — all
     * plane dots in ONE codegen'd traversal ([[graft.functions.LshBucket]]),
     * bit-identical to [[lshBucketFolded]]. */

@@ -1851,34 +1851,14 @@ object LlmOps {
   def embedNearDupBanded(s: SparkSession, d: String): DataFrame =
     bandedPairsFrom(nearDupCorpus(s, d), NearDupCos)
 
-  /** The banded core over ANY (vec_id, embedding) frame — driveable with
-    * synthetic fleets (SkewStressSpec measures the recall gap vs the
+  /** The banded core over ANY (vec_id, embedding) frame — the pinned-plane
+    * instance of [[Similarity.bandedPairsWith]]; driveable with synthetic
+    * fleets (SkewStressSpec measures the recall gap vs the
     * AND-of-all-planes key on an adversarial fleet). */
   private[queries] def bandedPairsFrom(corpusIn: DataFrame,
-                                       threshold: Double): DataFrame = {
-    // persist: feeds the signature pass AND both verify sides
-    val corpus = corpusIn.persist()
-    val mask = (1L << BandedPerBand) - 1
-    val sig = corpus.select(col("vec_id"),
-      Similarity.lshBucket(col("embedding"), BandedPlanes).as("sig"))
-    // persist: the self-join would run the 24-plane kernel once per side
-    val bb = sig.select(col("vec_id"), explode(array(
-        (0 until BandedBands).map(b => struct(lit(b).as("band"),
-          shiftright(col("sig"), b * BandedPerBand).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
-      .persist()
-    val cands = bb.as("a").join(bb.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct() // a pair colliding in several bands verifies ONCE
-    cands
-      .join(corpus.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
-      .join(corpus.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
-      .select(col("i"), col("j"),
-        TextOps.quant(Similarity.cosine(col("ea"), col("eb")), 4).as("cos"))
-      .filter(col("cos") >= threshold)
-  }
+                                       threshold: Double): DataFrame =
+    Similarity.bandedPairsWith(corpusIn, BandedPlanes, BandedBands,
+      BandedPerBand, threshold)
 
   private val embedNearDupBandedOracle = s"""
     WITH base AS (

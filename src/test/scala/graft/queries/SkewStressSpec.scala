@@ -759,6 +759,92 @@ class SkewStressSpec extends SparkSuite {
     assert(out == ref, s"banded distributed diverged: ${out.size} vs ref ${ref.size}")
   }
 
+  // ---- 10× scaling curve: CORPUS-SCALED banded near-dup (r19) ------------
+
+  test("corpus-scaled banded near-dup 10x: per-band planes grow, exact vs replay, wide branch") {
+    import graft.llm.Similarity
+    val threshold = 0.995
+    def cosQ64(a: Array[Double], b: Array[Double]): Double = {
+      var xy = 0d; var xx = 0d; var yy = 0d; var k = 0
+      while (k < 64) { xy += a(k) * b(k); xx += a(k) * a(k); yy += b(k) * b(k); k += 1 }
+      math.floor(xy / math.sqrt(xx) / math.sqrt(yy) * 10000 + 0.5) / 10000
+    }
+    /** Exact replay of [[Similarity.bandedPairsWith]]: per-band keys from
+      * the band's plane slice (identical in the bit-slice and per-band
+      * kernel branches), candidate dedupe, quantized-cosine verify. */
+    def replay(fleet: IndexedSeq[(Long, Array[Double])], bands: Int, perBand: Int,
+               ps: Array[Array[Double]]): (Set[(Long, Long, Double)], Long) = {
+      val vecs = fleet.toMap
+      def bandKey(v: Array[Double], b: Int): Long = {
+        var key = 0L; var j = 0
+        while (j < perBand) {
+          var dot = 0d; var k = 0
+          val p = ps(b * perBand + j)
+          while (k < 64) { dot += v(k) * p(k); k += 1 }
+          if (dot > 0) key |= (1L << j)
+          j += 1
+        }
+        key
+      }
+      val byKey = scala.collection.mutable.Map.empty[(Int, Long), List[Long]]
+      for ((d, v) <- fleet; b <- 0 until bands)
+        byKey.updateWith((b, bandKey(v, b)))(o => Some(d :: o.getOrElse(Nil)))
+      var vol = 0L
+      val cand = scala.collection.mutable.Set.empty[(Long, Long)]
+      for ((_, ds) <- byKey) {
+        vol += ds.size.toLong * (ds.size - 1) / 2
+        val a = ds.sorted
+        for (i <- a.indices; j <- (i + 1) until a.size) cand += ((a(i), a(j)))
+      }
+      val pairs = cand.iterator.flatMap { case (x, y) =>
+        val q = cosQ64(vecs(x), vecs(y))
+        if (q >= threshold) Some((x, y, q)) else None
+      }.toSet
+      (pairs, vol)
+    }
+    def run(fleet: IndexedSeq[(Long, Array[Double])]) = {
+      val t0 = System.nanoTime()
+      val out = Similarity.bandedNearDupPairs(fleet.toDF("vec_id", "embedding"),
+          threshold, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      (out, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (small, big) = (cosFleet(1200), cosFleet(12000))
+    val pbS = Similarity.planesFor(1200)
+    val pbB = Similarity.planesFor(12000)
+    assert(pbB > pbS, s"per-band plane count failed to grow: $pbS → $pbB")
+    val (refS, volS) = replay(small, 4, pbS, Similarity.planes(4 * pbS, 64))
+    val (refB, volB) = replay(big, 4, pbB, Similarity.planes(4 * pbB, 64))
+    // per band the bucket space tracks n/perBucket, so total candidate
+    // volume stays ~bands·perBucket·n — LINEAR in N
+    assert(volS <= 1200L * small.size && volB <= 1200L * big.size,
+      s"banded volume broke the linear-density bound: $volS / $volB")
+    // planted recall is deterministic (odd-parity projections): every
+    // within-cluster pair shares the FULL signature, so every band agrees
+    val planted = (0 until big.size / 3).flatMap { c =>
+      val m = Seq(c * 3L, c * 3L + 1, c * 3L + 2)
+      Seq((m(0), m(1)), (m(0), m(2)), (m(1), m(2)))
+    }
+    assert(planted.forall(p => refB.exists(r => (r._1, r._2) == p)),
+      "planted pair missing from the banded replay")
+    val (outS, tS) = run(small)
+    val (outB, tB) = run(big)
+    assert(outS == refS, s"1x mismatch: ${outS.size} vs ref ${refS.size}")
+    assert(outB == refB, s"10x mismatch: ${outB.size} vs ref ${refB.size}")
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    // the >62-plane family (10^9-vector regime: 4 × 16 planes) takes the
+    // per-band kernel branch — same answers as the replay
+    val wide = Similarity.planes(64, 64)
+    val (refW, _) = replay(small, 4, 16, wide)
+    val outW = Similarity.bandedPairsWith(small.toDF("vec_id", "embedding"),
+        wide, 4, 16, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(outW == refW, s"wide-branch mismatch: ${outW.size} vs ref ${refW.size}")
+    info(s"banded scaled: 1x ${outS.size} pairs/${tS}ms vol=$volS perBand=$pbS; " +
+      s"10x ${outB.size} pairs/${tB}ms vol=$volB perBand=$pbB; wide ${outW.size}")
+  }
+
   // ---- 10× scaling curve: wide-simhash CLUSTERING layer (r19) ------------
 
   test("wide-cluster 10x scaling: distributed label propagation equals driver union-find") {
