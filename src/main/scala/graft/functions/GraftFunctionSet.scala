@@ -75,6 +75,10 @@ object GraftFunctionSet {
       val k = FunctionArgs.literalK(args, 3, "top_k_by(score double, id bigint, k)")
       TopKByScore(args.head, args(1), k).toAggregateExpression()
     },
+    entry("min_k_by", classOf[MinKByKey]) { args =>
+      val k = FunctionArgs.literalK(args, 3, "min_k_by(key bigint, id bigint, k)")
+      MinKByKey(args.head, args(1), k).toAggregateExpression()
+    },
     entry("bpe_pieces", classOf[BpePieces]) { args =>
       args match {
         case Seq(child, l, r) =>

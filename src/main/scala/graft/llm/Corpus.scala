@@ -277,17 +277,29 @@ object Corpus {
 
   /** At most `k` documents per stratum, chosen by deterministic hash order —
     * per-source quota capping for corpus mixing (a giant crawl source can't
-    * drown the curated ones). One shuffle on the stratum; the per-group
-    * window never materializes more than the group. For strata too large to
-    * sort wholesale, [[sampleStratified]] is the constant-rate variant. */
+    * drown the curated ones).
+    *
+    * Scale shape: a bounded k-min heap per stratum ([[TextOps.minKBy]],
+    * exact 60-bit integer keys) — the shuffle moves `strata × k` entries
+    * with map-side combine and nothing ever sorts more than k, where a
+    * rank window would sort EVERY stratum's full row set in one reducer (a
+    * giant crawl source = one partition). The selected `strata × k`
+    * (id, rank) pairs join back to the docs by id — a keyed join whose
+    * small side is quota-bounded by construction. */
   def quotaPerStratum(docs: DataFrame, strataCol: String, k: Int,
                       idCol: String = "doc_id", salt: String = ":quota"): DataFrame = {
+    require(docs.schema(idCol).dataType == LongType,
+      s"quotaPerStratum needs a BIGINT id column for the bounded heap, " +
+        s"got ${docs.schema(idCol).dataType.catalogString}")
     val h = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt)))
-    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(idCol).asc)
-    docs.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .withColumn("quota_rank", col("__rk").cast(LongType))
-      .drop("__rk")
+    val picked = docs
+      .groupBy(col(strataCol))
+      .agg(TextOps.minKBy(h, col(idCol), k).as("__mins"))
+      .select(posexplode(col("__mins")).as(Seq("__r", "__e")))
+      .select(col("__e.id").as(idCol),
+        (col("__r") + 1).cast(LongType).as("quota_rank"))
+    docs.join(picked, Seq(idCol))
+      .select(docs.columns.map(col) :+ col("quota_rank"): _*)
   }
 
   /** Select documents per stratum in deterministic hash order until a TOKEN

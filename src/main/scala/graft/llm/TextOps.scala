@@ -111,6 +111,17 @@ object TextOps {
         org.apache.spark.sql.GraftExpressions.expression(id), k)
         .toAggregateExpression())
 
+  /** Bounded per-group k-MIN by (key ASC, id ASC) over EXACT long keys —
+    * ≤K heap entries of map-side state per group instead of a rank-window
+    * sort (see [[graft.functions.MinKByKey]]). Returns rank-ordered
+    * `array<struct<key,id>>`. */
+  def minKBy(key: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpressions.column(
+      graft.functions.MinKByKey(
+        org.apache.spark.sql.GraftExpressions.expression(key),
+        org.apache.spark.sql.GraftExpressions.expression(id), k)
+        .toAggregateExpression())
+
   /** Distinct word n-gram shingles. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -34,10 +34,12 @@ class FunctionSetSpec extends SparkSuite {
     assert(out.getSeq[Long](5).length == 3)
     // aggregates from the same set
     val agg = spark.sql(
-      "SELECT kmin_k(h, 3) AS km, top_k_by(CAST(h AS DOUBLE), h, 2) AS tk " +
+      "SELECT kmin_k(h, 3) AS km, top_k_by(CAST(h AS DOUBLE), h, 2) AS tk, " +
+        "min_k_by(h, h, 2) AS mk " +
         "FROM (SELECT explode(hash60_array(split('a b c d e', ' '))) AS h)").collect()(0)
     assert(agg.getSeq[Long](0).length == 3)
     assert(agg.getSeq[org.apache.spark.sql.Row](1).length == 2)
+    assert(agg.getSeq[org.apache.spark.sql.Row](2).length == 2)
   }
 
   test("SQL results agree with the Column-API twins (one kernel, two doors)") {

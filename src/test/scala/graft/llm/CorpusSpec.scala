@@ -158,6 +158,34 @@ class CorpusSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("quotaPerStratum: bounded heap equals a driver rank replay, ranks intact") {
+    // the r19 rewrite (min_k_by heap + join-back, no stratum-wide window
+    // sort) must elect the EXACT same docs with the same ranks
+    val d = (0 until 200).map(i => (i.toLong, s"doc $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.quotaPerStratum(d, "source", 7)
+      .select("doc_id", "source", "quota_rank")
+      .as[(Long, String, Long)].collect().toSet
+    val expected = (0 until 200).map(i => (i.toLong, s"src${i % 4}"))
+      .groupBy(_._2).flatMap { case (src, ms) =>
+        ms.map(_._1).sortBy(id => (TextOps.hash60Str(s"$id:quota"), id))
+          .take(7).zipWithIndex.map { case (id, r) => (id, src, r + 1L) }
+      }.toSet
+    assert(out == expected)
+  }
+
+  test("min_k_by ranks by EXACT long keys — low bits that a double would lose") {
+    // two keys differing only below 2^53: a double-scored heap would tie
+    // and could elect the wrong row; the long-keyed heap must not
+    val base = (1L << 59) + 12345L
+    val d = Seq((base + 1, 10L), (base, 20L), (base + 1, 5L))
+      .toDF("k", "id")
+    val out = d.agg(TextOps.minKBy(col("k"), col("id"), 2).as("mk"))
+      .select(explode(col("mk")).as("e")).select("e.key", "e.id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((base, 20L), (base + 1, 5L)), out.toString)
+  }
+
   test("tokenBudget keeps the hash-order prefix whose running total fits") {
     val d = (0 until 30).map(i => (i.toLong, ("t " * 10).trim, s"src${i % 2}"))
       .toDF("doc_id", "text", "source")
