@@ -285,12 +285,20 @@ object Corpus {
     * rank window would sort EVERY stratum's full row set in one reducer (a
     * giant crawl source = one partition). The selected `strata × k`
     * (id, rank) pairs join back to the docs by id — a keyed join whose
-    * small side is quota-bounded by construction. */
+    * small side is quota-bounded by construction.
+    *
+    * Contract: `idCol` must be a UNIQUE, NON-NULL BIGINT (the corpus doc-id
+    * contract) — the join-back keys on it alone, and the heap skips null
+    * keys. Input passes twice (election + probe), both narrow over the
+    * caller's frame; callers stacking quota on an expensive derived
+    * pipeline should persist it first. */
   def quotaPerStratum(docs: DataFrame, strataCol: String, k: Int,
                       idCol: String = "doc_id", salt: String = ":quota"): DataFrame = {
-    require(docs.schema(idCol).dataType == LongType,
+    val idField = docs.schema.find(_.name.equalsIgnoreCase(idCol)).getOrElse(
+      throw new IllegalArgumentException(s"quotaPerStratum: no column $idCol"))
+    require(idField.dataType == LongType,
       s"quotaPerStratum needs a BIGINT id column for the bounded heap, " +
-        s"got ${docs.schema(idCol).dataType.catalogString}")
+        s"got ${idField.dataType.catalogString}")
     val h = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt)))
     val picked = docs
       .groupBy(col(strataCol))

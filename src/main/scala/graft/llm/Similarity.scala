@@ -85,21 +85,39 @@ object Similarity {
     * join back by key — never an all-pairs product. */
   def bandedPairsWith(corpusIn: DataFrame, ps: Array[Array[Double]],
                       bands: Int, perBand: Int, threshold: Double,
-                      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    require(ps.length == bands * perBand, "plane family must be bands x perBand")
+                      id: String = "vec_id", emb: String = "embedding"): DataFrame =
     // persist: feeds the signature pass AND both verify sides
-    val corpus = corpusIn.select(col(id), col(emb).as("embedding")).persist()
+    bandedCore(corpusIn.select(col(id), col(emb).as("embedding")).persist(),
+      ps, bands, perBand, threshold, id)
+
+  /** [[bandedPairsWith]] over an already-projected-and-persisted
+    * (id, embedding) frame — lets [[bandedNearDupPairs]] share one cached
+    * scan between its sizing count and the signature pass. */
+  private def bandedCore(corpus: DataFrame, ps: Array[Array[Double]],
+                         bands: Int, perBand: Int, threshold: Double,
+                         id: String): DataFrame = {
+    require(ps.length == bands * perBand, "plane family must be bands x perBand")
+    // MATERIALIZE the signature as a named column BEFORE the band-key
+    // projection: inlining the kernel into the explode's array would
+    // evaluate it once per band per row (Generate does no subexpression
+    // elimination) — the dominant scan at corpus scale. The ≤62-plane
+    // family is one kernel column sliced into band bits; wider families
+    // (the 10^9-vector regime) carry one kernel column per band, each
+    // evaluated once.
+    val sigCols: Seq[Column] =
+      if (bands * perBand <= 62) Seq(lshBucket(col("embedding"), ps).as("__sig0"))
+      else (0 until bands).map(b =>
+        lshBucket(col("embedding"), ps.slice(b * perBand, (b + 1) * perBand))
+          .as(s"__sig$b"))
+    val withSig = corpus.select(col(id) +: sigCols: _*)
+    val mask = (1L << perBand) - 1
     val bandKeys: Seq[Column] =
-      if (bands * perBand <= 62) {
-        val sig = lshBucket(col("embedding"), ps)
-        val mask = (1L << perBand) - 1
+      if (bands * perBand <= 62)
         (0 until bands).map(b =>
-          shiftright(sig, b * perBand).bitwiseAND(lit(mask)))
-      } else // past a Long's bits: one kernel per band over its plane slice
-        (0 until bands).map(b =>
-          lshBucket(col("embedding"), ps.slice(b * perBand, (b + 1) * perBand)))
-    // persist: the self-join would run the signature kernel once per side
-    val bb = corpus.select(col(id), explode(array(
+          shiftright(col("__sig0"), b * perBand).bitwiseAND(lit(mask)))
+      else (0 until bands).map(b => col(s"__sig$b"))
+    // persist: the self-join would run the signature pass once per side
+    val bb = withSig.select(col(id), explode(array(
         bandKeys.zipWithIndex.map { case (k, b) =>
           struct(lit(b).as("band"), k.as("key")) }: _*)).as("bk"))
       .select(col(id), col("bk.band"), col("bk.key"))
@@ -126,9 +144,12 @@ object Similarity {
   def bandedNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                          bands: Int = 4,
                          id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    val perBand = planesFor(corpus.count())
-    bandedPairsWith(corpus, planes(bands * perBand, dim), bands, perBand,
-      threshold, id, emb)
+    // count the PERSISTED projection bandedPairsWith consumes, so the
+    // sizing pass and the signature pass share one scan of the input
+    val prepared = corpus.select(col(id), col(emb).as("embedding")).persist()
+    val perBand = planesFor(prepared.count())
+    bandedCore(prepared, planes(bands * perBand, dim), bands, perBand,
+      threshold, id)
   }
 
   /** b-bit LSH bucket of an embedding column under fixed hyperplanes — all
