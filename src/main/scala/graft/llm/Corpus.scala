@@ -314,18 +314,32 @@ object Corpus {
     * budget fills — mixing "N billion tokens per source" is specified in
     * tokens, not documents, so a per-mille row gate cannot express it.
     * A doc is kept iff the running token total through it stays within
-    * budget. One shuffle (the stratum window); the cumulative sum is exact
-    * integer arithmetic, so the selection is reproducible everywhere. */
+    * budget; the cumulative sum is exact integer arithmetic, so the
+    * selection is reproducible everywhere.
+    *
+    * Scale shape: the running total is a two-level prefix sum bucketed on
+    * the high hash bits ([[graft.ops.PrefixSum]]) — a stratum-wide cumsum
+    * window would sort a giant crawl source in ONE reducer, the same
+    * degeneracy [[quotaPerStratum]]'s bounded heap removes from its rank
+    * window (a prefix SUM can't heap-truncate, so it buckets instead).
+    * The hash IS the sort key, so its high bits are an order-preserving,
+    * uniformly-balanced coarsening for free. Tokenization is evaluated
+    * twice (the bucket-totals scan + the main pass — both narrow,
+    * map-only); callers stacking the budget on an expensive derived frame
+    * should persist it first. */
   def tokenBudget(docs: DataFrame, strataCol: String, budgetTokens: Long,
                   idCol: String = "doc_id", textCol: String = "text",
                   salt: String = ":budget"): DataFrame = {
     val h = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt)))
-    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val withTok = docs
       .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast(LongType))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("__h", h)
+    graft.ops.PrefixSum.running(withTok, Seq(strataCol),
+        graft.ops.PrefixSum.hashBucket(col("__h")),
+        Seq(col("__h").asc, col(idCol).asc), col("n_tokens"),
+        "cum_tokens", inclusive = true)
       .filter(col("cum_tokens") <= budgetTokens)
+      .drop("__h")
   }
 
   /** Per-document TF-IDF (ln-idf, raw term counts): the feature-extraction
@@ -383,12 +397,21 @@ object Corpus {
     * never a global sort. Output adds `n_tokens` and `seq_id`. */
   def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
                     windowTokens: Long, textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(shardCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast(LongType))
+    // the running offset is a bucketed two-level prefix sum
+    // ([[graft.ops.PrefixSum]]): a per-shard cumsum WINDOW would sort a
+    // giant source's full doc set in one reducer; `doc_id >> 16` buckets
+    // the dense order key so nothing sorts more than one bucket. Contract:
+    // `orderCol` is a dense non-negative BIGINT (the corpus doc-id shape).
+    require(docs.schema(orderCol).dataType == LongType,
+      s"packSequences needs a BIGINT order column for the bucketed prefix " +
+        s"sum, got ${docs.schema(orderCol).dataType.catalogString}")
+    graft.ops.PrefixSum.running(
+        docs.withColumn("n_tokens",
+          size(TextOps.tokens(col(textCol))).cast(LongType)),
+        Seq(shardCol), graft.ops.PrefixSum.idBucket(col(orderCol)),
+        Seq(col(orderCol).asc), col("n_tokens"), "__cum", inclusive = false)
       .withColumn("seq_id",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)).divide(windowTokens)
-          .cast(LongType))
+        col("__cum").divide(windowTokens).cast(LongType))
+      .drop("__cum")
   }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running totals without a stratum-wide window.
+  *
+  * `sum(v) OVER (PARTITION BY stratum ORDER BY k)` routes EVERY row of a
+  * stratum through one reducer's sort — the same single-partition
+  * degeneracy the bounded top-k aggregates ([[graft.functions.MinKByKey]],
+  * [[graft.functions.TopKByScore]]) remove from rank windows, except a
+  * prefix SUM cannot be heap-truncated: every row needs its exact running
+  * total. The scale shape here is the classic two-level prefix sum over an
+  * order-preserving COARSENING of the sort key:
+  *
+  *  1. per-(stratum, bucket) totals — ONE map-side-combinable hash
+  *     aggregate (a narrow second scan of the input, never a shuffle of
+  *     the payload);
+  *  2. exclusive per-bucket offsets — a window over that TINY aggregate
+  *     frame, bounded by the number of OBSERVED buckets per stratum (the
+  *     coarsening contract below), not by row count;
+  *  3. offsets broadcast-join back, and the within-bucket running total is
+  *     a window partitioned by (stratum, bucket) — each sort is one
+  *     bucket's rows, never the stratum.
+  *
+  * Coarsening contract: `bucket` must be a deterministic, MONOTONE
+  * NON-DECREASING function of the `order` prefix (high bits of a uniform
+  * hash key, `id >> shift` for a dense id) so that
+  * (bucket ASC, order ASC) equals the global stratum order, with both
+  * sides bounded: observed buckets per stratum stay collectable-window
+  * small (≤ ~2^16 — step 2's sort) and rows per bucket stay
+  * partition-sort small (step 3's sort). [[hashBucket]] / [[idBucket]]
+  * provide those two standard coarsenings.
+  *
+  * The input is consumed TWICE (bucket totals + the main pass). Both scans
+  * are narrow; callers whose value column is expensive to derive (a
+  * tokenize pass) either accept one extra map-only evaluation or persist
+  * the projection first — the house multi-consumer rule.
+  */
+object PrefixSum {
+
+  /** High `bits` of a 60-bit uniform hash key — ≤2^bits buckets at any
+    * corpus size, ~N/2^bits rows per bucket. The default 16 holds both
+    * bounds from test scale through ~10^11 rows. */
+  def hashBucket(h60: Column, bits: Int = 16): Column =
+    shiftright(h60, 60 - bits)
+
+  /** `id >> shift` for a dense non-negative id — ≤2^shift rows per bucket
+    * at any scale; observed buckets grow as maxId/2^shift (still tiny
+    * relative to rows). */
+  def idBucket(id: Column, shift: Int = 16): Column = shiftright(id, shift)
+
+  /** `df` plus column `out` = running total of `value` over rows of the
+    * same stratum at-or-before (`inclusive`) / strictly-before this row in
+    * (`bucket`, `order`) order. Column order of `df` is preserved; `out`
+    * is appended. (`order`, tie-broken by caller-guaranteed uniqueness)
+    * must be total within a stratum for the result to be deterministic —
+    * the same contract the window form it replaces had. */
+  def running(df: DataFrame, stratumCols: Seq[String], bucket: Column,
+              order: Seq[Column], value: Column, out: String,
+              inclusive: Boolean): DataFrame = {
+    val b = "__ps_bucket"
+    val v = "__ps_v"
+    val off = "__ps_off"
+    val sk = stratumCols.map(col)
+    val withB = df.withColumn(b, bucket).withColumn(v, value)
+    val bucketTotals = withB.groupBy(sk :+ col(b): _*)
+      .agg(sum(col(v)).as("__ps_bsum"))
+    val offsets = bucketTotals.withColumn(off,
+        coalesce(sum(col("__ps_bsum")).over(
+          Window.partitionBy(sk: _*).orderBy(col(b).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__ps_bsum")
+    val w = Window.partitionBy(sk :+ col(b): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    withB.join(broadcast(offsets), stratumCols :+ b)
+      .withColumn(out, coalesce(sum(col(v)).over(w), lit(0L)) + col(off))
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+}

@@ -681,7 +681,6 @@ object BpeOps {
     * oracle replays the WHOLE chain: train CTEs → recursive re-encode →
     * window pack → shard rollup → vocab ranking. */
   def tokenizePack(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // stage 1: the one corpus pass + driver train (llm_bpe_train's shape)
     val wc = collectedModel(s, d)
     val merges = Bpe.train(wc, NMerges)
@@ -698,15 +697,22 @@ object BpeOps {
       .select(col("doc_id"), col("source"),
         size(col("pieces")).cast(LongType).as("n_tokens"),
         md5(concat_ws(Sep, col("pieces"))).as("checksum"))
-    // stage 4: shard-local running offset (llm_pack's window, real tokens)
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // feeds BOTH the doc rows and the manifest aggregate: one eager
-    // materialization (the house multi-consumer rule), lineage truncated
-    val packed = enc.withColumn("seq_id",
-      coalesce(sum(col("n_tokens")).over(w), lit(0L))
-        .divide(ChainPackTokens).cast(LongType))
-      .localCheckpoint(true)
+    // stage 4: shard-local running offset (llm_pack's bucketed prefix sum,
+    // real tokens). Checkpoint BEFORE the prefix sum: PrefixSum consumes
+    // its input twice (bucket totals + main pass) and the codegen'd encode
+    // is the expensive leg — materialize it once, then both prefix-sum
+    // scans and both downstream consumers read the checkpoint.
+    val encC = enc.localCheckpoint(true)
+    val packed = graft.ops.PrefixSum.running(encC, Seq("source"),
+        graft.ops.PrefixSum.idBucket(col("doc_id")),
+        Seq(col("doc_id").asc), col("n_tokens"),
+        "__cum", inclusive = false)
+      .withColumn("seq_id",
+        col("__cum").divide(ChainPackTokens).cast(LongType))
+      .drop("__cum")
+      // feeds BOTH the doc rows and the manifest aggregate (the house
+      // multi-consumer rule); lazy persist — encC already cut the lineage
+      .persist()
     val docRows = packed.select(lit("doc").as("kind"),
       col("doc_id").cast(StringType).as("k"),
       col("source"), col("n_tokens").as("n1"), col("seq_id").as("n2"),

@@ -2510,12 +2510,16 @@ object LlmOps {
         .as("per_mille"))
     val sampled = decon.join(broadcast(rates), "source")
       .filter(SketchOps.resampleGate(col("doc_id"), col("per_mille")))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sampled
+    // pack offset: bucketed two-level prefix sum, not a per-source cumsum
+    // window (graft.ops.PrefixSum — nothing sorts more than one doc_id
+    // bucket). Its two input scans re-run only the broadcast
+    // rate-join + gate over the PERSISTED decon frame.
+    graft.ops.PrefixSum.running(sampled, Seq("source"),
+        graft.ops.PrefixSum.idBucket(col("doc_id")),
+        Seq(col("doc_id").asc), col("n_tokens"), "__cum", inclusive = false)
       .withColumn("split", Corpus.splitAssign(SplitFences))
       .withColumn("seq_id",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)).divide(PackTokens).cast(LongType))
+        col("__cum").divide(PackTokens).cast(LongType))
       .select("doc_id", "source", "quality", "split", "n_tokens", "seq_id")
   }
 

@@ -467,6 +467,67 @@ object SketchOps {
             .orderBy(col("quality").desc, col("doc_id").asc)).cast(LongType))
   }
 
+  /** [[curriculum]]'s corpus-scale twin — SAME phases (one oracle SQL,
+    * byte-identical results), NO stratum-wide sort. The reference-shape
+    * query above ntiles inside a per-source rank window, which routes a
+    * giant source's full doc set through one reducer's sort; this form
+    * decomposes the rank instead:
+    *
+    *   rank(doc) = #docs with strictly better quality in the source
+    *             + position among EQUAL-quality docs by doc_id
+    *
+    * The first term is an exclusive cumsum over the per-(source, quality)
+    * tie counts — a window over a frame bounded by DISTINCT QUALITY VALUES
+    * per source (quality is 4-decimal quantized, so ≤10⁴ rows regardless
+    * of corpus size). The second is a bucketed prefix COUNT
+    * ([[graft.ops.PrefixSum]], stratum = (source, quality), `doc_id >> 16`
+    * buckets) — nothing sorts more than one bucket even when half the
+    * corpus shares one quality score. `ntile` then reconstructs from
+    * (rank, source size) in closed form (the standard padded-buckets
+    * formula both engines implement). Nothing anywhere sorts a stratum. */
+  def curriculumBounded(s: SparkSession, d: String): DataFrame =
+    // narrow (doc_id, source, quality) projection feeds THREE consumers
+    // (tie counts, source sizes, the prefix count) — persist so the
+    // tokenize-heavy enrich runs once
+    curriculumBoundedFrom(
+      LlmOps.enrich(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("quality")).persist(),
+      CurriculumPhases)
+
+  /** The decomposed-rank core over ANY (doc_id, source, quality) frame —
+    * driveable with synthetic tie-heavy fleets (SkewStressSpec pins
+    * closed-form ntile equality when half a stratum shares one quality). */
+  private[queries] def curriculumBoundedFrom(base: DataFrame,
+                                             phases: Int): DataFrame = {
+    val P = phases.toLong
+    val tieOff = base.groupBy("source", "quality")
+      .agg(count(lit(1)).as("__tn"))
+      .withColumn("__off",
+        coalesce(sum(col("__tn")).over(
+          Window.partitionBy("source").orderBy(col("quality").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__tn")
+    val sizes = base.groupBy("source").agg(count(lit(1)).as("__n"))
+    val pos = graft.ops.PrefixSum.running(base, Seq("source", "quality"),
+      graft.ops.PrefixSum.idBucket(col("doc_id")), Seq(col("doc_id").asc),
+      lit(1L), "__pos", inclusive = true)
+    // Spark/DuckDB ntile over N rows: the first N%P buckets carry
+    // floor(N/P)+1 rows, the rest floor(N/P). Integer-exact via double
+    // division + truncation (values ≪ 2^52).
+    val rk = col("__off") + col("__pos")
+    val bs = (col("__n") / P).cast(LongType)
+    val rem = col("__n") - bs * P
+    val padded = (bs + 1) * rem
+    val phase = when(rk <= padded,
+        ((rk - 1) / (bs + 1)).cast(LongType) + 1)
+      .otherwise(rem +
+        ((rk - 1 - padded) / greatest(bs, lit(1L))).cast(LongType) + 1)
+    pos.join(broadcast(tieOff), Seq("source", "quality"))
+      .join(broadcast(sizes), Seq("source"))
+      .withColumn("phase", phase)
+      .select("doc_id", "source", "quality", "phase")
+  }
+
   private val curriculumOracle = {
     val en = TextOps.LangStopwords.head._2.map(w => s"'$w'").mkString("[", ",", "]")
     s"""
@@ -1284,6 +1345,7 @@ object SketchOps {
     "llm_kmv_setops"   -> Q(kmvSetOps, Some(kmvSetOpsOracle)),
     "llm_dsir"         -> Q(dsir, Some(dsirOracle)),
     "llm_curriculum"   -> Q(curriculum, Some(curriculumOracle)),
+    "llm_curriculum_bounded" -> Q(curriculumBounded, Some(curriculumOracle)),
     "llm_bm25"         -> Q(bm25, Some(bm25Oracle)),
     "llm_domain_mix"   -> Q(domainMix, Some(domainMixOracle)))
 }

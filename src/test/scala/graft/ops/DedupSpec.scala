@@ -82,4 +82,20 @@ class DedupSpec extends SparkSuite {
     assert(out("mix") == ((None, 2L)), s"nulls-first election broke: ${out("mix")}")
     assert(out("other") == ((Some(7L), 1L)))
   }
+
+  test("multiple discriminators: lexicographic desc_nulls_last across BOTH, then arrival") {
+    // the max_by struct key replays `d1 DESC NULLS LAST, d2 DESC NULLS
+    // LAST, arrival DESC` — a null in d1 loses to ANY non-null d1 even
+    // when its d2 is the global max, and a d1 tie falls through to d2
+    val in = df("id BIGINT, pk STRING, d1 BIGINT, d2 BIGINT, v STRING", Seq(
+      Row(1L, "a", null, 99L, "null-d1-big-d2"),
+      Row(2L, "a", 1L, null, "d1-one-null-d2"),
+      Row(3L, "a", 1L, 7L, "d1-tie-wins-on-d2"),
+      Row(4L, "b", 5L, 1L, "older"),
+      Row(5L, "b", 5L, 1L, "full-tie-newest-wins")))
+    val out = Dedup.inBatch(in, Seq("pk"),
+      discriminators = Seq("d1", "d2"), arrival = Some(col("id")))
+    assert(canon(out.select("pk", "v")) == Seq(
+      Seq("a", "d1-tie-wins-on-d2"), Seq("b", "full-tie-newest-wins")))
+  }
 }

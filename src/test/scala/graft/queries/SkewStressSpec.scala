@@ -912,4 +912,67 @@ class SkewStressSpec extends SparkSuite {
     info(s"minhash lsh: 1x ${outS.size} pairs/${tS}ms vol=$volS; " +
       s"10x ${outB.size} pairs/${tB}ms vol=$volB (recall $found/${planted.size})")
   }
+
+  // ---- 10× scaling curve: bucketed prefix sum (late r19) -----------------
+
+  test("bucketed prefix sum 10x scaling: giant stratum, exact vs driver replay") {
+    // one giant stratum carries 94% of the rows — under the old
+    // stratum-wide cumsum window every one of them sorted in ONE reducer;
+    // the bucketed plan's window partitions on (stratum, id-bucket), so no
+    // sort exceeds 2^shift rows at any corpus size
+    def fleet(n: Int) = (0 until n).map { i =>
+      (i.toLong, if (i % 16 == 15) "small" else "giant", (i % 7 + 1).toLong)
+    }
+    def replay(rows: Seq[(Long, String, Long)]): Map[Long, Long] =
+      rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(_._1).scanLeft((-1L, 0L)) { case ((_, cum), (id, _, v)) =>
+          (id, cum + v)
+        }.drop(1)
+      }
+    def run(n: Int) = {
+      val out = graft.ops.PrefixSum.running(
+        fleet(n).toDF("id", "src", "v").repartition(8),
+        Seq("src"), graft.ops.PrefixSum.idBucket(col("id"), shift = 6),
+        Seq(col("id").asc), col("v"), "cum", inclusive = true)
+      val t0 = System.nanoTime()
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      (got, out, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (gotS, outS, tS) = run(4800)
+    val (gotB, _, tB) = run(48000)
+    assert(gotS == replay(fleet(4800)), "1x mismatch vs driver replay")
+    assert(gotB == replay(fleet(48000)), "10x mismatch vs driver replay")
+    // the scale pin: every Window in the plan partitions on the bucket
+    // (the per-bucket cumsum and the tiny offsets frame), never on the
+    // stratum alone
+    val plan = outS.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, plan)
+    assert(windows.forall(w => w.contains("__ps_bucket")), windows.mkString("\n"))
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"prefix sum: 1x ${tS}ms, 10x ${tB}ms (giant stratum never sorts " +
+      "in one reducer: 64-row buckets)")
+  }
+
+  test("bounded curriculum: closed-form ntile equals the rank window under giant ties") {
+    // the adversarial shape for the decomposed rank: HALF of a big stratum
+    // shares ONE quality score (the tie group whose internal order the
+    // bucketed prefix count must reproduce), the rest spread over a few
+    // values so tile boundaries land INSIDE tie runs; a second tiny
+    // stratum exercises N < phases (degenerate one-row tiles)
+    val rows = (0 until 9000).map { i =>
+      val q = if (i % 2 == 0) 0.5 else Seq(0.9, 0.7, 0.3, 0.1)((i / 2) % 4)
+      (i.toLong, "giant", q)
+    } ++ Seq((90001L, "tiny", 0.8), (90002L, "tiny", 0.2))
+    val base = rows.toDF("doc_id", "source", "quality")
+    for (p <- Seq(3, 4, 7)) {
+      val want = base.withColumn("phase",
+        ntile(p).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
+      val got = SketchOps.curriculumBoundedFrom(base, p)
+      assertSameRows(got, want.select("doc_id", "source", "quality", "phase"))
+    }
+  }
 }
