@@ -75,7 +75,17 @@ object PrefixSum {
     val w = Window.partitionBy(sk :+ col(b): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding,
         if (inclusive) Window.currentRow else -1)
-    withB.join(broadcast(offsets), stratumCols :+ b)
+    // NULL-SAFE equi-join (`<=>`): a using-columns join would silently
+    // DROP rows of a null stratum, where the window form this replaces
+    // keeps null as an ordinary group. Aliased sides — offsets derives
+    // from withB, so bare column refs would be ambiguous self-join refs.
+    val keys = stratumCols :+ b
+    val cond = keys.map(c => col(s"__ps_l.$c") <=> col(s"__ps_r.$c"))
+      .reduce(_ && _)
+    withB.as("__ps_l").join(broadcast(offsets.as("__ps_r")), cond)
+      .select(col(s"__ps_l.$v") +: col(s"__ps_r.$off") +:
+        (keys.map(c => col(s"__ps_l.$c").as(c)) ++
+          df.columns.filterNot(keys.contains).map(c => col(s"__ps_l.$c"))): _*)
       .withColumn(out, coalesce(sum(col(v)).over(w), lit(0L)) + col(off))
       .select(df.columns.map(col) :+ col(out): _*)
   }

@@ -73,6 +73,16 @@ class PrefixSumSpec extends SparkSuite {
     assert(got.columns.toSeq == Seq("id", "src", "v", "cum"))
   }
 
+  test("a NULL stratum is an ordinary group, like the window form — no dropped rows") {
+    val d = df("id BIGINT, src STRING, v BIGINT", Seq(
+      Row(1L, null, 10L), Row(2L, "a", 1L), Row(3L, null, 5L), Row(4L, "a", 2L)))
+    val got = PrefixSum.running(d, Seq("src"),
+      PrefixSum.idBucket(col("id"), shift = 1),
+      Seq(col("id").asc), col("v"), "cum", inclusive = true)
+    assertSameRows(got, windowed(d, inclusive = true))
+    assert(got.count() == 4)
+  }
+
   test("first row of every stratum gets 0 in the exclusive form") {
     val got = PrefixSum.running(fleet, Seq("src"),
       PrefixSum.idBucket(col("id"), shift = 2),
