@@ -325,8 +325,9 @@ object Corpus {
     * The hash IS the sort key, so its high bits are an order-preserving,
     * uniformly-balanced coarsening for free. Tokenization is evaluated
     * twice (the bucket-totals scan + the main pass — both narrow,
-    * map-only); callers stacking the budget on an expensive derived frame
-    * should persist it first. */
+    * map-only, column-pruned); a measured persist of the tokenized frame
+    * bought nothing at sf0.1 and would materialize the corpus at scale,
+    * so the rescan is the deliberate choice. */
   def tokenBudget(docs: DataFrame, strataCol: String, budgetTokens: Long,
                   idCol: String = "doc_id", textCol: String = "text",
                   salt: String = ":budget"): DataFrame = {

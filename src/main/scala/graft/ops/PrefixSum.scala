@@ -33,10 +33,29 @@ import org.apache.spark.sql.functions._
   * partition-sort small (step 3's sort). [[hashBucket]] / [[idBucket]]
   * provide those two standard coarsenings.
   *
-  * The input is consumed TWICE (bucket totals + the main pass). Both scans
-  * are narrow; callers whose value column is expensive to derive (a
-  * tokenize pass) either accept one extra map-only evaluation or persist
-  * the projection first — the house multi-consumer rule.
+  * The input is consumed TWICE (bucket totals + the main pass). The totals
+  * scan is narrow (column-pruned to keys + value), so the payload is never
+  * shuffled twice — but the VALUE column is evaluated once per scan.
+  * Callers with a VERY expensive value derivation (a full BPE encode)
+  * materialize the valued frame first (tokenizePack's localCheckpoint);
+  * for a plain tokenize the rescan is cheaper than materializing
+  * (measured: persisting tokenBudget/packSequences' tokenized frame
+  * changed nothing at sf0.1 and would spill the corpus at scale).
+  *
+  * Two negative results, so nobody re-attempts them: (1) deriving the
+  * bucket totals from the windowed frame (`max` of the inclusive running
+  * sum) to share one exchange does NOT work — column pruning pushes each
+  * branch's projection below the exchange independently (the totals
+  * branch drops the passthrough payload columns), the two shuffles no
+  * longer canonicalize equal, ReuseExchange never fires, and the payload
+  * gets shuffled once PER BRANCH on top of the double evaluation; an
+  * explicit `repartition(sk, b)` doesn't pin it either (projects push
+  * through RepartitionByExpression too). (2) The small-SF gap vs the
+  * stratum window it replaces (~+0.3 s/query at sf0.1) is NOT the double
+  * evaluation — it is the fixed overhead of the extra narrow shuffle +
+  * broadcast + tiny offset window, which is flat in data size and is
+  * bought back with interest the moment one stratum outgrows a reducer
+  * (SkewStressSpec "bucketed prefix sum 10x scaling").
   */
 object PrefixSum {
 

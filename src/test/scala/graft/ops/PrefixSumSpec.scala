@@ -83,6 +83,27 @@ class PrefixSumSpec extends SparkSuite {
     assert(got.count() == 4)
   }
 
+  test("expensive values: a PERSISTED valued frame is evaluated once across both scans") {
+    // the tokenBudget/packSequences pattern — PrefixSum consumes its input
+    // twice (narrow totals scan + main pass), so an expensive value column
+    // must be materialized at the call site. This pins that the persisted
+    // frame's derivation fires once per row, not once per scan (and that
+    // the cache serves both the pruned totals scan and the full pass).
+    val evals = spark.sparkContext.longAccumulator("ps_value_evals")
+    val counted = udf { x: Long => evals.add(1); x }
+    val d = fleet.repartition(5)
+      .withColumn("nv", counted(col("v"))).persist()
+    try {
+      val got = PrefixSum.running(d, Seq("src"),
+        PrefixSum.idBucket(col("id"), shift = 2),
+        Seq(col("id").asc), col("nv"), "cum", inclusive = true)
+      assertSameRows(got.drop("nv"), windowed(fleet, inclusive = true))
+      assert(evals.value == 43L,
+        s"value derivation fired ${evals.value} times for 43 rows — the " +
+          "persisted frame is being recomputed per scan")
+    } finally { d.unpersist(); () }
+  }
+
   test("first row of every stratum gets 0 in the exclusive form") {
     val got = PrefixSum.running(fleet, Seq("src"),
       PrefixSum.idBucket(col("id"), shift = 2),
