@@ -92,7 +92,7 @@ object LlmOps {
   /** Shared tail for the inverted-index path: inter/union from (doc_id,
     * shingle). Only safe on a DF-CAPPED index (the cap bounds the per-shingle
     * fan-out); the candidate-verify path uses [[verifyCandidates]] instead. */
-  private def jaccardVerify(sh: DataFrame, threshold: Double): DataFrame = {
+  private[queries] def jaccardVerify(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val joined = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -913,6 +913,78 @@ class SkewStressSpec extends SparkSuite {
       s"10x ${outB.size} pairs/${tB}ms vol=$volB (recall $found/${planted.size})")
   }
 
+  // ---- 10× scaling curve: n-gram Jaccard inverted index (late r19) -------
+
+  /** Exact driver replay of the capped-inverted-index Jaccard dedup:
+    * shingle→df→cap blacklist→per-shingle pair lists→exact verify. Returns
+    * (pairs with rounded jac, candidate volume Σ_kept C(df, 2) — by
+    * construction the distributed self-join's exact row count). */
+  private def ngramRef(docs: Seq[(Long, String)], dfCap: Int)
+      : (Set[(Long, Long, Long)], Long) = {
+    val kept: Map[Long, Set[Long]] = {
+      val hs = docs.map { case (d, text) =>
+        val toks = text.trim.split("\\s+")
+        val sh =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          else Seq(toks.mkString(" "))
+        d -> sh.map(TextOps.hash60Str).toSet
+      }
+      val df = hs.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.size }
+      hs.map { case (d, ss) => d -> ss.filter(s => df(s) <= dfCap) }.toMap
+    }
+    val lists = kept.toSeq.flatMap { case (d, ss) => ss.iterator.map(_ -> d) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    var vol = 0L
+    val inter = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (ds <- lists; i <- ds.indices; j <- (i + 1) until ds.size) {
+      vol += 1
+      inter.updateWith((ds(i), ds(j)))(o => Some(o.getOrElse(0) + 1)); ()
+    }
+    val pairs = inter.iterator.flatMap { case ((x, y), n) =>
+      val jac = math.floor(n.toDouble / (kept(x).size + kept(y).size - n) * 1000 + 0.5) / 1000
+      if (jac >= 0.5) Some((x, y, math.round(jac * 1000))) else None
+    }.toSet
+    (pairs, vol)
+  }
+
+  test("ngram jaccard 10x scaling: capped index exact vs driver replay, linear volume") {
+    // textFleet clusters PLUS corpus-wide boilerplate: the boilerplate
+    // shingles' df = N ≫ cap, so the cap must erase them from the index at
+    // BOTH scales — without it the candidate volume would be C(N,2)
+    def fleet(n: Int) = textFleet(n).map { case (d, t) => (d, s"$boiler $t") }
+    val (small, big) = (fleet(1200), fleet(12000))
+    val (refS, volS) = ngramRef(small, 100)
+    val (refB, volB) = ngramRef(big, 100)
+    // linear candidate bound: per 3-doc cluster ~44 kept shingles × ≤3
+    // pairs ⇒ ≤ 50·N/3 rows; and the 10× corpus grows volume ~10×, not 100×
+    assert(volS <= 50L * small.size && volB <= 50L * big.size,
+      s"candidate volume broke the linear bound: $volS / $volB")
+    assert(volB <= volS * 12, s"volume grew super-linearly: $volS -> $volB")
+    def run(docs: Seq[(Long, String)]) = {
+      val t0 = System.nanoTime()
+      val out = LlmOps.jaccardVerify(
+          LlmOps.cappedShingleIndex(docs.toDF("doc_id", "text")), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1000))).toSet
+      (out, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (outS, tS) = run(small)
+    val (outB, tB) = run(big)
+    assert(outS == refS, s"1x mismatch: ${outS.size} vs ref ${refS.size}")
+    assert(outB == refB, s"10x mismatch: ${outB.size} vs ref ${refB.size}")
+    // every planted cluster pair must survive (J = 0.95 ≫ τ, and the kept
+    // cluster shingles are untouched by the cap)
+    val planted = (0 until big.size / 3).flatMap { c =>
+      Seq((c * 3L, c * 3L + 1), (c * 3L, c * 3L + 2), (c * 3L + 1, c * 3L + 2))
+    }
+    assert(planted.forall(p => outB.exists(r => (r._1, r._2) == p)),
+      "a planted near-dup pair fell out of the capped index")
+    assert(tB < math.max(tS, 500L) * 40,
+      s"10x data cost ${tB}ms vs 1x ${tS}ms — super-linear blowup")
+    info(s"ngram jaccard: 1x ${outS.size} pairs/${tS}ms vol=$volS; " +
+      s"10x ${outB.size} pairs/${tB}ms vol=$volB")
+  }
+
   // ---- 10× scaling curve: bucketed prefix sum (late r19) -----------------
 
   test("bucketed prefix sum 10x scaling: giant stratum, exact vs driver replay") {
