@@ -1,0 +1,77 @@
+package graft.queries
+// lives under tools/ but in the queries package: the probed kernels
+// (minhashPairs, cappedShingleIndex, jaccardVerify) are private[queries]
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two-decade scaling probe (manual, not part of the suite): drives three
+  * representative dedup/prefix kernels at 1x / 10x / 100x synthetic fleets
+  * and prints wall times. The 10x points replicate the SkewStressSpec
+  * curves (same generators); the 100x points extend each curve a further
+  * decade — run once from an idle host, results recorded in PERF.md.
+  *
+  * Usage: sbt "runMain graft.tools.DecadeProbe" (optional arg: cpus) */
+object DecadeProbe {
+
+  /** N docs in 3-member near-dup clusters (SkewStressSpec.textFleet). */
+  private def textFleet(n: Int): Seq[(Long, String)] =
+    (0 until n).map { d =>
+      val c = d / 3
+      val base = (1 to 40).map(j => s"c${c}w$j").mkString(" ")
+      (d.toLong, s"$base m$d")
+    }
+
+  private def time[A](what: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[decade] $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.getOrElse("32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def docs(n: Int): DataFrame =
+      textFleet(n).toDF("doc_id", "text").repartition(32)
+
+    // warm the session machinery once so the 1x points aren't startup
+    time("warmup") { docs(1200).count() }
+
+    // minhash LSH banding (llm_minhash_lsh core)
+    for (n <- Seq(1200, 12000, 120000)) {
+      val d = docs(n)
+      time(s"minhash_lsh n=$n") {
+        LlmOps.minhashPairs(d).count()
+      }
+    }
+
+    // capped inverted shingle index + exact Jaccard (llm_ngram_jaccard core)
+    for (n <- Seq(1200, 12000, 120000)) {
+      val d = docs(n)
+      time(s"ngram_jaccard n=$n") {
+        LlmOps.jaccardVerify(
+          LlmOps.cappedShingleIndex(d), 0.5).count()
+      }
+    }
+
+    // bucketed two-level prefix sum, 94%-giant stratum (PrefixSum core)
+    for (n <- Seq(48000, 480000, 4800000)) {
+      val fleet = spark.range(n.toLong).select(col("id"),
+        when(col("id") % 16 === 15, "small").otherwise("giant").as("src"),
+        (col("id") % 7 + 1).as("v"))
+      time(s"prefix_sum n=$n") {
+        graft.ops.PrefixSum.running(fleet, Seq("src"),
+          graft.ops.PrefixSum.idBucket(col("id"), shift = 12),
+          Seq(col("id").asc), col("v"), "cum", inclusive = true).count()
+      }
+    }
+    spark.stop()
+  }
+}
