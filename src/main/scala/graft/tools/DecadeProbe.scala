@@ -61,6 +61,35 @@ object DecadeProbe {
       }
     }
 
+    // IVF corpus k-NN join, sqrt-N cells (llm_knn_join core — N^1.5 law,
+    // so the second decade predicts ~31.6x; SkewStressSpec.embFleet shape)
+    def embFleet(n: Int): IndexedSeq[(Long, Array[Double])] =
+      (0 until n).map { d =>
+        val c = d / 3
+        val bits = c.toLong * 0x9E3779B97F4A7C15L
+        val v = new Array[Double](35)
+        var i = 0
+        while (i < 32) { v(i) = if (((bits >>> i) & 1L) == 1L) 1.0 else -1.0; i += 1 }
+        v(32 + d % 3) = 1.0
+        (d.toLong, v)
+      }
+    for (n <- Seq(1200, 12000, 120000)) {
+      val fleet = embFleet(n)
+      val clusters = n / 3
+      val cN = math.ceil(math.sqrt(n.toDouble)).toInt
+      val step = math.max(1, clusters / cN)
+      val cents = (0 until clusters by step).map { c =>
+        val v = fleet(c * 3)._2.clone()
+        v(32) = 0.0; v(33) = 0.0; v(34) = 0.0
+        (c.toLong, v)
+      }
+      val corpus = fleet.toDF("vec_id", "embedding").repartition(32)
+      time(s"ivf_knn_join n=$n") {
+        graft.llm.Similarity.knnJoinIvf(corpus, corpus,
+          cents.toDF("vec_id", "embedding"), k = 2, nprobe = 1).count()
+      }
+    }
+
     // bucketed two-level prefix sum, 94%-giant stratum (PrefixSum core)
     for (n <- Seq(48000, 480000, 4800000)) {
       val fleet = spark.range(n.toLong).select(col("id"),
