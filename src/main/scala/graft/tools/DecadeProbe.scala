@@ -61,6 +61,16 @@ object DecadeProbe {
       }
     }
 
+    // df-ASC prefix join, exact near-dup (llm_prefix_join core — the
+    // lossless candidate generator; growth is linear in docs because only
+    // each doc's rarest (1-tau) shingle prefix ever indexes)
+    for (n <- Seq(1200, 12000, 120000)) {
+      val d = docs(n)
+      time(s"prefix_join n=$n") {
+        LlmOps.prefixJoinPairs(d).count()
+      }
+    }
+
     // IVF corpus k-NN join, sqrt-N cells (llm_knn_join core — N^1.5 law,
     // so the second decade predicts ~31.6x; SkewStressSpec.embFleet shape)
     def embFleet(n: Int): IndexedSeq[(Long, Array[Double])] =
