@@ -111,19 +111,19 @@ object LlmOps {
     * (`array_intersect`) — no shingle self-join ever materializes, so a hot
     * shingle ("the quick brown") cannot make pair generation quadratic. Cost
     * is linear in |candidates|: the 100 TB-safe verify shape. */
-  private def verifyCandidates(sh: DataFrame, cands0: DataFrame,
-                               threshold: Double): DataFrame = {
-    // candidates are SMALL by construction (they passed an LSH band) but
-    // feed three consumers (candDocs + both per-side joins) — persist so
-    // the signature pipeline upstream runs ONCE, not once per consumer
-    val cands = cands0.persist()
-    val candDocs = cands.select(col("i").as("doc_id"))
-      .union(cands.select(col("j").as("doc_id"))).distinct()
-    // shingles are distinct per doc, so |set| is also the doc's shingle count;
-    // docSets is per-candidate-doc (small) and joined twice — persist too
-    val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
-      .persist()
+  /** Exact-Jaccard verification of candidate pairs against a per-doc
+    * DISTINCT-element ARRAY frame `docSets` (doc_id, ss). r20 shape: every
+    * caller already materializes the per-doc sets upstream (`hs` from the
+    * fused [[TextOps.shingleHash60]] kernel, or the prefix join's df-sorted
+    * aggregate), so the old exploded-index form — candidate-doc semi-join +
+    * a `collect_set` shuffle to REBUILD those very arrays — was two extra
+    * exchanges and a third pass over the index per verify call. Candidates
+    * now feed one linear join chain (no persist needed: the frame is
+    * referenced once), the doc-set side joins by key, and a non-matching
+    * doc never streams further than the join. |ss| is the doc's distinct
+    * element count, so the Jaccard arithmetic is unchanged bit-for-bit. */
+  private def verifyCandidates(docSets: DataFrame, cands: DataFrame,
+                               threshold: Double): DataFrame =
     cands
       .join(docSets.select(col("doc_id").as("i"), col("ss").as("sa")), "i")
       .join(docSets.select(col("doc_id").as("j"), col("ss").as("sb")), "j")
@@ -132,7 +132,6 @@ object LlmOps {
         TextOps.quant(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 3))
       .filter(col("jac") >= threshold)
       .select("i", "j", "jac")
-  }
 
   private val ContainThreshold = 0.8
 
@@ -215,9 +214,14 @@ object LlmOps {
     prefixJoinPairs(Tables.documents(s, d))
 
   private[queries] def prefixJoinPairs(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
-    val out = prefixJoinFromIndex(sh) // eager (checkpointed pair set)
-    sh.unpersist()
+    // r20: persist the per-doc ARRAY frame (one row per doc) instead of the
+    // exploded index (one row per (doc, shingle)) — same single tokenize+
+    // shingle+hash pass covered, ~|doc| times smaller cache; the exploded
+    // index is re-derived per consumer as a cheap explode of the cache
+    val withHs = hashedShingles(docs).persist()
+    val out = prefixJoinFromIndex(
+      withHs.select(col("doc_id"), explode(col("hs")).as("s")))
+    withHs.unpersist()
     out
   }
 
@@ -228,18 +232,27 @@ object LlmOps {
     * persisted pref frame the caller must unpersist) so the skew-stress
     * spec can assert the df-ASC prefix keeps candidates sub-quadratic
     * under a boilerplate-heavy corpus. */
-  private[queries] def prefixCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
+  /** r20 shape: ONE df-attach + groupBy aggregate builds each doc's full
+    * (df ASC, s ASC)-sorted shingle array, PERSISTED — the prefix index is
+    * an explode of its head slice (derived per self-join side as a cheap
+    * cache read, where the old shape persisted the exploded prefix index
+    * itself) and the exact verify reuses the same arrays, retiring the
+    * per-call semi-join + collect_set rebuild. Returns (candidates, prefix
+    * index, grouped): the caller unpersists `grouped`. */
+  private[queries] def prefixCandidates(sh: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tau = JaccardThreshold
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val pref = sh.join(df, "s")
+    val grouped = sh.join(df, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"))
-      .select(col("doc_id"), size(col("sorted")).as("n"),
-        explode(slice(col("sorted"), lit(1),
-          (size(col("sorted")) - ceil(lit(tau) * size(col("sorted"))) + 1)
-            .cast(IntegerType))).as("e"))
-      .select(col("doc_id"), col("n"), col("e.s").as("s"))
-      .persist() // self-joined below: unpersisted, the groupBy+sort runs per side
+      .select(col("doc_id"), col("sorted.s").as("ss"))
+      .persist() // read 2x by the prefix self-join + 2x by the verify joins
+    val pref = grouped
+      .select(col("doc_id"), size(col("ss")).as("n"),
+        explode(slice(col("ss"), lit(1),
+          (size(col("ss")) - ceil(lit(tau) * size(col("ss"))) + 1)
+            .cast(IntegerType))).as("s"))
     // candidates: shared prefix shingle + the length filter (a qualifying
     // pair has min ≥ τ·max — τ=0.5 and integer sizes keep the double
     // arithmetic exact; the filter only prunes, the verify decides)
@@ -248,22 +261,16 @@ object LlmOps {
           least(col("a.n"), col("b.n")) >= lit(tau) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    (cands, pref)
+    (cands, pref, grouped)
   }
 
   private def prefixJoinFromIndex(sh: DataFrame): DataFrame = {
-    val (cands, pref) = prefixCandidates(sh)
-    // pair-set-sized; eager so pref (and callers' shingle caches) release NOW
-    val out = verifyCandidates(sh, cands, JaccardThreshold).localCheckpoint(true)
-    pref.unpersist()
+    val (cands, _, grouped) = prefixCandidates(sh)
+    // pair-set-sized; eager so grouped (and callers' shingle caches) release NOW
+    val out = verifyCandidates(grouped, cands, JaccardThreshold).localCheckpoint(true)
+    grouped.unpersist()
     out
   }
-
-  /** Uncapped distinct-shingle inverted index (doc_id, shingle-hash) —
-    * persisted: it feeds the df count, the prefix build, and the verify. */
-  private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(TextOps.shingleHash60(TextOps.tokens(col("text")), 3)).as("s")).persist()
 
   /** Oracle = the EXACT pair set (no df cap) — prefix filtering is lossless,
     * so the full inverted-index join in DuckDB must agree bit-for-bit. */
@@ -483,8 +490,10 @@ object LlmOps {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    val sh = withHs.select(col("doc_id"), explode(col("hs")).as("s"))
-    verifyCandidates(sh, cands, JaccardThreshold)
+    // r20: `hs` IS each doc's distinct shingle-hash set — verify joins the
+    // cached array frame directly (no explode, no collect_set rebuild)
+    verifyCandidates(withHs.select(col("doc_id"), col("hs").as("ss")),
+      cands, JaccardThreshold)
   }
 
   /** Signature-only near-dup ESTIMATION: the verify-free MinHash variant —
@@ -605,21 +614,33 @@ object LlmOps {
     // ONE tokenize+shingle+hash pass feeds BOTH pipelines (each would
     // otherwise scan and hash the corpus independently)
     val withHs = hashedShingles(Tables.documents(s, d)).persist()
-    val shIdx = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
-    val exact = prefixJoinFromIndex(shIdx).select("i", "j").persist()
-    // lsh feeds the union AND the semi-join — persist or the whole minhash
-    // pipeline runs twice
-    val lsh = minhashPairsFromHashes(withHs).select("i", "j").persist()
-    val hit = exact.join(lsh, Seq("i", "j"), "left_semi")
+    val exact = prefixJoinFromIndex(
+      withHs.select(col("doc_id"), explode(col("hs")).as("s")))
+      .select("i", "j").persist()
+    // r20: LSH's VERIFIED pairs are by definition the band candidates whose
+    // true Jaccard passes τ — and `exact` already IS the complete J ≥ τ
+    // pair set (prefix filtering is lossless), so verification is a
+    // semi-join against it instead of a second intersect pass over the
+    // shingle sets. n_hit == n_lsh was an invariant before (verified LSH ⊆
+    // exact by construction) and is an arithmetic identity now; the DuckDB
+    // oracle still computes both legs independently and hash-compares.
+    val bands = bandFrameFromHashes(withHs).persist()
+    val lshCands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    // lsh feeds the union twice (n_lsh + n_hit) — persist or the band
+    // pipeline runs per consumer
+    val lsh = lshCands.join(exact, Seq("i", "j"), "left_semi").persist()
     val out = exact.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"))
       .unionAll(lsh.select(lit(0L).as("ex"), lit(1L).as("ls"), lit(0L).as("ht")))
-      .unionAll(hit.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht")))
+      .unionAll(lsh.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht")))
       .agg(sum("ex").as("n_exact"), sum("ls").as("n_lsh"), sum("ht").as("n_hit"))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
         expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_hit * 1000) div n_exact END")
           .as("recall_permille"))
       .localCheckpoint(true) // 1 row; releases the caches below NOW
-    Seq(withHs, shIdx, exact, lsh).foreach(_.unpersist())
+    Seq(withHs, exact, bands, lsh).foreach(_.unpersist())
     out
   }
 
@@ -672,10 +693,9 @@ object LlmOps {
     * those prefixes against the FULL shingle index. Lossless by the prefix
     * lemma (J ≥ τ ⇒ inter ≥ ⌈τ|x|⌉ ⇒ x's (|x|−⌈τ|x|⌉+1)-prefix hits y),
     * and the work scales with |sample|·df, never the corpus pair count. */
-  private def sampledExactPairs(shFull: DataFrame): DataFrame = {
+  private def sampledExactPairs(withHs: DataFrame, shFull: DataFrame): DataFrame = {
     val tau = JaccardThreshold
     val dfc = shFull.groupBy("s").agg(count(lit(1)).as("df"))
-    val sizes = shFull.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val prefS = shFull.filter(evalSampled(col("doc_id"))).join(dfc, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"))
@@ -684,22 +704,26 @@ object LlmOps {
           (size(col("sorted")) - ceil(lit(tau) * size(col("sorted"))) + 1)
             .cast(IntegerType))).as("e"))
       .select(col("sd"), col("sn"), col("e.s").as("s"))
-    val idx = shFull.join(sizes, "doc_id")
-      .select(col("doc_id").as("od"), col("n").as("onn"), col("s"))
+    // r20: the full-index side's per-doc size is size(hs) off the cached
+    // array frame — the old shape paid a sizes groupBy + join to re-derive
+    // exactly that; the verify likewise joins the array frame directly
+    val idx = withHs.select(col("doc_id").as("od"),
+      size(col("hs")).cast(LongType).as("onn"), explode(col("hs")).as("s"))
     val cands = prefS.join(idx, "s")
       .filter(col("sd") =!= col("od") &&
         least(col("sn"), col("onn")) >= lit(tau) * greatest(col("sn"), col("onn")))
       .select(least(col("sd"), col("od")).as("i"),
         greatest(col("sd"), col("od")).as("j"))
       .distinct()
-    verifyCandidates(shFull, cands, tau).select("i", "j")
+    verifyCandidates(withHs.select(col("doc_id"), col("hs").as("ss")),
+      cands, tau).select("i", "j")
   }
 
   private[queries] def sampledPairSets(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val withHs = hashedShingles(Tables.documents(s, d)).persist()
     val shFull = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
-    val exactS = sampledExactPairs(shFull).persist()
+    val exactS = sampledExactPairs(withHs, shFull).persist()
     // LSH pairs with ≥1 sampled endpoint — sampled docs' bands join the
     // FULL band index (never full×full): identical to restricting the full
     // band self-join, since cohabitation and the exact verify are symmetric.
@@ -711,8 +735,12 @@ object LlmOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
       .distinct()
-    val lshS = verifyCandidates(shFull, lshCands, JaccardThreshold)
-      .select("i", "j").persist()
+    // r20: every lshCands pair touches the sample, so its verified subset
+    // is exactly lshCands ∩ exactS (exactS = ALL J ≥ τ pairs with a
+    // sampled endpoint — the one-sided prefix build is lossless): a
+    // semi-join replaces the second intersect pass. The oracle still
+    // replays both full pipelines independently.
+    val lshS = lshCands.join(exactS, Seq("i", "j"), "left_semi").persist()
     (exactS, lshS, Seq(withHs, shFull, bands, exactS, lshS))
   }
 
@@ -728,10 +756,11 @@ object LlmOps {
     val (exactS, lshS, cached) = sampledPairSets(s, d)
     val nSampled = Tables.documents(s, d)
       .filter(evalSampled(col("doc_id"))).select(col("doc_id"))
-    val hit = exactS.join(lshS, Seq("i", "j"), "left_semi")
+    // lshS ⊆ exactS by construction (semi-join verify), so the hit set IS
+    // lshS — the union reads the persisted frame a second time
     val out = exactS.select(lit(1L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"), lit(0L).as("sd"))
       .unionAll(lshS.select(lit(0L).as("ex"), lit(1L).as("ls"), lit(0L).as("ht"), lit(0L).as("sd")))
-      .unionAll(hit.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht"), lit(0L).as("sd")))
+      .unionAll(lshS.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(1L).as("ht"), lit(0L).as("sd")))
       .unionAll(nSampled.select(lit(0L).as("ex"), lit(0L).as("ls"), lit(0L).as("ht"), lit(1L).as("sd")))
       .agg(sum("sd").as("n_docs_sampled"), sum("ex").as("n_exact"),
         sum("ls").as("n_lsh"), sum("ht").as("n_hit"))
@@ -790,7 +819,7 @@ object LlmOps {
   def clusterEvalSampled(s: SparkSession, d: String): DataFrame = {
     val withHs = hashedShingles(Tables.documents(s, d)).persist()
     val shFull = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
-    val exactS = sampledExactPairs(shFull).persist()
+    val exactS = sampledExactPairs(withHs, shFull).persist()
     val cl = dedupCluster(s, d).persist()
     val perCluster = cl.groupBy("cluster_id").agg(
       count(lit(1)).as("k"),
@@ -877,14 +906,13 @@ object LlmOps {
     val cands = bandFrame(fresh).as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-    // verify on STRING shingles here: the candidate semi-join inside
-    // verifyCandidates prunes to a handful of docs before anything is
-    // collected, so hashing the WHOLE corpus's shingles first (as
-    // minhashPairs does, where the signature pass needs the hashes anyway)
-    // would be a pure extra md5 pass with no downstream saving
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
-    verifyCandidates(sh, cands, JaccardThreshold)
+    // verify on STRING shingle arrays here: hashing the WHOLE corpus's
+    // shingles first (as minhashPairs does, where the signature pass needs
+    // the hashes anyway) would be a pure extra md5 pass with no downstream
+    // saving; the candidate join prunes non-matching docs in-stream
+    verifyCandidates(docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("ss")),
+      cands, JaccardThreshold)
   }
 
   private lazy val IncrementalIdxDir: String =

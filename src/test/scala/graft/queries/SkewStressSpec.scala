@@ -61,7 +61,7 @@ class SkewStressSpec extends SparkSuite {
 
   test("df-ASC prefix join never indexes hot shingles: candidates stay sub-quadratic and exact") {
     val sh = shingleIndex.persist()
-    val (cands, pref) = LlmOps.prefixCandidates(sh)
+    val (cands, pref, grouped) = LlmOps.prefixCandidates(sh)
     val nCands = cands.count()
     // hot shingles must not appear in any doc's indexed prefix
     val boilerHashes = TextOps.shingleHash60(TextOps.tokens(lit(boiler)), 3)
@@ -75,7 +75,7 @@ class SkewStressSpec extends SparkSuite {
     // and losslessness is not at stake: the corpus has no qualifying pairs,
     // and the full exact join agrees
     assert(LlmOps.prefixJoinPairs(corpus).count() == 0L)
-    pref.unpersist(); sh.unpersist()
+    grouped.unpersist(); sh.unpersist()
   }
 
   test("video band cap: a hot frame-fingerprint clique generates ZERO candidates") {
