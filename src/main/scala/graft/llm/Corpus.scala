@@ -299,7 +299,14 @@ object Corpus {
     require(idField.dataType == LongType,
       s"quotaPerStratum needs a BIGINT id column for the bounded heap, " +
         s"got ${idField.dataType.catalogString}")
-    val h = TextOps.hash60(concat(col(idCol).cast(StringType), lit(salt)))
+    // the heap skips null keys and the join-back drops null-id rows, so a
+    // caller violating the non-null contract would SILENTLY lose rows
+    // (r19 ADVICE) — fail loudly instead; for valid input the branch is a
+    // codegen'd null check, free on the hot path
+    val checkedId = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(
+        lit(s"quotaPerStratum: null $idCol violates the non-null id contract")))
+    val h = TextOps.hash60(concat(checkedId.cast(StringType), lit(salt)))
     val picked = docs
       .groupBy(col(strataCol))
       .agg(TextOps.minKBy(h, col(idCol), k).as("__mins"))

@@ -127,12 +127,17 @@ object Similarity {
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("i"), col(s"b.$id").as("j"))
       .distinct() // a pair colliding in several bands verifies ONCE
-    cands
+    // pair-set-sized; eager so the two caches above release NOW instead of
+    // leaking for the session lifetime (r19 ADVICE)
+    val out = cands
       .join(corpus.select(col(id).as("i"), col("embedding").as("ea")), "i")
       .join(corpus.select(col(id).as("j"), col("embedding").as("eb")), "j")
       .select(col("i"), col("j"),
         TextOps.quant(cosine(col("ea"), col("eb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+      .localCheckpoint(true)
+    corpus.unpersist(); bb.unpersist()
+    out
   }
 
   /** [[bandedPairsWith]] under CORPUS-SCALED planes — the production banded

@@ -242,8 +242,6 @@ final case class RetryQueue(dir: String, dlqDir: String,
         catch { case _: Throwable => false }
       }
       if (replayed.nonEmpty) {
-        val remaining = dead.filter(
-          !col("__batch_id").isInCollection(replayed.toSeq)).coalesce(8)
         val fs = fsOf(spark, dlqDir)
         if (replayed.length == ids.length) {
           // drop any STALE staging dir from an earlier interrupted partial
@@ -254,8 +252,21 @@ final case class RetryQueue(dir: String, dlqDir: String,
           fs.delete(new org.apache.hadoop.fs.Path(dlqDir), true)
           ()
         } else {
+          // preserve the per-batch `b$id` subfolder layout in the rewrite
+          // (r19 ADVICE): a FLAT rewrite would strand root-level copies
+          // that a later re-dead-letter of the same batch — which writes
+          // into its `b$id` subfolder with OVERWRITE — could never
+          // replace, duplicating the batch on the recursive read. Stale
+          // staged content must go first so an interrupted earlier swap
+          // cannot leak foreign batches into this commit; the per-batch
+          // loop stays control-plane (bounded by #still-dead batches).
           val nextPath = new org.apache.hadoop.fs.Path(dlqDir + "__next")
-          remaining.write.mode(SaveMode.Overwrite).parquet(nextPath.toString)
+          fs.delete(nextPath, true)
+          ids.filterNot(replayed.contains).foreach { id =>
+            dead.filter(col("__batch_id") === id)
+              .coalesce(8).write.mode(SaveMode.Overwrite)
+              .parquet(s"$nextPath/b$id")
+          }
           commitSwap(fs, nextPath, new org.apache.hadoop.fs.Path(dlqDir))
         }
       }

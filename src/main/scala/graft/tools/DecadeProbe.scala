@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * curves (same generators); the 100x points extend each curve a further
   * decade — run once from an idle host, results recorded in PERF.md.
   *
-  * Usage: sbt "runMain graft.tools.DecadeProbe" (optional arg: cpus) */
+  * Usage: sbt "runMain graft.queries.DecadeProbe" (optional arg: cpus) —
+  * note the package: the file lives under tools/ but the object is in
+  * graft.queries for access to the private[queries] kernels. */
 object DecadeProbe {
 
   /** N docs in 3-member near-dup clusters (SkewStressSpec.textFleet). */
@@ -33,7 +35,9 @@ object DecadeProbe {
     val cpus = args.headOption.getOrElse("32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.driver.memory", "16g")
+      // driver.memory must be set on the JVM launch line (sbt forks with
+      // -Xmx from build.sbt); a builder config here has no effect in an
+      // already-launched local JVM, so none is set
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
