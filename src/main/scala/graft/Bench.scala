@@ -95,6 +95,11 @@ object Bench {
       // first-compile of that generated code (~5 s measured at sf0.1)
       graft.queries.Registry.all("llm_minhash_lsh").fn(spark, toyDir).collect()
       graft.queries.Registry.all("llm_clean_corpus").fn(spark, toyDir).collect()
+      // ... and the r20 exact prefix-join shape (df-sorted array aggregate +
+      // prefix-slice self-join + array verify): name-sorted execution puts
+      // llm_cluster_eval first in that family, so without this warm it
+      // absorbs the family's entire first-compile
+      graft.queries.Registry.all("llm_prefix_join").fn(spark, toyDir).collect()
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
     try {

@@ -253,9 +253,12 @@ object GraphOps {
     * edge table (a < b). Split out so the spec can drive planted graphs. */
   private[queries] def triangleCount(edges0: DataFrame): DataFrame = {
     val edges = edges0.persist()
+    // persisted: read twice by the orientation joins and once by the final
+    // node count (r20 — it was re-aggregated from the edge cache per use)
     val deg = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
+      .persist()
     val oriented = edges
       .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
@@ -272,12 +275,15 @@ object GraphOps {
       .select(least(col("x.dst"), col("y.dst")).as("a"),
         greatest(col("x.dst"), col("y.dst")).as("b"))
     val closed = wedges.join(edges, Seq("a", "b"), "left_semi")
-    val nNodes = deg.agg(count(lit(1)).as("c"))
-    val nEdges = edges.agg(count(lit(1)).as("c"))
-    val nTris = closed.agg(count(lit(1)).as("c"))
-    nNodes.select(col("c").as("n_nodes"))
-      .crossJoin(nEdges.select(col("c").as("n_edges")))
-      .crossJoin(nTris.select(col("c").as("n_triangles")))
+    // ONE tagged-union aggregate instead of three scalar branches glued by
+    // crossJoins (r20): same three counts, one job instead of three
+    // aggregate jobs + two broadcast exchanges
+    deg.select(lit(1L).as("nv"), lit(0L).as("ne"), lit(0L).as("nt"))
+      .unionAll(edges.select(lit(0L).as("nv"), lit(1L).as("ne"), lit(0L).as("nt")))
+      .unionAll(closed.select(lit(0L).as("nv"), lit(0L).as("ne"), lit(1L).as("nt")))
+      .agg(coalesce(sum("nv"), lit(0L)).as("n_nodes"),
+        coalesce(sum("ne"), lit(0L)).as("n_edges"),
+        coalesce(sum("nt"), lit(0L)).as("n_triangles"))
   }
 
   private val triangleOracle = """
