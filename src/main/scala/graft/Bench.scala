@@ -130,6 +130,25 @@ object Bench {
       val seg = java.nio.file.Files.createTempDirectory("graft_warm_seg_").toString
       spark.range(4).withColumn("__seg", (col("id") % 2).cast("string"))
         .write.mode("overwrite").partitionBy("__seg").json(seg)
+      // RocksDB state-store provider first-touch (native library load +
+      // store init) — not per-query work, but q_stream_dedup_rocks was
+      // being charged it as the only RocksDB-backed query
+      val ck3 = java.nio.file.Files.createTempDirectory("graft_warm_ck3_").toString
+      val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL("i BIGINT")).json(sdir)
+          .dropDuplicates("i")
+          .writeStream.option("checkpointLocation", ck3)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(); () })
+          .start().awaitTermination()
+      finally prevProv match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     } catch { case _: Throwable => () }
     try {
       // transactional JDBC load path: ensure + tmp table + MERGE on Derby —

@@ -105,12 +105,6 @@ object LlmOps {
       .select("i", "j", "jac")
   }
 
-  /** Exact-Jaccard verification of an EXPLICIT candidate pair set. The
-    * shingle index is first semi-joined down to candidate docs, then each
-    * pair hash-joins its two per-doc shingle sets and intersects in-row
-    * (`array_intersect`) — no shingle self-join ever materializes, so a hot
-    * shingle ("the quick brown") cannot make pair generation quadratic. Cost
-    * is linear in |candidates|: the 100 TB-safe verify shape. */
   /** Exact-Jaccard verification of candidate pairs against a per-doc
     * DISTINCT-element ARRAY frame `docSets` (doc_id, ss). r20 shape: every
     * caller already materializes the per-doc sets upstream (`hs` from the
