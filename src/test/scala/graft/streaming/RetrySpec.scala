@@ -112,6 +112,30 @@ class RetrySpec extends SparkSuite {
     assert(q.replayDlq(spark)(_ => fail("nothing left to replay")) == 0)
   }
 
+  test("re-dead-letter after a partial replay does not duplicate the batch (r20: per-batch rewrite layout)") {
+    val q = tmpQueue()
+    q.enqueue(batch(1L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
+    q.enqueue(batch(666L), batchId = 2L, error = "poison", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    // partial replay: batch 1 fixed, batch 2 still broken — the rewrite must
+    // keep batch 2 in its per-batch b2 subfolder (a FLAT rewrite left it at
+    // the root, where the re-dead-letter's b2 OVERWRITE could never replace
+    // it and the recursive read returned both copies)
+    assert(q.replayDlq(spark) { rows =>
+      if (rows.collect().exists(_.getLong(0) == 666L))
+        throw new RuntimeException("still broken")
+    } == 1)
+    assert(canon(q.dlq(spark).get.select("id")) == Seq(Seq("666")))
+    // the operator re-drives batch 2 through the pipeline and it exhausts
+    // its budget AGAIN: the per-batch OVERWRITE must REPLACE the copy that
+    // survived the partial replay, not append beside it
+    q.enqueue(batch(666L), batchId = 2L, error = "poison again", nowMs = 0L, attempt = 5)
+    q.drain(spark, 1441L * 60000L)(_ => throw new RuntimeException("poison"))
+    val dead = q.dlq(spark).get
+    assert(dead.count() == 1, s"duplicate DLQ rows: ${dead.collect().toSeq}")
+    assert(canon(dead.select("id", "__error")) == Seq(Seq("666", "poison again")))
+  }
+
   test("interrupted staged swap: rows stranded in __next are recovered by readers") {
     val q = tmpQueue()
     q.enqueue(batch(1L), batchId = 1L, error = "poison", nowMs = 0L, attempt = 5)
