@@ -277,13 +277,19 @@ object GraphOps {
     val closed = wedges.join(edges, Seq("a", "b"), "left_semi")
     // ONE tagged-union aggregate instead of three scalar branches glued by
     // crossJoins (r20): same three counts, one job instead of three
-    // aggregate jobs + two broadcast exchanges
-    deg.select(lit(1L).as("nv"), lit(0L).as("ne"), lit(0L).as("nt"))
+    // aggregate jobs + two broadcast exchanges.
+    // r21 (ADVICE): the 1-row result checkpoints EAGERLY so the three
+    // caches release here — callers outside Bench/Verify's per-query
+    // clearCache no longer leak edges/deg/oriented for the session.
+    val out = deg.select(lit(1L).as("nv"), lit(0L).as("ne"), lit(0L).as("nt"))
       .unionAll(edges.select(lit(0L).as("nv"), lit(1L).as("ne"), lit(0L).as("nt")))
       .unionAll(closed.select(lit(0L).as("nv"), lit(0L).as("ne"), lit(1L).as("nt")))
       .agg(coalesce(sum("nv"), lit(0L)).as("n_nodes"),
         coalesce(sum("ne"), lit(0L)).as("n_edges"),
         coalesce(sum("nt"), lit(0L)).as("n_triangles"))
+      .localCheckpoint(true)
+    Seq(edges, deg, oriented).foreach(_.unpersist())
+    out
   }
 
   private val triangleOracle = """

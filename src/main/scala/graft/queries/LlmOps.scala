@@ -594,13 +594,15 @@ object LlmOps {
   /** Recall measurement of the MinHash-LSH dedup pipeline against the EXACT
     * similarity join — the index-trust number for the TEXT side, the twin
     * of [[annRecall]] on the embedding side, made possible by
-    * [[prefixJoinPairs]] being exact. LSH's verified pairs are a SUBSET of
-    * the exact set by construction (verification computes true Jaccard), so
-    * `n_hit == n_lsh` here is itself an invariant under test: a violation
-    * means one of the two pipelines broke. recall_permille is integer-exact
-    * (`·1000 div`), so the measurement hash-compares. One extra aggregate
-    * over the union of tagged pair sets — no cross joins, no second scan
-    * beyond the two pipelines themselves. */
+    * [[prefixJoinPairs]] being exact. Since the r20 rewrite the LSH leg is
+    * verified by a semi-join against the exact pair set, so `n_hit ==
+    * n_lsh` holds BY CONSTRUCTION (the same persisted frame is counted
+    * twice) — the independent cross-check of the LSH pipeline lives in the
+    * DuckDB oracle, which still computes both legs separately and
+    * hash-compares. recall_permille is integer-exact (`·1000 div`), so the
+    * measurement hash-compares. One extra aggregate over the union of
+    * tagged pair sets — no cross joins, no second scan beyond the two
+    * pipelines themselves. */
   def lshEval(s: SparkSession, d: String): DataFrame = {
     // EVAL-ONLY at bench scale: this form materializes the full exact pair
     // set. The 100 TB path is [[lshEvalSampled]], which estimates the same
@@ -811,10 +813,15 @@ object LlmOps {
     * m(k−1) − m(m−1)/2 per cluster — so neither the implied nor the exact
     * pair set is ever materialized beyond the sample's pairs. */
   def clusterEvalSampled(s: SparkSession, d: String): DataFrame = {
-    val withHs = hashedShingles(Tables.documents(s, d)).persist()
+    // r21: same one-scan base as [[clusterEval]] — the simhash leg reads
+    // `sh` off the persisted frame instead of re-scanning + re-tokenizing
+    // the corpus through dedupCluster.
+    val base = evalBase(Tables.documents(s, d)).persist()
+    val withHs = base.select(col("doc_id"), col("hs"))
     val shFull = withHs.select(col("doc_id"), explode(col("hs")).as("s")).persist()
     val exactS = sampledExactPairs(withHs, shFull).persist()
-    val cl = dedupCluster(s, d).persist()
+    val cl = clusterOf(simhashBandPairs(
+      base.select(col("doc_id"), col("sh")), bandBits = 8)).persist()
     val perCluster = cl.groupBy("cluster_id").agg(
       count(lit(1)).as("k"),
       sum(when(evalSampled(col("doc_id")), 1L).otherwise(0L)).as("m"))
@@ -836,7 +843,7 @@ object LlmOps {
         expr("CASE WHEN exact_pairs_sampled = 0 THEN NULL ELSE (hits_sampled * 1000) div exact_pairs_sampled END")
           .as("recall_permille"))
       .localCheckpoint(true) // 1 row; releases the caches below NOW
-    Seq(withHs, shFull, exactS, cl).foreach(_.unpersist())
+    Seq(base, shFull, exactS, cl).foreach(_.unpersist())
     out
   }
 
@@ -903,10 +910,16 @@ object LlmOps {
     // verify on STRING shingle arrays here: hashing the WHOLE corpus's
     // shingles first (as minhashPairs does, where the signature pass needs
     // the hashes anyway) would be a pure extra md5 pass with no downstream
-    // saving; the candidate join prunes non-matching docs in-stream
-    verifyCandidates(docs.select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("ss")),
-      cands, JaccardThreshold)
+    // saving; the candidate join prunes non-matching docs in-stream.
+    // r21 (ADVICE): verifyCandidates joins docSets TWICE (i-side + j-side)
+    // — persist so the corpus tokenize+shingle pass runs once, and release
+    // eagerly behind a pair-set-sized checkpoint like the other callers.
+    val docSets = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("ss")).persist()
+    val out = verifyCandidates(docSets, cands, JaccardThreshold)
+      .localCheckpoint(true)
+    docSets.unpersist()
+    out
   }
 
   private lazy val IncrementalIdxDir: String =
@@ -1055,9 +1068,20 @@ object LlmOps {
   def clusterEval(s: SparkSession, d: String): DataFrame = {
     // EVAL-ONLY at bench scale (full exact pair set); the 100 TB path is
     // [[clusterEvalSampled]].
-    val cl = dedupCluster(s, d).persist() // label frame feeds sizes + both pair-label joins
+    // r21: ONE corpus scan + tokenize feeds BOTH legs — the simhash
+    // fingerprint (cluster side) and the shingle-hash arrays (exact side)
+    // are projections of the same persisted per-doc frame, where the old
+    // shape ran dedupCluster and prefixJoinPairs as two independent
+    // scan+tokenize pipelines. Values are expression-identical, so the
+    // oracle hash is untouched.
+    val base = evalBase(Tables.documents(s, d)).persist()
+    val cl = clusterOf(simhashBandPairs(
+      base.select(col("doc_id"), col("sh")), bandBits = 8))
+      .persist() // label frame feeds sizes + both pair-label joins
     val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-    val exact = prefixJoinPairs(Tables.documents(s, d)).select("i", "j").persist()
+    val exact = prefixJoinFromIndex(
+      base.select(col("doc_id"), explode(col("hs")).as("s")))
+      .select("i", "j").persist()
     val hits = exact
       .join(cl.select(col("doc_id").as("i"), col("cluster_id").as("ci")), "i")
       .join(cl.select(col("doc_id").as("j"), col("cluster_id").as("cj")), "j")
@@ -1078,9 +1102,21 @@ object LlmOps {
         expr("CASE WHEN exact_pairs = 0 THEN NULL ELSE (hits * 1000) div exact_pairs END")
           .as("recall_permille"))
       .localCheckpoint(true) // 1 row; releases the caches below NOW
-    Seq(cl, exact).foreach(_.unpersist())
+    Seq(base, cl, exact).foreach(_.unpersist())
     out
   }
+
+  /** ONE-scan eval base (r21): `(doc_id, sh, hs)` — the 32-bit simhash
+    * fingerprint AND the distinct shingle-hash array off a single tokenize
+    * pass. `tk` is bound as a column of the inner projection and referenced
+    * by two non-cheap kernel expressions, so CollapseProject keeps the
+    * projections separate and the tokenizer runs once per row (the
+    * materialize-before-multi-traversal house rule). */
+  private def evalBase(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        TextOps.simhash32FromHashes(TextOps.hash60Array(col("tk"))).as("sh"),
+        TextOps.shingleHash60(col("tk"), 3).as("hs"))
 
   private lazy val clusterEvalOracle = s"""
     WITH RECURSIVE $ccReachCtesSql,

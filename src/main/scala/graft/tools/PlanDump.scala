@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: PlanDump <sfDir> <outDir> <tag> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, tag, list) = args.take(4)
     val names = list.split(",").map(_.trim).filter(_.nonEmpty)
     val spark = SparkSession.builder().master("local[8]")
