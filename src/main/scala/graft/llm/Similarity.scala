@@ -287,15 +287,18 @@ object Similarity {
                  queryId: String = "vec_id", corpusId: String = "vec_id",
                  centroidId: String = "vec_id"): DataFrame = {
     val cells = ivfCells(corpus, centroids, corpusId, centroidId)
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__ccos").desc, col("__cent_id").asc)
+    // r21: the corpus-sized query-side nprobe rank is the bounded top-K
+    // heap aggregate (same (__ccos DESC, __cent_id ASC) total order as the
+    // old rank window, centroid ids unique) — ≤nprobe map-side entries per
+    // query instead of sorting every query's centroid cross in the shuffle
     val queryCells = withCentCos(
         queries.select(col(queryId).as("query_id"), col("embedding")),
         centroids, centroidId)
-      .withColumn("__cr", row_number().over(qw))
-      .filter(col("__cr") <= nprobe)
-      .select(col("query_id"), col("embedding").as("__qe"),
-        col("__cent_id").as("__cell"))
+      .groupBy(col("query_id"))
+      .agg(TextOps.topKBy(col("__ccos"), col("__cent_id"), nprobe).as("__tk"),
+        first(col("embedding")).as("__qe"))
+      .select(col("query_id"), col("__qe"), explode(col("__tk")).as("__t"))
+      .select(col("query_id"), col("__qe"), col("__t.id").as("__cell"))
     val cands = queryCells.join(cells, "__cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", TextOps.quant(cosine(col("__qe"), col("__ce")), 4))
@@ -596,15 +599,19 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("code_id").as("code"),
         TextOps.quant(l2sq(col("__sv"), col("subvec")), 6).as("__d"))
     // nprobe coarse cells per query — the same quant6 L2 argmin as
-    // coarseCells, ranked per query (window shuffle on query_id)
+    // coarseCells. r21: ranked by the bounded top-K heap aggregate (same
+    // (-__cd DESC, id ASC) total order as the old rank window, ids unique)
+    // — the window sorted every query's full centroid cross inside one
+    // shuffle partition; the heap keeps ≤nprobe map-side entries per query
+    // and combines before the exchange.
     val cents = broadcast(centroids.select(
       col(centroidId).as("__cent_id"), col("embedding").as("__cent")))
-    val qw = Window.partitionBy("query_id")
-      .orderBy(col("__cd").asc, col("__cent_id").asc)
     val queryCells = q.crossJoin(cents)
       .withColumn("__cd", TextOps.quant(l2sq(col("embedding"), col("__cent")), 6))
-      .withColumn("__cr", row_number().over(qw)).filter(col("__cr") <= nprobe)
-      .select(col("query_id"), col("__cent_id").as("cell"))
+      .groupBy("query_id")
+      .agg(TextOps.topKBy(-col("__cd"), col("__cent_id"), nprobe).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__t"))
+      .select(col("query_id"), col("__t.id").as("cell"))
     // distance-table rows fan out to their query's probe cells, then meet
     // the (cell-annotated) code rows on the composite key — the ONE shuffled
     // equi-join; candidates are bounded by probed-cell sizes, never all-pairs

@@ -3367,8 +3367,15 @@ object LlmOps {
     * (doc_id, fp) — split out so the skew-stress spec can drive it with a
     * planted hot clique, mirroring [[videoDedupFromFrameHashes]]. */
   private[queries] def audioFpDedupFromFps(fps0: DataFrame): DataFrame = {
+    // r21: EAGER checkpoint, not a lazy persist — the final action fans out
+    // to four consumers and AQE submits their exchange subtrees
+    // concurrently, so a lazy cache is materialized by 3 racing jobs that
+    // each hold 32 task slots while the decode computes (profiled: three
+    // concurrent 1.34 s jobs, stage-sum 4.9 s vs 2.7 s wall). The frame is
+    // |docs| rows of (long, long) — checkpoint cost is trivial, and the
+    // codec pass provably runs once.
     val fps = fps0.select("doc_id", "fp")
-      .persist() // consumers: fp output, band build, both pair-side joins
+      .localCheckpoint(true) // consumers: fp output, band build, both pair-side joins
     val bands0 = fps.select(col("doc_id"), col("fp"),
         explode(typedLit((0 until FpBands).toList)).as("b"))
       .select(col("doc_id"), col("b"),
@@ -3466,9 +3473,13 @@ object LlmOps {
     * can drive it with a planted hot clique, mirroring
     * [[mmDedupFromHashes]]. */
   private[queries] def videoDedupFromFrameHashes(fh0: DataFrame): DataFrame = {
-    // consumers: band build + both verify-join sides — persist (self-join
-    // sides don't reuse exchanges; without this the demux runs per side)
-    val fh = fh0.select("doc_id", "frame_idx", "fhash").persist()
+    // consumers: band build + both verify-join sides. r21: EAGER checkpoint
+    // instead of a lazy persist — AQE submits the independent consumer
+    // subtrees concurrently and a lazy cache is materialized by racing jobs
+    // that re-run (or block on) the AVI demux per consumer (the audio twin
+    // profiled 3 concurrent decode jobs); |docs|·frames rows of scalars,
+    // checkpoint cost trivial, demux provably once.
+    val fh = fh0.select("doc_id", "frame_idx", "fhash").localCheckpoint(true)
     val bands0 = fh.select(col("doc_id"), col("frame_idx"),
         explode(array((0 until MmBands).map(b =>
           struct(lit(b).as("band"),
