@@ -194,7 +194,9 @@ object FilterOps {
     // is still cached (unpersisted in the finally), so the corpus is
     // tokenized exactly once with no extra materialization pass
     val (raw, docs) = perceptronFeatures(s, d)
-    val feats = raw.repartition(8, col("doc_id")).persist()
+    val feats = raw.repartition(
+      sys.env.getOrElse("SPARK_GRAFT_CONTROL_SHUFFLE", "4").toInt,
+      col("doc_id")).persist()
     try {
       val w = Array.fill(PerceptronBuckets + 1)(0L)
       def dotted = {

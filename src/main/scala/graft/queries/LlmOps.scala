@@ -1052,8 +1052,13 @@ object LlmOps {
     * the banded self-join pipeline runs once. */
   private def clusterOf(pairFrame: DataFrame): DataFrame = {
     val pairs = pairFrame.select("i", "j").persist()
-    graft.llm.Corpus.clusterPairs(pairs)
+    // clusterPairs consumes pairs EAGERLY on both paths (driver probe
+    // collect, or the eager edge checkpoint) — release the cache here
+    // instead of leaking it for the session (r21, the triangleCount rule)
+    val out = graft.llm.Corpus.clusterPairs(pairs)
       .select(col("node").as("doc_id"), col("cluster_id"))
+    pairs.unpersist()
+    out
   }
 
   /** Cluster-quality evaluation: how faithfully do the SimHash near-dup
@@ -1269,9 +1274,11 @@ object LlmOps {
   private def clusterAssign(s: SparkSession, d: String,
                             extraCols: Seq[String] = Nil): DataFrame = {
     val pairs = simhashNearDup(s, d).select("i", "j").persist()
+    // clusterPairs consumes pairs eagerly (see clusterOf) — release now
+    val cl = graft.llm.Corpus.clusterPairs(pairs)
+    pairs.unpersist()
     Tables.documents(s, d).select("doc_id", extraCols: _*)
-      .join(graft.llm.Corpus.clusterPairs(pairs)
-        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(cl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
   }
 

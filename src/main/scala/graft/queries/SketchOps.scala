@@ -1031,6 +1031,9 @@ object SketchOps {
     // size (the map side keeps the cached frame's full parallelism). The
     // corpus-scale pair build above stays at session width.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // stays at the r16 value: r21 A/B (flipped-order 3-rep solo minima)
+    // read 3.88 s at 8 vs 4.46 s at 4 — sgns epochs are literal-compile +
+    // map-side bound, not reducer-commit bound like the streams
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try for (_ <- 1 to SgnsEpochs) {
       val uLit = typedLit(u.map(_.toSeq).toSeq)
